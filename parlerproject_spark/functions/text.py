@@ -1,0 +1,88 @@
+"""Text scalar functions.
+
+Re-expresses the reference's string handling as Column expressions:
+whitespace normalization (" ".join(text.split()),
+code/htmlConverter.py:38), trim + non-empty filters
+(code/embeddings.py:19-27), plus the text-analysis operators a
+training-data pipeline needs (token counting, quality scoring,
+fingerprinting). All JVM-side built-ins — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Parler metadata terms the reference strips before topic modeling
+# (code/bertopicTest.py:30-38) plus a minimal English stop list — kept
+# as an engine constant so tokenize() matches the reference's
+# CountVectorizer(stop_words=...) semantics.
+PARLER_STOP_WORDS = [
+    "impressions", "echoes", "upvotes", "comments", "post", "posts",
+    "parler", "image", "video", "href", "http", "https", "www",
+]
+BASIC_ENGLISH_STOP_WORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that",
+]
+
+
+def normalize_ws(col: Column | str) -> Column:
+    """Collapse all whitespace runs to single spaces and trim.
+
+    Exact semantics of ``" ".join(text.split())`` in
+    code/htmlConverter.py:38 (python str.split() splits on any
+    whitespace run and drops leading/trailing).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def tokenize(col: Column | str, *, lowercase: bool = True) -> Column:
+    """Whitespace/punctuation tokenizer → array<string>.
+
+    Splits on any non-alphanumeric run (the BPE-ish regex boundary),
+    drops empties. Mirrors the reference's CountVectorizer default
+    token pattern (code/bertopicTest.py:42-50) closely enough for
+    vocabulary/DF parity.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"[^a-z0-9]+" if lowercase else r"[^A-Za-z0-9]+"),
+                    lambda t: F.length(t) > 0)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)).cast("long")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length score x alpha
+    ratio x (1 - stopword excess). Deterministic, all built-ins, so
+    it is oracle-expressible in plain SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")).cast("double")
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    return F.round(length_score * alpha_ratio, 6)
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized,
+    lowercased text. The exact-dedup key (SURVEY north-star dedup
+    operator); md5 so the DuckDB oracle can reproduce it exactly."""
+    return F.md5(F.lower(normalize_ws(col)))
+
+
+def stable_hash31(col: Column | str) -> Column:
+    """Deterministic 31-bit integer hash of a string, identical in
+    Spark and DuckDB: first 15 hex digits of md5 → bigint → mod
+    2^31-1. Used as the base hash for MinHash permutations and
+    SimHash bit votes — NOT Spark's ``hash()`` (xxhash), which the
+    oracle cannot reproduce."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % F.lit(2147483647))

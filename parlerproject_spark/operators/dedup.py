@@ -1,0 +1,171 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+- exact:   md5-fingerprint groupBy (one shuffle on a short hash key).
+- ngram-jaccard: shingle inverted index → candidate pairs via
+  shared-shingle join → exact Jaccard verify. The join is on shingle
+  hash, so only documents sharing a shingle ever meet — never a
+  cross join.
+- MinHash+LSH: signature via arithmetic permutations of a
+  md5-derived base hash (oracle-reproducible, unlike Spark's
+  xxhash), banded so candidate generation is a groupBy on
+  (band, band-signature) — the 100 TB path: cost scales with
+  near-duplicate density, not corpus².
+- SimHash: 32-bit sign-vote fingerprint; hamming buckets by prefix.
+
+All hashes derive from functions.text.stable_hash31 so the DuckDB
+oracle can replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from parlerproject_spark.functions.text import fingerprint_md5, stable_hash31, tokenize
+
+_P31 = 2147483647  # 2^31 - 1, Mersenne prime for the permutation family
+
+# Fixed permutation family h_i(x) = (a_i * x + b_i) mod p. Constants
+# are arbitrary-but-fixed (seeded small primes), shared with the
+# oracle SQL; a_i,x < 2^31 keeps a_i*x inside signed-64 range.
+MINHASH_A = [1000003, 1000033, 1000037, 1000039, 1000081, 1000099,
+             1000117, 1000121, 1000133, 1000151, 1000159, 1000171]
+MINHASH_B = [7, 5003, 9001, 12007, 18013, 23003,
+             29009, 31013, 37003, 41011, 43013, 47017]
+
+
+def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content fingerprint.
+
+    Returns one row per duplicated fingerprint: fp, dup_count,
+    canonical_id (min id — deterministic representative). groupBy on
+    the 32-char fingerprint: a single shuffle of (fp, id) pairs, ~40
+    bytes/row at any scale.
+    """
+    return (docs.select(fingerprint_md5(text_col).alias("fp"),
+                        F.col(id_col).alias("doc_id"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("doc_id").alias("canonical_id"))
+            .filter(F.col("dup_count") > 1))
+
+
+def shingles(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle hashes per document.
+    Columns: doc_id, sh (31-bit shingle hash)."""
+    toks = tokenize(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (docs.filter(F.size(toks) >= n)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.array_distinct(grams)).alias("gram"))
+            .select("doc_id", stable_hash31(F.col("gram")).alias("sh")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Inverted-index join: pairs meet only through shared shingles, so
+    candidate count tracks actual overlap. Hot shingles (stopword
+    grams) are the skew risk at scale — AQE skew-join splitting plus
+    the distinct() before counting keeps it bounded.
+    Columns: id_a, id_b (id_a < id_b), jaccard.
+    """
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 12) -> DataFrame:
+    """MinHash signature per document.
+
+    One explode over shingles, then num_hashes min-aggregates in a
+    single groupBy pass (map-side combine keeps the shuffle at one
+    row per doc). Columns: doc_id, h0..h{k-1}.
+    """
+    assert num_hashes <= len(MINHASH_A)
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    aggs = [
+        F.min((F.col("sh") * MINHASH_A[i] + MINHASH_B[i]) % _P31).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 12, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH, then
+    exact-Jaccard verification of candidates only.
+
+    bands=4 over 12 hashes → rows_per_band=3; collision prob at
+    jaccard s is 1-(1-s^3)^4 (the standard S-curve). The banding
+    groupBy is the only corpus-wide shuffle; verification touches
+    candidate docs only. Columns: id_a, id_b, jaccard.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n,
+                             num_hashes=num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.concat_ws(":", *parts).alias("key")))
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")) \
+                 .select("doc_id", "bk.band", "bk.key")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.key") == F.col("r.key"))
+                   & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+            .distinct())
+    exact = ngram_jaccard_pairs(docs, id_col=id_col, text_col=text_col, n=n,
+                                threshold=0.0)
+    return (cand.join(exact, ["id_a", "id_b"])
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """32-bit SimHash fingerprint per document.
+
+    Sign-vote per bit over token hashes: explode tokens once, explode
+    bit positions (32×), sum votes, reassemble. The 32× row blowup is
+    intra-stage (no extra shuffle beyond the groupBy).
+    Columns: doc_id, simhash (bigint).
+    """
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(tokenize(text_col)).alias("term"))
+            .select("doc_id", stable_hash31(F.col("term")).alias("th")))
+    votes = (toks.select("doc_id", "th",
+                         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+             .withColumn("vote", F.when(F.expr("shiftright(th, cast(bit as int)) & 1") == 1, 1)
+                                  .otherwise(-1))
+             .groupBy("doc_id", "bit").agg(F.sum("vote").alias("v")))
+    return (votes.withColumn("bitval",
+                             F.when(F.col("v") > 0,
+                                    F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+                             .otherwise(F.lit(0).cast("bigint")))
+            .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))

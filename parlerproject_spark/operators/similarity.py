@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, mirroring how a 100 TB vector table is actually served:
+- brute-force cosine top-k: the correctness baseline. The query
+  vector is broadcast (a one-row dimension), the fact side streams —
+  a single narrow pass, no shuffle except the final top-k merge
+  (TakeOrderedAndProject).
+- LSH-bucketed ANN: deterministic random-hyperplane signatures with
+  multi-probe querying. Plane weights are *data* in a broadcast
+  dimension table (not literals baked into the expression tree —
+  keeps task binaries small and the plane count a runtime knob).
+  Probing hamming-distance-1 buckets trades a small constant factor
+  on the (tiny) query side for much better recall.
+
+The reference's embedding store is an L2-normalized float32 matrix
+(code/embeddings.py:82-87,119); cosine over normalized vectors is
+dot product, but we compute full cosine to stay correct on
+unnormalized input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parlerproject_spark.functions.vectors import cosine
+
+
+def _plane_weight(table: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1) from md5 —
+    reproducible everywhere, no RNG state."""
+    h = hashlib.md5(f"plane:{table}:{plane}:{dim}".encode()).hexdigest()
+    return (int(h[:12], 16) / float(16 ** 12)) * 2.0 - 1.0
+
+
+def knn_bruteforce(vectors: DataFrame, query: DataFrame, *, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k of `vectors` against a ONE-ROW `query`
+    DataFrame with column `q` (array). Columns: vec_id, sim.
+
+    Broadcast-nested-loop of a 1-row side = a free-riding map stage;
+    the only shuffle is the k-row ordered merge.
+    """
+    joined = vectors.crossJoin(F.broadcast(query))
+    scored = joined.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(vec_col, "q"), 6).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def plane_table(spark, *, dim: int, num_planes: int, num_tables: int) -> DataFrame:
+    """The hyperplane dimension table: (tbl, plane, w: array<double>).
+    num_tables × num_planes rows — broadcast everywhere it is used."""
+    rows = [
+        (t, p, [_plane_weight(t, p, d) for d in range(dim)])
+        for t in range(num_tables)
+        for p in range(num_planes)
+    ]
+    return spark.createDataFrame(rows, "tbl int, plane int, w array<double>")
+
+
+def _signatures(df: DataFrame, planes: DataFrame, *, vec_col: str,
+                key_cols: list[str]) -> DataFrame:
+    """Bit signature per (row, table): sign of <vec, plane> packed
+    into a bigint. One broadcast-nested-loop against the tiny plane
+    table, then a partial-aggregated groupBy back to one row per
+    (row, table)."""
+    dotp = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("w"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    bit = F.when(dotp >= 0,
+                 F.expr("shiftleft(cast(1 as bigint), plane)")).otherwise(F.lit(0).cast("bigint"))
+    return (df.crossJoin(F.broadcast(planes))
+            .select(*key_cols, vec_col, "tbl", bit.alias("bit"))
+            .groupBy(*key_cols, "tbl")
+            .agg(F.sum("bit").alias("sig"), F.first(vec_col).alias(vec_col)))
+
+
+def knn_lsh(vectors: DataFrame, query: DataFrame, *, dim: int, k: int = 10,
+            num_planes: int = 6, num_tables: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN cosine top-k: random-hyperplane LSH with multi-probe.
+
+    Corpus side: one signature per (vector, table) — a narrow map +
+    one partial-aggregated shuffle, done once (at scale this is the
+    precomputed index you'd persist, bucketed by (tbl, sig)).
+    Query side: exact signature plus every hamming-1 neighbor
+    (num_planes probes/table) — a few dozen broadcast rows. Exact
+    cosine re-rank inside probed buckets only. Recall < 1 by design;
+    `knn_bruteforce` is the oracle. Columns: vec_id, sim.
+    """
+    spark = vectors.sparkSession
+    planes = plane_table(spark, dim=dim, num_planes=num_planes, num_tables=num_tables)
+
+    corpus = _signatures(vectors, planes, vec_col=vec_col, key_cols=[id_col]) \
+        .select(F.col(id_col).alias("vec_id"), vec_col, "tbl", "sig")
+
+    qsig = _signatures(query.select(F.col("q")), planes, vec_col="q", key_cols=[])
+    # multi-probe: the bucket itself + every hamming-1 bucket
+    probes = qsig.selectExpr(
+        "q", "tbl",
+        f"explode(concat(array(sig), transform(sequence(0, {num_planes - 1}), "
+        "p -> sig ^ shiftleft(cast(1 as bigint), p)))) as sig")
+
+    cand = corpus.join(F.broadcast(probes), ["tbl", "sig"])
+    scored = cand.select("vec_id", F.round(cosine(vec_col, "q"), 6).alias("sim"))
+    best = scored.groupBy("vec_id").agg(F.max("sim").alias("sim"))
+    return best.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)

@@ -1,0 +1,769 @@
+"""Named query registry — the driver-facing contract.
+
+Every entry pairs a Spark DataFrame builder (spark, sf_dir) ->
+DataFrame with (where SQL-expressible) a DuckDB oracle SQL string the
+driver hash-compares against at sf0.01. Column names and rounding are
+aligned on BOTH sides (the driver sorts columns by name and hashes
+values — SURVEY §5.2).
+
+Conventions:
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are round()ed on both sides (Spark and DuckDB sum
+  in different orders; exact doubles differ in final ulps);
+- timestamps returned to the driver are formatted to strings on both
+  sides (engine-neutral representation);
+- every top-k has a unique tie-break column in its ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parlerproject_spark.catalog import load_table
+from parlerproject_spark.functions.geo import dms_to_decimal
+from parlerproject_spark.functions.text import (
+    fingerprint_md5,
+    normalize_ws,
+    quality_score,
+    token_count,
+)
+from parlerproject_spark.operators import dedup, relational, similarity, text_analysis
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = Query(fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY A1-A5) + TPC-H-shaped relational core
+# ---------------------------------------------------------------------------
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial-aggregatable scan-group.
+    One shuffle of (2-char key, 8 partial sums) per partition —
+    map-side combine means network cost is O(groups), not O(rows)."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (l.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@register("q3_segment_revenue", """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
+       o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""")
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. The segment-filtered customer side is small →
+    broadcast into orders (no shuffle of the fact tables); lineitem
+    joins orders on the already-partitioned orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .select("o_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10))
+
+
+@register("q5_region_revenue", """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey   = c.c_custkey
+JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (star join). region/nation/customer are dims →
+    broadcast chain; only lineitem⋈orders is a shuffled join."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .select("c_custkey", "n_name"))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+
+
+@register("global_sum_gb", """
+SELECT round(sum(o_totalprice) / 1e9, 6) AS total_gb
+FROM orders
+""")
+def global_sum_gb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/F7: the reference's `df['size'].sum()/1e9` corpus-bytes
+    aggregate (analysis/preview_file_downloads.ipynb:161)."""
+    return (_t(spark, sf_dir, "orders")
+            .agg(F.round(F.sum("o_totalprice") / 1e9, 6).alias("total_gb")))
+
+
+@register("group_count_events", """
+SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+""")
+def group_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: value-counts (reference: Counter(topics),
+    code/bertopicTest.py:107-112)."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+@register("share_of_total_events", """
+SELECT event_type, count(*) AS cnt,
+       round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct
+FROM events GROUP BY event_type
+""")
+def share_of_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F11: group share of total (reference: per-topic percentage,
+    code/bertopicTest.py:110-112)."""
+    return relational.share_of_total(_t(spark, sf_dir, "events"), "event_type")
+
+
+@register("distinct_customers_per_priority", """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderpriority
+""")
+def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-added distinct aggregate (SURVEY §2.5 absent-set)."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers")))
+
+
+@register("rollup_nation_counts", """
+SELECT r.r_name, n.n_name, count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def rollup_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-added ROLLUP (subtotal + grand-total rows)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+@register("cube_status_priority", """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-added CUBE."""
+    return (_t(spark, sf_dir, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY J1-J3) and set ops (U1 + engine-added)
+# ---------------------------------------------------------------------------
+
+@register("semi_join_building_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""")
+def semi_join_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast left-semi membership filter — the GPS-detected
+    list driving tar extraction (preview_data.ipynb:127-129)."""
+    o = _t(spark, sf_dir, "orders")
+    keys = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("o_custkey")))
+    return relational.semi_join(o, keys, "o_custkey") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register("anti_join_idle_customers", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-anti resume/skip-done pattern
+    (code/htmlConverter.py:52-54)."""
+    c = _t(spark, sf_dir, "customer")
+    done = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return relational.anti_join(c, done, "c_custkey").select("c_custkey", "c_name")
+
+
+@register("lookup_join_nation_region", """
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def lookup_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: broadcast dimension lookup (code/bertopicTest.py:93-97)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return relational.lookup_join(n, r, n.n_regionkey == r.r_regionkey) \
+        .select("n_nationkey", "n_name", "r_name")
+
+
+@register("union_merge_docs", """
+SELECT doc_id, lang, NULL AS source FROM documents
+UNION ALL
+SELECT doc_id, NULL AS lang, source FROM documents
+""")
+def union_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: schema-merging union-by-name (the reference's NaN-padded
+    pd.concat, preview_data.ipynb:312-316) — missing columns padded
+    with NULL, balanced fold, never an iterative chain."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", "lang")
+    b = d.select("doc_id", "source")
+    return relational.union_by_name([a, b]).select("doc_id", "lang", "source")
+
+
+@register("intersect_custkeys", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-added INTERSECT (SURVEY §2.7 absent-set)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register("except_custkeys", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-added EXCEPT."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (P2-P6) and scalar functions (F1-F15)
+# ---------------------------------------------------------------------------
+
+@register("filter_contains_docs", """
+SELECT doc_id, n_chars FROM documents WHERE text LIKE '%vector%'
+""")
+def filter_contains_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: substring-match filter (reference:
+    report.str.contains('GPS_detected'), preview_data.ipynb:127)."""
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").contains("vector"))
+            .select("doc_id", "n_chars"))
+
+
+@register("filter_suffix_sources", """
+SELECT doc_id, source FROM documents WHERE source LIKE '%3'
+""")
+def filter_suffix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: suffix filter (reference: fileName.endswith('.json'),
+    ID_matching_metadata.py:72)."""
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("source").endswith("3"))
+            .select("doc_id", "source"))
+
+
+@register("filter_nonempty_docs", """
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE length(trim(text)) > 0 GROUP BY lang
+""")
+def filter_nonempty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: non-empty text filter (code/embeddings.py:19-27)."""
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.length(F.trim(F.col("text"))) > 0)
+            .groupBy("lang").agg(F.count("*").alias("n_docs")))
+
+
+@register("when_case_acctbal", """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bucket,
+       count(*) AS n, round(sum(c_acctbal), 4) AS total_bal
+FROM customer GROUP BY 1
+""")
+def when_case_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: conditional branch (reference: img-alt whitelist branch,
+    code/htmlConverter.py:29-34)."""
+    bucket = (F.when(F.col("c_acctbal") < 0, "negative")
+               .when(F.col("c_acctbal") < 5000, "low")
+               .otherwise("high")).alias("bucket")
+    return (_t(spark, sf_dir, "customer")
+            .groupBy(bucket)
+            .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("total_bal")))
+
+
+@register("normalize_ws_docs", """
+SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text
+FROM documents WHERE doc_id < 50
+""")
+def normalize_ws_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: whitespace normalization — exact
+    `" ".join(text.split())` semantics (code/htmlConverter.py:38)."""
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", normalize_ws("text").alias("norm_text")))
+
+
+@register("concat_object_urls", """
+SELECT s_suppkey, printf('s3://bucket/%s/%05d.bin', s_name, s_suppkey) AS url
+FROM supplier
+""")
+def concat_object_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: keyed URL construction (reference: base_url + filename,
+    download_image_files.py:28)."""
+    return (_t(spark, sf_dir, "supplier")
+            .select("s_suppkey",
+                    F.format_string("s3://bucket/%s/%05d.bin",
+                                    F.col("s_name"), F.col("s_suppkey")).alias("url")))
+
+
+@register("exif_ts_roundtrip", """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y:%m:%d %H:%M:%S') AS exif_ts,
+       strftime(strptime(strftime(o_orderdate, '%Y:%m:%d %H:%M:%S'),
+                         '%Y:%m:%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_iso
+FROM orders WHERE o_orderkey < 100
+""")
+def exif_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: EXIF-style `yyyy:MM:dd HH:mm:ss` timestamp format+parse
+    (the reference's CreationDate strings, preview_data.ipynb cell 8;
+    SURVEY §1.2 temporal note)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    exif = F.date_format("o_orderdate", "yyyy:MM:dd HH:mm:ss").alias("exif_ts")
+    parsed = F.date_format(F.to_timestamp(F.date_format("o_orderdate", "yyyy:MM:dd HH:mm:ss"),
+                                          "yyyy:MM:dd HH:mm:ss"),
+                           "yyyy-MM-dd HH:mm:ss").alias("parsed_iso")
+    return o.select("o_orderkey", exif, parsed)
+
+
+@register("json_extract_props", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_id < 1000
+""")
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: JSON field extraction (reference: json.loads / read_json,
+    ID_matching_metadata.py:57)."""
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 1000)
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("bigint").alias("k")))
+
+
+@register("dms_to_decimal_parse", """
+WITH dms AS (
+  SELECT n_nationkey,
+         printf('%d deg %d'' %.2f" %s',
+                (n_nationkey * 3) % 90, (n_nationkey * 7) % 60,
+                ((n_nationkey * 13) % 60) + 0.25,
+                CASE WHEN n_nationkey % 2 = 0 THEN 'N' ELSE 'S' END) AS dms_str
+  FROM nation)
+SELECT n_nationkey, dms_str,
+       round((CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE -1 END) *
+             ((n_nationkey * 3) % 90 + ((n_nationkey * 7) % 60) / 60.0 +
+              (((n_nationkey * 13) % 60) + 0.25) / 3600.0), 6) AS decimal_deg
+FROM dms
+""")
+def dms_to_decimal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: DMS→decimal GPS parse. Input DMS strings are synthesized
+    deterministically from nation keys (the testdata has no GPS
+    column); Spark PARSES the string with the engine scalar while the
+    oracle recomputes the value arithmetically — so the regex path is
+    what's being verified. Reference GPS strings:
+    `38 deg 55' 58.80" N` (preview_data.ipynb cell 8 output)."""
+    n = _t(spark, sf_dir, "nation")
+    dms_str = F.format_string(
+        "%d deg %d' %.2f\" %s",
+        (F.col("n_nationkey") * 3 % 90).cast("int"),
+        (F.col("n_nationkey") * 7 % 60).cast("int"),
+        (F.col("n_nationkey") * 13 % 60) + F.lit(0.25),
+        F.when(F.col("n_nationkey") % 2 == 0, "N").otherwise("S"),
+    ).alias("dms_str")
+    return (n.select("n_nationkey", dms_str)
+            .withColumn("decimal_deg", F.round(dms_to_decimal("dms_str"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O1-O3)
+# ---------------------------------------------------------------------------
+
+@register("topk_orders", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""")
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: top-k by weight with unique tie-break →
+    TakeOrderedAndProject, never a global sort."""
+    return relational.top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10)
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.8, engine-added)
+# ---------------------------------------------------------------------------
+
+@register("window_rank_orders", """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the grouped-top-k
+    idiom (one shuffle on the partition key)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey").asc())
+    return (_t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).cast("long").alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@register("running_sum_orders", """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+FROM orders WHERE o_custkey < 100
+""")
+def running_sum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate per key (SURVEY §2.8 mapping)."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (_t(spark, sf_dir, "orders")
+            .filter(F.col("o_custkey") < 100)
+            .select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 4).alias("running_total")))
+
+
+@register("lag_delta_events", """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC), 6) AS delta
+FROM events WHERE user_id < 20
+""")
+def lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() delta per user over event time."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 20)
+            .select("event_id", "user_id",
+                    F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta")))
+
+
+# ---------------------------------------------------------------------------
+# Event-time (batch checks of the streaming ops — SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+@register("tumbling_window_events", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS cnt, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate. Same window() op the
+    streaming path uses (streaming/events.py) — here exercised in
+    batch so the oracle can check it."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                    "event_type", "cnt", "total_value"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (A5/A6, M4, engine-added text ops)
+# ---------------------------------------------------------------------------
+
+@register("doc_frequency", """
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents)
+  WHERE term <> '')
+SELECT term, count(*) AS df FROM toks
+GROUP BY term HAVING count(*) >= 2
+ORDER BY df DESC, term ASC LIMIT 100
+""")
+def doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: vocabulary document-frequency (CountVectorizer(min_df=2,
+    max_features), code/bertopicTest.py:45-50)."""
+    return text_analysis.doc_frequency(_t(spark, sf_dir, "documents"),
+                                       min_df=2, vocab_size=100)
+
+
+@register("token_counts_docs", """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
+FROM documents
+""")
+def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (engine-added text-analysis op)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", token_count("text").alias("n_tokens")))
+
+
+@register("quality_scores_docs", """
+SELECT doc_id,
+       round(least(length(text) / 500.0, 1.0) *
+             (CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+                        / length(text)
+                   ELSE 0.0 END), 6) AS quality
+FROM documents
+""")
+def quality_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (engine-added; length × alpha-ratio)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", quality_score("text").alias("quality")))
+
+
+@register("topic_terms_ctfidf", """
+WITH docs_t AS (
+  SELECT e.label, d.text FROM documents d
+  JOIN embeddings e ON d.doc_id = e.vec_id),
+toks AS (
+  SELECT label, term FROM (
+    SELECT label, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM docs_t) WHERE term <> ''),
+tf AS (SELECT label, term, count(*) AS tf FROM toks GROUP BY label, term),
+totals AS (SELECT term, CAST(sum(tf) AS BIGINT) AS term_total FROM tf GROUP BY term),
+a AS (SELECT avg(mass) AS a FROM (SELECT CAST(sum(tf) AS BIGINT) AS mass FROM tf GROUP BY label)),
+scored AS (
+  SELECT tf.label, tf.term,
+         round(tf.tf * ln(1 + a.a / totals.term_total), 6) AS score
+  FROM tf JOIN totals USING (term) CROSS JOIN a)
+SELECT * FROM (
+  SELECT label, term, score,
+         row_number() OVER (PARTITION BY label ORDER BY score DESC, term ASC) AS rn
+  FROM scored) WHERE rn <= 10
+""")
+def topic_terms_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: c-TF-IDF per-topic term relevance (code/bertopicTest.py:
+    94-100), with embeddings.label standing in for the topic
+    assignment. Two hash aggs + a broadcast + a windowed top-n."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("doc_id"), "label")
+    docs_t = relational.lookup_join(d, e, "doc_id")
+    return text_analysis.topic_terms(docs_t, topic_col="label", top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (engine-added north-star ops)
+# ---------------------------------------------------------------------------
+
+@register("exact_dedup_docs", """
+SELECT fp, count(*) AS dup_count, min(doc_id) AS canonical_id FROM (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents)
+GROUP BY fp HAVING count(*) > 1
+""")
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 content fingerprint."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("ngram_jaccard_pairs", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
+  FROM (
+    SELECT doc_id,
+           array_to_string(ts[i:i+2], ' ') AS gram
+    FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+    WHERE len(ts) >= 3)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+""")
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs via shared-shingle inverted
+    index join (never a cross join)."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     n=3, threshold=0.5)
+
+
+@register("minhash_signatures", None)  # verified rows-only + pytest vs exact jaccard
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=12)
+
+
+@register("minhash_lsh_pairs", None)  # pytest asserts candidates ⊇ high-jaccard pairs
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                   num_hashes=12, bands=4, threshold=0.5)
+
+
+@register("simhash_docs", None)  # pytest: near-dup docs have low hamming distance
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (engine-added north-star ops)
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").alias("q")))
+
+
+@register("knn_bruteforce", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q),
+sims AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM pairs GROUP BY vec_id)
+SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
+""")
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the ANN correctness baseline.
+    JVM-side higher-order functions; the vectors never enter Python."""
+    return similarity.knn_bruteforce(_t(spark, sf_dir, "embeddings"),
+                                     _query_vec(spark, sf_dir), k=10)
+
+
+@register("knn_lsh", None)  # recall measured in pytest vs knn_bruteforce
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_lsh(_t(spark, sf_dir, "embeddings"),
+                              _query_vec(spark, sf_dir), dim=64, k=10)
+
+
+@register("embedding_norms", """
+SELECT vec_id,
+       round(sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                                 'sum'))::DOUBLE, 6) AS norm
+FROM embeddings
+""")
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 adjacency: per-vector L2 norm (reference normalizes
+    embeddings at write, code/embeddings.py:119)."""
+    from parlerproject_spark.functions.vectors import l2_norm
+    return (_t(spark, sf_dir, "embeddings")
+            .select("vec_id", F.round(l2_norm("embedding"), 6).alias("norm")))
+
+
+@register("language_id_docs", None)  # heuristic; pytest checks agreement vs lang col
+def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (text_analysis.language_id(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "lang", "lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship entry (SURVEY §3.3 / §7.4 minimum slice)
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship notebook pipeline shape
+    (analysis/preview_data.ipynb): scan → contains-filter →
+    broadcast semi-join → aggregate. Here: documents whose text
+    mentions 'scan', semi-joined to embeddings with label < 5,
+    aggregated per lang — scan/filter/semi/agg, every layer of the
+    engine touched, zero custom code."""
+    d = _t(spark, sf_dir, "documents")
+    keys = (_t(spark, sf_dir, "embeddings")
+            .filter(F.col("label") < 5)
+            .select(F.col("vec_id").alias("doc_id")))
+    filtered = d.filter(F.col("text").contains("scan"))
+    matched = relational.semi_join(filtered, keys, "doc_id")
+    return (matched.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars")))

@@ -1,0 +1,76 @@
+"""Dedup + similarity-search operator tests (the north-star
+LLM-data-pipeline surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parlerproject_spark.catalog import load_table
+from parlerproject_spark.operators import dedup, similarity
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    other = "completely different words about spark query engines and shuffles"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["doc_id", "text"])
+
+
+def test_exact_dedup_finds_identical_docs(spark):
+    out = dedup.exact_dedup(_corpus(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["dup_count"] == 2
+    assert out[0]["canonical_id"] == 1
+
+
+def test_ngram_jaccard_ranks_near_dup_above_unrelated(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(_corpus(spark), threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] > 0.5
+    assert (1, 4) not in pairs or pairs[(1, 4)] < 0.1
+
+
+def test_minhash_lsh_recovers_high_jaccard_pairs(spark):
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_lsh_pairs(_corpus(spark), threshold=0.5).collect()}
+    # identical pair must always collide in every band
+    assert (1, 2) in got
+
+
+def test_minhash_signature_identical_for_identical_docs(spark):
+    sig = dedup.minhash_signatures(_corpus(spark)).collect()
+    by_id = {r["doc_id"]: [r[f"h{i}"] for i in range(12)] for r in sig}
+    assert by_id[1] == by_id[2]
+    agree = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    disagree = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert agree > disagree  # signature similarity tracks jaccard
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_corpus(spark)).collect()}
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_knn_bruteforce_exact_on_crafted_vectors(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"])
+    q = spark.createDataFrame([([1.0, 0.0],)], ["q"])
+    got = [r["vec_id"] for r in similarity.knn_bruteforce(vecs, q, k=3).collect()]
+    assert got == [0, 1, 2]
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = {r["vec_id"] for r in similarity.knn_bruteforce(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              similarity.knn_lsh(emb, q, dim=64, k=10).collect()}
+    # ANN contract: meaningful recall, not exactness
+    assert len(exact & approx) >= 4
+    assert 0 in approx  # the query vector itself always hashes to its own bucket

@@ -1,0 +1,88 @@
+"""Relational + text-analysis operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parlerproject_spark.catalog import load_table
+from parlerproject_spark.operators import relational, text_analysis
+
+
+def test_anti_join_resume_is_idempotent(spark):
+    """The J2 contract (htmlConverter.py:52-54): second resume pass
+    processes zero rows."""
+    work = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    done = spark.createDataFrame([(i,) for i in range(6)], ["k"])
+    remaining = relational.anti_join(work, done, "k")
+    assert remaining.count() == 4
+    # simulate completing the remaining work, then resuming again
+    done2 = done.unionByName(remaining.select("k"))
+    assert relational.anti_join(work, done2, "k").count() == 0
+
+
+def test_semi_join_keeps_only_members(spark):
+    big = spark.createDataFrame([(i, f"v{i}") for i in range(10)], ["k", "v"])
+    keys = spark.createDataFrame([(2,), (5,), (99,)], ["k"])
+    got = sorted(r["k"] for r in relational.semi_join(big, keys, "k").collect())
+    assert got == [2, 5]
+
+
+def test_semi_join_broadcasts(spark):
+    big = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    keys = spark.createDataFrame([(2,)], ["k"])
+    plan = relational.semi_join(big, keys, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_union_by_name_pads_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "a"])
+    b = spark.createDataFrame([(2, "y")], ["id", "b"])
+    out = relational.union_by_name([a, b]).orderBy("id").collect()
+    assert out[0]["a"] == "x" and out[0]["b"] is None
+    assert out[1]["a"] is None and out[1]["b"] == "y"
+
+
+def test_share_of_total_sums_to_100(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    total = (relational.share_of_total(ev, "event_type")
+             .agg(F.sum("pct").alias("s")).collect()[0]["s"])
+    assert abs(total - 100.0) < 1e-4
+
+
+def test_top_k_deterministic(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 1.0)], ["id", "w"])
+    got = [r["id"] for r in relational.top_k(
+        df, [F.col("w").desc(), F.col("id").asc()], 2).collect()]
+    assert got == [1, 2]
+
+
+def test_doc_frequency_floor_and_cap(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry"), (3, "apple banana date")],
+        ["doc_id", "text"])
+    out = {r["term"]: r["df"] for r in
+           text_analysis.doc_frequency(docs, min_df=2, vocab_size=10).collect()}
+    assert out == {"apple": 3, "banana": 2}
+
+
+def test_language_id_marks_english(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog is here"), (2, "zzz qqq")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in text_analysis.language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "und"
+
+
+def test_topic_terms_shape(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    e = (load_table(spark, "embeddings", sf_dir)
+         .select(F.col("vec_id").alias("doc_id"), "label"))
+    out = text_analysis.topic_terms(d.join(e, "doc_id"), topic_col="label", top_n=5)
+    rows = out.collect()
+    per_topic = {}
+    for r in rows:
+        per_topic.setdefault(r["label"], []).append(r["rn"])
+    for label, rns in per_topic.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+        assert len(rns) <= 5

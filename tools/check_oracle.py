@@ -1,0 +1,110 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries()[name] on Spark and the matching oracle_sql()
+on DuckDB at the given sf dir, then compares row count, schema
+(as pandas dtype families), and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            s = s.round(6)
+        out[c] = s.astype(str)
+    n = pd.DataFrame(out) if out else pd.DataFrame(index=df.index)
+    n = n.sort_values(by=list(n.columns)).reset_index(drop=True) if len(n.columns) else n
+    return n
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    n = norm_frame(df)
+    payload = n.to_csv(index=False).encode()
+    return hashlib.md5(payload).hexdigest()
+
+
+def dtype_family(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from parlerproject_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: oracle error")
+            traceback.print_exc()
+            failures += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        scols = {c: dtype_family(sdf[c]) for c in sorted(sdf.columns)}
+        ocols = {c: dtype_family(odf[c]) for c in sorted(odf.columns)}
+        if scols != ocols:
+            problems.append(f"schema {scols} vs {ocols}")
+        if not problems and value_hash(sdf) != value_hash(odf):
+            problems.append("value-hash mismatch")
+            sn, on = norm_frame(sdf), norm_frame(odf)
+            diff = sn.merge(on, indicator=True, how="outer").query("_merge != 'both'")
+            print(diff.head(10).to_string())
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(sdf)} rows hash-match")
+    print(f"\n{failures} failures / {len(qs)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
