@@ -767,3 +767,120 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (matched.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.round(F.avg("n_chars"), 6).alias("avg_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows part 2 + ordered/argmax/map aggregation surface
+# ---------------------------------------------------------------------------
+
+@register("sliding_window_events", """
+WITH b AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+  FROM events)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS cnt
+FROM b GROUP BY ws
+""")
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h width, 30min slide) — each
+    event lands in exactly two windows. Streaming-shared builder."""
+    from parlerproject_spark.streaming.events import sliding_counts
+    return sliding_counts(_t(spark, sf_dir, "events"))
+
+
+@register("session_window_events", """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 10),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS cnt
+FROM islands GROUP BY user_id, session_id
+""")
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5 min gap) per user — Spark's session_window
+    vs the oracle's explicit gaps-and-islands SQL. The engine-side op
+    is the same builder the streaming path uses."""
+    from parlerproject_spark.streaming.events import session_counts
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return session_counts(ev, gap="5 minutes")
+
+
+@register("collect_sorted_events", """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
+FROM events WHERE user_id < 10 GROUP BY user_id
+""")
+def collect_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collection aggregate: collect_list → array_sort →
+    join, deterministic by construction."""
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("user_id") < 10)
+            .groupBy("user_id")
+            .agg(F.array_join(F.array_sort(F.collect_list("event_type")), ",")
+                 .alias("types")))
+
+
+@register("argmax_events", """
+SELECT event_type, event_id AS top_event_id, round(value, 6) AS top_value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""")
+def argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a deterministic (value, event_id) tie-break —
+    single aggregation pass, no window over the full table."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.max_by("event_id", F.struct("value", "event_id")).alias("top_event_id"),
+                 F.round(F.max("value"), 6).alias("top_value")))
+
+
+@register("map_keys_props", """
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS prop_keys,
+       CASE WHEN len(list_filter(json_keys(props), k -> k LIKE 'k%')) > 0
+            THEN true ELSE false END AS has_k_key
+FROM events WHERE event_id < 500
+""")
+def map_keys_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: key-prefix existence over an open string map — the
+    reference's GPS-key predicate `any key.startswith(search_key)`
+    (ID_matching_metadata.py:32-39), on props parsed as
+    map<string,string>."""
+    m = F.from_json("props", "map<string,string>")
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 500)
+            .select("event_id",
+                    F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+                    F.exists(F.map_keys(m), lambda k: k.startswith("k")).alias("has_k_key")))
+
+
+@register("median_value_events", """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
+FROM events GROUP BY event_type
+""")
+def median_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value")))
+
+
+@register("approx_distinct_users", None)  # HLL implementations differ across engines
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — sketch-based cardinality (the 100 TB
+    path where exact countDistinct's shuffle is unaffordable).
+    Checked rows-only; pytest bounds its error vs the exact count."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")))

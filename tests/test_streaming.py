@@ -1,0 +1,82 @@
+"""Structured Streaming tests — the same event-time builders the
+batch oracle checks, executed incrementally from a file source with
+checkpointing (SURVEY §2.9)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from parlerproject_spark.catalog import load_table
+from parlerproject_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir):
+    """Split the events table into several parquet files so the file
+    source has multiple discoverable inputs."""
+    d = tempfile.mkdtemp(prefix="evstream_")
+    (load_table(spark, "events", sf_dir)
+     .repartition(4)
+     .write.mode("overwrite").parquet(d))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, df, name):
+    q = se.to_memory_sink(df, name)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, event_stream_dir):
+    batch_df = se.tumbling_counts(load_table(spark, "events", sf_dir))
+    batch = {(r["window_start"], r["event_type"]): (r["cnt"], r["total_value"])
+             for r in batch_df.collect()}
+
+    schema = load_table(spark, "events", sf_dir).schema
+    stream = se.read_event_stream(spark, event_stream_dir, schema)
+    agg = se.tumbling_counts(se.with_watermark(stream, delay="1 hour"))
+    got_df = _run_stream(spark, agg, "t_tumbling")
+    got = {(r["window_start"], r["event_type"]): (r["cnt"], r["total_value"])
+           for r in got_df.collect()}
+    assert got == batch
+
+
+def test_streaming_session_windows_run(spark, sf_dir, event_stream_dir):
+    schema = load_table(spark, "events", sf_dir).schema
+    stream = se.read_event_stream(spark, event_stream_dir, schema)
+    sess = se.session_counts(se.with_watermark(stream, delay="30 minutes"))
+    got = _run_stream(spark, sess, "t_sessions")
+    assert got.count() > 0
+    # sessions are per-user disjoint activity runs; counts sum to all events
+    total = got.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    assert total == load_table(spark, "events", sf_dir).count()
+
+
+def test_streaming_restart_is_exactly_once(spark, sf_dir, event_stream_dir, tmp_path):
+    """The reference resumes by checkpoint files (embeddings.py:32-44);
+    Structured Streaming's checkpoint makes restart exactly-once: a
+    second start over the same checkpoint reprocesses nothing."""
+    schema = load_table(spark, "events", sf_dir).schema
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        stream = se.read_event_stream(spark, event_stream_dir, schema)
+        return (stream.select("event_id")
+                .writeStream.format("parquet")
+                .option("path", out).option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start())
+
+    q1 = start()
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    q2 = start()  # restart over same checkpoint — no new files
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == load_table(spark, "events", sf_dir).count()
+    assert n2 == n1
