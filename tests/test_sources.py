@@ -1,0 +1,137 @@
+"""Sources/sinks tests: CSV tolerance, ragged JSON merge, decode
+fallback, tar DataSource, fetch plumbing, status-log resume."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from parlerproject_spark.sources import archives, fetch, files
+
+
+def test_image_listing_drops_malformed(spark, tmp_path):
+    p = tmp_path / "listing.csv"
+    p.write_text(
+        "date,time,size,filename\n"
+        "2021-01-17,11:35:19,1527282,0001bzcCwH.png\n"
+        "garbage line without commas\n"
+        "2021-01-17,11:35:20,99,0002aaa.jpeg\n")
+    df = files.read_image_listing(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2
+    assert df.agg(F.sum("size")).collect()[0][0] == 1527381
+
+
+def test_file_report_headerless(spark, tmp_path):
+    p = tmp_path / "report.txt"
+    p.write_text("meta-1.json, GPS_detected\nmeta-2.json, GPS_not_detected\n")
+    df = files.read_file_report(spark, str(p))
+    # P2 contract (preview_data.ipynb:127): 'GPS_not_detected' is NOT
+    # a substring match for 'GPS_detected' — the literals differ.
+    gps = df.filter(F.col("report").contains("GPS_detected"))
+    assert [r["filename"] for r in gps.collect()] == ["meta-1.json"]
+
+
+def test_ragged_json_schema_merge(spark, tmp_path):
+    d = tmp_path / "json"
+    d.mkdir()
+    (d / "a.json").write_text(json.dumps(
+        {"SourceFile": "a", "FileType": "MOV", "GPSLatitude": "38 deg 55' 58.80\" N"}))
+    (d / "b.json").write_text(json.dumps(
+        {"SourceFile": "b", "FileType": "JPEG", "Megapixels": "2.1"}))
+    df = files.read_ragged_json(spark, str(d), sample_ratio=1.0)
+    cols = set(df.columns)
+    assert {"SourceFile", "FileType", "GPSLatitude", "Megapixels"} <= cols
+    assert df.count() == 2
+    assert df.filter(F.col("GPSLatitude").isNotNull()).count() == 1
+
+
+def test_open_map_json_p4_predicate(spark):
+    rows = [('{"SourceFile":"a","GPSLatitude":"x","GPSPosition":"y"}',),
+            ('{"SourceFile":"b","Rotation":"90"}',)]
+    df = files.open_map_json(spark.createDataFrame(rows, ["value"]))
+    gps = df.filter(F.exists(F.map_keys("meta"),
+                             lambda k: k.startswith("GPS")))
+    assert [r["meta"]["SourceFile"] for r in gps.collect()] == ["a"]
+
+
+def test_ascii_decode_with_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, b"plain ascii"), (2, "caf\xe9".encode("latin-1"))], ["id", "raw"])
+    out = files.ascii_decode_with_fallback(df, "raw").orderBy("id").collect()
+    assert out[0]["decode_status"] == "success"
+    assert out[0]["text"] == "plain ascii"
+    assert out[1]["decode_status"] == "encoding_error"
+    assert out[1]["text"] == "café"
+
+
+@pytest.fixture(scope="module")
+def tar_fixture(tmp_path_factory):
+    """metadata.tar.gz + metadata.tar with JSON members, ~6% carrying
+    GPS keys (FIXTURES.md §3 distribution)."""
+    d = tmp_path_factory.mktemp("archive")
+    members = {}
+    for i in range(40):
+        rec = {"SourceFile": f"f{i:03d}", "FileType": "MOV",
+               "MediaDataSize": i * 1000}
+        if i % 16 == 0:
+            rec["GPSLatitude"] = "38 deg 55' 58.80\" N"
+        members[f"metadata/meta-{i:03d}.json"] = json.dumps([rec]).encode()
+    members["metadata/readme.txt"] = b"not json"
+    for name, mode in [("m.tar", "w"), ("m.tar.gz", "w:gz")]:
+        with tarfile.open(d / name, mode) as tar:
+            for mname, payload in members.items():
+                info = tarfile.TarInfo(mname)
+                info.size = len(payload)
+                tar.addfile(info, io.BytesIO(payload))
+    return d
+
+
+@pytest.mark.parametrize("archive", ["m.tar", "m.tar.gz"])
+def test_tar_datasource_reads_members(spark, tar_fixture, archive):
+    spark.dataSource.register(archives.TarMembersDataSource)
+    df = (spark.read.format("tar_members")
+          .option("path", str(tar_fixture / archive))
+          .option("suffix", ".json")
+          .option("numPartitions", "4").load())
+    assert df.count() == 40
+    assert df.rdd.getNumPartitions() == 4
+    # flagship reference pipeline over the archive: parse + P4 predicate
+    parsed = (df.select("member",
+                        F.from_json(F.col("content").cast("string"),
+                                    "array<map<string,string>>")[0].alias("meta")))
+    gps = parsed.filter(F.exists(F.map_keys("meta"),
+                                 lambda k: k.startswith("GPS")))
+    assert gps.count() == 3  # i in {0, 16, 32}
+
+
+def test_explode_archive_to_parquet(spark, tar_fixture, tmp_path):
+    out = str(tmp_path / "members_parquet")
+    archives.explode_archive_to_parquet(spark, str(tar_fixture / "m.tar.gz"),
+                                        out, suffix=".json")
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    assert set(back.columns) == {"member", "content", "size"}
+
+
+def test_fetch_objects_taxonomy_and_resume(spark, tmp_path):
+    listing = spark.createDataFrame(
+        [("a.png",), ("missing-b.png",), ("c.png",)], ["filename"])
+    got = fetch.fetch_objects(listing, base_url="s3://bucket/").collect()
+    by_name = {r["filename"]: r for r in got}
+    assert by_name["a.png"]["status"] == "success"
+    assert len(by_name["a.png"]["content"]) == 64
+    assert by_name["missing-b.png"]["status"] == "connection_error"
+
+    # status-log + resume: only the failed file is refetched
+    log_path = str(tmp_path / "status_log")
+    result = fetch.fetch_objects(listing, base_url="s3://bucket/")
+    files.write_status_log(result.select("filename", "status"), log_path)
+    log = spark.read.parquet(log_path)
+    todo = fetch.resume_fetch(listing, log, base_url="s3://bucket/")
+    assert [r["filename"] for r in todo.collect()] == ["missing-b.png"]
