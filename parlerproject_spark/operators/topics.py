@@ -1,0 +1,99 @@
+"""Topic-modeling operators (SURVEY M3, A6).
+
+The reference runs BERTopic — embed → UMAP → HDBSCAN → c-TF-IDF
+(code/bertopicTest.py:53-61) — a single-node pipeline. The honest
+scalable decomposition (SURVEY §7.3#4):
+
+- clustering: distributed Lloyd's k-means over the embedding column.
+  Assignment is a narrow map against BROADCAST centroids (pure
+  Column arithmetic, JVM-side); the centroid update is one
+  partial-aggregated groupBy per iteration. k×dim floats cross the
+  driver per iteration — nothing else does. This is the LDA/k-means
+  "scalable analogue" promised in SURVEY §2.10 M3; we do not
+  pretend to distribute HDBSCAN.
+- per-topic terms: text_analysis.topic_terms (c-TF-IDF) over the
+  assignment — same surface bertopicTest.py:94-100 reports.
+- topic sizes + share: relational.share_of_total
+  (bertopicTest.py:107-112).
+
+Determinism: centroids init from the k lowest ids (no RNG), fixed
+iteration count → identical results on every run/engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parlerproject_spark.functions.vectors import cosine, dot
+from parlerproject_spark.operators.relational import share_of_total
+from parlerproject_spark.operators.text_analysis import topic_terms
+
+
+def _assign(vectors: DataFrame, centroids: list[list[float]], *,
+            id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid (cosine) assignment as one projection.
+    Centroid list is folded into an array<array<double>> literal —
+    k×dim values, broadcast with the plan itself."""
+    cent = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    sims = F.transform(cent, lambda c: cosine(F.col(vec_col), c))
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return vectors.select(F.col(id_col), F.col(vec_col),
+                          best.cast("int").alias("topic"))
+
+
+def kmeans_topics(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic distributed k-means → (id, topic).
+
+    Per iteration: one narrow assignment pass + one groupBy whose
+    shuffle carries k×dim partial sums per partition (map-side
+    combine), then k×dim floats collect to the driver for the next
+    broadcast. Iterations are jobs, not nested shuffles — the 100 TB
+    cost is max_iter scans, each embarrassingly parallel."""
+    dim = len(vectors.select(vec_col).first()[0])
+    init = [r[vec_col] for r in
+            vectors.orderBy(F.col(id_col).asc()).limit(k).collect()]
+    centroids = [[float(x) for x in v] for v in init]
+
+    for _ in range(max_iter):
+        assigned = _assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+        sums = (assigned
+                .select("topic", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+                .groupBy("topic", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n")))
+        rows = sums.collect()
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in rows:
+            acc.setdefault(r["topic"], [0.0] * dim)[r["pos"]] = r["s"]
+            cnt[r["topic"]] = r["n"]
+        new = []
+        for t in range(k):
+            if t in acc and cnt[t] > 0:
+                new.append([x / cnt[t] for x in acc[t]])
+            else:  # empty cluster keeps its old centroid (deterministic)
+                new.append(centroids[t])
+        centroids = new
+
+    return _assign(vectors, centroids, id_col=id_col, vec_col=vec_col) \
+        .select(id_col, "topic")
+
+
+def fit_topics(docs: DataFrame, vectors: DataFrame, *, k: int = 8,
+               max_iter: int = 5, top_n: int = 10,
+               doc_id_col: str = "doc_id", vec_id_col: str = "vec_id",
+               ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The full M3 surface: (doc_topics, topic_info, topic_words) —
+    the triple bertopicTest.py:93-112 reports, from one clustering
+    pass + two aggregations."""
+    assignment = kmeans_topics(vectors, k=k, max_iter=max_iter,
+                               id_col=vec_id_col)
+    doc_topics = docs.join(
+        assignment.withColumnRenamed(vec_id_col, doc_id_col), doc_id_col)
+    topic_info = share_of_total(doc_topics, "topic",
+                                count_alias="Count", pct_alias="share_pct")
+    topic_words = topic_terms(doc_topics, topic_col="topic", top_n=top_n)
+    return doc_topics.select(doc_id_col, "topic"), topic_info, topic_words

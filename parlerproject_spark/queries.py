@@ -884,3 +884,67 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_t(spark, sf_dir, "events")
             .groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")))
+
+
+# ---------------------------------------------------------------------------
+# UDF layer (M1-M3) + multimodal surface
+# ---------------------------------------------------------------------------
+
+@register("html_extract_posts", """
+SELECT doc_id,
+       '[Impressions]: 7 ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+         AS post_text
+FROM documents WHERE doc_id < 100
+""")
+def html_extract_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 end-to-end, hash-verified: wrap each document's text in a
+    post--card--wrapper div with script/style noise, a whitelisted
+    stat img, and a decoy div; the extraction UDF must recover
+    exactly `[Impressions]: 7 <normalized text>` — which the oracle
+    computes directly from the clean column."""
+    from parlerproject_spark.functions.html import extract_post_text
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    html = F.concat(
+        F.lit('<html><body><div class="post--card--wrapper">'
+              '<script>var hidden = 1;</script>'
+              '<img alt="Impressions" src="x"/> <span>7</span> <p>'),
+        F.col("text"),
+        F.lit('</p><img alt="decor" src="y"/></div>'
+              '<div class="sidebar">NOT THIS</div></body></html>'))
+    return d.select("doc_id", extract_post_text(html).alias("post_text"))
+
+
+@register("embed_documents_fake", None)  # non-SQL (M2); pytest checks dim+norm+determinism
+def embed_documents_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parlerproject_spark.functions.embed import embed_documents
+    d = _t(spark, sf_dir, "documents")
+    out = embed_documents(d, dim=64)
+    from parlerproject_spark.functions.vectors import l2_norm
+    return out.select("doc_id", F.round(l2_norm("embedding"), 4).alias("norm"))
+
+
+@register("topic_assignments", None)  # non-SQL iterative (M3); pytest checks partition
+def topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parlerproject_spark.operators.topics import kmeans_topics
+    return kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3)
+
+
+@register("media_features", None)  # binary plumbing (multimodal); pytest checks roundtrip
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parlerproject_spark.operators.multimodal import decode_features, synth_media
+    d = _t(spark, sf_dir, "documents")
+    return decode_features(synth_media(d))
+
+
+@register("frame_sample_parts", """
+SELECT p_partkey AS doc_id, unnest(range(0, p_size * 7 + 5, 10)) AS frame_no
+FROM part
+""")
+def frame_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as relational algebra (multimodal video path):
+    sampled frame indices exploded per asset."""
+    from parlerproject_spark.operators.multimodal import frame_sample
+    vids = (_t(spark, sf_dir, "part")
+            .select(F.col("p_partkey").alias("doc_id"),
+                    (F.col("p_size") * 7 + 5).alias("n_frames")))
+    return frame_sample(vids, every=10)

@@ -1,0 +1,155 @@
+"""M1 HTML extraction, M2 embeddings, M3 topics, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parlerproject_spark.catalog import load_table
+from parlerproject_spark.functions.embed import batch_tier, embed_documents
+from parlerproject_spark.functions.html import extract_post_text, extract_post_text_py
+from parlerproject_spark.operators import multimodal, topics
+
+
+# ---- M1: HTML extraction (FIXTURES.md §4 cases) -------------------------
+
+WRAPPED = """
+<html><body>
+<div class="post--card--wrapper">
+  <p>Hello   world</p>
+  <script>var x = "SHOULD NOT APPEAR";</script>
+  <style>.c { color: red }</style>
+  <img alt="Impressions" src="i.png"/> <span>42</span>
+  <img alt="decorative" src="d.png"/>
+  <div class="inner"><p>nested  text</p></div>
+</div>
+<div class="other">outside wrapper</div>
+<div class="post--card--wrapper"><p>second post</p></div>
+</body></html>
+"""
+
+
+def test_extract_post_text_reference_semantics():
+    out = extract_post_text_py(WRAPPED)
+    assert "SHOULD NOT APPEAR" not in out
+    assert "color" not in out
+    assert "[Impressions]: 42" in out
+    assert "decorative" not in out
+    assert "outside wrapper" not in out
+    assert "nested text" in out  # whitespace collapsed
+    assert out.endswith("second post")
+
+
+def test_extract_post_text_no_wrapper_yields_empty():
+    assert extract_post_text_py("<html><body><p>hi</p></body></html>") == ""
+    assert extract_post_text_py(None) == ""
+
+
+def test_extract_post_text_udf(spark):
+    df = spark.createDataFrame([(1, WRAPPED), (2, "<p>naked</p>")], ["doc_id", "html"])
+    got = {r["doc_id"]: r["text"] for r in
+           df.select("doc_id", extract_post_text("html").alias("text")).collect()}
+    assert "[Impressions]: 42" in got[1]
+    assert got[2] == ""
+
+
+# ---- M2: embeddings ------------------------------------------------------
+
+def test_batch_tiers_match_reference():
+    # code/embeddings.py:47-58
+    assert batch_tier(2_000_000) == 32
+    assert batch_tier(500_000) == 64
+    assert batch_tier(50_000) == 128
+    assert batch_tier(100) == 256
+
+
+def test_embed_documents_contract(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    out = embed_documents(docs, dim=64)
+    rows = out.select("doc_id", "embedding").collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        v = r["embedding"]
+        assert len(v) == 64
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    # determinism: same text → same vector across runs
+    again = {r["doc_id"]: r["embedding"]
+             for r in embed_documents(docs, dim=64).select("doc_id", "embedding").collect()}
+    first = {r["doc_id"]: r["embedding"] for r in rows}
+    assert again == first
+
+
+def test_embed_real_backend_is_gated(spark):
+    docs = spark.createDataFrame([(1, "hi")], ["doc_id", "text"])
+    with pytest.raises(Exception):  # ImportError surfaced through the UDF
+        embed_documents(docs, backend="st").collect()
+
+
+# ---- M3: topics ----------------------------------------------------------
+
+def _clustered_vectors(spark):
+    """Two obvious clusters around orthogonal axes."""
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 0.0, 1.0, 0.01 * i]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_separates_clusters(spark):
+    out = topics.kmeans_topics(_clustered_vectors(spark), k=2, max_iter=4)
+    got = {r["vec_id"]: r["topic"] for r in out.collect()}
+    a = {got[i] for i in range(10)}
+    b = {got[i] for i in range(10, 20)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_fit_topics_surface(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    vecs = (load_table(spark, "embeddings", sf_dir).limit(200)
+            .select(F.col("vec_id"), "embedding"))
+    doc_topics, topic_info, topic_words = topics.fit_topics(
+        docs, vecs, k=4, max_iter=2, top_n=5)
+    dt = doc_topics.collect()
+    assert len(dt) == 200
+    assert {r["topic"] for r in dt} <= set(range(4))
+    share = topic_info.agg(F.round(F.sum("share_pct"), 2).alias("s")).collect()[0]["s"]
+    assert abs(share - 100.0) < 0.1
+    assert topic_words.groupBy("topic").count().agg(F.max("count")).collect()[0][0] <= 5
+
+
+# ---- multimodal ----------------------------------------------------------
+
+def test_multimodal_roundtrip(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(30)
+    assets = multimodal.synth_media(docs)
+    feats = multimodal.decode_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["decode_status"] == "success"
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert r["n_bytes"] == 12 + 128  # header + 4×32-char md5 payload
+        assert abs(r["aspect"] - r["width"] / r["height"]) < 1e-9
+
+
+def test_multimodal_decode_error_status(spark):
+    df = spark.createDataFrame([(1, b"not an image")], ["doc_id", "content"])
+    r = multimodal.decode_features(df).collect()[0]
+    assert r["decode_status"] == "decode_error"
+
+
+def test_multimodal_real_backend_is_stubbed(spark):
+    df = spark.createDataFrame([(1, b"x")], ["doc_id", "content"])
+    with pytest.raises(Exception):  # NotImplementedError through the task
+        multimodal.decode_features(df, backend="real").collect()
+
+
+def test_frame_sample(spark):
+    vids = spark.createDataFrame([(1, 35), (2, 5)], ["doc_id", "n_frames"])
+    got = sorted((r["doc_id"], r["frame_no"])
+                 for r in multimodal.frame_sample(vids, every=10).collect())
+    assert got == [(1, 0), (1, 10), (1, 20), (1, 30), (2, 0)]
