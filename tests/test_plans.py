@@ -1,0 +1,70 @@
+"""Plan-quality assertions: the scale claims, checked against the
+optimizer's actual output (SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parlerproject_spark import queries as Q
+from parlerproject_spark.catalog import load_table
+from parlerproject_spark.plans import inspect
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = (load_table(spark, "orders", sf_dir)
+          .filter(F.col("o_orderkey") < 100)
+          .select("o_orderkey", "o_totalprice"))
+    pushed = inspect.pushed_filters(df)
+    assert any("o_orderkey" in f and "LessThan" in f for f in pushed), pushed
+
+
+def test_column_pruning_narrows_read_schema(spark, sf_dir):
+    df = (load_table(spark, "lineitem", sf_dir)
+          .groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q")))
+    scans = inspect.read_schema_columns(df)
+    assert scans and set(scans[0]) == {"l_returnflag", "l_quantity"}, scans
+
+
+def test_q1_prunes_and_pushes(spark, sf_dir):
+    df = Q.q1_pricing_summary(spark, sf_dir)
+    scans = inspect.read_schema_columns(df)
+    # 7 of 11 lineitem columns needed — never a full-width read
+    assert scans and len(scans[0]) <= 7, scans
+    assert any("l_shipdate" in f for f in inspect.pushed_filters(df))
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = Q.q5_region_revenue(spark, sf_dir)
+    strategies = inspect.join_strategies(df)
+    # region/nation/customer-side must broadcast; no cartesian anywhere
+    assert strategies.count("BroadcastHashJoin") >= 2, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_semi_and_anti_joins_broadcast(spark, sf_dir):
+    for q in ("semi_join_building_orders", "anti_join_idle_customers"):
+        df = Q.queries()[q](spark, sf_dir)
+        plan = inspect.executed_plan(df)
+        assert "Broadcast" in plan, q
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = Q.topk_orders(spark, sf_dir)
+    assert "TakeOrderedAndProject" in inspect.executed_plan(df)
+
+
+def test_q1_stays_in_codegen(spark, sf_dir):
+    df = Q.q1_pricing_summary(spark, sf_dir)
+    assert inspect.codegen_stage_count(df) >= 1
+    # scan→filter→partial-agg → exchange → final-agg: exactly one shuffle
+    assert inspect.exchange_count(df) == 1
+
+
+def test_share_of_total_single_scan(spark, sf_dir):
+    """The window-over-grouped-result formulation must not rescan the
+    fact table (one scan, one agg exchange, one single-partition
+    exchange for the tiny window)."""
+    df = Q.share_of_total_events(spark, sf_dir)
+    plan = inspect.executed_plan(df)
+    assert plan.count("FileScan") + plan.count("BatchScan") == 1
