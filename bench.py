@@ -35,6 +35,11 @@ HEADLINE = [
     "simhash_docs",
     "knn_bruteforce",
     "knn_lsh",
+    "asof_join_purchase_view",
+    "html_extract_posts",
+    "embed_documents_fake",
+    "topic_assignments",
+    "media_features",
 ]
 
 

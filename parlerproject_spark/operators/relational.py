@@ -95,3 +95,63 @@ def union_by_name(parts: Sequence[DataFrame]) -> DataFrame:
             nxt.append(frames[-1])
         frames = nxt
     return frames[0]
+
+
+def range_join(facts: DataFrame, intervals: DataFrame, *, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi") -> DataFrame:
+    """Non-equi interval join: fact.value ∈ [lo, hi).
+
+    The interval side is a handful of rows by construction (tiers,
+    buckets, calendars) → broadcast nested-loop, which at any fact
+    scale is a narrow map over the facts. If intervals ever grow
+    large, bucketize into an equi-join on overlapping bucket ids
+    instead — never BNLJ two big sides.
+    """
+    cond = (F.col(value_col) >= intervals[lo_col]) & (F.col(value_col) < intervals[hi_col])
+    return facts.join(F.broadcast(intervals), cond, "left")
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_payload: Sequence[str] = ()) -> DataFrame:
+    """Backward (inclusive) as-of join: for each left row, the most
+    recent right row of the same key with right.ts <= left.ts.
+
+    Implemented as UNION + WINDOW, not join-then-reduce: tag both
+    streams, sort each key's timeline once, and carry the latest
+    right payload forward with last(..., ignoreNulls). ONE shuffle on
+    the key — the per-key timeline never materializes the left×right
+    cross section, which is what makes this hold at 100 TB (a
+    join-on-inequality would explode per hot key). Matches DuckDB
+    ASOF JOIN semantics (ties: right row at equal ts matches).
+
+    Output: all left columns + right_ts aliased `matched_ts` +
+    `right_payload` columns (NULL when nothing precedes).
+    """
+    lcols = left.columns
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        F.struct(F.col(right_ts).alias("matched_ts"),
+                 *[F.col(c) for c in right_payload]).alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c != on],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in lcols if c != on],
+    )
+    timeline = r.unionByName(l)
+    w = (Window.partitionBy(on)
+         .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = timeline.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w))
+    out_cols = [F.col(on)] + [F.col(c) for c in lcols if c != on] \
+        + [F.col("__match.matched_ts").alias("matched_ts")] \
+        + [F.col(f"__match.{c}").alias(c) for c in right_payload]
+    return carried.filter(F.col("__is_right") == 0).select(*out_cols)

@@ -948,3 +948,60 @@ def frame_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("p_partkey").alias("doc_id"),
                     (F.col("p_size") * 7 + 5).alias("n_frames")))
     return frame_sample(vids, every=10)
+
+
+# ---------------------------------------------------------------------------
+# Non-equi joins (SURVEY §2.4 engine-adds: range, as-of)
+# ---------------------------------------------------------------------------
+
+@register("range_join_value_tiers", """
+WITH tiers AS (
+  SELECT * FROM (VALUES ('small', 0.0, 50.0), ('mid', 50.0, 200.0),
+                        ('large', 200.0, 1e9)) AS t(tier, lo, hi))
+SELECT tier, count(*) AS cnt, round(sum(value), 4) AS total
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY tier
+""")
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events bucketed into value tiers via a
+    broadcast nested-loop against a 3-row interval table."""
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 50.0), ("mid", 50.0, 200.0), ("large", 200.0, 1e9)],
+        ["tier", "lo", "hi"])
+    joined = relational.range_join(_t(spark, sf_dir, "events"), tiers,
+                                   value_col="value")
+    return (joined.filter(F.col("tier").isNotNull())
+            .groupBy("tier")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("total")))
+
+
+@register("asof_join_purchase_view", """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts,
+       v.view_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior view. Spark side is the union+window single-shuffle
+    formulation; DuckDB's native ASOF JOIN is the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event_id")))
+    out = relational.asof_join(purchases, views, on="user_id",
+                               right_payload=["view_event_id"])
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss").alias("matched_ts"),
+        "view_event_id")

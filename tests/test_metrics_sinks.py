@@ -1,0 +1,61 @@
+"""Metrics/manifest (S14/§2.11) + sink round-trips (S10/S11/S13/S15)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from parlerproject_spark import metrics
+from parlerproject_spark.catalog import load_table
+
+
+def test_observe_and_manifest(spark, sf_dir, tmp_path):
+    docs = load_table(spark, "documents", sf_dir)
+    m = metrics.run_with_manifest(
+        docs, name="docs_scan", out_dir=str(tmp_path),
+        total_chars=F.sum("n_chars"))
+    assert m.row_count == 500
+    assert m.metrics["total_chars"] == docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert m.metrics["rows_per_sec"] > 0
+    path = os.path.join(str(tmp_path), "_manifest_docs_scan.json")
+    with open(path) as f:
+        on_disk = json.load(f)
+    assert on_disk["schema"].startswith("struct<doc_id:bigint")
+
+
+def test_parquet_vector_sink_roundtrip(spark, sf_dir, tmp_path):
+    """S13: the reference's float32 memmap matrix becomes a Parquet
+    array<float> table — partitioned columnar storage, no
+    preallocation, no flush protocol."""
+    out = str(tmp_path / "vectors")
+    emb = load_table(spark, "embeddings", sf_dir)
+    emb.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == emb.count()
+    assert back.schema["embedding"].dataType.simpleString() == "array<float>"
+
+
+def test_csv_sink_roundtrip(spark, sf_dir, tmp_path):
+    """S11: metadata.to_csv(index=False) analogue."""
+    out = str(tmp_path / "csv")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "source")
+    docs.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 500
+    assert back.columns == ["doc_id", "lang", "source"]
+
+
+def test_partitioned_text_sink(spark, sf_dir, tmp_path):
+    """S10: the file-per-record .txt sink generalizes to a
+    lang-partitioned text corpus layout (partition pruning on read)."""
+    out = str(tmp_path / "txt")
+    docs = load_table(spark, "documents", sf_dir)
+    (docs.select(F.col("lang"), F.col("text").alias("value"))
+     .write.mode("overwrite").partitionBy("lang").text(out))
+    langs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs == {"en", "es", "de", "fr", "zh"}
+    only_en = spark.read.text(os.path.join(out, "lang=en"))
+    n_en = load_table(spark, "documents", sf_dir).filter(F.col("lang") == "en").count()
+    assert only_en.count() == n_en
