@@ -189,3 +189,43 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
                                     F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
                              .otherwise(F.lit(0).cast("bigint")))
             .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+
+
+def embedding_near_dups(vectors: DataFrame, *, threshold: float,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        mode: str = "exact", num_planes: int = 6,
+                        num_tables: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim).
+
+    mode='exact': all-pairs cosine via self-join — the correctness
+    oracle, O(n²) by definition; use only on bounded inputs.
+    mode='lsh': random-hyperplane bucketing (same deterministic plane
+    family as similarity.knn_lsh) — pairs only form inside a shared
+    (table, signature) bucket, then exact cosine verifies. The 100 TB
+    path: cost follows near-duplicate density, recall < 1 by design
+    (pytest measures it against exact).
+    """
+    from parlerproject_spark.functions.vectors import cosine as _cos
+
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if mode == "exact":
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif mode == "lsh":
+        from parlerproject_spark.operators.similarity import _signatures, plane_table
+        dim = len(vectors.select(vec_col).first()[0])
+        planes = plane_table(vectors.sparkSession, dim=dim,
+                             num_planes=num_planes, num_tables=num_tables)
+        sig = _signatures(vectors, planes, vec_col=vec_col, key_cols=[id_col])
+        sl = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                        "tbl", "sig")
+        sr = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                        "tbl", "sig")
+        pairs = (sl.join(sr, ["tbl", "sig"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "va", "id_b", "vb").distinct())
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    return (pairs.select("id_a", "id_b",
+                         F.round(_cos("va", "vb"), 6).alias("sim"))
+            .filter(F.col("sim") >= threshold))

@@ -1005,3 +1005,84 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss").alias("matched_ts"),
         "view_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + remaining scalar/vocab coverage (F3, U2/M4)
+# ---------------------------------------------------------------------------
+
+@register("embedding_near_dup_pairs", """
+WITH p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, sim FROM (
+  SELECT ia AS id_a, ib AS id_b,
+         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+  FROM p GROUP BY ia, ib)
+WHERE sim >= 0.3
+""")
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact mode (the dedup
+    oracle). The LSH-bucketed variant is the scale path
+    (embedding_near_dup_lsh, rows-only)."""
+    return dedup.embedding_near_dups(_t(spark, sf_dir, "embeddings"),
+                                     threshold=0.3, mode="exact")
+
+
+@register("embedding_near_dup_lsh", None)  # recall vs exact measured in pytest
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dups(_t(spark, sf_dir, "embeddings"),
+                                     threshold=0.3, mode="lsh")
+
+
+@register("rename_suffix_docs", """
+SELECT doc_id,
+       regexp_replace(source || '/' || doc_id || '.html', '\\.html$', '.txt')
+         AS txt_path
+FROM documents
+""")
+def rename_suffix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: suffix substitution (reference: filename.replace('.html',
+    '.txt'), code/htmlConverter.py:49), anchored so only a trailing
+    extension rewrites."""
+    d = _t(spark, sf_dir, "documents")
+    path = F.concat(F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".html"))
+    return d.select("doc_id",
+                    F.regexp_replace(path, r"\.html$", ".txt").alias("txt_path"))
+
+
+@register("doc_frequency_stopworded", """
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents)
+  WHERE term <> ''
+    AND term NOT IN ('impressions','echoes','upvotes','comments','post',
+                     'posts','parler','image','video','href','http','https',
+                     'www','the','a','an','and','or','of','to','in','is',
+                     'it','for','on','with','as','at','by','be','this','that'))
+SELECT term, count(*) AS df FROM toks
+GROUP BY term HAVING count(*) >= 2
+ORDER BY df DESC, term ASC LIMIT 100
+""")
+def doc_frequency_stopworded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/M4: vocabulary with the engine's stop-word union (the
+    Parler metadata terms + english base, code/bertopicTest.py:30-42)
+    removed before the document-frequency aggregation."""
+    from parlerproject_spark.functions.text import (
+        BASIC_ENGLISH_STOP_WORDS,
+        PARLER_STOP_WORDS,
+        tokenize,
+    )
+    stops = F.array(*[F.lit(w) for w in PARLER_STOP_WORDS + BASIC_ENGLISH_STOP_WORDS])
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.array_except(tokenize("text"), stops))).alias("term"))
+    return (terms.groupBy("term").agg(F.count("doc_id").alias("df"))
+            .filter(F.col("df") >= 2)
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(100))

@@ -74,3 +74,17 @@ def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
     # ANN contract: meaningful recall, not exactness
     assert len(exact & approx) >= 4
     assert 0 in approx  # the query vector itself always hashes to its own bucket
+
+
+def test_embedding_near_dups_lsh_subset_of_exact(spark, sf_dir):
+    from parlerproject_spark.catalog import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_near_dups(emb, threshold=0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.embedding_near_dups(emb, threshold=0.3,
+                                              mode="lsh").collect()}
+    assert lsh <= exact  # bucketing can only miss, never invent
+    # near-random synthetic vectors are LSH's worst case; still expect
+    # meaningful recall from 8 tables x 6 planes
+    assert len(lsh) / max(len(exact), 1) >= 0.2
