@@ -1,0 +1,65 @@
+"""Skew mitigation operators.
+
+AQE's skew-join splitting (enabled in session.py) handles sort-merge
+join skew at runtime; these operators cover the cases AQE does not:
+skewed AGGREGATION keys and skewed broadcast-ineligible joins.
+
+The reference never needed this (single process), but the corpus it
+targets is exactly where skew lives at scale: a handful of viral
+posts dominate engagement events, stop-word shingles dominate the
+dedup inverted index (dedup.py skew note), `-1` outlier topics
+dominate assignments (bertopicTest.py:107 counts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(df: DataFrame, key: str, aggs: Sequence[tuple[str, str, str]],
+               *, salt_buckets: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 groups on (key, salt) — a hot key's rows spread over
+    `salt_buckets` reducers instead of melting one. Phase 2 merges
+    the per-salt partials on the true key (tiny input: buckets ×
+    distinct keys).
+
+    `aggs` is [(col, fn, alias)] with fn in {sum, count, min, max}:
+    the decomposable aggregates (count re-merges as sum; avg callers
+    decompose to sum+count themselves).
+    """
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    salted = df.withColumn(
+        "__salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets))
+    phase1 = salted.groupBy(key, "__salt").agg(*[
+        getattr(F, fn)(c).alias(f"__p_{alias}") for c, fn, alias in aggs
+    ])
+    phase2 = phase1.groupBy(key).agg(*[
+        getattr(F, merge_fn[fn])(f"__p_{alias}").alias(alias)
+        for _, fn, alias in aggs
+    ])
+    return phase2
+
+
+def salted_join(big: DataFrame, skewed_dim: DataFrame, on: str,
+                *, salt_buckets: int = 8) -> DataFrame:
+    """Skewed equi-join when the dim side is too big to broadcast:
+    salt the big side's key, EXPLODE the dim side across all salts
+    (dim rows replicate `salt_buckets`×), join on (key, salt). A hot
+    key's rows now land on `salt_buckets` different reducers.
+
+    Use only when (a) broadcast is impossible and (b) AQE's runtime
+    skew split isn't available (e.g. shuffled hash join path).
+    """
+    big_s = big.withColumn(
+        "__salt",
+        (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets).cast("int"))
+    dim_s = (skewed_dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+        .withColumn("__salt", F.col("__salt").cast("int")))
+    out = big_s.join(dim_s, [on, "__salt"])
+    return out.drop("__salt")

@@ -1086,3 +1086,44 @@ def doc_frequency_stopworded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("df") >= 2)
             .orderBy(F.col("df").desc(), F.col("term").asc())
             .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# UDAF / UDTF surface (SURVEY §2.10 engine-adds)
+# ---------------------------------------------------------------------------
+
+@register("geomean_value_by_type", """
+SELECT event_type,
+       round(exp(avg(ln(value))), 6) AS geo_mean
+FROM events WHERE value > 0 GROUP BY event_type
+""")
+def geomean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (geometric mean), hash-checked against
+    the closed-form exp(avg(ln)) oracle."""
+    from parlerproject_spark.functions.py_udfs import geometric_mean
+    gm = geometric_mean()
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("value") > 0)
+            .groupBy("event_type")
+            .agg(F.round(gm(F.col("value")), 6).alias("geo_mean")))
+
+
+@register("sentence_split_udtf", """
+WITH s AS (
+  SELECT doc_id, string_split(text, '. ') AS parts
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id, i AS sentence_no, trim(parts[i]) AS sentence
+FROM s, unnest(range(1, len(parts) + 1)) AS t(i)
+WHERE trim(parts[i]) <> ''
+""")
+def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 UDTF: one row per sentence, verified against the
+    relational split in DuckDB."""
+    from parlerproject_spark.functions.py_udfs import sentence_udtf
+    SplitSentences = sentence_udtf()
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.sentence_no, s.sentence "
+        "FROM _udtf_docs, LATERAL split_sentences(doc_id, text) s")

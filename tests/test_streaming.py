@@ -9,6 +9,7 @@ import tempfile
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from parlerproject_spark.catalog import load_table
 from parlerproject_spark.streaming import events as se
@@ -55,6 +56,34 @@ def test_streaming_session_windows_run(spark, sf_dir, event_stream_dir):
     # sessions are per-user disjoint activity runs; counts sum to all events
     total = got.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
     assert total == load_table(spark, "events", sf_dir).count()
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, event_stream_dir):
+    """applyInPandasWithState keyed state: after draining the stream,
+    each user's last emitted running total equals the batch aggregate."""
+    from parlerproject_spark.streaming.stateful import running_user_totals
+
+    schema = load_table(spark, "events", sf_dir).schema
+    stream = se.read_event_stream(spark, event_stream_dir, schema)
+    q = (running_user_totals(stream)
+         .writeStream.format("memory").queryName("t_state")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # update mode emits one row per touched user per microbatch; the
+    # row with the max events_seen is that user's final state.
+    got = {r["user_id"]: (r["events_seen"], r["value_sum"])
+           for r in (spark.table("t_state")
+                     .withColumn("rn", F.row_number().over(
+                         Window.partitionBy("user_id")
+                         .orderBy(F.col("events_seen").desc())))
+                     .filter("rn = 1").collect())}
+    batch = {r["user_id"]: (r["n"], r["s"])
+             for r in (load_table(spark, "events", sf_dir)
+                       .groupBy("user_id")
+                       .agg(F.count("*").alias("n"),
+                            F.round(F.sum("value"), 4).alias("s")).collect())}
+    assert got == batch
 
 
 def test_streaming_restart_is_exactly_once(spark, sf_dir, event_stream_dir, tmp_path):
