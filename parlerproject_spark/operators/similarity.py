@@ -110,3 +110,51 @@ def knn_lsh(vectors: DataFrame, query: DataFrame, *, dim: int, k: int = 10,
     scored = cand.select("vec_id", F.round(cosine(vec_col, "q"), 6).alias("sim"))
     best = scored.groupBy("vec_id").agg(F.max("sim").alias("sim"))
     return best.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
+            num_cells: int = 16, nprobe: int = 4, max_iter: int = 3,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN cosine top-k — the scale path next to
+    `knn_lsh`.
+
+    Index side: k-means cells (topics.lloyd_centroids — at 100 TB
+    trained on a sample, then frozen); every vector is assigned to
+    its nearest centroid by a narrow map against the centroid
+    literal (no shuffle). At scale the assignment is precomputed
+    once and the table is PARTITIONED BY cell, so a probe reads
+    nprobe/num_cells of the data — that partition pruning is the
+    entire point of IVF.
+
+    Query side: rank the centroid array in-expression, explode the
+    top-nprobe cell ids (a handful of broadcast rows), join to prune
+    the corpus to probed cells, exact cosine re-rank inside them.
+    Recall < 1 by design; `knn_bruteforce` is the oracle (pytest
+    asserts recall).  Columns: vec_id, sim.
+    """
+    from parlerproject_spark.operators.topics import lloyd_centroids
+
+    centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
+                                id_col=id_col, vec_col=vec_col)
+    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+    def nearest_cell(v):
+        sims = F.transform(cent, lambda c: cosine(v, c))
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    assigned = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
+                              nearest_cell(F.col(vec_col)).alias("cell"))
+
+    # top-nprobe cells for the query: sort (−sim, idx) structs in-expression
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    ranked = F.array_sort(F.zip_with(
+        F.transform(cent, lambda c: -cosine(F.col("q"), c)),
+        idx, lambda s, i: F.struct(s.alias("neg"), i.alias("cell"))))
+    probes = query.select(
+        F.col("q"),
+        F.explode(F.slice(F.transform(ranked, lambda r: r["cell"]),
+                          1, nprobe).cast("array<int>")).alias("cell"))
+
+    cand = assigned.join(F.broadcast(probes), "cell")
+    scored = cand.select("vec_id", F.round(cosine(vec_col, "q"), 6).alias("sim"))
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)

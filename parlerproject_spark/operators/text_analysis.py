@@ -98,3 +98,94 @@ def language_id(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
     return docs.withColumn("lang_pred", pred)
+
+
+# Rolling-hash fingerprinting (winnowing) ---------------------------------
+
+#: modulus for the polynomial rolling hash — 2^31-1, matches
+#: functions.text.stable_hash31 so fingerprints fit an int domain the
+#: DuckDB oracle reproduces exactly.
+WINNOW_MOD = 2147483647
+
+
+def _winnow_norm(text_col: str):
+    """ASCII-printable, whitespace-collapsed, lowercased text — the
+    canonical form both engines hash (non-ASCII stripped so Spark's
+    ascii() and DuckDB's ord() agree). Whitespace collapses BEFORE
+    the printable filter (tabs/newlines must become spaces, not
+    vanish and glue words), then spaces re-collapse."""
+    c = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    c = F.regexp_replace(c, "[^ -~]", "")
+    return F.lower(F.trim(F.regexp_replace(c, " +", " ")))
+
+
+def winnow_fingerprints(docs: DataFrame, *, k: int = 8, window: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        ) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03) — the rolling-hash fingerprinting op of the
+    training-data pipeline surface.
+
+    Per document: polynomial hash (base 31 mod 2^31-1) of every
+    char k-gram, then keep the minimum hash of each window of
+    `window` consecutive k-grams; the distinct minima are the
+    fingerprint set. Guarantee: any shared substring of length
+    >= k + window - 1 yields at least one shared fingerprint.
+
+    Plan shape: one narrow projection (char-code array), one explode
+    (~len(text) rows/doc), a per-doc window min, one distinct — all
+    JVM-side built-ins, no UDF. The k-gram hash is expressed as
+    aggregate(slice(codes,pos,k)) — O(k) per gram instead of the
+    O(1) rolling recurrence, a small constant (k=8) paid to stay
+    inside whole-stage codegen rather than sequential per-row state.
+    Columns: doc_id, fp.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       _winnow_norm(text_col).alias("t")) \
+        .filter(F.length("t") >= k + window - 1)
+    codes = F.transform(F.split(F.col("t"), ""),
+                        lambda ch: F.ascii(ch).cast("bigint"))
+    grams = base.select(
+        "doc_id", codes.alias("codes")) \
+        .select("doc_id",
+                F.explode(F.sequence(F.lit(1), F.size("codes") - k + 1)).alias("pos"),
+                F.col("codes"))
+    h = F.aggregate(F.slice("codes", F.col("pos"), F.lit(k)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: (acc * F.lit(31) + x) % F.lit(WINNOW_MOD))
+    hashed = grams.select("doc_id", "pos", h.alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    per_doc = Window.partitionBy("doc_id")
+    wins = hashed.select("doc_id", "pos",
+                         F.min("h").over(win).alias("fp"),
+                         F.count("*").over(per_doc).alias("n_grams"))
+    return (wins.filter(F.col("pos") <= F.col("n_grams") - window + 1)
+            .select("doc_id", "fp").distinct())
+
+
+def fingerprint_overlap(docs: DataFrame, *, k: int = 8, window: int = 4,
+                        threshold: float = 0.8, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint containment
+    (MOSS-style): |fp_a ∩ fp_b| / min(|fp_a|, |fp_b|) >= threshold.
+
+    Inverted-index self-join on fp (never a cross join): candidate
+    pairs only materialize where a fingerprint is shared, so the
+    shuffle is proportional to actual overlap, not N².
+    Columns: id_a, id_b, containment.
+    """
+    fps = winnow_fingerprints(docs, k=k, window=window,
+                              id_col=id_col, text_col=text_col)
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    inter = (a.join(b, "fp")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    cont = F.round(F.col("n_common") / F.least("n_a", "n_b"), 6)
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("containment", cont)
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment"))

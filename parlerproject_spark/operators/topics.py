@@ -44,15 +44,18 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], *,
                           best.cast("int").alias("topic"))
 
 
-def kmeans_topics(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic distributed k-means → (id, topic).
+def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> list[list[float]]:
+    """Deterministic distributed Lloyd's k-means → k centroids.
 
     Per iteration: one narrow assignment pass + one groupBy whose
     shuffle carries k×dim partial sums per partition (map-side
     combine), then k×dim floats collect to the driver for the next
     broadcast. Iterations are jobs, not nested shuffles — the 100 TB
-    cost is max_iter scans, each embarrassingly parallel."""
+    cost is max_iter scans, each embarrassingly parallel. Shared by
+    topic modeling (below) and the IVF ANN index (similarity.knn_ivf),
+    which at scale would train on a sample, not the full table."""
     dim = len(vectors.select(vec_col).first()[0])
     init = [r[vec_col] for r in
             vectors.orderBy(F.col(id_col).asc()).limit(k).collect()]
@@ -77,7 +80,14 @@ def kmeans_topics(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
             else:  # empty cluster keeps its old centroid (deterministic)
                 new.append(centroids[t])
         centroids = new
+    return centroids
 
+
+def kmeans_topics(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic distributed k-means → (id, topic)."""
+    centroids = lloyd_centroids(vectors, k=k, max_iter=max_iter,
+                                id_col=id_col, vec_col=vec_col)
     return _assign(vectors, centroids, id_col=id_col, vec_col=vec_col) \
         .select(id_col, "topic")
 

@@ -727,6 +727,15 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               _query_vec(spark, sf_dir), dim=64, k=10)
 
 
+@register("knn_ivf", None)  # recall measured in pytest vs knn_bruteforce
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — k-means cells + top-nprobe probing; the
+    partition-pruned scale path next to the LSH index."""
+    return similarity.knn_ivf(_t(spark, sf_dir, "embeddings"),
+                              _query_vec(spark, sf_dir), k=10,
+                              num_cells=16, nprobe=4)
+
+
 @register("embedding_norms", """
 SELECT vec_id,
        round(sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
@@ -1127,3 +1136,121 @@ def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.doc_id, s.sentence_no, s.sentence "
         "FROM _udtf_docs, LATERAL split_sentences(doc_id, text) s")
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprinting (winnowing) + extra TPC-H relational breadth
+# ---------------------------------------------------------------------------
+
+_WINNOW_CTE = """
+norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+           regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'),
+                          '[^ -~]', '', 'g'),
+           ' +', ' ', 'g'))) AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(i, i + 8),
+               j -> CAST(ord(substr(t, CAST(j AS INTEGER), 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+  FROM norm, unnest(range(1, length(t) - 8 + 2)) AS g(i)
+  WHERE length(t) >= 11),
+wins AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_grams - 4 + 1)
+"""
+
+
+@register("rolling_fingerprints_docs", f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id, fp FROM fps
+""")
+def rolling_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (k=8, window=4) —
+    the document-fingerprinting op of the training-data surface."""
+    return text_analysis.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, window=4)
+
+
+@register("fingerprint_overlap_pairs", f"""
+WITH {_WINNOW_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common * 1.0 / least(sa.n_fp, sb.n_fp) >= 0.8
+""")
+def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs by fingerprint containment —
+    inverted-index join on shared fingerprints, never a cross join."""
+    return text_analysis.fingerprint_overlap(
+        _t(spark, sf_dir, "documents"), k=8, window=4, threshold=0.8)
+
+
+@register("q6_revenue_delta", """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure predicate + agg, zero joins — the
+    pushdown showcase (every filter reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount").between(0.05, 0.07))
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+                 .alias("revenue")))
+
+
+@register("q10_returned_customers", """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue by customer. Fact-fact
+    join shuffles on the keys; nation is broadcast; top-k plans as
+    TakeOrderedAndProject (no global sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+              .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")))
+    return (joined.groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))

@@ -88,3 +88,32 @@ def test_embedding_near_dups_lsh_subset_of_exact(spark, sf_dir):
     # near-random synthetic vectors are LSH's worst case; still expect
     # meaningful recall from 8 tables x 6 planes
     assert len(lsh) / max(len(exact), 1) >= 0.2
+
+
+def test_knn_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = {r["vec_id"] for r in similarity.knn_bruteforce(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              similarity.knn_ivf(emb, q, k=10, num_cells=16, nprobe=4).collect()}
+    # probing 4/16 cells must still find most true neighbors (they
+    # cluster near the query's own cell)
+    assert len(exact & approx) >= 5
+    assert 0 in approx  # the query vector lives in the first probed cell
+
+
+def test_knn_ivf_probes_prune_to_nprobe_cells(spark):
+    # 3 well-separated axis clusters; nprobe=1 must return only the
+    # query's own cluster members — proof the probe prunes, not scans.
+    # ids 0/1/2 are one vector per cluster so the deterministic
+    # lowest-id init seeds every cluster (lloyd_centroids contract).
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])] \
+         + [(10 + i, [1.0 + 0.01 * i, 0.0, 0.0]) for i in range(3)] \
+         + [(20 + i, [0.0, 1.0 + 0.01 * i, 0.0]) for i in range(3)] \
+         + [(30 + i, [0.0, 0.0, 1.0 + 0.01 * i]) for i in range(3)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame([([0.0, 1.0, 0.05],)], ["q"])
+    got = {r["vec_id"] for r in
+           similarity.knn_ivf(vecs, q, k=12, num_cells=3, nprobe=1,
+                              max_iter=4).collect()}
+    assert got == {1, 20, 21, 22}

@@ -86,3 +86,47 @@ def test_topic_terms_shape(spark, sf_dir):
     for label, rns in per_topic.items():
         assert sorted(rns) == list(range(1, len(rns) + 1))
         assert len(rns) <= 5
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from parlerproject_spark.operators import text_analysis
+    # winnowing guarantee: docs sharing a substring of length
+    # >= k + window - 1 (= 11) share at least one fingerprint
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"),
+         (2, "CCCCCC " + shared + " DDD"),
+         (3, "zzzz yyyy xxxx wwww vvvv uuuu")],
+        ["doc_id", "text"])
+    fps = text_analysis.winnow_fingerprints(docs, k=8, window=4)
+    sets = {r["doc_id"]: set() for r in docs.collect()}
+    for r in fps.collect():
+        sets[r["doc_id"]].add(r["fp"])
+    assert sets[1] & sets[2]
+    assert not (sets[1] & sets[3])
+
+
+def test_winnow_identical_docs_identical_fingerprints(spark):
+    from parlerproject_spark.operators import text_analysis
+    docs = spark.createDataFrame(
+        [(1, "Some   Document\twith MESSY whitespace"),
+         (2, "some document with messy whitespace")],
+        ["doc_id", "text"])
+    fps = text_analysis.winnow_fingerprints(docs, k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # normalization makes them byte-identical -> same fingerprint set
+    assert by_doc[1] == by_doc[2]
+
+
+def test_fingerprint_overlap_flags_containment(spark):
+    from parlerproject_spark.operators import text_analysis
+    body = "one two three four five six seven eight nine ten " * 3
+    docs = spark.createDataFrame(
+        [(1, body), (2, body + " extra tail words"), (3, "totally different content here")],
+        ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             text_analysis.fingerprint_overlap(docs, threshold=0.8).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
