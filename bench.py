@@ -35,11 +35,17 @@ HEADLINE = [
     "simhash_docs",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "asof_join_purchase_view",
     "html_extract_posts",
     "embed_documents_fake",
     "topic_assignments",
     "media_features",
+    "rolling_fingerprints_docs",
+    "fingerprint_overlap_pairs",
+    "clean_corpus_pipeline",
+    "q6_revenue_delta",
+    "q10_returned_customers",
 ]
 
 

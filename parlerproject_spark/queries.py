@@ -1183,10 +1183,12 @@ def rolling_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("fingerprint_overlap_pairs", f"""
 WITH {_WINNOW_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 128),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(n_common * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
@@ -1197,9 +1199,11 @@ WHERE n_common * 1.0 / least(sa.n_fp, sb.n_fp) >= 0.8
 """)
 def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style near-dup pairs by fingerprint containment —
-    inverted-index join on shared fingerprints, never a cross join."""
+    inverted-index join on shared fingerprints (hub fps with
+    df > 128 dropped as boilerplate), never a cross join."""
     return text_analysis.fingerprint_overlap(
-        _t(spark, sf_dir, "documents"), k=8, window=4, threshold=0.8)
+        _t(spark, sf_dir, "documents"), k=8, window=4, threshold=0.8,
+        max_df=128)
 
 
 @register("q6_revenue_delta", """
@@ -1254,3 +1258,28 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
             .limit(20))
+
+
+@register("clean_corpus_pipeline", """
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'en'
+    AND round(least(length(text) / 500.0, 1.0) *
+              (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+                         / length(text)
+                    ELSE 0.0 END), 6) >= 0.5),
+fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM gated)
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM fp GROUP BY fp
+""")
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality gate -> language gate ->
+    exact-dedup survivor pick. The composite a training-data pipeline
+    runs before tokenization; one shuffle total (the md5 groupBy)."""
+    from parlerproject_spark.operators.pipelines import clean_corpus
+    return clean_corpus(_t(spark, sf_dir, "documents"),
+                        min_quality=0.5, lang="en")

@@ -68,3 +68,35 @@ def test_share_of_total_single_scan(spark, sf_dir):
     df = Q.share_of_total_events(spark, sf_dir)
     plan = inspect.executed_plan(df)
     assert plan.count("FileScan") + plan.count("BatchScan") == 1
+
+
+def test_q6_pushes_every_filter_to_scan(spark, sf_dir):
+    df = Q.queries()["q6_revenue_delta"](spark, sf_dir)
+    pushed = " ".join(inspect.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    scans = inspect.read_schema_columns(df)
+    # only the 4 referenced columns are read
+    assert scans and len(scans[0]) == 4, scans
+
+
+def test_clean_corpus_single_shuffle(spark, sf_dir):
+    df = Q.queries()["clean_corpus_pipeline"](spark, sf_dir)
+    # quality+lang gates are narrow; the md5 groupBy is the only
+    # exchange (AQE may add a coalesce read, never a second shuffle)
+    assert inspect.exchange_count(df) == 1, inspect.final_plan(df)
+    assert any("lang" in f for f in inspect.pushed_filters(df))
+
+
+def test_q10_broadcasts_nation_no_cartesian(spark, sf_dir):
+    df = Q.queries()["q10_returned_customers"](spark, sf_dir)
+    strategies = inspect.join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert strategies.count("BroadcastHashJoin") >= 1, strategies
+
+
+def test_winnow_fingerprints_zero_shuffle(spark, sf_dir):
+    df = Q.queries()["rolling_fingerprints_docs"](spark, sf_dir)
+    # the whole algorithm runs in array expressions inside the scan
+    # stage — any exchange here would be a 100 TB regression
+    assert inspect.exchange_count(df) == 0, inspect.final_plan(df)
