@@ -82,9 +82,16 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     candidate count tracks actual overlap. Hot shingles (stopword
     grams) are the skew risk at scale — AQE skew-join splitting plus
     the distinct() before counting keeps it bounded.
+
+    The shingle table is repartitioned on sh BEFORE its three
+    consumers (sizes, both join sides): the explicit exchange is what
+    ReuseExchange keys on, so the tokenize→gram→hash cascade runs
+    once instead of three times, and both self-join sides arrive
+    co-partitioned on the join key.
     Columns: id_a, id_b (id_a < id_b), jaccard.
     """
-    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n) \
+        .repartition("sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -102,15 +109,19 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
-                       num_hashes: int = 12) -> DataFrame:
+                       num_hashes: int = 12,
+                       shingles_df: DataFrame | None = None) -> DataFrame:
     """MinHash signature per document.
 
     One explode over shingles, then num_hashes min-aggregates in a
     single groupBy pass (map-side combine keeps the shuffle at one
-    row per doc). Columns: doc_id, h0..h{k-1}.
+    row per doc). Pass `shingles_df` to reuse an already-built
+    shingle table (minhash_lsh_pairs shares one across its stages).
+    Columns: doc_id, h0..h{k-1}.
     """
     assert num_hashes <= len(MINHASH_A)
-    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = shingles_df if shingles_df is not None else \
+        shingles(docs, id_col=id_col, text_col=text_col, n=n)
     aggs = [
         F.min((F.col("sh") * MINHASH_A[i] + MINHASH_B[i]) % _P31).alias(f"h{i}")
         for i in range(num_hashes)
@@ -131,8 +142,14 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     candidate docs only. Columns: id_a, id_b, jaccard.
     """
     rows_per_band = num_hashes // bands
+    # one shingle table, repartitioned on doc_id, feeds all four
+    # consumers (signature groupBy, size groupBy, both verify sides)
+    # via ReuseExchange — without the explicit exchange each branch
+    # would re-run tokenize→gram→hash over the corpus
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n) \
+        .repartition("doc_id")
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n,
-                             num_hashes=num_hashes)
+                             num_hashes=num_hashes, shingles_df=sh)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -148,8 +165,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             .distinct())
     # Verify CANDIDATES ONLY — the whole point of LSH is that exact
     # Jaccard never runs corpus-wide. The candidate set is small, so
-    # it broadcasts into the shingle table.
-    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    # it broadcasts into the (shared) shingle table.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (F.broadcast(cand)

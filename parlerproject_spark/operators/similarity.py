@@ -114,17 +114,20 @@ def knn_lsh(vectors: DataFrame, query: DataFrame, *, dim: int, k: int = 10,
 
 def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
             num_cells: int = 16, nprobe: int = 4, max_iter: int = 3,
+            train_mod: int | None = 8,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF (inverted-file) ANN cosine top-k — the scale path next to
     `knn_lsh`.
 
-    Index side: k-means cells (topics.lloyd_centroids — at 100 TB
-    trained on a sample, then frozen); every vector is assigned to
-    its nearest centroid by a narrow map against the centroid
-    literal (no shuffle). At scale the assignment is precomputed
-    once and the table is PARTITIONED BY cell, so a probe reads
-    nprobe/num_cells of the data — that partition pruning is the
-    entire point of IVF.
+    Index side: k-means cells fit on the deterministic 1/train_mod
+    hash-sample (topics.lloyd_centroids) — cell quality needs only a
+    sample, so index training never scans the full corpus; tiny
+    inputs fall back to full-table training automatically. Every
+    vector is then assigned to its nearest centroid by a narrow map
+    against a single centroid-matrix literal (no shuffle). At scale
+    the assignment is precomputed once and the table is PARTITIONED
+    BY cell, so a probe reads nprobe/num_cells of the data — that
+    partition pruning is the entire point of IVF.
 
     Query side: rank the centroid array in-expression, explode the
     top-nprobe cell ids (a handful of broadcast rows), join to prune
@@ -132,14 +135,20 @@ def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
     Recall < 1 by design; `knn_bruteforce` is the oracle (pytest
     asserts recall).  Columns: vec_id, sim.
     """
-    from parlerproject_spark.operators.topics import lloyd_centroids
+    from parlerproject_spark.operators.topics import (centroid_literal,
+                                                      lloyd_centroids,
+                                                      unit_rows)
+    from parlerproject_spark.functions.vectors import dot
 
     centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
-                                id_col=id_col, vec_col=vec_col)
-    cent = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+                                id_col=id_col, vec_col=vec_col,
+                                train_mod=train_mod)
+    # pre-normalized driver-side: cell ranking by cosine == by dot
+    # against unit centroids (one aggregate per cell, not three)
+    cent = centroid_literal(unit_rows(centroids))
 
     def nearest_cell(v):
-        sims = F.transform(cent, lambda c: cosine(v, c))
+        sims = F.transform(cent, lambda c: dot(v, c))
         return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
     assigned = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
@@ -148,7 +157,7 @@ def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
     # top-nprobe cells for the query: sort (−sim, idx) structs in-expression
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     ranked = F.array_sort(F.zip_with(
-        F.transform(cent, lambda c: -cosine(F.col("q"), c)),
+        F.transform(cent, lambda c: -dot(F.col("q"), c)),
         idx, lambda s, i: F.struct(s.alias("neg"), i.alias("cell"))))
     probes = query.select(
         F.col("q"),

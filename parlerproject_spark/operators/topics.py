@@ -22,23 +22,44 @@ iteration count → identical results on every run/engine.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from parlerproject_spark.functions.vectors import cosine, dot
+from parlerproject_spark.functions.vectors import dot
 from parlerproject_spark.operators.relational import share_of_total
 from parlerproject_spark.operators.text_analysis import topic_terms
+
+
+def centroid_literal(centroids: list[list[float]]) -> F.Column:
+    """k×dim centroid matrix as ONE array<array<double>> literal —
+    a single Literal node, not k×dim Column objects (k=16, dim=384
+    would otherwise be 6,144 expression-tree leaves, which dominates
+    driver-side plan construction and analysis time)."""
+    return F.lit([[float(x) for x in c] for c in centroids])
+
+
+def unit_rows(centroids: list[list[float]]) -> list[list[float]]:
+    """L2-normalize each centroid driver-side: argmax_c cos(v, c) ==
+    argmax_c dot(v, c/|c|), so assignment needs ONE aggregate per
+    cell instead of three (dot + two norms) — the vector's own norm
+    is a constant factor across cells and drops out of the argmax."""
+    out = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c))
+        out.append([x / n for x in c] if n > 0 else list(c))
+    return out
 
 
 def _assign(vectors: DataFrame, centroids: list[list[float]], *,
             id_col: str, vec_col: str) -> DataFrame:
     """Nearest-centroid (cosine) assignment as one projection.
-    Centroid list is folded into an array<array<double>> literal —
-    k×dim values, broadcast with the plan itself."""
-    cent = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
-    sims = F.transform(cent, lambda c: cosine(F.col(vec_col), c))
+    Centroid matrix rides along as a single pre-normalized literal —
+    broadcast with the plan itself, no join, no shuffle; the scoring
+    expression is a dot product per cell."""
+    cent = centroid_literal(unit_rows(centroids))
+    sims = F.transform(cent, lambda c: dot(F.col(vec_col), c))
     best = F.array_position(sims, F.array_max(sims)) - 1
     return vectors.select(F.col(id_col), F.col(vec_col),
                           best.cast("int").alias("topic"))
@@ -46,48 +67,75 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], *,
 
 def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    ) -> list[list[float]]:
+                    train_mod: int | None = None) -> list[list[float]]:
     """Deterministic distributed Lloyd's k-means → k centroids.
 
     Per iteration: one narrow assignment pass + one groupBy whose
     shuffle carries k×dim partial sums per partition (map-side
     combine), then k×dim floats collect to the driver for the next
     broadcast. Iterations are jobs, not nested shuffles — the 100 TB
-    cost is max_iter scans, each embarrassingly parallel. Shared by
-    topic modeling (below) and the IVF ANN index (similarity.knn_ivf),
-    which at scale would train on a sample, not the full table."""
-    dim = len(vectors.select(vec_col).first()[0])
-    init = [r[vec_col] for r in
-            vectors.orderBy(F.col(id_col).asc()).limit(k).collect()]
-    centroids = [[float(x) for x in v] for v in init]
+    cost is max_iter scans, each embarrassingly parallel.
 
-    for _ in range(max_iter):
-        assigned = _assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
-        sums = (assigned
-                .select("topic", F.posexplode(F.col(vec_col)).alias("pos", "x"))
-                .groupBy("topic", "pos")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("n")))
-        rows = sums.collect()
-        acc: dict[int, list[float]] = {}
-        cnt: dict[int, int] = {}
-        for r in rows:
-            acc.setdefault(r["topic"], [0.0] * dim)[r["pos"]] = r["s"]
-            cnt[r["topic"]] = r["n"]
-        new = []
-        for t in range(k):
-            if t in acc and cnt[t] > 0:
-                new.append([x / cnt[t] for x in acc[t]])
-            else:  # empty cluster keeps its old centroid (deterministic)
-                new.append(centroids[t])
-        centroids = new
-    return centroids
+    `train_mod=m` trains on the deterministic ~1/m hash-sample
+    (xxhash64(id) % m == 0) — the production pattern for index/topic
+    fitting at scale: fit on a sample, assign on everything. Falls
+    back to the full table when the sample is too small to seed k
+    clusters (< 2k rows), so tiny inputs behave identically with or
+    without sampling. Shared by topic modeling (below) and the IVF
+    ANN index (similarity.knn_ivf)."""
+    train = vectors
+    if train_mod is not None and train_mod > 1:
+        train = vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0)
+    # max_iter full passes re-read the training set — persist it once
+    # (the MLlib k-means pattern; the sample is small by construction)
+    train = train.select(id_col, vec_col).persist()
+    try:
+        head = train.orderBy(F.col(id_col).asc()).limit(2 * k).collect()
+        if train_mod is not None and train_mod > 1 and len(head) < 2 * k:
+            # sample can't seed k clusters — fall back to the full set
+            train.unpersist()
+            train = vectors.select(id_col, vec_col).persist()
+            head = train.orderBy(F.col(id_col).asc()).limit(2 * k).collect()
+        init = [r[vec_col] for r in head[:k]]
+        centroids = [[float(x) for x in v] for v in init]
+        dim = len(centroids[0])
+
+        for _ in range(max_iter):
+            assigned = _assign(train, centroids, id_col=id_col,
+                               vec_col=vec_col)
+            sums = (assigned
+                    .select("topic",
+                            F.posexplode(F.col(vec_col)).alias("pos", "x"))
+                    .groupBy("topic", "pos")
+                    .agg(F.sum("x").alias("s"), F.count("*").alias("n")))
+            rows = sums.collect()
+            acc: dict[int, list[float]] = {}
+            cnt: dict[int, int] = {}
+            for r in rows:
+                acc.setdefault(r["topic"], [0.0] * dim)[r["pos"]] = r["s"]
+                cnt[r["topic"]] = r["n"]
+            new = []
+            for t in range(k):
+                if t in acc and cnt[t] > 0:
+                    new.append([x / cnt[t] for x in acc[t]])
+                else:  # empty cluster keeps its old centroid (deterministic)
+                    new.append(centroids[t])
+            centroids = new
+        return centroids
+    finally:
+        train.unpersist()
 
 
 def kmeans_topics(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic distributed k-means → (id, topic)."""
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  train_mod: int | None = None) -> DataFrame:
+    """Deterministic distributed k-means → (id, topic). Centroids
+    optionally fit on the 1/train_mod hash-sample; assignment always
+    covers every vector."""
     centroids = lloyd_centroids(vectors, k=k, max_iter=max_iter,
-                                id_col=id_col, vec_col=vec_col)
+                                id_col=id_col, vec_col=vec_col,
+                                train_mod=train_mod)
     return _assign(vectors, centroids, id_col=id_col, vec_col=vec_col) \
         .select(id_col, "topic")
 
@@ -95,12 +143,13 @@ def kmeans_topics(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
 def fit_topics(docs: DataFrame, vectors: DataFrame, *, k: int = 8,
                max_iter: int = 5, top_n: int = 10,
                doc_id_col: str = "doc_id", vec_id_col: str = "vec_id",
+               train_mod: int | None = None,
                ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The full M3 surface: (doc_topics, topic_info, topic_words) —
     the triple bertopicTest.py:93-112 reports, from one clustering
     pass + two aggregations."""
     assignment = kmeans_topics(vectors, k=k, max_iter=max_iter,
-                               id_col=vec_id_col)
+                               id_col=vec_id_col, train_mod=train_mod)
     doc_topics = docs.join(
         assignment.withColumnRenamed(vec_id_col, doc_id_col), doc_id_col)
     topic_info = share_of_total(doc_topics, "topic",

@@ -935,7 +935,8 @@ def embed_documents_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("topic_assignments", None)  # non-SQL iterative (M3); pytest checks partition
 def topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.topics import kmeans_topics
-    return kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3)
+    return kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3,
+                         train_mod=8)
 
 
 @register("media_features", None)  # binary plumbing (multimodal); pytest checks roundtrip
