@@ -46,6 +46,11 @@ HEADLINE = [
     "clean_corpus_pipeline",
     "q6_revenue_delta",
     "q10_returned_customers",
+    "q4_priority_late_ship",
+    "q7_nation_volume",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_brand_disjunction",
 ]
 
 

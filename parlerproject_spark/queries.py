@@ -1284,3 +1284,261 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.pipelines import clean_corpus
     return clean_corpus(_t(spark, sf_dir, "documents"),
                         min_quality=0.5, lang="en")
+
+
+@register("q4_priority_late_ship", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+  AND o_orderdate <  TIMESTAMP '1996-06-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: ship-after-order instead of the
+    absent commit/receipt dates): EXISTS decorrelates to a LEFT SEMI
+    join with a mixed equi + non-equi condition; the date filter
+    pushes to the orders scan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-03-01")
+        & (F.col("o_orderdate") < "1996-06-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li, (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+    return (semi.groupBy("o_orderpriority").count()
+            .withColumnRenamed("count", "order_count")
+            .orderBy("o_orderpriority"))
+
+
+@register("q7_nation_volume", """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         strftime(l_shipdate, '%Y') AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year. Both nation
+    dims broadcast; the nation-pair disjunction prunes AFTER the
+    broadcast joins, so only the two fact-fact shuffles (lineitem to
+    orders, orders to customer) carry real data."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    joined = (li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+              .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+              .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+              .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+              .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+              .filter(((F.col("supp_nation") == "NATION_3")
+                       & (F.col("cust_nation") == "NATION_7"))
+                      | ((F.col("supp_nation") == "NATION_7")
+                         & (F.col("cust_nation") == "NATION_3"))))
+    return (joined
+            .select("supp_nation", "cust_nation",
+                    F.date_format("l_shipdate", "yyyy").alias("l_year"),
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("volume"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@register("q12_priority_by_returnflag", """
+SELECT l_returnflag,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: grouped by returnflag, the absent
+    shipmode's stand-in): conditional aggregation — the CASE folds
+    into the partial agg, so the shuffle carries two longs per
+    group, not rows."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+@register("q14_promo_revenue", """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share. Part is the broadcast
+    dim; the one-month filter reaches the lineitem scan; a single
+    partial-aggregated reduction, no groupBy shuffle at all."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01"))
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                                       .otherwise(0.0)) / F.sum(rev), 4)
+                 .alias("promo_revenue")))
+
+
+@register("q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4)
+         AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving max quarterly revenue.
+    The revenue aggregate is computed once and repartitioned so the
+    scalar-max branch and the join branch reuse the same exchange;
+    the scalar max arrives via a 1-row broadcast cross join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4)
+                .alias("total_revenue"))
+           .repartition("l_suppkey"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+@register("q18_large_orders", """
+SELECT c_custkey, c_name, o_orderkey, round(total_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250) big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders. The HAVING prunes to a
+    tiny key set BEFORE the joins, so both joins broadcast the
+    filtered aggregate, never the fact table; top-k plans as
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (F.broadcast(big)
+            .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.round("total_qty", 2).alias("total_qty"))
+            .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+            .limit(100))
+
+
+@register("q19_brand_disjunction", """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_brand_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicates. Catalyst
+    derives the single-table implications (l_quantity ∈ [1,30],
+    p_brand ∈ {...}) and pushes them into BOTH scans even though the
+    full OR spans the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30)))
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue"))
+
+
+@register("q22_idle_rich_customers", """
+SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+ORDER BY n_name
+""")
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    urgent orders, by nation. Scalar subquery = 1-row broadcast
+    cross join; NOT EXISTS = LEFT ANTI join on the filtered orders
+    key projection (the filter pushes to the orders scan)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("n_name"))

@@ -100,3 +100,27 @@ def test_winnow_fingerprints_zero_shuffle(spark, sf_dir):
     # the whole algorithm runs in array expressions inside the scan
     # stage — any exchange here would be a 100 TB regression
     assert inspect.exchange_count(df) == 0, inspect.final_plan(df)
+
+
+def test_q19_disjunction_pushes_derived_predicates(spark, sf_dir):
+    df = Q.queries()["q19_brand_disjunction"](spark, sf_dir)
+    # Catalyst must derive the single-table implications of the OR
+    # and push them into both scans
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed or "p_size" in pushed, pushed
+    assert "CartesianProduct" not in inspect.join_strategies(df)
+
+
+def test_q18_joins_broadcast_filtered_agg(spark, sf_dir):
+    df = Q.queries()["q18_large_orders"](spark, sf_dir)
+    strategies = inspect.join_strategies(df)
+    # the HAVING-pruned aggregate must broadcast into both joins —
+    # a sort-merge here would shuffle the full orders/customer tables
+    assert strategies.count("BroadcastHashJoin") == 2, strategies
+
+
+def test_q4_semi_join_not_inner(spark, sf_dir):
+    df = Q.queries()["q4_priority_late_ship"](spark, sf_dir)
+    plan = inspect.final_plan(df)
+    assert "LeftSemi" in plan, plan
