@@ -677,19 +677,108 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n=3, threshold=0.5)
 
 
-@register("minhash_signatures", None)  # verified rows-only + pytest vs exact jaccard
+_MINHASH_MINS = ",\n       ".join(
+    f"min((sh * {a} + {b}) % 2147483647) AS h{i}"
+    for i, (a, b) in enumerate(zip(dedup.MINHASH_A, dedup.MINHASH_B)))
+
+@register("minhash_signatures", f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
+  FROM (
+    SELECT doc_id,
+           array_to_string(ts[i:i+2], ' ') AS gram
+    FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+    WHERE len(ts) >= 3))
+SELECT doc_id,
+       {_MINHASH_MINS}
+FROM grams GROUP BY doc_id
+""")
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures — fully deterministic (md5 shingle hash ×
+    fixed permutation family), so the oracle reproduces every h_i
+    exactly; sh*a < 2^31 * 2^20 stays inside int64."""
     return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=12)
 
 
-@register("minhash_lsh_pairs", None)  # pytest asserts candidates ⊇ high-jaccard pairs
+_MINHASH_BANDS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+        b=b, key=" || ':' || ".join(f"h{b * 3 + r}::VARCHAR" for r in range(3)))
+    for b in range(4))
+
+@register("minhash_lsh_pairs", f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
+  FROM (
+    SELECT doc_id,
+           array_to_string(ts[i:i+2], ' ') AS gram
+    FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+    WHERE len(ts) >= 3)),
+sig AS (
+  SELECT doc_id,
+       {_MINHASH_MINS}
+  FROM grams GROUP BY doc_id),
+buckets AS (
+  {_MINHASH_BANDS}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT id_a, id_b, count(*) AS n_common
+  FROM cand
+  JOIN grams a ON a.doc_id = id_a
+  JOIN grams b ON b.doc_id = id_b AND a.sh = b.sh
+  GROUP BY id_a, id_b)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+""")
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH + exact verify — every stage (md5 shingle
+    hash, fixed permutations, 4×3 banding, candidate join, exact
+    Jaccard) is deterministic, so the oracle reproduces the full
+    pipeline; pytest additionally asserts candidates ⊇ high-jaccard
+    pairs."""
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
                                    num_hashes=12, bands=4, threshold=0.5)
 
 
-@register("simhash_docs", None)  # pytest: near-dup docs have low hamming distance
+@register("simhash_docs", """
+WITH th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647 AS th
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  t -> t <> '')) AS term
+        FROM documents)),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, unnest(range(0, 32)) AS b(bit)
+  GROUP BY doc_id, b.bit)
+SELECT doc_id,
+       cast(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT)
+       AS simhash
+FROM votes GROUP BY doc_id
+""")
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash — deterministic md5 bit votes, oracle reproduces the
+    exact 32-bit fingerprint; pytest additionally checks hamming
+    distance tracks similarity."""
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
@@ -750,8 +839,33 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.round(l2_norm("embedding"), 6).alias("norm")))
 
 
-@register("language_id_docs", None)  # heuristic; pytest checks agreement vs lang col
+@register("language_id_docs", """
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(ts, ['the', 'and', 'of', 'is'])) AS s_en,
+         len(list_intersect(ts, ['el', 'la', 'los', 'que'])) AS s_es,
+         len(list_intersect(ts, ['der', 'die', 'und', 'ist'])) AS s_de,
+         len(list_intersect(ts, ['le', 'les', 'des', 'est'])) AS s_fr,
+         len(list_intersect(ts, ['de', 'shi', 'le', 'zai'])) AS s_zh
+  FROM (SELECT doc_id, lang,
+               list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 t -> t <> '')) AS ts
+        FROM documents))
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+            WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM scored
+""")
 def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID — deterministic Column arithmetic, so
+    the oracle reproduces the exact prediction (tie-break priority
+    en > es > de > fr > zh on both sides); pytest additionally
+    checks agreement against the ground-truth lang column."""
     return (text_analysis.language_id(_t(spark, sf_dir, "documents"))
             .select("doc_id", "lang", "lang_pred"))
 
