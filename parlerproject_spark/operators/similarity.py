@@ -167,3 +167,62 @@ def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
     cand = assigned.join(F.broadcast(probes), "cell")
     scored = cand.select("vec_id", F.round(cosine(vec_col, "q"), 6).alias("sim"))
     return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def build_ivf_index(vectors: DataFrame, path: str, *, num_cells: int = 16,
+                    max_iter: int = 3, train_mod: int | None = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> list[list[float]]:
+    """Materialize the IVF index: assign every vector to its nearest
+    k-means cell and write Parquet PARTITIONED BY cell. Returns the
+    centroid matrix (the index metadata a serving layer persists
+    alongside the table).
+
+    This is the 100 TB shape `knn_ivf` simulates in one query: train
+    once on a hash-sample, assign once, and let every later probe
+    read only nprobe/num_cells of the data via partition pruning —
+    the scan never touches unprobed cells' files at all.
+    """
+    from parlerproject_spark.operators.topics import (centroid_literal,
+                                                      lloyd_centroids,
+                                                      unit_rows)
+    from parlerproject_spark.functions.vectors import dot
+
+    centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
+                                id_col=id_col, vec_col=vec_col,
+                                train_mod=train_mod)
+    cent = centroid_literal(unit_rows(centroids))
+    sims = F.transform(cent, lambda c: dot(F.col(vec_col), c))
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    (vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
+                    cell.alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    return centroids
+
+
+def probe_ivf_index(spark, path: str, centroids: list[list[float]],
+                    query_vec: list[float], *, k: int = 10, nprobe: int = 4,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-k cosine probe against a persisted IVF index. The
+    top-nprobe cells are ranked driver-side (num_cells dot products
+    over the index metadata — microseconds), so the scan filter is a
+    LITERAL `cell IN (...)` that prunes partitions at planning time:
+    the probe reads nprobe/num_cells of the files, which is the
+    entire point of the layout. Columns: vec_id, sim.
+    """
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    qn = unit([float(x) for x in query_vec])
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-sum(a * b for a, b in zip(qn, unit(centroids[i]))), i))
+    probes = ranked[:nprobe]
+
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    q = F.lit([float(x) for x in query_vec])
+    scored = idx.select("vec_id", F.round(cosine(vec_col, q), 6).alias("sim"))
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)

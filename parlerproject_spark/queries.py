@@ -1656,3 +1656,49 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
             .orderBy("n_name"))
+
+
+@register("pivot_event_values_by_day", """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       round(sum(CASE WHEN event_type = 'click'    THEN value END), 4) AS click,
+       round(sum(CASE WHEN event_type = 'error'    THEN value END), 4) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup'   THEN value END), 4) AS signup,
+       round(sum(CASE WHEN event_type = 'view'     THEN value END), 4) AS view
+FROM events
+GROUP BY day
+""")
+def pivot_event_values_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide reshape): daily value totals with one
+    column per event type. The value list is EXPLICIT, so Spark skips
+    the extra distinct-values job and the pivot compiles to a single
+    hash aggregation with per-column conditional sums — identical
+    shuffle cost to the plain groupBy, no second pass."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                     "event_type", "value")
+           .groupBy("day")
+           .pivot("event_type",
+                  ["click", "error", "purchase", "signup", "view"])
+           .agg(F.round(F.sum("value"), 4)))
+    return piv
+
+
+@register("unpivot_part_metrics", """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, round(p_retailprice, 4) AS val
+FROM part
+""")
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long reshape): per-part numeric metrics as
+    (key, metric, val) rows. Spark's unpivot/melt is a narrow
+    expression (an inline explode of struct pairs) — zero shuffle,
+    output rows = rows x metrics."""
+    part = _t(spark, sf_dir, "part")
+    return (part.select("p_partkey",
+                        F.col("p_size").cast("double").alias("p_size"),
+                        F.round("p_retailprice", 4).alias("p_retailprice"))
+            .unpivot("p_partkey", ["p_size", "p_retailprice"],
+                     "metric", "val"))

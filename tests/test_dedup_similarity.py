@@ -117,3 +117,27 @@ def test_knn_ivf_probes_prune_to_nprobe_cells(spark):
            similarity.knn_ivf(vecs, q, k=12, num_cells=3, nprobe=1,
                               max_iter=4).collect()}
     assert got == {1, 20, 21, 22}
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted-index serving path: build_ivf_index writes
+    partitionBy(cell); probe_ivf_index must (a) read ONLY the probed
+    cells' partitions — visible as a cell PartitionFilter with fewer
+    files scanned — and (b) agree with brute force on the top hit."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "ivf")
+    cents = similarity.build_ivf_index(emb, path, num_cells=8)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    probed = similarity.probe_ivf_index(spark, path, cents, qv,
+                                        k=5, nprobe=2)
+    rows = probed.collect()
+    assert rows[0]["vec_id"] == 0  # the query vector finds itself
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # pruning must drop unprobed partitions from the scan entirely
+    import re
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:
+        assert int(m.group(1)) <= 2, plan

@@ -109,3 +109,37 @@ def test_streaming_restart_is_exactly_once(spark, sf_dir, event_stream_dir, tmp_
     n2 = spark.read.parquet(out).count()
     assert n1 == load_table(spark, "events", sf_dir).count()
     assert n2 == n1
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """An event older than the watermark must NOT be counted into its
+    (already finalized) window — the state-bounding contract that
+    makes event-time aggregation viable at scale."""
+    import datetime as dt
+
+    d = str(tmp_path / "late_src")
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(d)
+
+    write_rows([(1, 1, "view", dt.datetime(2021, 1, 1, 10, 5), 1.0),
+                (2, 1, "view", dt.datetime(2021, 1, 1, 10, 10), 1.0),
+                (3, 1, "view", dt.datetime(2021, 1, 1, 13, 30), 1.0)])
+    stream = se.read_event_stream(spark, d, spark.read.parquet(d).schema)
+    agg = se.tumbling_counts(se.with_watermark(stream, delay="1 hour"))
+    q = (agg.writeStream.format("memory").queryName("t_late")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # watermark is now 13:30 - 1h = 12:30; this row's 10:00 window
+        # is already past it, so the row must be discarded
+        write_rows([(4, 1, "view", dt.datetime(2021, 1, 1, 10, 20), 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["window_start"], r["event_type"]): r["cnt"]
+           for r in spark.table("t_late").collect()}
+    assert got[("2021-01-01 10:00:00", "view")] == 2  # late row dropped
