@@ -36,6 +36,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "embedding_near_dup_lsh",
     "asof_join_purchase_view",
     "html_extract_posts",
     "embed_documents_fake",
@@ -60,9 +61,11 @@ def main() -> None:
     spark = get_spark("bench")
     registry = Q.queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the queries, not session startup.
+    # Warm the JVM + parquet footers and the Python/Arrow worker
+    # daemons once so per-query numbers measure the queries, not
+    # session startup.
     Q.flagship(spark, sf_dir).count()
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -222,24 +222,67 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
     (pytest measures it against exact).
     """
     from parlerproject_spark.functions.vectors import cosine as _cos
+    from parlerproject_spark.functions.vectors import dot as _dot
+    from parlerproject_spark.functions.vectors import l2_norm
 
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if mode == "exact":
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        # norms are per-ROW quantities — compute n once per vector
+        # before the join instead of twice per pair (the all-pairs
+        # join makes that a |pairs|/|rows| ≈ n/2 × saving); the
+        # arithmetic (sqrt(Σx²) per side, dot/(na·nb)) is identical,
+        # so the rounded values the oracle hashes are unchanged
+        an = a.withColumn("na", l2_norm("va"))
+        bn = b.withColumn("nb", l2_norm("vb"))
+        pairs = an.join(bn, F.col("id_a") < F.col("id_b"))
+        denom = F.col("na") * F.col("nb")
+        return (pairs.select(
+                    "id_a", "id_b",
+                    F.round(F.when(denom > 0, _dot("va", "vb") / denom), 6)
+                    .alias("sim"))
+                .filter(F.col("sim") >= threshold))
     elif mode == "lsh":
-        from parlerproject_spark.operators.similarity import _signatures, plane_table
+        from parlerproject_spark.operators.similarity import _signatures_arrow
         dim = len(vectors.select(vec_col).first()[0])
-        planes = plane_table(vectors.sparkSession, dim=dim,
-                             num_planes=num_planes, num_tables=num_tables)
-        sig = _signatures(vectors, planes, vec_col=vec_col, key_cols=[id_col])
+        sig = _signatures_arrow(vectors, vec_col=vec_col, key_cols=[id_col],
+                                dim=dim, num_planes=num_planes,
+                                num_tables=num_tables)
         sl = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                         "tbl", "sig")
         sr = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                         "tbl", "sig")
+        # score BEFORE deduplicating: verification is a cheap
+        # vectorized numpy pass fused onto the bucket join (narrow —
+        # a pair found in several tables is scored several times,
+        # which costs microseconds), so no 2×dim float arrays ever
+        # cross a shuffle; the only exchange is the dropDuplicates
+        # over the tiny above-threshold (id_a, id_b, sim) survivors
+        import numpy as np
+        import pandas as pd
+
         pairs = (sl.join(sr, ["tbl", "sig"])
                  .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "va", "id_b", "vb").distinct())
+                 .select("id_a", "va", "id_b", "vb"))
+
+        def score(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                A = np.array(pdf["va"].tolist(), dtype=np.float64)
+                B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+                num = (A * B).sum(axis=1)
+                den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sim = np.round(np.where(den > 0, num / den, np.nan), 6)
+                out = pd.DataFrame({"id_a": pdf["id_a"].values,
+                                    "id_b": pdf["id_b"].values, "sim": sim})
+                yield out[out["sim"] >= threshold]
+
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        return (pairs.mapInPandas(
+                    score, f"id_a {id_t}, id_b {id_t}, sim double")
+                .dropDuplicates(["id_a", "id_b"]))
     else:
         raise ValueError(f"unknown mode: {mode}")
     return (pairs.select("id_a", "id_b",

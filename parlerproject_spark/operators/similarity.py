@@ -80,32 +80,87 @@ def _signatures(df: DataFrame, planes: DataFrame, *, vec_col: str,
             .select(*key_cols, vec_col, "tbl", sig.alias("sig")))
 
 
+def _signatures_arrow(df: DataFrame, *, vec_col: str, key_cols: list[str],
+                      dim: int, num_planes: int, num_tables: int) -> DataFrame:
+    """Arrow fast path for `_signatures`: the (N×dim)·(dim×T·P) dot
+    products run as ONE numpy matmul per batch (BLAS) instead of
+    T·P·dim interpreted lambda steps per row. Same plane family,
+    same MSB-first bit fold; still a pure map — zero shuffle. Use
+    symmetrically (corpus AND query) so float summation order can
+    never put identical vectors in different buckets."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.array([[_plane_weight(t, p, d) for d in range(dim)]
+                  for t in range(num_tables) for p in range(num_planes)])
+    bitw = (1 << np.arange(num_planes - 1, -1, -1)).astype(np.int64)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{k} {fields[k]}" for k in key_cols]
+        + [f"{vec_col} {fields[vec_col]}", "tbl int", "sig long"])
+
+    def gen(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (V @ W.T >= 0).reshape(n, num_tables, num_planes)
+            sigs = (bits * bitw).sum(axis=2)          # (n, num_tables)
+            out = {k: pdf[k].values.repeat(num_tables) for k in key_cols}
+            out[vec_col] = pdf[vec_col].values.repeat(num_tables)
+            out["tbl"] = np.tile(np.arange(num_tables, dtype=np.int32), n)
+            out["sig"] = sigs.ravel()
+            yield pd.DataFrame(out)
+
+    return df.select(*key_cols, vec_col).mapInPandas(gen, out_schema)
+
+
 def knn_lsh(vectors: DataFrame, query: DataFrame, *, dim: int, k: int = 10,
-            num_planes: int = 6, num_tables: int = 8,
+            num_planes: int = 6, num_tables: int = 8, impl: str = "arrow",
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """ANN cosine top-k: random-hyperplane LSH with multi-probe.
 
     Corpus side: one signature per (vector, table) — a narrow map +
     one partial-aggregated shuffle, done once (at scale this is the
     precomputed index you'd persist, bucketed by (tbl, sig)).
+    Signatures default to the Arrow/BLAS path (`_signatures_arrow`);
+    impl="expr" keeps the pure-JVM expression form.
     Query side: exact signature plus every hamming-1 neighbor
     (num_planes probes/table) — a few dozen broadcast rows. Exact
     cosine re-rank inside probed buckets only. Recall < 1 by design;
     `knn_bruteforce` is the oracle. Columns: vec_id, sim.
     """
     spark = vectors.sparkSession
+    if impl == "arrow":
+        corpus = _signatures_arrow(
+            vectors, vec_col=vec_col, key_cols=[id_col], dim=dim,
+            num_planes=num_planes, num_tables=num_tables) \
+            .select(F.col(id_col).alias("vec_id"), vec_col, "tbl", "sig")
+        qsig = _signatures_arrow(
+            query.select(F.col("q")), vec_col="q", key_cols=[], dim=dim,
+            num_planes=num_planes, num_tables=num_tables)
+        return _lsh_probe_rank(corpus, qsig, vec_col=vec_col, k=k,
+                               num_planes=num_planes)
     planes = plane_table(spark, dim=dim, num_planes=num_planes, num_tables=num_tables)
 
     corpus = _signatures(vectors, planes, vec_col=vec_col, key_cols=[id_col]) \
         .select(F.col(id_col).alias("vec_id"), vec_col, "tbl", "sig")
 
     qsig = _signatures(query.select(F.col("q")), planes, vec_col="q", key_cols=[])
-    # multi-probe: the bucket itself + every hamming-1 bucket
+    return _lsh_probe_rank(corpus, qsig, vec_col=vec_col, k=k,
+                           num_planes=num_planes)
+
+
+def _lsh_probe_rank(corpus: DataFrame, qsig: DataFrame, *, vec_col: str,
+                    k: int, num_planes: int) -> DataFrame:
+    """Shared LSH tail: multi-probe (exact bucket + every hamming-1
+    bucket), broadcast the few dozen probe rows into the corpus
+    signature table, exact cosine re-rank inside probed buckets."""
     probes = qsig.selectExpr(
         "q", "tbl",
         f"explode(concat(array(sig), transform(sequence(0, {num_planes - 1}), "
         "p -> sig ^ shiftleft(cast(1 as bigint), p)))) as sig")
-
     cand = corpus.join(F.broadcast(probes), ["tbl", "sig"])
     scored = cand.select("vec_id", F.round(cosine(vec_col, "q"), 6).alias("sim"))
     best = scored.groupBy("vec_id").agg(F.max("sim").alias("sim"))
@@ -135,7 +190,8 @@ def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
     Recall < 1 by design; `knn_bruteforce` is the oracle (pytest
     asserts recall).  Columns: vec_id, sim.
     """
-    from parlerproject_spark.operators.topics import (centroid_literal,
+    from parlerproject_spark.operators.topics import (_assign,
+                                                      centroid_literal,
                                                       lloyd_centroids,
                                                       unit_rows)
     from parlerproject_spark.functions.vectors import dot
@@ -143,16 +199,13 @@ def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
     centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
                                 id_col=id_col, vec_col=vec_col,
                                 train_mod=train_mod)
-    # pre-normalized driver-side: cell ranking by cosine == by dot
-    # against unit centroids (one aggregate per cell, not three)
+    # full-corpus assignment on the Arrow/BLAS path (one matmul per
+    # batch); pre-normalized centroids make cosine-argmax == dot-argmax
     cent = centroid_literal(unit_rows(centroids))
-
-    def nearest_cell(v):
-        sims = F.transform(cent, lambda c: dot(v, c))
-        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-
-    assigned = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
-                              nearest_cell(F.col(vec_col)).alias("cell"))
+    assigned = (_assign(vectors.select(F.col(id_col).alias("vec_id"),
+                                       F.col(vec_col)),
+                        centroids, id_col="vec_id", vec_col=vec_col)
+                .withColumnRenamed("topic", "cell"))
 
     # top-nprobe cells for the query: sort (−sim, idx) structs in-expression
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
@@ -183,20 +236,16 @@ def build_ivf_index(vectors: DataFrame, path: str, *, num_cells: int = 16,
     read only nprobe/num_cells of the data via partition pruning —
     the scan never touches unprobed cells' files at all.
     """
-    from parlerproject_spark.operators.topics import (centroid_literal,
-                                                      lloyd_centroids,
-                                                      unit_rows)
-    from parlerproject_spark.functions.vectors import dot
+    from parlerproject_spark.operators.topics import _assign, lloyd_centroids
 
     centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
                                 id_col=id_col, vec_col=vec_col,
                                 train_mod=train_mod)
-    cent = centroid_literal(unit_rows(centroids))
-    sims = F.transform(cent, lambda c: dot(F.col(vec_col), c))
-    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-    (vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
-                    cell.alias("cell"))
-     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    assigned = (_assign(vectors.select(F.col(id_col).alias("vec_id"),
+                                       F.col(vec_col)),
+                        centroids, id_col="vec_id", vec_col=vec_col)
+                .withColumnRenamed("topic", "cell"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     return centroids
 
 

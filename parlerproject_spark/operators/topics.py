@@ -53,11 +53,38 @@ def unit_rows(centroids: list[list[float]]) -> list[list[float]]:
 
 
 def _assign(vectors: DataFrame, centroids: list[list[float]], *,
-            id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid (cosine) assignment as one projection.
-    Centroid matrix rides along as a single pre-normalized literal —
-    broadcast with the plan itself, no join, no shuffle; the scoring
-    expression is a dot product per cell."""
+            id_col: str, vec_col: str, impl: str = "arrow") -> DataFrame:
+    """Nearest-centroid (cosine) assignment — a pure map either way
+    (no join, no shuffle); argmax ties break to the lowest cell
+    index in both implementations.
+
+    impl="arrow" (default): one numpy (N×dim)·(dim×k) matmul per
+    Arrow batch — BLAS does in microseconds what k×dim interpreted
+    lambda steps per row cannot. impl="expr": the centroid matrix
+    rides along as a single pre-normalized literal and scoring is a
+    dot-product expression per cell — pure JVM."""
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(unit_rows(centroids), dtype=np.float64)
+        fields = {f.name: f.dataType.simpleString()
+                  for f in vectors.schema.fields}
+        out_schema = (f"{id_col} {fields[id_col]}, "
+                      f"{vec_col} {fields[vec_col]}, topic int")
+
+        def gen(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                topic = np.argmax(V @ C.T, axis=1).astype(np.int32)
+                yield pd.DataFrame({id_col: pdf[id_col].values,
+                                    vec_col: pdf[vec_col].values,
+                                    "topic": topic})
+
+        return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
     cent = centroid_literal(unit_rows(centroids))
     sims = F.transform(cent, lambda c: dot(F.col(vec_col), c))
     best = F.array_position(sims, F.array_max(sims)) - 1
