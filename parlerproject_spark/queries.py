@@ -1702,3 +1702,111 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("p_retailprice", 4).alias("p_retailprice"))
             .unpivot("p_partkey", ["p_size", "p_retailprice"],
                      "metric", "val"))
+
+
+@register("left_join_order_gaps", """
+SELECT n_name,
+       count(*) AS n_customers,
+       cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_orderless
+FROM customer
+LEFT JOIN (SELECT DISTINCT o_custkey, 1 AS o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT') o
+  ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""")
+def left_join_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain LEFT OUTER join with null-probe accounting: customers
+    kept regardless of match; the distinct-projected build side
+    stays small enough to broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct()
+              .withColumn("o_orderkey", F.lit(1)))
+    nation = _t(spark, sf_dir, "nation")
+    return (cust.join(F.broadcast(urgent),
+                      F.col("o_custkey") == F.col("c_custkey"), "left")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_orderless"))
+            .orderBy("n_name"))
+
+
+@register("full_outer_reconcile_keys", """
+SELECT
+  cast(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_low,
+  cast(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_high,
+  cast(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS in_both
+FROM      (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_totalprice < 50000) a
+FULL JOIN (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_totalprice >= 50000) b
+  ON a.k = b.k
+""")
+def full_outer_reconcile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join as set reconciliation (the audit shape: which
+    keys exist on only one side). Both sides shuffle on the key;
+    null-safe accounting in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    a = (orders.filter(F.col("o_totalprice") < 50000)
+         .select(F.col("o_custkey").alias("ka")).distinct())
+    b = (orders.filter(F.col("o_totalprice") >= 50000)
+         .select(F.col("o_custkey").alias("kb")).distinct())
+    j = a.join(b, F.col("ka") == F.col("kb"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("kb").isNull(), 1).otherwise(0)).cast("long")
+        .alias("only_low"),
+        F.sum(F.when(F.col("ka").isNull(), 1).otherwise(0)).cast("long")
+        .alias("only_high"),
+        F.sum(F.when(F.col("ka").isNotNull() & F.col("kb").isNotNull(), 1)
+              .otherwise(0)).cast("long").alias("in_both"))
+
+
+@register("grouping_sets_order_stats", """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus, o_orderpriority
+""")
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar
+    over): two disjoint groupings in ONE scan + one expand — not two
+    queries unioned."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 4) AS total
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus, o_orderpriority
+    """)
+
+
+@register("ntile_value_quartiles", """
+SELECT q, count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM (SELECT value, ntile(4) OVER (ORDER BY value ASC, event_id ASC) AS q
+      FROM events) t
+GROUP BY q
+ORDER BY q
+""")
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: equal-frequency quartiles over a global order.
+    The unpartitioned window is a deliberate single-sort shape (fine
+    for ranked reporting extracts; partition the window for per-key
+    quantiles at scale — see median_value_events)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (ev.select("value", F.ntile(4).over(w).alias("q"))
+            .groupBy("q")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("value"), 4).alias("lo"),
+                 F.round(F.max("value"), 4).alias("hi"))
+            .orderBy("q"))
