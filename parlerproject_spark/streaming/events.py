@@ -83,3 +83,31 @@ def to_memory_sink(df: DataFrame, name: str, *, mode: str = "complete"):
     in-memory table. Returns the StreamingQuery."""
     return (df.writeStream.format("memory").queryName(name)
             .outputMode(mode).trigger(availableNow=True).start())
+
+
+def view_to_purchase_joins(views: DataFrame, purchases: DataFrame, *,
+                           ts_col: str = "ts", within: str = "1 hour",
+                           key: str = "user_id") -> DataFrame:
+    """Stream-stream inner join: purchases matched to a preceding
+    view by the same user within `within`. On streams BOTH sides
+    must carry watermarks (passed in pre-watermarked) and the join
+    condition must bound event time on both ends — that bound is
+    what lets Spark expire buffered state instead of holding each
+    side forever; on batch frames the same expression is a plain
+    range join. Columns: user_id, view_ts, purchase_ts, value.
+    """
+    v = views.select(F.col(key).alias("v_user"),
+                     F.col(ts_col).alias("view_ts"))
+    p = purchases.select(F.col(key).alias("p_user"),
+                         F.col(ts_col).alias("purchase_ts"),
+                         F.col("value"))
+    cond = ((F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(
+                f"INTERVAL {within}")))
+    return (v.join(p, cond)
+            .select(F.col("v_user").alias(key),
+                    F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("view_ts"),
+                    F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("purchase_ts"), "value"))

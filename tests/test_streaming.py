@@ -143,3 +143,27 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     got = {(r["window_start"], r["event_type"]): r["cnt"]
            for r in spark.table("t_late").collect()}
     assert got[("2021-01-01 10:00:00", "view")] == 2  # late row dropped
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, event_stream_dir):
+    """Stream-stream inner join with event-time bounds on both sides
+    produces exactly the rows the identical batch join produces."""
+    batch_ev = load_table(spark, "events", sf_dir)
+    bviews = batch_ev.filter(F.col("event_type") == "view")
+    bpurch = batch_ev.filter(F.col("event_type") == "purchase")
+    batch = se.view_to_purchase_joins(bviews, bpurch)
+    expect = {tuple(r) for r in batch.collect()}
+
+    schema = batch_ev.schema
+    sviews = se.with_watermark(
+        se.read_event_stream(spark, event_stream_dir, schema)
+        .filter(F.col("event_type") == "view"), delay="2 hours")
+    spurch = se.with_watermark(
+        se.read_event_stream(spark, event_stream_dir, schema)
+        .filter(F.col("event_type") == "purchase"), delay="2 hours")
+    joined = se.view_to_purchase_joins(sviews, spurch)
+    q = (joined.writeStream.format("memory").queryName("t_ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("t_ssj").collect()}
+    assert got == expect and len(got) > 0
