@@ -73,25 +73,48 @@ def shingles(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
             .select("doc_id", stable_hash31(F.col("gram")).alias("sh")))
 
 
+def capped_shingles(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3,
+                    max_df: int = 128) -> DataFrame:
+    """Shingle table with hub shingles (document frequency > max_df)
+    removed — the mandatory prelude to any inverted-index self-join.
+
+    A shingle shared by d documents emits d² candidate pairs from the
+    join; a stopword trigram ("of the people") at corpus scale makes
+    d ≈ corpus, i.e. a de-facto cross join. High-df shingles carry no
+    near-dup signal (common-phrase mass), so dropping them BEFORE the
+    join bounds join output to max_df × |shingles| without touching
+    the pairs a near-dup system cares about. Same cap, same reason,
+    as text_analysis.fingerprint_overlap's max_df. At 100 TB set
+    max_df relative to corpus size. Repartitioned on sh so
+    ReuseExchange computes the shingle cascade once for the df count
+    and both join sides.
+    Columns: doc_id, sh.
+    """
+    raw = shingles(docs, id_col=id_col, text_col=text_col, n=n) \
+        .repartition("sh")
+    rare = (raw.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df).select("sh"))
+    return raw.join(rare, "sh")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+                        threshold: float = 0.5,
+                        max_df: int = 128) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity over
+    the max_df-capped shingle universe.
 
     Inverted-index join: pairs meet only through shared shingles, so
-    candidate count tracks actual overlap. Hot shingles (stopword
-    grams) are the skew risk at scale — AQE skew-join splitting plus
-    the distinct() before counting keeps it bounded.
-
-    The shingle table is repartitioned on sh BEFORE its three
-    consumers (sizes, both join sides): the explicit exchange is what
-    ReuseExchange keys on, so the tokenize→gram→hash cascade runs
-    once instead of three times, and both self-join sides arrive
-    co-partitioned on the join key.
+    candidate count tracks actual overlap — PROVIDED hub shingles are
+    capped first (see capped_shingles; an uncapped hub shingle in d
+    docs is a d² blowup no AQE skew-split can shrink). Jaccard is
+    computed over retained shingles on both sides, so the capped
+    universe is self-consistent and the oracle mirrors it exactly.
     Columns: id_a, id_b (id_a < id_b), jaccard.
     """
-    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n) \
-        .repartition("sh")
+    sh = capped_shingles(docs, id_col=id_col, text_col=text_col, n=n,
+                         max_df=max_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))

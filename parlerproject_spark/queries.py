@@ -52,12 +52,64 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# Round-1 driver verification stopped at the 50th registration, leaving the
+# later entries without a driver-green CORRECTNESS row (all pass the local
+# oracle replica).  Emit those first so a capped driver run verifies the gap
+# this round; previously-green entries follow in registration order and get
+# re-verified as budget allows.  Rotate per round until every name has a
+# driver row.
+_DRIVER_PRIORITY: list[str] = [
+    "html_extract_posts",
+    "embed_documents_fake",
+    "topic_assignments",
+    "media_features",
+    "frame_sample_parts",
+    "range_join_value_tiers",
+    "asof_join_purchase_view",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "rename_suffix_docs",
+    "doc_frequency_stopworded",
+    "geomean_value_by_type",
+    "sentence_split_udtf",
+    "rolling_fingerprints_docs",
+    "fingerprint_overlap_pairs",
+    "q6_revenue_delta",
+    "q10_returned_customers",
+    "clean_corpus_pipeline",
+    "q4_priority_late_ship",
+    "q7_nation_volume",
+    "q12_priority_by_returnflag",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_brand_disjunction",
+    "q22_idle_rich_customers",
+    "pivot_event_values_by_day",
+    "unpivot_part_metrics",
+    "left_join_order_gaps",
+    "full_outer_reconcile_keys",
+    "grouping_sets_order_stats",
+    "ntile_value_quartiles",
+]
+
+
+def _ordered_names() -> list[str]:
+    prio = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
+    rest = [n for n in _REGISTRY if n not in set(prio)]
+    return prio + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in _ordered_names()
+        if _REGISTRY[name].oracle is not None
+    }
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -650,7 +702,7 @@ WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              t -> t <> '') AS ts
   FROM documents),
-grams AS (
+grams0 AS (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
   FROM (
@@ -658,6 +710,8 @@ grams AS (
            array_to_string(ts[i:i+2], ' ') AS gram
     FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
     WHERE len(ts) >= 3)),
+rare AS (SELECT sh FROM grams0 GROUP BY sh HAVING count(*) <= 128),
+grams AS (SELECT g.doc_id, g.sh FROM grams0 g JOIN rare USING (sh)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -672,9 +726,11 @@ WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 """)
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs via shared-shingle inverted
-    index join (never a cross join)."""
+    index join over the hub-capped (df <= 128) shingle universe —
+    never a cross join, even when a stopword gram saturates the
+    corpus (dedup.capped_shingles)."""
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                     n=3, threshold=0.5)
+                                     n=3, threshold=0.5, max_df=128)
 
 
 _MINHASH_MINS = ",\n       ".join(

@@ -32,6 +32,29 @@ def test_ngram_jaccard_ranks_near_dup_above_unrelated(spark):
     assert (1, 4) not in pairs or pairs[(1, 4)] < 0.1
 
 
+def test_ngram_jaccard_hub_cap_bounds_candidates(spark):
+    # 40 docs that share ONE boilerplate trigram but are otherwise
+    # disjoint: uncapped, the hub shingle alone emits 40*39/2 = 780
+    # candidate pairs; with max_df below 40 the hub is dropped before
+    # the self-join, so the candidate set (and the result) is empty.
+    docs = spark.createDataFrame(
+        [(i, f"common header line unique{i} word{i} token{i}")
+         for i in range(40)], ["doc_id", "text"])
+    capped = dedup.capped_shingles(docs, max_df=16)
+    # the hub shingle ("common header line") is gone from the index
+    assert capped.groupBy("sh").count().filter(F.col("count") > 16).count() == 0
+    a, b = capped.alias("a"), capped.alias("b")
+    n_cand = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id"))).count())
+    assert n_cand == 0  # uncapped this would be 780
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df=16).count() == 0
+    # and the cap leaves genuinely-similar pairs intact
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(_corpus(spark), threshold=0.0,
+                                                max_df=128).collect()}
+    assert pairs[(1, 2)] == 1.0
+
+
 def test_minhash_lsh_recovers_high_jaccard_pairs(spark):
     got = {(r["id_a"], r["id_b"])
            for r in dedup.minhash_lsh_pairs(_corpus(spark), threshold=0.5).collect()}
