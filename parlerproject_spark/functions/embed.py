@@ -35,14 +35,31 @@ DEFAULT_DIM = 384  # all-MiniLM-L6-v2 (embeddings.py:60)
 
 
 def batch_tier(corpus_size: int) -> int:
-    """CPU batch tiers from code/embeddings.py:47-58."""
-    if corpus_size > 1_000_000:
-        return 32
-    if corpus_size > 100_000:
-        return 64
-    if corpus_size > 10_000:
-        return 128
-    return 256
+    """The reference's literal CPU batch tiers
+    (get_optimal_batch_size, code/embeddings.py:47-58):
+    <1k → 100, <10k → 500, <100k → 100, 100k+ → 32.
+    Deliberately non-monotonic — large corpora get very small batches
+    to bound encoder memory ("Very small batches for 1M+ documents").
+    """
+    if corpus_size < 1_000:
+        return 100
+    if corpus_size < 10_000:
+        return 500
+    if corpus_size < 100_000:
+        return 100
+    return 32
+
+
+def arrow_batch_conf(corpus_size: int) -> tuple[str, str]:
+    """(key, value) pair wiring the reference's batch tier into the
+    Spark analogue: `spark.sql.execution.arrow.maxRecordsPerBatch`
+    bounds how many rows Arrow hands the iterator UDF at once, which
+    is exactly what the reference's encode batch size bounded. Apply
+    on the session BEFORE building the embed plan:
+        spark.conf.set(*arrow_batch_conf(n_docs))
+    """
+    return ("spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(batch_tier(corpus_size)))
 
 
 def _fake_model(dim: int):

@@ -133,17 +133,23 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 12,
-                       shingles_df: DataFrame | None = None) -> DataFrame:
+                       _shingles_df: DataFrame | None = None) -> DataFrame:
     """MinHash signature per document.
 
     One explode over shingles, then num_hashes min-aggregates in a
     single groupBy pass (map-side combine keeps the shuffle at one
-    row per doc). Pass `shingles_df` to reuse an already-built
-    shingle table (minhash_lsh_pairs shares one across its stages).
-    Columns: doc_id, h0..h{k-1}.
+    row per doc). `_shingles_df` is internal (minhash_lsh_pairs
+    shares its ReuseExchange'd shingle table across stages): when
+    supplied it must be the exact output of shingles() for the same
+    (docs, id_col, text_col, n), since those parameters are then
+    ignored — external callers should pass docs and let this build
+    the table. Columns: doc_id, h0..h{k-1}.
     """
     assert num_hashes <= len(MINHASH_A)
-    sh = shingles_df if shingles_df is not None else \
+    if _shingles_df is not None:
+        assert set(_shingles_df.columns) == {"doc_id", "sh"}, \
+            "_shingles_df must be a shingles() table (doc_id, sh)"
+    sh = _shingles_df if _shingles_df is not None else \
         shingles(docs, id_col=id_col, text_col=text_col, n=n)
     aggs = [
         F.min((F.col("sh") * MINHASH_A[i] + MINHASH_B[i]) % _P31).alias(f"h{i}")
@@ -172,7 +178,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     sh = shingles(docs, id_col=id_col, text_col=text_col, n=n) \
         .repartition("doc_id")
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n,
-                             num_hashes=num_hashes, shingles_df=sh)
+                             num_hashes=num_hashes, _shingles_df=sh)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -233,7 +239,8 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
 def embedding_near_dups(vectors: DataFrame, *, threshold: float,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         mode: str = "exact", num_planes: int = 6,
-                        num_tables: int = 8) -> DataFrame:
+                        num_tables: int = 8,
+                        dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim).
 
     mode='exact': all-pairs cosine via self-join — the correctness
@@ -242,9 +249,10 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
     family as similarity.knn_lsh) — pairs only form inside a shared
     (table, signature) bucket, then exact cosine verifies. The 100 TB
     path: cost follows near-duplicate density, recall < 1 by design
-    (pytest measures it against exact).
+    (pytest measures it against exact). `dim` (the vector width) is
+    required in lsh mode: the caller always knows it, and inferring
+    it from data would fire a Spark job during plan construction.
     """
-    from parlerproject_spark.functions.vectors import cosine as _cos
     from parlerproject_spark.functions.vectors import dot as _dot
     from parlerproject_spark.functions.vectors import l2_norm
 
@@ -267,7 +275,10 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
                 .filter(F.col("sim") >= threshold))
     elif mode == "lsh":
         from parlerproject_spark.operators.similarity import _signatures_arrow
-        dim = len(vectors.select(vec_col).first()[0])
+        if dim is None:
+            raise ValueError(
+                "mode='lsh' requires dim= (vector width); inferring it "
+                "from data would launch a job during plan construction")
         sig = _signatures_arrow(vectors, vec_col=vec_col, key_cols=[id_col],
                                 dim=dim, num_planes=num_planes,
                                 num_tables=num_tables)
@@ -297,7 +308,13 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
                 num = (A * B).sum(axis=1)
                 den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    sim = np.round(np.where(den > 0, num / den, np.nan), 6)
+                    raw = np.where(den > 0, num / den, np.nan)
+                    # HALF_UP (away from zero) to match F.round in exact
+                    # mode — np.round is half-to-even, which can differ
+                    # on exact .5 boundaries at the 6th decimal
+                    sim = np.where(raw >= 0,
+                                   np.floor(raw * 1e6 + 0.5),
+                                   np.ceil(raw * 1e6 - 0.5)) / 1e6
                 out = pd.DataFrame({"id_a": pdf["id_a"].values,
                                     "id_b": pdf["id_b"].values, "sim": sim})
                 yield out[out["sim"] >= threshold]
@@ -308,6 +325,3 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
                 .dropDuplicates(["id_a", "id_b"]))
     else:
         raise ValueError(f"unknown mode: {mode}")
-    return (pairs.select("id_a", "id_b",
-                         F.round(_cos("va", "vb"), 6).alias("sim"))
-            .filter(F.col("sim") >= threshold))

@@ -1213,7 +1213,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_near_dup_lsh", None)  # recall vs exact measured in pytest
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dups(_t(spark, sf_dir, "embeddings"),
-                                     threshold=0.3, mode="lsh")
+                                     threshold=0.3, mode="lsh", dim=64)
 
 
 @register("rename_suffix_docs", """

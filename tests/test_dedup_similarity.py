@@ -106,11 +106,26 @@ def test_embedding_near_dups_lsh_subset_of_exact(spark, sf_dir):
              for r in dedup.embedding_near_dups(emb, threshold=0.3).collect()}
     lsh = {(r["id_a"], r["id_b"])
            for r in dedup.embedding_near_dups(emb, threshold=0.3,
-                                              mode="lsh").collect()}
+                                              mode="lsh", dim=64).collect()}
     assert lsh <= exact  # bucketing can only miss, never invent
     # near-random synthetic vectors are LSH's worst case; still expect
     # meaningful recall from 8 tables x 6 planes
     assert len(lsh) / max(len(exact), 1) >= 0.2
+
+
+def test_embedding_near_dups_lsh_plan_builds_without_jobs(spark, sf_dir):
+    # plan construction must be lazy: inferring dim via .first() (the
+    # old behavior) fired a Spark job before any action was requested
+    emb = load_table(spark, "embeddings", sf_dir)
+    sc = spark.sparkContext
+    sc.setJobGroup("near-dup-construct", "plan build only")
+    try:
+        df = dedup.embedding_near_dups(emb, threshold=0.3, mode="lsh", dim=64)
+        assert df.columns == ["id_a", "id_b", "sim"]
+        tracker = sc.statusTracker()
+        assert tracker.getJobIdsForGroup("near-dup-construct") == []
+    finally:
+        sc.setJobGroup("", "")
 
 
 def test_knn_ivf_recall_vs_bruteforce(spark, sf_dir):

@@ -58,11 +58,21 @@ def test_extract_post_text_udf(spark):
 # ---- M2: embeddings ------------------------------------------------------
 
 def test_batch_tiers_match_reference():
-    # code/embeddings.py:47-58
-    assert batch_tier(2_000_000) == 32
-    assert batch_tier(500_000) == 64
-    assert batch_tier(50_000) == 128
-    assert batch_tier(100) == 256
+    # the reference's literal get_optimal_batch_size table
+    # (code/embeddings.py:47-58), including its non-monotonic middle
+    assert batch_tier(100) == 100       # < 1k
+    assert batch_tier(5_000) == 500     # < 10k
+    assert batch_tier(50_000) == 100    # < 100k
+    assert batch_tier(100_000) == 32    # 100k+ boundary
+    assert batch_tier(2_000_000) == 32  # "1M+ documents"
+
+
+def test_arrow_batch_conf_wires_tier_into_arrow():
+    from parlerproject_spark.functions.embed import arrow_batch_conf
+    key, val = arrow_batch_conf(2_000_000)
+    assert key == "spark.sql.execution.arrow.maxRecordsPerBatch"
+    assert val == "32"
+    assert arrow_batch_conf(5_000)[1] == "500"
 
 
 def test_embed_documents_contract(spark, sf_dir):
