@@ -53,16 +53,28 @@ def unit_rows(centroids: list[list[float]]) -> list[list[float]]:
 
 
 def _assign(vectors: DataFrame, centroids: list[list[float]], *,
-            id_col: str, vec_col: str, impl: str = "arrow") -> DataFrame:
+            id_col: str, vec_col: str, impl: str = "arrow",
+            outlier_threshold: float | None = None) -> DataFrame:
     """Nearest-centroid (cosine) assignment — a pure map either way
     (no join, no shuffle); argmax ties break to the lowest cell
     index in both implementations.
 
     impl="arrow" (default): one numpy (N×dim)·(dim×k) matmul per
     Arrow batch — BLAS does in microseconds what k×dim interpreted
-    lambda steps per row cannot. impl="expr": the centroid matrix
-    rides along as a single pre-normalized literal and scoring is a
-    dot-product expression per cell — pure JVM."""
+    lambda steps per row cannot. Determinism caveat: BLAS float
+    reduction order varies by build/architecture, so a near-exact
+    tie between two centroids can flip assignment across
+    environments; impl="expr" (single pre-normalized centroid
+    literal, dot-product expression per cell, pure JVM) evaluates in
+    a fixed order — use it where bit-for-bit cross-engine stability
+    outweighs throughput.
+
+    `outlier_threshold`: when set, a vector whose best cosine
+    similarity falls below it gets topic -1 — the engine's analogue
+    of BERTopic/HDBSCAN's outlier topic (bertopicTest.py:56-61
+    reports outliers as first-class; reduce_outliers below maps them
+    back). Zero-norm vectors are always outliers under a threshold
+    (cosine undefined)."""
     if impl == "arrow":
         import numpy as np
         import pandas as pd
@@ -78,7 +90,15 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], *,
                 if len(pdf) == 0:
                     continue
                 V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                topic = np.argmax(V @ C.T, axis=1).astype(np.int32)
+                sims = V @ C.T
+                topic = np.argmax(sims, axis=1).astype(np.int32)
+                if outlier_threshold is not None:
+                    vn = np.linalg.norm(V, axis=1)
+                    best = sims[np.arange(len(V)), topic]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cos = np.where(vn > 0, best / vn, -np.inf)
+                    topic = np.where(cos < outlier_threshold,
+                                     np.int32(-1), topic).astype(np.int32)
                 yield pd.DataFrame({id_col: pdf[id_col].values,
                                     vec_col: pdf[vec_col].values,
                                     "topic": topic})
@@ -87,9 +107,15 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], *,
 
     cent = centroid_literal(unit_rows(centroids))
     sims = F.transform(cent, lambda c: dot(F.col(vec_col), c))
-    best = F.array_position(sims, F.array_max(sims)) - 1
+    best = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    if outlier_threshold is not None:
+        from parlerproject_spark.functions.vectors import l2_norm
+        vn = l2_norm(vec_col)
+        cos = F.array_max(sims) / vn
+        best = F.when((vn > 0) & (cos >= F.lit(outlier_threshold)), best) \
+                .otherwise(F.lit(-1)).cast("int")
     return vectors.select(F.col(id_col), F.col(vec_col),
-                          best.cast("int").alias("topic"))
+                          best.alias("topic"))
 
 
 def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
@@ -156,27 +182,53 @@ def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
 
 def kmeans_topics(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  train_mod: int | None = None) -> DataFrame:
+                  train_mod: int | None = None,
+                  outlier_threshold: float | None = None) -> DataFrame:
     """Deterministic distributed k-means → (id, topic). Centroids
     optionally fit on the 1/train_mod hash-sample; assignment always
-    covers every vector."""
+    covers every vector. Training always hard-assigns (Lloyd's needs
+    every point in a cell); `outlier_threshold` applies only to the
+    final assignment, emitting topic -1 for vectors whose best
+    cosine falls below it (the BERTopic outlier analogue)."""
     centroids = lloyd_centroids(vectors, k=k, max_iter=max_iter,
                                 id_col=id_col, vec_col=vec_col,
                                 train_mod=train_mod)
-    return _assign(vectors, centroids, id_col=id_col, vec_col=vec_col) \
+    return _assign(vectors, centroids, id_col=id_col, vec_col=vec_col,
+                   outlier_threshold=outlier_threshold) \
         .select(id_col, "topic")
+
+
+def reduce_outliers(assigned: DataFrame, vectors: DataFrame,
+                    centroids: list[list[float]], *,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """BERTopic's reduce_outliers analogue (bertopicTest.py:127):
+    rows with topic -1 are reassigned to their nearest centroid
+    (no threshold); non-outlier rows keep their topic. One narrow
+    assignment map + one equi-join on id — no corpus-wide state."""
+    nearest = _assign(vectors, centroids, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col), F.col("topic").alias("nearest"))
+    return (assigned.join(nearest, id_col)
+            .select(F.col(id_col),
+                    F.when(F.col("topic") == -1, F.col("nearest"))
+                     .otherwise(F.col("topic")).alias("topic")))
 
 
 def fit_topics(docs: DataFrame, vectors: DataFrame, *, k: int = 8,
                max_iter: int = 5, top_n: int = 10,
                doc_id_col: str = "doc_id", vec_id_col: str = "vec_id",
                train_mod: int | None = None,
+               outlier_threshold: float | None = None,
                ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The full M3 surface: (doc_topics, topic_info, topic_words) —
     the triple bertopicTest.py:93-112 reports, from one clustering
-    pass + two aggregations."""
+    pass + two aggregations. With `outlier_threshold` set, topic -1
+    flows through all three outputs exactly as BERTopic's outlier
+    topic does in the reference's report (topic_info's -1 row IS the
+    outlier-share line of bertopicTest.py:107)."""
     assignment = kmeans_topics(vectors, k=k, max_iter=max_iter,
-                               id_col=vec_id_col, train_mod=train_mod)
+                               id_col=vec_id_col, train_mod=train_mod,
+                               outlier_threshold=outlier_threshold)
     doc_topics = docs.join(
         assignment.withColumnRenamed(vec_id_col, doc_id_col), doc_id_col)
     topic_info = share_of_total(doc_topics, "topic",

@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: list[str] = [
     "html_extract_posts",
     "embed_documents_fake",
     "topic_assignments",
+    "topic_outlier_assignments",
     "media_features",
     "frame_sample_parts",
     "range_join_value_tiers",
@@ -1107,6 +1108,17 @@ def topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.topics import kmeans_topics
     return kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3,
                          train_mod=8)
+
+
+@register("topic_outlier_assignments", None)  # non-SQL iterative (M3 outliers)
+def topic_outlier_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERTopic outlier analogue: vectors whose best cosine to any
+    centroid falls under the threshold get topic -1 (the reference
+    reports outliers as a first-class topic, bertopicTest.py:56-61,
+    107); reduce_outliers (pytest-covered) maps them back."""
+    from parlerproject_spark.operators.topics import kmeans_topics
+    return kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3,
+                         train_mod=8, outlier_threshold=0.12)
 
 
 @register("media_features", None)  # binary plumbing (multimodal); pytest checks roundtrip

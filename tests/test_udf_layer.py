@@ -117,6 +117,53 @@ def test_kmeans_separates_clusters(spark):
     assert len(a) == 1 and len(b) == 1 and a != b
 
 
+def test_outlier_threshold_marks_dispersed_vectors(spark):
+    # 2 tight clusters seed the centroids; two stray vectors near an
+    # axis orthogonal to both must land in topic -1 under a cosine
+    # threshold, and a zero vector is always an outlier
+    rows = ([(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(10)]
+            + [(10 + i, [0.0, 0.0, 1.0, 0.01 * i]) for i in range(10)]
+            + [(90, [0.0, 1.0, 0.0, 0.05]), (91, [0.05, 1.0, 0.0, 0.0]),
+               (92, [0.0, 0.0, 0.0, 0.0])])
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for impl in ("arrow", "expr"):
+        cents = topics.lloyd_centroids(vecs, k=2, max_iter=4)
+        out = topics._assign(vecs, cents, id_col="vec_id",
+                             vec_col="embedding", impl=impl,
+                             outlier_threshold=0.8)
+        got = {r["vec_id"]: r["topic"] for r in out.collect()}
+        assert got[90] == -1 and got[91] == -1 and got[92] == -1
+        assert all(got[i] != -1 for i in range(20))
+        # reduce_outliers maps every -1 back to its nearest topic
+        reduced = {r["vec_id"]: r["topic"]
+                   for r in topics.reduce_outliers(
+                       out.select("vec_id", "topic"), vecs, cents).collect()}
+        assert all(t != -1 for t in reduced.values())
+        assert all(reduced[i] == got[i] for i in range(20))  # non-outliers keep
+
+
+def test_outlier_threshold_zero_share_on_tight_clusters(spark):
+    vecs = _clustered_vectors(spark)
+    out = topics.kmeans_topics(vecs, k=2, max_iter=4, outlier_threshold=0.9)
+    assert out.filter(F.col("topic") == -1).count() == 0
+
+
+def test_fit_topics_outlier_share_reported(spark):
+    # fit_topics' topic_info must carry the -1 row (the reference's
+    # outlier-share report line, bertopicTest.py:107)
+    rows = ([(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(10)]
+            + [(10 + i, [0.0, 0.0, 1.0, 0.001 * i]) for i in range(10)]
+            + [(90, [0.0, 1.0, 0.0, 0.0])])
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i, _ in rows], ["doc_id", "text"])
+    _, topic_info, _ = topics.fit_topics(
+        docs, vecs, k=2, max_iter=3, top_n=3,
+        doc_id_col="doc_id", vec_id_col="vec_id", outlier_threshold=0.8)
+    info = {r["topic"]: r["Count"] for r in topic_info.collect()}
+    assert info.get(-1) == 1
+
+
 def test_fit_topics_surface(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).limit(200)
     vecs = (load_table(spark, "embeddings", sf_dir).limit(200)
