@@ -122,8 +122,10 @@ def knn_lsh(vectors: DataFrame, query: DataFrame, *, dim: int, k: int = 10,
     """ANN cosine top-k: random-hyperplane LSH with multi-probe.
 
     Corpus side: one signature per (vector, table) — a narrow map +
-    one partial-aggregated shuffle, done once (at scale this is the
-    precomputed index you'd persist, bucketed by (tbl, sig)).
+    one partial-aggregated shuffle, done once. At scale you persist
+    this instead of recomputing per query: `build_lsh_index` writes
+    it partitionBy(tbl, sig) and `probe_lsh_index` prunes to the
+    probed buckets at planning time.
     Signatures default to the Arrow/BLAS path (`_signatures_arrow`);
     impl="expr" keeps the pure-JVM expression form.
     Query side: exact signature plus every hamming-1 neighbor
@@ -247,6 +249,66 @@ def build_ivf_index(vectors: DataFrame, path: str, *, num_cells: int = 16,
                 .withColumnRenamed("topic", "cell"))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     return centroids
+
+
+def build_lsh_index(vectors: DataFrame, path: str, *, dim: int,
+                    num_planes: int = 6, num_tables: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> None:
+    """Materialize the LSH index `knn_lsh` simulates per-query: one
+    signature row per (vector, hash table), written Parquet
+    PARTITIONED BY (tbl, sig) — i.e. the physical layout IS the hash
+    buckets (num_tables × 2^num_planes directories). A probe then
+    reads (1 + num_planes)/2^num_planes of each table's files via
+    planning-time partition pruning and never touches the rest.
+
+    Signature generation is the Arrow/BLAS map (zero shuffle); the
+    only cost beyond the scan is the partitioned write. The plane
+    family is derived from (table, plane, dim) md5 — no RNG state —
+    so probes recompute identical planes from parameters alone.
+    """
+    sig = _signatures_arrow(vectors, vec_col=vec_col, key_cols=[id_col],
+                            dim=dim, num_planes=num_planes,
+                            num_tables=num_tables)
+    (sig.select(F.col(id_col).alias("vec_id"), vec_col, "tbl", "sig")
+        .write.mode("overwrite").partitionBy("tbl", "sig").parquet(path))
+
+
+def probe_lsh_index(spark, path: str, query_vec: list[float], *, dim: int,
+                    k: int = 10, num_planes: int = 6, num_tables: int = 8,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-k cosine probe against a persisted LSH index. The query's
+    signature per table — plus every hamming-1 neighbor (multi-probe)
+    — is computed DRIVER-SIDE (num_tables × num_planes dot products,
+    microseconds), so the scan filter is a literal disjunction over
+    the (tbl, sig) partition columns: pruning happens at planning
+    time and the probe reads only the probed buckets' files.
+    Exact cosine re-ranks inside them. Columns: vec_id, sim.
+    """
+    q = [float(x) for x in query_vec]
+    probes: list[tuple[int, int]] = []
+    for t in range(num_tables):
+        sig = 0
+        for p in range(num_planes):
+            w = [_plane_weight(t, p, d) for d in range(dim)]
+            d_ = sum(a * b for a, b in zip(q, w))
+            sig = sig * 2 + (1 if d_ >= 0 else 0)
+        sigs = {sig} | {sig ^ (1 << p) for p in range(num_planes)}
+        probes.extend((t, s) for s in sorted(sigs))
+
+    by_tbl: dict[int, list[int]] = {}
+    for t, s in probes:
+        by_tbl.setdefault(t, []).append(s)
+    cond = None
+    for t, sigs in by_tbl.items():
+        c = (F.col("tbl") == t) & F.col("sig").isin(sigs)
+        cond = c if cond is None else cond | c
+
+    idx = spark.read.parquet(path).filter(cond)
+    scored = idx.select(
+        "vec_id", F.round(cosine(vec_col, F.lit(q)), 6).alias("sim"))
+    best = scored.groupBy("vec_id").agg(F.max("sim").alias("sim"))
+    return best.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
 def probe_ivf_index(spark, path: str, centroids: list[list[float]],

@@ -157,6 +157,35 @@ def test_knn_ivf_probes_prune_to_nprobe_cells(spark):
     assert got == {1, 20, 21, 22}
 
 
+def test_lsh_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted LSH index: build_lsh_index writes
+    partitionBy(tbl, sig) — the directory layout IS the hash buckets.
+    probe_lsh_index's literal (tbl, sig) disjunction must prune at
+    planning time (scan reads only probed buckets) and the probed
+    top hit must agree with brute force."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "lsh")
+    similarity.build_lsh_index(emb, path, dim=64)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    probed = similarity.probe_lsh_index(spark, path, qv, dim=64, k=5)
+    rows = probed.collect()
+    assert rows[0]["vec_id"] == 0  # the query vector finds itself
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    import re
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:
+        # ≤ (1 + num_planes) buckets per table actually exist & match
+        assert int(m.group(1)) <= 8 * (1 + 6), plan
+    # probe agrees with the in-query LSH path on recall shape
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = {r["vec_id"] for r in
+             similarity.knn_bruteforce(emb, q, k=5).collect()}
+    assert len({r["vec_id"] for r in rows} & exact) >= 2
+
+
 def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     """The persisted-index serving path: build_ivf_index writes
     partitionBy(cell); probe_ivf_index must (a) read ONLY the probed
