@@ -113,8 +113,12 @@ def _winnow_norm(text_col: str):
     canonical form both engines hash (non-ASCII stripped so Spark's
     ascii() and DuckDB's ord() agree). Whitespace collapses BEFORE
     the printable filter (tabs/newlines must become spaces, not
-    vanish and glue words), then spaces re-collapse."""
-    c = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    vanish and glue words), then spaces re-collapse. The whitespace
+    class is EXPLICIT ([ \\t\\n\\x0B\\f\\r]) rather than \\s: Java
+    regex counts vertical tab as \\s while DuckDB's RE2 does not, so
+    the shorthand makes fingerprints engine-dependent for texts
+    containing \\x0B."""
+    c = F.regexp_replace(F.col(text_col), "[ \t\n\x0B\f\r]+", " ")
     c = F.regexp_replace(c, "[^ -~]", "")
     return F.lower(F.trim(F.regexp_replace(c, " +", " ")))
 

@@ -1330,7 +1330,8 @@ _WINNOW_CTE = """
 norm AS (
   SELECT doc_id,
          lower(trim(regexp_replace(
-           regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'),
+           regexp_replace(regexp_replace(text,
+                          '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                           '[^ -~]', '', 'g'),
            ' +', ' ', 'g'))) AS t
   FROM documents),

@@ -144,3 +144,20 @@ def test_winnow_arrow_and_expr_identical(spark, sf_dir):
     b = {(r["doc_id"], r["fp"])
          for r in ta.winnow_fingerprints(docs, impl="expr").collect()}
     assert a == b and len(a) > 0
+
+
+def test_winnow_norm_vertical_tab_engine_independent(spark):
+    """\x0B regression: Java \\s includes vertical tab, RE2 \\s does
+    not — the explicit whitespace class must make both engines turn
+    \x0B into a word boundary (space), never glue adjacent words."""
+    import duckdb
+    from parlerproject_spark.operators import text_analysis as ta
+
+    raw = "alpha\x0bbeta gamma\tdelta"
+    docs = spark.createDataFrame([(1, raw)], ["doc_id", "text"])
+    got = docs.select(ta._winnow_norm("text").alias("t")).collect()[0]["t"]
+    oracle = duckdb.sql(
+        "SELECT lower(trim(regexp_replace(regexp_replace(regexp_replace($t,"
+        " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), '[^ -~]', '', 'g'),"
+        " ' +', ' ', 'g'))) AS t", params={"t": raw}).fetchone()[0]
+    assert got == oracle == "alpha beta gamma delta"
