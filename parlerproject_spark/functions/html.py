@@ -12,11 +12,21 @@ Re-implements the reference's BeautifulSoup pipeline
 - documents with no wrapper div yield "" (:18-19).
 
 Implementation is stdlib `html.parser` (bs4/lxml are not in this
-environment; import-gated below so bs4 is used if present later —
-the UDF contract is identical). This is the engine's canonical
-"UDFs are the slow path" case: the DOM walk is genuinely not
-expressible in Column expressions, so it runs as an Arrow-batched
-pandas UDF — one Python roundtrip, amortized per batch.
+environment). This is the engine's canonical "UDFs are the slow
+path" case: the DOM walk is genuinely not expressible in Column
+expressions, so it runs as an Arrow-batched pandas UDF — one Python
+roundtrip, amortized per batch.
+
+Malformed-HTML parity with the reference's bs4 pipeline is pinned by
+tests/test_html_fixtures.py (unclosed divs, stray close tags,
+scripts, case-folding, entities, whitespace alt). One KNOWN
+divergence: NESTED wrapper divs. bs4's find_all returns outer and
+inner wrappers as separate elements, so the reference emits the
+inner text twice ("outer inner tail inner"); this single-pass
+streaming parser counts text once while inside any wrapper ("outer
+inner tail"). Real Parler post pages don't nest the wrapper; the
+duplicate-on-nest behavior is an artifact of the reference's loop,
+not a semantic the engine should reproduce.
 """
 
 from __future__ import annotations
@@ -54,7 +64,9 @@ class _PostTextParser(HTMLParser):
         if tag in ("script", "style"):
             self.skip_depth += 1
         elif tag == "img" and self.skip_depth == 0:
-            alt = a.get("alt")
+            # the reference strips alt BEFORE the whitelist check
+            # (htmlConverter.py:30: img.get("alt", "").strip())
+            alt = (a.get("alt") or "").strip()
             if alt in IMG_ALT_WHITELIST:
                 self.parts.append(f"[{alt}]:")  # htmlConverter.py:31
 

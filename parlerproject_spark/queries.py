@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "frame_sample_parts",
     "range_join_value_tiers",
     "asof_join_purchase_view",
+    "view_purchase_stream_join",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
     "rename_suffix_docs",
@@ -1198,6 +1199,32 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss").alias("matched_ts"),
         "view_event_id")
+
+
+@register("view_purchase_stream_join", """
+SELECT v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(p.value, 4) AS value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+""")
+def view_purchase_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream join builder (streaming/events.py
+    view_to_purchase_joins) run on batch frames — the SAME logical
+    op Structured Streaming executes incrementally (pytest proves
+    stream==batch parity); the time-bounded join condition is what
+    lets streaming expire buffered state. DuckDB range-join oracle.
+    """
+    from parlerproject_spark.streaming.events import view_to_purchase_joins
+    ev = _t(spark, sf_dir, "events")
+    out = view_to_purchase_joins(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"))
+    return out.withColumn("value", F.round("value", 4))
 
 
 # ---------------------------------------------------------------------------
