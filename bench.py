@@ -55,8 +55,21 @@ HEADLINE = [
 ]
 
 
+def _shuffle_count(df) -> int:
+    """Exchange operators in the pre-execution physical plan — the
+    number of shuffles the query schedules (AQE may later coalesce
+    partitions or convert joins, but the exchange boundaries it
+    starts from are the comparable metric)."""
+    import re
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning|"
+        r"RoundRobinPartitioning|SinglePartition)", text))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
     registry = Q.queries()
@@ -68,11 +81,20 @@ def main() -> None:
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
+    shuffles: dict[str, int] = {}
     for name in HEADLINE:
         fn = registry[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        per = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            per.append(round(time.perf_counter() - start, 3))
+        runs[name] = per
+        timings[name] = round(sum(per) / len(per), 3)  # mean of runs
+        spread[name] = round(max(per) - min(per), 3)   # noise bound
+        shuffles[name] = _shuffle_count(fn(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -81,6 +103,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_runs": n_runs,
+        "runs": runs,
+        "spread": spread,
+        "shuffles": shuffles,
     }))
 
 

@@ -93,9 +93,19 @@ def capped_shingles(docs: DataFrame, *, id_col: str = "doc_id",
     """
     raw = shingles(docs, id_col=id_col, text_col=text_col, n=n) \
         .repartition("sh")
-    rare = (raw.groupBy("sh").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df).select("sh"))
-    return raw.join(rare, "sh")
+    # The df count is a WINDOW over the exchange, not a
+    # groupBy+join-back: a second aggregate branch over `raw` does
+    # not canonicalize equal to the main exchange (the higher-order
+    # tokenize lambdas defeat ReuseExchange), so the whole
+    # tokenize→gram→hash cascade would run twice. count(*) OVER
+    # (PARTITION BY sh) reads the one shuffled shingle table in
+    # place — its distribution requirement is exactly the
+    # repartition("sh") already there, so no extra exchange at any
+    # scale (the per-partition sort on sh is the only added cost).
+    df_w = F.count("*").over(Window.partitionBy("sh"))
+    return (raw.withColumn("df", df_w)
+            .filter(F.col("df") <= max_df)
+            .select("doc_id", "sh"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
@@ -115,15 +125,28 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     """
     sh = capped_shingles(docs, id_col=id_col, text_col=text_col, n=n,
                          max_df=max_df)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Per-doc size rides ALONG each shingle row (one more window over
+    # a doc_id exchange) instead of a separate groupBy branch joined
+    # back at the end: the size is then already on both sides of the
+    # self-join, which removes two join stages AND any reliance on
+    # ReuseExchange to avoid recomputing the tokenize cascade (a
+    # second aggregate branch over the HOF-lambda subtree does not
+    # canonicalize equal — Catalyst would re-run the whole cascade).
+    shn = sh.repartition("doc_id").withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    # shuffle_hash: both sides are the same corpus-sized table — at
+    # test scale AQE may broadcast one side (a corpus-wide hash
+    # relation), which is exactly wrong at 100 TB; a shuffled hash
+    # join on sh is the strategy that survives scale
+    a, b = shn.alias("a"), shn.hint("shuffle_hash").alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      F.col("a.n_sh").alias("n_a"),
+                      F.col("b.n_sh").alias("n_b"))
              .agg(F.count("*").alias("n_common")))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
+    return (inter
             .withColumn("jaccard", F.round(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
             .filter(F.col("jaccard") >= threshold)

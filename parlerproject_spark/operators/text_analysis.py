@@ -220,29 +220,38 @@ def fingerprint_overlap(docs: DataFrame, *, k: int = 8, window: int = 4,
     near-dup systems do; at 100 TB, set max_df relative to corpus
     size. This bounds the join output to max_df × |fps|.
 
-    The fingerprint index is repartitioned on fp BEFORE the df-count
-    and self-join: winnowing itself is zero-shuffle, so without this
-    barrier every branch would recompute the whole hash cascade;
-    with it, ReuseExchange computes the index once and every
-    consumer (df cap, both join sides) reads co-partitioned input.
+    The fingerprint index is repartitioned on fp BEFORE the df cap:
+    winnowing itself is zero-shuffle, so without a barrier every
+    consumer would recompute the whole hash cascade. The df cap is a
+    WINDOW over that exchange (its distribution requirement is
+    exactly the repartition — no extra shuffle), and each doc's
+    fingerprint count rides along every row via a second window over
+    a doc_id exchange, so the self-join carries n_a/n_b with it —
+    no groupBy branch joined back at the end, and no reliance on
+    ReuseExchange canonicalizing a second pass over the cascade.
     This is the single-query analogue of persisting the index table.
     Columns: id_a, id_b, containment.
     """
     raw = winnow_fingerprints(docs, k=k, window=window,
                               id_col=id_col, text_col=text_col).repartition("fp")
-    rare = (raw.groupBy("fp").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df).select("fp"))
-    fps = raw.join(rare, "fp")
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    inter = (a.join(b, "fp")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    capped = (raw.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+              .filter(F.col("df") <= max_df)
+              .select("doc_id", "fp"))
+    fpn = capped.repartition("doc_id").withColumn(
+        "n_fp", F.count("*").over(Window.partitionBy("doc_id")))
+    # shuffle_hash: both sides are the SAME corpus-sized table — AQE
+    # would happily broadcast one side at test scale (building a
+    # corpus-wide hash relation), which is exactly wrong at 100 TB;
+    # a shuffled hash join on fp is the strategy that survives scale
+    a, b = fpn.alias("a"), fpn.hint("shuffle_hash").alias("b")
+    inter = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      F.col("a.n_fp").alias("n_a"),
+                      F.col("b.n_fp").alias("n_b"))
+             .agg(F.count("*").alias("n_common")))
     cont = F.round(F.col("n_common") / F.least("n_a", "n_b"), 6)
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("containment", cont)
+    return (inter.withColumn("containment", cont)
             .filter(F.col("containment") >= threshold)
             .select("id_a", "id_b", "containment"))
