@@ -94,6 +94,15 @@ _DRIVER_PRIORITY: list[str] = [
     "grouping_sets_order_stats",
     "ntile_value_quartiles",
     "value_quartiles_bucketed",
+    "q2_min_price_part",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_top_nation_balances",
+    "q13_order_count_distribution",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_bulk_ship_suppliers",
+    "q21_sole_late_supplier",
 ]
 
 
@@ -1955,3 +1964,301 @@ def value_quartiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("value"), 4).alias("lo"),
                  F.round(F.max("value"), 4).alias("hi"))
             .orderBy("q"))
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (q2/q8/q9/q11/q13/q16/q17/q20/q21, adapted to the
+# reduced schema — no partsupp table; commit/receipt dates absent)
+# ---------------------------------------------------------------------------
+
+@register("q2_min_price_part", """
+SELECT p_type, p_partkey, p_name, round(p_retailprice, 2) AS price
+FROM part
+WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_type = part.p_type)
+ORDER BY p_type, p_partkey
+""")
+def q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar-min subquery, partsupp→part
+    adapted): decorrelates to a per-group min aggregate broadcast
+    back into the fact side — the subquery never re-executes per row."""
+    part = _t(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_type").alias("m_type")) \
+               .agg(F.min("p_retailprice").alias("min_price"))
+    return (part.join(F.broadcast(mins),
+                      (F.col("p_type") == F.col("m_type"))
+                      & (F.col("p_retailprice") == F.col("min_price")))
+            .select("p_type", "p_partkey", "p_name",
+                    F.round("p_retailprice", 2).alias("price"))
+            .orderBy("p_type", "p_partkey"))
+
+
+@register("q8_market_share", """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT strftime(o_orderdate, '%Y') AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA')
+GROUP BY o_year
+ORDER BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue by
+    year. Every dimension broadcasts; the two fact-fact shuffles
+    (lineitem↔orders, orders↔customer) are the only exchanges; the
+    share is a conditional-sum ratio inside one aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup = _t(spark, sf_dir, "supplier")
+    j = (li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.select(F.date_format("o_orderdate", "yyyy").alias("o_year"),
+                     vol.alias("volume"), "nation")
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3",
+                             F.col("volume")).otherwise(0.0))
+                / F.sum("volume"), 6).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@register("q9_profit_by_nation", """
+SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         strftime(o_orderdate, '%Y') AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%red%')
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""")
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and year; retail
+    price stands in for the absent partsupp supplycost). The p_name
+    LIKE filter pushes into the part scan, and the part join prunes
+    lineitem EARLY — the order join then shuffles only surviving
+    rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.1 * F.col("p_retailprice") * F.col("l_quantity"))
+    j = (li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(orders, F.col("o_orderkey") == F.col("l_orderkey")))
+    return (j.select(F.col("n_name").alias("nation"),
+                     F.date_format("o_orderdate", "yyyy").alias("o_year"),
+                     amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+            .orderBy(F.col("nation").asc(), F.col("o_year").desc()))
+
+
+@register("q11_top_nation_balances", """
+SELECT s_nationkey, round(sum(s_acctbal), 2) AS value
+FROM supplier
+GROUP BY s_nationkey
+HAVING sum(s_acctbal) > (SELECT sum(s_acctbal) * 0.05 FROM supplier)
+ORDER BY value DESC, s_nationkey
+""")
+def q11_top_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (HAVING against a global-total scalar
+    subquery; acctbal stands in for partsupp value): the scalar total
+    is its own one-row aggregate broadcast into the grouped result —
+    two passes over a small aggregate, never a rescan per group."""
+    sup = _t(spark, sf_dir, "supplier")
+    per_nation = sup.groupBy("s_nationkey").agg(
+        F.sum("s_acctbal").alias("raw_value"))
+    total = sup.agg((F.sum("s_acctbal") * 0.05).alias("cutoff"))
+    return (per_nation.crossJoin(F.broadcast(total))
+            .filter(F.col("raw_value") > F.col("cutoff"))
+            .select("s_nationkey", F.round("raw_value", 2).alias("value"))
+            .orderBy(F.col("value").desc(), F.col("s_nationkey")))
+
+
+@register("q13_order_count_distribution", """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram INCLUDING
+    zero-order customers — the left outer join with an extra join
+    predicate (not a post-filter, which would drop the nulls) is the
+    load-bearing semantic; count(o_orderkey) skips the null rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                          "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@register("q16_supplier_counts", """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+""")
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts with a NOT IN
+    exclusion list. NOT IN over a non-nullable key decorrelates to a
+    LEFT ANTI join against the (tiny, broadcast) exclusion set;
+    countDistinct expands to the standard two-phase distinct
+    aggregate."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    li = _t(spark, sf_dir, "lineitem")
+    excluded = _t(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = li.join(F.broadcast(excluded),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    return (kept.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"),
+                     F.col("p_size")))
+
+
+@register("q17_small_quantity_revenue", """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated per-part average subquery):
+    decorrelates to a per-partkey avg aggregate joined back to the
+    fact rows. The avg is over ALL lineitems of the part (matching
+    the subquery's scope — it ignores the brand filter), then the
+    brand-filtered side compares against it."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    avgs = li.groupBy(F.col("l_partkey").alias("a_partkey")) \
+             .agg((F.avg("l_quantity") * 0.2).alias("qty_cut"))
+    j = (li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+         .join(avgs, F.col("a_partkey") == F.col("l_partkey"))
+         .filter(F.col("l_quantity") < F.col("qty_cut")))
+    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+
+
+@register("q20_bulk_ship_suppliers", """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%blue%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 50)
+ORDER BY s_name
+""")
+def q20_bulk_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested IN over a filtered, HAVING-pruned
+    aggregate): the inner aggregate runs first and the tiny survivor
+    set broadcasts into a LEFT SEMI join against supplier — the
+    subquery result, not supplier, is the build side."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    bulk = (li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+            .filter(F.col("qty") > 50).select("l_suppkey"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (sup.join(F.broadcast(bulk),
+                     F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+            .orderBy("s_name"))
+
+
+@register("q21_sole_late_supplier", """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + correlated NOT EXISTS; ship-after-
+    order stands in for the absent receipt/commit dates): the two
+    correlated quantifiers decorrelate into ONE per-order aggregate —
+    distinct suppliers and distinct LATE suppliers per order — joined
+    back once. l1 survives iff the order has >= 2 suppliers and its
+    only late supplier is l1's (n_late_supp == 1 and l1 late), which
+    is the quantifier pair verbatim, at one aggregate's cost instead
+    of two correlated scans."""
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = (li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+          .filter(F.col("l_shipdate") > F.col("o_orderdate")))
+    per_order = (li.join(orders.select("o_orderkey", F.col("o_orderdate")
+                                       .alias("od")),
+                         F.col("o_orderkey") == F.col("l_orderkey"))
+                 .groupBy(F.col("l_orderkey").alias("agg_orderkey"))
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(
+                          F.when(F.col("l_shipdate") > F.col("od"),
+                                 F.col("l_suppkey"))).alias("n_late_supp")))
+    qualified = (l1.join(per_order,
+                         F.col("agg_orderkey") == F.col("l_orderkey"))
+                 .filter((F.col("n_supp") >= 2)
+                         & (F.col("n_late_supp") == 1)))
+    return (qualified
+            .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_name").agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name"))
+            .limit(20))

@@ -144,3 +144,33 @@ def test_ntile_quartiles_input_is_bounded_topk(spark, sf_dir):
     # the full table meets only a distributed top-k; the single-
     # partition ntile window sees at most 4000 rows at any scale
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    df = Q.queries()["q16_supplier_counts"](spark, sf_dir)
+    # the NOT IN must PLAN as a left anti join (check pre-AQE: with
+    # an empty exclusion set at tiny SF, AQE's PropagateEmptyRelation
+    # legitimately erases the join from the final plan)
+    plan = inspect.executed_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in inspect.join_strategies(df)
+
+
+def test_q21_single_per_order_aggregate(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS pair must decorrelate to ONE aggregate
+    # over lineitem-per-order, not correlated re-scans: lineitem is
+    # scanned at most twice (l1 side + aggregate side)
+    df = Q.queries()["q21_sole_late_supplier"](spark, sf_dir)
+    plan = inspect.final_plan(df)
+    import re
+    li_scans = len([m for m in re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)])
+    assert li_scans <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q8_q9_broadcast_dims(spark, sf_dir):
+    for name in ("q8_market_share", "q9_profit_by_nation"):
+        df = Q.queries()[name](spark, sf_dir)
+        strategies = inspect.join_strategies(df)
+        assert strategies.count("BroadcastHashJoin") >= 3, (name, strategies)
+        assert "CartesianProduct" not in strategies, name
