@@ -100,6 +100,37 @@ def language_id(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", pred)
 
 
+def repetition_ratio(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document n-gram repetition ratio — the standard
+    boilerplate/spam signal in training-data quality filters
+    (1 - distinct_ngrams/total_ngrams; 0 = no repetition).
+
+    Pure array expressions inside the scan stage: no explode, no
+    shuffle, embarrassingly parallel at any scale.
+    Columns: doc_id, rep_ratio.
+    """
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokenize(text_col).alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "))
+    g = toked.filter(F.size("toks") >= n).select("doc_id", grams.alias("g"))
+    rep = F.round(1.0 - F.size(F.array_distinct("g")) / F.size("g"), 6)
+    return g.select("doc_id", rep.alias("rep_ratio"))
+
+
+def type_token_ratio(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document lexical diversity (distinct tokens / tokens) —
+    low TTR flags repetitive machine-generated text. Zero-shuffle
+    array expressions. Columns: doc_id, ttr."""
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokenize(text_col).alias("toks"))
+    ttr = F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 6)
+    return toked.filter(F.size("toks") > 0).select("doc_id", ttr.alias("ttr"))
+
+
 # Rolling-hash fingerprinting (winnowing) ---------------------------------
 
 #: modulus for the polynomial rolling hash — 2^31-1, matches

@@ -103,6 +103,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q17_small_quantity_revenue",
     "q20_bulk_ship_suppliers",
     "q21_sole_late_supplier",
+    "repetition_ratio_docs",
+    "type_token_ratio_docs",
+    "length_band_filter_docs",
+    "stream_dedup_events",
 ]
 
 
@@ -2262,3 +2266,96 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s_name").agg(F.count("*").alias("numwait"))
             .orderBy(F.col("numwait").desc(), F.col("s_name"))
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality signals (training-data pipeline additions)
+# ---------------------------------------------------------------------------
+
+@register("repetition_ratio_docs", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(ts[i:i+2], ' ')) AS grams
+  FROM toks WHERE len(ts) >= 3)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+         AS rep_ratio
+FROM g
+""")
+def repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram repetition ratio per document — the boilerplate/spam
+    quality signal; zero-shuffle array expressions."""
+    return text_analysis.repetition_ratio(_t(spark, sf_dir, "documents"))
+
+
+@register("type_token_ratio_docs", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents)
+SELECT doc_id, round(len(list_distinct(ts)) * 1.0 / len(ts), 6) AS ttr
+FROM toks WHERE len(ts) > 0
+""")
+def type_token_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (distinct/total tokens) per document."""
+    return text_analysis.type_token_ratio(_t(spark, sf_dir, "documents"))
+
+
+@register("length_band_filter_docs", """
+WITH e AS (
+  SELECT round(quantile_cont(n_chars, 0.05), 4) AS lo,
+         round(quantile_cont(n_chars, 0.95), 4) AS hi
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents, e
+WHERE n_chars >= lo AND n_chars <= hi
+GROUP BY lang
+ORDER BY lang
+""")
+def length_band_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length gate (keep docs inside the [p5, p95]
+    n_chars band) — the outlier-trim every ingest pipeline applies
+    before quality scoring. Same sort-free percentile-edge shape as
+    value_quartiles_bucketed: one exact-percentile aggregate
+    broadcast into a narrow filter (percentile_approx at 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("hi"))
+    return (docs.crossJoin(F.broadcast(edges))
+            .filter((F.col("n_chars") >= F.col("lo"))
+                    & (F.col("n_chars") <= F.col("hi")))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .orderBy("lang"))
+
+
+@register("stream_dedup_events", """
+SELECT event_type, count(*) AS cnt
+FROM (SELECT DISTINCT event_id, event_type FROM (
+        SELECT event_id, event_type FROM events
+        UNION ALL
+        SELECT event_id, event_type FROM events))
+GROUP BY event_type
+ORDER BY event_type
+""")
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dedup operator (streaming/events.py
+    dedup_events) on batch frames: an at-least-once delivery is
+    simulated by doubling the input; dedup by event_id restores
+    exactly-once counts. Streaming parity (bounded watermark state)
+    is pytest-proven on a replayed file source."""
+    from parlerproject_spark.streaming.events import dedup_events
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    replayed = ev.unionAll(ev)
+    return (dedup_events(replayed)
+            .groupBy("event_type").agg(F.count("*").alias("cnt"))
+            .orderBy("event_type"))

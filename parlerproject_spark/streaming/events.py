@@ -85,6 +85,34 @@ def to_memory_sink(df: DataFrame, name: str, *, mode: str = "complete"):
             .outputMode(mode).trigger(availableNow=True).start())
 
 
+def dedup_events(df: DataFrame, *, key_cols: tuple[str, ...] = ("event_id",),
+                 ts_col: str = "ts") -> DataFrame:
+    """Exactly-once event dedup by key — at-least-once sources
+    (replayed files, Kafka redeliveries) emit duplicates; this drops
+    them. On a WATERMARKED stream Spark keeps per-key state only
+    until the key's event time expires past the watermark
+    (dropDuplicatesWithinWatermark — bounded state, the 100 TB
+    requirement); on batch frames plain dropDuplicates is the same
+    logical op. Key state is hash-partitioned, so dedup scales with
+    the key space, not the stream length."""
+    if df.isStreaming:
+        return df.dropDuplicatesWithinWatermark(list(key_cols))
+    return df.dropDuplicates(list(key_cols))
+
+
+def foreach_batch_sink(df: DataFrame, write_fn, *, checkpoint: str):
+    """Micro-batch sink: `write_fn(batch_df, batch_id)` runs once per
+    micro-batch with a NORMAL batch DataFrame — the escape hatch for
+    sinks Spark lacks connectors for (the reference's per-record
+    status-log appends, S10/S12, map here). Exactly-once comes from
+    the checkpoint: a restarted query re-offers a batch with the SAME
+    batch_id, so an idempotent write_fn (write-by-batch-id path,
+    upsert) never double-applies. Returns the StreamingQuery."""
+    return (df.writeStream.foreachBatch(write_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def view_to_purchase_joins(views: DataFrame, purchases: DataFrame, *,
                            ts_col: str = "ts", within: str = "1 hour",
                            key: str = "user_id") -> DataFrame:

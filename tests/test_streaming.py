@@ -167,3 +167,45 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, event_stream_dir):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.table("t_ssj").collect()}
     assert got == expect and len(got) > 0
+
+
+def test_streaming_dedup_drops_replayed_events(spark, sf_dir, event_stream_dir, tmp_path):
+    """At-least-once replay: the same event files delivered twice must
+    dedup to the batch-distinct result, with bounded (watermarked)
+    key state."""
+    import shutil as _sh
+    d = str(tmp_path / "dup_stream")
+    _sh.copytree(event_stream_dir, d)
+    for f in list(__import__("pathlib").Path(event_stream_dir).glob("*.parquet")):
+        _sh.copy(f, d + "/dup_" + f.name)  # every file delivered twice
+
+    schema = load_table(spark, "events", sf_dir).schema
+    stream = se.read_event_stream(spark, d, schema)
+    deduped = se.dedup_events(se.with_watermark(stream, delay="1 hour"))
+    got = _run_stream(spark, deduped.groupBy("event_type").count(), "t_dedup")
+    batch = {r["event_type"]: r["count"]
+             for r in load_table(spark, "events", sf_dir)
+             .groupBy("event_type").count().collect()}
+    assert {r["event_type"]: r["count"] for r in got.collect()} == batch
+
+
+def test_foreach_batch_sink_idempotent_by_batch_id(spark, sf_dir, event_stream_dir, tmp_path):
+    """foreachBatch: write_fn sees plain batch frames with stable
+    batch ids; writing by batch-id path is the idempotence pattern."""
+    out = tmp_path / "fb_out"
+    out.mkdir()
+
+    def write_fn(batch_df, batch_id):
+        batch_df.groupBy("event_type").count().write.mode("overwrite") \
+            .parquet(str(out / f"batch_{batch_id}"))
+
+    schema = load_table(spark, "events", sf_dir).schema
+    stream = se.read_event_stream(spark, event_stream_dir, schema)
+    q = se.foreach_batch_sink(stream, write_fn,
+                              checkpoint=str(tmp_path / "fb_ckpt"))
+    q.awaitTermination(120)
+    parts = sorted(out.glob("batch_*"))
+    assert parts, "no micro-batches written"
+    total = sum(r["count"] for p in parts
+                for r in spark.read.parquet(str(p)).collect())
+    assert total == load_table(spark, "events", sf_dir).count()
