@@ -107,6 +107,7 @@ _DRIVER_PRIORITY: list[str] = [
     "type_token_ratio_docs",
     "length_band_filter_docs",
     "stream_dedup_events",
+    "quantize_embeddings_int8",
 ]
 
 
@@ -2359,3 +2360,41 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dedup_events(replayed)
             .groupBy("event_type").agg(F.count("*").alias("cnt"))
             .orderBy("event_type"))
+
+
+@register("quantize_embeddings_int8", """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+           AS scale,
+         embedding
+  FROM embeddings),
+qq AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+                        x -> round(x::DOUBLE / scale, 0)::INTEGER) AS qv
+  FROM q WHERE scale > 0)
+SELECT vec_id, round(scale, 6) AS scale,
+       cast(list_sum(qv) AS BIGINT) AS q_sum,
+       cast(list_min(qv) AS INTEGER) AS q_min,
+       cast(list_max(qv) AS INTEGER) AS q_max
+FROM qq
+""")
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× storage cut a
+    100 TB embedding table takes before serving (functions/vectors.py
+    quant_scale/quantize_int8/dequantize; dequantized-cosine fidelity
+    is pytest-bounded). Zero-shuffle array expressions; the oracle
+    hashes per-vector scale + quantized checksum/min/max."""
+    from parlerproject_spark.functions.vectors import quant_scale, quantize_int8
+    emb = _t(spark, sf_dir, "embeddings")
+    scaled = emb.withColumn("scale", quant_scale("embedding")) \
+                .filter(F.col("scale") > 0)
+    qq = scaled.withColumn("qv", quantize_int8("embedding", "scale"))
+    q_sum = F.aggregate("qv", F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x.cast("bigint"))
+    return qq.select(
+        "vec_id", F.round("scale", 6).alias("scale"),
+        q_sum.alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"))

@@ -208,3 +208,22 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     m = re.search(r"partition count: (\d+)", plan)
     if m:
         assert int(m.group(1)) <= 2, plan
+
+
+def test_int8_quantization_fidelity(spark, sf_dir):
+    """Quantize → dequantize must preserve cosine similarity to the
+    original vector (the serving-quality bound for the 4× storage
+    cut) and produce values strictly inside the symmetric int8 box."""
+    from parlerproject_spark.functions.vectors import (
+        cosine, dequantize, quant_scale, quantize_int8)
+    emb = load_table(spark, "embeddings", sf_dir)
+    qq = (emb.withColumn("scale", quant_scale("embedding"))
+          .filter(F.col("scale") > 0)
+          .withColumn("qv", quantize_int8("embedding", "scale"))
+          .withColumn("deq", dequantize("qv", "scale")))
+    stats = qq.select(
+        F.min(cosine("embedding", "deq")).alias("worst_cos"),
+        F.min(F.array_min("qv")).alias("qmin"),
+        F.max(F.array_max("qv")).alias("qmax")).collect()[0]
+    assert stats["worst_cos"] > 0.999, stats
+    assert -127 <= stats["qmin"] and stats["qmax"] <= 127, stats
