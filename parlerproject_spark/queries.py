@@ -108,6 +108,8 @@ _DRIVER_PRIORITY: list[str] = [
     "length_band_filter_docs",
     "stream_dedup_events",
     "quantize_embeddings_int8",
+    "salted_agg_user_totals",
+    "window_family_orders",
 ]
 
 
@@ -2398,3 +2400,63 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_sum.alias("q_sum"),
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"))
+
+
+@register("salted_agg_user_totals", """
+SELECT user_id, cast(sum(1) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""")
+def salted_agg_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py salted_agg):
+    a hot key's rows spread across 16 salt reducers in phase 1, then
+    the per-salt partials merge on the true key. Result-identical to
+    the plain groupBy the oracle runs — the salt only reshapes the
+    shuffle."""
+    from parlerproject_spark.operators.skew import salted_agg
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(ev, "user_id",
+                     [("value", "count", "n_events"),
+                      ("value", "sum", "raw_total")], salt_buckets=16)
+    return (out.select("user_id",
+                       F.col("n_events").cast("long").alias("n_events"),
+                       F.round("raw_total", 4).alias("total_value"))
+            .orderBy("user_id"))
+
+
+@register("window_family_orders", """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER wr, 6) AS pr,
+       round(cume_dist() OVER wr, 6) AS cd,
+       round(first_value(o_totalprice) OVER wf, 2) AS cheapest,
+       round(nth_value(o_totalprice, 2) OVER wf, 2) AS second_cheapest
+FROM orders
+WHERE o_orderkey <= 2000
+WINDOW wr AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+""")
+def window_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth over one partitioning: ranking ratios
+    (percent_rank, cume_dist — default RANGE frame) and frame
+    navigation (first_value, nth_value over a running ROWS frame).
+    Same partition key and sort order, so Catalyst fuses both frames
+    into a single Window pass: one exchange, one sort."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    order_cols = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    wr = Window.partitionBy("o_orderpriority").orderBy(*order_cols)
+    wf = (Window.partitionBy("o_orderpriority").orderBy(*order_cols)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(wr), 6).alias("pr"),
+        F.round(F.cume_dist().over(wr), 6).alias("cd"),
+        F.round(F.first_value("o_totalprice").over(wf), 2).alias("cheapest"),
+        F.round(F.nth_value("o_totalprice", 2).over(wf), 2)
+        .alias("second_cheapest"))
+        .orderBy("o_orderkey"))
