@@ -99,6 +99,83 @@ def decode_features(assets: DataFrame, *, id_col: str = "doc_id",
             .mapInPandas(run, FEATURE_SCHEMA))
 
 
+RESIZE_SCHEMA = ("asset_id long, width int, height int, new_width int, "
+                 "new_height int, content binary, resize_status string")
+
+
+def resize_media(assets: DataFrame, *, id_col: str = "doc_id",
+                 content_col: str = "content", target_width: int = 256,
+                 backend: str = "fake") -> DataFrame:
+    """Aspect-preserving resize as a mapInPandas stage: target
+    height = round(h * target_width / w). The fake backend rewrites
+    the IMG1 header to the new dims and keeps the payload (a real
+    resampler — PIL.Image.resize — plugs into the same seam as
+    _decode_real); everything around the pixel math — batch shape,
+    binary schema, error taxonomy, partition sizing by bytes — is the
+    real, tested surface."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                if backend == "real":
+                    _decode_real(content)  # NotImplementedError, by design
+                w, h, status = _decode_fake(content)
+                if status != "success" or w <= 0:
+                    rows.append((aid, w, h, 0, 0, None, "resize_error"))
+                    continue
+                nw = target_width
+                nh = max(1, round(h * target_width / w))
+                out = (_MAGIC + struct.pack(">ii", nw, nh) + content[12:])
+                rows.append((aid, w, h, nw, nh, out, "success"))
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "width", "height", "new_width", "new_height",
+                "content", "resize_status"])
+
+    return (assets.select(F.col(id_col), F.col(content_col))
+            .mapInPandas(run, RESIZE_SCHEMA))
+
+
+_AUD_MAGIC = b"AUD1"
+_AUD_HEADER = 8  # magic + big-endian int32 sample rate
+
+
+def synth_audio(df: DataFrame, *, id_col: str = "doc_id",
+                seed_col: str = "text", sample_rate: int = 8000) -> DataFrame:
+    """Deterministic fake audio column: AUD1 | rate | one byte per
+    sample (md5-derived). One row per asset with (content, media_meta)
+    — the audio twin of synth_media."""
+    payload = F.encode(F.repeat(F.md5(F.col(seed_col)), 8), "ISO-8859-1")
+    header = F.concat(F.lit(_AUD_MAGIC), _pack_int(F.lit(sample_rate)))
+    return (df.withColumn("content", F.concat(header, payload))
+            .withColumn("media_meta", F.struct(
+                F.lit(sample_rate).alias("sample_rate"),
+                F.lit("audio/fake").alias("mime"))))
+
+
+def audio_chunks(assets: DataFrame, *, id_col: str = "doc_id",
+                 content_col: str = "content",
+                 chunk_samples: int = 64) -> DataFrame:
+    """Fixed-size audio chunking as PURE Column algebra — no Python:
+    chunk count from the byte length, chunk indices exploded, each
+    chunk's bytes sliced with substring on the binary column. The
+    per-chunk decode/feature step would then be a decode_features-
+    style mapInPandas over these (asset, chunk) rows; the chunking
+    itself never leaves the JVM. Columns: <id_col>, chunk_no,
+    start_sample, chunk (binary)."""
+    n_samples = F.length(F.col(content_col)) - _AUD_HEADER
+    n_chunks = F.ceil(n_samples / F.lit(chunk_samples)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no")
+    start = F.col("chunk_no") * chunk_samples
+    chunk = F.expr(
+        f"substring({content_col}, {_AUD_HEADER} + 1 + chunk_no * {chunk_samples}, "
+        f"{chunk_samples})")
+    return (assets.filter(n_samples > 0)
+            .select(F.col(id_col), F.col(content_col), idx)
+            .select(F.col(id_col), F.col("chunk_no"),
+                    start.alias("start_sample"), chunk.alias("chunk")))
+
+
 def frame_sample(videos: DataFrame, *, id_col: str = "doc_id",
                  n_frames_col: str = "n_frames", every: int = 10) -> DataFrame:
     """Frame sampling as pure relational algebra: explode the sampled

@@ -110,6 +110,8 @@ _DRIVER_PRIORITY: list[str] = [
     "quantize_embeddings_int8",
     "salted_agg_user_totals",
     "window_family_orders",
+    "media_resize",
+    "audio_chunk_parts",
 ]
 
 
@@ -2460,3 +2462,35 @@ def window_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("o_totalprice", 2).over(wf), 2)
         .alias("second_cheapest"))
         .orderBy("o_orderkey"))
+
+
+@register("media_resize", None)  # fake-resample dims are Spark-hash-derived
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing (multimodal.resize_media):
+    batch-shaped binary in/out with an error-taxonomy column; the
+    pixel resampler is the documented library seam. Dims derive from
+    Spark's murmur3 hash, so no cross-engine oracle; pytest pins
+    aspect preservation and header rewrite."""
+    from parlerproject_spark.operators.multimodal import resize_media, synth_media
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    return (resize_media(synth_media(docs), target_width=256)
+            .select("asset_id", "new_width", "new_height", "resize_status"))
+
+
+@register("audio_chunk_parts", """
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
+       CAST(i * 64 AS INTEGER) AS start_sample
+FROM documents, unnest(range(0, 4)) AS t(i)
+WHERE text IS NOT NULL
+""")
+def audio_chunk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking as pure Column algebra (multimodal.audio_chunks
+    — substring slicing over the binary column, zero Python). The
+    synthetic payload is 256 bytes/doc (md5 hex × 8), so the oracle
+    enumerates the 4 fixed 64-sample chunks; pytest proves lossless
+    chunk reassembly on the actual bytes."""
+    from parlerproject_spark.operators.multimodal import audio_chunks, synth_audio
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (audio_chunks(synth_audio(docs), chunk_samples=64)
+            .select("doc_id", F.col("chunk_no").cast("int").alias("chunk_no"),
+                    F.col("start_sample").cast("int").alias("start_sample")))

@@ -210,3 +210,42 @@ def test_frame_sample(spark):
     got = sorted((r["doc_id"], r["frame_no"])
                  for r in multimodal.frame_sample(vids, every=10).collect())
     assert got == [(1, 0), (1, 10), (1, 20), (1, 30), (2, 0)]
+
+
+def test_resize_media_preserves_aspect(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(30)
+    assets = multimodal.synth_media(docs)
+    out = multimodal.resize_media(assets, target_width=256).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["resize_status"] == "success"
+        assert r["new_width"] == 256
+        # aspect preserved within integer rounding
+        assert abs(r["new_height"] - r["height"] * 256 / r["width"]) <= 0.5
+        w, h, status = multimodal._decode_fake(bytes(r["content"]))
+        assert (w, h, status) == (256, r["new_height"], "success")
+
+
+def test_resize_media_error_taxonomy(spark):
+    bad = spark.createDataFrame([(1, bytearray(b"nope"))], "doc_id long, content binary")
+    out = multimodal.resize_media(bad).collect()
+    assert out[0]["resize_status"] == "resize_error"
+    assert out[0]["content"] is None
+
+
+def test_audio_chunks_reassemble_exactly(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(20)
+    audio = multimodal.synth_audio(docs)
+    chunks = multimodal.audio_chunks(audio, chunk_samples=64)
+    # pure Column algebra — zero Python stages in the plan
+    assert "mapInPandas" not in chunks._jdf.queryExecution().executedPlan().toString()
+    got = chunks.orderBy("doc_id", "chunk_no").collect()
+    by_id: dict = {}
+    for r in got:
+        by_id.setdefault(r["doc_id"], []).append(bytes(r["chunk"]))
+        assert r["start_sample"] % 64 == 0
+    originals = {r["doc_id"]: bytes(r["content"])[8:]
+                 for r in audio.select("doc_id", "content").collect()}
+    for doc_id, parts in by_id.items():
+        assert b"".join(parts) == originals[doc_id]  # lossless cover
+        assert all(len(p) == 64 for p in parts[:-1])  # fixed-size except tail
