@@ -110,8 +110,10 @@ _DRIVER_PRIORITY: list[str] = [
     "quantize_embeddings_int8",
     "salted_agg_user_totals",
     "window_family_orders",
-    "media_resize",
     "audio_chunk_parts",
+    # rows-only (weaker driver check) — last, so a capped driver run
+    # spends its budget on hash-oracled entries first
+    "media_resize",
 ]
 
 
