@@ -110,6 +110,8 @@ _DRIVER_PRIORITY: list[str] = [
     "quantize_embeddings_int8",
     "salted_agg_user_totals",
     "window_family_orders",
+    "hourly_counts_gap_filled",
+    "json_malformed_taxonomy",
     "audio_chunk_parts",
     # rows-only (weaker driver check) — last, so a capped driver run
     # spends its budget on hash-oracled entries first
@@ -2496,3 +2498,66 @@ def audio_chunk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (audio_chunks(synth_audio(docs), chunk_samples=64)
             .select("doc_id", F.col("chunk_no").cast("int").alias("chunk_no"),
                     F.col("start_sample").cast("int").alias("start_sample")))
+
+
+@register("hourly_counts_gap_filled", """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+actual AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events GROUP BY 1)
+SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       cast(coalesce(actual.cnt, 0) AS BIGINT) AS cnt
+FROM hours LEFT JOIN actual ON hours.h = actual.h
+ORDER BY hour
+""")
+def hourly_counts_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the dense hour spine is generated
+    in-expression (sequence + explode from one min/max aggregate —
+    a broadcast-sized dimension at any scale) and left-joined to the
+    actual hourly counts, zero-filling silent hours. The spine build
+    never scans data twice: one aggregate, one explode."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                    F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    actual = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count("*").alias("cnt")))
+    return (spine.join(actual, "h", "left_outer")
+            .select(F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                    F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .orderBy("hour"))
+
+
+@register("json_malformed_taxonomy", """
+SELECT status, cast(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT CASE WHEN json_valid(CASE WHEN event_id % 3 = 0
+                              THEN substr(props, 1, len(props) - 2)
+                              ELSE props END)
+              THEN 'parsed' ELSE 'corrupt' END AS status
+  FROM events WHERE props IS NOT NULL)
+GROUP BY status
+ORDER BY status
+""")
+def json_malformed_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-parse error taxonomy: a third of the props JSON is
+    deliberately truncated, then rows classify by whether they still
+    parse — Spark's from_json yields NULL for corrupt input (the
+    PERMISSIVE contract) where DuckDB's json_valid says false; both
+    engines agree row-for-row. The real-data analogue is the
+    reference's encoding_error taxonomy
+    (ID_matching_metadata.py:42-54)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    broken = F.when(F.col("event_id") % 3 == 0,
+                    F.expr("substring(props, 1, length(props) - 2)")) \
+              .otherwise(F.col("props"))
+    parsed = F.from_json(broken, "map<string,string>")
+    return (ev.select(F.when(parsed.isNotNull(), "parsed")
+                      .otherwise("corrupt").alias("status"))
+            .groupBy("status").agg(F.count("*").alias("cnt"))
+            .orderBy("status"))
