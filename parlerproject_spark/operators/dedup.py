@@ -153,6 +153,53 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iter: int = 8) -> DataFrame:
+    """Connected components over near-duplicate pairs → one cluster
+    id (the minimum member id) per document. This is the step every
+    dedup pipeline runs after pair generation: pairs (a,b),(b,c) must
+    collapse into ONE keep-set {a}, not two independent decisions.
+
+    Distributed min-label propagation with pointer jumping: each
+    iteration (1) takes the min label over graph neighbors — one
+    join + one groupBy on ids only — and (2) path-halves through the
+    label table itself (lbl(v) := min(lbl(v), lbl(lbl(v)))), so
+    convergence needs O(log diameter) iterations, not O(diameter);
+    max_iter=8 covers components with diameters into the hundreds.
+    Only (id, id) pairs ever shuffle.
+
+    The label table is localCheckpoint()ed each iteration: the
+    pointer-jump self-join references it twice, so without lineage
+    truncation the logical plan doubles per iteration (exponential
+    analysis time — the standard iterative-algorithm trap GraphX
+    checkpoints around). This is an iterative operator like
+    knn_ivf's Lloyd loop: constructing it runs jobs by design.
+    Columns: doc_id, cluster_id.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("v")).distinct() \
+                  .select("v", F.col("v").alias("lbl"))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["dst"] == labels["v"])
+                 .groupBy("src").agg(F.min("lbl").alias("nl")))
+        labels = (labels.join(neigh, labels["v"] == neigh["src"], "left_outer")
+                  .select(labels["v"],
+                          F.least(labels["lbl"],
+                                  F.coalesce(neigh["nl"], labels["lbl"]))
+                          .alias("lbl")))
+        x, y = labels.alias("x"), labels.alias("y")
+        labels = (x.join(y, F.col("x.lbl") == F.col("y.v"), "left_outer")
+                  .select(F.col("x.v").alias("v"),
+                          F.least(F.col("x.lbl"),
+                                  F.coalesce(F.col("y.lbl"), F.col("x.lbl")))
+                          .alias("lbl"))
+                  .localCheckpoint(eager=True))
+    return labels.select(F.col("v").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 12,

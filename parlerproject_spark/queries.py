@@ -112,6 +112,7 @@ _DRIVER_PRIORITY: list[str] = [
     "window_family_orders",
     "hourly_counts_gap_filled",
     "json_malformed_taxonomy",
+    "near_dup_clusters",
     "audio_chunk_parts",
     # rows-only (weaker driver check) — last, so a capped driver run
     # spends its budget on hash-oracled entries first
@@ -722,7 +723,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-@register("ngram_jaccard_pairs", """
+_NGRAM_PAIRS_SQL = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              t -> t <> '') AS ts
@@ -748,7 +749,10 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-""")
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_PAIRS_SQL)
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs via shared-shingle inverted
     index join over the hub-capped (df <= 128) shingle universe —
@@ -2561,3 +2565,30 @@ def json_malformed_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise("corrupt").alias("status"))
             .groupBy("status").agg(F.count("*").alias("cnt"))
             .orderBy("status"))
+
+
+@register("near_dup_clusters", f"""
+WITH RECURSIVE np AS ({_NGRAM_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM np
+  UNION
+  SELECT id_b AS s, id_a AS d FROM np),
+nodes AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v)
+SELECT v AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY v
+ORDER BY doc_id
+""")
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the n-gram-Jaccard near-dup pairs
+    (dedup.duplicate_clusters): min-label propagation with pointer
+    jumping, O(log diameter) iterations, ids-only shuffles. The
+    oracle computes the true transitive closure with a recursive CTE
+    — equality proves the iterative algorithm converged."""
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                      n=3, threshold=0.5, max_df=128)
+    return (dedup.duplicate_clusters(pairs)
+            .orderBy("doc_id"))

@@ -227,3 +227,20 @@ def test_int8_quantization_fidelity(spark, sf_dir):
         F.max(F.array_max("qv")).alias("qmax")).collect()[0]
     assert stats["worst_cos"] > 0.999, stats
     assert -127 <= stats["qmin"] and stats["qmax"] <= 127, stats
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """(a,b),(b,c) must collapse into one cluster; a long chain
+    converges within the pointer-jumping iteration budget; disjoint
+    components stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+        # a 40-node chain exercises O(log d) convergence
+        + [(100 + i, 101 + i) for i in range(39)],
+        ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == got[23] == 20
+    assert all(got[100 + i] == 100 for i in range(40))
