@@ -29,6 +29,7 @@ from parlerproject_spark.functions.text import (
     fingerprint_md5,
     normalize_ws,
     quality_score,
+    stable_hash31,
     token_count,
 )
 from parlerproject_spark.operators import dedup, relational, similarity, text_analysis
@@ -113,6 +114,7 @@ _DRIVER_PRIORITY: list[str] = [
     "hourly_counts_gap_filled",
     "json_malformed_taxonomy",
     "near_dup_clusters",
+    "train_val_test_split",
     "audio_chunk_parts",
     # rows-only (weaker driver check) — last, so a capped driver run
     # spends its budget on hash-oracled entries first
@@ -2592,3 +2594,35 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n=3, threshold=0.5, max_df=128)
     return (dedup.duplicate_clusters(pairs)
             .orderBy("doc_id"))
+
+
+@register("train_val_test_split", """
+WITH assigned AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 2147483647 % 100 AS bucket
+  FROM documents)
+SELECT split, cast(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+FROM (SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assigned)
+GROUP BY split
+ORDER BY split
+""")
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    assignment every training pipeline needs to be REPRODUCIBLE and
+    join-free at any scale: a pure map on md5(doc_id), no sampling
+    RNG, no global state, stable across engines and runs (the same
+    doc always lands in the same split even as the corpus grows)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = stable_hash31(F.col("doc_id").cast("string")) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (docs.select("doc_id", split.alias("split"))
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("split"))
