@@ -47,3 +47,41 @@ def sentence_udtf():
                     yield doc_id, i + 1, s
 
     return SplitSentences
+
+
+def robust_zscores(df, *, key_col: str = "user_id", val_col: str = "value",
+                   id_col: str = "event_id"):
+    """Per-group robust z-score ((x - median) / MAD) via grouped-map
+    applyInPandas — the batch custom-operator escape hatch for per-
+    group logic that wants the whole group as one pandas frame
+    (the batch twin of streaming/stateful.py's applyInPandasWithState).
+
+    State is per-group and groups are hash-partitioned, so the
+    operator scales with the largest single group, not the table.
+    Median/MAD use numpy's linear interpolation — the same definition
+    as quantile_cont, so the DuckDB oracle replays it exactly. Groups
+    with MAD == 0 emit z = 0.0 (constant-valued users). Columns:
+    <key_col>, <id_col>, z.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[val_col].to_numpy(dtype=float)
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        z = (x - med) / mad if mad > 0 else np.zeros_like(x)
+        # HALF_UP to match DuckDB round() (np.round is half-to-even)
+        zr = np.where(z >= 0, np.floor(z * 1e6 + 0.5),
+                      np.ceil(z * 1e6 - 0.5)) / 1e6
+        return pd.DataFrame({key_col: pdf[key_col],
+                             id_col: pdf[id_col],
+                             "z": zr})
+
+    out_schema = ", ".join([
+        f"{key_col} {df.schema[key_col].dataType.simpleString()}",
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}",
+        "z double"])
+    return (df.select(key_col, id_col, val_col)
+            .groupBy(key_col).applyInPandas(per_group, out_schema))

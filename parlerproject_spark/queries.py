@@ -115,6 +115,7 @@ _DRIVER_PRIORITY: list[str] = [
     "json_malformed_taxonomy",
     "near_dup_clusters",
     "train_val_test_split",
+    "robust_zscores_by_user",
     "audio_chunk_parts",
     # rows-only (weaker driver check) — last, so a capped driver run
     # spends its budget on hash-oracled entries first
@@ -2626,3 +2627,31 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("first_doc"))
             .orderBy("split"))
+
+
+@register("robust_zscores_by_user", """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id),
+mad AS (
+  SELECT e.user_id, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (user_id)
+  GROUP BY e.user_id)
+SELECT e.user_id, e.event_id,
+       CASE WHEN a.mad > 0 THEN round((e.value - m.med) / a.mad, 6)
+            ELSE 0.0 END AS z
+FROM events e
+JOIN med m USING (user_id)
+JOIN mad a USING (user_id)
+ORDER BY e.user_id, e.event_id
+""")
+def robust_zscores_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (functions/py_udfs.robust_zscores):
+    per-user median/MAD z-scores where the whole group materializes
+    as one pandas frame — the batch custom-operator escape hatch,
+    scaling with the largest group. numpy and quantile_cont share the
+    same interpolated-median definition, so the DuckDB oracle
+    hash-checks the Python path exactly."""
+    from parlerproject_spark.functions.py_udfs import robust_zscores
+    ev = _t(spark, sf_dir, "events")
+    return robust_zscores(ev).orderBy("user_id", "event_id")
