@@ -24,3 +24,18 @@ def test_all_queries_build_plans(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         assert df.schema is not None, name
+
+
+def test_registry_integrity():
+    """Every driver-priority name must resolve to a registered query
+    (a typo here silently costs a driver verification row), names are
+    unique, and every oracle belongs to a registered query."""
+    import parlerproject_spark.queries as q
+    names = list(q.queries())
+    assert len(names) == len(set(names))
+    missing = set(q._DRIVER_PRIORITY) - set(names)
+    assert not missing, missing
+    assert set(q.oracle_sql()) <= set(names)
+    # priority names come first, in priority order
+    assert names[:len(q._DRIVER_PRIORITY)] == [
+        n for n in q._DRIVER_PRIORITY if n in set(names)]
