@@ -58,10 +58,16 @@ def robust_zscores(df, *, key_col: str = "user_id", val_col: str = "value",
 
     State is per-group and groups are hash-partitioned, so the
     operator scales with the largest single group, not the table.
+    NOTE: this is the documented escape-hatch demo; the default is
+    operators/stats.robust_zscores_native (window aggregates, no
+    whole-group materialization — a heavy-hitter key spills instead
+    of OOMing a Python worker). Both hash-check to the same oracle.
     Median/MAD use numpy's linear interpolation — the same definition
-    as quantile_cont, so the DuckDB oracle replays it exactly. Groups
-    with MAD == 0 emit z = 0.0 (constant-valued users). Columns:
-    <key_col>, <id_col>, z.
+    as quantile_cont, so the DuckDB oracle replays it exactly. Null
+    semantics follow SQL (and the native twin): nulls are excluded
+    from the medians, a null value yields a null z when MAD > 0, and
+    groups with MAD == 0 or no non-null values emit z = 0.0
+    everywhere. Columns: <key_col>, <id_col>, z.
     """
     import numpy as np
     import pandas as pd
@@ -69,15 +75,23 @@ def robust_zscores(df, *, key_col: str = "user_id", val_col: str = "value",
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[val_col].to_numpy(dtype=float)
-        med = float(np.median(x))
-        mad = float(np.median(np.abs(x - med)))
-        z = (x - med) / mad if mad > 0 else np.zeros_like(x)
-        # HALF_UP to match DuckDB round() (np.round is half-to-even)
-        zr = np.where(z >= 0, np.floor(z * 1e6 + 0.5),
-                      np.ceil(z * 1e6 - 0.5)) / 1e6
+        mask = ~np.isnan(x)
+        xs = x[mask]
+        mad = 0.0
+        if xs.size:
+            med = float(np.median(xs))
+            mad = float(np.median(np.abs(xs - med)))
+        if mad > 0:
+            z = (x - med) / mad
+            # HALF_UP to match DuckDB round() (np.round is half-to-even)
+            zr = np.where(z >= 0, np.floor(z * 1e6 + 0.5),
+                          np.ceil(z * 1e6 - 0.5)) / 1e6
+            zout = pd.array(zr, dtype="Float64")  # NaN (null x) -> NA
+        else:
+            zout = pd.array(np.zeros_like(x), dtype="Float64")
         return pd.DataFrame({key_col: pdf[key_col],
                              id_col: pdf[id_col],
-                             "z": zr})
+                             "z": zout})
 
     out_schema = ", ".join([
         f"{key_col} {df.schema[key_col].dataType.simpleString()}",

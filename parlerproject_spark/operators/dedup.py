@@ -181,21 +181,42 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("v")).distinct() \
                   .select("v", F.col("v").alias("lbl"))
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["dst"] == labels["v"])
                  .groupBy("src").agg(F.min("lbl").alias("nl")))
-        labels = (labels.join(neigh, labels["v"] == neigh["src"], "left_outer")
-                  .select(labels["v"],
-                          F.least(labels["lbl"],
-                                  F.coalesce(neigh["nl"], labels["lbl"]))
-                          .alias("lbl")))
-        x, y = labels.alias("x"), labels.alias("y")
-        labels = (x.join(y, F.col("x.lbl") == F.col("y.v"), "left_outer")
+        stepped = (labels.join(neigh, labels["v"] == neigh["src"], "left_outer")
+                   .select(labels["v"],
+                           F.least(labels["lbl"],
+                                   F.coalesce(neigh["nl"], labels["lbl"]))
+                           .alias("lbl"),
+                           labels["lbl"].alias("prev")))
+        x = stepped.alias("x")
+        y = stepped.select("v", "lbl").alias("y")
+        jumped = (x.join(y, F.col("x.lbl") == F.col("y.v"), "left_outer")
                   .select(F.col("x.v").alias("v"),
                           F.least(F.col("x.lbl"),
                                   F.coalesce(F.col("y.lbl"), F.col("x.lbl")))
-                          .alias("lbl"))
+                          .alias("lbl"),
+                          F.col("x.prev").alias("prev"))
                   .localCheckpoint(eager=True))
+        # fixed-point check rides the already-materialized checkpoint:
+        # zero changed labels this iteration means every later
+        # iteration is a no-op, so stop (ADVICE r2: a component whose
+        # propagation distance exceeds a fixed budget would otherwise
+        # silently return split clusters)
+        changed = jumped.filter(F.col("lbl") != F.col("prev")).count()
+        labels = jumped.select("v", "lbl")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"duplicate_clusters: no fixed point within max_iter={max_iter} "
+            "iterations — some clusters may be split; raise max_iter "
+            "(each iteration path-halves, so +1 iter doubles reach)",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("v").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 

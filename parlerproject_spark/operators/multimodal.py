@@ -29,8 +29,17 @@ from pyspark.sql import functions as F
 
 _MAGIC = b"IMG1"
 
-FEATURE_SCHEMA = ("asset_id long, width int, height int, n_bytes long, "
-                  "aspect double, phash long, decode_status string")
+# asset_id's type is derived from the input id column at call time
+# (ADVICE r2: hardcoding `asset_id long` miscasts string doc ids);
+# these hold the fixed tail of each output schema.
+_FEATURE_TAIL = ("width int, height int, n_bytes long, "
+                 "aspect double, phash long, decode_status string")
+_RESIZE_TAIL = ("width int, height int, new_width int, "
+                "new_height int, content binary, resize_status string")
+
+
+def _id_schema(df: DataFrame, id_col: str, tail: str) -> str:
+    return f"asset_id {df.schema[id_col].dataType.simpleString()}, {tail}"
 
 
 def synth_media(df: DataFrame, *, id_col: str = "doc_id",
@@ -96,11 +105,7 @@ def decode_features(assets: DataFrame, *, id_col: str = "doc_id",
                 "phash", "decode_status"])
 
     return (assets.select(F.col(id_col), F.col(content_col))
-            .mapInPandas(run, FEATURE_SCHEMA))
-
-
-RESIZE_SCHEMA = ("asset_id long, width int, height int, new_width int, "
-                 "new_height int, content binary, resize_status string")
+            .mapInPandas(run, _id_schema(assets, id_col, _FEATURE_TAIL)))
 
 
 def resize_media(assets: DataFrame, *, id_col: str = "doc_id",
@@ -133,7 +138,7 @@ def resize_media(assets: DataFrame, *, id_col: str = "doc_id",
                 "content", "resize_status"])
 
     return (assets.select(F.col(id_col), F.col(content_col))
-            .mapInPandas(run, RESIZE_SCHEMA))
+            .mapInPandas(run, _id_schema(assets, id_col, _RESIZE_TAIL)))
 
 
 _AUD_MAGIC = b"AUD1"

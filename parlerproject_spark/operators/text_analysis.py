@@ -81,22 +81,61 @@ def topic_terms(docs: DataFrame, *, topic_col: str, id_col: str = "doc_id",
             .select(topic_col, "term", "score", "rn"))
 
 
-def language_id(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """Heuristic marker-word language ID → adds `lang_pred`.
+#: Unicode script classes for the script-aware gate. Literal BMP
+#: ranges (not \p{script=...}) so the same pattern string runs in
+#: Java regex (Spark) and RE2 (DuckDB oracle) unchanged.
+_HAN = "[一-鿿]"
+_KANA = "[぀-ヿ]"
+_HANGUL = "[가-힣]"
 
-    Pure Column arithmetic: per-language marker hit counts via
-    array_intersect on the token set, argmax via greatest + chained
-    when. 'und' (undetermined) when no marker hits.
+#: share of CJK-script characters above which marker voting is
+#: skipped — CJK text tokenizes to nothing under [^a-z0-9]+ and
+#: would otherwise collapse to 'und'.
+CJK_GATE = 0.15
+
+
+def language_id(docs: DataFrame, *, text_col: str = "text",
+                script_aware: bool = False) -> DataFrame:
+    """Heuristic language ID → adds `lang_pred`. Pure Column
+    arithmetic either way — language ID over 100 TB must stay
+    JVM-side, embarrassingly parallel, zero shuffle.
+
+    Marker voting: per-language marker hit counts via array_intersect
+    on the token set, argmax via greatest + chained when; 'und' when
+    no marker hits.
+
+    script_aware=True adds a script-class gate BEFORE voting: the
+    tokenizer splits on [^a-z0-9]+, so genuine CJK text produces no
+    tokens and marker voting alone returns 'und' (and the romanized
+    'zh' pinyin markers can false-positive Romance/Germanic text).
+    The gate counts Han / Kana / Hangul code points via
+    length-minus-stripped-length; when their share exceeds CJK_GATE
+    the prediction is 'ja' (any kana), 'ko' (hangul > han), else
+    'zh', and marker voting — now restricted to Latin-script
+    languages — only runs below the gate.
     """
+    voting_langs = (
+        {k: v for k, v in _LANG_MARKERS.items() if k != "zh"}
+        if script_aware else _LANG_MARKERS)
     toks = F.array_distinct(tokenize(text_col))
     scores = {lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
-              for lang, markers in _LANG_MARKERS.items()}
+              for lang, markers in voting_langs.items()}
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     # Deterministic priority: iterate in fixed key order; first max wins.
-    for lang in reversed(list(_LANG_MARKERS)):
+    for lang in reversed(list(voting_langs)):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    if script_aware:
+        t = F.col(text_col)
+        def n_class(cls: str):
+            return F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+        n_han, n_kana, n_hangul = n_class(_HAN), n_class(_KANA), n_class(_HANGUL)
+        cjk_pred = (F.when(n_kana > 0, F.lit("ja"))
+                    .when(n_hangul > n_han, F.lit("ko"))
+                    .otherwise(F.lit("zh")))
+        share = (n_han + n_kana + n_hangul) / F.greatest(F.length(t), F.lit(1))
+        pred = F.when(share >= CJK_GATE, cjk_pred).otherwise(pred)
     return docs.withColumn("lang_pred", pred)
 
 

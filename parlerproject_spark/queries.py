@@ -60,17 +60,36 @@ def register(name: str, oracle: str | None):
 # re-verified as budget allows.  Rotate per round until every name has a
 # driver row.
 _DRIVER_PRIORITY: list[str] = [
+    # Round-3 rotation.  Lead with the 8 names the driver has never
+    # sampled (the 50-entry cap stopped short in r1 and r2; all pass
+    # the local oracle replica)...
+    "window_family_orders",
+    "hourly_counts_gap_filled",
+    "json_malformed_taxonomy",
+    "near_dup_clusters",
+    "train_val_test_split",
+    "robust_zscores_by_user",
+    "audio_chunk_parts",
+    "media_resize",
+    # ...then names whose latest driver row predates a semantic change
+    # (ngram_jaccard_pairs grew the hub cap after its r1 green) or is
+    # only a rows-only r1 entry...
+    "ngram_jaccard_pairs",
+    "knn_lsh",
+    "knn_ivf",
+    "approx_distinct_users",
+    # ...then round-3 additions (driver-new)...
+    "robust_zscores_native",
+    "language_id_script_aware",
+    "pipeline_archive_metadata",
+    # ...then previously-green entries for re-verification as budget
+    # allows, hash-oracled before rows-only.
     "html_extract_posts",
-    "embed_documents_fake",
-    "topic_assignments",
-    "topic_outlier_assignments",
-    "media_features",
     "frame_sample_parts",
     "range_join_value_tiers",
     "asof_join_purchase_view",
     "view_purchase_stream_join",
     "embedding_near_dup_pairs",
-    "embedding_near_dup_lsh",
     "rename_suffix_docs",
     "doc_frequency_stopworded",
     "geomean_value_by_type",
@@ -110,16 +129,13 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_dedup_events",
     "quantize_embeddings_int8",
     "salted_agg_user_totals",
-    "window_family_orders",
-    "hourly_counts_gap_filled",
-    "json_malformed_taxonomy",
-    "near_dup_clusters",
-    "train_val_test_split",
-    "robust_zscores_by_user",
-    "audio_chunk_parts",
     # rows-only (weaker driver check) — last, so a capped driver run
     # spends its budget on hash-oracled entries first
-    "media_resize",
+    "embed_documents_fake",
+    "topic_assignments",
+    "topic_outlier_assignments",
+    "media_features",
+    "embedding_near_dup_lsh",
 ]
 
 
@@ -2430,8 +2446,10 @@ def salted_agg_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from parlerproject_spark.operators.skew import salted_agg
     ev = _t(spark, sf_dir, "events")
+    # count the never-null key, not `value`: the oracle computes
+    # sum(1) (all rows), and count(value) would diverge on NULLs
     out = salted_agg(ev, "user_id",
-                     [("value", "count", "n_events"),
+                     [("event_id", "count", "n_events"),
                       ("value", "sum", "raw_total")], salt_buckets=16)
     return (out.select("user_id",
                        F.col("n_events").cast("long").alias("n_events"),
@@ -2655,3 +2673,185 @@ def robust_zscores_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.functions.py_udfs import robust_zscores
     ev = _t(spark, sf_dir, "events")
     return robust_zscores(ev).orderBy("user_id", "event_id")
+
+
+@register("robust_zscores_native", """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id),
+mad AS (
+  SELECT e.user_id, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (user_id)
+  GROUP BY e.user_id)
+SELECT e.user_id, e.event_id,
+       CASE WHEN a.mad > 0 THEN round((e.value - m.med) / a.mad, 6)
+            ELSE 0.0 END AS z
+FROM events e
+JOIN med m USING (user_id)
+JOIN mad a USING (user_id)
+ORDER BY e.user_id, e.event_id
+""")
+def robust_zscores_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT robust z-score path (operators/stats): the same
+    per-user median/MAD semantics as robust_zscores_by_user, but as
+    two window aggregates sharing ONE exchange — no grouped-map
+    materialization, so a heavy-hitter user spills a JVM sort instead
+    of OOMing a Python worker. Same oracle as the applyInPandas twin:
+    both hash to identical results."""
+    from parlerproject_spark.operators.stats import robust_zscores_native
+    ev = _t(spark, sf_dir, "events")
+    return robust_zscores_native(ev).orderBy("user_id", "event_id")
+
+
+_CJK_SAMPLES = {
+    0: "你好世界这是一个测试文本",
+    1: "これはテストですかそうです",
+    2: "안녕하세요 세계 테스트",
+}
+
+
+@register("language_id_script_aware", f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN '{_CJK_SAMPLES[0]}'
+              WHEN doc_id % 17 = 1 THEN '{_CJK_SAMPLES[1]}'
+              WHEN doc_id % 17 = 2 THEN '{_CJK_SAMPLES[2]}'
+              ELSE text END AS t
+  FROM documents),
+counts AS (
+  SELECT doc_id, t,
+         length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS n_han,
+         length(t) - length(regexp_replace(t, '[぀-ヿ]', '', 'g')) AS n_kana,
+         length(t) - length(regexp_replace(t, '[가-힣]', '', 'g')) AS n_hang,
+         list_distinct(list_filter(
+           string_split_regex(lower(t), '[^a-z0-9]+'),
+           x -> x <> '')) AS ts
+  FROM aug),
+scored AS (
+  SELECT doc_id, n_han, n_kana, n_hang, length(t) AS n_all,
+         len(list_intersect(ts, ['the', 'and', 'of', 'is'])) AS s_en,
+         len(list_intersect(ts, ['el', 'la', 'los', 'que'])) AS s_es,
+         len(list_intersect(ts, ['der', 'die', 'und', 'ist'])) AS s_de,
+         len(list_intersect(ts, ['le', 'les', 'des', 'est'])) AS s_fr
+  FROM counts)
+SELECT lang_pred, count(*) AS n_docs FROM (
+  SELECT CASE
+    WHEN (n_han + n_kana + n_hang) / greatest(n_all, 1) >= 0.15 THEN
+      CASE WHEN n_kana > 0 THEN 'ja'
+           WHEN n_hang > n_han THEN 'ko'
+           ELSE 'zh' END
+    WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+    ELSE 'fr' END AS lang_pred
+  FROM scored)
+GROUP BY lang_pred ORDER BY lang_pred
+""")
+def language_id_script_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware language ID (VERDICT r2 task 5): the tokenizer
+    splits on [^a-z0-9]+, so pure marker voting collapses genuine CJK
+    text to 'und'. A Han/Kana/Hangul code-point-share gate
+    (length-minus-stripped-length, zero shuffle) now routes CJK text
+    to zh/ja/ko BEFORE Latin marker voting. The documents table is
+    ASCII-synthetic, so the query injects deterministic CJK texts on
+    doc_id % 17 ∈ {0,1,2} — the oracle replays the same injection and
+    the full gate in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    aug = (F.when(F.col("doc_id") % 17 == 0, F.lit(_CJK_SAMPLES[0]))
+           .when(F.col("doc_id") % 17 == 1, F.lit(_CJK_SAMPLES[1]))
+           .when(F.col("doc_id") % 17 == 2, F.lit(_CJK_SAMPLES[2]))
+           .otherwise(F.col("text")))
+    base = d.select("doc_id", aug.alias("t"))
+    labeled = text_analysis.language_id(base, text_col="t", script_aware=True)
+    return (labeled.groupBy("lang_pred")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("lang_pred"))
+
+
+def _archive_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic tar fixture for the end-to-end archive pipeline:
+    one uncompressed tar whose members are JSON metadata derived
+    row-for-row from the documents table, so a DuckDB oracle over
+    documents is ground truth for the whole tar→decode→parse→filter→
+    aggregate chain. Member for each doc_id < 200: {"ID", "lang"},
+    GPSPosition iff doc_id % 3 == 0, and a note field that is
+    latin-1-only (0xE9, invalid UTF-8 → the charset-fallback path)
+    iff doc_id % 7 == 0. Built once per sf_dir under the repo-local
+    .fixture_cache (atomic rename; concurrent builders converge)."""
+    import hashlib
+    import io
+    import json as _json
+    import os
+    import tarfile
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".fixture_cache")
+    path = os.path.join(root, f"metadata_{digest}.tar")
+    if os.path.exists(path):
+        return path
+    rows = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "lang").collect())
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with tarfile.open(tmp, "w") as tar:
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            obj = {"ID": int(r.doc_id), "lang": r.lang}
+            if r.doc_id % 3 == 0:
+                obj["GPSPosition"] = f"{int(r.doc_id) % 60} deg 3' 8.40\" N"
+            note = "café" if r.doc_id % 7 == 0 else "ok"
+            # note appended OUTSIDE json.dumps: ensure_ascii would
+            # escape the 0xE9 char and defeat the fallback fixture
+            payload = _json.dumps(obj, ensure_ascii=True)[:-1] \
+                + ', "note": "' + note + '"}'
+            data = payload.encode("latin-1")
+            info = tarfile.TarInfo(name=f"meta/{int(r.doc_id):06d}.json")
+            info.size = len(data)
+            info.mtime = 0
+            tar.addfile(info, io.BytesIO(data))
+    os.replace(tmp, path)
+    return path
+
+
+@register("pipeline_archive_metadata", """
+SELECT CASE WHEN doc_id % 7 = 0 THEN 'encoding_error'
+            ELSE 'success' END AS decode_status,
+       CAST(doc_id % 3 = 0 AS INT) AS has_gps,
+       count(*) AS n_members
+FROM documents
+WHERE doc_id < 200
+GROUP BY decode_status, has_gps
+ORDER BY decode_status, has_gps
+""")
+def pipeline_archive_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship batch job end-to-end (VERDICT r2 task
+    8; reference shape code/data_processing_scripts/
+    ID_matching_metadata.py:41-88): tar member enumeration (S6, split
+    across tasks with pread random access) → charset decode with
+    ascii fallback (S7) → per-member JSON parse (S8) → GPS-prefix
+    predicate (P4) → status/taxonomy counts. The tar is generated
+    deterministically FROM the documents table (_archive_fixture), so
+    the oracle replays the taxonomy straight from documents — every
+    member that survives each stage is accounted for by doc_id
+    arithmetic."""
+    from parlerproject_spark.sources.archives import TarMembersDataSource
+    from parlerproject_spark.sources.files import ascii_decode_with_fallback
+    spark.dataSource.register(TarMembersDataSource)
+    path = _archive_fixture(spark, sf_dir)
+    members = (spark.read.format("tar_members")
+               .option("path", path).option("suffix", ".json")
+               .option("numPartitions", "8").load())
+    decoded = ascii_decode_with_fallback(members, "content")
+    parsed = decoded.withColumn(
+        "m", F.from_json(
+            "text", "ID long, lang string, GPSPosition string, note string"))
+    gps = F.col("m.GPSPosition")
+    has_gps = (F.when(gps.isNotNull() & gps.rlike("^[0-9]+ deg"), F.lit(1))
+               .otherwise(F.lit(0)))
+    return (parsed.select("decode_status", has_gps.alias("has_gps"))
+            .groupBy("decode_status", "has_gps")
+            .agg(F.count("*").alias("n_members"))
+            .orderBy("decode_status", "has_gps"))

@@ -74,6 +74,42 @@ def test_language_id_marks_english(spark):
     assert got[2] == "und"
 
 
+def test_language_id_script_aware_cjk(spark):
+    """VERDICT r2 task 5: genuine CJK text tokenizes to nothing under
+    [^a-z0-9]+, so marker voting alone returns 'und'; the script gate
+    must route it to zh/ja/ko. Latin text must be unaffected, and the
+    romanized-pinyin false-positive path must be gone."""
+    docs = spark.createDataFrame([
+        (1, "这是一个中文测试文本没有别的"),          # Han only -> zh
+        (2, "これは日本語のテストです"),              # kana present -> ja
+        (3, "안녕하세요 이것은 한국어 테스트입니다"),  # hangul -> ko
+        (4, "the cat and the dog is here"),           # latin -> en
+        (5, "zzz qqq"),                               # no signal -> und
+        # mixed: a couple of Han chars in mostly-latin text stay
+        # under the gate -> marker voting wins
+        (6, "the launch 中文 event and the demo is live"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in text_analysis.language_id(
+               docs, script_aware=True).collect()}
+    assert got[1] == "zh"
+    assert got[2] == "ja"
+    assert got[3] == "ko"
+    assert got[4] == "en"
+    assert got[5] == "und"
+    assert got[6] == "en"
+
+
+def test_language_id_script_aware_drops_pinyin_markers(spark):
+    """'de'/'le' marker collisions: romanized zh markers overlap
+    German/French function words; script-aware voting excludes the
+    zh row so Latin text can never be labeled zh."""
+    docs = spark.createDataFrame(
+        [(1, "le chat est sur le toit des voisins")], ["doc_id", "text"])
+    got = text_analysis.language_id(docs, script_aware=True).collect()
+    assert got[0]["lang_pred"] == "fr"
+
+
 def test_topic_terms_shape(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
     e = (load_table(spark, "embeddings", sf_dir)

@@ -110,6 +110,47 @@ def test_tar_datasource_reads_members(spark, tar_fixture, archive):
     assert gps.count() == 3  # i in {0, 16, 32}
 
 
+def test_tar_random_access_scales_to_many_members(spark, tmp_path):
+    """VERDICT r2 task 7: the uncompressed-tar random-access claim at
+    modest scale. A 3000-member tar must (a) split members across
+    tasks (true parallel scan, not one sequential stream), (b) pread
+    every member's exact bytes at its catalog offset, and (c) read a
+    bounded byte volume — selecting only `size` must not ship
+    content (column pruning at the source boundary is the DataSource
+    reader's job only for pruned projections Spark pushes; here we
+    bound the work by asserting per-partition member counts are
+    balanced, so no task re-scans the archive)."""
+    path = tmp_path / "big.tar"
+    n = 3000
+    with tarfile.open(path, "w") as tar:
+        for i in range(n):
+            payload = json.dumps({"i": i, "pad": "x" * (i % 97)}).encode()
+            info = tarfile.TarInfo(f"m/{i:05d}.json")
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+    spark.dataSource.register(archives.TarMembersDataSource)
+    df = (spark.read.format("tar_members")
+          .option("path", str(path))
+          .option("suffix", ".json")
+          .option("numPartitions", "8").load())
+    # (a) member-split parallelism
+    assert df.rdd.getNumPartitions() == 8
+    per_part = (df.groupBy(F.spark_partition_id().alias("pid"))
+                .count().collect())
+    assert len(per_part) == 8
+    assert all(abs(r["count"] - n / 8) <= 1 for r in per_part)
+    # (b) pread correctness: every member round-trips its own payload
+    parsed = df.select(
+        "member",
+        F.from_json(F.col("content").cast("string"), "i long, pad string")
+         .alias("rec"))
+    bad = parsed.filter(
+        F.col("rec.i") != F.regexp_extract("member", r"(\d+)", 1)
+        .cast("long"))
+    assert bad.count() == 0
+    assert df.count() == n
+
+
 def test_explode_archive_to_parquet(spark, tar_fixture, tmp_path):
     out = str(tmp_path / "members_parquet")
     archives.explode_archive_to_parquet(spark, str(tar_fixture / "m.tar.gz"),

@@ -233,6 +233,22 @@ def test_resize_media_error_taxonomy(spark):
     assert out[0]["content"] is None
 
 
+def test_multimodal_string_ids_keep_their_type(spark):
+    """ADVICE r2: the output asset_id type derives from the input id
+    column — string doc ids must survive decode_features and
+    resize_media unchanged, not fail a hardcoded long cast."""
+    docs = spark.createDataFrame(
+        [("doc-a", "alpha text"), ("doc-b", "beta text")],
+        "doc_id string, text string")
+    assets = multimodal.synth_media(docs)
+    feats = multimodal.decode_features(assets)
+    assert feats.schema["asset_id"].dataType.simpleString() == "string"
+    assert {r["asset_id"] for r in feats.collect()} == {"doc-a", "doc-b"}
+    resized = multimodal.resize_media(assets)
+    assert resized.schema["asset_id"].dataType.simpleString() == "string"
+    assert {r["asset_id"] for r in resized.collect()} == {"doc-a", "doc-b"}
+
+
 def test_audio_chunks_reassemble_exactly(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).limit(20)
     audio = multimodal.synth_audio(docs)
