@@ -82,6 +82,11 @@ EXTRA = [
     # round-3 additions
     "robust_zscores_native",
     "language_id_script_aware",
+    "pii_redaction_docs",
+    "decontaminate_corpus",
+    "sessionize_events",
+    "stratified_sample_docs",
+    "corpus_shuffle_order",
 ]
 
 

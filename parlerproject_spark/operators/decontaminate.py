@@ -1,0 +1,61 @@
+"""Benchmark decontamination — drop training documents that overlap a
+held-out evaluation set by shared word n-grams. Standard practice for
+LLM training corpora (the n-gram-overlap rule popularized by the
+GPT-3/PaLM data cards): any training doc sharing an n-gram with a
+benchmark doc is flagged and removed.
+
+Design for 100 TB: the benchmark side is small by construction
+(eval suites are KBs–MBs), so its distinct n-gram set BROADCASTS;
+the corpus side stays a zero-shuffle map (per-doc n-grams never
+leave their partition) until the per-doc hit aggregation, whose
+output is bounded by the number of CONTAMINATED docs — cost tracks
+contamination density, never corpus size. The final removal is a
+broadcast anti-join on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parlerproject_spark.functions.text import tokenize
+
+
+def _doc_ngrams(docs: DataFrame, *, n: int, id_col: str,
+                text_col: str) -> DataFrame:
+    """(id, gram) pairs — distinct word n-grams per document, built
+    with array expressions inside the scan stage (no shuffle)."""
+    grams = F.transform(F.sequence(F.lit(1), F.size("__t") - n + 1),
+                        lambda i: F.array_join(F.slice("__t", i, n), " "))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        tokenize(text_col).alias("__t"))
+            .filter(F.size("__t") >= n)
+            .select("doc_id",
+                    F.explode(F.array_distinct(grams)).alias("gram")))
+
+
+def contamination_hits(corpus: DataFrame, benchmark: DataFrame, *,
+                       n: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-corpus-doc count of distinct n-grams shared with ANY
+    benchmark document. Returns only contaminated docs.
+    Columns: doc_id, n_hits."""
+    bench_grams = (_doc_ngrams(benchmark, n=n, id_col=id_col,
+                               text_col=text_col)
+                   .select("gram").distinct())
+    corpus_grams = _doc_ngrams(corpus, n=n, id_col=id_col, text_col=text_col)
+    return (corpus_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
+                  n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The clean corpus: every document sharing at least one n-gram
+    with the benchmark set removed (broadcast anti-join on the
+    contaminated id set — the corpus never shuffles)."""
+    flagged = contamination_hits(corpus, benchmark, n=n, id_col=id_col,
+                                 text_col=text_col) \
+        .select(F.col("doc_id").alias(id_col))
+    return corpus.join(F.broadcast(flagged), on=id_col, how="left_anti")

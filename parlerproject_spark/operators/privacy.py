@@ -1,0 +1,45 @@
+"""PII detection and redaction — the scrubbing pass every
+training-data pipeline runs before a corpus ships.
+
+Design for 100 TB: pure JVM regexp Column expressions inside the scan
+stage — zero shuffle, zero Python, embarrassingly parallel. Patterns
+are deliberately RE2-compatible (no lookaround, no backreferences) so
+the DuckDB oracle replays detection exactly and a port to any
+RE2-based engine keeps semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: detection patterns, applied in this order (email first: an email's
+#: local part may contain digit runs a later pattern could clip).
+#: Each maps pii_type -> (pattern, replacement token).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Adds one `n_<type>` count column per PII pattern
+    (regexp_count — JVM-side, no extraction materialized)."""
+    out = df
+    for name, (pat, _) in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(F.col(text_col), F.lit(pat)))
+    return out
+
+
+def redact_pii(df: DataFrame, *, text_col: str = "text",
+               out_col: str = "clean_text") -> DataFrame:
+    """Replaces every PII match with its type token (<EMAIL>, <PHONE>,
+    <IP>), applied in PII_PATTERNS order on one chained
+    regexp_replace expression — a single projection, still inside
+    whole-stage codegen."""
+    c = F.col(text_col)
+    for _, (pat, token) in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, token)
+    return df.withColumn(out_col, c)

@@ -111,6 +111,37 @@ def range_join(facts: DataFrame, intervals: DataFrame, *, value_col: str,
     return facts.join(F.broadcast(intervals), cond, "left")
 
 
+def sessionize(events: DataFrame, *, key_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               gap_seconds: int = 1800) -> DataFrame:
+    """Batch sessionization: consecutive events of a key belong to
+    one session while the gap to the previous event is <= gap
+    (strictly-greater gap starts a new session). The batch twin of
+    Structured Streaming's session_window, kept deterministic with
+    (ts, id) ordering so ties never flap.
+
+    lag + running sum over ONE (partition, order): a single exchange
+    on the key and a single sort — both window passes share the
+    frame, so Catalyst plans one Window operator chain, and the
+    per-key state is a sort Spark spills, never a materialized group.
+    Adds `session_no` (1-based per key).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(),
+                                            F.col(id_col).asc())
+    prev = F.lag(ts_col).over(w)
+    # timestamp-minus-timestamp compared against an INTERVAL literal:
+    # exact to the microsecond, works for TIMESTAMP and TIMESTAMP_NTZ
+    # alike, and never routes through epoch seconds (which would
+    # truncate sub-second gaps or drag session-timezone semantics in)
+    gap = F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+    is_break = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > gap),
+        F.lit(1)).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn(
+        "session_no", F.sum(is_break).over(running).cast("long"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, *, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_payload: Sequence[str] = ()) -> DataFrame:

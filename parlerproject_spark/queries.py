@@ -82,6 +82,11 @@ _DRIVER_PRIORITY: list[str] = [
     "robust_zscores_native",
     "language_id_script_aware",
     "pipeline_archive_metadata",
+    "pii_redaction_docs",
+    "decontaminate_corpus",
+    "sessionize_events",
+    "stratified_sample_docs",
+    "corpus_shuffle_order",
     # ...then previously-green entries for re-verification as budget
     # allows, hash-oracled before rows-only.
     "html_extract_posts",
@@ -2855,3 +2860,190 @@ def pipeline_archive_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("decode_status", "has_gps")
             .agg(F.count("*").alias("n_members"))
             .orderBy("decode_status", "has_gps"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: privacy, decontamination, sessions, sampling
+# ---------------------------------------------------------------------------
+
+@register("pii_redaction_docs", """
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 0 THEN ' mail user' || doc_id || '@example.com now'
+           WHEN doc_id % 4 = 1 THEN ' dial 555-867-5309 today'
+           WHEN doc_id % 4 = 2 THEN ' host 192.168.' || (doc_id % 256) || '.7 up'
+           ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       cast(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       cast(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
+       cast(len(regexp_extract_all(t,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
+       right(regexp_replace(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         25) AS clean_tail
+FROM aug
+ORDER BY doc_id
+""")
+def pii_redaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/privacy): detection counts + redaction,
+    pure JVM regexp inside the scan stage — the zero-shuffle
+    pre-ship scrubbing pass of a training corpus. The synthetic
+    documents carry no PII, so deterministic emails / phone numbers /
+    IPs are injected by doc_id arithmetic (the CJK-injection
+    pattern); the oracle replays injection, counting, and the chained
+    redaction — clean_tail hash-checks the actual rewritten text, not
+    just the counts."""
+    from parlerproject_spark.operators.privacy import pii_counts, redact_pii
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" mail user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" dial 555-867-5309 today"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit(" host 192.168."),
+                       (F.col("doc_id") % 256).cast("string"), F.lit(".7 up")))
+        .otherwise(F.lit("")))
+    base = d.select("doc_id", aug.alias("t"))
+    out = redact_pii(pii_counts(base, text_col="t"), text_col="t")
+    return (out.select("doc_id", "n_email", "n_phone", "n_ip",
+                       F.expr("right(clean_text, 25)").alias("clean_tail"))
+            .orderBy("doc_id"))
+
+
+@register("decontaminate_corpus", """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                       FOR i IN generate_series(1, len(ts) - 2)])) AS gram
+  FROM tok WHERE len(ts) >= 3),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % 50 <> 0)
+SELECT c.doc_id, cast(count(*) AS BIGINT) AS n_hits
+FROM corp c JOIN bench b USING (gram)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""")
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate): docs
+    sharing a word n-gram with the held-out set (docs with
+    doc_id % 50 == 0 standing in as the benchmark) are flagged with
+    their shared-gram count. n=3 so the synthetic vocabulary actually
+    collides; production corpora use n=8+. The benchmark gram set
+    broadcasts; the corpus side's only shuffle is the per-doc hit
+    aggregation, bounded by contamination density."""
+    from parlerproject_spark.operators.decontaminate import contamination_hits
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return (contamination_hits(corpus, bench, n=3)
+            .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+            .orderBy("doc_id"))
+
+
+@register("sessionize_events", """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+tagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN pts IS NULL OR ts - pts > INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS brk
+  FROM ordered),
+sess AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM tagged)
+SELECT user_id, cast(session_no AS BIGINT) AS session_no,
+       cast(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/relational.sessionize): gap >
+    30 min starts a new session. lag + running-sum share ONE
+    (partition, order) — a single exchange and sort for the whole
+    session assignment, then the summary reuses the same key
+    partitioning. The batch twin of the streaming session_window op,
+    hash-verified here where the streaming variant can only be
+    rows-checked."""
+    ev = _t(spark, sf_dir, "events")
+    s = relational.sessionize(ev, gap_seconds=1800)
+    return (s.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                  .alias("session_start"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+                  .alias("session_end"))
+            .orderBy("user_id", "session_no"))
+
+
+@register("stratified_sample_docs", """
+WITH assigned AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 2147483647 % 10000 AS bucket
+  FROM documents)
+SELECT lang, cast(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+FROM assigned
+WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+                         WHEN 'de' THEN 1000 ELSE 0 END
+GROUP BY lang
+ORDER BY lang
+""")
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling): per-
+    language keep fractions (en 50% / es 25% / de 10% / others 0)
+    via stable_hash31 buckets — the corpus-rebalancing op, zero
+    shuffle, reproducible across engines and corpus growth (a doc's
+    membership never changes as data is appended)."""
+    from parlerproject_spark.operators.sampling import stratified_sample
+    d = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d, {"en": 0.5, "es": 0.25, "de": 0.1},
+        strata_col="lang", id_col="doc_id")
+    return (sampled.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("lang"))
+
+
+@register("corpus_shuffle_order", """
+SELECT cast(row_number() OVER (
+         ORDER BY md5('shuffle-v1:' || cast(doc_id AS VARCHAR))) AS BIGINT)
+         AS rn,
+       doc_id
+FROM documents
+ORDER BY rn
+LIMIT 50
+""")
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (operators/sampling): the
+    reproducible training-order permutation — order by
+    md5(seed || doc_id), identical in every engine and run. The
+    md5 key is uniform, so the underlying range-partitioned sort has
+    no skew by construction; first 50 positions shown (the full
+    permutation is the sort itself)."""
+    from parlerproject_spark.operators.sampling import deterministic_shuffle
+    d = _t(spark, sf_dir, "documents")
+    shuffled = deterministic_shuffle(d.select("doc_id"), id_col="doc_id")
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("shuffle-v1:"), F.col("doc_id").cast("string"))))
+    return (shuffled.select(
+        F.row_number().over(w).cast("long").alias("rn"), "doc_id")
+        .orderBy("rn").limit(50))

@@ -1,0 +1,138 @@
+"""Training-data corpus operators: PII redaction, benchmark
+decontamination, sessionization, deterministic sampling/shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parlerproject_spark.catalog import load_table
+from parlerproject_spark.operators import privacy, sampling
+from parlerproject_spark.operators.decontaminate import (
+    contamination_hits,
+    decontaminate,
+)
+from parlerproject_spark.operators.relational import sessionize
+
+
+# ---- privacy -------------------------------------------------------------
+
+def test_pii_redaction_removes_all_patterns(spark):
+    docs = spark.createDataFrame([
+        (1, "reach me at jane.doe+x@mail.example.org thanks"),
+        (2, "call 555-123-4567 or 555-999-0000 now"),
+        (3, "server 10.0.255.3 is up"),
+        (4, "clean text with no pii at all"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           privacy.redact_pii(privacy.pii_counts(docs)).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["clean_text"]
+    assert "@" not in out[1]["clean_text"]
+    assert out[2]["n_phone"] == 2
+    assert out[2]["clean_text"].count("<PHONE>") == 2
+    assert out[3]["n_ip"] == 1 and "<IP>" in out[3]["clean_text"]
+    assert out[4]["clean_text"] == "clean text with no pii at all"
+    assert out[4]["n_email"] == out[4]["n_phone"] == out[4]["n_ip"] == 0
+
+
+def test_pii_redaction_is_jvm_only(spark):
+    docs = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
+    plan = privacy.redact_pii(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF fallback — stays in codegen
+
+
+# ---- decontamination -----------------------------------------------------
+
+def test_decontaminate_flags_and_removes_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        (1, "we saw the quick brown fox yesterday"),   # shares 3-grams
+        (2, "completely unrelated words entirely here"),
+        (3, "jumps over the lazy dog again today"),    # shares 3-grams
+    ], ["doc_id", "text"])
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in contamination_hits(corpus, bench, n=3).collect()}
+    assert set(hits) == {1, 3}
+    assert hits[1] >= 2  # "the quick brown", "quick brown fox"
+    clean = decontaminate(corpus, bench, n=3)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    plan = contamination_hits(d, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join
+
+
+# ---- sessionization ------------------------------------------------------
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (1, 2, "2024-01-01 10:20:00"),   # 20 min -> same session
+        (1, 3, "2024-01-01 10:50:00"),   # exactly 30 min -> same (<=)
+        (1, 4, "2024-01-01 11:30:01"),   # 30 min + 1 s -> new session
+        (2, 5, "2024-01-01 00:00:00"),   # other key: own numbering
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "s"]) \
+        .withColumn("ts", F.col("s").cast("timestamp_ntz")).drop("s")
+    got = {r["event_id"]: r["session_no"]
+           for r in sessionize(ev, gap_seconds=1800).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---- sampling ------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir)
+    frac = {"en": 0.5, "es": 0.2}
+    a = sampling.stratified_sample(d, frac, strata_col="lang",
+                                   id_col="doc_id")
+    b = sampling.stratified_sample(d, frac, strata_col="lang",
+                                   id_col="doc_id")
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())  # reproducible
+    langs = {r["lang"] for r in a.select("lang").distinct().collect()}
+    assert langs <= {"en", "es"}  # default fraction 0 drops other strata
+    n_en_total = d.filter(F.col("lang") == "en").count()
+    n_en_kept = a.filter(F.col("lang") == "en").count()
+    if n_en_total >= 20:
+        assert 0.3 * n_en_total <= n_en_kept <= 0.7 * n_en_total
+
+
+def test_stratified_sample_membership_stable_under_growth(spark, sf_dir):
+    """A doc's keep/drop decision must not change when the corpus
+    grows — hash-threshold sampling, not rank-based."""
+    d = load_table(spark, "documents", sf_dir)
+    frac = {"en": 0.5}
+    small_ids = {r["doc_id"] for r in sampling.stratified_sample(
+        d.filter(F.col("doc_id") < 100), frac,
+        strata_col="lang", id_col="doc_id").collect()}
+    full_ids = {r["doc_id"] for r in sampling.stratified_sample(
+        d, frac, strata_col="lang", id_col="doc_id").collect()}
+    assert small_ids == {i for i in full_ids if i < 100}
+
+
+def test_deterministic_shuffle_is_a_permutation(spark, sf_dir):
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    out = [r["doc_id"] for r in
+           sampling.deterministic_shuffle(d, id_col="doc_id").collect()]
+    assert sorted(out) == sorted(r["doc_id"] for r in d.collect())
+    assert out != sorted(out)  # actually permuted
+    out2 = [r["doc_id"] for r in
+            sampling.deterministic_shuffle(d, id_col="doc_id").collect()]
+    assert out == out2  # reproducible
+    other = [r["doc_id"] for r in sampling.deterministic_shuffle(
+        d, id_col="doc_id", seed="other-seed").collect()]
+    assert out != other  # seed re-deals
