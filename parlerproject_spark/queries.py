@@ -2546,9 +2546,13 @@ ORDER BY hour
 """)
 def hourly_counts_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: the dense hour spine is generated
-    in-expression (sequence + explode from one min/max aggregate —
-    a broadcast-sized dimension at any scale) and left-joined to the
-    actual hourly counts, zero-filling silent hours. The spine build
+    in-expression (sequence + explode from one min/max aggregate)
+    and outer-joined to the actual hourly counts, zero-filling silent
+    hours. Written as spine RIGHT-outer broadcast(actual): both sides
+    are hours-in-range sized (bounded at any corpus scale), but a
+    plain left join can't broadcast its preserved side, so this
+    orientation is the one that gets a BroadcastHashJoin instead of
+    shuffling both tiny sides into a sort-merge. The spine build
     never scans data twice: one aggregate, one explode."""
     ev = _t(spark, sf_dir, "events")
     bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -2557,7 +2561,7 @@ def hourly_counts_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
     actual = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
               .agg(F.count("*").alias("cnt")))
-    return (spine.join(actual, "h", "left_outer")
+    return (F.broadcast(actual).join(spine, "h", "right_outer")
             .select(F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
                     F.coalesce("cnt", F.lit(0)).alias("cnt"))
             .orderBy("hour"))
