@@ -87,6 +87,9 @@ EXTRA = [
     "sessionize_events",
     "stratified_sample_docs",
     "corpus_shuffle_order",
+    "line_dedup_docs",
+    "pack_sequences_docs",
+    "phash_near_dup_media",
 ]
 
 

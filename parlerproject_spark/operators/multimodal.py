@@ -189,3 +189,48 @@ def frame_sample(videos: DataFrame, *, id_col: str = "doc_id",
     rows. Columns: <id_col>, frame_no."""
     idxs = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every))
     return (videos.select(F.col(id_col), F.explode(idxs).alias("frame_no")))
+
+
+def phash_near_dup(assets: DataFrame, *, id_col: str = "asset_id",
+                   phash_col: str = "phash", max_hamming: int = 4,
+                   bands: int = 4) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs: assets whose 64-bit
+    pHash differs in at most `max_hamming` bits. The media dedup op —
+    decode_features already emits a phash column; a real perceptual
+    hash (pHash/aHash from an image library) plugs into the same
+    int64 contract at the `_decode_real` seam.
+
+    Banded hamming join (the SimHash trick applied to media): split
+    the 64-bit hash into `bands` equal bit-bands; two hashes within
+    hamming distance < bands must agree EXACTLY on at least one band
+    (pigeonhole — max_hamming must be < bands for the guarantee), so
+    candidates are an equi-join on (band_no, band_value), never a
+    corpus² cross join, and each candidate pair is verified with
+    xor + bit_count. Scale: one exchange on the band key; cost tracks
+    near-duplicate density. Exact-duplicate hubs (the same phash
+    thousands of times) would quadratically blow a band bucket —
+    dedup EXACT matches first (exact_dedup on phash), then run this
+    on distinct hashes. Columns: id_a, id_b, hamming.
+    """
+    if max_hamming >= bands:
+        raise ValueError("banded guarantee needs max_hamming < bands")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band_no"),
+                 F.shiftrightunsigned(F.col(phash_col), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("band_val"))
+        for b in range(bands)])).alias("band")
+    indexed = (assets.select(F.col(id_col).alias("pid"),
+                             F.col(phash_col).alias("ph"), band)
+               .select("pid", "ph", "band.band_no", "band.band_val"))
+    a, b = indexed.alias("a"), indexed.hint("shuffle_hash").alias("b")
+    cand = (a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.pid") < F.col("b.pid")))
+            .select(F.col("a.pid").alias("id_a"),
+                    F.col("b.pid").alias("id_b"),
+                    F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph")))
+                    .alias("hamming"))
+            .distinct())  # same pair can collide in several bands
+    return cand.filter(F.col("hamming") <= max_hamming)

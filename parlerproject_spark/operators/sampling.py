@@ -10,7 +10,7 @@ replayable by the DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from parlerproject_spark.functions.text import stable_hash31
@@ -34,6 +34,40 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float], *,
         thresh = F.when(F.col(strata_col) == stratum,
                         F.lit(int(frac * SAMPLE_BUCKETS))).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def pack_sequences(docs: DataFrame, *, id_col: str, tokens_col: str,
+                   seq_len: int = 2048, shards: int = 16,
+                   seed: str = "pack-v1") -> DataFrame:
+    """Concat-and-chunk sequence packing — the training-batch
+    construction step: documents are laid end-to-end in a fixed
+    pseudo-random order and cut into `seq_len`-token sequences; each
+    doc is tagged with the shard/sequence/offset where its tokens
+    begin (a doc may straddle into the next sequence — standard
+    packing semantics).
+
+    Deterministic AND parallel: docs hash into `shards` independent
+    streams (stable_hash31, so assignment is reproducible and
+    engine-neutral), and the running token offset is a window cumsum
+    PER SHARD — never a single global ordering, which would serialize
+    the cumsum at corpus scale. Within a shard the order is the
+    seeded md5 key, so re-runs and other engines produce the
+    identical packing. One exchange on shard.
+    Columns: <id_col>, shard, seq_no, tok_offset.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    shard = (stable_hash31(F.col(id_col).cast("string"))
+             % shards).cast("int")
+    w = (Window.partitionBy("shard").orderBy("__key")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = docs.select(F.col(id_col), F.col(tokens_col).alias("__n"),
+                         key.alias("__key"), shard.alias("shard"))
+    cum_before = (F.sum("__n").over(w) - F.col("__n")).cast("long")
+    return (staged
+            .withColumn("seq_no", F.floor(cum_before / seq_len).cast("long"))
+            .withColumn("tok_offset", (cum_before % seq_len).cast("long"))
+            .select(id_col, "shard", "seq_no", "tok_offset"))
 
 
 def deterministic_shuffle(df: DataFrame, *, id_col: str,

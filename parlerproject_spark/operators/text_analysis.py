@@ -170,6 +170,46 @@ def type_token_ratio(docs: DataFrame, *, id_col: str = "doc_id",
     return toked.filter(F.size("toks") > 0).select("doc_id", ttr.alias("ttr"))
 
 
+def line_dedup(docs: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text", sep: str = "\n",
+               max_line_df: int = 2) -> DataFrame:
+    """Line-level corpus dedup (the RefinedWeb/Falcon boilerplate
+    pass): a LINE that appears in more than `max_line_df` documents
+    is template mass (nav bars, footers, subscribe prompts) and is
+    dropped from every document; unique/rare lines survive in their
+    original order.
+
+    Plan shape: split+posexplode is a narrow map; line document-
+    frequency is a window over ONE exchange on the line hash (md5,
+    so the oracle replays it — and at 100 TB hashing bounds shuffle
+    width to 32 bytes/line instead of full line text... the line
+    itself still rides the row for reassembly); reassembly is a
+    groupBy on the id — a second exchange. Two shuffles total,
+    both keyed well. Columns: <id_col>, clean_text, n_lines_kept.
+    """
+    lines = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.posexplode(F.split(F.col(text_col), sep))
+                         .alias("pos", "line"))
+             .filter(F.length(F.trim("line")) > 0))
+    keyed = lines.repartition(F.md5("line"))
+    # distinct docs per line, as a window over the one exchange —
+    # count(distinct) isn't a window function, so: max 1-per-doc flag
+    # via dense_rank over doc_id within the line
+    df_w = Window.partitionBy(F.md5("line"))
+    per_doc = (keyed
+               .withColumn("__docrank", F.dense_rank().over(
+                   Window.partitionBy(F.md5("line")).orderBy("doc_id")))
+               .withColumn("__line_df", F.max("__docrank").over(df_w)))
+    kept = per_doc.filter(F.col("__line_df") <= max_line_df)
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                    F.transform(F.array_sort(F.collect_list(
+                        F.struct("pos", "line"))), lambda s: s["line"]),
+                    sep).alias("clean_text"),
+                 F.count("*").cast("long").alias("n_lines_kept"))
+            .withColumnRenamed("doc_id", id_col))
+
+
 # Rolling-hash fingerprinting (winnowing) ---------------------------------
 
 #: modulus for the polynomial rolling hash — 2^31-1, matches

@@ -87,6 +87,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sessionize_events",
     "stratified_sample_docs",
     "corpus_shuffle_order",
+    "line_dedup_docs",
+    "pack_sequences_docs",
+    "phash_near_dup_media",
     # ...then previously-green entries for re-verification as budget
     # allows, hash-oracled before rows-only.
     "html_extract_posts",
@@ -3051,3 +3054,128 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (shuffled.select(
         F.row_number().over(w).cast("long").alias("rn"), "doc_id")
         .orderBy("rn").limit(50))
+
+
+@register("line_dedup_docs", """
+WITH aug AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || chr(10) || 'uniq ' || doc_id ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || 'JOIN OUR NEWSLETTER TODAY'
+              ELSE '' END AS t
+  FROM documents),
+lines AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id,
+           unnest(string_split(t, chr(10))) AS line,
+           generate_subscripts(string_split(t, chr(10)), 1) AS pos
+    FROM aug)
+  WHERE length(trim(line)) > 0),
+flagged AS (
+  SELECT doc_id, pos, line,
+         count(DISTINCT doc_id) OVER (PARTITION BY line) AS line_df
+  FROM lines)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+       cast(count(*) AS BIGINT) AS n_lines_kept
+FROM flagged
+WHERE line_df <= 2
+GROUP BY doc_id
+ORDER BY doc_id
+""")
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate dedup (operators/text_analysis.
+    line_dedup — the RefinedWeb/Falcon pass): lines shared by more
+    than max_line_df documents are template mass and are dropped from
+    every doc. The synthetic docs are single-line, so each is recast
+    as 3 lines — a 40-char prefix (rarely shared), a unique marker
+    line, and (on evens) an injected newsletter footer; the footer
+    must vanish, the rest must reassemble in order. The oracle
+    replays the whole pass, hash-checking the rebuilt text."""
+    from parlerproject_spark.operators.text_analysis import line_dedup
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.substring("text", 1, 40), F.lit("\nuniq "),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("\nJOIN OUR NEWSLETTER TODAY")).otherwise(F.lit("")))
+    base = d.select("doc_id", aug.alias("t"))
+    return (line_dedup(base, text_col="t", max_line_df=2)
+            .orderBy("doc_id"))
+
+
+@register("pack_sequences_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n,
+         md5('pack-v1:' || cast(doc_id AS VARCHAR)) AS k,
+         cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483647 % 8 AS INT) AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, shard,
+         sum(n) OVER (PARTITION BY shard ORDER BY k
+                      ROWS UNBOUNDED PRECEDING) - n AS cb
+  FROM toks)
+SELECT doc_id, shard,
+       cast(floor(cb / 512) AS BIGINT) AS seq_no,
+       cast(cb % 512 AS BIGINT) AS tok_offset
+FROM c
+ORDER BY doc_id
+""")
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.pack_sequences):
+    concat-and-chunk training-batch construction — docs lie end-to-
+    end in seeded md5 order and are cut into 512-token sequences,
+    each doc tagged with its (shard, seq_no, tok_offset). The cumsum
+    runs PER SHARD (8 here) so packing parallelizes instead of
+    serializing on a global ordering; the oracle replays the hash
+    math and the windowed cumsum exactly."""
+    from parlerproject_spark.operators.sampling import pack_sequences
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_toks"))
+    return (pack_sequences(d, id_col="doc_id", tokens_col="n_toks",
+                           seq_len=512, shards=8)
+            .orderBy("doc_id"))
+
+
+@register("phash_near_dup_media", """
+WITH base AS (
+  SELECT doc_id AS pid,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS ph
+  FROM documents WHERE doc_id < 300),
+aug AS (
+  SELECT pid, ph FROM base
+  UNION ALL
+  SELECT pid + 100000, xor(ph, 3) FROM base WHERE pid % 5 = 0),
+pairs AS (
+  SELECT a.pid AS id_a, b.pid AS id_b,
+         bit_count(xor(a.ph, b.ph)) AS hamming
+  FROM aug a JOIN aug b ON a.pid < b.pid)
+SELECT id_a, id_b, cast(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 3
+ORDER BY id_a, id_b
+""")
+def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup (operators/multimodal.
+    phash_near_dup): banded hamming join over 64-bit pHashes — the
+    image-dedup op, with near-identical assets injected as
+    XOR-3-perturbed copies (hamming 2) of every fifth hash. The
+    oracle brute-forces ALL pairs; equality proves the 4-band
+    pigeonhole candidate generation loses nothing under
+    max_hamming=3 < bands."""
+    from parlerproject_spark.operators.multimodal import phash_near_dup
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    base = d.select(
+        F.col("doc_id").alias("pid"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("bigint").alias("ph"))
+    dups = (base.filter(F.col("pid") % 5 == 0)
+            .select((F.col("pid") + 100000).alias("pid"),
+                    F.col("ph").bitwiseXOR(F.lit(3)).alias("ph")))
+    assets = base.unionByName(dups)
+    return (phash_near_dup(assets, id_col="pid", phash_col="ph",
+                           max_hamming=3, bands=4)
+            .select("id_a", "id_b", F.col("hamming").cast("int")
+                    .alias("hamming"))
+            .orderBy("id_a", "id_b"))

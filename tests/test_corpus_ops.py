@@ -124,6 +124,74 @@ def test_stratified_sample_membership_stable_under_growth(spark, sf_dir):
     assert small_ids == {i for i in full_ids if i < 100}
 
 
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from parlerproject_spark.operators.text_analysis import line_dedup
+    docs = spark.createDataFrame([
+        (1, "alpha one\nFOOTER AD\nbeta one"),
+        (2, "alpha two\nFOOTER AD\nbeta two"),
+        (3, "alpha three\nFOOTER AD\nbeta three"),
+        (4, "solo doc line\n\n  \nlast line"),   # blank lines ignored
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, max_line_df=2).collect()}
+    # FOOTER AD appears in 3 docs > max_line_df=2 -> removed everywhere
+    assert out[1]["clean_text"] == "alpha one\nbeta one"
+    assert out[2]["clean_text"] == "alpha two\nbeta two"
+    assert out[3]["n_lines_kept"] == 2
+    assert out[4]["clean_text"] == "solo doc line\nlast line"
+
+
+def test_pack_sequences_contiguous_and_deterministic(spark, sf_dir):
+    from parlerproject_spark.operators.sampling import pack_sequences
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n"))
+    out = pack_sequences(d, id_col="doc_id", tokens_col="n",
+                         seq_len=128, shards=4).collect()
+    assert {r["shard"] for r in out} <= set(range(4))
+    # within a shard, offsets must tile contiguously: sorting docs by
+    # (seq_no, tok_offset) and re-accumulating their token counts
+    # reproduces every (seq_no, tok_offset)
+    n_by_id = {r["doc_id"]: r["n"] for r in d.collect()}
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (r["seq_no"], r["tok_offset"], r["doc_id"]))
+        cum = 0
+        for r in rows:
+            assert r["seq_no"] == cum // 128, (shard, r)
+            assert r["tok_offset"] == cum % 128, (shard, r)
+            cum += n_by_id[r["doc_id"]]
+    out2 = pack_sequences(d, id_col="doc_id", tokens_col="n",
+                          seq_len=128, shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_phash_near_dup_banded_equals_bruteforce(spark):
+    import itertools
+    from parlerproject_spark.operators.multimodal import phash_near_dup
+    import pytest as _pytest
+    hashes = [(i, (0x9E3779B97F4A7C15 * (i + 1)) & ((1 << 63) - 1))
+              for i in range(40)]
+    # inject near-dups: ids 100+i with 2 bits flipped
+    hashes += [(100 + i, h ^ 0b101) for i, h in hashes[:10]]
+    df = spark.createDataFrame(hashes, "pid long, ph long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_near_dup(df, id_col="pid", phash_col="ph",
+                                   max_hamming=3, bands=4).collect()}
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(hashes, 2):
+        if ia > ib:
+            ia, ib, ha, hb = ib, ia, hb, ha
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            want[(ia, ib)] = d
+    assert got == want and len(want) >= 10
+    with _pytest.raises(ValueError):
+        phash_near_dup(df, id_col="pid", phash_col="ph",
+                       max_hamming=4, bands=4)  # guarantee violated
+
+
 def test_deterministic_shuffle_is_a_permutation(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir).select("doc_id")
     out = [r["doc_id"] for r in
