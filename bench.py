@@ -90,6 +90,11 @@ EXTRA = [
     "line_dedup_docs",
     "pack_sequences_docs",
     "phash_near_dup_media",
+    "lm_score_docs",
+    "vocab_coverage_docs",
+    "chunk_documents_docs",
+    "domain_mix_weights_docs",
+    "url_dedup_normalized",
 ]
 
 

@@ -86,3 +86,40 @@ def stable_hash31(col: Column | str) -> Column:
     oracle cannot reproduce."""
     c = F.col(col) if isinstance(col, str) else col
     return (F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % F.lit(2147483647))
+
+#: query parameters that carry tracking state, not content identity —
+#: stripped by normalize_url so syntactic variants of the same page
+#: dedup together.
+_TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid|ref_src)="
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL for dedup-by-URL: lowercase the scheme and host
+    (path/query stay case-sensitive per RFC 3986), drop the
+    fragment, strip tracking query params (utm_*, fbclid, gclid,
+    ref_src), drop an empty leftover '?', and trim one trailing
+    slash from a non-root path. Pure regexp/array Column algebra —
+    zero-shuffle, and every step is plain-SQL-expressible so the
+    DuckDB oracle replays it bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    raw_head = F.regexp_extract(
+        no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    head = F.lower(raw_head)
+    tail = F.substring(no_frag, F.length(raw_head) + 1,
+                       F.length(no_frag))
+    qpos = F.instr(tail, "?")
+    path = F.when(qpos > 0, F.substring(tail, F.lit(1), qpos - 1)) \
+            .otherwise(tail)
+    query = F.when(qpos > 0,
+                   F.substring(tail, qpos + 1, F.length(tail))) \
+             .otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_RE))
+    newq = F.array_join(kept, "&")
+    path_norm = F.when(path == "/", path) \
+                 .otherwise(F.regexp_replace(path, r"/$", ""))
+    return F.concat(
+        head, path_norm,
+        F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")))

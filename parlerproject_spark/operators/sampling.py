@@ -82,3 +82,31 @@ def deterministic_shuffle(df: DataFrame, *, id_col: str,
     key = F.md5(F.concat(F.lit(seed), F.lit(":"),
                          F.col(id_col).cast("string")))
     return df.orderBy(key.asc())
+
+
+def domain_mix_weights(df: DataFrame, *, domain_col: str,
+                       alpha: float = 0.3) -> DataFrame:
+    """Temperature-scaled domain mixture weights — the multilingual /
+    multi-source resampling rule (the p^alpha upsampling used for
+    low-resource balance): w_d = p_d^alpha / sum(p^alpha) where
+    p_d is the domain's share of documents. alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform; `boost` is the
+    resulting per-document over/under-sampling rate (w_d / p_d).
+
+    Two tiny aggregates over one exchange on the domain key; the
+    normalizers ride in as one-row broadcast scalars — at 100 TB the
+    only corpus-wide pass is the count, which combines map-side.
+    Columns: <domain_col>, n_docs, p, w, boost (round 6).
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    pa = counts.withColumn(
+        "pa", F.pow(F.col("n_docs").cast("double"), F.lit(alpha)))
+    tot = pa.agg(F.sum("n_docs").cast("double").alias("n_total"),
+                 F.sum("pa").alias("z"))
+    p = F.col("n_docs") / F.col("n_total")
+    w = F.col("pa") / F.col("z")
+    return (pa.crossJoin(F.broadcast(tot))
+            .select(domain_col, "n_docs",
+                    F.round(p, 6).alias("p"),
+                    F.round(w, 6).alias("w"),
+                    F.round(w / p, 6).alias("boost")))

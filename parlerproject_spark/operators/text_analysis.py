@@ -365,3 +365,104 @@ def fingerprint_overlap(docs: DataFrame, *, k: int = 8, window: int = 4,
     return (inter.withColumn("containment", cont)
             .filter(F.col("containment") >= threshold)
             .select("id_a", "id_b", "containment"))
+
+
+# Bigram language-model quality scoring -----------------------------------
+
+def lm_score(docs: DataFrame, *, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram LM score per document — the perplexity
+    quality filter (CCNet/Gopher-style, with the corpus itself as
+    the LM training set instead of an external KenLM): score =
+    mean over the doc's bigrams of ln P(w2|w1), with add-one
+    smoothing P = (c(w1,w2)+1) / (c(w1)+V).  Low scores flag
+    unnatural token sequences (boilerplate, spam, mojibake).
+
+    Plan shape: tokenization and bigram construction are narrow maps
+    (`transform` over the token array — no Python); the model is two
+    count aggregates (unigram, bigram — map-side partial combine on
+    both); scoring joins the doc's bigrams to the model on the
+    bigram/unigram keys — shuffle joins keyed on the token, NOT
+    broadcasts, because at 100 TB the model tables are corpus-scale.
+    V rides in as a one-row broadcast scalar. Docs with < 2 tokens
+    have no bigrams and are excluded (no P(w2|w1) is defined).
+    Columns: <id_col>, n_bigrams, lm_logp (round 6).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize(text_col).alias("ts"))
+    big = (toks.filter(F.size("ts") >= 2)
+           .select("doc_id",
+                   F.explode(F.expr(
+                       "transform(slice(ts, 1, size(ts) - 1), "
+                       "(w, i) -> struct(w AS w1, ts[i + 1] AS w2))"))
+                   .alias("bg"))
+           .select("doc_id", "bg.w1", "bg.w2"))
+    uni = (toks.select(F.explode("ts").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c1")))
+    bgc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = uni.agg(F.count("*").cast("double").alias("V"))
+    scored = (big
+              .join(bgc, ["w1", "w2"])
+              .join(uni.withColumnRenamed("w", "w1"), "w1")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id",
+                      F.log((F.col("c2") + 1.0) /
+                            (F.col("c1") + F.col("V"))).alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.avg("lp"), 6).alias("lm_logp"))
+            .withColumnRenamed("doc_id", id_col))
+
+
+def vocab_coverage(docs: DataFrame, *, text_col: str = "text",
+                   top_k: int = 200) -> DataFrame:
+    """Top-k vocabulary with cumulative corpus coverage — the
+    tokenizer-training precursor: how much of the token stream the
+    k most frequent types explain. Token counts are one exploded
+    groupBy (map-side combine); the total is a broadcast scalar; the
+    top-k cut is TakeOrdered (never a global sort); the cumulative
+    share is a window over ONLY the k surviving rows, so the single-
+    partition window is bounded by k, not the corpus.
+    Columns: term, tf, rank, cum_share (round 6).
+    """
+    tf = (docs.select(F.explode(tokenize(text_col)).alias("term"))
+          .groupBy("term").agg(F.count("*").alias("tf")))
+    total = tf.agg(F.sum("tf").cast("double").alias("total"))
+    top = (tf.orderBy(F.col("tf").desc(), F.col("term").asc())
+           .limit(top_k))
+    w = (Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (top.crossJoin(F.broadcast(total))
+            .select("term", "tf",
+                    F.row_number().over(w).cast("long").alias("rank"),
+                    F.round(F.sum("tf").over(w) / F.col("total"), 6)
+                    .alias("cum_share")))
+
+
+def chunk_documents(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_size: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Overlapping fixed-size token chunking — the RAG-indexing /
+    pretraining-example construction step: whitespace tokens are cut
+    into windows of `chunk_size` starting every `stride` tokens
+    (overlap = chunk_size - stride). Tail chunks may be short; a
+    chunk starts only while its first token exists, so a doc with n
+    tokens yields ceil(max(n - overlap, 1) / stride) chunks.
+
+    Pure narrow map — split, sequence, explode, slice — zero
+    shuffles, zero Python; chunking 100 TB is embarrassingly
+    parallel and this plan keeps it that way.
+    Columns: <id_col>, chunk_no, n_toks, chunk_text.
+    """
+    ws = F.filter(F.split(F.col(text_col), r"\s+"),
+                  lambda t: F.length(t) > 0)
+    toked = (docs.select(F.col(id_col).alias("doc_id"), ws.alias("ts"))
+             .filter(F.size("ts") > 0))
+    starts = F.sequence(F.lit(0), F.size("ts") - 1, F.lit(stride))
+    chunk = F.slice("ts", F.col("start") + 1, chunk_size)
+    return (toked
+            .select("doc_id", F.explode(starts).alias("start"), "ts")
+            .select(F.col("doc_id").alias(id_col),
+                    (F.col("start") / stride).cast("long").alias("chunk_no"),
+                    F.size(chunk).cast("long").alias("n_toks"),
+                    F.array_join(chunk, " ").alias("chunk_text")))

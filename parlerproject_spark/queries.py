@@ -90,6 +90,11 @@ _DRIVER_PRIORITY: list[str] = [
     "line_dedup_docs",
     "pack_sequences_docs",
     "phash_near_dup_media",
+    "lm_score_docs",
+    "vocab_coverage_docs",
+    "chunk_documents_docs",
+    "domain_mix_weights_docs",
+    "url_dedup_normalized",
     # ...then previously-green entries for re-verification as budget
     # allows, hash-oracled before rows-only.
     "html_extract_posts",
@@ -3179,3 +3184,154 @@ def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", F.col("hamming").cast("int")
                     .alias("hamming"))
             .orderBy("id_a", "id_b"))
+
+
+@register("lm_score_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+v AS (SELECT cast(count(*) AS DOUBLE) AS vsz FROM uni),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS gs
+  FROM toks),
+big AS (
+  SELECT doc_id, ts[gs] AS w1, ts[gs + 1] AS w2 FROM idx),
+bgc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2)
+SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((c2 + 1.0) / (c1 + vsz))), 6) AS lm_logp
+FROM big
+JOIN bgc USING (w1, w2)
+JOIN uni ON big.w1 = uni.w
+CROSS JOIN v
+GROUP BY doc_id
+ORDER BY doc_id
+""")
+def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (operators/text_analysis.lm_score):
+    the corpus-trained perplexity filter — add-one-smoothed mean
+    bigram log-probability per document. The oracle retrains the
+    same bigram model in SQL and rescoring must hash-match."""
+    from parlerproject_spark.operators.text_analysis import lm_score
+    return (lm_score(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
+@register("vocab_coverage_docs", """
+WITH tf AS (
+  SELECT w AS term, count(*) AS tf
+  FROM (SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> t <> '')) AS w
+        FROM documents)
+  GROUP BY w),
+tot AS (SELECT cast(sum(tf) AS DOUBLE) AS total FROM tf),
+top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term ASC LIMIT 200)
+SELECT term, cast(tf AS BIGINT) AS tf,
+       cast(row_number() OVER (ORDER BY tf DESC, term ASC) AS BIGINT)
+           AS rank,
+       round(sum(tf) OVER (ORDER BY tf DESC, term ASC
+                           ROWS UNBOUNDED PRECEDING) / total, 6)
+           AS cum_share
+FROM top CROSS JOIN tot
+ORDER BY rank
+""")
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary + cumulative coverage (operators/
+    text_analysis.vocab_coverage) — the tokenizer-training
+    precursor. TakeOrdered top-200, window cumsum over only the
+    survivors, total as a broadcast scalar."""
+    from parlerproject_spark.operators.text_analysis import vocab_coverage
+    return (vocab_coverage(_t(spark, sf_dir, "documents"), top_k=200)
+            .orderBy("rank"))
+
+
+@register("chunk_documents_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents),
+nonempty AS (SELECT * FROM toks WHERE len(ts) > 0),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts), 48)) AS gs
+  FROM nonempty)
+SELECT doc_id,
+       cast((gs - 1) // 48 AS BIGINT) AS chunk_no,
+       cast(len(list_slice(ts, gs, gs + 31)) AS BIGINT) AS n_toks,
+       array_to_string(list_slice(ts, gs, gs + 31), ' ') AS chunk_text
+FROM idx
+ORDER BY doc_id, chunk_no
+""")
+def chunk_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (operators/text_analysis.
+    chunk_documents): 32-token windows every 48 tokens (a gap-free
+    RAG example uses stride < chunk; stride > chunk here exercises
+    the slice clamp on short tails). Zero-shuffle narrow map; the
+    oracle replays the slicing arithmetic."""
+    from parlerproject_spark.operators.text_analysis import chunk_documents
+    return (chunk_documents(_t(spark, sf_dir, "documents"),
+                            chunk_size=32, stride=48)
+            .orderBy("doc_id", "chunk_no"))
+
+
+@register("domain_mix_weights_docs", """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT cast(sum(n_docs) AS DOUBLE) AS n_total,
+             sum(pow(n_docs, 0.3)) AS z FROM c)
+SELECT lang, cast(n_docs AS BIGINT) AS n_docs,
+       round(n_docs / n_total, 6) AS p,
+       round(pow(n_docs, 0.3) / z, 6) AS w,
+       round((pow(n_docs, 0.3) / z) / (n_docs / n_total), 6) AS boost
+FROM c CROSS JOIN t
+ORDER BY lang
+""")
+def domain_mix_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (operators/sampling.
+    domain_mix_weights, alpha=0.3): the low-resource-language
+    upsampling rule. One exchange on the domain key; normalizers
+    broadcast as one-row scalars."""
+    from parlerproject_spark.operators.sampling import domain_mix_weights
+    d = _t(spark, sf_dir, "documents").select("lang")
+    return (domain_mix_weights(d, domain_col="lang", alpha=0.3)
+            .orderBy("lang"))
+
+
+@register("url_dedup_normalized", """
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || lower(source) || '.example.com/Page' ||
+         cast(doc_id % 50 AS VARCHAR) ||
+         '?id=' || cast(doc_id % 7 AS VARCHAR) AS norm_url
+  FROM documents)
+SELECT norm_url,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(min(doc_id) AS BIGINT) AS first_doc
+FROM urls
+GROUP BY norm_url
+ORDER BY norm_url
+""")
+def url_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup-by-URL (functions/text.
+    normalize_url): the crawl-frontier/corpus URL dedup pass. Messy
+    URLs are injected per doc (uppercase scheme+host, tracking
+    params utm_source/ref_src, fragment, trailing slash); the engine
+    normalizes and groups, while the oracle INDEPENDENTLY constructs
+    the expected canonical form — equality proves the whole
+    normalization chain, not just that both sides ran the same code.
+    Zero-shuffle normalize; one exchange for the group-by."""
+    from parlerproject_spark.functions.text import normalize_url
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM/Page"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=tw&ref_src=x&id="),
+        (F.col("doc_id") % 7).cast("string"), F.lit("#sec"))
+    return (d.select("doc_id", normalize_url(messy).alias("norm_url"))
+            .groupBy("norm_url")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("first_doc"))
+            .orderBy("norm_url"))

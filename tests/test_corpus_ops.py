@@ -204,3 +204,76 @@ def test_deterministic_shuffle_is_a_permutation(spark, sf_dir):
     other = [r["doc_id"] for r in sampling.deterministic_shuffle(
         d, id_col="doc_id", seed="other-seed").collect()]
     assert out != other  # seed re-deals
+
+
+def test_lm_score_prefers_natural_bigrams(spark):
+    from parlerproject_spark.operators.text_analysis import lm_score
+    # "the cat" repeats corpus-wide -> high P(cat|the); doc 3 is the
+    # same tokens in an unseen order -> every bigram is count-1
+    docs = spark.createDataFrame([
+        (1, "the cat sat"), (2, "the cat ran"), (3, "cat the sat"),
+        (4, "one"),  # single token: no bigrams, excluded
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert 4 not in out and out[1]["n_bigrams"] == 2
+    assert out[1]["lm_logp"] > out[3]["lm_logp"]
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    from parlerproject_spark.operators.text_analysis import vocab_coverage
+    d = load_table(spark, "documents", sf_dir)
+    rows = vocab_coverage(d, top_k=10).orderBy("rank").collect()
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares) and shares[-1] <= 1.0
+    tfs = [r["tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_chunk_documents_reassembles_exactly(spark):
+    from parlerproject_spark.operators.text_analysis import chunk_documents
+    text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text), (2, "a b"), (3, "  ")],
+                                 ["doc_id", "text"])
+    # stride == chunk_size -> non-overlapping partition of the stream
+    out = (chunk_documents(docs, chunk_size=32, stride=32)
+           .orderBy("doc_id", "chunk_no").collect())
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert [r["n_toks"] for r in d1] == [32, 32, 32, 4]
+    assert " ".join(r["chunk_text"] for r in d1) == text
+    assert [r["chunk_text"] for r in out if r["doc_id"] == 2] == ["a b"]
+    assert not [r for r in out if r["doc_id"] == 3]  # whitespace-only
+    # overlap: stride 24 < chunk 32 -> consecutive chunks share 8 toks
+    ov = (chunk_documents(docs.filter("doc_id = 1"),
+                          chunk_size=32, stride=24)
+          .orderBy("chunk_no").collect())
+    a, b = ov[0]["chunk_text"].split(), ov[1]["chunk_text"].split()
+    assert a[24:] == b[:8]
+
+
+def test_domain_mix_upsamples_rare_domains(spark):
+    from parlerproject_spark.operators.sampling import domain_mix_weights
+    rows = [(i, "big") for i in range(900)] + [(i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "dom"])
+    out = {r["dom"]: r for r in
+           domain_mix_weights(df, domain_col="dom", alpha=0.3).collect()}
+    assert abs(out["big"]["w"] + out["small"]["w"] - 1.0) < 1e-6
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    assert out["small"]["p"] == 0.1
+
+
+def test_normalize_url_canonical_forms(spark):
+    from parlerproject_spark.functions.text import normalize_url
+    cases = [
+        ("HTTPS://WWW.Ex.COM/A/B/?utm_source=t&x=1&fbclid=z#f",
+         "https://www.ex.com/A/B?x=1"),
+        ("http://ex.com/", "http://ex.com/"),          # root slash kept
+        ("http://ex.com/p?utm_campaign=c", "http://ex.com/p"),
+        ("http://EX.com/Keep/Case", "http://ex.com/Keep/Case"),
+        ("https://ex.com/a?ref_src=twsrc&gclid=9&q=ok#x",
+         "https://ex.com/a?q=ok"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r["n"] for r in
+           df.select(normalize_url("u").alias("n")).collect()]
+    assert got == [want for _, want in cases]
