@@ -1,0 +1,136 @@
+"""Change-data-capture operators: snapshot diff + merge-latest upsert.
+
+A 100 TB corpus is never rebuilt from scratch — it is refreshed.
+These two operators are the refresh primitives: `snapshot_diff`
+computes what changed between two table states (the audit/replication
+step), `merge_latest` folds a batch of updates into a base table
+keeping exactly one winner per key (the upsert step, the batch
+analogue of Delta/Iceberg MERGE). The reference applies the same
+resume logic per-file (skip already-converted members,
+htmlConverter.py:52-54); here it is generalized to keyed row-level
+change tracking.
+
+Scale shape: both operators are a single hash exchange per side on
+the key columns — AQE handles skewed keys, and neither ever
+materializes a whole table on one node. `snapshot_diff` is one full
+outer join; `merge_latest` is one union + one window (sort-based,
+spills, never OOMs on a heavy-hitter key).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, *,
+                  key_cols: Sequence[str],
+                  compare_cols: Sequence[str]) -> DataFrame:
+    """Row-level diff of two snapshots keyed by `key_cols`.
+
+    Returns one row per key present in either side with:
+      - ``change``: 'added' (new only), 'removed' (old only),
+        'changed' (both, some compare_col differs), 'unchanged'
+      - ``changed_cols``: sorted array of the compare_cols whose
+        values differ (null-safe comparison; empty array unless
+        'changed')
+
+    One full-outer sort-merge/hash join on the keys — the minimal
+    plan for a two-sided diff. Callers that only want the delta
+    filter ``change != 'unchanged'``; Catalyst pushes that filter
+    above the join but the join itself is unavoidable for diffing.
+    """
+    o = old.select(*key_cols,
+                   *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(*key_cols,
+                   *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    j = o.join(n, on=list(key_cols), how="full_outer")
+
+    # presence probes: a key exists on a side iff ALL its struct of
+    # compare cols came through non-null-joined.  Use a sentinel lit
+    # per side instead — null-safe and independent of data nulls.
+    o = old.select(*key_cols).withColumn("__in_old", F.lit(True))
+    n_keys = new.select(*key_cols).withColumn("__in_new", F.lit(True))
+    j = (o.join(n_keys, on=list(key_cols), how="full_outer")
+         .join(old.select(*key_cols, *[F.col(c).alias(f"__o_{c}")
+                                       for c in compare_cols]),
+               on=list(key_cols), how="left")
+         .join(new.select(*key_cols, *[F.col(c).alias(f"__n_{c}")
+                                       for c in compare_cols]),
+               on=list(key_cols), how="left"))
+
+    diff_flags = [
+        F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c))
+        for c in compare_cols
+    ]
+    changed_cols = F.array_sort(F.filter(F.array(*diff_flags),
+                                         lambda x: x.isNotNull()))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged")))
+    return j.select(
+        *key_cols,
+        change.alias("change"),
+        F.when(change == "changed", changed_cols)
+         .otherwise(F.array().cast("array<string>")).alias("changed_cols"))
+
+
+def snapshot_diff_compact(old: DataFrame, new: DataFrame, *,
+                          key_cols: Sequence[str],
+                          compare_cols: Sequence[str]) -> DataFrame:
+    """Single-join variant of :func:`snapshot_diff` — the production
+    shape. One full outer join carrying side-presence sentinels and
+    the compare columns together, so the plan is exactly one exchange
+    per side regardless of how many columns are compared."""
+    o = old.select(
+        *key_cols, F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(
+        *key_cols, F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    j = o.join(n, on=list(key_cols), how="full_outer")
+    diff_flags = [
+        F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c))
+        for c in compare_cols
+    ]
+    changed_cols = F.array_sort(F.filter(F.array(*diff_flags),
+                                         lambda x: x.isNotNull()))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged")))
+    return j.select(
+        *key_cols,
+        change.alias("change"),
+        F.when(change == "changed", changed_cols)
+         .otherwise(F.array().cast("array<string>")).alias("changed_cols"))
+
+
+def merge_latest(base: DataFrame, updates: DataFrame, *,
+                 key_cols: Sequence[str], version_col: str,
+                 tiebreak_col: str) -> DataFrame:
+    """Upsert: union `base` and `updates`, keep the single winning
+    row per key — highest `version_col`, ties broken by highest
+    `tiebreak_col`, final tie broken in favour of the updates side
+    (MERGE semantics: an update with an equal version replaces the
+    base row).
+
+    One union (no shuffle) + one window over the key hash exchange.
+    The window sort is per-key and spill-backed — a key with millions
+    of versions degrades to disk sort, never driver memory. Schema:
+    union by name; both sides must carry the same columns.
+    """
+    tagged = (base.withColumn("__src", F.lit(0))
+              .unionByName(updates.withColumn("__src", F.lit(1))))
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col(version_col).desc(),
+                  F.col(tiebreak_col).desc(),
+                  F.col("__src").desc()))
+    return (tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src"))
