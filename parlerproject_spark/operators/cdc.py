@@ -37,55 +37,13 @@ def snapshot_diff(old: DataFrame, new: DataFrame, *,
         values differ (null-safe comparison; empty array unless
         'changed')
 
-    One full-outer sort-merge/hash join on the keys — the minimal
+    One full outer join carrying side-presence sentinels and the
+    compare columns together, so the plan is exactly one exchange per
+    side regardless of how many columns are compared — the minimal
     plan for a two-sided diff. Callers that only want the delta
     filter ``change != 'unchanged'``; Catalyst pushes that filter
     above the join but the join itself is unavoidable for diffing.
     """
-    o = old.select(*key_cols,
-                   *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
-    n = new.select(*key_cols,
-                   *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
-    j = o.join(n, on=list(key_cols), how="full_outer")
-
-    # presence probes: a key exists on a side iff ALL its struct of
-    # compare cols came through non-null-joined.  Use a sentinel lit
-    # per side instead — null-safe and independent of data nulls.
-    o = old.select(*key_cols).withColumn("__in_old", F.lit(True))
-    n_keys = new.select(*key_cols).withColumn("__in_new", F.lit(True))
-    j = (o.join(n_keys, on=list(key_cols), how="full_outer")
-         .join(old.select(*key_cols, *[F.col(c).alias(f"__o_{c}")
-                                       for c in compare_cols]),
-               on=list(key_cols), how="left")
-         .join(new.select(*key_cols, *[F.col(c).alias(f"__n_{c}")
-                                       for c in compare_cols]),
-               on=list(key_cols), how="left"))
-
-    diff_flags = [
-        F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c))
-        for c in compare_cols
-    ]
-    changed_cols = F.array_sort(F.filter(F.array(*diff_flags),
-                                         lambda x: x.isNotNull()))
-    change = (
-        F.when(F.col("__in_old").isNull(), F.lit("added"))
-        .when(F.col("__in_new").isNull(), F.lit("removed"))
-        .when(F.size(changed_cols) > 0, F.lit("changed"))
-        .otherwise(F.lit("unchanged")))
-    return j.select(
-        *key_cols,
-        change.alias("change"),
-        F.when(change == "changed", changed_cols)
-         .otherwise(F.array().cast("array<string>")).alias("changed_cols"))
-
-
-def snapshot_diff_compact(old: DataFrame, new: DataFrame, *,
-                          key_cols: Sequence[str],
-                          compare_cols: Sequence[str]) -> DataFrame:
-    """Single-join variant of :func:`snapshot_diff` — the production
-    shape. One full outer join carrying side-presence sentinels and
-    the compare columns together, so the plan is exactly one exchange
-    per side regardless of how many columns are compared."""
     o = old.select(
         *key_cols, F.lit(True).alias("__in_old"),
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols])

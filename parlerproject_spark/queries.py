@@ -53,72 +53,68 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# Round-1 driver verification stopped at the 50th registration, leaving the
-# later entries without a driver-green CORRECTNESS row (all pass the local
-# oracle replica).  Emit those first so a capped driver run verifies the gap
-# this round; previously-green entries follow in registration order and get
-# re-verified as budget allows.  Rotate per round until every name has a
-# driver row.
+# The driver samples ~50 queries per round; this ordering decides which.
+# Policy: oldest-driver-row first, so every registered query gets a fresh
+# driver CORRECTNESS row at most ~2 rounds stale (all entries also pass the
+# local oracle replica, tools/check_oracle.py, every session).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-3 rotation.  Lead with the 8 names the driver has never
-    # sampled (the 50-entry cap stopped short in r1 and r2; all pass
-    # the local oracle replica)...
-    "window_family_orders",
-    "hourly_counts_gap_filled",
-    "json_malformed_taxonomy",
-    "near_dup_clusters",
-    "train_val_test_split",
-    "robust_zscores_by_user",
-    "audio_chunk_parts",
-    "media_resize",
-    # ...then names whose latest driver row predates a semantic change
-    # (ngram_jaccard_pairs grew the hub cap after its r1 green) or is
-    # only a rows-only r1 entry...
-    "ngram_jaccard_pairs",
-    "knn_lsh",
-    "knn_ivf",
-    "approx_distinct_users",
-    # ...then round-3 additions (driver-new)...
-    "robust_zscores_native",
-    "language_id_script_aware",
-    "pipeline_archive_metadata",
-    "pii_redaction_docs",
-    "decontaminate_corpus",
-    "sessionize_events",
-    "stratified_sample_docs",
-    "corpus_shuffle_order",
-    "line_dedup_docs",
-    "pack_sequences_docs",
-    "phash_near_dup_media",
-    "lm_score_docs",
-    "vocab_coverage_docs",
-    "chunk_documents_docs",
-    "domain_mix_weights_docs",
-    "url_dedup_normalized",
-    # ...then previously-green entries for re-verification as budget
-    # allows, hash-oracled before rows-only.
-    "html_extract_posts",
-    "frame_sample_parts",
-    "range_join_value_tiers",
-    "asof_join_purchase_view",
-    "view_purchase_stream_join",
-    "embedding_near_dup_pairs",
-    "rename_suffix_docs",
-    "doc_frequency_stopworded",
-    "geomean_value_by_type",
-    "sentence_split_udtf",
-    "rolling_fingerprints_docs",
-    "fingerprint_overlap_pairs",
-    "q6_revenue_delta",
-    "q10_returned_customers",
-    "clean_corpus_pipeline",
-    "q4_priority_late_ship",
-    "q7_nation_volume",
-    "q12_priority_by_returnflag",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_brand_disjunction",
+    # Round-4 rotation: oldest-driver-row first so the 50-query cap
+    # refreshes the stalest entries.  Never-sampled (new this round):
+    "cdc_snapshot_diff_orders",
+    "cdc_merge_latest_events",
+    # ...last driver row in r1 (two rounds stale):
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_region_revenue",
+    "global_sum_gb",
+    "group_count_events",
+    "share_of_total_events",
+    "distinct_customers_per_priority",
+    "rollup_nation_counts",
+    "cube_status_priority",
+    "semi_join_building_orders",
+    "anti_join_idle_customers",
+    "lookup_join_nation_region",
+    "union_merge_docs",
+    "intersect_custkeys",
+    "except_custkeys",
+    "filter_contains_docs",
+    "filter_suffix_sources",
+    "filter_nonempty_docs",
+    "when_case_acctbal",
+    "normalize_ws_docs",
+    "concat_object_urls",
+    "exif_ts_roundtrip",
+    "json_extract_props",
+    "dms_to_decimal_parse",
+    "topk_orders",
+    "window_rank_orders",
+    "running_sum_orders",
+    "lag_delta_events",
+    "tumbling_window_events",
+    "doc_frequency",
+    "token_counts_docs",
+    "quality_scores_docs",
+    "topic_terms_ctfidf",
+    "exact_dedup_docs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "knn_bruteforce",
+    "embedding_norms",
+    "language_id_docs",
+    "sliding_window_events",
+    "session_window_events",
+    "collect_sorted_events",
+    "argmax_events",
+    "map_keys_props",
+    "median_value_events",
+    # ...last driver row in r2 (one round stale):
+    "embed_documents_fake",
+    "topic_assignments",
+    "topic_outlier_assignments",
+    "media_features",
+    "embedding_near_dup_lsh",
     "q22_idle_rich_customers",
     "pivot_event_values_by_day",
     "unpivot_part_metrics",
@@ -142,13 +138,57 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_dedup_events",
     "quantize_embeddings_int8",
     "salted_agg_user_totals",
-    # rows-only (weaker driver check) — last, so a capped driver run
-    # spends its budget on hash-oracled entries first
-    "embed_documents_fake",
-    "topic_assignments",
-    "topic_outlier_assignments",
-    "media_features",
-    "embedding_near_dup_lsh",
+    # ...green in r3 (freshest — sampled only if budget remains):
+    "ngram_jaccard_pairs",
+    "knn_lsh",
+    "knn_ivf",
+    "approx_distinct_users",
+    "html_extract_posts",
+    "frame_sample_parts",
+    "range_join_value_tiers",
+    "asof_join_purchase_view",
+    "view_purchase_stream_join",
+    "embedding_near_dup_pairs",
+    "rename_suffix_docs",
+    "doc_frequency_stopworded",
+    "geomean_value_by_type",
+    "sentence_split_udtf",
+    "rolling_fingerprints_docs",
+    "fingerprint_overlap_pairs",
+    "q6_revenue_delta",
+    "q10_returned_customers",
+    "clean_corpus_pipeline",
+    "q4_priority_late_ship",
+    "q7_nation_volume",
+    "q12_priority_by_returnflag",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_brand_disjunction",
+    "window_family_orders",
+    "media_resize",
+    "audio_chunk_parts",
+    "hourly_counts_gap_filled",
+    "json_malformed_taxonomy",
+    "near_dup_clusters",
+    "train_val_test_split",
+    "robust_zscores_by_user",
+    "robust_zscores_native",
+    "language_id_script_aware",
+    "pipeline_archive_metadata",
+    "pii_redaction_docs",
+    "decontaminate_corpus",
+    "sessionize_events",
+    "stratified_sample_docs",
+    "corpus_shuffle_order",
+    "line_dedup_docs",
+    "pack_sequences_docs",
+    "phash_near_dup_media",
+    "lm_score_docs",
+    "vocab_coverage_docs",
+    "chunk_documents_docs",
+    "domain_mix_weights_docs",
+    "url_dedup_normalized",
 ]
 
 
@@ -3053,12 +3093,22 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation is the sort itself)."""
     from parlerproject_spark.operators.sampling import deterministic_shuffle
     d = _t(spark, sf_dir, "documents")
-    shuffled = deterministic_shuffle(d.select("doc_id"), id_col="doc_id")
-    w = Window.orderBy(
-        F.md5(F.concat(F.lit("shuffle-v1:"), F.col("doc_id").cast("string"))))
-    return (shuffled.select(
+    # Cut to the 50 surviving rows FIRST (orderBy+limit collapses to
+    # TakeOrderedAndProject — parallel partial top-k, no global sort
+    # materialized), THEN number the bounded extract.  Numbering the
+    # full table via an unpartitioned window would drag every row to
+    # one partition — the one shape this module must never plan.
+    key = F.md5(F.concat(F.lit("shuffle-v1:"), F.col("doc_id").cast("string")))
+    head = (deterministic_shuffle(d.select("doc_id"), id_col="doc_id")
+            .limit(50))
+    # bounded: 50 rows post-limit — one of the three documented
+    # single-partition windows (with ntile_value_quartiles and
+    # vocab_coverage); tests/test_plans.py sweeps the registry and
+    # pins that every other unpartitioned window is gone
+    w = Window.orderBy(key)
+    return (head.select(
         F.row_number().over(w).cast("long").alias("rn"), "doc_id")
-        .orderBy("rn").limit(50))
+        .orderBy("rn"))
 
 
 @register("line_dedup_docs", """
@@ -3335,3 +3385,123 @@ def url_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.min("doc_id").cast("long").alias("first_doc"))
             .orderBy("norm_url"))
+
+
+# ---------------------------------------------------------------------------
+# CDC: snapshot diff + merge-latest upsert (operators/cdc)
+# ---------------------------------------------------------------------------
+
+
+@register("cdc_snapshot_diff_orders", """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0),
+j AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         old.o_orderkey IS NOT NULL AS in_old,
+         new.o_orderkey IS NOT NULL AS in_new,
+         list_sort(list_filter([
+           CASE WHEN NOT (old.o_orderstatus IS NOT DISTINCT FROM
+                          new.o_orderstatus) THEN 'o_orderstatus' END,
+           CASE WHEN NOT (old.o_totalprice IS NOT DISTINCT FROM
+                          new.o_totalprice) THEN 'o_totalprice' END],
+           x -> x IS NOT NULL)) AS diffs
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN len(diffs) > 0 THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       CASE WHEN in_old AND in_new AND len(diffs) > 0
+            THEN array_to_string(diffs, ',') ELSE '' END AS changed_cols
+FROM j
+ORDER BY o_orderkey
+""")
+def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/cdc.snapshot_diff): the corpus-refresh
+    audit step — one full-outer join keyed on o_orderkey classifying
+    every key as added / removed / changed / unchanged, with the sorted
+    list of differing columns.  The fixture derives two snapshots from
+    `orders`: old drops keys ≡0 (mod 5) (→ 'added' in new), new drops
+    keys ≡0 (mod 7) (→ 'removed') and mutates o_totalprice on ≡0
+    (mod 3) and o_orderstatus on ≡0 (mod 4), so changed_cols covers
+    one-column, other-column, and both-columns cases.  Generalizes the
+    reference's per-file resume diff (htmlConverter.py:52-54) to keyed
+    row-level change tracking.  Plan: one exchange per side, nothing
+    else."""
+    from parlerproject_spark.operators.cdc import snapshot_diff
+    o = _t(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 5 != 0)
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new = (o.filter(F.col("o_orderkey") % 7 != 0)
+           .select(
+               "o_orderkey",
+               F.when(F.col("o_orderkey") % 4 == 0, F.lit("X"))
+                .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+               F.when(F.col("o_orderkey") % 3 == 0,
+                      F.col("o_totalprice") + 10)
+                .otherwise(F.col("o_totalprice")).alias("o_totalprice")))
+    d = snapshot_diff(old, new, key_cols=["o_orderkey"],
+                      compare_cols=["o_orderstatus", "o_totalprice"])
+    return (d.select("o_orderkey", "change",
+                     F.array_join("changed_cols", ",").alias("changed_cols"))
+            .orderBy("o_orderkey"))
+
+
+@register("cdc_merge_latest_events", """
+WITH base AS (
+  SELECT event_id, 1 AS version, value, ts
+  FROM events WHERE event_id % 3 <> 0),
+upd AS (
+  SELECT event_id,
+         CASE WHEN event_id % 4 = 0 THEN 2 ELSE 1 END AS version,
+         value + 1 AS value, ts
+  FROM events WHERE event_id % 2 = 0),
+tagged AS (
+  SELECT *, 0 AS src FROM base
+  UNION ALL
+  SELECT *, 1 AS src FROM upd),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_id
+    ORDER BY version DESC, ts DESC, src DESC) AS rn
+  FROM tagged)
+SELECT event_id, cast(version AS BIGINT) AS version,
+       round(value, 2) AS value
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+""")
+def cdc_merge_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-latest upsert (operators/cdc.merge_latest): the batch
+    analogue of Delta/Iceberg MERGE — union base + updates, keep one
+    winner per key by (version desc, ts desc, updates-side-wins).
+    The fixture: base = events keys ≢0 (mod 3) at version 1; updates =
+    keys ≡0 (mod 2) with value+1, at version 2 on ≡0 (mod 4) else
+    version 1.  Keys in both sides at EQUAL version and ts prove the
+    updates-win tiebreak (winner carries value+1); version-2 updates
+    prove the version order; base-only / update-only keys prove
+    passthrough.  Plan: zero-shuffle union + one window over the key
+    exchange — per-key sort is spill-backed, a hot key degrades to
+    disk, never driver memory."""
+    from parlerproject_spark.operators.cdc import merge_latest
+    e = _t(spark, sf_dir, "events")
+    base = (e.filter(F.col("event_id") % 3 != 0)
+            .select("event_id", F.lit(1).alias("version"), "value", "ts"))
+    upd = (e.filter(F.col("event_id") % 2 == 0)
+           .select("event_id",
+                   F.when(F.col("event_id") % 4 == 0, F.lit(2))
+                    .otherwise(F.lit(1)).alias("version"),
+                   (F.col("value") + 1).alias("value"), "ts"))
+    m = merge_latest(base, upd, key_cols=["event_id"],
+                     version_col="version", tiebreak_col="ts")
+    return (m.select("event_id",
+                     F.col("version").cast("long").alias("version"),
+                     F.round("value", 2).alias("value"))
+            .orderBy("event_id"))

@@ -174,3 +174,39 @@ def test_q8_q9_broadcast_dims(spark, sf_dir):
         strategies = inspect.join_strategies(df)
         assert strategies.count("BroadcastHashJoin") >= 3, (name, strategies)
         assert "CartesianProduct" not in strategies, name
+
+
+def test_corpus_shuffle_numbers_bounded_extract(spark, sf_dir):
+    df = Q.queries()["corpus_shuffle_order"](spark, sf_dir)
+    plan = inspect.final_plan(df)
+    # the permutation head is cut by a distributed top-k BEFORE the
+    # row_number window: the single-partition window sees exactly 50
+    # rows at any corpus size
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+#: documented bounded single-partition windows (input is a top-k /
+#: limit extract or an already-aggregated scalar frame) — every other
+#: registered query must plan zero unpartitioned windows
+_BOUNDED_WINDOW_ALLOWLIST = {
+    "ntile_value_quartiles",   # 4000-row top-k extract
+    "vocab_coverage_docs",     # top-k vocabulary rows only
+    "corpus_shuffle_order",    # 50-row limit extract
+}
+
+
+def test_registry_has_no_unpartitioned_window_over_unbounded_input(
+        spark, sf_dir):
+    import re
+    flagged = {}
+    for name, fn in Q.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for m in re.finditer(
+                r"windowspecdefinition\(([^()]*?)specifiedwindowframe", plan):
+            first = m.group(1).split(",")[0].strip()
+            # a partition column renders bare; an order-only spec leads
+            # with a SortOrder ("col ASC/DESC ...") -> unpartitioned
+            if " ASC" in first or " DESC" in first:
+                flagged.setdefault(name, []).append(first)
+    assert set(flagged) <= _BOUNDED_WINDOW_ALLOWLIST, flagged
