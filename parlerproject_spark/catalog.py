@@ -86,10 +86,12 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampType()),
     ),
-    # ts is parquet timestamp[ns]; Spark's reader has no ns type, so
-    # the scan schema takes the raw int64 (nanosAsLong) and load_table
-    # rewrites it to a µs timestamp. TABLE_SCHEMAS documents the
-    # post-load shape consumers see.
+    # ts unit varies with the generator (timestamp[ns] in early
+    # rounds, timestamp[us] since): load_table sniffs the parquet
+    # footer and normalizes either to a µs TimestampNTZ, so consumers
+    # always see the shape documented here. A ns source is read as
+    # raw int64 (Spark has no ns type) and truncated to µs like
+    # DuckDB does; a µs source is read natively.
     "events": _st(
         ("event_id", LongType()),
         ("ts", TimestampNTZType()),
@@ -114,6 +116,35 @@ TABLE_SCHEMAS: dict[str, StructType] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: path -> parquet ts unit ("ns"/"us"); footer sniffs are per-process
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Timestamp unit of events.ts straight from the parquet footer —
+    a driver-side metadata read (no data pages), cached per path.
+    Defaults to "us" if the footer can't be sniffed (pyarrow missing
+    or exotic layout): µs is what every generator since r4 writes."""
+    if path in _TS_UNIT_CACHE:
+        return _TS_UNIT_CACHE[path]
+    unit = "us"
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_")))
+            if parts:
+                target = os.path.join(path, parts[0])
+        t = pq.read_schema(target).field("ts").type
+        unit = getattr(t, "unit", "us") or "us"
+    except Exception:
+        pass
+    _TS_UNIT_CACHE[path] = unit
+    return unit
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one table with its declared schema.
@@ -128,7 +159,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # built elsewhere (the driver creates its own SparkSession).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_unit(path) == "ns":
         from pyspark.sql import functions as F
 
         raw = StructType([
