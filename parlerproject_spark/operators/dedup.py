@@ -252,7 +252,8 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 12, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      broadcast_candidates: bool | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH, then
     exact-Jaccard verification of candidates only.
 
@@ -260,6 +261,15 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     jaccard s is 1-(1-s^3)^4 (the standard S-curve). The banding
     groupBy is the only corpus-wide shuffle; verification touches
     candidate docs only. Columns: id_a, id_b, jaccard.
+
+    `broadcast_candidates` governs how the candidate-pair set joins
+    into the shingle table: None (default) leaves the choice to AQE,
+    which sees the candidate set's TRUE post-shuffle size at runtime
+    and broadcasts only when it actually fits — the safe shape for a
+    dirty 100 TB corpus where candidates can exceed the broadcast
+    budget; True forces the broadcast hint (tiny known-clean inputs,
+    saves AQE's exchange of the candidate side); False pins a shuffled
+    hash join even when AQE would broadcast.
     """
     rows_per_band = num_hashes // bands
     # one shingle table, repartitioned on doc_id, feeds all four
@@ -284,11 +294,16 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
             .distinct())
     # Verify CANDIDATES ONLY — the whole point of LSH is that exact
-    # Jaccard never runs corpus-wide. The candidate set is small, so
-    # it broadcasts into the (shared) shingle table.
+    # Jaccard never runs corpus-wide. The candidate set is usually
+    # tiny, but its size follows corpus dirtiness — see the
+    # broadcast_candidates contract in the docstring.
+    if broadcast_candidates is True:
+        cand = F.broadcast(cand)
+    elif broadcast_candidates is False:
+        cand = cand.hint("shuffle_hash")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (F.broadcast(cand)
+    inter = (cand
              .join(a, F.col("a.doc_id") == F.col("id_a"))
              .join(b, (F.col("b.doc_id") == F.col("id_b"))
                    & (F.col("a.sh") == F.col("b.sh")))

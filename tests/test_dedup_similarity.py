@@ -62,6 +62,29 @@ def test_minhash_lsh_recovers_high_jaccard_pairs(spark):
     assert (1, 2) in got
 
 
+def test_minhash_lsh_broadcast_modes_agree(spark):
+    """The dirty-corpus guard: candidate verification must produce
+    identical pairs whether the candidate set is broadcast (tiny,
+    known-clean), AQE-adaptive (default), or pinned to a shuffled
+    hash join (the 100 TB fallback when candidates outgrow the
+    broadcast budget)."""
+    def run(mode):
+        return {(r["id_a"], r["id_b"], r["jaccard"])
+                for r in dedup.minhash_lsh_pairs(
+                    _corpus(spark), threshold=0.0,
+                    broadcast_candidates=mode).collect()}
+    auto, forced, shuffled = run(None), run(True), run(False)
+    assert auto == forced == shuffled and (1, 2, 1.0) in auto
+    # the fallback really does plan without a candidate broadcast:
+    # the forced plan has a broadcast exchange feeding the verify
+    # join that the pinned-shuffle plan must not have on that side
+    plan_off = dedup.minhash_lsh_pairs(
+        _corpus(spark), threshold=0.0, broadcast_candidates=False
+    )._jdf.queryExecution().executedPlan().toString()
+    final_off = plan_off.split("== Initial Plan ==")[0]
+    assert "ShuffledHashJoin" in final_off, final_off
+
+
 def test_minhash_signature_identical_for_identical_docs(spark):
     sig = dedup.minhash_signatures(_corpus(spark)).collect()
     by_id = {r["doc_id"]: [r[f"h{i}"] for i in range(12)] for r in sig}
