@@ -95,6 +95,11 @@ EXTRA = [
     "chunk_documents_docs",
     "domain_mix_weights_docs",
     "url_dedup_normalized",
+    # round-4 additions: the reference's flagship batch job now has a
+    # recorded number (VERDICT r3 task 6), plus the CDC pair
+    "pipeline_archive_metadata",
+    "cdc_snapshot_diff_orders",
+    "cdc_merge_latest_events",
 ]
 
 
