@@ -96,10 +96,16 @@ EXTRA = [
     "domain_mix_weights_docs",
     "url_dedup_normalized",
     # round-4 additions: the reference's flagship batch job now has a
-    # recorded number (VERDICT r3 task 6), plus the CDC pair
+    # recorded number (VERDICT r3 task 6), plus the CDC pair and the
+    # incremental-rollup / mergeable-sketch family
     "pipeline_archive_metadata",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
+    "incremental_rollup_events",
+    "rollup_serve_monthly",
+    "distinct_users_hll_rollup",
+    "audience_overlap_theta",
+    "value_quantiles_kll",
 ]
 
 

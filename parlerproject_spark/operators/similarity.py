@@ -127,7 +127,13 @@ def knn_lsh(vectors: DataFrame, query: DataFrame, *, dim: int, k: int = 10,
     it partitionBy(tbl, sig) and `probe_lsh_index` prunes to the
     probed buckets at planning time.
     Signatures default to the Arrow/BLAS path (`_signatures_arrow`);
-    impl="expr" keeps the pure-JVM expression form.
+    impl="expr" keeps the pure-JVM expression form. Adjudicated r4
+    (tools/bench_ann_impl.py, noop-forced evaluation, warm workers):
+    arrow wins at EVERY size tested — 2k rows 2.2s vs 2.6s, 20k 3.9
+    vs 13.6, 200k 24.3 vs 138.7 (dim=64, 48 planes) — because the
+    HOF lambda path is interpreted per element while the matmul is
+    BLAS. The r3 bench regression attributed to this switch did not
+    reproduce; default stays "arrow" unconditionally.
     Query side: exact signature plus every hamming-1 neighbor
     (num_planes probes/table) — a few dozen broadcast rows. Exact
     cosine re-rank inside probed buckets only. Recall < 1 by design;

@@ -62,6 +62,11 @@ _DRIVER_PRIORITY: list[str] = [
     # refreshes the stalest entries.  Never-sampled (new this round):
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
+    "incremental_rollup_events",
+    "rollup_serve_monthly",
+    "distinct_users_hll_rollup",
+    "audience_overlap_theta",
+    "value_quantiles_kll",
     # ...last driver row in r1 (two rounds stale):
     "q1_pricing_summary",
     "q3_segment_revenue",
@@ -3505,3 +3510,152 @@ def cdc_merge_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("version").cast("long").alias("version"),
                      F.round("value", 2).alias("value"))
             .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollups + mergeable sketches (operators/rollup)
+# ---------------------------------------------------------------------------
+
+
+@register("incremental_rollup_events", """
+WITH direct AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type,
+         cast(count(*) AS BIGINT) AS n_rows,
+         round(sum(value), 4) AS sum_value,
+         round(min(value), 4) AS min_value,
+         round(max(value), 4) AS max_value,
+         round(sum(value) / count(*), 4) AS avg_value
+  FROM events GROUP BY 1, 2)
+SELECT * FROM direct ORDER BY day, event_type
+""")
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup (operators/rollup): the engine
+    maintains per-(day, event_type) PARTIAL aggregates from two
+    disjoint deltas (days <=20 as the standing base, the rest as the
+    incoming refresh), merges the partials, and finalizes read-time
+    measures — while the ORACLE recomputes directly from raw events.
+    Hash equality proves the core mergeable-state contract: partial +
+    merge == direct, the invariant every 100 TB pre-aggregation
+    serving layer rests on.  Plan: one exchange per delta + one merge
+    exchange over partial rows only."""
+    from parlerproject_spark.operators.rollup import (finalize_rollup,
+                                                      merge_rollups,
+                                                      partial_rollup)
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    base = e.filter(F.dayofmonth("ts") <= 20)
+    delta = e.filter(F.dayofmonth("ts") > 20)
+    parts = [partial_rollup(d, bucket=day, key_cols=["event_type"],
+                            value_col="value", bucket_alias="bucket")
+             for d in (base, delta)]
+    served = finalize_rollup(merge_rollups(*parts))
+    return (served.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round("avg_value", 4).alias("avg_value"))
+        .orderBy("day", "event_type"))
+
+
+@register("rollup_serve_monthly", """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+       event_type,
+       cast(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY 1, 2
+ORDER BY month, event_type
+""")
+def rollup_serve_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving a coarser grain FROM the partial table
+    (operators/rollup.coarsen_rollup): month totals re-aggregated
+    from day partials — raw events are scanned once to build the day
+    grain, never for the month read.  The oracle recomputes months
+    directly from raw; hash equality proves coarsening partials
+    loses nothing."""
+    from parlerproject_spark.operators.rollup import (coarsen_rollup,
+                                                      partial_rollup)
+    e = _t(spark, sf_dir, "events")
+    daily = partial_rollup(e, bucket=F.date_trunc("day", F.col("ts")),
+                           key_cols=["event_type"], value_col="value",
+                           bucket_alias="day")
+    monthly = coarsen_rollup(daily,
+                             bucket=F.date_trunc("month", F.col("day")),
+                             key_cols=["event_type"],
+                             bucket_alias="month")
+    return (monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"))
+        .orderBy("month", "event_type"))
+
+
+@register("distinct_users_hll_rollup", None)  # sketch estimate: merge
+# contract + 5% accuracy proven in tests/test_rollup.py
+def distinct_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct counts: daily HLL sketches of user_id per
+    event_type, merged across days with set semantics (a user active
+    every day counts once — summing per-day distincts would count
+    them 30×).  The partial table is ~1.6 kB per row; the merge
+    never rescans events.  DuckDB's HLL differs from DataSketches,
+    so no hash oracle; the pytest contract instead proves
+    merged-across-buckets == direct-over-all exactly, and both
+    within 5% of the exact distinct count."""
+    from parlerproject_spark.operators.rollup import (
+        distinct_sketch_rollup, merge_distinct_sketches)
+    e = _t(spark, sf_dir, "events")
+    daily = distinct_sketch_rollup(e, bucket=F.date_trunc("day", F.col("ts")),
+                                   key_cols=["event_type"],
+                                   id_col="user_id")
+    return (merge_distinct_sketches(daily, key_cols=["event_type"])
+            .select("event_type",
+                    F.col("approx_distinct").cast("long")
+                    .alias("approx_distinct"))
+            .orderBy("event_type"))
+
+
+@register("audience_overlap_theta", None)  # set-algebra estimates:
+# accuracy vs exact proven in tests/test_rollup.py
+def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from theta sketches: |view ∩ purchase| and
+    |view ∪ purchase| user estimates computed from two per-segment
+    sketches — set algebra HLL cannot do, the reason theta earns its
+    extra bytes.  The raw table is read once to build the sketches;
+    the overlap math touches two single-row sketch states."""
+    from parlerproject_spark.operators.rollup import (theta_overlap,
+                                                      theta_segment_sketches)
+    e = _t(spark, sf_dir, "events")
+    sk = theta_segment_sketches(e, segment_col="event_type",
+                                id_col="user_id")
+    out = theta_overlap(sk, segment_col="event_type",
+                        seg_a="view", seg_b="purchase")
+    return out.select(*[F.round(c, 1).alias(c) for c in
+                        ("n_a", "n_b", "n_both", "n_either")])
+
+
+@register("value_quantiles_kll", None)  # merged-quantile accuracy
+# proven in tests/test_rollup.py against exact percentiles
+def value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: daily KLL sketches of value per
+    event_type merged into monthly p50/p95/p99 — exact percentiles
+    do not merge across partials (the whole sorted column would have
+    to move); the KLL state does, with rank-error guarantees."""
+    from parlerproject_spark.operators.rollup import (
+        merge_quantile_sketches, quantile_sketch_rollup)
+    e = _t(spark, sf_dir, "events")
+    daily = quantile_sketch_rollup(e, bucket=F.date_trunc("day", F.col("ts")),
+                                   key_cols=["event_type"],
+                                   value_col="value")
+    out = merge_quantile_sketches(daily, key_cols=["event_type"])
+    return (out.select("event_type",
+                       *[F.round(c, 4).alias(c)
+                         for c in ("q_50", "q_95", "q_99")])
+            .orderBy("event_type"))

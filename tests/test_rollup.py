@@ -1,0 +1,137 @@
+"""Incremental rollup + mergeable-sketch contracts (operators/rollup).
+
+The property that makes the module correct at 100 TB is MERGEABILITY:
+partial-aggregate state combined across arbitrary delta splits must
+equal the direct aggregate over the union. The exact measures get a
+hash oracle too (queries.py); these tests pin the algebra itself plus
+the sketch accuracy bounds no SQL oracle can express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parlerproject_spark.catalog import load_table
+from parlerproject_spark.operators import rollup as R
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, "events", sf_dir)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_partial_merge_equals_direct_any_split(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    direct = R.partial_rollup(e, bucket=day, key_cols=["event_type"],
+                              value_col="value")
+    # a deliberately lopsided 3-way split on an unrelated column
+    splits = [e.filter(F.col("event_id") % 7 == 0),
+              e.filter(F.col("event_id") % 7 == 1),
+              e.filter(F.col("event_id") % 7 > 1)]
+    merged = R.merge_rollups(*[
+        R.partial_rollup(s, bucket=day, key_cols=["event_type"],
+                         value_col="value") for s in splits])
+    cols = ["bucket", "event_type", "n_rows"]
+    assert _rows(merged, cols) == _rows(direct, cols)
+    # float sums compare after rounding (association order differs)
+    ds = {(r["bucket"], r["event_type"]): round(r["sum_value"], 6)
+          for r in direct.collect()}
+    ms = {(r["bucket"], r["event_type"]): round(r["sum_value"], 6)
+          for r in merged.collect()}
+    assert ds == ms
+
+
+def test_coarsen_partials_equals_direct_coarse(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = R.partial_rollup(e, bucket=F.date_trunc("day", F.col("ts")),
+                             key_cols=["event_type"], value_col="value",
+                             bucket_alias="day")
+    monthly = R.coarsen_rollup(daily,
+                               bucket=F.date_trunc("month", F.col("day")),
+                               key_cols=["event_type"],
+                               bucket_alias="month")
+    direct = R.partial_rollup(e, bucket=F.date_trunc("month", F.col("ts")),
+                              key_cols=["event_type"], value_col="value",
+                              bucket_alias="month")
+    cols = ["month", "event_type", "n_rows", "min_value", "max_value"]
+    assert _rows(monthly, cols) == _rows(direct, cols)
+
+
+def test_finalize_avg_derives_from_state(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    served = R.finalize_rollup(
+        R.partial_rollup(e, bucket=F.lit(1), key_cols=["event_type"],
+                         value_col="value"))
+    got = {r["event_type"]: round(r["avg_value"], 6) for r in served.collect()}
+    want = {r["event_type"]: round(r["avg"], 6)
+            for r in e.groupBy("event_type")
+                      .agg(F.avg("value").alias("avg")).collect()}
+    assert got == want
+
+
+def test_hll_merge_matches_direct_and_exact(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = R.distinct_sketch_rollup(
+        e, bucket=F.date_trunc("day", F.col("ts")),
+        key_cols=["event_type"], id_col="user_id")
+    merged = {r["event_type"]: r["approx_distinct"]
+              for r in R.merge_distinct_sketches(
+                  daily, key_cols=["event_type"]).collect()}
+    direct = {r["event_type"]: r["est"]
+              for r in e.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+              .collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    # merging daily sketches == sketching the whole table (exact
+    # equality: same deterministic sketch state either way)...
+    assert merged == direct
+    # ...and the estimate honors the lg_k=12 error bound comfortably
+    for k, n in exact.items():
+        assert abs(merged[k] - n) / n < 0.05, (k, merged[k], n)
+
+
+def test_theta_overlap_tracks_exact_set_algebra(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    sk = R.theta_segment_sketches(e, segment_col="event_type",
+                                  id_col="user_id")
+    est = R.theta_overlap(sk, segment_col="event_type",
+                          seg_a="view", seg_b="purchase").collect()[0]
+    va = e.filter(F.col("event_type") == "view") \
+          .select("user_id").distinct()
+    vb = e.filter(F.col("event_type") == "purchase") \
+          .select("user_id").distinct()
+    n_a, n_b = va.count(), vb.count()
+    n_both = va.intersect(vb).count()
+    n_either = va.union(vb).distinct().count()
+    for name, got, want in [("n_a", est["n_a"], n_a),
+                            ("n_b", est["n_b"], n_b),
+                            ("n_both", est["n_both"], n_both),
+                            ("n_either", est["n_either"], n_either)]:
+        assert want > 0 and abs(got - want) / want < 0.05, (name, got, want)
+
+
+def test_kll_merged_quantiles_close_to_exact(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = R.quantile_sketch_rollup(
+        e, bucket=F.date_trunc("day", F.col("ts")),
+        key_cols=["event_type"], value_col="value")
+    got = {r["event_type"]: (r["q_50"], r["q_95"], r["q_99"])
+           for r in R.merge_quantile_sketches(
+               daily, key_cols=["event_type"]).collect()}
+    # KLL guarantees RANK error (~1.3% at k=200), not value error —
+    # a heavy-tailed p99 can sit far away in value space while being
+    # rank-exact. Assert the empirical CDF position of each returned
+    # value is within 2.5% of its target rank.
+    for k, qs in got.items():
+        seg = e.filter(F.col("event_type") == k)
+        n = seg.count()
+        for target, g in zip((0.5, 0.95, 0.99), qs):
+            rank = seg.filter(F.col("value") <= g).count() / n
+            assert abs(rank - target) < 0.025, (k, target, g, rank)
