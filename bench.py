@@ -106,6 +106,7 @@ EXTRA = [
     "distinct_users_hll_rollup",
     "audience_overlap_theta",
     "value_quantiles_kll",
+    "zorder_events_stats",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Physical layout operators: bucketing + partitioned tables.
+"""Physical layout operators: bucketing, partitioned tables, z-order.
 
 At 100 TB the dominant cost of repeated joins/aggs on the same key
 is the shuffle. Bucketing pre-shuffles ONCE at write time: two
@@ -7,11 +7,97 @@ ZERO exchanges (tests/test_layout.py proves it on the plan). This is
 the engine's answer for the reference's repeatedly-joined keys
 (filename across listing/status/metadata; doc_id across
 documents/embeddings/topics).
+
+Z-ordering is the second layout lever: a single sort key that
+interleaves the bits of SEVERAL filter columns, so range-partitioned
+files get tight min/max bounding boxes on every interleaved column
+at once — parquet row-group / file skipping then prunes multi-column
+predicates the way a one-column sort only prunes its own column
+(the Delta/Iceberg OPTIMIZE ZORDER pattern, built from pure Column
+algebra here).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def scale_to_bits(col: Column | str, *, lo: float, hi: float,
+                  bits: int = 16) -> Column:
+    """Linear map of a [lo, hi] column onto [0, 2^bits): the
+    REQUIRED pre-step before interleaving. A column whose natural
+    range fills only the low bits (say ids 0..150 in a 16-bit slot)
+    contributes nothing to the key's high rounds, and the z-curve
+    degenerates to a one-column sort on whichever column does —
+    exactly the layout z-order exists to beat. Clamps outliers."""
+    c = F.col(col) if isinstance(col, str) else col
+    top = (1 << bits) - 1
+    span = (hi - lo) or 1.0
+    scaled = F.floor((c.cast("double") - F.lit(float(lo)))
+                     / F.lit(float(span)) * F.lit(float(top)))
+    return F.greatest(F.lit(0), F.least(F.lit(top), scaled)).cast("bigint")
+
+
+def equi_depth_bits(df: DataFrame, col: str, *, bits: int = 8,
+                    relative_error: float = 0.001) -> Column:
+    """Equi-depth (quantile-rank) image of a column onto [0, 2^bits):
+    the skew-proof pre-step for z-ordering. `scale_to_bits` is linear
+    — a heavy-tailed column collapses most rows into a few low
+    buckets and the curve degenerates toward a sort on the other
+    column. Equi-depth gives every bucket the same ROW count (how
+    Delta/Iceberg OPTIMIZE ZORDER images columns: by range-partition
+    rank, not value).
+
+    Boundaries come from one driver-side approxQuantile pass
+    (sampled, the same mechanism a range partitioner uses); the
+    mapping is then `size(filter(boundaries, b -> b <= x))` over a
+    2^bits-1 literal array — no join, no window, no UDF."""
+    n = 1 << bits
+    cuts = df.approxQuantile(col, [i / n for i in range(1, n)],
+                             relative_error)
+    arr = F.lit([float(c) for c in cuts])
+    x = F.col(col).cast("double")
+    return F.size(F.filter(arr, lambda b: b <= x)).cast("bigint")
+
+
+def zorder_key(cols: Sequence[Column | str], *, bits: int = 16) -> Column:
+    """Morton (z-curve) key: interleave the low `bits` of each
+    column's non-negative integer image, first column owning the
+    highest bit of each round. Pure deterministic bit algebra —
+    whole-stage-codegen'd, no UDF, and exactly replayable in SQL
+    (the oracle rebuilds it term by term).
+
+    Callers map each column into [0, 2^bits) first (e.g. quantized
+    measures, hashed strings, truncated ids): the key preserves
+    LOCALITY only in that image; plain modulo wraps distant values
+    together and should be avoided for range columns.
+    """
+    n = len(cols)
+    assert n >= 1
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("bigint")
+    for b in range(bits - 1, -1, -1):          # MSB first
+        for i, c in enumerate(cs):
+            bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
+            z = F.shiftleft(z, 1).bitwiseOR(bit)
+    return z
+
+
+def zorder_layout(df: DataFrame, cols: Sequence[Column | str], *,
+                  bits: int = 16, partitions: int = 32,
+                  key_alias: str = "__zkey") -> DataFrame:
+    """Range-partition + sort by the z-key: the write-side layout
+    step. Each output partition (→ file at write time) covers a
+    contiguous z-range, i.e. a small hyper-rectangle in the
+    interleaved column space — the property file skipping needs.
+    One range exchange (sampled boundaries), in-partition sort only.
+    """
+    keyed = df.withColumn(key_alias, zorder_key(cols, bits=bits))
+    return (keyed.repartitionByRange(partitions, key_alias)
+            .sortWithinPartitions(key_alias))
 
 
 def write_bucketed(df: DataFrame, table: str, *, by: str, buckets: int = 32,

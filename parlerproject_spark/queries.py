@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "distinct_users_hll_rollup",
     "audience_overlap_theta",
     "value_quantiles_kll",
+    "zorder_events_stats",
     # ...last driver row in r1 (two rounds stale):
     "q1_pricing_summary",
     "q3_segment_revenue",
@@ -3659,3 +3660,57 @@ def value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
                        *[F.round(c, 4).alias(c)
                          for c in ("q_50", "q_95", "q_99")])
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.zorder_key)
+# ---------------------------------------------------------------------------
+
+_ZORDER_TERMS = " + ".join(
+    f"(((u >> {b}) & 1) << {2 * b + 1}) + (((v >> {b}) & 1) << {2 * b})"
+    for b in range(16))
+
+@register("zorder_events_stats", f"""
+WITH q AS (
+  SELECT least(greatest(cast(floor(user_id / 150.0 * 65535) AS BIGINT),
+               0), 65535) AS u,
+         least(greatest(cast(floor(floor(value * 100) / 50000.0 * 65535)
+               AS BIGINT), 0), 65535) AS v
+  FROM events),
+z AS (
+  SELECT u, v, {_ZORDER_TERMS} AS zkey FROM q)
+SELECT cast(zkey >> 22 AS BIGINT) AS file_id,
+       cast(count(*) AS BIGINT) AS n_rows,
+       cast(min(u) AS BIGINT) AS u_min, cast(max(u) AS BIGINT) AS u_max,
+       cast(min(v) AS BIGINT) AS v_min, cast(max(v) AS BIGINT) AS v_max
+FROM z GROUP BY 1 ORDER BY file_id
+""")
+def zorder_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout stats (operators/layout.zorder_key): scale
+    user_id and the centi-quantized value onto the full 16-bit range
+    (scale_to_bits — an unscaled short-range column would zero its
+    high interleave rounds and collapse the curve into a one-column
+    sort), interleave into a Morton key, carve the 32-bit z-space
+    into 1024 fixed slabs (zkey >> 22 — the deterministic stand-in
+    for range-partition file boundaries), and emit each slab's
+    per-column bounding box.  Hash equality pins the bit algebra
+    exactly (the oracle rebuilds all 32 interleave terms); the
+    data-skipping property those boxes buy is proven in
+    tests/test_layout_skew.py::test_zorder_tightens_bounding_boxes.
+    Plan: one narrow map + one aggregation exchange."""
+    from parlerproject_spark.operators.layout import (scale_to_bits,
+                                                      zorder_key)
+    e = _t(spark, sf_dir, "events")
+    q = e.select(
+        scale_to_bits("user_id", lo=0, hi=150).alias("u"),
+        scale_to_bits(F.floor(F.col("value") * 100).cast("bigint"),
+                      lo=0, hi=50000).alias("v"))
+    z = q.withColumn("zkey", zorder_key([F.col("u"), F.col("v")], bits=16))
+    return (z.groupBy(F.shiftright("zkey", 22).cast("bigint")
+                      .alias("file_id"))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.min("u").cast("long").alias("u_min"),
+                 F.max("u").cast("long").alias("u_max"),
+                 F.min("v").cast("long").alias("v_min"),
+                 F.max("v").cast("long").alias("v_max"))
+            .orderBy("file_id"))

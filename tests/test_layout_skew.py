@@ -74,3 +74,70 @@ def test_co_partitioned_reuses_exchange(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b1010, 0b0101)], ["a", "b"])
+    z = df.select(layout.zorder_key(["a", "b"], bits=4).alias("z")).first()["z"]
+    # a owns odd positions (MSB of each round), b even:
+    # a=1010, b=0101 -> z = 10 01 10 01 = 0b10011001
+    assert z == 0b10011001
+
+
+def test_zorder_prunes_on_either_column(spark):
+    """The data-skipping claim, measured the way file skipping
+    actually works: a point predicate prunes every file whose
+    [min, max] on that column excludes the point. A u-sorted layout
+    answers u-queries from 1 file but v-queries from ALL files;
+    z-order bounds BOTH columns near sqrt(P) files. Independent
+    uniform columns (hash-derived, deterministic) — on strongly
+    CORRELATED columns a plain sort on the driving column is the
+    better layout, which is why zorder_key is opt-in."""
+    n = 1 << 14
+    base = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(256)).alias("ub"),
+        F.pmod(F.xxhash64(F.col("id") + 1_000_000), F.lit(256)).alias("vb"))
+    keyed = base.withColumn("z", layout.zorder_key(["ub", "vb"], bits=8))
+
+    def touched(order_col):
+        parts = (keyed.repartitionByRange(16, F.col(order_col))
+                 .withColumn("pid", F.spark_partition_id())
+                 .groupBy("pid")
+                 .agg(F.min("ub").alias("ul"), F.max("ub").alias("uh"),
+                      F.min("vb").alias("vl"), F.max("vb").alias("vh"))
+                 .collect())
+        probes = range(2, 256, 16)  # 16 deterministic point queries
+        u_hits = sum(sum(1 for p in parts if p["ul"] <= q <= p["uh"])
+                     for q in probes) / len(list(probes))
+        v_hits = sum(sum(1 for p in parts if p["vl"] <= q <= p["vh"])
+                     for q in probes) / len(list(probes))
+        return u_hits, v_hits
+
+    u_sort = touched("ub")
+    z_sort = touched("z")
+    # one-column sort: perfect on its own column, useless on the other
+    assert u_sort[0] <= 2 and u_sort[1] >= 14, u_sort
+    # z-order: BOTH columns prune to ~sqrt(16)=4 files; allow slack
+    # for quadrant-straddling ranges
+    assert z_sort[0] <= 8 and z_sort[1] <= 8, z_sort
+    # and the v-column pruning it buys is at least 2x the sort's
+    assert z_sort[1] * 2 <= u_sort[1], (z_sort, u_sort)
+
+
+def test_equi_depth_bits_balances_heavy_tail(spark, sf_dir):
+    """equi_depth_bits gives every bucket the same row count even on
+    the heavy-tailed value column where a linear image collapses most
+    rows into a few low buckets (measured in r4: linear imaging made
+    z-order WORSE than a one-column sort)."""
+    e = load_table(spark, "events", sf_dir).select("value")
+    img = e.withColumn("b", layout.equi_depth_bits(e, "value", bits=4))
+    counts = [r["n"] for r in
+              img.groupBy("b").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == 16
+    assert max(counts) < 2 * min(counts), counts
+    lin = e.withColumn("b", layout.scale_to_bits(
+        "value", lo=0, hi=500, bits=4))
+    lin_counts = [r["n"] for r in
+                  lin.groupBy("b").agg(F.count("*").alias("n")).collect()]
+    # the linear image really is lopsided on this distribution
+    assert max(lin_counts) > 4 * min(lin_counts), lin_counts
