@@ -87,6 +87,42 @@ def finalize_rollup(rollup: DataFrame) -> DataFrame:
         "avg_value", F.col("sum_value") / F.col("n_rows"))
 
 
+def rollup_sink(stream_events: DataFrame, path: str, *, bucket: F.Column,
+                key_cols: Sequence[str], value_col: str,
+                checkpoint: str, bucket_alias: str = "bucket"):
+    """Maintain the partial table FROM A STREAM: each micro-batch
+    aggregates to partial rows (batch-local groupBy — tiny) and lands
+    them under `path`/batch=<id>. Replayed batches overwrite their own
+    subdirectory, so the sink is idempotent across restarts (same
+    exactly-once recipe as streaming/events.foreach_batch_sink).
+    Serving merges partials at read time (`serve_rollup`); nothing
+    ever rewrites history, a refresh only ADDS partial rows — the
+    incremental-materialized-view maintenance loop at stream pace.
+    Returns the started StreamingQuery."""
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = partial_rollup(batch_df, bucket=bucket, key_cols=key_cols,
+                              value_col=value_col,
+                              bucket_alias=bucket_alias)
+        part.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch={batch_id}"))
+
+    return (stream_events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def serve_rollup(spark, path: str) -> DataFrame:
+    """Read-side merge of every batch's partial rows → one row per
+    (bucket, keys). The only full pass is over PARTIAL rows (batches
+    × buckets × keys — orders of magnitude under the raw stream).
+    The `batch` directory column must NOT survive into the merge
+    group-by — it exists only for replay idempotency; leaving it in
+    would keep per-batch rows separate instead of folding them."""
+    return merge_rollups(spark.read.parquet(path).drop("batch"))
+
+
 # ---------------------------------------------------------------------------
 # Mergeable sketches (Apache DataSketches via Spark 4 built-ins)
 # ---------------------------------------------------------------------------

@@ -135,3 +135,42 @@ def test_kll_merged_quantiles_close_to_exact(spark, sf_dir):
         for target, g in zip((0.5, 0.95, 0.99), qs):
             rank = seg.filter(F.col("value") <= g).count() / n
             assert abs(rank - target) < 0.025, (k, target, g, rank)
+
+
+def test_stream_maintained_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The maintenance loop end-to-end: events arriving as a stream
+    keep the partial table fresh via foreachBatch; serving the
+    merged partials equals the direct batch rollup over all events —
+    including after a restart replays a batch (idempotent by
+    batch subdirectory)."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    # one file per micro-batch -> 4 batches, so the serve-side merge
+    # provably folds partial rows ACROSS batch subdirectories
+    stream = (spark.readStream.schema(e.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    day = F.date_trunc("day", F.col("ts"))
+    state = str(tmp_path / "state")
+    q = R.rollup_sink(stream, state, bucket=day, key_cols=["event_type"],
+                      value_col="value",
+                      checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    import os
+    batches = [d for d in os.listdir(state) if d.startswith("batch=")]
+    assert len(batches) >= 2, batches
+
+    served = R.serve_rollup(spark, state)
+    direct = R.partial_rollup(e, bucket=day, key_cols=["event_type"],
+                              value_col="value")
+    cols = ["bucket", "event_type", "n_rows"]
+    assert _rows(served, cols) == _rows(direct, cols)
+    ds = {(r["bucket"], r["event_type"]): round(r["sum_value"], 6)
+          for r in direct.collect()}
+    ss = {(r["bucket"], r["event_type"]): round(r["sum_value"], 6)
+          for r in served.collect()}
+    assert ds == ss
