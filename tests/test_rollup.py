@@ -174,3 +174,22 @@ def test_stream_maintained_rollup_matches_batch(spark, sf_dir, tmp_path):
     ss = {(r["bucket"], r["event_type"]): round(r["sum_value"], 6)
           for r in served.collect()}
     assert ds == ss
+
+
+def test_hll_state_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The persisted-partial-table contract for sketches: the HLL
+    binary state written to parquet must read back and MERGE to the
+    same estimates as the in-memory path — otherwise the incremental
+    serving story (state lives on disk between refreshes) is fiction."""
+    e = _events(spark, sf_dir)
+    daily = R.distinct_sketch_rollup(
+        e, bucket=F.date_trunc("day", F.col("ts")),
+        key_cols=["event_type"], id_col="user_id")
+    path = str(tmp_path / "hll_state")
+    daily.write.mode("overwrite").parquet(path)
+    from_disk = R.merge_distinct_sketches(
+        spark.read.parquet(path), key_cols=["event_type"])
+    in_mem = R.merge_distinct_sketches(daily, key_cols=["event_type"])
+    got = {r["event_type"]: r["approx_distinct"] for r in from_disk.collect()}
+    want = {r["event_type"]: r["approx_distinct"] for r in in_mem.collect()}
+    assert got == want and len(got) > 0
