@@ -107,6 +107,7 @@ EXTRA = [
     "audience_overlap_theta",
     "value_quantiles_kll",
     "zorder_events_stats",
+    "exact_substring_spans",
 ]
 
 

@@ -221,6 +221,62 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                          F.col("lbl").alias("cluster_id"))
 
 
+def exact_substring_spans(docs: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8,
+                          min_count: int = 2) -> DataFrame:
+    """Maximal exactly-duplicated token spans — the exact-substring
+    dedup pass of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), re-shaped from their suffix array (a
+    global sorted structure Spark should not build) into three keyed
+    stages that scale like every other dedup op here:
+
+      1. rolling token k-grams per position (zero-shuffle array expr),
+      2. grams with corpus-wide occurrence >= min_count (one groupBy +
+         one join back on the gram hash),
+      3. per-doc gaps-and-islands merge of surviving [pos, pos+k-1]
+         intervals into maximal spans (one window over the doc key).
+
+    A span is reported when EVERY k-window inside it is duplicated
+    somewhere in the corpus (including elsewhere in the same doc) —
+    k is the minimum match length, spans grow to the full repeated
+    run. Columns: <id_col>, start_tok (0-based), end_tok (inclusive),
+    n_tokens. Callers cut or mask the spans; the reference keeps docs
+    whole, so this op only REPORTS.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize(text_col).alias("ts"))
+    n = F.size("ts")
+    # gram hash at each 0-based start position (md5 of the k tokens
+    # joined by space — the oracle rebuilds it verbatim)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice(F.col("ts"), i + 1, k)))))
+        .alias("pos", "g")).filter(n >= k)
+    counts = grams.groupBy("g").agg(F.count("*").alias("c")) \
+        .filter(F.col("c") >= min_count)
+    dup = grams.join(counts.select("g"), "g").select("doc_id", "pos")
+    # islands: a fixed-length interval [pos, pos+k-1] merges with the
+    # previous one iff pos <= prev_pos + k (overlap or contiguity)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.lag("pos").over(w) + k, 1)
+         .when(F.lag("pos").over(w).isNull(), 1).otherwise(0))
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islands.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("start_tok"),
+                 (F.max("pos") + k - 1).alias("end_tok"))
+            .select(F.col("doc_id").alias(id_col),
+                    "start_tok", "end_tok",
+                    (F.col("end_tok") - F.col("start_tok") + 1)
+                    .alias("n_tokens")))
+
+
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 12,

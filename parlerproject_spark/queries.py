@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: list[str] = [
     "audience_overlap_theta",
     "value_quantiles_kll",
     "zorder_events_stats",
+    "exact_substring_spans",
     # ...last driver row in r1 (two rounds stale):
     "q1_pricing_summary",
     "q3_segment_revenue",
@@ -3714,3 +3715,51 @@ def zorder_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("v").cast("long").alias("v_min"),
                  F.max("v").cast("long").alias("v_max"))
             .orderBy("file_id"))
+
+
+@register("exact_substring_spans", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ts[i:i+7], ' ')) AS g
+  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)
+  WHERE len(ts) >= 8),
+dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dup AS (
+  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL THEN 1
+              WHEN pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS ni
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+islands AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged)
+SELECT doc_id,
+       cast(min(pos) AS BIGINT) AS start_tok,
+       cast(max(pos) + 7 AS BIGINT) AS end_tok,
+       cast(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
+FROM islands GROUP BY doc_id, island
+ORDER BY doc_id, start_tok
+""")
+def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (dedup.exact_substring_spans):
+    every maximal token run of length >= 8 that occurs at least twice
+    corpus-wide — the Lee-et-al exact-substring dedup pass as three
+    keyed stages (rolling k-gram, global gram count, per-doc island
+    merge) instead of a global suffix array.  The oracle rebuilds the
+    identical md5 gram stream and replays the island algebra in
+    window SQL."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.exact_substring_spans(d, k=8, min_count=2)
+    return (out.select("doc_id",
+                       F.col("start_tok").cast("long").alias("start_tok"),
+                       F.col("end_tok").cast("long").alias("end_tok"),
+                       F.col("n_tokens").cast("long").alias("n_tokens"))
+            .orderBy("doc_id", "start_tok"))

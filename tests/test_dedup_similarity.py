@@ -267,3 +267,47 @@ def test_duplicate_clusters_transitive_closure(spark):
     assert got[10] == got[11] == 10
     assert got[20] == got[23] == 20
     assert all(got[100 + i] == 100 for i in range(40))
+
+
+def test_exact_substring_spans_finds_shared_run(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [(1, f"one two three {shared} four five six"),
+         (2, f"seven eight {shared} nine ten"),
+         (3, "completely different words in every position here today")],
+        ["doc_id", "text"])
+    got = {(r["doc_id"]): (r["start_tok"], r["end_tok"], r["n_tokens"])
+           for r in dedup.exact_substring_spans(docs, k=8).collect()}
+    # the 10-token shared run: doc 1 tokens 3..12, doc 2 tokens 2..11
+    assert got[1] == (3, 12, 10)
+    assert got[2] == (2, 11, 10)
+    assert 3 not in got
+
+
+def test_exact_substring_spans_merges_overlapping_windows(spark):
+    # a 16-token shared run -> 9 duplicated 8-gram windows that must
+    # merge into ONE maximal span, not 9 reports
+    run = " ".join(f"tok{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, run), (2, f"prefix words here {run} suffix")],
+        ["doc_id", "text"])
+    rows = dedup.exact_substring_spans(docs, k=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["end_tok"]))
+    assert by_doc[1] == [(0, 15)]
+    assert by_doc[2] == [(3, 18)]
+
+
+def test_exact_substring_spans_reports_within_doc_repeats(spark):
+    # the duplicated run occurs twice in the SAME document -> two
+    # disjoint spans in that doc (self-duplication counts, matching
+    # the exact-substring dedup definition)
+    run = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, f"{run} filler middle words go here {run}")],
+        ["doc_id", "text"])
+    spans = sorted((r["start_tok"], r["end_tok"])
+                   for r in dedup.exact_substring_spans(docs, k=8).collect())
+    assert spans == [(0, 7), (13, 20)]
