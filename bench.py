@@ -108,6 +108,13 @@ EXTRA = [
     "value_quantiles_kll",
     "zorder_events_stats",
     "exact_substring_spans",
+    # round-4b additions: retrieval, data selection, graph rank
+    "bm25_ranked_docs",
+    "pmi_collocations_docs",
+    "dsir_weights_docs",
+    "perplexity_buckets_docs",
+    "nb_quality_scores_docs",
+    "cointeraction_pagerank",
 ]
 
 

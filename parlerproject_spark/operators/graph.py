@@ -1,0 +1,90 @@
+"""Graph operators over interaction logs: edge derivation and
+fixed-iteration PageRank.
+
+Engine additions: web-crawl pipelines rank hosts/pages by link
+centrality (Common Crawl publishes harmonic-centrality/PageRank
+seed rankings), and the same machinery ranks users in an
+interaction graph. The reference has no graph surface; this module
+derives a co-interaction graph from the event log (the reference's
+status-log domain, code/download_image_files.py's per-object
+fetches) and runs the classic iterative rank over it — expressed as
+join + groupBy per iteration, the shape GraphX/Pregel lowers to
+anyway, so a 1000-executor cluster just sees k keyed shuffles.
+
+Determinism: edges order by (ts, event_id) — a total order — and
+rank updates are pure arithmetic, so the whole pass (including the
+DuckDB oracle, which unrolls the same iterations in CTE SQL) is
+exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cointeraction_edges(events: DataFrame, *,
+                        object_expr: str = "$.k") -> DataFrame:
+    """Directed user→user edges: for each object (the `props` JSON
+    key), order its events by (ts, event_id) and connect each
+    event's user to the next event's user (a distinct-pair
+    projection of the session stream — "u handed the object to v").
+    Self-loops and duplicate pairs are dropped.
+
+    One window over the object key (hash-partitioned by object — no
+    global ordering), one distinct. Columns: src, dst.
+    """
+    w = Window.partitionBy("obj").orderBy("ts", "event_id")
+    keyed = events.select(
+        F.get_json_object("props", object_expr).cast("bigint").alias("obj"),
+        "ts", "event_id", F.col("user_id").alias("dst"))
+    return (keyed
+            .withColumn("src", F.lag("dst").over(w))
+            .filter(F.col("src").isNotNull()
+                    & (F.col("src") != F.col("dst")))
+            .select("src", "dst")
+            .distinct())
+
+
+def pagerank(edges: DataFrame, *, iters: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    r_{t+1}(v) = (1 - d)/N + d * sum_{u->v} r_t(u) / outdeg(u),
+    starting uniform, run exactly `iters` rounds. (Simplified form:
+    dangling mass is not redistributed — documented, and mirrored
+    verbatim by the oracle.)
+
+    Plan: nodes and out-degrees are one aggregation each; every
+    iteration is ONE shuffle join (rank ⋈ edges on src) plus ONE
+    keyed aggregation on dst, then a left join back to the node set
+    for rankless nodes — the exact dataflow Pregel compiles to.
+    Iteration count is fixed and small (the standard "k rounds of
+    power iteration" contract), so the lineage stays bounded; for
+    convergence-driven runs at scale, checkpoint per iteration as
+    dedup.duplicate_clusters does.
+
+    Columns: node, rank (round 6).
+    """
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    base = F.col("n_nodes")
+    ranks = (nodes.crossJoin(F.broadcast(n))
+             .select("node", (F.lit(1.0) / base).alias("rank"), "n_nodes"))
+    for _ in range(iters):
+        contrib = (ranks
+                   .join(outdeg.withColumnRenamed("src", "node"), "node")
+                   .join(edges.withColumnRenamed("src", "node"), "node")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("deg")).alias("c")))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (ranks.select("node", "n_nodes")
+                 .join(summed, "node", "left")
+                 .select("node",
+                         ((1.0 - damping) / base
+                          + damping * F.coalesce(F.col("s"), F.lit(0.0)))
+                         .alias("rank"),
+                         "n_nodes"))
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

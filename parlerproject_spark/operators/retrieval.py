@@ -1,0 +1,128 @@
+"""Ranked text retrieval and collocation mining.
+
+Engine-added operators the reference's corpus tooling stops short
+of: the reference builds per-topic term relevance with c-TF-IDF
+(code/bertopicTest.py:53-54) but has no way to *query* the corpus.
+`bm25_scores` is the standard Okapi BM25 ranked-retrieval pass over
+the same explode → groupBy inverted index; `pmi_collocations` is the
+classic PMI bigram-association miner (the phrase-vocabulary
+precursor for tokenizer training).
+
+Plan shapes are corpus-scale by construction: the inverted index is
+one exploded aggregation with map-side combine; corpus statistics
+(N, avgdl) ride as one-row broadcast scalars; the query-term cut is
+a literal isin filter pushed below the aggregation; top-k results
+are TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from parlerproject_spark.functions.text import tokenize
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str], *,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75,
+                top_k: int = 20) -> DataFrame:
+    """Okapi BM25 ranked retrieval: score(d, q) = sum over query
+    terms of idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*(1-b+b*|d|/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (the Lucene form —
+    always positive).
+
+    Plan: tokenization is a narrow map; `postings` is ONE exploded
+    groupBy (map-side combine) with the query-term isin filter pushed
+    below it, so only the query terms' postings are ever aggregated;
+    N and avgdl are one-row broadcast scalars; per-term df rides the
+    postings via a window over the term key (bounded: at most
+    len(query_terms) distinct keys after the cut); the final cut is
+    TakeOrderedAndProject.  Nothing here materializes the full
+    inverted index when only q terms are asked for — at 100 TB the
+    scan is still corpus-wide (tf requires it) but the shuffle
+    carries only matching (doc, term) pairs.
+
+    Columns: <id_col>, score (round 6), rank.
+    """
+    qt = [t.lower() for t in query_terms]
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize(text_col).alias("ts"))
+    lens = toks.select("doc_id", F.size("ts").alias("dl"))
+    stats = lens.agg(F.count("*").cast("double").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    postings = (toks.select("doc_id", F.size("ts").alias("dl"),
+                            F.explode("ts").alias("term"))
+                .filter(F.col("term").isin(qt))
+                .groupBy("doc_id", "term")
+                .agg(F.count("*").cast("double").alias("tf"),
+                     F.first("dl").alias("dl")))
+    df_w = Window.partitionBy("term")
+    scored = (postings
+              .withColumn("df", F.count("*").over(df_w).cast("double"))
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id",
+                      (F.log((F.col("n_docs") - F.col("df") + 0.5)
+                             / (F.col("df") + 0.5) + 1.0)
+                       * (F.col("tf") * (k1 + 1.0))
+                       / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                              / F.col("avgdl"))))
+                      .alias("s")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("s"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(top_k)
+            .select(F.col("doc_id").alias(id_col), "score",
+                    F.row_number().over(w).cast("long").alias("rank")))
+
+
+def pmi_collocations(docs: DataFrame, *, text_col: str = "text",
+                     min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Pointwise-mutual-information bigram collocations:
+    pmi(w1,w2) = ln( (c12/B) / ((c1/U) * (c2/U)) ) over corpus
+    bigram/unigram counts, keeping pairs seen >= min_count — the
+    phrase-mining pass that seeds multi-word vocabulary entries for
+    tokenizer training.
+
+    Plan: bigrams are a zero-Python array transform (same cascade as
+    text_analysis.lm_score); the model is two count aggregates; the
+    unigram joins are keyed shuffle joins on the token (corpus-scale
+    tables — never broadcast); U and B are one-row broadcast
+    scalars; the min_count filter cuts before the joins so only
+    frequent pairs shuffle; the top-k cut is TakeOrderedAndProject.
+
+    Columns: w1, w2, n_pair, pmi (round 6), rank.
+    """
+    toks = docs.select(tokenize(text_col).alias("ts"))
+    big = (toks.filter(F.size("ts") >= 2)
+           .select(F.explode(F.expr(
+               "transform(slice(ts, 1, size(ts) - 1), "
+               "(w, i) -> struct(w AS w1, ts[i + 1] AS w2))")).alias("bg"))
+           .select("bg.w1", "bg.w2"))
+    uni = (toks.select(F.explode("ts").alias("w"))
+           .groupBy("w").agg(F.count("*").cast("double").alias("c")))
+    totals = (uni.agg(F.sum("c").alias("n_uni"))
+              .crossJoin(big.agg(F.count("*").cast("double").alias("n_big"))))
+    pairs = (big.groupBy("w1", "w2")
+             .agg(F.count("*").cast("double").alias("c12"))
+             .filter(F.col("c12") >= float(min_count)))
+    scored = (pairs
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2")), "w2")
+              .crossJoin(F.broadcast(totals))
+              .select("w1", "w2",
+                      F.col("c12").cast("long").alias("n_pair"),
+                      F.round(F.log((F.col("c12") / F.col("n_big"))
+                                    / ((F.col("c1") / F.col("n_uni"))
+                                       * (F.col("c2") / F.col("n_uni")))),
+                              6).alias("pmi")))
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+    return (scored
+            .orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                     F.col("w2").asc())
+            .limit(top_k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))

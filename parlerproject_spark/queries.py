@@ -60,6 +60,13 @@ def register(name: str, oracle: str | None):
 _DRIVER_PRIORITY: list[str] = [
     # Round-4 rotation: oldest-driver-row first so the 50-query cap
     # refreshes the stalest entries.  Never-sampled (new this round):
+    "bm25_ranked_docs",
+    "pmi_collocations_docs",
+    "dsir_weights_docs",
+    "perplexity_buckets_docs",
+    "nb_quality_scores_docs",
+    "cointeraction_edges_events",
+    "cointeraction_pagerank",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -3763,3 +3770,296 @@ def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("end_tok").cast("long").alias("end_tok"),
                        F.col("n_tokens").cast("long").alias("n_tokens"))
             .orderBy("doc_id", "start_tok"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4b: retrieval, training-data selection, graph rank
+# ---------------------------------------------------------------------------
+
+@register("bm25_ranked_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+lens AS (SELECT doc_id, len(ts) AS dl FROM toks),
+stats AS (SELECT cast(count(*) AS DOUBLE) AS n_docs,
+                 avg(dl) AS avgdl FROM lens),
+post AS (
+  SELECT doc_id, w AS term, cast(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)
+  WHERE w IN ('spark', 'join', 'query')
+  GROUP BY doc_id, w),
+wdf AS (SELECT term, cast(count(*) AS DOUBLE) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+  FROM post p
+  JOIN wdf USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats),
+agg AS (SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id)
+SELECT doc_id, score,
+       cast(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank
+FROM agg
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""")
+def bm25_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/retrieval.bm25_scores):
+    top-20 documents for the query {spark, join, query} — the
+    inverted-index search pass the reference's c-TF-IDF vocabulary
+    stops short of. The oracle rebuilds the same index and scoring
+    in SQL and must hash-match rank-for-rank."""
+    from parlerproject_spark.operators.retrieval import bm25_scores
+    return bm25_scores(_t(spark, sf_dir, "documents"),
+                       ["spark", "join", "query"], top_k=20)
+
+
+@register("pmi_collocations_docs", """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+uni AS (
+  SELECT w, cast(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+idx AS (
+  SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS gs
+  FROM toks WHERE len(ts) >= 2),
+big AS (SELECT ts[gs] AS w1, ts[gs + 1] AS w2 FROM idx),
+tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS n_uni,
+         (SELECT cast(count(*) AS DOUBLE) FROM big) AS n_big),
+pairs AS (
+  SELECT w1, w2, cast(count(*) AS DOUBLE) AS c12
+  FROM big GROUP BY w1, w2 HAVING count(*) >= 5),
+scored AS (
+  SELECT w1, w2, cast(c12 AS BIGINT) AS n_pair,
+         round(ln((c12 / n_big)
+                  / ((u1.c / n_uni) * (u2.c / n_uni))), 6) AS pmi
+  FROM pairs
+  JOIN uni u1 ON pairs.w1 = u1.w
+  JOIN uni u2 ON pairs.w2 = u2.w
+  CROSS JOIN tot)
+SELECT w1, w2, n_pair, pmi,
+       cast(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT)
+           AS rank
+FROM scored
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 50
+""")
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI bigram collocations (operators/retrieval.pmi_collocations):
+    top-50 token pairs by pointwise mutual information with
+    min_count=5 — the phrase-mining pass that seeds multi-word
+    vocabulary for tokenizer training. Oracle retrains the same
+    counts in SQL."""
+    from parlerproject_spark.operators.retrieval import pmi_collocations
+    return pmi_collocations(_t(spark, sf_dir, "documents"),
+                            min_count=5, top_k=50)
+
+
+@register("dsir_weights_docs", """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+idx AS (
+  SELECT doc_id, source, ts,
+         unnest(generate_series(1, len(ts) - 1)) AS gs
+  FROM toks WHERE len(ts) >= 2),
+feats AS (
+  SELECT doc_id, source,
+         substr(md5(ts[gs] || ' ' || ts[gs + 1]), 1, 3) AS feat
+  FROM idx),
+tm AS (SELECT feat, cast(count(*) AS DOUBLE) AS ct FROM feats
+       WHERE source IN ('src0', 'src1') GROUP BY feat),
+rm AS (SELECT feat, cast(count(*) AS DOUBLE) AS cr FROM feats GROUP BY feat),
+tot AS (
+  SELECT (SELECT sum(ct) FROM tm) AS tt,
+         (SELECT sum(cr) FROM rm) AS tr)
+SELECT doc_id, cast(count(*) AS BIGINT) AS n_feats,
+       round(sum(ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0))
+                 - ln((coalesce(cr, 0) + 1.0) / (tr + 4096.0))), 6)
+           AS log_weight
+FROM feats
+LEFT JOIN tm USING (feat)
+LEFT JOIN rm USING (feat)
+CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+""")
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/selection.dsir_weights):
+    per-document log importance weight toward the src0/src1 target
+    slice under hashed-bigram unigram models — the data-selection
+    resampling signal (Xie et al. 2023). Oracle rebuilds the
+    identical md5 feature stream and both models in SQL."""
+    from parlerproject_spark.operators.selection import dsir_weights
+    d = _t(spark, sf_dir, "documents")
+    return (dsir_weights(d, d.filter(F.col("source").isin("src0", "src1")))
+            .orderBy("doc_id"))
+
+
+@register("perplexity_buckets_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+v AS (SELECT cast(count(*) AS DOUBLE) AS vsz FROM uni),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS gs
+  FROM toks),
+big AS (
+  SELECT doc_id, ts[gs] AS w1, ts[gs + 1] AS w2 FROM idx),
+bgc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+scored AS (
+  SELECT doc_id, round(avg(ln((c2 + 1.0) / (c1 + vsz))), 6) AS lm_logp
+  FROM big
+  JOIN bgc USING (w1, w2)
+  JOIN uni ON big.w1 = uni.w
+  CROSS JOIN v
+  GROUP BY doc_id),
+qe AS (SELECT quantile_cont(lm_logp, 1.0 / 3) AS q1,
+              quantile_cont(lm_logp, 2.0 / 3) AS q2 FROM scored)
+SELECT doc_id, lm_logp,
+       cast(CASE WHEN lm_logp >= q2 THEN 1
+                 WHEN lm_logp >= q1 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+       CASE WHEN lm_logp >= q2 THEN 'head'
+            WHEN lm_logp >= q1 THEN 'middle' ELSE 'tail' END AS band
+FROM scored CROSS JOIN qe
+ORDER BY doc_id
+""")
+def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split
+    (operators/selection.perplexity_buckets): band documents by the
+    corpus-trained bigram-LM score against exact tercile edges — no
+    global window, one percentile aggregate broadcast back. Oracle
+    retrains the LM and replays the same quantile cuts."""
+    from parlerproject_spark.operators.selection import perplexity_buckets
+    return (perplexity_buckets(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
+@register("nb_quality_scores_docs", """
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS y
+  FROM documents),
+toks AS (
+  SELECT doc_id, y, unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+  FROM lab),
+cls AS (SELECT y, cast(count(*) AS DOUBLE) AS t FROM toks GROUP BY y),
+vocab AS (SELECT cast(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+cw AS (SELECT y, w, cast(count(*) AS DOUBLE) AS c FROM toks GROUP BY y, w),
+base AS (
+  SELECT d.w,
+         ln((coalesce(c1, 0) + 1.0) / (t1 + v))
+           - ln((coalesce(c0, 0) + 1.0) / (t0 + v)) AS llr
+  FROM (SELECT DISTINCT w FROM toks) d
+  LEFT JOIN (SELECT w, c AS c1 FROM cw WHERE y = 1) a USING (w)
+  LEFT JOIN (SELECT w, c AS c0 FROM cw WHERE y = 0) b USING (w)
+  CROSS JOIN (SELECT t AS t1 FROM cls WHERE y = 1) p1
+  CROSS JOIN (SELECT t AS t0 FROM cls WHERE y = 0) p0
+  CROSS JOIN vocab),
+pri AS (
+  SELECT ln(sum(CASE WHEN y = 1 THEN 1.0 END))
+           - ln(sum(CASE WHEN y = 0 THEN 1.0 END)) AS prior_lo
+  FROM lab)
+SELECT doc_id, cast(count(*) AS BIGINT) AS n_toks,
+       round(sum(llr) + any_value(prior_lo), 6) AS log_odds,
+       cast(CASE WHEN round(sum(llr) + any_value(prior_lo), 6) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM toks
+JOIN base USING (w)
+CROSS JOIN pri
+GROUP BY doc_id
+ORDER BY doc_id
+""")
+def nb_quality_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine Naive-Bayes quality classifier
+    (operators/selection.nb_quality_classifier): train on the
+    src0-2 slice as positives, score every document with the
+    log-odds — the scalable WebText-classifier analogue. Oracle
+    retrains the identical model in SQL."""
+    from parlerproject_spark.operators.selection import nb_quality_classifier
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("label",
+                     F.col("source").isin("src0", "src1", "src2")
+                     .cast("int")))
+    return nb_quality_classifier(d).orderBy("doc_id")
+
+
+@register("cointeraction_edges_events", """
+WITH keyed AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+         ts, event_id, user_id AS dst
+  FROM events)
+SELECT DISTINCT src, dst
+FROM (SELECT lag(dst) OVER (PARTITION BY obj ORDER BY ts, event_id) AS src,
+             dst
+      FROM keyed)
+WHERE src IS NOT NULL AND src <> dst
+ORDER BY src, dst
+""")
+def cointeraction_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-interaction edge derivation (operators/graph
+    .cointeraction_edges): directed user→user handoff edges per
+    props.k object, ordered by (ts, event_id). One windowed pass +
+    distinct; the oracle replays the same window in SQL."""
+    from parlerproject_spark.operators.graph import cointeraction_edges
+    return (cointeraction_edges(_t(spark, sf_dir, "events"))
+            .orderBy("src", "dst"))
+
+
+@register("cointeraction_pagerank", """
+WITH keyed AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+         ts, event_id, user_id AS dst
+  FROM events),
+edges AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT lag(dst) OVER (PARTITION BY obj ORDER BY ts, event_id) AS src,
+               dst
+        FROM keyed)
+  WHERE src IS NOT NULL AND src <> dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+n AS (SELECT cast(count(*) AS DOUBLE) AS nn FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn AS rank FROM nodes CROSS JOIN n),
+s1 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS s
+       FROM r0 r JOIN outdeg o ON r.node = o.src
+       JOIN edges e ON e.src = r.node GROUP BY e.dst),
+r1 AS (SELECT nodes.node, 0.15 / nn + 0.85 * coalesce(s, 0) AS rank
+       FROM nodes CROSS JOIN n LEFT JOIN s1 ON s1.node = nodes.node),
+s2 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS s
+       FROM r1 r JOIN outdeg o ON r.node = o.src
+       JOIN edges e ON e.src = r.node GROUP BY e.dst),
+r2 AS (SELECT nodes.node, 0.15 / nn + 0.85 * coalesce(s, 0) AS rank
+       FROM nodes CROSS JOIN n LEFT JOIN s2 ON s2.node = nodes.node),
+s3 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS s
+       FROM r2 r JOIN outdeg o ON r.node = o.src
+       JOIN edges e ON e.src = r.node GROUP BY e.dst),
+r3 AS (SELECT nodes.node, 0.15 / nn + 0.85 * coalesce(s, 0) AS rank
+       FROM nodes CROSS JOIN n LEFT JOIN s3 ON s3.node = nodes.node)
+SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node
+""")
+def cointeraction_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.pagerank) over the
+    co-interaction graph: 3 power-iteration rounds, d=0.85,
+    simplified dangling handling — the crawl-seed centrality signal.
+    The oracle unrolls the identical three iterations in CTE SQL."""
+    from parlerproject_spark.operators.graph import (cointeraction_edges,
+                                                     pagerank)
+    e = cointeraction_edges(_t(spark, sf_dir, "events"))
+    return pagerank(e, iters=3, damping=0.85).orderBy("node")

@@ -192,6 +192,8 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "ntile_value_quartiles",   # 4000-row top-k extract
     "vocab_coverage_docs",     # top-k vocabulary rows only
     "corpus_shuffle_order",    # 50-row limit extract
+    "bm25_ranked_docs",        # rank over the 20-row limit extract
+    "pmi_collocations_docs",   # rank over the 50-row limit extract
 }
 
 

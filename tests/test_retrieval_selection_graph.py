@@ -1,0 +1,192 @@
+"""Behavioral tests for the round-4b engine additions: BM25 ranked
+retrieval, PMI collocations, DSIR importance weights, perplexity
+bucketing, the in-engine NB quality classifier, and co-interaction
+PageRank. Each also has a hash-checked DuckDB oracle in queries.py;
+these tests pin the *semantics* (monotonicity, invariants, known
+tiny fixtures) rather than re-deriving the numbers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parlerproject_spark.operators.graph import cointeraction_edges, pagerank
+from parlerproject_spark.operators.retrieval import (bm25_scores,
+                                                     pmi_collocations)
+from parlerproject_spark.operators.selection import (dsir_weights,
+                                                     nb_quality_classifier,
+                                                     perplexity_buckets)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# BM25 ---------------------------------------------------------------------
+
+def test_bm25_rewards_tf_and_rare_terms(spark):
+    d = _docs(spark, [
+        (1, "apple apple apple banana"),
+        (2, "apple banana banana banana"),
+        (3, "cherry cherry cherry cherry"),
+        (4, "apple cherry banana date"),
+    ])
+    out = {r["doc_id"]: r for r in
+           bm25_scores(d, ["apple"], top_k=10).collect()}
+    # doc 3 has no 'apple' at all -> absent from results
+    assert set(out) == {1, 2, 4}
+    # higher tf of the query term at comparable length ranks higher
+    assert out[1]["score"] > out[2]["score"] > 0
+    assert out[1]["rank"] == 1
+
+
+def test_bm25_multi_term_sums_and_len_normalizes(spark):
+    d = _docs(spark, [
+        (1, "x y"),                       # short doc, both terms
+        (2, "x y " + "pad " * 30),        # same terms, long doc
+    ])
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_scores(d, ["x", "y"], top_k=10).collect()}
+    # b>0 length normalization: the padded doc scores strictly lower
+    assert out[1] > out[2] > 0
+
+
+# PMI ----------------------------------------------------------------------
+
+def test_pmi_finds_the_glued_pair(spark):
+    # "san francisco" always adjacent; "the" is everywhere
+    rows = [(i, "the san francisco fog the weather") for i in range(10)]
+    d = _docs(spark, rows)
+    out = pmi_collocations(d, min_count=5, top_k=5).collect()
+    top = (out[0]["w1"], out[0]["w2"])
+    assert top in {("san", "francisco"), ("francisco", "fog")}
+    # a pair involving 'the' (independent filler) must rank below
+    pmis = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    for (w1, w2), v in pmis.items():
+        if w1 == "the" or w2 == "the":
+            assert v < pmis[top]
+
+
+def test_pmi_min_count_cuts_rare_pairs(spark):
+    d = _docs(spark, [(1, "rare pair"), (2, "common common common common")])
+    out = pmi_collocations(d, min_count=2, top_k=10).collect()
+    assert ("rare", "pair") not in {(r["w1"], r["w2"]) for r in out}
+
+
+# DSIR ---------------------------------------------------------------------
+
+def test_dsir_upweights_target_lookalikes(spark):
+    target = _docs(spark, [(100 + i, "clean prose about science topics")
+                           for i in range(5)])
+    raw = _docs(spark, [
+        (1, "clean prose about science topics"),   # = target
+        (2, "spam spam buy now spam buy spam"),    # nothing like it
+    ])
+    out = {r["doc_id"]: r["log_weight"] for r in
+           dsir_weights(raw, target).collect()}
+    assert out[1] > out[2]
+
+
+def test_dsir_weight_is_finite_for_unseen_features(spark):
+    # raw doc whose bigrams never occur in target: smoothing floor,
+    # never -inf/NaN
+    target = _docs(spark, [(10, "alpha beta gamma")])
+    raw = _docs(spark, [(1, "zeta eta theta iota")])
+    [r] = dsir_weights(raw, target).collect()
+    assert math.isfinite(r["log_weight"]) and r["log_weight"] < 0
+
+
+# Perplexity buckets -------------------------------------------------------
+
+def test_perplexity_buckets_band_semantics(spark, sf_dir):
+    from parlerproject_spark.catalog import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    out = perplexity_buckets(docs).collect()
+    assert {r["band"] for r in out} == {"head", "middle", "tail"}
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r["band"], []).append(r["lm_logp"])
+    # every head score >= every middle score >= every tail score
+    assert min(by_band["head"]) >= max(by_band["middle"])
+    assert min(by_band["middle"]) >= max(by_band["tail"])
+    # tercile cut: roughly equal thirds
+    n = len(out)
+    for band in ("head", "middle", "tail"):
+        assert abs(len(by_band[band]) - n / 3) <= n * 0.15
+
+
+def test_perplexity_buckets_plan_has_no_global_window(spark, sf_dir):
+    from parlerproject_spark.catalog import load_table
+    docs = load_table(spark, "documents", sf_dir)
+    plan = (perplexity_buckets(docs)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "windowspecdefinition" not in plan.lower()
+
+
+# NB quality classifier ----------------------------------------------------
+
+def test_nb_classifier_separates_planted_classes(spark):
+    good = [(i, "well formed natural sentence with many words", 1)
+            for i in range(10)]
+    bad = [(100 + i, "zz zz buy zz now zz zz click", 0) for i in range(10)]
+    d = spark.createDataFrame(good + bad,
+                              "doc_id long, text string, label int")
+    out = {r["doc_id"]: r for r in nb_quality_classifier(d).collect()}
+    for i in range(10):
+        assert out[i]["pred"] == 1, out[i]
+        assert out[100 + i]["pred"] == 0, out[100 + i]
+        assert out[i]["log_odds"] > out[100 + i]["log_odds"]
+
+
+def test_nb_classifier_handles_cross_class_vocab(spark):
+    # shared vocabulary: still finite scores, no NaN from smoothing
+    d = spark.createDataFrame(
+        [(1, "a b c", 1), (2, "a b d", 0), (3, "a b", 1), (4, "b a", 0)],
+        "doc_id long, text string, label int")
+    for r in nb_quality_classifier(d).collect():
+        assert math.isfinite(r["log_odds"])
+
+
+# Graph --------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_cointeraction_edges_orders_and_dedupes(spark):
+    ev = spark.createDataFrame(
+        [(1, 100, 7, '{"k": 1}'), (2, 200, 8, '{"k": 1}'),
+         (3, 300, 7, '{"k": 1}'),  # 8 -> 7 later on same object
+         (4, 150, 9, '{"k": 2}'), (5, 250, 9, '{"k": 2}')],  # self loop
+        "event_id long, ts long, user_id long, props string")
+    got = {(r["src"], r["dst"])
+           for r in cointeraction_edges(ev).collect()}
+    assert got == {(7, 8), (8, 7)}  # self-loop dropped, both directions
+
+
+def test_pagerank_sums_to_one_without_dangling(spark):
+    # 3-cycle: no dangling nodes -> total rank mass conserved at 1
+    pr = pagerank(_edges(spark, [(1, 2), (2, 3), (3, 1)]), iters=5)
+    rows = pr.collect()
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-4
+    # symmetric cycle: equal ranks
+    vals = [r["rank"] for r in rows]
+    assert max(vals) - min(vals) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star: everyone points at node 0
+    pr = {r["node"]: r["rank"] for r in
+          pagerank(_edges(spark, [(i, 0) for i in range(1, 6)]),
+                   iters=3).collect()}
+    assert pr[0] > max(pr[i] for i in range(1, 6))
+
+
+def test_pagerank_iteration_count_is_fixed(spark):
+    # iters=0 returns the uniform init regardless of structure
+    pr = {r["node"]: r["rank"] for r in
+          pagerank(_edges(spark, [(1, 2), (3, 2)]), iters=0).collect()}
+    assert all(abs(v - 1 / 3) < 1e-6 for v in pr.values())
