@@ -115,6 +115,9 @@ EXTRA = [
     "perplexity_buckets_docs",
     "nb_quality_scores_docs",
     "cointeraction_pagerank",
+    "cms_user_freq_estimates",
+    "bloom_incremental_dedup_docs",
+    "semantic_dedup_embeddings",
 ]
 
 

@@ -487,3 +487,59 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
                 .dropDuplicates(["id_a", "id_b"]))
     else:
         raise ValueError(f"unknown mode: {mode}")
+
+
+def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
+                   k: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_iter: int = 3) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic
+    deduplication — k-means-cluster the vectors, form cosine >=
+    threshold pairs ONLY inside each cluster, connected-component
+    the pairs, keep the lowest id per component.
+
+    This is the scale shape of the paper: the O(n²) pairwise cosine
+    is confined to cluster cells (n/k rows each), so total pair work
+    is ~n²/k instead of n² while near-duplicates — which cluster
+    together by construction — are still found. Clustering reuses
+    topics.lloyd_centroids (deterministic seeded init, expr
+    assignment: bit-stable across environments); component formation
+    reuses duplicate_clusters (pointer jumping, O(log d) rounds).
+    k-means assignment is not SQL-expressible, so the driver check
+    is rows-only; pytest pins the semantics against brute-force CC
+    at k=1.
+
+    Columns: <id_col>, cluster (k-means cell), keep (boolean —
+    false = semantic duplicate of a kept earlier vector).
+    """
+    from parlerproject_spark.functions.vectors import dot as _dot
+    from parlerproject_spark.functions.vectors import l2_norm
+    from parlerproject_spark.operators.topics import _assign, lloyd_centroids
+
+    cents = lloyd_centroids(vectors, k=k, max_iter=max_iter,
+                            id_col=id_col, vec_col=vec_col)
+    assigned = (_assign(vectors, cents, id_col=id_col, vec_col=vec_col,
+                        impl="expr")
+                .withColumnRenamed("topic", "cluster"))
+    sides = assigned.select("cluster", F.col(id_col).alias("vid"),
+                            F.col(vec_col).alias("v"),
+                            l2_norm(vec_col).alias("n"))
+    a = sides.alias("a")
+    # both sides are the same corpus-scale table: shuffle-hash on the
+    # cluster key, never a broadcast (same rationale as
+    # fingerprint_overlap_pairs)
+    b = sides.hint("shuffle_hash").alias("b")
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                    & (F.col("a.vid") < F.col("b.vid")))
+             .filter((F.col("a.n") > 0) & (F.col("b.n") > 0))
+             .select(F.col("a.vid").alias("id_a"),
+                     F.col("b.vid").alias("id_b"), sim.alias("sim"))
+             .filter(F.col("sim") >= threshold))
+    comps = duplicate_clusters(pairs)  # (doc_id, cluster_id=min label)
+    dupes = (comps.filter(F.col("doc_id") != F.col("cluster_id"))
+             .select(F.col("doc_id").alias("dup_id")))
+    return (assigned
+            .join(dupes, assigned[id_col] == dupes["dup_id"], "left")
+            .select(F.col(id_col), F.col("cluster").cast("long"),
+                    F.col("dup_id").isNull().alias("keep")))

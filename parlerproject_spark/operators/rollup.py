@@ -224,3 +224,134 @@ def merge_quantile_sketches(rollup: DataFrame, *,
         for q in quantiles
     ]
     return merged.select(*key_cols, *cols)
+
+
+# ---------------------------------------------------------------------------
+# Relational mergeable summaries: count-min (frequency) and Bloom
+# (membership). Unlike the DataSketches binaries above, these are
+# plain keyed tables — mergeable by sum / union, servable by join,
+# and exactly replayable by the DuckDB oracle (every hash is md5).
+# ---------------------------------------------------------------------------
+
+#: count-min geometry: depth rows x width buckets. eps ~ e/width,
+#: delta ~ e^-depth => width 1024 gives ~0.27% of stream length
+#: overcount at 4-row confidence 98%.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(key: F.Column, row: F.Column) -> F.Column:
+    """Bucket index of `key` under hash-row `row`: first 8 hex chars
+    of md5(row:key) mod width — engine-portable (the oracle writes
+    ('0x' || substr(md5(...), 1, 8))::BIGINT % width)."""
+    h = F.md5(F.concat_ws(":", row.cast("string"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(CMS_WIDTH))
+
+
+def cms_rollup(events: DataFrame, *, bucket: F.Column, key_col: str,
+               bucket_alias: str = "bucket") -> DataFrame:
+    """Per-bucket count-min sketch of `key_col` as a relational
+    table: one row per (bucket, row, idx) with the collision-summed
+    count. The whole partial is at most depth x width rows per time
+    bucket (4096 here) REGARDLESS of stream size — the heavy-hitter
+    frequency state a 100 TB event stream compacts into.
+
+    Plan: one explode (x depth) + one keyed aggregation with
+    map-side combine. Columns: <bucket_alias>, row, idx, c.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
+    return (events
+            .select(bucket.alias(bucket_alias),
+                    F.col(key_col).alias("k"))
+            .withColumn("row", rows)
+            .groupBy(bucket_alias, "row",
+                     _cms_bucket(F.col("k"), F.col("row")).alias("idx"))
+            .agg(F.count("*").alias("c")))
+
+
+def merge_cms(rollup: DataFrame) -> DataFrame:
+    """Collapse CMS partials across time buckets: counts are linear,
+    so merge = sum per (row, idx). Columns: row, idx, c."""
+    return rollup.groupBy("row", "idx").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, *,
+                 key_col: str) -> DataFrame:
+    """Point-frequency estimates for `probes[key_col]` from a merged
+    CMS: est(k) = min over hash rows of the bucket count (never an
+    undercount; overcount bounded by collisions). The probe side
+    explodes x depth and joins the 4096-row sketch — broadcast the
+    SKETCH, not the probes, so any number of probes streams through.
+    Columns: <key_col>, est.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
+    keyed = (probes.select(F.col(key_col).alias("k"))
+             .withColumn("row", rows)
+             .withColumn("idx", _cms_bucket(F.col("k"), F.col("row"))))
+    return (keyed.join(F.broadcast(cms), ["row", "idx"], "left")
+            .groupBy("k")
+            .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est"))
+            .withColumnRenamed("k", key_col))
+
+
+#: Bloom geometry: m bits, d hashes. m=65536, d=4 => ~1.2% FPR at
+#: 8k members, degrading gracefully (the verify join keeps the
+#: OUTPUT exact at any FPR).
+BLOOM_BITS = 65536
+BLOOM_HASHES = 4
+
+
+def bloom_build(seen: DataFrame, *, key_col: str) -> DataFrame:
+    """Membership summary of `seen[key_col]`: the DISTINCT set-bit
+    positions under d md5 hash rows — at most m rows total no matter
+    how many keys went in (the "have we crawled this URL before"
+    state for a 100 TB history, servable without touching it).
+    Mergeable across shards/days by plain union+distinct.
+    Columns: pos.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1)))
+    h = F.md5(F.concat_ws(":", F.col("row").cast("string"),
+                          F.col("k").cast("string")))
+    pos = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+           % F.lit(BLOOM_BITS))
+    return (seen.select(F.col(key_col).alias("k"))
+            .withColumn("row", rows)
+            .select(pos.alias("pos"))
+            .distinct())
+
+
+def bloom_incremental_dedup(batch: DataFrame, seen: DataFrame, *,
+                            key_col: str) -> DataFrame:
+    """Incremental exact dedup with a Bloom pre-filter: batch keys
+    whose d bit positions are not ALL set are DEFINITELY new and
+    skip the expensive check; only the maybe-members anti-join the
+    full history. Output == plain anti-join exactly (the Bloom can
+    only false-positive, and false positives go through the exact
+    check) — but at 100 TB the anti-join side shrinks from |batch|
+    to |hits ∪ false positives|.
+
+    The m-bounded bit table broadcasts; everything keyed on batch
+    keys stays a shuffle join (maybe-set size is workload-dependent,
+    so the broadcast decision is AQE's — the r3-verdict rule about
+    candidate sets). Columns: batch's, unchanged.
+    """
+    bits = bloom_build(seen, key_col=key_col)
+    rows = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_HASHES - 1)))
+    h = F.md5(F.concat_ws(":", F.col("row").cast("string"),
+                          F.col("k").cast("string")))
+    pos = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+           % F.lit(BLOOM_BITS))
+    # keys whose d positions are ALL set; a key with zero set
+    # positions drops out at the semi join (definitely new)
+    maybe_keys = (batch.select(F.col(key_col).alias("k")).distinct()
+                  .withColumn("row", rows)
+                  .withColumn("pos", pos)
+                  .join(F.broadcast(bits), "pos", "left_semi")
+                  .groupBy("k").agg(F.count("*").alias("nset"))
+                  .filter(F.col("nset") == BLOOM_HASHES)
+                  .select(F.col("k").alias(key_col)))
+    definitely_new = batch.join(maybe_keys, key_col, "left_anti")
+    verified_new = (batch.join(maybe_keys, key_col, "left_semi")
+                    .join(seen.select(key_col), key_col, "left_anti"))
+    return definitely_new.unionByName(verified_new)

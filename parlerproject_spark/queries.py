@@ -67,6 +67,9 @@ _DRIVER_PRIORITY: list[str] = [
     "nb_quality_scores_docs",
     "cointeraction_edges_events",
     "cointeraction_pagerank",
+    "cms_user_freq_estimates",
+    "bloom_incremental_dedup_docs",
+    "semantic_dedup_embeddings",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -4063,3 +4066,77 @@ def cointeraction_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      pagerank)
     e = cointeraction_edges(_t(spark, sf_dir, "events"))
     return pagerank(e, iters=3, damping=0.85).orderBy("node")
+
+
+@register("cms_user_freq_estimates", """
+WITH rows AS (SELECT unnest([0, 1, 2, 3]) AS row),
+cms AS (
+  SELECT row,
+         ('0x' || substr(md5(row::VARCHAR || ':' || user_id::VARCHAR),
+                         1, 8))::BIGINT % 1024 AS idx,
+         count(*) AS c
+  FROM events CROSS JOIN rows
+  GROUP BY 1, 2),
+probes AS (SELECT DISTINCT user_id FROM events),
+hits AS (
+  SELECT p.user_id, r.row,
+         ('0x' || substr(md5(r.row::VARCHAR || ':' || p.user_id::VARCHAR),
+                         1, 8))::BIGINT % 1024 AS idx
+  FROM probes p CROSS JOIN rows r)
+SELECT user_id,
+       cast(min(coalesce(c, 0)) AS BIGINT) AS est
+FROM hits
+LEFT JOIN cms USING (row, idx)
+GROUP BY user_id
+ORDER BY user_id
+""")
+def cms_user_freq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency rollup (operators/rollup.cms_rollup /
+    merge_cms / cms_estimate): per-day CMS partials of the user-id
+    stream merged across days, then point-frequency estimates for
+    every distinct user — the mergeable heavy-hitter state (4096
+    rows regardless of stream size). The oracle rebuilds the same
+    md5 sketch in SQL; merging per-day partials must equal the
+    global sketch exactly (counts are linear)."""
+    from parlerproject_spark.operators.rollup import (cms_estimate,
+                                                      cms_rollup, merge_cms)
+    ev = _t(spark, sf_dir, "events")
+    cms = merge_cms(cms_rollup(
+        ev, bucket=F.date_trunc("day", F.col("ts")), key_col="user_id"))
+    return (cms_estimate(cms, ev.select("user_id").distinct(),
+                         key_col="user_id")
+            .orderBy("user_id"))
+
+
+@register("bloom_incremental_dedup_docs", """
+SELECT doc_id, source
+FROM documents
+WHERE doc_id % 3 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+ORDER BY doc_id
+""")
+def bloom_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (operators/rollup
+    .bloom_incremental_dedup): new-batch keys (doc_id % 3) against a
+    seen history (doc_id % 2) — the bit table prunes the anti-join
+    to maybe-members only, and the output is EXACTLY the plain
+    anti-join (false positives go through the exact check), which is
+    what the oracle replays."""
+    from parlerproject_spark.operators.rollup import bloom_incremental_dedup
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    return (bloom_incremental_dedup(batch, seen, key_col="doc_id")
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+@register("semantic_dedup_embeddings", None)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.semantic_dedup): k-means-confined
+    cosine dedup over the embeddings table — rows-only (k-means
+    assignment is not SQL-expressible; pytest pins equivalence to
+    brute-force connected components at k=1)."""
+    from parlerproject_spark.operators.dedup import semantic_dedup
+    return (semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                           threshold=0.9, k=8)
+            .orderBy("vec_id"))

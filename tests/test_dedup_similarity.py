@@ -311,3 +311,57 @@ def test_exact_substring_spans_reports_within_doc_repeats(spark):
     spans = sorted((r["start_tok"], r["end_tok"])
                    for r in dedup.exact_substring_spans(docs, k=8).collect())
     assert spans == [(0, 7), (13, 20)]
+
+
+# SemDeDup ------------------------------------------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_drops_planted_near_dups_keeps_lowest_id(spark):
+    """Two well-separated duplicate families; k=2 k-means puts each
+    family in one cell, and within each cell only the lowest id
+    survives. (A duplicate pair SPLIT across cells is the documented
+    SemDeDup recall trade — families must be cluster-sized for the
+    within-cell join to see them.)"""
+    from parlerproject_spark.operators.dedup import semantic_dedup
+    fam_a = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(1, 4)]
+    fam_b = [(i, [0.0, 0.001 * i, 1.0, 0.0]) for i in range(11, 14)]
+    d = _vecs(spark, fam_a + fam_b)
+    out = {r["vec_id"]: r["keep"] for r in
+           semantic_dedup(d, threshold=0.99, k=2).collect()}
+    assert out == {1: True, 2: False, 3: False,
+                   11: True, 12: False, 13: False}
+
+
+def test_semantic_dedup_k1_equals_bruteforce_components(spark):
+    """With one cluster the cell-confined join IS the all-pairs
+    join: keep-set must equal brute-force CC keep-set."""
+    from parlerproject_spark.operators.dedup import (duplicate_clusters,
+                                                     embedding_near_dups,
+                                                     semantic_dedup)
+    rows = [(i, [float((i * 7 + j) % 5 == 0) + 0.05 * j for j in range(6)])
+            for i in range(30)]
+    d = _vecs(spark, rows)
+    got = {r["vec_id"] for r in
+           semantic_dedup(d, threshold=0.98, k=1).collect()
+           if r["keep"]}
+    pairs = embedding_near_dups(d, threshold=0.98, mode="exact")
+    comps = duplicate_clusters(pairs)
+    dropped = {r["doc_id"] for r in comps.collect()
+               if r["doc_id"] != r["cluster_id"]}
+    want = {r[0] for r in rows} - dropped
+    assert got == want
+
+
+def test_semantic_dedup_transitive_chain_keeps_one(spark):
+    # a ~ b ~ c chain (a-c below threshold): CC must collapse to one
+    a = [1.0, 0.0, 0.0]
+    b = [0.96, 0.28, 0.0]   # cos(a,b) ~ .96
+    c = [0.85, 0.53, 0.0]   # cos(b,c) ~ .96, cos(a,c) ~ .85
+    from parlerproject_spark.operators.dedup import semantic_dedup
+    d = _vecs(spark, [(10, a), (11, b), (12, c)])
+    out = {r["vec_id"]: r["keep"] for r in
+           semantic_dedup(d, threshold=0.95, k=1).collect()}
+    assert out == {10: True, 11: False, 12: False}

@@ -193,3 +193,77 @@ def test_hll_state_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
     got = {r["event_type"]: r["approx_distinct"] for r in from_disk.collect()}
     want = {r["event_type"]: r["approx_distinct"] for r in in_mem.collect()}
     assert got == want and len(got) > 0
+
+
+# Relational summaries: count-min + Bloom ----------------------------------
+
+def test_cms_partial_merge_equals_global_and_never_undercounts(
+        spark, sf_dir):
+    e = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    merged = R.merge_cms(R.cms_rollup(e, bucket=day, key_col="user_id"))
+    glob = R.merge_cms(R.cms_rollup(
+        e, bucket=F.lit(0), key_col="user_id"))
+    # counts are linear: per-day partials merged == one global sketch
+    assert _rows(merged, ["row", "idx", "c"]) == _rows(glob,
+                                                       ["row", "idx", "c"])
+    est = {r["user_id"]: r["est"] for r in
+           R.cms_estimate(merged, e.select("user_id").distinct(),
+                          key_col="user_id").collect()}
+    exact = {r["user_id"]: r["count"] for r in
+             e.groupBy("user_id").count().collect()}
+    n = sum(exact.values())
+    for k, c in exact.items():
+        assert est[k] >= c, (k, est[k], c)          # CMS never undercounts
+        assert est[k] <= c + 0.01 * n, (k, est[k], c)  # eps ~ e/width
+    # state is bounded by geometry, not stream size
+    assert merged.count() <= R.CMS_DEPTH * R.CMS_WIDTH
+
+
+def test_cms_estimates_absent_key_small(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    merged = R.merge_cms(R.cms_rollup(e, bucket=F.lit(0),
+                                      key_col="user_id"))
+    probes = spark.createDataFrame([(10 ** 9 + i,) for i in range(20)],
+                                   "user_id long")
+    n = e.count()
+    for r in R.cms_estimate(merged, probes, key_col="user_id").collect():
+        # absent keys read only collision mass: bounded by eps * N
+        assert r["est"] <= 0.01 * n, r
+
+
+def test_bloom_dedup_output_equals_plain_anti_join(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    seen = e.filter("event_id % 2 = 0")
+    batch = e.filter("event_id % 3 = 0")
+    got = _rows(R.bloom_incremental_dedup(batch, seen,
+                                          key_col="event_id"),
+                ["event_id"])
+    want = _rows(batch.join(seen.select("event_id"), "event_id",
+                            "left_anti"), ["event_id"])
+    assert got == want
+
+
+def test_bloom_has_no_false_negatives_and_prunes(spark):
+    seen = spark.range(0, 5000).select(F.col("id").alias("k"))
+    disjoint = spark.range(100000, 105000).select(F.col("id").alias("k"))
+    bits = R.bloom_build(seen, key_col="k")
+    nbits = bits.count()
+    assert nbits <= R.BLOOM_BITS
+    # every member's positions are all set (no false negatives)
+    rows = F.explode(F.sequence(F.lit(0), F.lit(R.BLOOM_HASHES - 1)))
+    h = F.md5(F.concat_ws(":", F.col("row").cast("string"),
+                          F.col("k").cast("string")))
+    pos = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+           % F.lit(R.BLOOM_BITS))
+
+    def nset(df):
+        return (df.withColumn("row", rows).withColumn("pos", pos)
+                .join(bits, "pos", "left_semi")
+                .groupBy("k").agg(F.count("*").alias("n")))
+
+    members = nset(seen)
+    assert members.filter(F.col("n") < R.BLOOM_HASHES).count() == 0
+    # a disjoint batch mostly misses: false-positive rate stays low
+    fp = (nset(disjoint).filter(F.col("n") == R.BLOOM_HASHES).count())
+    assert fp / 5000 < 0.05, fp
