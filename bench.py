@@ -118,6 +118,7 @@ EXTRA = [
     "cms_user_freq_estimates",
     "bloom_incremental_dedup_docs",
     "semantic_dedup_embeddings",
+    "bpe_segment_docs",
 ]
 
 

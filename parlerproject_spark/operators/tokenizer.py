@@ -1,0 +1,159 @@
+"""Distributed BPE tokenizer training + application.
+
+The tokenizer-training step of a pretraining pipeline (the successor
+of text_analysis.vocab_coverage, which only ranks whole types):
+learn byte-pair-encoding merges from the corpus, then segment text
+with them.
+
+Scale shape — the classic Sennrich et al. (2016) trick, kept intact:
+training never touches the corpus again after ONE tokenize+groupBy
+pass builds the (word, count) frequency table, which is
+VOCABULARY-sized, not corpus-sized. Every merge iteration is then
+one explode + one keyed aggregation over that table (map-side
+combine), a driver-side argmax of a single row, and a narrow-map
+rewrite of the symbol arrays — the same bounded driver-loop contract
+as topics.lloyd_centroids. At 100 TB the frequency table is a few
+million rows; 32k merges is 32k small vocab-table jobs, each
+independent of corpus size.
+
+Determinism: the best pair ties break lexicographically on (left,
+right), and the greedy left-to-right merge application is a pure
+fold — the learned merge sequence is exactly reproducible, which the
+pure-Python reference implementation in tests pins down.
+
+Iterative and stateful (the merge list IS the model), so no SQL
+oracle — the driver records rows-only; pytest holds the real
+equivalence proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parlerproject_spark.functions.text import tokenize
+
+#: end-of-word sentinel (classic BPE: lets merges distinguish
+#: word-final from word-internal occurrences)
+EOW = "</w>"
+
+
+def word_freq_table(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(word, n) over the tokenized corpus — the only corpus-wide
+    pass in BPE training. Columns: word, n."""
+    return (docs.select(F.explode(tokenize(text_col)).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("n")))
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """Split each word into characters + EOW sentinel.
+    Columns: word, n, syms (array<string>)."""
+    chars = F.split(F.col("word"), "")
+    return words.select(
+        "word", "n",
+        F.concat(F.filter(chars, lambda c: F.length(c) > 0),
+                 F.array(F.lit(EOW))).alias("syms"))
+
+
+def _pair_counts(symtab: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies weighted by word count — one explode
+    + one aggregation over the vocab table."""
+    pairs = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), "
+        "(s, i) -> struct(s AS a, syms[i + 1] AS b))")
+    return (symtab.filter(F.size("syms") >= 2)
+            .select("n", F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b").agg(F.sum("n").alias("cnt")))
+
+
+def _apply_merge(symtab: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right replacement of adjacent (a, b) with a||b
+    in every symbol array — a pure fold (narrow map, zero shuffle):
+    append each symbol unless the running array ends with `a` and the
+    symbol is `b`, in which case fuse them."""
+    la, lb = F.lit(a), F.lit(b)
+    merged = F.aggregate(
+        "syms",
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.concat(la, lb)))
+        ).otherwise(F.concat(acc, F.array(s))))
+    return symtab.withColumn("syms", merged)
+
+
+def train_bpe(docs: DataFrame, *, n_merges: int = 50,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus. Returns the
+    ordered merge list [(left, right), ...] — the model.
+
+    Each iteration collects exactly ONE row (the argmax pair); the
+    symbol table is localCheckpoint()ed every few merges to stop the
+    fold lineage compounding (same trap and cure as
+    dedup.duplicate_clusters). Stops early when no pair occurs more
+    than once (nothing left to compress).
+    """
+    symtab = _initial_symbols(word_freq_table(docs, text_col=text_col))
+    symtab = symtab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        best = (_pair_counts(symtab)
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1).collect())
+        if not best or best[0]["cnt"] < 2:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        symtab = _apply_merge(symtab, a, b)
+        if (i + 1) % 8 == 0:
+            symtab = symtab.localCheckpoint(eager=True)
+    return merges
+
+
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]], *,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Segment each document's tokens with a learned merge list —
+    merges replay in training order over each word's symbols (the
+    standard BPE encoder). Pure narrow maps: zero shuffles, any
+    corpus size. Columns: <id_col>, n_words, n_pieces, pieces
+    (array<string>, EOW markers stripped)."""
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokenize(text_col).alias("ws"))
+    chars = lambda w: F.concat(  # noqa: E731
+        F.filter(F.split(w, ""), lambda c: F.length(c) > 0),
+        F.array(F.lit(EOW)))
+    out = toked.select(
+        "doc_id", F.size("ws").alias("n_words"),
+        F.posexplode_outer("ws").alias("pos", "word"))
+    out = out.withColumn("syms", chars(F.col("word")))
+    for a, b in merges:
+        la, lb = F.lit(a), F.lit(b)
+        out = out.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la) & (s == lb),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(F.concat(la, lb)))
+                ).otherwise(F.concat(acc, F.array(s)))))
+    strip = F.transform("syms", lambda s: F.replace(s, F.lit(EOW),
+                                                    F.lit("")))
+    pieces = F.filter(strip, lambda s: F.length(s) > 0)
+    # collect_list has no order guarantee after a shuffle — carry the
+    # word position and sort the structs before flattening
+    return (out.withColumn("pieces", pieces)
+            .groupBy("doc_id", "n_words")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "pieces")))
+                 .alias("ordered"))
+            .select(F.col("doc_id").alias(id_col), "n_words",
+                    F.flatten(F.expr("transform(ordered, x -> x.pieces)"))
+                    .alias("pieces"))
+            .select(id_col, "n_words",
+                    F.size("pieces").cast("long").alias("n_pieces"),
+                    "pieces"))

@@ -70,6 +70,8 @@ _DRIVER_PRIORITY: list[str] = [
     "cms_user_freq_estimates",
     "bloom_incremental_dedup_docs",
     "semantic_dedup_embeddings",
+    "bpe_merges_docs",
+    "bpe_segment_docs",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -4140,3 +4142,32 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (semantic_dedup(_t(spark, sf_dir, "embeddings"),
                            threshold=0.9, k=8)
             .orderBy("vec_id"))
+
+
+@register("bpe_merges_docs", None)
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/tokenizer.train_bpe): the
+    ordered merge list learned from the documents corpus — iterative
+    driver-looped training (one vocab-table job per merge), so the
+    driver check is rows-only; pytest proves merge-sequence equality
+    with a pure-Python reference BPE."""
+    from parlerproject_spark.operators.tokenizer import train_bpe
+    merges = train_bpe(_t(spark, sf_dir, "documents"), n_merges=20)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows or [(0, "", "")],
+                                 "rank long, left string, right string")
+
+
+@register("bpe_segment_docs", None)
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding (operators/tokenizer.apply_bpe): segment every
+    document with 12 learned merges — zero-shuffle narrow-map
+    encoder; rows-only (the model is the iterative trainer's
+    output)."""
+    from parlerproject_spark.operators.tokenizer import (apply_bpe,
+                                                         train_bpe)
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=12)
+    return (apply_bpe(d, merges)
+            .select("doc_id", "n_words", "n_pieces")
+            .orderBy("doc_id"))

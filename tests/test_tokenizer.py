@@ -1,0 +1,116 @@
+"""BPE trainer/encoder vs a pure-Python reference implementation.
+
+train_bpe is iterative and driver-looped (no SQL oracle possible),
+so the equivalence proof lives here: an independent in-memory BPE
+(the standard Sennrich et al. algorithm with the same tie-breaks)
+must produce the IDENTICAL merge sequence and the identical
+segmentation on the same corpus.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from parlerproject_spark.operators.tokenizer import (EOW, apply_bpe,
+                                                     train_bpe)
+
+
+def _py_tokenize(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_train_bpe(texts: list[str], n_merges: int):
+    vocab = Counter()
+    for t in texts:
+        vocab.update(_py_tokenize(t))
+    symtab = {w: list(w) + [EOW] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, n in vocab.items():
+            syms = symtab[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        # max count, ties lexicographic on (a, b) — same as the op
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for w in symtab:
+            out = []
+            for s in symtab[w]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            symtab[w] = out
+    return merges
+
+
+def _py_apply(text: str, merges) -> list[str]:
+    pieces = []
+    for w in _py_tokenize(text):
+        syms = list(w) + [EOW]
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        pieces.extend(p for p in (s.replace(EOW, "") for s in syms) if p)
+    return pieces
+
+
+_CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "low new low new wide wider widest",
+    "the newest lowest wide low",
+]
+
+
+def test_train_bpe_matches_reference_merge_sequence(spark):
+    d = spark.createDataFrame(list(enumerate(_CORPUS)),
+                              "doc_id long, text string")
+    got = train_bpe(d, n_merges=12)
+    want = _py_train_bpe(_CORPUS, 12)
+    assert got == want
+
+
+def test_apply_bpe_matches_reference_segmentation(spark):
+    d = spark.createDataFrame(list(enumerate(_CORPUS)),
+                              "doc_id long, text string")
+    merges = train_bpe(d, n_merges=10)
+    out = {r["doc_id"]: r for r in
+           apply_bpe(d, merges).collect()}
+    for i, text in enumerate(_CORPUS):
+        want = _py_apply(text, merges)
+        assert list(out[i]["pieces"]) == want, (i, out[i]["pieces"], want)
+        assert out[i]["n_pieces"] == len(want)
+        assert out[i]["n_words"] == len(_py_tokenize(text))
+
+
+def test_bpe_early_stops_when_nothing_repeats(spark):
+    d = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    # every pair occurs once -> no merge reaches count 2
+    assert train_bpe(d, n_merges=5) == []
+
+
+def test_bpe_compresses_repetitive_corpus(spark):
+    d = spark.createDataFrame(
+        [(i, "tokenization tokenization tokenizer token")
+         for i in range(3)], "doc_id long, text string")
+    merges = train_bpe(d, n_merges=15)
+    out = apply_bpe(d, merges).collect()
+    for r in out:
+        # merged pieces are strictly fewer than raw characters
+        assert r["n_pieces"] < sum(len(w) for w in
+                                   "tokenization tokenization tokenizer token"
+                                   .split())
+        assert r["n_pieces"] >= r["n_words"] * 1  # at least one piece/word
