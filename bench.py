@@ -119,6 +119,8 @@ EXTRA = [
     "bloom_incremental_dedup_docs",
     "semantic_dedup_embeddings",
     "bpe_segment_docs",
+    "scd2_user_type_history",
+    "dsir_resample_docs",
 ]
 
 

@@ -92,3 +92,49 @@ def merge_latest(base: DataFrame, updates: DataFrame, *,
     return (tagged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src"))
+
+
+def scd2_history(changes: DataFrame, *, key_cols: Sequence[str],
+                 ts_col: str, attr_cols: Sequence[str],
+                 tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a keyed change
+    log: one validity interval [valid_from, valid_to) per distinct
+    state, open-ended (valid_to null, is_current true) on the latest.
+    Consecutive records whose tracked attributes are unchanged
+    COLLAPSE into the run's first row — a no-op update never opens a
+    new version (null-safe compare, like snapshot_diff).
+
+    The dimension-build pattern every warehouse refresh needs on top
+    of merge_latest (which keeps only the winner; this keeps the
+    lineage). Plan: two windows over the same (key, ts) ordering —
+    ONE hash exchange on the key, both windows ride it; sort-based,
+    spills on heavy keys, never collects.
+
+    Columns: <key_cols>, <attr_cols>, valid_from, valid_to,
+    version (1-based per key), is_current.
+
+    `tiebreak_cols` extends the ordering when `ts_col` alone is not
+    a total order per key (window functions over ties are otherwise
+    nondeterministic).
+    """
+    order = [ts_col, *tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    extra = [c for c in tiebreak_cols if c not in attr_cols]
+    opens = (changes
+             .select(*key_cols, ts_col, *attr_cols, *extra)
+             .withColumn("__open", first | changed)
+             .filter(F.col("__open"))
+             .drop("__open"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (opens
+            .select(*key_cols, *attr_cols,
+                    F.col(ts_col).alias("valid_from"),
+                    F.lead(ts_col).over(w2).alias("valid_to"),
+                    F.row_number().over(w2).cast("long").alias("version"))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select(*key_cols, *attr_cols, "valid_from", "valid_to",
+                    "version", "is_current"))

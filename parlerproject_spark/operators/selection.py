@@ -193,3 +193,27 @@ def nb_quality_classifier(docs: DataFrame, *, id_col: str = "doc_id",
                     .alias("log_odds"))
             .withColumn("pred",
                         (F.col("log_odds") > 0).cast("long")))
+
+
+def importance_resample(raw: DataFrame, target: DataFrame, *, n: int,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        seed: str = "dsir") -> DataFrame:
+    """DSIR step 2: sample `n` raw documents without replacement with
+    probability ∝ exp(log_weight), via the Gumbel top-k trick with
+    DETERMINISTIC noise — u(doc) from an md5 hash of (seed, id), so
+    the draw is exactly reproducible (and exactly replayable by the
+    SQL oracle), yet distributionally a true Gumbel perturbation:
+    key = log_weight + (-ln(-ln u)), take the n largest keys.
+
+    Plan: dsir_weights' constant-size-model scoring, a narrow map for
+    the key, and a TakeOrderedAndProject cut — no global sort, no
+    window. Columns: <id_col>, log_weight, sample_key (round 6).
+    """
+    w = dsir_weights(raw, target, id_col=id_col, text_col=text_col)
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 1.0)
+         / (4294967296.0 + 1.0))
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    return (w.select(id_col, "log_weight", key.alias("sample_key"))
+            .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+            .limit(n))

@@ -72,6 +72,8 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup_embeddings",
     "bpe_merges_docs",
     "bpe_segment_docs",
+    "scd2_user_type_history",
+    "dsir_resample_docs",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -4171,3 +4173,96 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (apply_bpe(d, merges)
             .select("doc_id", "n_words", "n_pieces")
             .orderBy("doc_id"))
+
+
+@register("scd2_user_type_history", """
+WITH src AS (
+  SELECT user_id, ts, event_id, event_type FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN row_number() OVER w = 1
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS opens
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM flagged WHERE opens = 1)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       cast(row_number() OVER w2 AS BIGINT) AS version,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+""")
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/cdc.scd2_history):
+    per-user validity intervals over the event-type attribute —
+    consecutive same-type records collapse, the latest interval is
+    open-ended. One hash exchange, two windows riding it. The oracle
+    replays the identical run-collapse + interval window in SQL."""
+    from parlerproject_spark.operators.cdc import scd2_history
+    h = scd2_history(_t(spark, sf_dir, "events"),
+                     key_cols=["user_id"], ts_col="ts",
+                     attr_cols=["event_type"], tiebreak_cols=["event_id"])
+    return (h.select("user_id", "event_type",
+                     F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+                      .alias("valid_from"),
+                     F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss")
+                      .alias("valid_to"),
+                     "version", "is_current")
+            .orderBy("user_id", "version"))
+
+
+@register("dsir_resample_docs", """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+idx AS (
+  SELECT doc_id, source, ts,
+         unnest(generate_series(1, len(ts) - 1)) AS gs
+  FROM toks WHERE len(ts) >= 2),
+feats AS (
+  SELECT doc_id, source,
+         substr(md5(ts[gs] || ' ' || ts[gs + 1]), 1, 3) AS feat
+  FROM idx),
+tm AS (SELECT feat, cast(count(*) AS DOUBLE) AS ct FROM feats
+       WHERE source IN ('src0', 'src1') GROUP BY feat),
+rm AS (SELECT feat, cast(count(*) AS DOUBLE) AS cr FROM feats GROUP BY feat),
+tot AS (
+  SELECT (SELECT sum(ct) FROM tm) AS tt,
+         (SELECT sum(cr) FROM rm) AS tr),
+wts AS (
+  SELECT doc_id,
+         round(sum(ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0))
+                   - ln((coalesce(cr, 0) + 1.0) / (tr + 4096.0))), 6)
+             AS log_weight
+  FROM feats
+  LEFT JOIN tm USING (feat)
+  LEFT JOIN rm USING (feat)
+  CROSS JOIN tot
+  GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, log_weight,
+         round(log_weight
+               - ln(-ln((('0x' || substr(md5('dsir:' || doc_id::VARCHAR),
+                                         1, 8))::BIGINT + 1.0)
+                        / 4294967297.0)), 6) AS sample_key
+  FROM wts)
+SELECT doc_id, log_weight, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 100
+""")
+def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/selection
+    .importance_resample): Gumbel top-k draw of 100 documents with
+    probability ∝ exp(log_weight), deterministic md5 noise — the
+    selection step that follows dsir_weights. Oracle replays the
+    same weights, noise, and cut."""
+    from parlerproject_spark.operators.selection import importance_resample
+    d = _t(spark, sf_dir, "documents")
+    return importance_resample(
+        d, d.filter(F.col("source").isin("src0", "src1")), n=100)

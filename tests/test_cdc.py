@@ -97,3 +97,50 @@ def test_snapshot_diff_delta_filter_pushes_above_single_join(spark):
     delta = d.filter(F.col("change") != "unchanged")
     plan = _final_plan(delta)
     assert plan.count("Join") == 1, plan
+
+
+# SCD Type-2 ---------------------------------------------------------------
+
+def test_scd2_collapses_runs_and_opens_versions(spark):
+    from parlerproject_spark.operators.cdc import scd2_history
+    rows = [
+        (1, 100, "a"), (1, 200, "a"),   # run of a -> one version
+        (1, 300, "b"),                  # change -> version 2
+        (1, 400, "a"),                  # back to a -> version 3 (not merged)
+        (2, 150, "x"),                  # single-state key
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, attr string")
+    out = {(r["k"], r["version"]): r for r in
+           scd2_history(df, key_cols=["k"], ts_col="ts",
+                        attr_cols=["attr"]).collect()}
+    assert len(out) == 4
+    v1, v2, v3 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (v1["attr"], v1["valid_from"], v1["valid_to"]) == ("a", 100, 300)
+    assert (v2["attr"], v2["valid_from"], v2["valid_to"]) == ("b", 300, 400)
+    assert (v3["attr"], v3["valid_to"], v3["is_current"]) == ("a", None, True)
+    assert not v1["is_current"] and not v2["is_current"]
+    assert out[(2, 1)]["is_current"] is True
+
+
+def test_scd2_null_attr_is_a_state_not_a_wildcard(spark):
+    from parlerproject_spark.operators.cdc import scd2_history
+    rows = [(1, 100, "a"), (1, 200, None), (1, 300, None), (1, 400, "a")]
+    df = spark.createDataFrame(rows, "k long, ts long, attr string")
+    out = sorted((r["version"], r["attr"]) for r in
+                 scd2_history(df, key_cols=["k"], ts_col="ts",
+                              attr_cols=["attr"]).collect())
+    # null run collapses (null-safe compare), flanked by two 'a' versions
+    assert out == [(1, "a"), (2, None), (3, "a")]
+
+
+def test_scd2_single_exchange_plan(spark):
+    from parlerproject_spark.operators.cdc import scd2_history
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("ts"),
+        (F.col("id") % 3).cast("string").alias("attr"))
+    plan = (scd2_history(df, key_cols=["k"], ts_col="ts",
+                         attr_cols=["attr"])
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, plan

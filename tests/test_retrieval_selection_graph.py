@@ -190,3 +190,34 @@ def test_pagerank_iteration_count_is_fixed(spark):
     pr = {r["node"]: r["rank"] for r in
           pagerank(_edges(spark, [(1, 2), (3, 2)]), iters=0).collect()}
     assert all(abs(v - 1 / 3) < 1e-6 for v in pr.values())
+
+
+# Importance resampling ----------------------------------------------------
+
+def test_importance_resample_is_deterministic_and_weight_biased(spark):
+    from parlerproject_spark.operators.selection import importance_resample
+    target = _docs(spark, [(1000 + i, "clean prose about science topics")
+                           for i in range(5)])
+    raw = _docs(spark, [(i, "clean prose about science topics")
+                        for i in range(50)]
+                + [(100 + i, "spam buy now click spam buy")
+                   for i in range(50)])
+    a = [r["doc_id"] for r in
+         importance_resample(raw, target, n=30).collect()]
+    b = [r["doc_id"] for r in
+         importance_resample(raw, target, n=30).collect()]
+    assert a == b                      # deterministic draw
+    target_like = sum(1 for i in a if i < 100)
+    assert target_like >= 25           # heavily biased toward the target
+
+
+def test_importance_resample_seed_changes_draw(spark):
+    from parlerproject_spark.operators.selection import importance_resample
+    target = _docs(spark, [(900, "alpha beta gamma delta")])
+    raw = _docs(spark, [(i, f"alpha beta gamma delta word{i % 7}")
+                        for i in range(60)])
+    a = {r["doc_id"] for r in
+         importance_resample(raw, target, n=10, seed="s1").collect()}
+    b = {r["doc_id"] for r in
+         importance_resample(raw, target, n=10, seed="s2").collect()}
+    assert a != b                      # the noise really participates
