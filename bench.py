@@ -121,6 +121,8 @@ EXTRA = [
     "bpe_segment_docs",
     "scd2_user_type_history",
     "dsir_resample_docs",
+    "gopher_quality_docs",
+    "c4_line_filter_docs",
 ]
 
 

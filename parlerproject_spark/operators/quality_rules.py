@@ -1,0 +1,142 @@
+"""Named corpus-cleaning rule sets: Gopher quality rules and C4
+line filters.
+
+The two rule families every web-scale pretraining pipeline starts
+from, re-expressed as zero-shuffle Column algebra (the reference's
+quality surface stops at heuristic scores — functions/text.py
+quality_score; these are the published, named filters):
+
+- `gopher_quality_flags` — the Rae et al. 2021 (Gopher §A1.1)
+  document-level rules: word-count band, mean-word-length band,
+  symbol-to-word ratio, bullet/ellipsis line shares, alphabetic-word
+  share, minimum stop-word hits.
+- `c4_line_filter` — the Raffel et al. 2020 (C4) line rules:
+  terminal punctuation, minimum words per line, no brace/lorem/
+  javascript contamination, minimum surviving lines per doc.
+
+Both are pure narrow maps (split → array algebra → aggregate over
+the array, never over rows), so filtering 100 TB is embarrassingly
+parallel: no shuffle, no UDF, WholeStageCodegen end-to-end — and
+every rule is exactly replayable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Gopher's required stop words (§A1.1): a document must contain at
+#: least 2 of these to pass the stop-word rule.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(docs: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_len: float = 3.0,
+                         max_mean_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         max_bullet_share: float = 0.9,
+                         max_ellipsis_share: float = 0.3,
+                         min_alpha_share: float = 0.8,
+                         min_stop_hits: int = 2) -> DataFrame:
+    """Per-document Gopher rule evaluation. Emits one boolean per
+    rule plus the conjunction, and the measured statistics — the
+    shape downstream mixing wants (filter OR reweight by flag).
+
+    Columns: <id_col>, n_words, mean_word_len (round 4),
+    symbol_ratio (round 6), bullet_share, ellipsis_share,
+    alpha_share (round 6), stop_hits, pass_words, pass_mean_len,
+    pass_symbols, pass_bullets, pass_ellipsis, pass_alpha,
+    pass_stops, keep.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda w: F.length(w) > 0)
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda l: F.length(F.trim(l)) > 0)
+    d = docs.select(F.col(id_col), F.col(text_col).alias("__t"),
+                    words.alias("ws"), lines.alias("ls"))
+    n_words = F.size("ws").cast("long")
+    sum_len = F.aggregate("ws", F.lit(0),
+                          lambda acc, w: acc + F.length(w))
+    mean_len = F.round(sum_len.cast("double")
+                       / F.greatest(n_words, F.lit(1)), 4)
+    n_sym = (F.length("__t")
+             - F.length(F.regexp_replace("__t", r"[#…]|\.\.\.", "")))
+    symbol_ratio = F.round(n_sym.cast("double")
+                           / F.greatest(n_words, F.lit(1)), 6)
+    n_lines = F.greatest(F.size("ls"), F.lit(1))
+    bullet = F.size(F.filter(
+        "ls", lambda l: F.trim(l).rlike(r"^(\-|\*|•)")))
+    ellipsis = F.size(F.filter(
+        "ls", lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    bullet_share = F.round(bullet.cast("double") / n_lines, 6)
+    ellipsis_share = F.round(ellipsis.cast("double") / n_lines, 6)
+    alpha = F.size(F.filter("ws", lambda w: w.rlike("[a-zA-Z]")))
+    alpha_share = F.round(alpha.cast("double")
+                          / F.greatest(n_words, F.lit(1)), 6)
+    low = F.lower(F.col("__t"))
+    stop_hits = sum(
+        (F.when(F.array_contains(
+            F.filter(F.split(low, r"[^a-z]+"),
+                     lambda t: F.length(t) > 0), s), 1).otherwise(0)
+         for s in GOPHER_STOPS),
+        start=F.lit(0)).cast("long")
+    out = (d.select(
+        id_col,
+        n_words.alias("n_words"), mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_share.alias("bullet_share"),
+        ellipsis_share.alias("ellipsis_share"),
+        alpha_share.alias("alpha_share"), stop_hits.alias("stop_hits"))
+        .withColumn("pass_words", (F.col("n_words") >= min_words)
+                    & (F.col("n_words") <= max_words))
+        .withColumn("pass_mean_len",
+                    (F.col("mean_word_len") >= min_mean_len)
+                    & (F.col("mean_word_len") <= max_mean_len))
+        .withColumn("pass_symbols", F.col("symbol_ratio") <= max_symbol_ratio)
+        .withColumn("pass_bullets", F.col("bullet_share") <= max_bullet_share)
+        .withColumn("pass_ellipsis",
+                    F.col("ellipsis_share") <= max_ellipsis_share)
+        .withColumn("pass_alpha", F.col("alpha_share") >= min_alpha_share)
+        .withColumn("pass_stops", F.col("stop_hits") >= min_stop_hits))
+    keep = (F.col("pass_words") & F.col("pass_mean_len")
+            & F.col("pass_symbols") & F.col("pass_bullets")
+            & F.col("pass_ellipsis") & F.col("pass_alpha")
+            & F.col("pass_stops"))
+    return out.withColumn("keep", keep)
+
+
+def c4_line_filter(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", min_line_words: int = 5,
+                   min_lines: int = 3) -> DataFrame:
+    """C4 cleaning: keep only lines that end in terminal punctuation
+    and have >= `min_line_words` words; drop any line mentioning
+    javascript, "lorem ipsum", or a curly brace; then drop documents
+    with fewer than `min_lines` surviving lines. Returns the cleaned
+    text with per-doc counters.
+
+    Entirely array algebra over the line split — zero shuffles.
+    Columns: <id_col>, n_lines, n_kept, clean_text.
+    """
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda l: F.length(F.trim(l)) > 0)
+
+    def keep_line(l):  # noqa: E741
+        t = F.trim(l)
+        low = F.lower(t)
+        n_w = F.size(F.filter(F.split(t, r"\s+"),
+                              lambda w: F.length(w) > 0))
+        return (t.rlike(r'[.!?"”]$')
+                & (n_w >= min_line_words)
+                & ~low.contains("javascript")
+                & ~low.contains("lorem ipsum")
+                & ~low.contains("{"))
+
+    kept = F.filter(lines, keep_line)
+    return (docs.select(F.col(id_col), lines.alias("ls"), kept.alias("ks"))
+            .select(id_col,
+                    F.size("ls").cast("long").alias("n_lines"),
+                    F.size("ks").cast("long").alias("n_kept"),
+                    F.array_join("ks", "\n").alias("clean_text"))
+            .filter(F.col("n_kept") >= min_lines))

@@ -74,6 +74,8 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_segment_docs",
     "scd2_user_type_history",
     "dsir_resample_docs",
+    "gopher_quality_docs",
+    "c4_line_filter_docs",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -4266,3 +4268,107 @@ def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return importance_resample(
         d, d.filter(F.col("source").isin("src0", "src1")), n=100)
+
+
+@register("gopher_quality_docs", """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'),
+                     w -> w <> '') AS ws,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) <> '') AS ls,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+stats AS (
+  SELECT doc_id,
+         cast(len(ws) AS BIGINT) AS n_words,
+         round(cast(list_sum(list_transform(ws, w -> length(w)))
+                    AS DOUBLE) / greatest(len(ws), 1), 4) AS mean_word_len,
+         round(cast(length(text)
+                    - length(regexp_replace(text, '[#…]|\\.\\.\\.', '', 'g'))
+                    AS DOUBLE) / greatest(len(ws), 1), 6) AS symbol_ratio,
+         round(cast(len(list_filter(ls,
+                 l -> regexp_matches(trim(l), '^(\\-|\\*|•)')))
+                    AS DOUBLE) / greatest(len(ls), 1), 6) AS bullet_share,
+         round(cast(len(list_filter(ls,
+                 l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                    AS DOUBLE) / greatest(len(ls), 1), 6) AS ellipsis_share,
+         round(cast(len(list_filter(ws,
+                 w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS DOUBLE) / greatest(len(ws), 1), 6) AS alpha_share,
+         cast(list_contains(toks, 'the')::INT + list_contains(toks, 'be')::INT
+            + list_contains(toks, 'to')::INT + list_contains(toks, 'of')::INT
+            + list_contains(toks, 'and')::INT
+            + list_contains(toks, 'that')::INT
+            + list_contains(toks, 'have')::INT
+            + list_contains(toks, 'with')::INT AS BIGINT) AS stop_hits
+  FROM base)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000) AS pass_words,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
+       (symbol_ratio <= 0.1) AS pass_symbols,
+       (bullet_share <= 0.9) AS pass_bullets,
+       (ellipsis_share <= 0.3) AS pass_ellipsis,
+       (alpha_share >= 0.8) AS pass_alpha,
+       (stop_hits >= 2) AS pass_stops,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND symbol_ratio <= 0.1 AND bullet_share <= 0.9
+        AND ellipsis_share <= 0.3 AND alpha_share >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM stats
+ORDER BY doc_id
+""")
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (operators/quality_rules
+    .gopher_quality_flags): the Rae et al. §A1.1 rule set as
+    zero-shuffle Column algebra — per-rule booleans + measured
+    statistics. Oracle recomputes every statistic and rule in SQL."""
+    from parlerproject_spark.operators.quality_rules import (
+        gopher_quality_flags)
+    return (gopher_quality_flags(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
+@register("c4_line_filter_docs", """
+WITH fixture AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:[a-z0-9]+ ){5}[a-z0-9]+) ',
+                        '\\1.' || chr(10), 'g') AS text
+  FROM documents),
+split AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) <> '') AS ls
+  FROM fixture),
+kept AS (
+  SELECT doc_id, ls,
+         list_filter(ls, l ->
+             regexp_matches(trim(l), '[.!?"”]$')
+             AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                 w -> w <> '')) >= 5
+             AND NOT contains(lower(trim(l)), 'javascript')
+             AND NOT contains(lower(trim(l)), 'lorem ipsum')
+             AND NOT contains(lower(trim(l)), '{')) AS ks
+  FROM split)
+SELECT doc_id,
+       cast(len(ls) AS BIGINT) AS n_lines,
+       cast(len(ks) AS BIGINT) AS n_kept,
+       list_aggregate(ks, 'string_agg', chr(10)) AS clean_text
+FROM kept
+WHERE len(ks) >= 3
+ORDER BY doc_id
+""")
+def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filtering (operators/quality_rules.c4_line_filter)
+    over a deterministic multi-line fixture (every 6th token gets a
+    sentence break — the same regexp construction on both sides,
+    like the S9 concat fixture): terminal-punctuation + min-words +
+    contamination line rules, then the min-lines document rule.
+    Oracle replays the fixture and every rule in SQL."""
+    from parlerproject_spark.operators.quality_rules import c4_line_filter
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(
+            "text", r"((?:[a-z0-9]+ ){5}[a-z0-9]+) ", "$1.\n"))
+    return c4_line_filter(d).orderBy("doc_id")
