@@ -126,3 +126,91 @@ def pmi_collocations(docs: DataFrame, *, text_col: str = "text",
                      F.col("w2").asc())
             .limit(top_k)
             .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+# Persisted inverted index -------------------------------------------------
+
+#: term-bucket fanout for the persisted index layout: terms hash into
+#: this many directories, so a q-term probe reads <= q buckets.
+INDEX_BUCKETS = 256
+
+
+def _term_bucket(term: F.Column) -> F.Column:
+    return (F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+            % F.lit(INDEX_BUCKETS))
+
+
+def build_text_index(docs: DataFrame, path: str, *,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> None:
+    """Materialize the BM25 inverted index `bm25_scores` builds
+    per query: postings (doc, term, tf, dl) written Parquet
+    PARTITIONED BY term bucket (md5(term) % 256 directories), plus
+    per-term df and the corpus stats (N, avgdl) as sidecar tables
+    under the same root. A probe reads only the buckets its query
+    terms hash into — planning-time partition pruning, same contract
+    as similarity.build_lsh_index — and never rebuilds corpus
+    statistics.
+
+    This is the serving shape for repeated retrieval over a standing
+    corpus: the one corpus-wide tokenize+aggregate pass happens at
+    build time, probes touch q/256 of the postings files.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize(text_col).alias("ts"))
+    lens = toks.select("doc_id", F.size("ts").alias("dl"))
+    post = (toks.select("doc_id", F.size("ts").alias("dl"),
+                        F.explode("ts").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("double").alias("tf"),
+                 F.first("dl").alias("dl")))
+    (post.withColumn("bucket", _term_bucket(F.col("term")))
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(f"{path}/postings"))
+    (post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+         .withColumn("bucket", _term_bucket(F.col("term")))
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(f"{path}/df"))
+    (lens.agg(F.count("*").cast("double").alias("n_docs"),
+              F.avg("dl").alias("avgdl"))
+         .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def probe_text_index(spark, path: str, query_terms: list[str], *,
+                     k1: float = 1.2, b: float = 0.75,
+                     top_k: int = 20) -> DataFrame:
+    """BM25 top-k against a persisted index. The query terms' buckets
+    are computed DRIVER-SIDE (md5 of a handful of strings), so the
+    postings/df scans carry a literal `bucket IN (...)` partition
+    filter — only those directories' files are read. Scoring math is
+    identical to bm25_scores. Columns: doc_id, score, rank.
+    """
+    import hashlib
+    qt = sorted({t.lower() for t in query_terms})
+    buckets = sorted({int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                      % INDEX_BUCKETS for t in qt})
+    post = (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(qt)))
+    dfs = (spark.read.parquet(f"{path}/df")
+           .filter(F.col("bucket").isin(buckets)
+                   & F.col("term").isin(qt))
+           .select("term", "df"))
+    stats = spark.read.parquet(f"{path}/stats")
+    from pyspark.sql import Window
+    scored = (post.join(F.broadcast(dfs), "term")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id",
+                      (F.log((F.col("n_docs") - F.col("df") + 0.5)
+                             / (F.col("df") + 0.5) + 1.0)
+                       * (F.col("tf") * (k1 + 1.0))
+                       / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                              / F.col("avgdl"))))
+                      .alias("s")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("s"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(top_k)
+            .select("doc_id", "score",
+                    F.row_number().over(w).cast("long").alias("rank")))

@@ -355,3 +355,30 @@ def bloom_incremental_dedup(batch: DataFrame, seen: DataFrame, *,
     verified_new = (batch.join(maybe_keys, key_col, "left_semi")
                     .join(seen.select(key_col), key_col, "left_anti"))
     return definitely_new.unionByName(verified_new)
+
+
+def cms_sink(stream_events: DataFrame, path: str, *, key_col: str,
+             checkpoint: str):
+    """Maintain a count-min sketch FROM A STREAM — streaming heavy
+    hitters: each micro-batch folds its keys into a batch-local CMS
+    (4096-row partial) landed under `path`/batch=<id>; replayed
+    batches overwrite their own subdirectory (idempotent, same
+    recipe as rollup_sink). CMS counts are linear, so serving merges
+    partials by plain sum — `serve_cms` — and estimates are
+    available mid-stream at any time. Returns the StreamingQuery."""
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = cms_rollup(batch_df, bucket=F.lit(0), key_col=key_col)
+        part.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch={batch_id}"))
+
+    return (stream_events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def serve_cms(spark, path: str) -> DataFrame:
+    """Read-side merge of streamed CMS partials → one sketch. Only
+    partial rows are read (batches × 4096), never the stream."""
+    return merge_cms(spark.read.parquet(path).drop("batch", "bucket"))

@@ -221,3 +221,37 @@ def test_importance_resample_seed_changes_draw(spark):
     b = {r["doc_id"] for r in
          importance_resample(raw, target, n=10, seed="s2").collect()}
     assert a != b                      # the noise really participates
+
+
+# Persisted BM25 index -----------------------------------------------------
+
+def test_text_index_probe_matches_inline_bm25_and_prunes(spark, sf_dir,
+                                                         tmp_path):
+    from parlerproject_spark.catalog import load_table
+    from parlerproject_spark.operators.retrieval import (build_text_index,
+                                                         probe_text_index)
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path)
+    terms = ["spark", "join", "query"]
+    probed = probe_text_index(spark, path, terms, top_k=10)
+    inline = bm25_scores(docs, terms, top_k=10)
+    got = [(r["doc_id"], r["score"], r["rank"]) for r in probed.collect()]
+    want = [(r["doc_id"], r["score"], r["rank"]) for r in inline.collect()]
+    assert got == want                       # identical scoring math
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+    filters = re.findall(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)\]",
+                         plan)
+    assert filters, plan  # both postings and df scans carry the filter
+    for f in filters:
+        assert len(f.split(",")) <= len(terms)  # <= one bucket per term
+
+
+def test_text_index_probe_unknown_term_is_empty_not_error(spark, tmp_path):
+    from parlerproject_spark.operators.retrieval import (build_text_index,
+                                                         probe_text_index)
+    d = _docs(spark, [(1, "alpha beta gamma")])
+    path = str(tmp_path / "tidx2")
+    build_text_index(d, path)
+    assert probe_text_index(spark, path, ["nonexistent"]).count() == 0

@@ -267,3 +267,34 @@ def test_bloom_has_no_false_negatives_and_prunes(spark):
     # a disjoint batch mostly misses: false-positive rate stays low
     fp = (nset(disjoint).filter(F.col("n") == R.BLOOM_HASHES).count())
     assert fp / 5000 < 0.05, fp
+
+
+def test_stream_maintained_cms_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming heavy hitters: the stream-maintained CMS must equal
+    the batch-built sketch exactly (counts are linear), so estimates
+    from the served sketch inherit the never-undercount bound."""
+    e = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(e.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    state = str(tmp_path / "cms")
+    q = R.cms_sink(stream, state, key_col="user_id",
+                   checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    import os
+    assert len([d for d in os.listdir(state)
+                if d.startswith("batch=")]) >= 2
+
+    served = R.serve_cms(spark, state)
+    batch = R.merge_cms(R.cms_rollup(e, bucket=F.lit(0),
+                                     key_col="user_id"))
+    assert _rows(served, ["row", "idx", "c"]) == _rows(batch,
+                                                       ["row", "idx", "c"])
+    est = {r["user_id"]: r["est"] for r in
+           R.cms_estimate(served, e.select("user_id").distinct(),
+                          key_col="user_id").collect()}
+    exact = {r["user_id"]: r["count"] for r in
+             e.groupBy("user_id").count().collect()}
+    assert all(est[k] >= c for k, c in exact.items())
