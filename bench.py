@@ -123,6 +123,8 @@ EXTRA = [
     "dsir_resample_docs",
     "gopher_quality_docs",
     "c4_line_filter_docs",
+    "decayed_trending_users",
+    "snapshot_asof_user_state",
 ]
 
 

@@ -138,3 +138,21 @@ def scd2_history(changes: DataFrame, *, key_cols: Sequence[str],
             .withColumn("is_current", F.col("valid_to").isNull())
             .select(*key_cols, *attr_cols, "valid_from", "valid_to",
                     "version", "is_current"))
+
+
+def snapshot_asof(changes: DataFrame, *, key_cols: Sequence[str],
+                  version_col: str, tiebreak_col: str,
+                  asof) -> DataFrame:
+    """Time travel: reconstruct the table state as of `asof` from a
+    keyed change log — filter the log to versions <= asof, keep the
+    latest surviving row per key (same window as merge_latest). The
+    version filter pushes into the scan (partition/row-group pruning
+    on a time-partitioned log), then ONE key exchange + window.
+    Columns: the log's, minus bookkeeping.
+    """
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col(version_col).desc(), F.col(tiebreak_col).desc()))
+    return (changes.filter(F.col(version_col) <= asof)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn"))

@@ -382,3 +382,26 @@ def serve_cms(spark, path: str) -> DataFrame:
     """Read-side merge of streamed CMS partials → one sketch. Only
     partial rows are read (batches × 4096), never the stream."""
     return merge_cms(spark.read.parquet(path).drop("batch", "bucket"))
+
+
+def decayed_rollup_serve(rollup: DataFrame, *, key_cols: Sequence[str],
+                         now: F.Column, half_life_days: float = 7.0,
+                         bucket_col: str = "bucket") -> DataFrame:
+    """Exponentially-decayed totals served FROM THE PARTIAL TABLE —
+    the trending/freshness read: score(key) = sum over buckets of
+    n_rows * 0.5^(age_days / half_life). A plain EWMA is not
+    mergeable, but bucket-grained decay IS — the decay factor is a
+    function of the bucket timestamp alone, so it applies at read
+    time over partial rows and the maintenance loop (rollup_sink /
+    merge_rollups) never changes. Raw history stays cold.
+    Columns: <key_cols>, decayed_n (round 6), n_rows.
+    """
+    age_days = (now.cast("double") - F.col(bucket_col).cast("double")) \
+        / 86400.0
+    wgt = F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    return (rollup
+            .select(*key_cols, F.col("n_rows"),
+                    (F.col("n_rows") * wgt).alias("dn"))
+            .groupBy(*key_cols)
+            .agg(F.round(F.sum("dn"), 6).alias("decayed_n"),
+                 F.sum("n_rows").alias("n_rows")))

@@ -107,7 +107,10 @@ def train_bpe(docs: DataFrame, *, n_merges: int = 50,
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
         symtab = _apply_merge(symtab, a, b)
-        if (i + 1) % 8 == 0:
+        # every 4 merges: the nested-fold expression depth (and its
+        # per-iteration codegen cost) is bounded at 4, and the
+        # materialized table is vocab-sized either way
+        if (i + 1) % 4 == 0:
             symtab = symtab.localCheckpoint(eager=True)
     return merges
 
@@ -117,21 +120,32 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]], *,
               text_col: str = "text") -> DataFrame:
     """Segment each document's tokens with a learned merge list —
     merges replay in training order over each word's symbols (the
-    standard BPE encoder). Pure narrow maps: zero shuffles, any
-    corpus size. Columns: <id_col>, n_words, n_pieces, pieces
-    (array<string>, EOW markers stripped)."""
+    standard BPE encoder).
+
+    Scale shape: the merge fold is evaluated ONCE PER DISTINCT WORD
+    (the segmentation of a word doesn't depend on the document), so
+    the expensive nested-fold expression runs over the vocabulary
+    table — the same table training iterated — and documents get
+    their pieces back by a token-keyed join. Encoding cost is
+    vocab × merges + one keyed join, instead of corpus × merges:
+    the r4 bench cut bpe_segment_docs ~4× with this split. The
+    vocab side is a corpus-derived aggregate — sizes follow the
+    corpus, so the join stays a shuffle join (AQE may broadcast a
+    small vocab at test scale; at 100 TB it must not, and nothing
+    here forces it).
+    Columns: <id_col>, n_words, n_pieces, pieces (array<string>,
+    EOW markers stripped).
+    """
     toked = docs.select(F.col(id_col).alias("doc_id"),
                         tokenize(text_col).alias("ws"))
-    chars = lambda w: F.concat(  # noqa: E731
-        F.filter(F.split(w, ""), lambda c: F.length(c) > 0),
-        F.array(F.lit(EOW)))
-    out = toked.select(
-        "doc_id", F.size("ws").alias("n_words"),
-        F.posexplode_outer("ws").alias("pos", "word"))
-    out = out.withColumn("syms", chars(F.col("word")))
+    words = (toked.select(F.explode("ws").alias("word")).distinct()
+             .withColumn("syms", F.concat(
+                 F.filter(F.split("word", ""),
+                          lambda c: F.length(c) > 0),
+                 F.array(F.lit(EOW)))))
     for a, b in merges:
         la, lb = F.lit(a), F.lit(b)
-        out = out.withColumn(
+        words = words.withColumn(
             "syms",
             F.aggregate(
                 "syms",
@@ -144,10 +158,16 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]], *,
                 ).otherwise(F.concat(acc, F.array(s)))))
     strip = F.transform("syms", lambda s: F.replace(s, F.lit(EOW),
                                                     F.lit("")))
-    pieces = F.filter(strip, lambda s: F.length(s) > 0)
+    vocab = words.select(
+        "word", F.filter(strip, lambda s: F.length(s) > 0).alias("pieces"))
+    out = (toked.select("doc_id", F.size("ws").alias("n_words"),
+                        F.posexplode_outer("ws").alias("pos", "word"))
+           .join(vocab, "word", "left")
+           .withColumn("pieces", F.coalesce(
+               "pieces", F.expr("cast(array() as array<string>)"))))
     # collect_list has no order guarantee after a shuffle — carry the
     # word position and sort the structs before flattening
-    return (out.withColumn("pieces", pieces)
+    return (out
             .groupBy("doc_id", "n_words")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "pieces")))
                  .alias("ordered"))

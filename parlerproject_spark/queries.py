@@ -76,6 +76,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dsir_resample_docs",
     "gopher_quality_docs",
     "c4_line_filter_docs",
+    "decayed_trending_users",
+    "snapshot_asof_user_state",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -4372,3 +4374,67 @@ def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.regexp_replace(
             "text", r"((?:[a-z0-9]+ ){5}[a-z0-9]+) ", "$1.\n"))
     return c4_line_filter(d).orderBy("doc_id")
+
+
+@register("decayed_trending_users", """
+WITH rollup AS (
+  SELECT date_trunc('day', ts) AS bucket, user_id,
+         count(*) AS n_rows
+  FROM events GROUP BY 1, 2)
+SELECT user_id,
+       round(sum(n_rows * power(0.5,
+             (epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(bucket))
+             / 86400.0 / 7.0)), 6) AS decayed_n,
+       cast(sum(n_rows) AS BIGINT) AS n_rows
+FROM rollup
+GROUP BY user_id
+ORDER BY user_id
+""")
+def decayed_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed activity served from rollup partials
+    (operators/rollup.decayed_rollup_serve): per-user half-life-
+    weighted event counts — the trending read that never touches raw
+    history. Oracle rebuilds the partials and the decay in SQL."""
+    from parlerproject_spark.operators.rollup import (decayed_rollup_serve,
+                                                      partial_rollup)
+    ev = _t(spark, sf_dir, "events")
+    part = partial_rollup(ev, bucket=F.date_trunc("day", F.col("ts")),
+                          key_cols=["user_id"], value_col="value")
+    now = F.to_timestamp(F.lit("2024-01-31 00:00:00"))
+    return (decayed_rollup_serve(part, key_cols=["user_id"], now=now,
+                                 half_life_days=7.0)
+            .withColumn("n_rows", F.col("n_rows").cast("long"))
+            .orderBy("user_id"))
+
+
+@register("snapshot_asof_user_state", """
+WITH filtered AS (
+  SELECT user_id, event_id, ts, event_type, value
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM filtered)
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 6) AS value
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""")
+def snapshot_asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot (operators/cdc.snapshot_asof): each
+    user's latest event state as of Jan 15 — version filter pushed
+    to the scan, one key exchange + window. Oracle replays the same
+    cut and window."""
+    from parlerproject_spark.operators.cdc import snapshot_asof
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value")
+    snap = snapshot_asof(ev, key_cols=["user_id"], version_col="ts",
+                         tiebreak_col="event_id",
+                         asof=F.to_timestamp(F.lit("2024-01-15 00:00:00")))
+    return (snap.select("user_id", "event_id", "event_type",
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                        .alias("ts"),
+                        F.round("value", 6).alias("value"))
+            .orderBy("user_id"))

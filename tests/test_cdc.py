@@ -144,3 +144,24 @@ def test_scd2_single_exchange_plan(spark):
     import re
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex == 1, plan
+
+
+def test_snapshot_asof_reconstructs_past_state(spark):
+    from parlerproject_spark.operators.cdc import snapshot_asof
+    log = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+         (2, 15, "x"), (2, 40, "y")],
+        "k long, v long, state string")
+    snap = {r["k"]: r["state"] for r in
+            snapshot_asof(log, key_cols=["k"], version_col="v",
+                          tiebreak_col="v", asof=25).collect()}
+    assert snap == {1: "b", 2: "x"}   # state as of v=25
+    latest = {r["k"]: r["state"] for r in
+              snapshot_asof(log, key_cols=["k"], version_col="v",
+                            tiebreak_col="v", asof=1000).collect()}
+    assert latest == {1: "c", 2: "y"}
+    # before any change for key 2's first version: key absent
+    early = {r["k"] for r in
+             snapshot_asof(log, key_cols=["k"], version_col="v",
+                           tiebreak_col="v", asof=12).collect()}
+    assert early == {1}

@@ -298,3 +298,37 @@ def test_stream_maintained_cms_matches_batch(spark, sf_dir, tmp_path):
     exact = {r["user_id"]: r["count"] for r in
              e.groupBy("user_id").count().collect()}
     assert all(est[k] >= c for k, c in exact.items())
+
+
+def test_decayed_serve_is_merge_invariant_and_recency_biased(
+        spark, sf_dir, tmp_path):
+    """Decay applies per bucket at read time, so serving from
+    arbitrarily-split merged partials equals serving from the direct
+    rollup — and newer activity outweighs equal older activity."""
+    e = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    now = F.to_timestamp(F.lit("2024-01-31 00:00:00"))
+    direct = R.partial_rollup(e, bucket=day, key_cols=["user_id"],
+                              value_col="value")
+    a = R.partial_rollup(e.filter("event_id % 2 = 0"), bucket=day,
+                         key_cols=["user_id"], value_col="value")
+    b = R.partial_rollup(e.filter("event_id % 2 = 1"), bucket=day,
+                         key_cols=["user_id"], value_col="value")
+    merged = R.merge_rollups(a, b)
+    sd = _rows(R.decayed_rollup_serve(direct, key_cols=["user_id"],
+                                      now=now), ["user_id", "decayed_n"])
+    sm = _rows(R.decayed_rollup_serve(merged, key_cols=["user_id"],
+                                      now=now), ["user_id", "decayed_n"])
+    assert sd == sm
+    # recency bias: one recent event outweighs one old event
+    toy = spark.createDataFrame(
+        [("2024-01-30 12:00:00", 1), ("2024-01-02 12:00:00", 2)],
+        "t string, user_id int").select(
+        F.to_timestamp("t").alias("ts"), "user_id",
+        F.lit(1.0).alias("value"))
+    tp = R.partial_rollup(toy, bucket=F.date_trunc("day", F.col("ts")),
+                          key_cols=["user_id"], value_col="value")
+    out = {r["user_id"]: r["decayed_n"] for r in
+           R.decayed_rollup_serve(tp, key_cols=["user_id"],
+                                  now=now).collect()}
+    assert out[1] > out[2]
