@@ -125,6 +125,7 @@ EXTRA = [
     "c4_line_filter_docs",
     "decayed_trending_users",
     "snapshot_asof_user_state",
+    "knn_pq",
 ]
 
 

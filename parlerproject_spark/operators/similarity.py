@@ -343,3 +343,132 @@ def probe_ivf_index(spark, path: str, centroids: list[list[float]],
     q = F.lit([float(x) for x in query_vec])
     scored = idx.select("vec_id", F.round(cosine(vec_col, q), 6).alias("sim"))
     return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+# Product quantization -----------------------------------------------------
+
+def train_pq(vectors: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
+             max_iter: int = 5, sample_rows: int = 4096,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list:
+    """Train product-quantization codebooks: split the `dim` space
+    into `m` equal subspaces and fit `ksub` L2 k-means centroids per
+    subspace on a bounded deterministic sample (orderBy(id) head —
+    same bounded-collect contract as lloyd's init; codebook quality,
+    like IVF cell quality, needs only a sample).
+
+    PQ is the MEMORY scale path for ANN: a 64-float vector becomes
+    m one-byte codes (here m=8 → 32× smaller), so a 100 TB embedding
+    table's code table fits where the raw vectors cannot — the
+    standard IVF+PQ serving stack (Jégou et al. 2011).
+
+    Returns codebooks: m × ksub × (dim/m) nested lists (driver-side
+    model, broadcast into the encode/search maps).
+    """
+    import numpy as np
+
+    assert dim % m == 0, "dim must divide into m equal subspaces"
+    dsub = dim // m
+    rows = (vectors.select(F.col(id_col).alias("i"),
+                           F.col(vec_col).alias("v"))
+            .orderBy("i").limit(sample_rows).collect())
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    books = []
+    for s in range(m):
+        sub = X[:, s * dsub:(s + 1) * dsub]
+        # deterministic init: first ksub distinct subvectors
+        seen, init = set(), []
+        for row in sub:
+            t = tuple(np.round(row, 9))
+            if t not in seen:
+                seen.add(t)
+                init.append(row)
+            if len(init) == ksub:
+                break
+        C = np.array(init + [sub[i % len(sub)]
+                             for i in range(ksub - len(init))])
+        for _ in range(max_iter):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = sub[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def encode_pq(vectors: DataFrame, codebooks: list, *,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as its per-subspace nearest-centroid code
+    (argmin L2, ties to the lowest code) — one Arrow batch matmul
+    per subspace, narrow map, no shuffle. Columns: vec_id, codes
+    (array<int>, length m)."""
+    import numpy as np
+    import pandas as pd
+
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m, dsub = len(B), B[0].shape[1]
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                sub = X[:, s * dsub:(s + 1) * dsub]
+                d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].values,
+                                "codes": list(codes)})
+
+    return (vectors.select(id_col, vec_col)
+            .mapInPandas(gen, "vec_id long, codes array<int>"))
+
+
+def knn_pq(vectors: DataFrame, query_vec: list, codebooks: list, *,
+           k: int = 10, rerank: int = 64,
+           id_col: str = "vec_id",
+           vec_col: str = "embedding") -> DataFrame:
+    """ANN cosine top-k by asymmetric distance (ADC): the query
+    builds one m × ksub dot-product lookup table DRIVER-SIDE
+    (microseconds), every encoded vector scores as the SUM of m
+    table lookups — a narrow map over the code table that never
+    touches the raw vectors — then the top `rerank` candidates
+    re-rank by exact cosine against the original vectors (a
+    key-join on a TakeOrdered-bounded candidate set).
+
+    At 100 TB the scan side is the 32×-compressed code table; only
+    `rerank` rows' full vectors are ever read per query. Recall < 1
+    by design (pytest measures vs knn_bruteforce).
+    Columns: vec_id, sim.
+    """
+    import numpy as np
+
+    from parlerproject_spark.functions.vectors import cosine
+
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m, dsub = len(B), B[0].shape[1]
+    q = np.array(query_vec, dtype=np.float64)
+    lut = [B[s] @ q[s * dsub:(s + 1) * dsub] for s in range(m)]
+    lut_lit = F.lit([[float(x) for x in row] for row in lut])
+
+    codes = encode_pq(vectors, codebooks, id_col=id_col, vec_col=vec_col)
+    # score = sum over subspaces of lut[s][code_s]: zip the code array
+    # with the literal table (JVM expression — no Python in the scan)
+    score = F.aggregate(
+        F.zip_with(F.col("codes"), lut_lit,
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = (codes.select("vec_id", score.alias("adc"))
+            .orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+            .limit(rerank))
+    qlit = F.lit([float(x) for x in query_vec])
+    return (vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+            .join(F.broadcast(cand.select("vec_id")), "vec_id")
+            .select("vec_id",
+                    F.round(cosine(vec_col, qlit), 6).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            .limit(k))

@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: list[str] = [
     "c4_line_filter_docs",
     "decayed_trending_users",
     "snapshot_asof_user_state",
+    "knn_pq",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -4438,3 +4439,18 @@ def snapshot_asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("ts"),
                         F.round("value", 6).alias("value"))
             .orderBy("user_id"))
+
+
+@register("knn_pq", None)
+def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.train_pq/
+    encode_pq/knn_pq): 8-subspace x 16-centroid codebooks (32x
+    vector compression), ADC scan over the code table, exact
+    re-rank of the top-64 — the memory scale path of the ANN
+    family. Rows-only (k-means codebooks are not SQL-expressible);
+    pytest measures recall vs knn_bruteforce."""
+    from parlerproject_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.train_pq(emb, dim=64, m=8, ksub=16)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.knn_pq(emb, list(qv), books, k=10, rerank=64)

@@ -365,3 +365,45 @@ def test_semantic_dedup_transitive_chain_keeps_one(spark):
     out = {r["vec_id"]: r["keep"] for r in
            semantic_dedup(d, threshold=0.95, k=1).collect()}
     assert out == {10: True, 11: False, 12: False}
+
+
+# Product quantization ------------------------------------------------------
+
+def test_pq_recall_and_compression(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = similarity.train_pq(emb, dim=64, m=8, ksub=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # dim/m
+    codes = similarity.encode_pq(emb, books)
+    [r] = codes.limit(1).collect()
+    assert len(r["codes"]) == 8                 # 8 bytes vs 64 floats
+    assert all(0 <= c < 16 for c in r["codes"])
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"))
+    exact = {r["vec_id"] for r in
+             similarity.knn_bruteforce(emb, q, k=10).collect()}
+    got = [r["vec_id"] for r in
+           similarity.knn_pq(emb, list(qv), books, k=10,
+                             rerank=64).collect()]
+    assert got[0] == 0                          # finds the query itself
+    assert len(set(got) & exact) >= 5           # meaningful recall
+    # re-ranked sims are exact cosines: descending, top == 1.0
+    sims = [r["sim"] for r in
+            similarity.knn_pq(emb, list(qv), books, k=10,
+                              rerank=64).collect()]
+    assert sims == sorted(sims, reverse=True) and abs(sims[0] - 1.0) < 1e-6
+
+
+def test_pq_adc_scan_is_jvm_side(spark, sf_dir):
+    """The ADC scoring expression over the code table must be pure
+    JVM Column algebra — the only Python stage is the encode map."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = similarity.train_pq(emb, dim=64, m=8, ksub=16)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    plan = (similarity.knn_pq(emb, list(qv), books, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    # one mapInPandas for encoding; no other Python evaluation
+    import re
+    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
