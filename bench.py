@@ -126,6 +126,7 @@ EXTRA = [
     "decayed_trending_users",
     "snapshot_asof_user_state",
     "knn_pq",
+    "personalized_pagerank_user0",
 ]
 
 

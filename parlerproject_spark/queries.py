@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: list[str] = [
     "decayed_trending_users",
     "snapshot_asof_user_state",
     "knn_pq",
+    "personalized_pagerank_user0",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -4454,3 +4455,56 @@ def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.train_pq(emb, dim=64, m=8, ksub=16)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.knn_pq(emb, list(qv), books, k=10, rerank=64)
+
+
+@register("personalized_pagerank_user0", """
+WITH keyed AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+         ts, event_id, user_id AS dst
+  FROM events),
+edges AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT lag(dst) OVER (PARTITION BY obj ORDER BY ts, event_id) AS src,
+               dst
+        FROM keyed)
+  WHERE src IS NOT NULL AND src <> dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS (SELECT DISTINCT user_id AS node FROM events
+          WHERE user_id % 10 = 0),
+ns AS (SELECT cast(count(*) AS DOUBLE) AS n_seeds FROM seeds),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+tp AS (SELECT nodes.node,
+              CASE WHEN seeds.node IS NOT NULL THEN 1.0 ELSE 0.0 END
+                / n_seeds AS tp
+       FROM nodes CROSS JOIN ns LEFT JOIN seeds ON seeds.node = nodes.node),
+r0 AS (SELECT node, tp AS rank FROM tp),
+s1 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS s
+       FROM r0 r JOIN outdeg o ON r.node = o.src
+       JOIN edges e ON e.src = r.node GROUP BY e.dst),
+r1 AS (SELECT tp.node, 0.15 * tp + 0.85 * coalesce(s, 0) AS rank
+       FROM tp LEFT JOIN s1 ON s1.node = tp.node),
+s2 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS s
+       FROM r1 r JOIN outdeg o ON r.node = o.src
+       JOIN edges e ON e.src = r.node GROUP BY e.dst),
+r2 AS (SELECT tp.node, 0.15 * tp + 0.85 * coalesce(s, 0) AS rank
+       FROM tp LEFT JOIN s2 ON s2.node = tp.node),
+s3 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS s
+       FROM r2 r JOIN outdeg o ON r.node = o.src
+       JOIN edges e ON e.src = r.node GROUP BY e.dst),
+r3 AS (SELECT tp.node, 0.15 * tp + 0.85 * coalesce(s, 0) AS rank
+       FROM tp LEFT JOIN s3 ON s3.node = tp.node)
+SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node
+""")
+def personalized_pagerank_user0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.personalized_pagerank):
+    teleport over the user_id % 10 == 0 seed set — rank concentrates
+    in the seeds' co-interaction neighborhood (the related-users
+    signal). Oracle unrolls the identical three iterations."""
+    from parlerproject_spark.operators.graph import (cointeraction_edges,
+                                                     personalized_pagerank)
+    ev = _t(spark, sf_dir, "events")
+    e = cointeraction_edges(ev)
+    seeds = (ev.filter(F.col("user_id") % 10 == 0)
+             .select(F.col("user_id").alias("node")))
+    return (personalized_pagerank(e, seeds, iters=3, damping=0.85)
+            .orderBy("node"))

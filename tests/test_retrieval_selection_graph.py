@@ -255,3 +255,18 @@ def test_text_index_probe_unknown_term_is_empty_not_error(spark, tmp_path):
     path = str(tmp_path / "tidx2")
     build_text_index(d, path)
     assert probe_text_index(spark, path, ["nonexistent"]).count() == 0
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    from parlerproject_spark.operators.graph import personalized_pagerank
+    # two disconnected 3-cycles; seed only in the first
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1),
+                           (10, 11), (11, 12), (12, 10)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    pr = {r["node"]: r["rank"] for r in
+          personalized_pagerank(edges, seeds, iters=6).collect()}
+    # all rank mass stays in the seeded component
+    assert sum(pr[n] for n in (1, 2, 3)) > 0.99
+    assert all(pr[n] == 0.0 for n in (10, 11, 12))
+    # the seed itself holds the most rank
+    assert pr[1] == max(pr.values())
