@@ -472,3 +472,91 @@ def knn_pq(vectors: DataFrame, query_vec: list, codebooks: list, *,
                     F.round(cosine(vec_col, qlit), 6).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
             .limit(k))
+
+
+def build_ivfpq_index(vectors: DataFrame, path: str, *, dim: int,
+                      num_cells: int = 16, m: int = 8, ksub: int = 16,
+                      max_iter: int = 3, train_mod: int | None = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Materialize the combined IVF+PQ index — the FAISS-style
+    serving stack: every vector stored under its IVF cell
+    (Parquet PARTITIONED BY cell → probes prune partitions) with its
+    PQ codes alongside (ADC scans the codes, not the vectors) and
+    the full vector retained for exact re-rank of finalists only.
+    The model (cell centroids + PQ codebooks) lands as a one-row
+    JSON sidecar under the same root, so probes need no state beyond
+    the path.
+
+    Build cost: one sampled k-means per model (cells, m codebooks),
+    one assignment + encode pass, one partitioned write."""
+    import json as _json
+
+    from parlerproject_spark.operators.topics import _assign, lloyd_centroids
+
+    cents = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
+                            id_col=id_col, vec_col=vec_col,
+                            train_mod=train_mod)
+    books = train_pq(vectors, dim=dim, m=m, ksub=ksub,
+                     id_col=id_col, vec_col=vec_col)
+    assigned = (_assign(vectors.select(F.col(id_col).alias("vec_id"),
+                                       F.col(vec_col)),
+                        cents, id_col="vec_id", vec_col=vec_col)
+                .withColumnRenamed("topic", "cell"))
+    codes = encode_pq(vectors, books, id_col=id_col, vec_col=vec_col)
+    (assigned.join(codes, "vec_id")
+     .select("vec_id", vec_col, "codes", "cell")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/rows"))
+    spark = vectors.sparkSession
+    model = _json.dumps({"centroids": cents, "codebooks": books})
+    (spark.createDataFrame([(model,)], "model string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/model"))
+
+
+def probe_ivfpq_index(spark, path: str, query_vec: list, *, k: int = 10,
+                      nprobe: int = 4, rerank: int = 64,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Top-k cosine probe against a persisted IVF+PQ index: the
+    query ranks the cell centroids DRIVER-SIDE → a literal
+    `cell IN (...)` partition filter (planning-time pruning reads
+    nprobe/num_cells of the files); inside the probed cells the scan
+    scores PQ codes by the ADC lookup table (pure JVM expression);
+    only the top `rerank` candidates' full vectors are touched for
+    exact cosine. Columns: vec_id, sim."""
+    import json as _json
+
+    import numpy as np
+
+    from parlerproject_spark.functions.vectors import cosine
+
+    model = _json.loads(
+        spark.read.parquet(f"{path}/model").first()["model"])
+    C = np.array(model["centroids"], dtype=np.float64)
+    books = model["codebooks"]
+    q = np.array(query_vec, dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    cells = [int(c) for c in np.argsort(-(cn @ q))[:nprobe]]
+
+    B = [np.array(b, dtype=np.float64) for b in books]
+    mm, dsub = len(B), B[0].shape[1]
+    lut = [B[s] @ q[s * dsub:(s + 1) * dsub] for s in range(mm)]
+    lut_lit = F.lit([[float(x) for x in row] for row in lut])
+    score = F.aggregate(
+        F.zip_with(F.col("codes"), lut_lit,
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    rows = spark.read.parquet(f"{path}/rows").filter(
+        F.col("cell").isin(cells))
+    cand = (rows.select("vec_id", score.alias("adc"))
+            .orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+            .limit(rerank))
+    qlit = F.lit([float(x) for x in query_vec])
+    return (rows.select("vec_id", vec_col)
+            .join(F.broadcast(cand.select("vec_id")), "vec_id")
+            .select("vec_id",
+                    F.round(cosine(vec_col, qlit), 6).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            .limit(k))

@@ -407,3 +407,29 @@ def test_pq_adc_scan_is_jvm_side(spark, sf_dir):
     import re
     assert len(re.findall(r"MapInPandas", plan)) == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivfpq_index_probe_prunes_and_recalls(spark, sf_dir, tmp_path):
+    """The full serving stack: IVF partition pruning + PQ ADC scan +
+    exact re-rank. The probe plan must read only nprobe cells, and
+    recall vs brute force must be meaningful."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(emb, path, dim=64, num_cells=8,
+                                 m=8, ksub=16)
+    qv = list(emb.filter(F.col("vec_id") == 0)
+              .select("embedding").first()[0])
+    probed = similarity.probe_ivfpq_index(spark, path, qv, k=10,
+                                          nprobe=3, rerank=64)
+    rows = probed.collect()
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["sim"] - 1.0) < 1e-6
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"))
+    exact = {r["vec_id"] for r in
+             similarity.knn_bruteforce(emb, q, k=10).collect()}
+    assert len({r["vec_id"] for r in rows} & exact) >= 4
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+    filt = re.findall(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)\]",
+                      plan)
+    assert filt and all(len(f.split(",")) <= 3 for f in filt), plan
