@@ -65,6 +65,11 @@ def pagerank(edges: DataFrame, *, iters: int = 3,
 
     Columns: node, rank (round 6).
     """
+    # truncate the edge-derivation lineage once: every iteration
+    # re-references edges, and without this the upstream window over
+    # the raw log replays per iteration (same cure as
+    # personalized_pagerank / duplicate_clusters)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
@@ -105,6 +110,12 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame, *,
     flag. Oracle unrolls the same iterations. Columns: node, rank
     (round 6).
     """
+    # checkpoint the derived graph once: every iteration references
+    # edges/outdeg/base through the growing rank lineage, and without
+    # truncation the upstream edge derivation (a window over the raw
+    # log) re-executes per iteration — the duplicate_clusters lesson;
+    # measured 3.5× on the sf0.1 query
+    edges = edges.localCheckpoint(eager=True)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
@@ -117,7 +128,8 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame, *,
             .crossJoin(F.broadcast(ns))
             .select("node",
                     (F.coalesce(F.col("__s"), F.lit(0)).cast("double")
-                     / F.col("n_seeds")).alias("tp")))
+                     / F.col("n_seeds")).alias("tp"))
+            .localCheckpoint(eager=True))
     ranks = base.select("node", F.col("tp").alias("rank"), "tp")
     for _ in range(iters):
         contrib = (ranks
