@@ -127,6 +127,7 @@ EXTRA = [
     "snapshot_asof_user_state",
     "knn_pq",
     "personalized_pagerank_user0",
+    "grouped_split_by_source",
 ]
 
 

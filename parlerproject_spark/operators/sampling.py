@@ -110,3 +110,28 @@ def domain_mix_weights(df: DataFrame, *, domain_col: str,
                     F.round(p, 6).alias("p"),
                     F.round(w, 6).alias("w"),
                     F.round(w / p, 6).alias("boost")))
+
+
+def grouped_split(df: DataFrame, *, group_col: str,
+                  train_pct: int = 80, val_pct: int = 10,
+                  seed: str = "split-v1") -> DataFrame:
+    """Leakage-safe train/val/test split: the split is assigned to
+    the GROUP (domain, source, url-host, near-dup cluster id...),
+    never the row — every document of a group lands in the same
+    split, so templated near-copies can't straddle train and eval
+    (the contamination mode a doc-level split invites; the
+    group-aware counterpart of queries.train_val_test_split).
+
+    Pure map on md5(seed:group) — join-free, RNG-free, stable as
+    the corpus grows: new members of an existing group inherit its
+    split. Columns: the input's + split.
+    """
+    from parlerproject_spark.functions.text import stable_hash31
+
+    bucket = stable_hash31(
+        F.concat_ws(":", F.lit(seed), F.col(group_col).cast("string"))
+    ) % 100
+    split = (F.when(bucket < train_pct, "train")
+             .when(bucket < train_pct + val_pct, "val")
+             .otherwise("test"))
+    return df.withColumn("split", split)

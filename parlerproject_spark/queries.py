@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: list[str] = [
     "snapshot_asof_user_state",
     "knn_pq",
     "personalized_pagerank_user0",
+    "grouped_split_by_source",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -4508,3 +4509,35 @@ def personalized_pagerank_user0(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("user_id").alias("node")))
     return (personalized_pagerank(e, seeds, iters=3, damping=0.85)
             .orderBy("node"))
+
+
+@register("grouped_split_by_source", """
+WITH assigned AS (
+  SELECT source,
+         ('0x' || substr(md5('split-v1:' || source), 1, 15))::BIGINT
+           % 2147483647 % 100 AS bucket
+  FROM documents),
+tagged AS (
+  SELECT source,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned)
+SELECT split, cast(count(*) AS BIGINT) AS n_docs,
+       cast(count(DISTINCT source) AS BIGINT) AS n_groups
+FROM tagged
+GROUP BY split
+ORDER BY split
+""")
+def grouped_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped split (operators/sampling.grouped_split):
+    split assigned per source group, so a template family can never
+    straddle train and eval. Oracle replays the md5 group hash and
+    the per-split group/doc counts."""
+    from parlerproject_spark.operators.sampling import grouped_split
+    out = grouped_split(_t(spark, sf_dir, "documents"),
+                        group_col="source")
+    return (out.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("source").alias("n_groups"))
+            .orderBy("split"))

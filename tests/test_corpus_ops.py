@@ -277,3 +277,22 @@ def test_normalize_url_canonical_forms(spark):
     got = [r["n"] for r in
            df.select(normalize_url("u").alias("n")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_grouped_split_never_straddles_groups(spark, sf_dir):
+    from parlerproject_spark.catalog import load_table
+    from parlerproject_spark.operators.sampling import grouped_split
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "documents", sf_dir)
+    out = grouped_split(docs, group_col="source")
+    # every group maps to exactly one split
+    assert (out.groupBy("source")
+            .agg(F.countDistinct("split").alias("n"))
+            .filter("n > 1").count()) == 0
+    # growth stability: members added to an existing group inherit it
+    half = grouped_split(docs.filter("doc_id % 2 = 0"),
+                         group_col="source")
+    full_map = {r["source"]: r["split"] for r in
+                out.select("source", "split").distinct().collect()}
+    for r in half.select("source", "split").distinct().collect():
+        assert full_map[r["source"]] == r["split"]
