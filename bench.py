@@ -128,6 +128,7 @@ EXTRA = [
     "knn_pq",
     "personalized_pagerank_user0",
     "grouped_split_by_source",
+    "pretraining_corpus_pipeline",
 ]
 
 

@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_pq",
     "personalized_pagerank_user0",
     "grouped_split_by_source",
+    "pretraining_corpus_pipeline",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -4539,5 +4540,96 @@ def grouped_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_col="source")
     return (out.groupBy("split")
             .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("source").alias("n_groups"))
+            .orderBy("split"))
+
+
+@register("pretraining_corpus_pipeline", """
+WITH base AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(text, '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+gate AS (
+  SELECT doc_id, source, text
+  FROM base
+  WHERE len(ws) BETWEEN 50 AND 100000
+    AND cast(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        / greatest(len(ws), 1) BETWEEN 3.0 AND 10.0
+    AND cast(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+             AS DOUBLE) / greatest(len(ws), 1) >= 0.8),
+toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM gate),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+v AS (SELECT cast(count(*) AS DOUBLE) AS vsz FROM uni),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS gs
+  FROM toks),
+big AS (SELECT doc_id, ts[gs] AS w1, ts[gs + 1] AS w2 FROM idx),
+bgc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+scored AS (
+  SELECT doc_id, round(avg(ln((c2 + 1.0) / (c1 + vsz))), 6) AS lm_logp
+  FROM big
+  JOIN bgc USING (w1, w2)
+  JOIN uni ON big.w1 = uni.w
+  CROSS JOIN v
+  GROUP BY doc_id),
+cut AS (SELECT quantile_cont(lm_logp, 0.10) AS p10 FROM scored),
+kept AS (
+  SELECT t.doc_id, t.source, len(t.ts) AS n_toks
+  FROM toks t JOIN scored USING (doc_id) CROSS JOIN cut
+  WHERE lm_logp >= p10),
+tagged AS (
+  SELECT *,
+         CASE WHEN ('0x' || substr(md5('split-v1:' || source), 1, 15))
+                   ::BIGINT % 2147483647 % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5('split-v1:' || source), 1, 15))
+                   ::BIGINT % 2147483647 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept)
+SELECT split, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_toks) AS BIGINT) AS n_tokens,
+       cast(count(DISTINCT source) AS BIGINT) AS n_groups
+FROM tagged
+GROUP BY split
+ORDER BY split
+""")
+def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end round-4 pretraining-data pipeline: Gopher
+    word-band + mean-length + alpha gates (quality_rules), corpus
+    bigram-LM rescoring of the SURVIVORS with a bottom-decile
+    perplexity drop (selection/lm_score, quantile edge — no global
+    window), then the leakage-safe grouped split (sampling
+    .grouped_split) with per-split doc/token/group stats. Every
+    stage is one of this round's verified operators composed
+    unchanged; the oracle chains the same stages as CTEs."""
+    from parlerproject_spark.operators.quality_rules import (
+        gopher_quality_flags)
+    from parlerproject_spark.operators.sampling import grouped_split
+    from parlerproject_spark.operators.text_analysis import lm_score
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs)
+    gate = (docs.join(
+        flags.filter(F.col("pass_words") & F.col("pass_mean_len")
+                     & F.col("pass_alpha")).select("doc_id"),
+        "doc_id", "left_semi"))
+    scored = lm_score(gate)
+    p10 = scored.agg(F.percentile("lm_logp", F.lit(0.10)).alias("p10"))
+    from parlerproject_spark.functions.text import tokenize
+    kept = (gate.select("doc_id", "source",
+                        F.size(tokenize("text")).cast("long")
+                        .alias("n_toks"))
+            .join(scored.select("doc_id", "lm_logp"), "doc_id")
+            .crossJoin(F.broadcast(p10))
+            .filter(F.col("lm_logp") >= F.col("p10")))
+    tagged = grouped_split(kept, group_col="source")
+    return (tagged.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_toks").alias("n_tokens"),
                  F.countDistinct("source").alias("n_groups"))
             .orderBy("split"))
