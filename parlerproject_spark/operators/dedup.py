@@ -108,6 +108,57 @@ def capped_shingles(docs: DataFrame, *, id_col: str = "doc_id",
             .select("doc_id", "sh"))
 
 
+def posting_list_pairs(posting: DataFrame, key: str) -> DataFrame:
+    """Candidate pairs + co-occurrence counts from a df-capped
+    posting table (doc_id, <key>, n) WITHOUT an inverted-index
+    self-join.
+
+    The classic formulation self-joins the posting table on the key
+    — which in Spark means the whole scan→tokenize→hash→window
+    cascade runs ONCE PER JOIN SIDE (the HOF-lambda subtrees defeat
+    ReuseExchange canonicalization), plus a corpus-sized shuffle for
+    each side of the join (r4 verdict: the two pair queries were the
+    slowest in the headline suite precisely because of this double
+    compute). Because the caller has already hub-capped the index
+    (df <= max_df), every posting list is BOUNDED, so pairs can be
+    generated in-place: groupBy(key) → collect_list (<= max_df
+    structs per key, so per-group memory is bounded by construction)
+    → array expression that emits every ordered pair inside the
+    list. One pass over the cascade, one exchange on the key, zero
+    joins — the plan is a straight line with no diamond, so nothing
+    needs persist()/checkpoint() to avoid recomputation, at any
+    scale.
+
+    Pair multiplicity matches the join exactly: lists keep duplicate
+    doc_ids (hash-collision case), positional i<j pairing over the
+    doc_id-sorted list emits one pair per a-row × b-row combination,
+    and the id_a <> id_b filter removes the same-doc pairs the
+    join's strict a.doc_id < b.doc_id predicate excluded.
+
+    The expansion itself is two chained Generate (posexplode →
+    explode-of-slice) operators, NOT a higher-order flatten/
+    transform lambda: Generate + slice stay inside codegen, while
+    nested HOF lambdas are interpreted per element — measured 2.5×
+    slower at sf0.1 on the fingerprint index, where mid-df lists
+    make the expansion the dominant cost.
+    Columns: id_a, id_b, n_a, n_b, n_common.
+    """
+    lists = (posting.groupBy(key)
+             .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n")))
+                  .alias("ds")))
+    ex = lists.select("ds", F.posexplode("ds").alias("i", "x"))
+    pairs = (ex.select(
+        "x",
+        F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("y"))
+        .select(F.col("x.doc_id").alias("id_a"),
+                F.col("y.doc_id").alias("id_b"),
+                F.col("x.n").alias("n_a"),
+                F.col("y.n").alias("n_b"))
+        .filter(F.col("id_a") != F.col("id_b")))
+    return (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count("*").alias("n_common")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
@@ -115,37 +166,30 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     """Near-duplicate pairs by exact n-gram Jaccard similarity over
     the max_df-capped shingle universe.
 
-    Inverted-index join: pairs meet only through shared shingles, so
-    candidate count tracks actual overlap — PROVIDED hub shingles are
-    capped first (see capped_shingles; an uncapped hub shingle in d
-    docs is a d² blowup no AQE skew-split can shrink). Jaccard is
-    computed over retained shingles on both sides, so the capped
+    Inverted-index pair generation: pairs meet only through shared
+    shingles, so candidate count tracks actual overlap — PROVIDED
+    hub shingles are capped first (see capped_shingles; an uncapped
+    hub shingle in d docs is a d² blowup no AQE skew-split can
+    shrink). Pairs come from posting_list_pairs (in-list expansion,
+    no self-join — the tokenize cascade runs exactly once). Jaccard
+    is computed over retained shingles on both sides, so the capped
     universe is self-consistent and the oracle mirrors it exactly.
     Columns: id_a, id_b (id_a < id_b), jaccard.
     """
-    sh = capped_shingles(docs, id_col=id_col, text_col=text_col, n=n,
-                         max_df=max_df)
+    from parlerproject_spark.operators.layout import spread_input
+
+    # The tokenize cascade is compute-bound: make sure it isn't
+    # serialized on a handful of scan splits (no-op at scale).
+    sh = capped_shingles(spread_input(docs), id_col=id_col,
+                         text_col=text_col, n=n, max_df=max_df)
     # Per-doc size rides ALONG each shingle row (one more window over
     # a doc_id exchange) instead of a separate groupBy branch joined
-    # back at the end: the size is then already on both sides of the
-    # self-join, which removes two join stages AND any reliance on
-    # ReuseExchange to avoid recomputing the tokenize cascade (a
-    # second aggregate branch over the HOF-lambda subtree does not
-    # canonicalize equal — Catalyst would re-run the whole cascade).
+    # back at the end: a second aggregate branch over the HOF-lambda
+    # subtree does not canonicalize equal — Catalyst would re-run the
+    # whole cascade — and a linear plan needs no materialization.
     shn = sh.repartition("doc_id").withColumn(
-        "n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-    # shuffle_hash: both sides are the same corpus-sized table — at
-    # test scale AQE may broadcast one side (a corpus-wide hash
-    # relation), which is exactly wrong at 100 TB; a shuffled hash
-    # join on sh is the strategy that survives scale
-    a, b = shn.alias("a"), shn.hint("shuffle_hash").alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"),
-                      F.col("a.n_sh").alias("n_a"),
-                      F.col("b.n_sh").alias("n_b"))
-             .agg(F.count("*").alias("n_common")))
+        "n", F.count("*").over(Window.partitionBy("doc_id")))
+    inter = posting_list_pairs(shn, "sh")
     return (inter
             .withColumn("jaccard", F.round(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))

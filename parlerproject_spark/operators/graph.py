@@ -24,30 +24,101 @@ from pyspark.sql import functions as F
 
 
 def cointeraction_edges(events: DataFrame, *,
-                        object_expr: str = "$.k") -> DataFrame:
+                        object_expr: str = "$.k",
+                        block: str | None = "day") -> DataFrame:
     """Directed user→user edges: for each object (the `props` JSON
     key), order its events by (ts, event_id) and connect each
     event's user to the next event's user (a distinct-pair
     projection of the session stream — "u handed the object to v").
     Self-loops and duplicate pairs are dropped.
 
-    One window over the object key (hash-partitioned by object — no
-    global ordering), one distinct. Columns: src, dst.
+    Events whose props lack the key (or hold a non-numeric value)
+    are dropped BEFORE the window: a NULL object is not an object,
+    and letting those rows through would (a) collapse them into one
+    giant NULL window partition and (b) emit spurious user→user
+    edges between unrelated events (r4 ADVICE). try_cast keeps a
+    malformed value from throwing under ANSI mode.
+
+    Skew: a single viral object would otherwise put ALL its events
+    into one window partition — one task sorting millions of rows.
+    With `block` set (default "day"), the lag runs per
+    (obj, time-block) — bounded partitions — and the block-boundary
+    edges are stitched from each block's first/last event (one
+    aggregate + one window over the tiny per-block table). The edge
+    set is EXACTLY the unblocked one: blocks are contiguous ts
+    ranges, so within-block lag + last(prev-block)→first(block)
+    reconstructs every consecutive pair. Pass block=None for the
+    single-window form.
+    Columns: src, dst.
     """
-    w = Window.partitionBy("obj").orderBy("ts", "event_id")
     keyed = events.select(
-        F.get_json_object("props", object_expr).cast("bigint").alias("obj"),
-        "ts", "event_id", F.col("user_id").alias("dst"))
-    return (keyed
-            .withColumn("src", F.lag("dst").over(w))
-            .filter(F.col("src").isNotNull()
-                    & (F.col("src") != F.col("dst")))
-            .select("src", "dst")
+        F.expr(f"try_cast(get_json_object(props, '{object_expr}') "
+               "AS bigint)").alias("obj"),
+        "ts", "event_id", F.col("user_id").alias("dst")) \
+        .filter(F.col("obj").isNotNull())
+    if block is None:
+        w = Window.partitionBy("obj").orderBy("ts", "event_id")
+        return (keyed
+                .withColumn("src", F.lag("dst").over(w))
+                .filter(F.col("src").isNotNull()
+                        & (F.col("src") != F.col("dst")))
+                .select("src", "dst")
+                .distinct())
+    # any MONOTONE function of ts is a correct block boundary (the
+    # stitch repairs every boundary), so granularity only tunes skew
+    # resistance: calendar trunc for timestamp ts, a fixed-width
+    # numeric bucket otherwise
+    if dict(keyed.dtypes)["ts"].startswith(("timestamp", "date")):
+        blk_expr = F.date_trunc(block, "ts")
+    else:
+        blk_expr = F.floor(F.col("ts").cast("double") / F.lit(86400.0))
+    blocked = keyed.withColumn("blk", blk_expr)
+    wb = Window.partitionBy("obj", "blk").orderBy("ts", "event_id")
+    inner = (blocked
+             .withColumn("src", F.lag("dst").over(wb))
+             .filter(F.col("src").isNotNull())
+             .select("src", "dst"))
+    # boundary stitch: one row per (obj, block) — first/last event by
+    # the same total order — then lag over BLOCKS (rows = number of
+    # blocks, never number of events)
+    ends = (blocked.groupBy("obj", "blk")
+            .agg(F.min_by("dst", F.struct("ts", "event_id")).alias("first_dst"),
+                 F.max_by("dst", F.struct("ts", "event_id")).alias("last_dst")))
+    wblk = Window.partitionBy("obj").orderBy("blk")
+    cross = (ends
+             .withColumn("src", F.lag("last_dst").over(wblk))
+             .filter(F.col("src").isNotNull())
+             .select("src", F.col("first_dst").alias("dst")))
+    return (inner.unionByName(cross)
+            .filter(F.col("src") != F.col("dst"))
             .distinct())
 
 
+def _warn_if_not_converged(prev: DataFrame, cur: DataFrame,
+                           tol: float, iters: int, what: str) -> None:
+    """Eager convergence check between the last two iterations: the
+    max per-node |Δrank| after the fixed budget. Like
+    dedup.duplicate_clusters' fixed-point count, this runs a job at
+    construction time — callers opt in via `tol`, keeping the
+    default fixed-iteration contract fully lazy (and the oracle's
+    unrolled CTEs bit-identical)."""
+    delta = (prev.select("node", F.col("rank").alias("r0"))
+             .join(cur.select("node", F.col("rank").alias("r1")), "node")
+             .agg(F.max(F.abs(F.col("r1") - F.col("r0"))).alias("d"))
+             .collect()[0]["d"])
+    if delta is not None and delta > tol:
+        import warnings
+        warnings.warn(
+            f"{what}: max |Δrank| = {delta:.3e} > tol={tol:g} after "
+            f"iters={iters} — ranks have not converged; raise iters "
+            "(power iteration contracts geometrically in the damping "
+            "factor, so a few more rounds usually suffice)",
+            RuntimeWarning, stacklevel=3)
+
+
 def pagerank(edges: DataFrame, *, iters: int = 3,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             tol: float | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list:
     r_{t+1}(v) = (1 - d)/N + d * sum_{u->v} r_t(u) / outdeg(u),
     starting uniform, run exactly `iters` rounds. (Simplified form:
@@ -61,7 +132,10 @@ def pagerank(edges: DataFrame, *, iters: int = 3,
     Iteration count is fixed and small (the standard "k rounds of
     power iteration" contract), so the lineage stays bounded; for
     convergence-driven runs at scale, checkpoint per iteration as
-    dedup.duplicate_clusters does.
+    dedup.duplicate_clusters does. Pass `tol` to get an eager
+    post-hoc convergence check (RuntimeWarning when the last
+    iteration still moved any node's rank by more than tol — the
+    duplicate_clusters non-convergence guard, r4 verdict #6).
 
     Columns: node, rank (round 6).
     """
@@ -78,7 +152,9 @@ def pagerank(edges: DataFrame, *, iters: int = 3,
     base = F.col("n_nodes")
     ranks = (nodes.crossJoin(F.broadcast(n))
              .select("node", (F.lit(1.0) / base).alias("rank"), "n_nodes"))
+    prev = ranks
     for _ in range(iters):
+        prev = ranks
         contrib = (ranks
                    .join(outdeg.withColumnRenamed("src", "node"), "node")
                    .join(edges.withColumnRenamed("src", "node"), "node")
@@ -92,12 +168,15 @@ def pagerank(edges: DataFrame, *, iters: int = 3,
                           + damping * F.coalesce(F.col("s"), F.lit(0.0)))
                          .alias("rank"),
                          "n_nodes"))
+    if tol is not None and iters > 0:
+        _warn_if_not_converged(prev, ranks, tol, iters, "pagerank")
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame, *,
                           iters: int = 3,
-                          damping: float = 0.85) -> DataFrame:
+                          damping: float = 0.85,
+                          tol: float | None = None) -> DataFrame:
     """Personalized PageRank: the teleport distributes over `seeds`
     (column: node) instead of uniformly — rank concentrates around
     the seed set's neighborhood, the standard
@@ -131,7 +210,9 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame, *,
                      / F.col("n_seeds")).alias("tp"))
             .localCheckpoint(eager=True))
     ranks = base.select("node", F.col("tp").alias("rank"), "tp")
+    prev = ranks
     for _ in range(iters):
+        prev = ranks
         contrib = (ranks
                    .join(outdeg.withColumnRenamed("src", "node"), "node")
                    .join(edges.withColumnRenamed("src", "node"), "node")
@@ -145,4 +226,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame, *,
                           + damping * F.coalesce(F.col("s"), F.lit(0.0)))
                          .alias("rank"),
                          "tp"))
+    if tol is not None and iters > 0:
+        _warn_if_not_converged(prev, ranks, tol, iters,
+                               "personalized_pagerank")
     return ranks.select("node", F.round("rank", 6).alias("rank"))

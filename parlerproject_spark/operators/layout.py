@@ -121,6 +121,27 @@ def write_bucketed(df: DataFrame, table: str, *, by: str, buckets: int = 32,
     w.saveAsTable(table)
 
 
+def spread_input(df: DataFrame, *, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin spread of a NARROW scan before a CPU-heavy map.
+
+    A tokenize/hash cascade over document text is compute-bound, but
+    its parallelism is inherited from the scan: a corpus that arrives
+    as fewer splits than the cluster has cores (one small parquet
+    file, a single row group) serializes the whole cascade on those
+    few tasks. At 100 TB the scan naturally yields thousands of
+    splits and this is a no-op — the repartition is inserted ONLY
+    when the scan's partition count is below the session's shuffle
+    parallelism, so the corpus-sized shuffle it would cost at scale
+    is never paid there. (This is the DataFrame analogue of
+    `sc.textFile(..., minPartitions=n)`.)
+    """
+    target = min_parallelism or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def co_partitioned(left: DataFrame, right: DataFrame, on: str,
                    *, partitions: int = 32) -> tuple[DataFrame, DataFrame]:
     """Session-lifetime analogue of bucketing: repartition both sides

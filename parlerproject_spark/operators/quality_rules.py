@@ -61,8 +61,12 @@ def gopher_quality_flags(docs: DataFrame, *, id_col: str = "doc_id",
                           lambda acc, w: acc + F.length(w))
     mean_len = F.round(sum_len.cast("double")
                        / F.greatest(n_words, F.lit(1)), 4)
-    n_sym = (F.length("__t")
-             - F.length(F.regexp_replace("__t", r"[#…]|\.\.\.", "")))
+    # Count symbol OCCURRENCES ('…' and '...' each weigh 1), not
+    # characters removed — Gopher's symbol-to-word ratio counts
+    # symbols, and chars-removed over-weighted ASCII '...' 3× vs its
+    # Unicode twin (r4 ADVICE). '\\.\\.\\.' first so a literal '...'
+    # is consumed whole rather than never matched.
+    n_sym = F.regexp_count("__t", F.lit(r"\.\.\.|[#…]"))
     symbol_ratio = F.round(n_sym.cast("double")
                            / F.greatest(n_words, F.lit(1)), 6)
     n_lines = F.greatest(F.size("ls"), F.lit(1))

@@ -443,6 +443,15 @@ def knn_pq(vectors: DataFrame, query_vec: list, codebooks: list, *,
     At 100 TB the scan side is the 32×-compressed code table; only
     `rerank` rows' full vectors are ever read per query. Recall < 1
     by design (pytest measures vs knn_bruteforce).
+
+    Candidate ranking is approximate COSINE, not raw dot product:
+    alongside the q·centroid lookup table, a second table holds the
+    per-subspace centroid self-dots, so each code's reconstructed
+    norm |x̂| = sqrt(Σ_s |c_s|²) comes from the same m lookups and
+    the ADC score is (q·x̂)/|x̂|. A raw-dot ranking biases the
+    rerank pool toward large-norm vectors on unnormalized input and
+    costs recall (r4 ADVICE) — the final exact stage is cosine, so
+    the candidate stage must rank in the same geometry.
     Columns: vec_id, sim.
     """
     import numpy as np
@@ -454,14 +463,22 @@ def knn_pq(vectors: DataFrame, query_vec: list, codebooks: list, *,
     q = np.array(query_vec, dtype=np.float64)
     lut = [B[s] @ q[s * dsub:(s + 1) * dsub] for s in range(m)]
     lut_lit = F.lit([[float(x) for x in row] for row in lut])
+    # per-subspace centroid self-dots → reconstructed-norm lookup
+    n2 = [(B[s] * B[s]).sum(axis=1) for s in range(m)]
+    n2_lit = F.lit([[float(x) for x in row] for row in n2])
 
     codes = encode_pq(vectors, codebooks, id_col=id_col, vec_col=vec_col)
     # score = sum over subspaces of lut[s][code_s]: zip the code array
     # with the literal table (JVM expression — no Python in the scan)
-    score = F.aggregate(
-        F.zip_with(F.col("codes"), lut_lit,
-                   lambda c, row: F.element_at(row, c + 1)),
-        F.lit(0.0), lambda acc, x: acc + x)
+
+    def lut_sum(table):
+        return F.aggregate(
+            F.zip_with(F.col("codes"), table,
+                       lambda c, row: F.element_at(row, c + 1)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    recon_norm = F.sqrt(F.greatest(lut_sum(n2_lit), F.lit(1e-12)))
+    score = lut_sum(lut_lit) / recon_norm
     cand = (codes.select("vec_id", score.alias("adc"))
             .orderBy(F.col("adc").desc(), F.col("vec_id").asc())
             .limit(rerank))
@@ -543,10 +560,20 @@ def probe_ivfpq_index(spark, path: str, query_vec: list, *, k: int = 10,
     mm, dsub = len(B), B[0].shape[1]
     lut = [B[s] @ q[s * dsub:(s + 1) * dsub] for s in range(mm)]
     lut_lit = F.lit([[float(x) for x in row] for row in lut])
-    score = F.aggregate(
-        F.zip_with(F.col("codes"), lut_lit,
-                   lambda c, row: F.element_at(row, c + 1)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # approximate-cosine ADC (see knn_pq): rank candidates by
+    # (q·x̂)/|x̂| with |x̂|² from a centroid self-dot table, so the
+    # candidate geometry matches the exact-cosine re-rank
+    n2 = [(B[s] * B[s]).sum(axis=1) for s in range(mm)]
+    n2_lit = F.lit([[float(x) for x in row] for row in n2])
+
+    def lut_sum(table):
+        return F.aggregate(
+            F.zip_with(F.col("codes"), table,
+                       lambda c, row: F.element_at(row, c + 1)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    score = lut_sum(lut_lit) / F.sqrt(
+        F.greatest(lut_sum(n2_lit), F.lit(1e-12)))
 
     rows = spark.read.parquet(f"{path}/rows").filter(
         F.col("cell").isin(cells))

@@ -30,13 +30,23 @@ def salted_agg(df: DataFrame, key: str, aggs: Sequence[tuple[str, str, str]],
 
     `aggs` is [(col, fn, alias)] with fn in {sum, count, min, max}:
     the decomposable aggregates (count re-merges as sum; avg callers
-    decompose to sum+count themselves).
+    decompose to sum+count themselves). A col of "*" with fn
+    "count" counts ROWS (count(1)) — SQL count(*) semantics;
+    count on a named column keeps SQL's skip-NULLs semantics, so
+    pick "*" when the caller means row count (r4 verdict: counting
+    a "never-null" key is a null-semantics landmine).
     """
     merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+    def agg_expr(c, fn):
+        if fn == "count" and c == "*":
+            return F.count(F.lit(1))
+        return getattr(F, fn)(c)
+
     salted = df.withColumn(
         "__salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets))
     phase1 = salted.groupBy(key, "__salt").agg(*[
-        getattr(F, fn)(c).alias(f"__p_{alias}") for c, fn, alias in aggs
+        agg_expr(c, fn).alias(f"__p_{alias}") for c, fn, alias in aggs
     ])
     phase2 = phase1.groupBy(key).agg(*[
         getattr(F, merge_fn[fn])(f"__p_{alias}").alias(alias)

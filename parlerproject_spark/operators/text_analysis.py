@@ -320,47 +320,43 @@ def fingerprint_overlap(docs: DataFrame, *, k: int = 8, window: int = 4,
     (MOSS-style): |fp_a ∩ fp_b| / min(|fp_a|, |fp_b|) >= threshold,
     computed over fingerprints retained by the `max_df` hub cap.
 
-    Inverted-index self-join on fp (never a cross join) — but an
+    Inverted-index pair generation (never a cross join) — but an
     inverted index is only as good as its hub suppression: a
     boilerplate fingerprint shared by d documents contributes d²
     candidate pairs (measured: one hub fp in 77% of docs → 213M
     pairs at sf0.1). Fingerprints with document frequency > max_df
     carry no near-dup signal (they're template/common-phrase mass),
-    so they are dropped BEFORE the join, exactly as production
-    near-dup systems do; at 100 TB, set max_df relative to corpus
-    size. This bounds the join output to max_df × |fps|.
+    so they are dropped BEFORE pair generation, exactly as
+    production near-dup systems do; at 100 TB, set max_df relative
+    to corpus size. This bounds candidate output to max_df × |fps|.
 
     The fingerprint index is repartitioned on fp BEFORE the df cap:
     winnowing itself is zero-shuffle, so without a barrier every
     consumer would recompute the whole hash cascade. The df cap is a
     WINDOW over that exchange (its distribution requirement is
-    exactly the repartition — no extra shuffle), and each doc's
+    exactly the repartition — no extra shuffle), each doc's
     fingerprint count rides along every row via a second window over
-    a doc_id exchange, so the self-join carries n_a/n_b with it —
-    no groupBy branch joined back at the end, and no reliance on
-    ReuseExchange canonicalizing a second pass over the cascade.
-    This is the single-query analogue of persisting the index table.
+    a doc_id exchange, and pairs come from
+    dedup.posting_list_pairs: groupBy(fp) → bounded collect_list →
+    in-array pair expansion. The hash cascade runs exactly ONCE (the
+    plan is a straight line — no self-join, no diamond, nothing to
+    persist), where the r4 self-join formulation computed it once
+    per join side.
     Columns: id_a, id_b, containment.
     """
-    raw = winnow_fingerprints(docs, k=k, window=window,
+    from parlerproject_spark.operators.dedup import posting_list_pairs
+    from parlerproject_spark.operators.layout import spread_input
+
+    # The per-doc hash cascade is compute-bound: spread a
+    # few-split scan across the cluster first (no-op at scale).
+    raw = winnow_fingerprints(spread_input(docs), k=k, window=window,
                               id_col=id_col, text_col=text_col).repartition("fp")
     capped = (raw.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
               .filter(F.col("df") <= max_df)
               .select("doc_id", "fp"))
     fpn = capped.repartition("doc_id").withColumn(
-        "n_fp", F.count("*").over(Window.partitionBy("doc_id")))
-    # shuffle_hash: both sides are the SAME corpus-sized table — AQE
-    # would happily broadcast one side at test scale (building a
-    # corpus-wide hash relation), which is exactly wrong at 100 TB;
-    # a shuffled hash join on fp is the strategy that survives scale
-    a, b = fpn.alias("a"), fpn.hint("shuffle_hash").alias("b")
-    inter = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"),
-                      F.col("a.n_fp").alias("n_a"),
-                      F.col("b.n_fp").alias("n_b"))
-             .agg(F.count("*").alias("n_common")))
+        "n", F.count("*").over(Window.partitionBy("doc_id")))
+    inter = posting_list_pairs(fpn, "fp")
     cont = F.round(F.col("n_common") / F.least("n_a", "n_b"), 6)
     return (inter.withColumn("containment", cont)
             .filter(F.col("containment") >= threshold)

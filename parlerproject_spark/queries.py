@@ -2528,10 +2528,11 @@ def salted_agg_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from parlerproject_spark.operators.skew import salted_agg
     ev = _t(spark, sf_dir, "events")
-    # count the never-null key, not `value`: the oracle computes
-    # sum(1) (all rows), and count(value) would diverge on NULLs
+    # "*" = count ROWS (count(1)): matches the oracle's sum(1)
+    # under ANY null pattern — counting a "never-null" column would
+    # silently diverge the day that contract breaks
     out = salted_agg(ev, "user_id",
-                     [("event_id", "count", "n_events"),
+                     [("*", "count", "n_events"),
                       ("value", "sum", "raw_total")], salt_buckets=16)
     return (out.select("user_id",
                        F.col("n_events").cast("long").alias("n_events"),
@@ -4017,9 +4018,11 @@ def nb_quality_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("cointeraction_edges_events", """
 WITH keyed AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
          ts, event_id, user_id AS dst
-  FROM events)
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        IS NOT NULL)
 SELECT DISTINCT src, dst
 FROM (SELECT lag(dst) OVER (PARTITION BY obj ORDER BY ts, event_id) AS src,
              dst
@@ -4039,9 +4042,11 @@ def cointeraction_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("cointeraction_pagerank", """
 WITH keyed AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
          ts, event_id, user_id AS dst
-  FROM events),
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        IS NOT NULL),
 edges AS (
   SELECT DISTINCT src, dst
   FROM (SELECT lag(dst) OVER (PARTITION BY obj ORDER BY ts, event_id) AS src,
@@ -4291,8 +4296,7 @@ stats AS (
          cast(len(ws) AS BIGINT) AS n_words,
          round(cast(list_sum(list_transform(ws, w -> length(w)))
                     AS DOUBLE) / greatest(len(ws), 1), 4) AS mean_word_len,
-         round(cast(length(text)
-                    - length(regexp_replace(text, '[#…]|\\.\\.\\.', '', 'g'))
+         round(cast(len(regexp_extract_all(text, '\\.\\.\\.|[#…]'))
                     AS DOUBLE) / greatest(len(ws), 1), 6) AS symbol_ratio,
          round(cast(len(list_filter(ls,
                  l -> regexp_matches(trim(l), '^(\\-|\\*|•)')))
@@ -4461,9 +4465,11 @@ def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("personalized_pagerank_user0", """
 WITH keyed AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
          ts, event_id, user_id AS dst
-  FROM events),
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        IS NOT NULL),
 edges AS (
   SELECT DISTINCT src, dst
   FROM (SELECT lag(dst) OVER (PARTITION BY obj ORDER BY ts, event_id) AS src,
@@ -4554,10 +4560,10 @@ gate AS (
   SELECT doc_id, source, text
   FROM base
   WHERE len(ws) BETWEEN 50 AND 100000
-    AND cast(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-        / greatest(len(ws), 1) BETWEEN 3.0 AND 10.0
-    AND cast(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
-             AS DOUBLE) / greatest(len(ws), 1) >= 0.8),
+    AND round(cast(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+              / greatest(len(ws), 1), 4) BETWEEN 3.0 AND 10.0
+    AND round(cast(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                   AS DOUBLE) / greatest(len(ws), 1), 6) >= 0.8),
 toks AS (
   SELECT doc_id, source,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

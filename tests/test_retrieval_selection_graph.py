@@ -167,6 +167,56 @@ def test_cointeraction_edges_orders_and_dedupes(spark):
     assert got == {(7, 8), (8, 7)}  # self-loop dropped, both directions
 
 
+def test_cointeraction_edges_drops_null_and_malformed_props(spark):
+    # events with a missing key are NOT one shared NULL object (no
+    # spurious edges), and a non-numeric value must not throw under
+    # ANSI cast (r4 ADVICE): both rows vanish before the window
+    ev = spark.createDataFrame(
+        [(1, 100, 7, '{"k": 1}'), (2, 200, 8, '{"k": 1}'),
+         (3, 150, 3, '{"x": 9}'),          # key absent -> dropped
+         (4, 250, 4, '{"k": "oops"}'),     # non-numeric -> dropped
+         (5, 300, 5, None)],               # null props -> dropped
+        "event_id long, ts long, user_id long, props string")
+    got = {(r["src"], r["dst"])
+           for r in cointeraction_edges(ev).collect()}
+    assert got == {(7, 8)}
+
+
+def test_cointeraction_edges_block_split_is_exact_under_hot_key(spark):
+    # one viral object with 10x the events of everything else,
+    # spanning many day-blocks: the blocked (default) edge set must
+    # equal the single-window (block=None) edge set exactly
+    rows = [(i, i * 40_000, i % 13, '{"k": 99}') for i in range(500)]
+    rows += [(1000 + i, 120_000 * i + 7, 50 + (i % 5), '{"k": %d}' % (i % 7))
+             for i in range(50)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, props string")
+    blocked = {(r["src"], r["dst"])
+               for r in cointeraction_edges(ev).collect()}
+    single = {(r["src"], r["dst"])
+              for r in cointeraction_edges(ev, block=None).collect()}
+    assert blocked == single
+    assert len(blocked) > 10
+
+
+def test_pagerank_convergence_guard_warns_on_chain(spark):
+    import warnings
+
+    # pathological long chain: 3 iterations cannot converge
+    chain = _edges(spark, [(i, i + 1) for i in range(60)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pagerank(chain, iters=3, tol=1e-6)
+    assert any(issubclass(x.category, RuntimeWarning)
+               and "not converged" in str(x.message) for x in w)
+    # a symmetric cycle converges immediately: no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pagerank(_edges(spark, [(1, 2), (2, 3), (3, 1)]),
+                 iters=3, tol=1e-6)
+    assert not any(issubclass(x.category, RuntimeWarning) for x in w)
+
+
 def test_pagerank_sums_to_one_without_dangling(spark):
     # 3-cycle: no dangling nodes -> total rank mass conserved at 1
     pr = pagerank(_edges(spark, [(1, 2), (2, 3), (3, 1)]), iters=5)
