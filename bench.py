@@ -202,6 +202,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extra_total": round(sum(extra.values()), 3),
+        # per-query extras ON the printed line (r4 verdict: 60+ s of
+        # extra-tail runtime was untracked — a regression there was
+        # invisible); ~30 entries ≈ 1 KB, still well inside the
+        # driver's tail window with the line printed LAST
+        "extra": extra,
     }
 
     # Full detail (per-run samples, spread, shuffle counts, extras) to

@@ -96,6 +96,35 @@ def test_apply_bpe_matches_reference_segmentation(spark):
         assert out[i]["n_words"] == len(_py_tokenize(text))
 
 
+def test_batched_bpe_is_exact_and_saves_jobs(spark):
+    # a larger, more varied corpus: batching must (a) produce the
+    # IDENTICAL merge sequence to the sequential reference and
+    # (b) run strictly fewer pair-count rounds than merges learned
+    corpus = _CORPUS + [
+        "internationalization localization internationalization",
+        "token tokens tokenized tokenizing tokenization",
+        "lower lowered lowering lowly low lows",
+        "wide widely widen widens widening",
+        "newer newly renew renewed renewable new",
+    ]
+    d = spark.createDataFrame(list(enumerate(corpus)),
+                              "doc_id long, text string")
+    stats: dict = {}
+    got = train_bpe(d, n_merges=24, batch=8, stats=stats)
+    want = _py_train_bpe(corpus, 24)
+    assert got == want
+    assert len(got) == 24
+    assert stats["rounds"] < 24  # batching actually amortized jobs
+
+
+def test_batched_bpe_exact_across_batch_sizes(spark):
+    d = spark.createDataFrame(list(enumerate(_CORPUS)),
+                              "doc_id long, text string")
+    want = _py_train_bpe(_CORPUS, 12)
+    for b in (1, 2, 5, 32):
+        assert train_bpe(d, n_merges=12, batch=b) == want, b
+
+
 def test_bpe_early_stops_when_nothing_repeats(spark):
     d = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
     # every pair occurs once -> no merge reaches count 2
