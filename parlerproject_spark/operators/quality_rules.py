@@ -144,3 +144,132 @@ def c4_line_filter(docs: DataFrame, *, id_col: str = "doc_id",
                     F.size("ks").cast("long").alias("n_kept"),
                     F.array_join("ks", "\n").alias("clean_text"))
             .filter(F.col("n_kept") >= min_lines))
+
+
+def gopher_repetition_flags(docs: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_dup_line_frac: float = 0.30,
+                            max_dup_para_frac: float = 0.30,
+                            max_dup_line_char_frac: float = 0.20,
+                            max_dup_para_char_frac: float = 0.20,
+                            max_top2_char_frac: float = 0.20,
+                            max_top3_char_frac: float = 0.18,
+                            max_top4_char_frac: float = 0.16) -> DataFrame:
+    """The Gopher REPETITION filters (Rae et al. 2021 §A1, the
+    companion of gopher_quality_flags' §A1.1 rules; the same signal
+    set Dolma/RedPajama/FineWeb ship): documents dominated by
+    repeated lines, paragraphs, or a single hot n-gram are
+    boilerplate/spam and poison LM training.
+
+    Signals (all round 6; denominators floored at 1):
+    - dup_line_frac / dup_para_frac — fraction of lines/paragraphs
+      that are repeats of an earlier one (1 - distinct/total).
+    - dup_line_char_frac / dup_para_char_frac — the same, weighted
+      by characters (chars in occurrences beyond the first / chars
+      in all occurrences).
+    - top{2,3,4}gram_char_frac — characters covered by the single
+      most frequent word n-gram: count(top gram) x chars(top gram)
+      / total word chars. Ties break to the lexicographically
+      smallest gram (deterministic, oracle-replayable).
+
+    Plan shape: the line/paragraph signals are ZERO-shuffle array
+    algebra (each doc's lines live in its own row). The top-n-gram
+    signals need a per-(doc, gram) count — one explode (all three n
+    in one pass, ~3 rows per token) + one keyed aggregation + one
+    window over (doc, n), all partitioned by doc_id, then a
+    conditional-aggregation pivot back to one row per doc; per-doc
+    data is bounded by document length, so there is no skew a
+    single hot KEY could create — the unit of work is the document.
+    Columns: <id_col>, dup_line_frac, dup_para_frac,
+    dup_line_char_frac, dup_para_char_frac, top2gram_char_frac,
+    top3gram_char_frac, top4gram_char_frac, pass_* per signal, keep.
+    """
+    from pyspark.sql import Window
+
+    from parlerproject_spark.functions.text import tokenize
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), F.trim),
+        lambda l: F.length(l) > 0)
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n{2,}"), F.trim),
+        lambda p: F.length(p) > 0)
+
+    def dup_frac(arr):
+        total = F.size(arr)
+        return F.round(
+            (total - F.size(F.array_distinct(arr))).cast("double")
+            / F.greatest(total, F.lit(1)), 6)
+
+    def dup_char_frac(arr):
+        chars = lambda a: F.aggregate(  # noqa: E731
+            a, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        total = chars(arr)
+        return F.round(
+            (total - chars(F.array_distinct(arr))).cast("double")
+            / F.greatest(total, F.lit(1)), 6)
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(text_col).alias("ts"),
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(paras).alias("dup_para_frac"),
+        dup_char_frac(lines).alias("dup_line_char_frac"),
+        dup_char_frac(paras).alias("dup_para_char_frac"))
+
+    # one exploded stream for n in {2,3,4}: struct(n, gram) per
+    # position; gram char length = length - (n-1) separators
+    def grams(n):
+        return F.expr(
+            f"transform(slice(ts, 1, greatest(size(ts) - {n - 1}, 0)), "
+            f"(w, i) -> struct({n} AS n, "
+            f"array_join(slice(ts, i + 1, {n}), ' ') AS gram))")
+
+    word_chars = F.aggregate("ts", F.lit(0).cast("bigint"),
+                             lambda acc, w: acc + F.length(w))
+    exploded = (base
+                .select("doc_id", word_chars.alias("wc"),
+                        F.explode(F.concat(grams(2), grams(3), grams(4)))
+                        .alias("g"))
+                .select("doc_id", "wc", "g.n", "g.gram"))
+    counts = (exploded.groupBy("doc_id", "wc", "n", "gram")
+              .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc())
+    top = (counts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .withColumn("frac", F.round(
+               (F.col("cnt") * (F.length("gram") - F.col("n") + 1))
+               .cast("double") / F.greatest(F.col("wc"), F.lit(1)), 6)))
+    pivot = (top.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("n") == n, F.col("frac")))
+        .alias(f"top{n}gram_char_frac") for n in (2, 3, 4)]))
+
+    out = (base.drop("ts")
+           .join(pivot, "doc_id", "left")
+           .select("doc_id", "dup_line_frac", "dup_para_frac",
+                   "dup_line_char_frac", "dup_para_char_frac",
+                   *[F.coalesce(f"top{n}gram_char_frac", F.lit(0.0))
+                     .alias(f"top{n}gram_char_frac") for n in (2, 3, 4)]))
+    flags = (out
+             .withColumn("pass_dup_line",
+                         F.col("dup_line_frac") <= max_dup_line_frac)
+             .withColumn("pass_dup_para",
+                         F.col("dup_para_frac") <= max_dup_para_frac)
+             .withColumn("pass_dup_line_chars",
+                         F.col("dup_line_char_frac")
+                         <= max_dup_line_char_frac)
+             .withColumn("pass_dup_para_chars",
+                         F.col("dup_para_char_frac")
+                         <= max_dup_para_char_frac)
+             .withColumn("pass_top2", F.col("top2gram_char_frac")
+                         <= max_top2_char_frac)
+             .withColumn("pass_top3", F.col("top3gram_char_frac")
+                         <= max_top3_char_frac)
+             .withColumn("pass_top4", F.col("top4gram_char_frac")
+                         <= max_top4_char_frac))
+    keep = (F.col("pass_dup_line") & F.col("pass_dup_para")
+            & F.col("pass_dup_line_chars") & F.col("pass_dup_para_chars")
+            & F.col("pass_top2") & F.col("pass_top3") & F.col("pass_top4"))
+    return (flags.withColumn("keep", keep)
+            .withColumnRenamed("doc_id", id_col))

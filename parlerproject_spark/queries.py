@@ -58,168 +58,167 @@ def register(name: str, oracle: str | None):
 # driver CORRECTNESS row at most ~2 rounds stale (all entries also pass the
 # local oracle replica, tools/check_oracle.py, every session).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-4 rotation: oldest-driver-row first so the 50-query cap
-    # refreshes the stalest entries.  Never-sampled (new this round):
-    "bm25_ranked_docs",
-    "pmi_collocations_docs",
-    "dsir_weights_docs",
-    "perplexity_buckets_docs",
-    "nb_quality_scores_docs",
-    "cointeraction_edges_events",
-    "cointeraction_pagerank",
-    "cms_user_freq_estimates",
-    "bloom_incremental_dedup_docs",
-    "semantic_dedup_embeddings",
-    "bpe_merges_docs",
-    "bpe_segment_docs",
-    "scd2_user_type_history",
-    "dsir_resample_docs",
-    "gopher_quality_docs",
-    "c4_line_filter_docs",
-    "decayed_trending_users",
-    "snapshot_asof_user_state",
-    "knn_pq",
-    "personalized_pagerank_user0",
-    "grouped_split_by_source",
-    "pretraining_corpus_pipeline",
-    "cdc_snapshot_diff_orders",
-    "cdc_merge_latest_events",
-    "incremental_rollup_events",
-    "rollup_serve_monthly",
-    "distinct_users_hll_rollup",
-    "audience_overlap_theta",
-    "value_quantiles_kll",
-    "zorder_events_stats",
-    "exact_substring_spans",
-    # ...last driver row in r1 (two rounds stale):
-    "q1_pricing_summary",
-    "q3_segment_revenue",
-    "q5_region_revenue",
-    "global_sum_gb",
-    "group_count_events",
-    "share_of_total_events",
-    "distinct_customers_per_priority",
-    "rollup_nation_counts",
-    "cube_status_priority",
-    "semi_join_building_orders",
-    "anti_join_idle_customers",
-    "lookup_join_nation_region",
-    "union_merge_docs",
-    "intersect_custkeys",
-    "except_custkeys",
-    "filter_contains_docs",
-    "filter_suffix_sources",
-    "filter_nonempty_docs",
-    "when_case_acctbal",
-    "normalize_ws_docs",
+    # Round-5 rotation, regenerated from CORRECTNESS_r01-r04:
+    # never-sampled first, then ascending last-sampled round, so
+    # the driver's ~50-query cap always refreshes the stalest rows
+    # (r4 verdict #8: 27 queries' newest row was still r1).
+    "gopher_repetition_docs",
+    "argmax_events",
+    "collect_sorted_events",
     "concat_object_urls",
+    "dms_to_decimal_parse",
+    "doc_frequency",
+    "embedding_norms",
+    "exact_dedup_docs",
     "exif_ts_roundtrip",
     "json_extract_props",
-    "dms_to_decimal_parse",
-    "topk_orders",
-    "window_rank_orders",
-    "running_sum_orders",
-    "lag_delta_events",
-    "tumbling_window_events",
-    "doc_frequency",
-    "token_counts_docs",
-    "quality_scores_docs",
-    "topic_terms_ctfidf",
-    "exact_dedup_docs",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "simhash_docs",
     "knn_bruteforce",
-    "embedding_norms",
+    "lag_delta_events",
     "language_id_docs",
-    "sliding_window_events",
-    "session_window_events",
-    "collect_sorted_events",
-    "argmax_events",
     "map_keys_props",
     "median_value_events",
-    # ...last driver row in r2 (one round stale):
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "normalize_ws_docs",
+    "quality_scores_docs",
+    "running_sum_orders",
+    "session_window_events",
+    "simhash_docs",
+    "sliding_window_events",
+    "token_counts_docs",
+    "topic_terms_ctfidf",
+    "topk_orders",
+    "tumbling_window_events",
+    "window_rank_orders",
     "embed_documents_fake",
-    "topic_assignments",
-    "topic_outlier_assignments",
-    "media_features",
     "embedding_near_dup_lsh",
-    "q22_idle_rich_customers",
-    "pivot_event_values_by_day",
-    "unpivot_part_metrics",
-    "left_join_order_gaps",
     "full_outer_reconcile_keys",
     "grouping_sets_order_stats",
+    "left_join_order_gaps",
+    "length_band_filter_docs",
+    "media_features",
     "ntile_value_quartiles",
-    "value_quartiles_bucketed",
-    "q2_min_price_part",
-    "q8_market_share",
-    "q9_profit_by_nation",
+    "pivot_event_values_by_day",
     "q11_top_nation_balances",
     "q13_order_count_distribution",
     "q16_supplier_counts",
     "q17_small_quantity_revenue",
     "q20_bulk_ship_suppliers",
     "q21_sole_late_supplier",
-    "repetition_ratio_docs",
-    "type_token_ratio_docs",
-    "length_band_filter_docs",
-    "stream_dedup_events",
+    "q22_idle_rich_customers",
+    "q2_min_price_part",
+    "q8_market_share",
+    "q9_profit_by_nation",
     "quantize_embeddings_int8",
+    "repetition_ratio_docs",
     "salted_agg_user_totals",
-    # ...green in r3 (freshest — sampled only if budget remains):
-    "ngram_jaccard_pairs",
-    "knn_lsh",
-    "knn_ivf",
+    "stream_dedup_events",
+    "topic_assignments",
+    "topic_outlier_assignments",
+    "type_token_ratio_docs",
+    "unpivot_part_metrics",
+    "value_quartiles_bucketed",
     "approx_distinct_users",
-    "html_extract_posts",
-    "frame_sample_parts",
-    "range_join_value_tiers",
     "asof_join_purchase_view",
-    "view_purchase_stream_join",
-    "embedding_near_dup_pairs",
-    "rename_suffix_docs",
-    "doc_frequency_stopworded",
-    "geomean_value_by_type",
-    "sentence_split_udtf",
-    "rolling_fingerprints_docs",
-    "fingerprint_overlap_pairs",
-    "q6_revenue_delta",
-    "q10_returned_customers",
+    "audio_chunk_parts",
+    "chunk_documents_docs",
     "clean_corpus_pipeline",
-    "q4_priority_late_ship",
-    "q7_nation_volume",
+    "corpus_shuffle_order",
+    "decontaminate_corpus",
+    "doc_frequency_stopworded",
+    "domain_mix_weights_docs",
+    "embedding_near_dup_pairs",
+    "fingerprint_overlap_pairs",
+    "frame_sample_parts",
+    "geomean_value_by_type",
+    "hourly_counts_gap_filled",
+    "html_extract_posts",
+    "json_malformed_taxonomy",
+    "knn_ivf",
+    "knn_lsh",
+    "language_id_script_aware",
+    "line_dedup_docs",
+    "lm_score_docs",
+    "media_resize",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "pack_sequences_docs",
+    "phash_near_dup_media",
+    "pii_redaction_docs",
+    "pipeline_archive_metadata",
+    "q10_returned_customers",
     "q12_priority_by_returnflag",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q18_large_orders",
     "q19_brand_disjunction",
-    "window_family_orders",
-    "media_resize",
-    "audio_chunk_parts",
-    "hourly_counts_gap_filled",
-    "json_malformed_taxonomy",
-    "near_dup_clusters",
-    "train_val_test_split",
+    "q4_priority_late_ship",
+    "q6_revenue_delta",
+    "q7_nation_volume",
+    "range_join_value_tiers",
+    "rename_suffix_docs",
     "robust_zscores_by_user",
     "robust_zscores_native",
-    "language_id_script_aware",
-    "pipeline_archive_metadata",
-    "pii_redaction_docs",
-    "decontaminate_corpus",
+    "rolling_fingerprints_docs",
+    "sentence_split_udtf",
     "sessionize_events",
     "stratified_sample_docs",
-    "corpus_shuffle_order",
-    "line_dedup_docs",
-    "pack_sequences_docs",
-    "phash_near_dup_media",
-    "lm_score_docs",
-    "vocab_coverage_docs",
-    "chunk_documents_docs",
-    "domain_mix_weights_docs",
+    "train_val_test_split",
     "url_dedup_normalized",
+    "view_purchase_stream_join",
+    "vocab_coverage_docs",
+    "window_family_orders",
+    "anti_join_idle_customers",
+    "audience_overlap_theta",
+    "bloom_incremental_dedup_docs",
+    "bm25_ranked_docs",
+    "bpe_merges_docs",
+    "bpe_segment_docs",
+    "c4_line_filter_docs",
+    "cdc_merge_latest_events",
+    "cdc_snapshot_diff_orders",
+    "cms_user_freq_estimates",
+    "cointeraction_edges_events",
+    "cointeraction_pagerank",
+    "cube_status_priority",
+    "decayed_trending_users",
+    "distinct_customers_per_priority",
+    "distinct_users_hll_rollup",
+    "dsir_resample_docs",
+    "dsir_weights_docs",
+    "exact_substring_spans",
+    "except_custkeys",
+    "filter_contains_docs",
+    "filter_nonempty_docs",
+    "filter_suffix_sources",
+    "global_sum_gb",
+    "gopher_quality_docs",
+    "group_count_events",
+    "grouped_split_by_source",
+    "incremental_rollup_events",
+    "intersect_custkeys",
+    "knn_pq",
+    "lookup_join_nation_region",
+    "nb_quality_scores_docs",
+    "perplexity_buckets_docs",
+    "personalized_pagerank_user0",
+    "pmi_collocations_docs",
+    "pretraining_corpus_pipeline",
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_region_revenue",
+    "rollup_nation_counts",
+    "rollup_serve_monthly",
+    "scd2_user_type_history",
+    "semantic_dedup_embeddings",
+    "semi_join_building_orders",
+    "share_of_total_events",
+    "snapshot_asof_user_state",
+    "union_merge_docs",
+    "value_quantiles_kll",
+    "when_case_acctbal",
+    "zorder_events_stats",
 ]
-
 
 def _ordered_names() -> list[str]:
     prio = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
@@ -4382,6 +4381,118 @@ def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.regexp_replace(
             "text", r"((?:[a-z0-9]+ ){5}[a-z0-9]+) ", "$1.\n"))
     return c4_line_filter(d).orderBy("doc_id")
+
+
+@register("gopher_repetition_docs", """
+WITH fixture AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:[a-z0-9]+ ){5}[a-z0-9]+) ',
+                        '\\1.' || chr(10), 'g') AS t
+  FROM documents),
+f2 AS (
+  SELECT doc_id,
+         t || chr(10) || string_split(t, chr(10))[1]
+           || chr(10) || chr(10) || string_split(t, chr(10))[1] AS text
+  FROM fixture),
+base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS ls,
+         list_filter(list_transform(
+             string_split_regex(text, chr(10) || '{2,}'),
+             p -> trim(p)), p -> p <> '') AS ps,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM f2),
+stats AS (
+  SELECT doc_id, ts,
+         coalesce(list_sum(list_transform(ts, w -> length(w))), 0) AS wc,
+         round(cast(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+               / greatest(len(ls), 1), 6) AS dup_line_frac,
+         round(cast(len(ps) - len(list_distinct(ps)) AS DOUBLE)
+               / greatest(len(ps), 1), 6) AS dup_para_frac,
+         round(cast(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+               - coalesce(list_sum(list_transform(list_distinct(ls),
+                                                  x -> length(x))), 0)
+               AS DOUBLE)
+               / greatest(coalesce(list_sum(list_transform(ls,
+                   x -> length(x))), 0), 1), 6) AS dup_line_char_frac,
+         round(cast(coalesce(list_sum(list_transform(ps, x -> length(x))), 0)
+               - coalesce(list_sum(list_transform(list_distinct(ps),
+                                                  x -> length(x))), 0)
+               AS DOUBLE)
+               / greatest(coalesce(list_sum(list_transform(ps,
+                   x -> length(x))), 0), 1), 6) AS dup_para_char_frac
+  FROM base),
+grams AS (
+  SELECT doc_id, wc, n,
+         unnest(generate_series(1, greatest(len(ts) - n + 1, 0))) AS i,
+         ts
+  FROM stats CROSS JOIN (SELECT unnest([2, 3, 4]) AS n)),
+gram2 AS (
+  SELECT doc_id, wc, n,
+         array_to_string(ts[i:i + n - 1], ' ') AS gram
+  FROM grams),
+counts AS (
+  SELECT doc_id, wc, n, gram, count(*) AS c
+  FROM gram2 GROUP BY doc_id, wc, n, gram),
+top AS (
+  SELECT doc_id, n,
+         round(cast(c * (length(gram) - (n - 1)) AS DOUBLE)
+               / greatest(wc, 1), 6) AS frac
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY c DESC, gram ASC) AS rn
+        FROM counts)
+  WHERE rn = 1),
+pivoted AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN n = 2 THEN frac END), 0.0)
+           AS top2gram_char_frac,
+         coalesce(max(CASE WHEN n = 3 THEN frac END), 0.0)
+           AS top3gram_char_frac,
+         coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0)
+           AS top4gram_char_frac
+  FROM top GROUP BY doc_id)
+SELECT s.doc_id, dup_line_frac, dup_para_frac,
+       dup_line_char_frac, dup_para_char_frac,
+       coalesce(top2gram_char_frac, 0.0) AS top2gram_char_frac,
+       coalesce(top3gram_char_frac, 0.0) AS top3gram_char_frac,
+       coalesce(top4gram_char_frac, 0.0) AS top4gram_char_frac,
+       (dup_line_frac <= 0.30) AS pass_dup_line,
+       (dup_para_frac <= 0.30) AS pass_dup_para,
+       (dup_line_char_frac <= 0.20) AS pass_dup_line_chars,
+       (dup_para_char_frac <= 0.20) AS pass_dup_para_chars,
+       (coalesce(top2gram_char_frac, 0.0) <= 0.20) AS pass_top2,
+       (coalesce(top3gram_char_frac, 0.0) <= 0.18) AS pass_top3,
+       (coalesce(top4gram_char_frac, 0.0) <= 0.16) AS pass_top4,
+       ((dup_line_frac <= 0.30) AND (dup_para_frac <= 0.30)
+        AND (dup_line_char_frac <= 0.20) AND (dup_para_char_frac <= 0.20)
+        AND (coalesce(top2gram_char_frac, 0.0) <= 0.20)
+        AND (coalesce(top3gram_char_frac, 0.0) <= 0.18)
+        AND (coalesce(top4gram_char_frac, 0.0) <= 0.16)) AS keep
+FROM stats s LEFT JOIN pivoted p ON s.doc_id = p.doc_id
+ORDER BY s.doc_id
+""")
+def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (operators/quality_rules
+    .gopher_repetition_flags): Rae et al. §A1 duplicate-line/
+    paragraph fractions (count- and char-weighted) and top-{2,3,4}
+    n-gram character coverage, over a deterministic multi-line
+    fixture (the c4 sentence-break construction, plus the first
+    line re-appended once inline and once as a separate paragraph so
+    the duplicate-line and paragraph signals are actually exercised
+    — both engines build the identical fixture). Oracle recomputes
+    every signal, threshold, and the keep conjunction in SQL."""
+    from parlerproject_spark.operators.quality_rules import (
+        gopher_repetition_flags)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(
+            "text", r"((?:[a-z0-9]+ ){5}[a-z0-9]+) ", "$1.\n"))
+    first = F.element_at(F.split("text", "\n"), 1)
+    d = d.withColumn(
+        "text", F.concat("text", F.lit("\n"), first,
+                         F.lit("\n\n"), first))
+    return gopher_repetition_flags(d).orderBy("doc_id")
 
 
 @register("decayed_trending_users", """

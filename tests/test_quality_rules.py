@@ -88,3 +88,79 @@ def test_quality_rules_plans_have_no_shuffle(spark):
     for df in (gopher_quality_flags(d), c4_line_filter(d, min_lines=0)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+# Gopher repetition filters ------------------------------------------------
+
+def _rep(spark, text, **kw):
+    from parlerproject_spark.operators.quality_rules import (
+        gopher_repetition_flags)
+    [r] = gopher_repetition_flags(_docs(spark, [(1, text)]), **kw).collect()
+    return r
+
+
+def test_repetition_clean_doc_passes(spark):
+    # long diverse prose: no repeated lines/paragraphs, and no single
+    # n-gram covers enough chars to trip the top-ngram thresholds
+    # (Gopher's limits assume real-document length — a 10-word doc
+    # trips top2 at 0.20 arithmetically)
+    words = [f"word{i:03d}" for i in range(120)]
+    lines = [" ".join(words[i:i + 8]) for i in range(0, 120, 8)]
+    text = "\n".join(lines[:8]) + "\n\n" + "\n".join(lines[8:])
+    r = _rep(spark, text)
+    assert r["dup_line_frac"] == 0.0
+    assert r["dup_para_frac"] == 0.0
+    assert r["top2gram_char_frac"] < 0.20
+    assert r["keep"] is True
+
+
+def test_repetition_duplicate_lines_counted(spark):
+    # 4 lines, "same line" repeated 3x -> dup_line_frac = 2/4
+    r = _rep(spark, "same line\nother text\nsame line\nsame line")
+    assert abs(r["dup_line_frac"] - 0.5) < 1e-9
+    assert r["pass_dup_line"] is False  # 0.5 > 0.30
+    assert r["keep"] is False
+
+
+def test_repetition_duplicate_paragraphs_counted(spark):
+    # 3 paragraphs, one repeated -> dup_para_frac = 1/3
+    r = _rep(spark, "para one here\n\npara two here\n\npara one here")
+    assert abs(r["dup_para_frac"] - 1 / 3) < 1e-6
+    assert r["pass_dup_para"] is False  # 1/3 > 0.30
+
+
+def test_repetition_char_weighted_fraction(spark):
+    # duplicate of a LONG line dominates by chars even though the
+    # count fraction is the same
+    long = "x" * 90
+    r = _rep(spark, f"{long}\nab\n{long}")
+    # counts: 1 dup of 3 lines = 0.333; chars: 90 / 182 = 0.4945
+    assert abs(r["dup_line_frac"] - 1 / 3) < 1e-6
+    assert abs(r["dup_line_char_frac"] - 90 / 182) < 1e-6
+    assert r["pass_dup_line_chars"] is False
+
+
+def test_repetition_top_ngram_coverage(spark):
+    # "very good" repeated: top 2-gram covers most word chars
+    text = "very good very good very good very good indeed"
+    r = _rep(spark, text)
+    # 2-gram "very good" count 4, chars 8; total word chars = 4*8+6=38
+    assert abs(r["top2gram_char_frac"] - round(4 * 8 / 38, 6)) < 1e-9
+    assert r["pass_top2"] is False  # 0.84 > 0.20
+    assert r["keep"] is False
+
+
+def test_repetition_short_doc_has_zero_ngram_fracs(spark):
+    r = _rep(spark, "single")
+    assert r["top2gram_char_frac"] == 0.0
+    assert r["top3gram_char_frac"] == 0.0
+    assert r["top4gram_char_frac"] == 0.0
+    assert r["keep"] is True
+
+
+def test_repetition_top_ngram_tie_breaks_lexicographically(spark):
+    # "bb cc" and "aa dd" both occur once among 2-grams with equal
+    # char length: the chosen top gram is deterministic (lexicographic)
+    r1 = _rep(spark, "aa dd bb cc")
+    r2 = _rep(spark, "aa dd bb cc")
+    assert r1["top2gram_char_frac"] == r2["top2gram_char_frac"]
