@@ -59,3 +59,53 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
                                  text_col=text_col) \
         .select(F.col("doc_id").alias(id_col))
     return corpus.join(F.broadcast(flagged), on=id_col, how="left_anti")
+
+
+def semantic_contamination_hits(corpus_emb: DataFrame, eval_emb: DataFrame,
+                                *, threshold: float = 0.9,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Per-corpus-doc EMBEDDING-space contamination: how many eval
+    vectors each corpus vector matches at cosine >= threshold, and
+    the best match. The semantic companion of contamination_hits —
+    n-gram overlap misses paraphrases; cosine over the embedding
+    column catches near-semantic leakage (the eval-dedup step of
+    modern data cards, e.g. the phi/FineWeb-Edu decontamination
+    passes).
+
+    Scale shape mirrors the n-gram pass exactly: the eval side is
+    small by construction → BROADCAST nested-loop against the
+    streaming corpus (a map stage — the corpus never shuffles);
+    the similarity filter runs BEFORE the per-doc aggregation, so
+    the one keyed aggregation's input is bounded by contamination
+    density, never corpus x eval. Columns: doc_id, n_hits,
+    max_sim (round 6).
+    """
+    from parlerproject_spark.functions.vectors import cosine
+
+    ev = eval_emb.select(F.col(id_col).alias("__eid"),
+                         F.col(vec_col).alias("__ev"))
+    sim = F.round(cosine(vec_col, "__ev"), 6)
+    return (corpus_emb.select(F.col(id_col).alias("doc_id"),
+                              F.col(vec_col))
+            .crossJoin(F.broadcast(ev))
+            .select("doc_id", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"),
+                 F.max("sim").alias("max_sim")))
+
+
+def semantic_decontaminate(corpus_emb: DataFrame, eval_emb: DataFrame,
+                           *, threshold: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """The clean corpus: every vector within `threshold` cosine of
+    ANY eval vector removed (broadcast anti-join on the flagged id
+    set — the corpus never shuffles)."""
+    flagged = semantic_contamination_hits(
+        corpus_emb, eval_emb, threshold=threshold,
+        id_col=id_col, vec_col=vec_col) \
+        .select(F.col("doc_id").alias(id_col))
+    return corpus_emb.join(F.broadcast(flagged), on=id_col,
+                           how="left_anti")

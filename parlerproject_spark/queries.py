@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     "gopher_repetition_docs",
+    "semantic_decontaminate_embeddings",
     "argmax_events",
     "collect_sorted_events",
     "concat_object_urls",
@@ -2995,6 +2996,48 @@ def pii_redaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = redact_pii(pii_counts(base, text_col="t"), text_col="t")
     return (out.select("doc_id", "n_email", "n_phone", "n_ip",
                        F.expr("right(clean_text, 25)").alias("clean_tail"))
+            .orderBy("doc_id"))
+
+
+@register("semantic_decontaminate_embeddings", """
+WITH ev AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+co AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+p AS (
+  SELECT c.vec_id AS did, e.vec_id AS eid,
+         unnest(c.embedding)::DOUBLE AS x,
+         unnest(e.embedding)::DOUBLE AS y
+  FROM co c CROSS JOIN ev e),
+sims AS (
+  SELECT did, eid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS sim
+  FROM p GROUP BY did, eid)
+SELECT did AS doc_id,
+       cast(count(*) AS BIGINT) AS n_hits,
+       max(sim) AS max_sim
+FROM sims
+WHERE sim >= 0.3
+GROUP BY did
+ORDER BY doc_id
+""")
+def semantic_decontaminate_embeddings(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/decontaminate
+    .semantic_contamination_hits): corpus vectors within cosine 0.3
+    of any held-out vector (vec_id % 20 == 0 standing in as the eval
+    set) are flagged with hit count + best similarity — the
+    paraphrase-leakage pass n-gram overlap misses. Eval side
+    broadcasts; the only shuffle is the per-doc hit aggregation,
+    bounded by contamination density. Oracle recomputes every
+    corpus x eval cosine brute-force."""
+    from parlerproject_spark.operators.decontaminate import (
+        semantic_contamination_hits)
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return (semantic_contamination_hits(corpus, ev, threshold=0.3)
             .orderBy("doc_id"))
 
 

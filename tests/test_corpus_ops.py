@@ -69,6 +69,39 @@ def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join
 
 
+def test_semantic_decontaminate_removes_near_eval_vectors(spark):
+    from parlerproject_spark.operators.decontaminate import (
+        semantic_contamination_hits, semantic_decontaminate)
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame([
+        (1, [0.99, 0.1, 0.0]),    # near eval 100
+        (2, [0.0, 0.0, 1.0]),     # orthogonal to both
+        (3, [0.05, 0.98, 0.0]),   # near eval 101
+        (4, [0.7, 0.7, 0.0]),     # ~0.707 to both, below 0.9
+    ], "vec_id long, embedding array<double>")
+    hits = {r["doc_id"]: (r["n_hits"], r["max_sim"]) for r in
+            semantic_contamination_hits(corpus, ev, threshold=0.9)
+            .collect()}
+    assert set(hits) == {1, 3}
+    assert all(n == 1 and s >= 0.9 for n, s in hits.values())
+    clean = semantic_decontaminate(corpus, ev, threshold=0.9)
+    assert sorted(r["vec_id"] for r in clean.collect()) == [2, 4]
+
+
+def test_semantic_decontaminate_eval_side_broadcasts(spark, sf_dir):
+    from parlerproject_spark.operators.decontaminate import (
+        semantic_contamination_hits)
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    plan = semantic_contamination_hits(emb, ev, threshold=0.3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # eval side rides a broadcast nested loop; corpus never shuffles
+    # before the bounded per-doc aggregation
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 # ---- sessionization ------------------------------------------------------
 
 def test_sessionize_gap_semantics(spark):
