@@ -135,3 +135,50 @@ def grouped_split(df: DataFrame, *, group_col: str,
              .when(bucket < train_pct + val_pct, "val")
              .otherwise("test"))
     return df.withColumn("split", split)
+
+
+def sample_to_token_budget(docs: DataFrame, weights: DataFrame, *,
+                           budget_tokens: int,
+                           domain_col: str = "source",
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           seed: str = "budget-v1") -> DataFrame:
+    """Deterministic mixture sampling to a TOKEN budget — the
+    materialization step after domain_mix_weights: given per-domain
+    mixture weights (columns: <domain_col>, w summing to 1) and a
+    total token budget, emit the documents that fill each domain's
+    share (budget x w_d tokens), chosen in a seeded md5 order so the
+    sample is reproducible, engine-replayable, and growth-stable
+    (adding new docs never evicts an already-chosen doc with a
+    smaller hash... it can only push out the tail).
+
+    A doc is kept iff its domain's running token total INCLUDING it
+    stays within the domain budget (strict knapsack-prefix rule —
+    the first doc that would cross the line is dropped, as is
+    everything after it in hash order).
+
+    Plan: token counts are a narrow map; the weights table is tiny
+    (one row per domain) and BROADCASTS; the one shuffle is the
+    per-domain cumulative-sum window. A pathologically hot domain
+    concentrates its cumsum in one task — at extreme scale split
+    that window into block prefix-sums (the pack_sequences shard
+    trick); domains in practice are few and bounded.
+    Columns: <id_col>, <domain_col>, n_toks.
+    """
+    from parlerproject_spark.functions.text import token_count
+
+    key = F.md5(F.concat_ws(":", F.lit(seed),
+                            F.col(id_col).cast("string")))
+    toked = docs.select(
+        F.col(id_col), F.col(domain_col),
+        token_count(text_col).cast("long").alias("n_toks"),
+        key.alias("__k"))
+    w = Window.partitionBy(domain_col).orderBy("__k")
+    cum = toked.withColumn("__cum", F.sum("n_toks").over(w))
+    budgeted = cum.join(
+        F.broadcast(weights.select(domain_col,
+                                   (F.lit(float(budget_tokens))
+                                    * F.col("w")).alias("__budget"))),
+        domain_col)
+    return (budgeted.filter(F.col("__cum") <= F.col("__budget"))
+            .select(id_col, domain_col, "n_toks"))

@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (r4 verdict #8: 27 queries' newest row was still r1).
     "gopher_repetition_docs",
     "semantic_decontaminate_embeddings",
+    "token_budget_sample_docs",
     "argmax_events",
     "collect_sorted_events",
     "concat_object_urls",
@@ -3420,6 +3421,45 @@ def domain_mix_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("lang")
     return (domain_mix_weights(d, domain_col="lang", alpha=0.3)
             .orderBy("lang"))
+
+
+@register("token_budget_sample_docs", """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT sum(pow(n_docs, 0.3)) AS z FROM c),
+wts AS (SELECT lang, round(pow(n_docs, 0.3) / z, 6) AS w
+        FROM c CROSS JOIN t),
+toks AS (
+  SELECT doc_id, lang,
+         cast(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_toks,
+         md5('budget-v1:' || doc_id::VARCHAR) AS k
+  FROM documents),
+cum AS (
+  SELECT doc_id, lang, n_toks,
+         sum(n_toks) OVER (PARTITION BY lang ORDER BY k) AS cum
+  FROM toks)
+SELECT doc_id, lang, n_toks
+FROM cum JOIN wts USING (lang)
+WHERE cum <= 20000 * w
+ORDER BY doc_id
+""")
+def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling to a token budget (operators/sampling
+    .sample_to_token_budget): temperature-scaled domain weights
+    (domain_mix_weights, alpha=0.3 over lang) materialized into an
+    actual document sample — each domain filled to budget x w_d
+    tokens in seeded md5 order (knapsack-prefix rule: the first doc
+    crossing the line is dropped). Weights broadcast; the one
+    shuffle is the per-domain cumsum window. Oracle rebuilds the
+    weights, the hash order, and the running total in SQL."""
+    from parlerproject_spark.operators.sampling import (
+        domain_mix_weights, sample_to_token_budget)
+    d = _t(spark, sf_dir, "documents")
+    wts = domain_mix_weights(d.select("lang"), domain_col="lang",
+                             alpha=0.3).select("lang", "w")
+    return (sample_to_token_budget(d, wts, budget_tokens=20_000,
+                                   domain_col="lang")
+            .orderBy("doc_id"))
 
 
 @register("url_dedup_normalized", """

@@ -295,6 +295,43 @@ def test_domain_mix_upsamples_rare_domains(spark):
     assert out["small"]["p"] == 0.1
 
 
+def test_sample_to_token_budget_respects_per_domain_budget(spark):
+    from parlerproject_spark.operators.sampling import (
+        sample_to_token_budget)
+    # two domains, 10 docs x 10 tokens each; weights 0.7/0.3 of a
+    # 100-token budget -> a: 70 tokens = 7 docs, b: 30 tokens = 3 docs
+    rows = [(i, "a", " ".join(["w"] * 10)) for i in range(10)]
+    rows += [(100 + i, "b", " ".join(["w"] * 10)) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "dom", "text"])
+    wts = spark.createDataFrame([("a", 0.7), ("b", 0.3)], ["dom", "w"])
+    out = sample_to_token_budget(docs, wts, budget_tokens=100,
+                                 domain_col="dom").collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["dom"], []).append(r["doc_id"])
+    assert len(by_dom["a"]) == 7
+    assert len(by_dom["b"]) == 3
+    # deterministic: same input -> same ids
+    out2 = sample_to_token_budget(docs, wts, budget_tokens=100,
+                                  domain_col="dom").collect()
+    assert sorted(r["doc_id"] for r in out) == \
+        sorted(r["doc_id"] for r in out2)
+
+
+def test_sample_to_token_budget_knapsack_prefix_rule(spark):
+    from parlerproject_spark.operators.sampling import (
+        sample_to_token_budget)
+    # budget 25, docs of 10 tokens: exactly 2 fit; the doc that
+    # would cross the line (and everything after) is dropped
+    rows = [(i, "a", " ".join(["w"] * 10)) for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "dom", "text"])
+    wts = spark.createDataFrame([("a", 1.0)], ["dom", "w"])
+    out = sample_to_token_budget(docs, wts, budget_tokens=25,
+                                 domain_col="dom").collect()
+    assert len(out) == 2
+    assert sum(r["n_toks"] for r in out) == 20  # within budget
+
+
 def test_normalize_url_canonical_forms(spark):
     from parlerproject_spark.functions.text import normalize_url
     cases = [
