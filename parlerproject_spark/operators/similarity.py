@@ -257,6 +257,31 @@ def build_ivf_index(vectors: DataFrame, path: str, *, num_cells: int = 16,
     return centroids
 
 
+def append_ivf_index(vectors: DataFrame, path: str,
+                     centroids: list[list[float]], *,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    EXISTING cells and append their partitions — no retrain, no
+    rewrite of resident data (the standard FAISS `add` contract; a
+    drifted corpus eventually warrants a rebuild, but day-to-day
+    ingest must not reshuffle a 100 TB index).
+
+    The append is one narrow assignment map (centroids broadcast
+    inside the expression) + a partitioned append write: only the
+    cells the new vectors land in gain files, probes keep pruning by
+    the same partition column, and a concurrent reader sees the old
+    snapshot until the write commits.
+    """
+    from parlerproject_spark.operators.topics import _assign
+
+    assigned = (_assign(vectors.select(F.col(id_col).alias("vec_id"),
+                                       F.col(vec_col)),
+                        centroids, id_col="vec_id", vec_col=vec_col)
+                .withColumnRenamed("topic", "cell"))
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def build_lsh_index(vectors: DataFrame, path: str, *, dim: int,
                     num_planes: int = 6, num_tables: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding",

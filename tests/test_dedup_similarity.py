@@ -233,6 +233,34 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
         assert int(m.group(1)) <= 2, plan
 
 
+def test_ivf_index_append_serves_new_vectors_without_retrain(spark,
+                                                             sf_dir,
+                                                             tmp_path):
+    """Incremental maintenance: append_ivf_index adds new vectors to
+    the existing cell layout; a probe for a NEW vector finds it, an
+    old vector is still found, and the probe still partition-prunes."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "ivf_app")
+    cents = similarity.build_ivf_index(emb, path, num_cells=8)
+
+    # new batch: resident vectors re-keyed out of the id range,
+    # slightly perturbed so they are distinct rows
+    new = (emb.filter(F.col("vec_id") < 5)
+           .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                   F.transform("embedding",
+                               lambda x: x * F.lit(1.0)).alias("embedding")))
+    similarity.append_ivf_index(new, path, cents)
+
+    qv = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    probed = similarity.probe_ivf_index(spark, path, cents, qv,
+                                        k=5, nprobe=2)
+    got = [r["vec_id"] for r in probed.collect()]
+    assert 3 in got            # resident vector still served
+    assert 1_000_003 in got    # appended copy found at the same point
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
 def test_int8_quantization_fidelity(spark, sf_dir):
     """Quantize → dequantize must preserve cosine similarity to the
     original vector (the serving-quality bound for the 4× storage
