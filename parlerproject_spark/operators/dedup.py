@@ -321,6 +321,54 @@ def exact_substring_spans(docs: DataFrame, *, id_col: str = "doc_id",
                     .alias("n_tokens")))
 
 
+def cut_substring_spans(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        min_count: int = 2) -> DataFrame:
+    """Exact-substring dedup, APPLIED: remove every token covered by
+    a duplicated span (exact_substring_spans) and reassemble the
+    survivors — the cutting step of Lee et al. 2021 that their
+    pipeline runs after span detection (their released pass cuts all
+    occurrences of a duplicated run; any copy worth keeping
+    re-enters via shorter unique context).
+
+    Shape: spans explode to covered (doc, pos) rows — bounded by
+    total duplicated tokens, not corpus size — then one anti-join
+    against the token stream on the co-partitioned (doc_id, pos) key
+    and one doc-keyed agg that re-joins survivors in position order
+    (sort_array over structs: per-doc arrays, never a global sort).
+    Reassembly normalizes whitespace/punctuation to single spaces —
+    the same canonical form every other tokenize-based operator here
+    scores, so downstream stages see consistent text.
+
+    Columns: <id_col>, clean_text ('' when fully duplicated),
+    n_kept, n_removed.
+    """
+    spans = exact_substring_spans(docs, id_col=id_col, text_col=text_col,
+                                  k=k, min_count=min_count)
+    pos_tok = (docs.select(F.col(id_col).alias("doc_id"),
+                           tokenize(text_col).alias("ts"))
+               .select("doc_id", F.posexplode("ts").alias("pos", "tok")))
+    covered = spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.sequence(F.col("start_tok").cast("int"),
+                             F.col("end_tok").cast("int"))).alias("pos"))
+    kept = pos_tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda s: s["tok"]), " ").alias("clean_text"),
+                    F.count("*").alias("n_kept")))
+    totals = pos_tok.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                    (F.col("n_toks") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 12,

@@ -36,6 +36,31 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float], *,
     return df.filter(bucket < thresh)
 
 
+def group_head_sample(df: DataFrame, *, group_col: str, id_col: str,
+                      k: int, seed: str = "ghs-v1") -> DataFrame:
+    """Fixed-size deterministic sample: exactly min(k, |group|) rows
+    per group — the distributed, replayable stand-in for per-group
+    reservoir sampling (per-domain eval slices, few-shot exemplar
+    pools, balanced inspection panels all want "exactly k per
+    bucket", which a fractional sampler can't promise).
+
+    Rank = row_number over an md5(seed:id) ordering inside each
+    group; the hash order is uniform, content-stable (a row keeps or
+    loses membership only when rank-k's hash boundary moves, not
+    when unrelated rows arrive), and engine-portable. One exchange
+    on the group key; the per-group ORDER BY is partition-local,
+    never a global sort. A viral group costs one partition's sort —
+    at 100 TB salt hot groups first (operators/skew) or pre-filter
+    with an approximate per-group count. Keeps all input columns and
+    adds sample_rank (1-based).
+    """
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (df.withColumn("sample_rank",
+                          F.row_number().over(w).cast("long"))
+            .filter(F.col("sample_rank") <= k))
+
+
 def pack_sequences(docs: DataFrame, *, id_col: str, tokens_col: str,
                    seq_len: int = 2048, shards: int = 16,
                    seed: str = "pack-v1") -> DataFrame:

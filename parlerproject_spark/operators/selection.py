@@ -195,6 +195,93 @@ def nb_quality_classifier(docs: DataFrame, *, id_col: str = "doc_id",
                         (F.col("log_odds") > 0).cast("long")))
 
 
+def logreg_quality_classifier(docs: DataFrame, *, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              label_col: str = "label",
+                              n_iters: int = 3, lr: float = 1.0,
+                              feat_hex: int = 2) -> DataFrame:
+    """Logistic-regression quality scorer trained IN-ENGINE by
+    full-batch gradient descent — the discriminative sibling of
+    `nb_quality_classifier` (pipelines that outgrow NB's
+    independence assumption train exactly this shape: fastText /
+    CCNet-style linear classifiers over hashed token features).
+
+    Model: w over 16**feat_hex hashed-unigram buckets + intercept.
+    Features are tf-NORMALIZED counts (bucket count / doc tokens) so
+    margins stay in a bounded range: no exp() overflow on long
+    documents, and the gradient scale is corpus-size-invariant.
+    Each of the `n_iters` unrolled iterations is pure relational
+    algebra — margins = feature⋈weights (weights are ≤ 16**feat_hex
+    + 1 rows, always BROADCAST) + one doc-keyed aggregate;
+    gradient = feature⋈residuals (both already doc-keyed) + one
+    bucket-keyed aggregate of at most |w| rows; update = weights
+    left-join gradient. Nothing ever collects to the driver and the
+    corpus-scale feature table shuffles ONCE (localCheckpoint) and
+    is re-read by every iteration, so the 100 TB cost is
+    n_iters × (two keyed aggregations) — the same contract as
+    `pagerank`. Deterministic end-to-end (w0 = 0, fixed lr), so the
+    DuckDB oracle retrains the identical model with the iterations
+    unrolled as CTEs.
+
+    Columns: <id_col>, margin (round 6), prob (round 6), pred (1/0).
+    """
+    n_buckets = 16 ** feat_hex
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(label_col).cast("double").alias("y"),
+                       F.explode(tokenize(text_col)).alias("w"))
+    # tf-normalized hashed counts + an always-on intercept bucket.
+    # Bucket ids are ints (md5-prefix hex → [0, n_buckets)); the
+    # intercept lives at j = n_buckets.
+    cnt = (toks.groupBy("doc_id",
+                        F.conv(F.substring(F.md5("w"), 1, feat_hex),
+                               16, 10).cast("int").alias("j"))
+           .agg(F.count("*").cast("double").alias("c")))
+    ntok = cnt.groupBy("doc_id").agg(F.sum("c").alias("nt"))
+    feats = (cnt.join(ntok, "doc_id")
+             .select("doc_id", "j", (F.col("c") / F.col("nt")).alias("x"))
+             .unionByName(ntok.select(
+                 "doc_id", F.lit(n_buckets).alias("j"), F.lit(1.0).alias("x")))
+             # one shuffle for the whole training loop: every
+             # iteration's margin AND gradient pass re-reads this
+             # materialization instead of re-running the tokenize →
+             # hash → normalize cascade (2·n_iters+1 consumers)
+             .localCheckpoint(eager=True))
+    labels = (docs.select(F.col(id_col).alias("doc_id"),
+                          F.col(label_col).cast("double").alias("y"))
+              .localCheckpoint(eager=True))
+    n_docs = float(labels.count())
+    weights = (feats.select("j").distinct()
+               .select("j", F.lit(0.0).alias("wt"))
+               .localCheckpoint(eager=True))
+    for _ in range(n_iters):
+        margins = (feats.join(F.broadcast(weights), "j")
+                   .groupBy("doc_id")
+                   .agg(F.sum(F.col("x") * F.col("wt")).alias("m")))
+        resid = (margins.join(labels, "doc_id")
+                 .select("doc_id",
+                         (1.0 / (1.0 + F.exp(-F.col("m"))) - F.col("y"))
+                         .alias("r")))
+        grad = (feats.join(resid, "doc_id")
+                .groupBy("j")
+                .agg((F.sum(F.col("x") * F.col("r")) / n_docs).alias("g")))
+        # every observed bucket appears in some doc and every doc has
+        # a residual, so grad covers all of weights' keys; the left
+        # join is belt-and-braces for an empty corpus
+        weights = (weights.join(grad, "j", "left")
+                   .select("j", (F.col("wt")
+                                 - lr * F.coalesce(F.col("g"), F.lit(0.0)))
+                           .alias("wt"))
+                   .localCheckpoint(eager=True))
+    margins = (feats.join(F.broadcast(weights), "j")
+               .groupBy("doc_id")
+               .agg(F.sum(F.col("x") * F.col("wt")).alias("m")))
+    return (margins.select(
+        F.col("doc_id").alias(id_col),
+        F.round("m", 6).alias("margin"),
+        F.round(1.0 / (1.0 + F.exp(-F.col("m"))), 6).alias("prob"))
+        .withColumn("pred", (F.col("margin") > 0).cast("long")))
+
+
 def importance_resample(raw: DataFrame, target: DataFrame, *, n: int,
                         id_col: str = "doc_id", text_col: str = "text",
                         seed: str = "dsir") -> DataFrame:

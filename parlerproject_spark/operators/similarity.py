@@ -28,6 +28,44 @@ from pyspark.sql import functions as F
 from parlerproject_spark.functions.vectors import cosine
 
 
+def centroid_outlier_scores(vectors: DataFrame, *,
+                            group_col: str = "label",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Cosine of every vector to its own group's mean embedding —
+    the within-cluster coherence signal quality pipelines threshold
+    on (a document whose embedding sits far from its domain/topic
+    centroid is mislabeled, noisy, or contamination; SemDeDup's
+    companion "SemScore" filter ranks on exactly this).
+
+    Shape: posexplode the vectors once to (group, dim, x) — float32
+    components cast to double FIRST so Spark and the SQL oracle do
+    identical double arithmetic — one (group, dim)-keyed aggregate
+    for the centroids (at most |groups|·dim rows: broadcast to the
+    re-join at any corpus size), then one vec-keyed aggregate
+    folding dot product and both norms in a single pass. Two
+    exchanges total, both on small keys; nothing is ever collected.
+
+    Columns: <id_col>, <group_col>, centroid_sim (round 6; NULL for
+    a zero vector).
+    """
+    ex = vectors.select(
+        F.col(id_col).alias("vid"), F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("d", "x"))
+    cents = ex.groupBy("grp", "d").agg(F.avg("x").alias("c"))
+    per = (ex.join(F.broadcast(cents), ["grp", "d"])
+           .groupBy("vid", "grp")
+           .agg(F.sum(F.col("x") * F.col("c")).alias("dot"),
+                F.sum(F.col("x") * F.col("x")).alias("nx2"),
+                F.sum(F.col("c") * F.col("c")).alias("nc2")))
+    denom = F.sqrt("nx2") * F.sqrt("nc2")
+    return per.select(
+        F.col("vid").alias(id_col), F.col("grp").alias(group_col),
+        F.round(F.when(denom > 0, F.col("dot") / denom), 6)
+        .alias("centroid_sim"))
+
+
 def _plane_weight(table: int, plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1) from md5 —
     reproducible everywhere, no RNG state."""
@@ -272,6 +310,13 @@ def append_ivf_index(vectors: DataFrame, path: str,
     cells the new vectors land in gain files, probes keep pruning by
     the same partition column, and a concurrent reader sees the old
     snapshot until the write commits.
+
+    Incoming batches are cast to the RESIDENT index schema first
+    (footer-only read — no data scan): upstream arithmetic silently
+    widens float32 embeddings to double (`x * 1.0` promotes), and a
+    mixed-width partition poisons every later probe with a
+    vectorized-reader SchemaColumnConvertNotSupportedException —
+    schema conformance is the appender's job, not each caller's.
     """
     from parlerproject_spark.operators.topics import _assign
 
@@ -279,6 +324,11 @@ def append_ivf_index(vectors: DataFrame, path: str,
                                        F.col(vec_col)),
                         centroids, id_col="vec_id", vec_col=vec_col)
                 .withColumnRenamed("topic", "cell"))
+    resident = {f.name: f.dataType
+                for f in vectors.sparkSession.read.parquet(path).schema.fields}
+    for name, dt in resident.items():
+        if name in assigned.columns and assigned.schema[name].dataType != dt:
+            assigned = assigned.withColumn(name, F.col(name).cast(dt))
     assigned.write.mode("append").partitionBy("cell").parquet(path)
 
 

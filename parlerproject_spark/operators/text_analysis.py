@@ -218,6 +218,40 @@ def line_dedup(docs: DataFrame, *, id_col: str = "doc_id",
 WINNOW_MOD = 2147483647
 
 
+def ngram_novelty(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's
+    DISTINCT n-gram shingles that occur in no other document — the
+    memorization/boilerplate axis pipelines rank on (novelty → 0
+    means the text is assembled from corpus-common phrases; → 1
+    means genuinely fresh content). The complement of the near-dup
+    signal: n-gram Jaccard asks "which pair shares grams", this asks
+    "how much of THIS doc is shared at all".
+
+    Shape: dedup.shingles (distinct gram hashes per doc), one
+    exchange on the gram key where a window counts the gram's
+    DISTINCT-document frequency in place (the capped_shingles
+    pattern — a groupBy+join-back would re-run the tokenize cascade
+    per branch), then one doc-keyed aggregate. Novel = document
+    frequency exactly 1. Docs with fewer than n tokens have no
+    shingles and are absent by definition.
+
+    Columns: <id_col>, n_grams, n_novel, novel_share (round 6).
+    """
+    from parlerproject_spark.operators.dedup import shingles
+
+    sh = (shingles(docs, id_col=id_col, text_col=text_col, n=n)
+          .repartition("sh"))
+    df_w = F.count("*").over(Window.partitionBy("sh"))
+    return (sh.withColumn("df", df_w)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum((F.col("df") == 1).cast("long")).alias("n_novel"))
+            .select(F.col("doc_id").alias(id_col), "n_grams", "n_novel",
+                    F.round(F.col("n_novel") / F.col("n_grams"), 6)
+                    .alias("novel_share")))
+
+
 def _winnow_norm(text_col: str):
     """ASCII-printable, whitespace-collapsed, lowercased text — the
     canonical form both engines hash (non-ASCII stripped so Spark's

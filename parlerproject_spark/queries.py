@@ -62,6 +62,11 @@ _DRIVER_PRIORITY: list[str] = [
     # never-sampled first, then ascending last-sampled round, so
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
+    "logreg_quality_scores_docs",
+    "cut_substring_spans_docs",
+    "ngram_novelty_docs",
+    "group_head_sample_docs",
+    "centroid_outlier_embeddings",
     "gopher_repetition_docs",
     "semantic_decontaminate_embeddings",
     "token_budget_sample_docs",
@@ -4833,3 +4838,200 @@ def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_toks").alias("n_tokens"),
                  F.countDistinct("source").alias("n_groups"))
             .orderBy("split"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5: applied exact-substring cutting, in-engine logistic regression,
+# n-gram novelty, fixed-size group sampling, centroid coherence
+# ---------------------------------------------------------------------------
+
+def _logreg_oracle(n_iters: int = 3, lr: float = 1.0) -> str:
+    """Unrolled-GD oracle for logreg_quality_scores_docs: each
+    iteration is a (margins, residuals, gradient, update) CTE block —
+    the same fixed-iteration-unroll strategy as the PageRank oracles."""
+    head = """
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src0', 'src1', 'src2')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+  FROM documents),
+cnt AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 2))::BIGINT AS j,
+         cast(count(*) AS DOUBLE) AS c
+  FROM toks GROUP BY doc_id, j),
+ntok AS (SELECT doc_id, sum(c) AS nt FROM cnt GROUP BY doc_id),
+feats AS (
+  SELECT doc_id, j, c / nt AS x FROM cnt JOIN ntok USING (doc_id)
+  UNION ALL
+  SELECT doc_id, 256 AS j, 1.0 AS x FROM ntok),
+w0 AS (SELECT DISTINCT j, 0.0 AS wt FROM feats)"""
+    body = ""
+    for t in range(1, n_iters + 1):
+        body += f""",
+m{t} AS (SELECT doc_id, sum(x * wt) AS m
+        FROM feats JOIN w{t - 1} USING (j) GROUP BY doc_id),
+r{t} AS (SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS r
+        FROM m{t} JOIN lab USING (doc_id)),
+g{t} AS (SELECT j, sum(x * r) / (SELECT count(*) FROM documents) AS g
+        FROM feats JOIN r{t} USING (doc_id) GROUP BY j),
+w{t} AS (SELECT j, wt - {lr} * coalesce(g, 0.0) AS wt
+        FROM w{t - 1} LEFT JOIN g{t} USING (j))"""
+    tail = f""",
+mf AS (SELECT doc_id, sum(x * wt) AS m
+       FROM feats JOIN w{n_iters} USING (j) GROUP BY doc_id)
+SELECT doc_id, round(m, 6) AS margin,
+       round(1.0 / (1.0 + exp(-m)), 6) AS prob,
+       cast(CASE WHEN round(m, 6) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM mf
+ORDER BY doc_id"""
+    return head + body + tail
+
+
+@register("logreg_quality_scores_docs", _logreg_oracle())
+def logreg_quality_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine logistic-regression quality scorer
+    (operators/selection.logreg_quality_classifier): 3 unrolled
+    full-batch GD iterations over tf-normalized hashed-unigram
+    features, src0-2 as positives — the discriminative sibling of
+    the NB classifier. The oracle retrains the identical model with
+    the iterations unrolled as CTEs."""
+    from parlerproject_spark.operators.selection import (
+        logreg_quality_classifier)
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("label",
+                     F.col("source").isin("src0", "src1", "src2")
+                     .cast("int")))
+    return logreg_quality_classifier(d).orderBy("doc_id")
+
+
+@register("cut_substring_spans_docs", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ts[i:i+7], ' ')) AS g
+  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)
+  WHERE len(ts) >= 8),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+covered AS (
+  SELECT DISTINCT doc_id, pos + off AS pos
+  FROM (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+       unnest(range(0, 8)) AS o(off)),
+pos_tok AS (
+  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)),
+kept AS (
+  SELECT doc_id, pos, tok FROM pos_tok ANTI JOIN covered USING (doc_id, pos)),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_toks FROM pos_tok GROUP BY doc_id)
+SELECT doc_id, coalesce(clean_text, '') AS clean_text,
+       cast(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       cast(n_toks - coalesce(n_kept, 0) AS BIGINT) AS n_removed
+FROM totals LEFT JOIN rebuilt USING (doc_id)
+ORDER BY doc_id
+""")
+def cut_substring_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied exact-substring dedup (dedup.cut_substring_spans):
+    every token inside a corpus-duplicated >= 8-token run is removed
+    and the survivors reassembled in order — the cutting step Lee et
+    al. run after span detection. The oracle expands the duplicated
+    gram positions directly (the island union equals the per-gram
+    interval union by construction) and replays the reassembly with
+    ordered string_agg."""
+    return dedup.cut_substring_spans(
+        _t(spark, sf_dir, "documents"), k=8, min_count=2).orderBy("doc_id")
+
+
+@register("ngram_novelty_docs", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
+  FROM (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS gram
+        FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+        WHERE len(ts) >= 3)),
+dfed AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df FROM grams)
+SELECT doc_id, cast(count(*) AS BIGINT) AS n_grams,
+       cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 6)
+           AS novel_share
+FROM dfed GROUP BY doc_id
+ORDER BY doc_id
+""")
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty (text_analysis.ngram_novelty): share
+    of the doc's distinct shingles found in no other document — the
+    memorization/boilerplate axis. Same shingle-hash stream as the
+    MinHash family, df counted by a window over one gram-keyed
+    exchange."""
+    from parlerproject_spark.operators.text_analysis import ngram_novelty
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3) \
+        .orderBy("doc_id")
+
+
+@register("group_head_sample_docs", """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('ghs-v1:' || doc_id::VARCHAR), doc_id)
+             AS sample_rank
+  FROM documents)
+SELECT doc_id, source, cast(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 10
+ORDER BY source, doc_id
+""")
+def group_head_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic per-group sample
+    (sampling.group_head_sample): exactly min(10, |group|) docs per
+    source by md5-hash rank — the replayable reservoir-sampling
+    stand-in for balanced eval slices."""
+    from parlerproject_spark.operators.sampling import group_head_sample
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_head_sample(d, group_col="source", id_col="doc_id",
+                             k=10).orderBy("source", "doc_id")
+
+
+@register("centroid_outlier_embeddings", """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+cents AS (SELECT label, d, avg(x) AS c FROM ex GROUP BY label, d),
+per AS (
+  SELECT vec_id, label,
+         sum(x * c) AS dot, sum(x * x) AS nx2, sum(c * c) AS nc2
+  FROM ex JOIN cents USING (label, d)
+  GROUP BY vec_id, label)
+SELECT vec_id, label,
+       round(CASE WHEN sqrt(nx2) * sqrt(nc2) > 0
+                  THEN dot / (sqrt(nx2) * sqrt(nc2)) END, 6)
+           AS centroid_sim
+FROM per
+ORDER BY vec_id
+""")
+def centroid_outlier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group embedding coherence
+    (similarity.centroid_outlier_scores): cosine of each vector to
+    its label-group mean — the SemScore-style mislabel/noise signal.
+    Components cast to double on both sides before any arithmetic so
+    float32 rounding never reaches the hash."""
+    from parlerproject_spark.operators.similarity import (
+        centroid_outlier_scores)
+    return centroid_outlier_scores(
+        _t(spark, sf_dir, "embeddings"), group_col="label") \
+        .orderBy("vec_id")

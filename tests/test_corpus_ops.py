@@ -366,3 +366,99 @@ def test_grouped_split_never_straddles_groups(spark, sf_dir):
                 out.select("source", "split").distinct().collect()}
     for r in half.select("source", "split").distinct().collect():
         assert full_map[r["source"]] == r["split"]
+
+
+# Round-5 additions ---------------------------------------------------------
+
+def test_cut_substring_spans_removes_only_duplicated_run(spark):
+    from parlerproject_spark.operators.dedup import cut_substring_spans
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [(1, f"one two three {shared} four five"),
+         (2, f"seven eight {shared} nine"),
+         (3, "totally unrelated words occupy this document text here")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in cut_substring_spans(docs, k=8).collect()}
+    assert got[1]["clean_text"] == "one two three four five"
+    assert got[1]["n_removed"] == 8 and got[1]["n_kept"] == 5
+    assert got[2]["clean_text"] == "seven eight nine"
+    # untouched doc: reassembly is the identity on its token stream
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"] == \
+        "totally unrelated words occupy this document text here"
+
+
+def test_cut_substring_spans_fully_duplicated_doc_empties(spark):
+    from parlerproject_spark.operators.dedup import cut_substring_spans
+    run = " ".join(f"tok{i}" for i in range(8))
+    docs = spark.createDataFrame([(1, run), (2, run)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in cut_substring_spans(docs, k=8).collect()}
+    for i in (1, 2):
+        assert rows[i]["clean_text"] == ""
+        assert rows[i]["n_kept"] == 0 and rows[i]["n_removed"] == 8
+
+
+def test_ngram_novelty_boilerplate_scores_low(spark):
+    from parlerproject_spark.operators.text_analysis import ngram_novelty
+    base = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                       # exact dup: zero novelty
+         (3, "completely original sentence nobody else ever wrote here")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert got[1]["novel_share"] == 0.0 and got[2]["novel_share"] == 0.0
+    assert got[3]["novel_share"] == 1.0
+    assert got[3]["n_grams"] == got[3]["n_novel"]
+
+
+def test_group_head_sample_exact_k_and_stability(spark):
+    from parlerproject_spark.operators.sampling import group_head_sample
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small")
+                                               for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = group_head_sample(df, group_col="source", id_col="doc_id", k=5)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 5          # exactly k
+    assert len(by_src["small"]) == 3        # min(k, |group|)
+    # growth stability: adding rows to ANOTHER group never changes
+    # this group's sample
+    grown = df.union(spark.createDataFrame(
+        [(2000 + i, "small") for i in range(50)], ["doc_id", "source"]))
+    regrown = group_head_sample(grown, group_col="source",
+                                id_col="doc_id", k=5)
+    big2 = {r["doc_id"] for r in regrown.collect() if r["source"] == "big"}
+    assert big2 == by_src["big"]
+
+
+def test_logreg_separates_planted_classes(spark):
+    from parlerproject_spark.operators.selection import (
+        logreg_quality_classifier)
+    pos = [(i, "excellent thoughtful prose with careful clear argument", 1)
+           for i in range(20)]
+    neg = [(100 + i, "buy cheap pills now click here spam spam", 0)
+           for i in range(20)]
+    docs = spark.createDataFrame(pos + neg, ["doc_id", "text", "label"])
+    out = {r["doc_id"]: r for r in
+           logreg_quality_classifier(docs, n_iters=5, lr=4.0).collect()}
+    assert all(out[i]["margin"] > out[100 + j]["margin"]
+               for i in range(0, 20, 5) for j in range(0, 20, 5))
+    assert all(out[i]["pred"] == 1 for i in range(20))
+    assert all(out[100 + j]["pred"] == 0 for j in range(20))
+
+
+def test_centroid_outlier_flags_far_vector(spark):
+    from parlerproject_spark.operators.similarity import (
+        centroid_outlier_scores)
+    # label 0: tight cluster along +x with ONE vector along -x
+    rows = ([(i, [1.0, float(i % 3) * 0.01], 0) for i in range(10)]
+            + [(99, [-1.0, 0.0], 0)]
+            + [(200 + i, [0.0, 1.0], 1) for i in range(5)])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r["vec_id"]: r["centroid_sim"]
+           for r in centroid_outlier_scores(df).collect()}
+    assert got[99] < 0 < got[0]             # outlier anti-aligned
+    assert all(got[i] > 0.9 for i in range(10))
+    assert got[200] > 0.999                 # homogeneous group ~1
