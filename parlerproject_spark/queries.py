@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: list[str] = [
     # never-sampled first, then ascending last-sampled round, so
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
+    "dbscan_clusters_embeddings",
     "logreg_quality_scores_docs",
     "cut_substring_spans_docs",
     "ngram_novelty_docs",
@@ -5035,3 +5036,58 @@ def centroid_outlier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outlier_scores(
         _t(spark, sf_dir, "embeddings"), group_col="label") \
         .orderBy("vec_id")
+
+
+@register("dbscan_clusters_embeddings", """
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b FROM (
+    SELECT ia AS id_a, ib AS id_b,
+           sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+    FROM (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 unnest(a.embedding)::DOUBLE AS x,
+                 unnest(b.embedding)::DOUBLE AS y
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    GROUP BY ia, ib)
+  WHERE sim >= 0.3),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM p
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM p),
+deg AS (SELECT s AS v, count(*) AS nn FROM edges GROUP BY s),
+core AS (SELECT v FROM deg WHERE nn + 1 >= 5),
+ce AS (
+  SELECT e.s, e.d FROM edges e
+  JOIN core a ON e.s = a.v JOIN core b ON e.d = b.v),
+reach(v, r) AS (
+  SELECT v, v FROM core
+  UNION
+  SELECT ce.s, reach.r FROM ce JOIN reach ON ce.d = reach.v),
+corecl AS (SELECT v, min(r) AS cid FROM reach GROUP BY v),
+bord AS (
+  SELECT e.s AS v, min(c.cid) AS cid
+  FROM edges e JOIN corecl c ON e.d = c.v
+  WHERE e.s NOT IN (SELECT v FROM core)
+  GROUP BY e.s),
+lab AS (
+  SELECT v, cid, TRUE AS is_core FROM corecl
+  UNION ALL
+  SELECT v, cid, FALSE AS is_core FROM bord)
+SELECT emb.vec_id, cast(coalesce(l.cid, -1) AS BIGINT) AS cluster,
+       coalesce(l.is_core, FALSE) AS is_core
+FROM embeddings emb LEFT JOIN lab l ON emb.vec_id = l.v
+ORDER BY emb.vec_id
+""")
+def dbscan_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering (density.dbscan): the HDBSCAN-analogue
+    half of M3 (reference code/bertopicTest.py:53-61) — ε-neighbor
+    graph at cosine sim ≥ 0.3, core points |N_ε| ≥ 5, connected
+    components over core-core edges, deterministic min-cluster
+    border assignment, noise = -1. Exact pair mode here (the
+    oracle); the LSH-bucketed mode is the 100 TB path (pytest
+    compares the two). The oracle computes the true transitive
+    closure with a recursive CTE — equality proves the pointer-
+    jumping CC converged on the same components."""
+    from parlerproject_spark.operators.density import dbscan
+    return (dbscan(_t(spark, sf_dir, "embeddings"),
+                   sim_threshold=0.3, min_pts=5, mode="exact")
+            .orderBy("vec_id"))
