@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     "dbscan_clusters_embeddings",
+    "hard_negatives_embeddings",
     "logreg_quality_scores_docs",
     "cut_substring_spans_docs",
     "ngram_novelty_docs",
@@ -5091,3 +5092,39 @@ def dbscan_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dbscan(_t(spark, sf_dir, "embeddings"),
                    sim_threshold=0.3, min_pts=5, mode="exact")
             .orderBy("vec_id"))
+
+
+@register("hard_negatives_embeddings", """
+WITH p AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         unnest(a.embedding)::DOUBLE AS x,
+         unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND a.label <> b.label),
+s AS (
+  SELECT anchor_id, neg_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM p GROUP BY anchor_id, neg_id),
+r AS (
+  SELECT anchor_id, neg_id, sim,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY sim DESC, neg_id ASC) AS rank
+  FROM s WHERE sim < 0.98)
+SELECT anchor_id, neg_id, sim, rank
+FROM r WHERE rank <= 5
+ORDER BY anchor_id, rank
+""")
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (mining.hard_negatives):
+    per anchor, the 5 closest different-label vectors under a 0.98
+    near-dup cap — the mining step of embedding-model fine-tuning
+    over the reference's embedding store (code/embeddings.py).
+    Similarity is rounded BEFORE the band filter and ranking window
+    (ties on candidate id) so the pair set is engine-stable. Exact
+    mode here; the cell-probed mode is the at-scale path (pytest
+    recall)."""
+    from parlerproject_spark.operators.mining import hard_negatives
+    return (hard_negatives(_t(spark, sf_dir, "embeddings"),
+                           k=5, group_col="label", sim_hi=0.98,
+                           mode="exact")
+            .orderBy("anchor_id", "rank"))
