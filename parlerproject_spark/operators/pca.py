@@ -1,0 +1,145 @@
+"""Distributed PCA / whitening over embedding columns.
+
+The embedding-pipeline transforms the reference's single-node stack
+gets from sklearn (and BERTopic gets from UMAP's spectral init):
+mean-center, decorrelate, reduce dimension, optionally whiten —
+applied here to a 100 TB `array<float>` column.
+
+Scale decomposition (the classic two-pass-free moment shape):
+
+1. `embedding_moments` — one `mapInPandas` pass computes, per Arrow
+   batch, the BLAS partial sums (n, Σx, Σxxᵀ upper triangle) and
+   emits them as (i, j, val) rows: d(d+1)/2 + d + 1 rows PER BATCH,
+   independent of batch row count. One groupBy(i, j) reduce — the
+   only shuffle — then covariance assembles relationally:
+   cov(i,j) = Σxy/n − μᵢμⱼ (population). No per-row d² blowup, no
+   driver aggregation of data rows.
+2. `pca_components` — collects the d×d covariance (a BOUNDED
+   index-metadata collect, same contract as `similarity.train_pq`'s
+   codebooks: d² floats, never data rows) and eigendecomposes on
+   the driver with numpy. Eigenvector sign is fixed so each
+   component's largest-|entry| coordinate is positive — eigh's sign
+   choice is arbitrary and would otherwise differ across BLAS
+   builds.
+3. `pca_project` — broadcast the (d × n_components) matrix as a
+   literal into a second `mapInPandas` matmul: a pure map, zero
+   shuffle. whiten=True scales component c by 1/√(λ_c + eps) so the
+   output has (approximately) identity covariance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_moments(vectors: DataFrame, *, vec_col: str = "embedding",
+                      upper_only: bool = True) -> DataFrame:
+    """Population covariance matrix as rows (i, j, cov), j ≥ i when
+    upper_only (the matrix is symmetric). 0-based indices, cov
+    rounded to 6 decimals (cross-engine float contract)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = V.shape[1]
+            S = V.T @ V
+            iu, ju = np.triu_indices(d)
+            i = np.concatenate([iu, np.arange(d), [-1]])
+            j = np.concatenate([ju, np.full(d, -1), [-1]])
+            val = np.concatenate([S[iu, ju], V.sum(axis=0), [float(len(V))]])
+            yield pd.DataFrame({"i": i.astype(np.int32),
+                                "j": j.astype(np.int32), "val": val})
+
+    raw = vectors.select(vec_col).mapInPandas(gen, "i int, j int, val double")
+    tot = raw.groupBy("i", "j").agg(F.sum("val").alias("val"))
+    n = tot.filter((F.col("i") == -1) & (F.col("j") == -1)) \
+           .select(F.col("val").alias("n"))
+    mu = tot.filter((F.col("i") >= 0) & (F.col("j") == -1)) \
+            .select(F.col("i").alias("mi"), F.col("val").alias("sx"))
+    cov = (tot.filter(F.col("j") >= 0)
+           .crossJoin(F.broadcast(n))
+           .join(F.broadcast(mu.select(F.col("mi").alias("i"),
+                                       F.col("sx").alias("sxi"))), "i")
+           .join(F.broadcast(mu.select(F.col("mi").alias("j"),
+                                       F.col("sx").alias("sxj"))), "j")
+           .select("i", "j",
+                   # + 0.0 folds IEEE -0.0 to +0.0 — a rounded-to-zero
+                   # negative product hashes as "-0.0" otherwise
+                   (F.round(F.col("val") / F.col("n")
+                            - (F.col("sxi") / F.col("n"))
+                            * (F.col("sxj") / F.col("n")), 6)
+                    + F.lit(0.0)).alias("cov")))
+    if not upper_only:
+        cov = cov.union(
+            cov.filter(F.col("i") != F.col("j"))
+               .select(F.col("j").alias("i"), F.col("i").alias("j"), "cov"))
+    return cov
+
+
+def pca_components(vectors: DataFrame, *, n_components: int,
+                   vec_col: str = "embedding"):
+    """Fit PCA: returns (mean, components, eigenvalues) as numpy
+    arrays — components is (n_components, d), rows ordered by
+    eigenvalue descending, sign-fixed. Only d² + d floats ever reach
+    the driver."""
+    import numpy as np
+
+    rows = embedding_moments(vectors, vec_col=vec_col).collect()
+    sums = {(-1, -1): 0.0}
+    for r in rows:
+        sums[(r["i"], r["j"])] = r["cov"]
+    d = 1 + max(i for i, _ in sums if i >= 0)
+    C = np.zeros((d, d))
+    for (i, j), v in sums.items():
+        if i >= 0:
+            C[i, j] = C[j, i] = v
+    # mean needs a second tiny agg (moments rounds cov only): one
+    # narrow avg over the exploded vector — d rows to the driver
+    mu_rows = (vectors.select(F.posexplode(vec_col).alias("i", "x"))
+               .groupBy("i").agg(F.avg("x").alias("mu")).collect())
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[r["i"]] = r["mu"]
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:n_components]
+    evals = w[order]
+    comps = V[:, order].T
+    for r in range(comps.shape[0]):        # deterministic sign
+        m = np.argmax(np.abs(comps[r]))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+    return mu, comps, evals
+
+
+def pca_project(vectors: DataFrame, mu, comps, evals, *,
+                whiten: bool = False, eps: float = 1e-9,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                out_col: str = "pc") -> DataFrame:
+    """Project vectors onto fitted components: (x − μ) · compsᵀ,
+    optionally scaled to unit variance per component. Pure map (one
+    batched matmul), zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    M = np.asarray(comps, dtype=np.float64)
+    mu_a = np.asarray(mu, dtype=np.float64)
+    scale = (1.0 / np.sqrt(np.maximum(np.asarray(evals, dtype=np.float64),
+                                      0.0) + eps)
+             if whiten else np.ones(M.shape[0]))
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            P = (V - mu_a) @ M.T * scale
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                out_col: [row.tolist() for row in P]})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {out_col} array<double>")

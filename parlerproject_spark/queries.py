@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: list[str] = [
     # (r4 verdict #8: 27 queries' newest row was still r1).
     "dbscan_clusters_embeddings",
     "hard_negatives_embeddings",
+    "embedding_covariance",
+    "pca_whiten_embeddings",
     "logreg_quality_scores_docs",
     "cut_substring_spans_docs",
     "ngram_novelty_docs",
@@ -5128,3 +5130,51 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=5, group_col="label", sim_hi=0.98,
                            mode="exact")
             .orderBy("anchor_id", "rank"))
+
+
+@register("embedding_covariance", """
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+s AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i),
+m AS (SELECT i, avg(x) AS mu FROM ex GROUP BY i),
+n AS (SELECT cast(count(*) AS DOUBLE) AS c FROM embeddings)
+SELECT s.i, s.j, round(s.sxy / n.c - mi.mu * mj.mu, 6) + 0.0 AS cov
+FROM s CROSS JOIN n
+JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+ORDER BY s.i, s.j
+""")
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding column (pca.
+    embedding_moments): per-Arrow-batch BLAS partial sums emitted as
+    (i, j, val) rows — d(d+1)/2 + d + 1 rows per batch regardless of
+    batch size — then ONE groupBy reduce and a relational assembly
+    cov = Σxy/n − μᵢμⱼ. The moment pass every PCA/whitening/OOD
+    monitor at 100 TB starts from; no per-row d² blowup, nothing but
+    index metadata shuffles."""
+    from parlerproject_spark.operators.pca import embedding_moments
+    return (embedding_moments(_t(spark, sf_dir, "embeddings"))
+            .orderBy("i", "j"))
+
+
+@register("pca_whiten_embeddings", None)  # eigen step: invariants in pytest
+def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened 8-component PCA projection (pca.pca_components +
+    pca_project): distributed moments → bounded d×d driver eigh
+    (sign-fixed) → broadcast-literal matmul map. Rows-only for the
+    driver (SQL cannot eigendecompose); pytest asserts orthonormal
+    components, descending explained variance, and ≈identity
+    covariance of the whitened output."""
+    from parlerproject_spark.operators.pca import (pca_components,
+                                                   pca_project)
+    emb = _t(spark, sf_dir, "embeddings")
+    mu, comps, evals = pca_components(emb, n_components=8)
+    proj = pca_project(emb, mu, comps, evals, whiten=True)
+    return proj.select(
+        "vec_id",
+        F.transform("pc", lambda x: F.round(x, 4)).alias("pc")) \
+        .orderBy("vec_id")
