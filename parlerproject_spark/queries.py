@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "hard_negatives_embeddings",
     "embedding_covariance",
     "pca_whiten_embeddings",
+    "unicode_normalize_docs",
     "logreg_quality_scores_docs",
     "cut_substring_spans_docs",
     "ngram_novelty_docs",
@@ -5178,3 +5179,49 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("pc", lambda x: F.round(x, 4)).alias("pc")) \
         .orderBy("vec_id")
+
+
+@register("unicode_normalize_docs", """
+WITH raw AS (
+  SELECT doc_id,
+         'Cafe' || chr(769) || chr(8203) || ' ' || chr(8220) || 'Parler'
+           || chr(8221) || chr(8230) || chr(160) || substring(text, 1, 60)
+           AS t
+  FROM documents),
+cl AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           replace(
+             translate(t,
+               chr(160) || chr(8216) || chr(8217) || chr(8220) || chr(8221)
+                 || chr(8211) || chr(8212) || chr(8203) || chr(8204)
+                 || chr(8205) || chr(65279) || chr(8288),
+               ' ' || chr(39) || chr(39) || '""--'),
+             chr(8230), '...'),
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g') AS c
+  FROM raw)
+SELECT doc_id, nfc_normalize(c) AS norm_text,
+       nfc_normalize(c) <> t AS changed,
+       cast(length(nfc_normalize(c)) AS BIGINT) AS n_chars
+FROM cl
+ORDER BY doc_id
+""")
+def unicode_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (functions/unicode.normalize_text):
+    typographic-char cleanup as a JVM translate/replace chain, then
+    NFC composition via an Arrow pandas_udf. The sf docs are pure
+    ASCII, so the query injects a fixed prefix (combining accent,
+    zero-width space, curly quotes, ellipsis, NBSP) through the SAME
+    expression on both engines — the hash then proves stdlib
+    `unicodedata` NFC and DuckDB `nfc_normalize` agree, two
+    independent implementations of the Unicode algorithm."""
+    from parlerproject_spark.functions.unicode import normalize_text
+    d = _t(spark, sf_dir, "documents")
+    prefix = ("Cafe\u0301\u200b \u201cParler\u201d\u2026\u00a0")
+    raw = F.concat(F.lit(prefix), F.substring("text", 1, 60))
+    out = d.select("doc_id", raw.alias("t"))
+    norm = normalize_text(F.col("t"))
+    return (out.select("doc_id", norm.alias("norm_text"),
+                       (norm != F.col("t")).alias("changed"),
+                       F.length(norm).cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
