@@ -242,7 +242,7 @@ def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
                                                       unit_rows)
     from parlerproject_spark.functions.vectors import dot
 
-    centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
+    centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter, init="maxmin",
                                 id_col=id_col, vec_col=vec_col,
                                 train_mod=train_mod)
     # full-corpus assignment on the Arrow/BLAS path (one matmul per
@@ -284,7 +284,7 @@ def build_ivf_index(vectors: DataFrame, path: str, *, num_cells: int = 16,
     """
     from parlerproject_spark.operators.topics import _assign, lloyd_centroids
 
-    centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
+    centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter, init="maxmin",
                                 id_col=id_col, vec_col=vec_col,
                                 train_mod=train_mod)
     assigned = (_assign(vectors.select(F.col(id_col).alias("vec_id"),
@@ -586,7 +586,7 @@ def build_ivfpq_index(vectors: DataFrame, path: str, *, dim: int,
 
     from parlerproject_spark.operators.topics import _assign, lloyd_centroids
 
-    cents = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
+    cents = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter, init="maxmin",
                             id_col=id_col, vec_col=vec_col,
                             train_mod=train_mod)
     books = train_pq(vectors, dim=dim, m=m, ksub=ksub,

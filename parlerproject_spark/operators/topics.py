@@ -118,9 +118,41 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], *,
                           best.alias("topic"))
 
 
+def _round_half_away(x: float, d: int) -> float:
+    """round() with DuckDB/Spark SQL semantics (half away from
+    zero) — Python's built-in round is banker's, which would diverge
+    from the oracle exactly at .5 ulp boundaries."""
+    p = 10.0 ** d
+    return math.copysign(math.floor(abs(x) * p + 0.5) / p, x)
+
+
+def _maxmin_init(cands: list[list[float]], k: int) -> list[int]:
+    """Deterministic farthest-point seeding over the candidate pool:
+    start from candidate 0 (lowest id), then greedily add the
+    candidate with the LARGEST minimum cosine distance to the chosen
+    set (ties → lowest index). Spreads seeds across the data's
+    extent, where head-of-table seeding can put several seeds inside
+    one dense region — materially better IVF cells on unclustered
+    data. Pure driver-side math over the already-collected 2k pool."""
+    import numpy as np
+    C = np.array(cands, dtype=np.float64)
+    n = np.linalg.norm(C, axis=1, keepdims=True)
+    U = C / np.maximum(n, 1e-12)
+    chosen = [0]
+    # min cosine distance to the chosen set, updated incrementally
+    mind = 1.0 - U @ U[0]
+    for _ in range(1, min(k, len(cands))):
+        nxt = int(np.argmax(mind))          # first max → lowest index
+        chosen.append(nxt)
+        mind = np.minimum(mind, 1.0 - U @ U[nxt])
+    return chosen
+
+
 def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    train_mod: int | None = None) -> list[list[float]]:
+                    train_mod: int | None = None,
+                    round_c: int | None = None,
+                    init: str = "head") -> list[list[float]]:
     """Deterministic distributed Lloyd's k-means → k centroids.
 
     Per iteration: one narrow assignment pass + one groupBy whose
@@ -130,16 +162,28 @@ def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
     cost is max_iter scans, each embarrassingly parallel.
 
     `train_mod=m` trains on the deterministic ~1/m hash-sample
-    (xxhash64(id) % m == 0) — the production pattern for index/topic
-    fitting at scale: fit on a sample, assign on everything. Falls
-    back to the full table when the sample is too small to seed k
-    clusters (< 2k rows), so tiny inputs behave identically with or
-    without sampling. Shared by topic modeling (below) and the IVF
-    ANN index (similarity.knn_ivf)."""
+    (stable_hash31(id) % m == 0 — the md5-based engine hash, NOT
+    Spark's xxhash64, so a SQL oracle can reproduce the sample) —
+    the production pattern for index/topic fitting at scale: fit on
+    a sample, assign on everything. Falls back to the full table
+    when the sample is too small to seed k clusters (< 2k rows), so
+    tiny inputs behave identically with or without sampling. Shared
+    by topic modeling (below) and the IVF ANN index
+    (similarity.knn_ivf).
+
+    `round_c=d` rounds every centroid coordinate to d decimals
+    (half-away-from-zero, SQL semantics) after each update — the
+    cross-engine determinism contract that lets an unrolled SQL
+    oracle replay the whole iteration exactly (float sum order
+    differs between engines; rounding re-synchronizes the state
+    each step, same trick as the rounded-double contract every
+    aggregate query here uses)."""
+    from parlerproject_spark.functions.text import stable_hash31
     train = vectors
     if train_mod is not None and train_mod > 1:
         train = vectors.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0)
+            stable_hash31(F.col(id_col).cast("string"))
+            % F.lit(train_mod) == 0)
     # max_iter full passes re-read the training set — persist it once
     # (the MLlib k-means pattern; the sample is small by construction)
     train = train.select(id_col, vec_col).persist()
@@ -150,8 +194,11 @@ def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
             train.unpersist()
             train = vectors.select(id_col, vec_col).persist()
             head = train.orderBy(F.col(id_col).asc()).limit(2 * k).collect()
-        init = [r[vec_col] for r in head[:k]]
-        centroids = [[float(x) for x in v] for v in init]
+        pool = [[float(x) for x in r[vec_col]] for r in head]
+        if init == "maxmin":
+            centroids = [pool[i] for i in _maxmin_init(pool, k)]
+        else:  # "head": the k lowest ids — simplest SQL-replayable init
+            centroids = pool[:k]
         dim = len(centroids[0])
 
         for _ in range(max_iter):
@@ -171,7 +218,10 @@ def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
             new = []
             for t in range(k):
                 if t in acc and cnt[t] > 0:
-                    new.append([x / cnt[t] for x in acc[t]])
+                    c = [x / cnt[t] for x in acc[t]]
+                    if round_c is not None:
+                        c = [_round_half_away(x, round_c) for x in c]
+                    new.append(c)
                 else:  # empty cluster keeps its old centroid (deterministic)
                     new.append(centroids[t])
             centroids = new
@@ -183,16 +233,20 @@ def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
 def kmeans_topics(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   train_mod: int | None = None,
-                  outlier_threshold: float | None = None) -> DataFrame:
+                  outlier_threshold: float | None = None,
+                  round_c: int | None = None) -> DataFrame:
     """Deterministic distributed k-means → (id, topic). Centroids
     optionally fit on the 1/train_mod hash-sample; assignment always
     covers every vector. Training always hard-assigns (Lloyd's needs
     every point in a cell); `outlier_threshold` applies only to the
     final assignment, emitting topic -1 for vectors whose best
-    cosine falls below it (the BERTopic outlier analogue)."""
+    cosine falls below it (the BERTopic outlier analogue).
+    `round_c` enables the rounded-centroid cross-engine contract
+    (see lloyd_centroids) so an unrolled SQL oracle can replay the
+    fit bit-for-bit."""
     centroids = lloyd_centroids(vectors, k=k, max_iter=max_iter,
                                 id_col=id_col, vec_col=vec_col,
-                                train_mod=train_mod)
+                                train_mod=train_mod, round_c=round_c)
     return _assign(vectors, centroids, id_col=id_col, vec_col=vec_col,
                    outlier_threshold=outlier_threshold) \
         .select(id_col, "topic")

@@ -1243,22 +1243,111 @@ def embed_documents_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round(l2_norm("embedding"), 4).alias("norm"))
 
 
-@register("topic_assignments", None)  # non-SQL iterative (M3); pytest checks partition
+def _kmeans_assign_oracle(k: int = 8, iters: int = 3, mod: int = 8,
+                          round_c: int = 6,
+                          outlier_threshold: float | None = None) -> str:
+    """Unrolled-Lloyd oracle for topic_assignments: each iteration is
+    a (normalize, assign, mean, empty-keep-old) CTE block — the same
+    fixed-iteration-unroll strategy as the PageRank and logreg
+    oracles. Works because the engine (a) samples with the
+    SQL-reproducible md5 hash and (b) rounds centroids to round_c
+    decimals each update, re-synchronizing float state across
+    engines (topics.lloyd_centroids round_c contract)."""
+    head = f"""
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+s0 AS (
+  SELECT vec_id FROM embeddings
+  WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        % 2147483647 % {mod} = 0),
+samp AS (
+  SELECT vec_id FROM embeddings
+  WHERE (SELECT count(*) FROM s0) < {2 * k}
+  UNION ALL
+  SELECT vec_id FROM s0 WHERE (SELECT count(*) FROM s0) >= {2 * k}),
+sx AS (SELECT e.vec_id, e.pos, e.x FROM ex e JOIN samp USING (vec_id)),
+c0 AS (
+  SELECT r.t, e.pos, e.x AS c
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS t
+        FROM samp) r
+  JOIN ex e USING (vec_id)
+  WHERE r.t < {k})"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+u{i} AS (
+  SELECT t, pos, CASE WHEN nrm > 0 THEN c / nrm ELSE c END AS cu
+  FROM (SELECT t, pos, c,
+               sqrt(sum(c * c) OVER (PARTITION BY t)) AS nrm
+        FROM c{i - 1})),
+a{i} AS (
+  SELECT vec_id, t FROM (
+    SELECT s.vec_id, u.t,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY sum(s.x * u.cu) DESC, u.t ASC) AS rn
+    FROM sx s JOIN u{i} u USING (pos)
+    GROUP BY s.vec_id, u.t) WHERE rn = 1),
+m{i} AS (
+  SELECT a.t, s.pos, round(avg(s.x), {round_c}) AS c
+  FROM a{i} a JOIN sx s USING (vec_id) GROUP BY a.t, s.pos),
+c{i} AS (
+  SELECT p.t, p.pos, coalesce(m.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN m{i} m USING (t, pos))"""
+    if outlier_threshold is None:
+        topic_expr = "cast(t AS INTEGER)"
+    else:
+        # mirror topics._assign: cos = best_dot/|v| (cu is unit);
+        # zero-norm vectors and sub-threshold best-cos get -1
+        topic_expr = (f"cast(CASE WHEN nv > 0 AND s / nv >= "
+                      f"{outlier_threshold} THEN t ELSE -1 END AS INTEGER)")
+    tail = f""",
+uf AS (
+  SELECT t, pos, CASE WHEN nrm > 0 THEN c / nrm ELSE c END AS cu
+  FROM (SELECT t, pos, c,
+               sqrt(sum(c * c) OVER (PARTITION BY t)) AS nrm
+        FROM c{iters}))
+SELECT vec_id, {topic_expr} AS topic FROM (
+  SELECT e.vec_id, u.t, sum(e.x * u.cu) AS s,
+         sqrt(sum(e.x * e.x)) AS nv,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY sum(e.x * u.cu) DESC, u.t ASC) AS rn
+  FROM ex e JOIN uf u USING (pos)
+  GROUP BY e.vec_id, u.t)
+WHERE rn = 1
+ORDER BY vec_id"""
+    return head + body + tail
+
+
+@register("topic_assignments", _kmeans_assign_oracle())
 def topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 core clustering, now hash-verified end-to-end: sampled
+    deterministic Lloyd fit (md5-hash sample, centroids rounded to 6
+    decimals each iteration — the cross-engine float contract) +
+    full-table cosine-argmax assignment. The oracle replays every
+    iteration as unrolled CTEs; a hash match proves sample, init,
+    three updates, empty-cluster handling, and final assignment all
+    agree with an independent SQL replay."""
     from parlerproject_spark.operators.topics import kmeans_topics
-    return kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3,
-                         train_mod=8)
+    return (kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3,
+                          train_mod=8, round_c=6)
+            .orderBy("vec_id"))
 
 
-@register("topic_outlier_assignments", None)  # non-SQL iterative (M3 outliers)
+@register("topic_outlier_assignments",
+          _kmeans_assign_oracle(outlier_threshold=0.12))
 def topic_outlier_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BERTopic outlier analogue: vectors whose best cosine to any
     centroid falls under the threshold get topic -1 (the reference
     reports outliers as a first-class topic, bertopicTest.py:56-61,
-    107); reduce_outliers (pytest-covered) maps them back."""
+    107); reduce_outliers (pytest-covered) maps them back. Same
+    unrolled-Lloyd oracle as topic_assignments plus the
+    best-cos-vs-threshold gate."""
     from parlerproject_spark.operators.topics import kmeans_topics
-    return kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3,
-                         train_mod=8, outlier_threshold=0.12)
+    return (kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3,
+                          train_mod=8, outlier_threshold=0.12, round_c=6)
+            .orderBy("vec_id"))
 
 
 @register("media_features", None)  # binary plumbing (multimodal); pytest checks roundtrip
