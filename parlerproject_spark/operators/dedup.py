@@ -584,7 +584,8 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
 def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
                    k: int = 16, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   max_iter: int = 3) -> DataFrame:
+                   max_iter: int = 3,
+                   round_c: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space semantic
     deduplication — k-means-cluster the vectors, form cosine >=
     threshold pairs ONLY inside each cluster, connected-component
@@ -609,7 +610,8 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
     from parlerproject_spark.operators.topics import _assign, lloyd_centroids
 
     cents = lloyd_centroids(vectors, k=k, max_iter=max_iter,
-                            id_col=id_col, vec_col=vec_col)
+                            id_col=id_col, vec_col=vec_col,
+                            round_c=round_c)
     assigned = (_assign(vectors, cents, id_col=id_col, vec_col=vec_col,
                         impl="expr")
                 .withColumnRenamed("topic", "cluster"))

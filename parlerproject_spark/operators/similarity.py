@@ -215,7 +215,7 @@ def _lsh_probe_rank(corpus: DataFrame, qsig: DataFrame, *, vec_col: str,
 
 def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
             num_cells: int = 16, nprobe: int = 4, max_iter: int = 3,
-            train_mod: int | None = 8,
+            train_mod: int | None = 8, round_c: int | None = None,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF (inverted-file) ANN cosine top-k — the scale path next to
     `knn_lsh`.
@@ -244,7 +244,7 @@ def knn_ivf(vectors: DataFrame, query: DataFrame, *, k: int = 10,
 
     centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter, init="maxmin",
                                 id_col=id_col, vec_col=vec_col,
-                                train_mod=train_mod)
+                                train_mod=train_mod, round_c=round_c)
     # full-corpus assignment on the Arrow/BLAS path (one matmul per
     # batch); pre-normalized centroids make cosine-argmax == dot-argmax
     cent = centroid_literal(unit_rows(centroids))

@@ -989,6 +989,180 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("embedding").alias("q")))
 
 
+def _lloyd_iters_sql(iters: int, round_c: int) -> str:
+    """Shared Lloyd-iteration CTE block: expects CTEs `sx` (sample
+    exploded to vec_id/pos/x) and `c0` (t/pos/c init) to exist;
+    emits u{i} (unit-normalize), a{i} (cosine-argmax assign), m{i}
+    (rounded means), c{i} (empty cell keeps old centroid)."""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+u{i} AS (
+  SELECT t, pos, CASE WHEN nrm > 0 THEN c / nrm ELSE c END AS cu
+  FROM (SELECT t, pos, c,
+               sqrt(sum(c * c) OVER (PARTITION BY t)) AS nrm
+        FROM c{i - 1})),
+a{i} AS (
+  SELECT vec_id, t FROM (
+    SELECT s.vec_id, u.t,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY sum(s.x * u.cu) DESC, u.t ASC) AS rn
+    FROM sx s JOIN u{i} u USING (pos)
+    GROUP BY s.vec_id, u.t) WHERE rn = 1),
+m{i} AS (
+  SELECT a.t, s.pos, round(avg(s.x), {round_c}) AS c
+  FROM a{i} a JOIN sx s USING (vec_id) GROUP BY a.t, s.pos),
+c{i} AS (
+  SELECT p.t, p.pos, coalesce(m.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN m{i} m USING (t, pos))"""
+    return body
+
+
+def _kmeans_assign_oracle(k: int = 8, iters: int = 3, mod: int = 8,
+                          round_c: int = 6,
+                          outlier_threshold: float | None = None) -> str:
+    """Unrolled-Lloyd oracle for topic_assignments: each iteration is
+    a (normalize, assign, mean, empty-keep-old) CTE block — the same
+    fixed-iteration-unroll strategy as the PageRank and logreg
+    oracles. Works because the engine (a) samples with the
+    SQL-reproducible md5 hash and (b) rounds centroids to round_c
+    decimals each update, re-synchronizing float state across
+    engines (topics.lloyd_centroids round_c contract)."""
+    head = f"""
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+s0 AS (
+  SELECT vec_id FROM embeddings
+  WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        % 2147483647 % {mod} = 0),
+samp AS (
+  SELECT vec_id FROM embeddings
+  WHERE (SELECT count(*) FROM s0) < {2 * k}
+  UNION ALL
+  SELECT vec_id FROM s0 WHERE (SELECT count(*) FROM s0) >= {2 * k}),
+sx AS (SELECT e.vec_id, e.pos, e.x FROM ex e JOIN samp USING (vec_id)),
+c0 AS (
+  SELECT r.t, e.pos, e.x AS c
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS t
+        FROM samp) r
+  JOIN ex e USING (vec_id)
+  WHERE r.t < {k})"""
+    body = _lloyd_iters_sql(iters, round_c)
+    if outlier_threshold is None:
+        topic_expr = "cast(t AS INTEGER)"
+    else:
+        # mirror topics._assign: cos = best_dot/|v| (cu is unit);
+        # zero-norm vectors and sub-threshold best-cos get -1
+        topic_expr = (f"cast(CASE WHEN nv > 0 AND s / nv >= "
+                      f"{outlier_threshold} THEN t ELSE -1 END AS INTEGER)")
+    tail = f""",
+uf AS (
+  SELECT t, pos, CASE WHEN nrm > 0 THEN c / nrm ELSE c END AS cu
+  FROM (SELECT t, pos, c,
+               sqrt(sum(c * c) OVER (PARTITION BY t)) AS nrm
+        FROM c{iters}))
+SELECT vec_id, {topic_expr} AS topic FROM (
+  SELECT e.vec_id, u.t, sum(e.x * u.cu) AS s,
+         sqrt(sum(e.x * e.x)) AS nv,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY sum(e.x * u.cu) DESC, u.t ASC) AS rn
+  FROM ex e JOIN uf u USING (pos)
+  GROUP BY e.vec_id, u.t)
+WHERE rn = 1
+ORDER BY vec_id"""
+    return head + body + tail
+
+
+def _ivf_oracle(num_cells: int = 16, iters: int = 3, mod: int = 8,
+                round_c: int = 6, nprobe: int = 4, k: int = 10) -> str:
+    """Unrolled oracle for knn_ivf: maxmin (farthest-point) seeding
+    over the 2·num_cells lowest-id sample pool as num_cells greedy
+    LIMIT-1 steps, the shared Lloyd block, then the query's
+    top-nprobe cell ranking, pruned assignment join, and exact
+    cosine re-rank. Assumes the sample pool holds ≥ num_cells rows
+    (true at the driver's sf)."""
+    pool = 2 * num_cells
+    head = f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+s0 AS (
+  SELECT vec_id FROM embeddings
+  WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        % 2147483647 % {mod} = 0),
+samp AS MATERIALIZED (
+  SELECT vec_id FROM embeddings
+  WHERE (SELECT count(*) FROM s0) < {pool}
+  UNION ALL
+  SELECT vec_id FROM s0 WHERE (SELECT count(*) FROM s0) >= {pool}),
+sx AS MATERIALIZED (SELECT e.vec_id, e.pos, e.x FROM ex e JOIN samp USING (vec_id)),
+pooltab AS MATERIALIZED (
+  SELECT vec_id, pi FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pi
+    FROM samp)
+  WHERE pi < {pool}),
+px AS MATERIALIZED (SELECT p.pi, e.pos, e.x FROM pooltab p JOIN ex e USING (vec_id)),
+pn AS MATERIALIZED (SELECT pi, sqrt(sum(x * x)) AS nrm FROM px GROUP BY pi),
+pc AS MATERIALIZED (
+  SELECT a.pi AS pa, b.pi AS pb,
+         sum(a.x * b.x) / (na.nrm * nb.nrm) AS cs
+  FROM px a JOIN px b USING (pos)
+  JOIN pn na ON na.pi = a.pi JOIN pn nb ON nb.pi = b.pi
+  GROUP BY a.pi, b.pi, na.nrm, nb.nrm),
+sel0 AS (SELECT 0 AS pi, 0 AS t),
+d0 AS MATERIALIZED (SELECT pb AS pi, 1 - cs AS mind FROM pc WHERE pa = 0)"""
+    steps = ""
+    for j in range(1, num_cells):
+        steps += f""",
+sel{j} AS (SELECT pi, {j} AS t FROM d{j - 1}
+           ORDER BY mind DESC, pi ASC LIMIT 1),
+d{j} AS MATERIALIZED (
+  SELECT d.pi,
+         CASE WHEN 1 - pc.cs < d.mind THEN 1 - pc.cs ELSE d.mind END AS mind
+  FROM d{j - 1} d
+  CROSS JOIN sel{j} s
+  JOIN pc ON pc.pa = s.pi AND pc.pb = d.pi)"""
+    seltab = ",\nseltab AS (" + "\nUNION ALL ".join(
+        f"SELECT pi, t FROM sel{j}" for j in range(num_cells)) + ")"
+    init = """,
+c0 AS (SELECT st.t, px.pos, px.x AS c FROM seltab st JOIN px USING (pi))"""
+    body = _lloyd_iters_sql(iters, round_c)
+    tail = f""",
+uf AS MATERIALIZED (
+  SELECT t, pos, CASE WHEN nrm > 0 THEN c / nrm ELSE c END AS cu
+  FROM (SELECT t, pos, c,
+               sqrt(sum(c * c) OVER (PARTITION BY t)) AS nrm
+        FROM c{iters})),
+qx AS (SELECT pos, x FROM ex WHERE vec_id = 0),
+cellrank AS (
+  SELECT u.t,
+         row_number() OVER (ORDER BY sum(q.x * u.cu) DESC, u.t ASC) AS rn
+  FROM qx q JOIN uf u USING (pos) GROUP BY u.t),
+probes AS (SELECT t FROM cellrank WHERE rn <= {nprobe}),
+asg AS MATERIALIZED (
+  SELECT vec_id, t FROM (
+    SELECT e.vec_id, u.t,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY sum(e.x * u.cu) DESC, u.t ASC) AS rn
+    FROM ex e JOIN uf u USING (pos)
+    GROUP BY e.vec_id, u.t) WHERE rn = 1),
+cand AS (SELECT vec_id FROM asg JOIN probes USING (t)),
+q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT c.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q2.qv)::DOUBLE AS y
+  FROM cand c JOIN embeddings e USING (vec_id), q2),
+sims AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM pairs GROUP BY vec_id)
+SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id ASC LIMIT {k}"""
+    return head + steps + seltab + init + body + tail
+
+
 @register("knn_bruteforce", """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 pairs AS (
@@ -1007,19 +1181,71 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      _query_vec(spark, sf_dir), k=10)
 
 
-@register("knn_lsh", None)  # recall measured in pytest vs knn_bruteforce
+@register("knn_lsh", """
+WITH pl AS (
+  SELECT t.tbl, p.p, d.d,
+         (('0x' || substr(md5('plane:' || t.tbl || ':' || p.p || ':'
+                              || d.d), 1, 12))::BIGINT
+          / power(16.0, 12)) * 2.0 - 1.0 AS w
+  FROM (SELECT unnest(range(0, 8)) AS tbl) t,
+       (SELECT unnest(range(0, 6)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d),
+ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.w) AS dp
+  FROM ex e JOIN pl ON pl.d = e.pos
+  GROUP BY e.vec_id, pl.tbl, pl.p),
+sig AS (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN dp >= 0
+                  THEN (1::BIGINT << (5 - p)) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id, tbl),
+qsig AS (SELECT tbl, sig FROM sig WHERE vec_id = 0),
+probes AS (
+  SELECT tbl, sig FROM qsig
+  UNION
+  SELECT q.tbl, xor(q.sig, (1::BIGINT << pp.pp)) AS sig
+  FROM qsig q, (SELECT unnest(range(0, 6)) AS pp) pp),
+cand AS (
+  SELECT DISTINCT s.vec_id
+  FROM sig s JOIN probes pr ON s.tbl = pr.tbl AND s.sig = pr.sig),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT c.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM cand c JOIN embeddings e USING (vec_id), q),
+sims AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM pairs GROUP BY vec_id)
+SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
+""")
 def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN, hash-verified end-to-end: the md5-derived
+    plane family, MSB-first sign fold, multi-probe (exact bucket +
+    every hamming-1 flip), and the exact cosine re-rank are all
+    replayed by the SQL oracle — a match proves the bucketed probe
+    path returns exactly what an independent replay of the same
+    index math returns (recall vs brute force is pytest-measured
+    separately)."""
     return similarity.knn_lsh(_t(spark, sf_dir, "embeddings"),
                               _query_vec(spark, sf_dir), dim=64, k=10)
 
 
-@register("knn_ivf", None)  # recall measured in pytest vs knn_bruteforce
+@register("knn_ivf", _ivf_oracle())
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — k-means cells + top-nprobe probing; the
-    partition-pruned scale path next to the LSH index."""
+    partition-pruned scale path next to the LSH index. Hash-verified
+    end-to-end: the oracle replays the maxmin seeding, every rounded
+    Lloyd iteration, the query's cell ranking, the pruned-cell
+    candidate join, and the exact re-rank (recall vs brute force is
+    pytest-measured separately)."""
     return similarity.knn_ivf(_t(spark, sf_dir, "embeddings"),
                               _query_vec(spark, sf_dir), k=10,
-                              num_cells=16, nprobe=4)
+                              num_cells=16, nprobe=4, round_c=6)
 
 
 @register("embedding_norms", """
@@ -1243,83 +1469,6 @@ def embed_documents_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round(l2_norm("embedding"), 4).alias("norm"))
 
 
-def _kmeans_assign_oracle(k: int = 8, iters: int = 3, mod: int = 8,
-                          round_c: int = 6,
-                          outlier_threshold: float | None = None) -> str:
-    """Unrolled-Lloyd oracle for topic_assignments: each iteration is
-    a (normalize, assign, mean, empty-keep-old) CTE block — the same
-    fixed-iteration-unroll strategy as the PageRank and logreg
-    oracles. Works because the engine (a) samples with the
-    SQL-reproducible md5 hash and (b) rounds centroids to round_c
-    decimals each update, re-synchronizing float state across
-    engines (topics.lloyd_centroids round_c contract)."""
-    head = f"""
-WITH ex AS (
-  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
-         unnest(embedding)::DOUBLE AS x
-  FROM embeddings),
-s0 AS (
-  SELECT vec_id FROM embeddings
-  WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 15))::BIGINT
-        % 2147483647 % {mod} = 0),
-samp AS (
-  SELECT vec_id FROM embeddings
-  WHERE (SELECT count(*) FROM s0) < {2 * k}
-  UNION ALL
-  SELECT vec_id FROM s0 WHERE (SELECT count(*) FROM s0) >= {2 * k}),
-sx AS (SELECT e.vec_id, e.pos, e.x FROM ex e JOIN samp USING (vec_id)),
-c0 AS (
-  SELECT r.t, e.pos, e.x AS c
-  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS t
-        FROM samp) r
-  JOIN ex e USING (vec_id)
-  WHERE r.t < {k})"""
-    body = ""
-    for i in range(1, iters + 1):
-        body += f""",
-u{i} AS (
-  SELECT t, pos, CASE WHEN nrm > 0 THEN c / nrm ELSE c END AS cu
-  FROM (SELECT t, pos, c,
-               sqrt(sum(c * c) OVER (PARTITION BY t)) AS nrm
-        FROM c{i - 1})),
-a{i} AS (
-  SELECT vec_id, t FROM (
-    SELECT s.vec_id, u.t,
-           row_number() OVER (PARTITION BY s.vec_id
-                              ORDER BY sum(s.x * u.cu) DESC, u.t ASC) AS rn
-    FROM sx s JOIN u{i} u USING (pos)
-    GROUP BY s.vec_id, u.t) WHERE rn = 1),
-m{i} AS (
-  SELECT a.t, s.pos, round(avg(s.x), {round_c}) AS c
-  FROM a{i} a JOIN sx s USING (vec_id) GROUP BY a.t, s.pos),
-c{i} AS (
-  SELECT p.t, p.pos, coalesce(m.c, p.c) AS c
-  FROM c{i - 1} p LEFT JOIN m{i} m USING (t, pos))"""
-    if outlier_threshold is None:
-        topic_expr = "cast(t AS INTEGER)"
-    else:
-        # mirror topics._assign: cos = best_dot/|v| (cu is unit);
-        # zero-norm vectors and sub-threshold best-cos get -1
-        topic_expr = (f"cast(CASE WHEN nv > 0 AND s / nv >= "
-                      f"{outlier_threshold} THEN t ELSE -1 END AS INTEGER)")
-    tail = f""",
-uf AS (
-  SELECT t, pos, CASE WHEN nrm > 0 THEN c / nrm ELSE c END AS cu
-  FROM (SELECT t, pos, c,
-               sqrt(sum(c * c) OVER (PARTITION BY t)) AS nrm
-        FROM c{iters}))
-SELECT vec_id, {topic_expr} AS topic FROM (
-  SELECT e.vec_id, u.t, sum(e.x * u.cu) AS s,
-         sqrt(sum(e.x * e.x)) AS nv,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY sum(e.x * u.cu) DESC, u.t ASC) AS rn
-  FROM ex e JOIN uf u USING (pos)
-  GROUP BY e.vec_id, u.t)
-WHERE rn = 1
-ORDER BY vec_id"""
-    return head + body + tail
-
-
 @register("topic_assignments", _kmeans_assign_oracle())
 def topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 core clustering, now hash-verified end-to-end: sampled
@@ -1477,8 +1626,51 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      threshold=0.3, mode="exact")
 
 
-@register("embedding_near_dup_lsh", None)  # recall vs exact measured in pytest
+@register("embedding_near_dup_lsh", """
+WITH pl AS MATERIALIZED (
+  SELECT t.tbl, p.p, d.d,
+         (('0x' || substr(md5('plane:' || t.tbl || ':' || p.p || ':'
+                              || d.d), 1, 12))::BIGINT
+          / power(16.0, 12)) * 2.0 - 1.0 AS w
+  FROM (SELECT unnest(range(0, 8)) AS tbl) t,
+       (SELECT unnest(range(0, 6)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.w) AS dp
+  FROM ex e JOIN pl ON pl.d = e.pos
+  GROUP BY e.vec_id, pl.tbl, pl.p),
+sig AS MATERIALIZED (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN dp >= 0
+                  THEN (1::BIGINT << (5 - p)) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM sig l JOIN sig r
+    ON l.tbl = r.tbl AND l.sig = r.sig AND l.vec_id < r.vec_id),
+p AS (
+  SELECT c.id_a, c.id_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b)
+SELECT id_a, id_b, sim FROM (
+  SELECT id_a, id_b,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM p GROUP BY id_a, id_b)
+WHERE sim >= 0.3
+""")
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs, hash-verified: the
+    oracle replays the md5 plane family, the per-table sign
+    signatures, the same-bucket candidate join, and the exact-cosine
+    verification — a match proves the bucketed path emits exactly
+    the pairs an independent replay of the index math emits (recall
+    vs the exact all-pairs mode stays pytest-measured)."""
     return dedup.embedding_near_dups(_t(spark, sf_dir, "embeddings"),
                                      threshold=0.3, mode="lsh", dim=64)
 
@@ -4328,15 +4520,80 @@ def bloom_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source").orderBy("doc_id"))
 
 
-@register("semantic_dedup_embeddings", None)
+def _semdedup_oracle(k: int = 8, iters: int = 3, round_c: int = 6,
+                     threshold: float = 0.9) -> str:
+    """SemDeDup oracle: full-table rounded Lloyd (shared block),
+    expression argmax assignment, within-cell cosine pairs, true
+    transitive-closure components, keep = component minimum."""
+    head = f"""
+WITH RECURSIVE ex AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+sx AS (SELECT vec_id, pos, x FROM ex),
+c0 AS (
+  SELECT r.t, e.pos, e.x AS c
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS t
+        FROM embeddings) r
+  JOIN ex e USING (vec_id)
+  WHERE r.t < {k})"""
+    body = _lloyd_iters_sql(iters, round_c)
+    tail = f""",
+uf AS (
+  SELECT t, pos, CASE WHEN nrm > 0 THEN c / nrm ELSE c END AS cu
+  FROM (SELECT t, pos, c,
+               sqrt(sum(c * c) OVER (PARTITION BY t)) AS nrm
+        FROM c{iters})),
+asg AS MATERIALIZED (
+  SELECT vec_id, t FROM (
+    SELECT e.vec_id, u.t,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY sum(e.x * u.cu) DESC, u.t ASC) AS rn
+    FROM ex e JOIN uf u USING (pos)
+    GROUP BY e.vec_id, u.t) WHERE rn = 1),
+cnd AS (
+  SELECT l.vec_id AS ia, r.vec_id AS ib
+  FROM asg l JOIN asg r ON l.t = r.t AND l.vec_id < r.vec_id),
+pp AS (
+  SELECT c.ia, c.ib,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM cnd c
+  JOIN embeddings a ON a.vec_id = c.ia
+  JOIN embeddings b ON b.vec_id = c.ib),
+prs AS MATERIALIZED (
+  SELECT ia, ib FROM (
+    SELECT ia, ib, sum(x * y) AS dt,
+           sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+    FROM pp GROUP BY ia, ib)
+  WHERE na > 0 AND nb > 0 AND dt / (na * nb) >= {threshold}),
+edges AS (
+  SELECT ia AS s, ib AS d FROM prs
+  UNION
+  SELECT ib AS s, ia AS d FROM prs),
+nodes AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v),
+comp AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v)
+SELECT a.vec_id, cast(a.t AS BIGINT) AS cluster,
+       (c.v IS NULL OR c.lbl = a.vec_id) AS keep
+FROM asg a LEFT JOIN comp c ON c.v = a.vec_id
+ORDER BY a.vec_id"""
+    return head + body + tail
+
+
+@register("semantic_dedup_embeddings", _semdedup_oracle())
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.semantic_dedup): k-means-confined
-    cosine dedup over the embeddings table — rows-only (k-means
-    assignment is not SQL-expressible; pytest pins equivalence to
-    brute-force connected components at k=1)."""
+    cosine dedup over the embeddings table, hash-verified end-to-end
+    via the rounded-centroid contract — the oracle replays the full
+    Lloyd fit, the cell-confined pair generation, and the
+    transitive-closure components (pytest additionally pins
+    equivalence to brute-force CC at k=1)."""
     from parlerproject_spark.operators.dedup import semantic_dedup
     return (semantic_dedup(_t(spark, sf_dir, "embeddings"),
-                           threshold=0.9, k=8)
+                           threshold=0.9, k=8, round_c=6)
             .orderBy("vec_id"))
 
 
