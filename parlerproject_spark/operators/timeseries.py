@@ -1,0 +1,110 @@
+"""Irregular-sample time-series aggregates (hypertable family).
+
+Event streams sample a continuous signal at irregular instants; a
+plain avg(value) over-weights bursts. The standard fixes —
+TimescaleDB's `time_weight('Linear', …)` and `interpolate` — are
+re-expressed here as window algebra: lead()-based trapezoid areas
+for the time-weighted mean, and a grid/as-of construction for
+linear interpolation. Both are per-key windows over one ts-ordered
+exchange — no self-joins, no UDFs, the same shuffle any per-user
+rollup already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_weighted_avg(events: DataFrame, *, key_col: str = "user_id",
+                      ts_col: str = "ts", val_col: str = "value",
+                      out_col: str = "twa") -> DataFrame:
+    """Linear (trapezoidal) time-weighted mean per key:
+    Σ (vᵢ+vᵢ₊₁)/2 · Δtᵢ / Σ Δtᵢ over consecutive samples. Keys with
+    a single sample (no interval) fall back to that sample's value —
+    the TimescaleDB convention. Epoch math runs in microseconds
+    (bigint) so no float ts rounding enters the weights.
+    Columns: <key_col>, n_samples, <out_col> (round 6)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+          if dict(events.dtypes)[ts_col].startswith("timestamp")
+          else F.col(ts_col).cast("bigint"))
+    # ties on the instant are broken by value so the trapezoid chain
+    # is the same sequence in every engine
+    wl = Window.partitionBy(key_col).orderBy("us", "v")
+    stepped = events.select(
+        key_col, F.col(val_col).cast("double").alias("v"), us.alias("us")) \
+        .withColumn("v2", F.lead("v").over(wl)) \
+        .withColumn("dt", (F.lead("us").over(wl) - F.col("us"))
+                    .cast("double"))
+    agg = (stepped.groupBy(key_col)
+           .agg(F.count(F.lit(1)).alias("n_samples"),
+                F.sum(F.when(F.col("dt").isNotNull(),
+                             (F.col("v") + F.col("v2")) / 2.0
+                             * F.col("dt"))).alias("area"),
+                F.sum(F.when(F.col("dt").isNotNull(), F.col("dt")))
+                .alias("span"),
+                F.min(F.struct("us", "v")).getField("v").alias("first_v")))
+    return agg.select(
+        key_col, "n_samples",
+        F.round(F.when(F.col("span") > 0,
+                       F.col("area") / F.col("span"))
+                .otherwise(F.col("first_v")), 6).alias(out_col))
+
+
+def interpolate_grid(events: DataFrame, *, key_col: str = "user_id",
+                     ts_col: str = "ts", val_col: str = "value",
+                     step_minutes: int = 60) -> DataFrame:
+    """Linear interpolation of each key's signal onto a regular
+    grid (TimescaleDB `interpolate`): grid points span the key's
+    own [min ts, max ts], value = v₀ + (v₁−v₀)·(t−t₀)/(t₁−t₀)
+    between the surrounding samples; exact-hit points take the
+    sample value. Construction: per-key sequence() expands the
+    grid (narrow), then ONE as-of style window per side — the
+    previous sample rides forward with last(ignorenulls), the next
+    with first() over the reversed frame — all on a single
+    (key, ts)-ordered exchange.
+    Columns: <key_col>, grid_ts, v_interp (round 6)."""
+    step_us = step_minutes * 60 * 1_000_000
+    base = events.select(
+        key_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(val_col).cast("double").alias("v"))
+    # resolve duplicate-instant samples deterministically (mean)
+    base = base.groupBy(key_col, "us").agg(F.avg("v").alias("v"))
+    bounds = base.groupBy(key_col).agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi"))
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence(
+            (F.ceil(F.col("lo") / step_us) * step_us).cast("bigint"),
+            F.col("hi"), F.lit(step_us))).alias("us")) \
+        .withColumn("is_grid", F.lit(True))
+    merged = base.withColumn("is_grid", F.lit(False)) \
+        .unionByName(grid.withColumn("v", F.lit(None).cast("double")))
+    # samples sort before grid points at the same instant so an
+    # exact hit sees itself as the "previous sample"
+    w_prev = Window.partitionBy(key_col) \
+        .orderBy("us", F.col("is_grid").asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.partitionBy(key_col) \
+        .orderBy(F.col("us").desc(), F.col("is_grid").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    stepped = (merged
+               .withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+               .withColumn("pt", F.last(F.when(~F.col("is_grid"), F.col("us")),
+                                        ignorenulls=True).over(w_prev))
+               .withColumn("nv", F.last("v", ignorenulls=True).over(w_next))
+               .withColumn("nt", F.last(F.when(~F.col("is_grid"), F.col("us")),
+                                        ignorenulls=True).over(w_next)))
+    # exact hit first: covers a grid point on the LAST sample, whose
+    # "next sample" frame is empty (nt null) — pt == us there
+    interp = F.when(F.col("us") == F.col("pt"), F.col("pv")) \
+        .otherwise(F.col("pv")
+                   + (F.col("nv") - F.col("pv"))
+                   * (F.col("us") - F.col("pt"))
+                   / (F.col("nt") - F.col("pt")))
+    return (stepped.filter(F.col("is_grid"))
+            .select(key_col,
+                    F.timestamp_micros(F.col("us")).alias("grid_ts"),
+                    F.round(interp, 6).alias("v_interp")))

@@ -67,6 +67,9 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_covariance",
     "pca_whiten_embeddings",
     "unicode_normalize_docs",
+    "time_weighted_value_users",
+    "interpolate_hourly_values",
+    "fuzzy_best_match_parts",
     "logreg_quality_scores_docs",
     "cut_substring_spans_docs",
     "ngram_novelty_docs",
@@ -5571,3 +5574,109 @@ def unicode_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (norm != F.col("t")).alias("changed"),
                        F.length(norm).cast("long").alias("n_chars"))
             .orderBy("doc_id"))
+
+
+@register("time_weighted_value_users", """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS us, value::DOUBLE AS v FROM events),
+st AS (
+  SELECT user_id, v, us,
+         lead(v) OVER w AS v2,
+         cast(lead(us) OVER w - us AS DOUBLE) AS dt
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us, v)),
+a AS (
+  SELECT user_id, cast(count(*) AS BIGINT) AS n_samples,
+         sum(CASE WHEN dt IS NOT NULL THEN (v + v2) / 2 * dt END) AS area,
+         sum(CASE WHEN dt IS NOT NULL THEN dt END) AS span,
+         min({'us': us, 'v': v}) AS fst
+  FROM st GROUP BY user_id)
+SELECT user_id, n_samples,
+       round(CASE WHEN span > 0 THEN area / span ELSE fst.v END, 6) AS twa
+FROM a ORDER BY user_id
+""")
+def time_weighted_value_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted mean of `value` per user
+    (timeseries.time_weighted_avg) — TimescaleDB's
+    time_weight('Linear') re-expressed as lead() windows + one
+    groupBy; burst-heavy users no longer over-weight their bursts
+    the way a plain avg does."""
+    from parlerproject_spark.operators.timeseries import time_weighted_avg
+    ev = _t(spark, sf_dir, "events")
+    return (time_weighted_avg(ev, key_col="user_id")
+            .orderBy("user_id"))
+
+
+@register("interpolate_hourly_values", """
+WITH base0 AS (
+  SELECT user_id, epoch_us(ts) AS us, value::DOUBLE AS v
+  FROM events WHERE user_id < 12),
+base AS (
+  SELECT user_id, us, avg(v) AS v FROM base0 GROUP BY user_id, us),
+bounds AS (
+  SELECT user_id, min(us) AS lo, max(us) AS hi FROM base GROUP BY user_id),
+grid AS (
+  SELECT user_id,
+         unnest(range(cast(ceil(lo / 3600000000.0) * 3600000000 AS BIGINT),
+                      hi + 1, 3600000000)) AS us
+  FROM bounds),
+g2 AS (
+  SELECT g.user_id, g.us,
+         (SELECT max(b.us) FROM base b
+          WHERE b.user_id = g.user_id AND b.us <= g.us) AS pt,
+         (SELECT min(b.us) FROM base b
+          WHERE b.user_id = g.user_id AND b.us >= g.us) AS nt
+  FROM grid g),
+g3 AS (
+  SELECT g2.user_id, g2.us, g2.pt, g2.nt, bp.v AS pv, bn.v AS nv
+  FROM g2
+  JOIN base bp ON bp.user_id = g2.user_id AND bp.us = g2.pt
+  JOIN base bn ON bn.user_id = g2.user_id AND bn.us = g2.nt)
+SELECT user_id, make_timestamp(us) AS grid_ts,
+       round(CASE WHEN us = pt THEN pv
+                  ELSE pv + (nv - pv) * (us - pt) / (nt - pt) END, 6)
+         AS v_interp
+FROM g3 ORDER BY user_id, grid_ts
+""")
+def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto each user's hourly grid
+    (timeseries.interpolate_grid) — TimescaleDB `interpolate`:
+    grid expansion by sequence(), previous/next sample via two
+    as-of windows on one (user, ts)-ordered exchange, trapezoid
+    formula between the surrounding samples. The oracle derives
+    the same grid and resolves neighbors with correlated min/max
+    subqueries — structurally independent of the window trick."""
+    from parlerproject_spark.operators.timeseries import interpolate_grid
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 12)
+    return (interpolate_grid(ev, key_col="user_id", step_minutes=60)
+            .orderBy("user_id", "grid_ts"))
+
+
+@register("fuzzy_best_match_parts", """
+WITH t AS (
+  SELECT p_partkey AS k, p_name AS n,
+         string_split(p_name, ' ')[-1] AS blk
+  FROM part),
+cand AS (
+  SELECT a.k AS p_partkey, b.k AS match_id, levenshtein(a.n, b.n) AS dist
+  FROM t a JOIN t b ON a.blk = b.blk AND a.k <> b.k
+  WHERE levenshtein(a.n, b.n) <= 3),
+r AS (
+  SELECT p_partkey, match_id, cast(dist AS INTEGER) AS dist,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY dist ASC, match_id ASC) AS rn
+  FROM cand)
+SELECT p_partkey, match_id, dist FROM r WHERE rn = 1
+ORDER BY p_partkey
+""")
+def fuzzy_best_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution (fuzzy.fuzzy_best_match): per part,
+    the nearest same-noun-block name within 3 edits — blocked
+    candidate generation + JVM levenshtein verify + deterministic
+    (dist, id) window pick. Spark's and DuckDB's levenshtein share
+    the classic unit-cost definition, so the whole pipeline is
+    hash-replayed."""
+    from parlerproject_spark.operators.fuzzy import fuzzy_best_match
+    p = _t(spark, sf_dir, "part")
+    return (fuzzy_best_match(p, id_col="p_partkey", text_col="p_name",
+                             max_dist=3)
+            .orderBy("p_partkey"))

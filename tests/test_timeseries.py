@@ -1,0 +1,68 @@
+"""Time-series operators (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from parlerproject_spark.operators.timeseries import (interpolate_grid,
+                                                      time_weighted_avg)
+
+
+def _ts(minute, second=0):
+    return datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_time_weighted_avg_trapezoid(spark):
+    # u1: v=0 for 10 min then jumps to 10 for 10 min →
+    #     areas: (0+10)/2*10 + (10+10)/2*10 = 150 over 20 → 7.5
+    # u2: single sample → falls back to the value
+    rows = [(1, _ts(0), 0.0), (1, _ts(10), 10.0), (1, _ts(20), 10.0),
+            (2, _ts(5), 42.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {r["user_id"]: r for r in
+           time_weighted_avg(df, key_col="user_id").collect()}
+    assert got[1]["twa"] == pytest.approx(7.5)
+    assert got[1]["n_samples"] == 3
+    assert got[2]["twa"] == pytest.approx(42.0)
+    assert got[2]["n_samples"] == 1
+
+
+def test_time_weighted_avg_ignores_burst_overweighting(spark):
+    # 60 min at v=1, then a 3-sample burst at v=100 within one
+    # minute: plain avg ≈ 75, time-weighted stays near 1
+    rows = [(1, _ts(0), 1.0), (1, datetime(2024, 1, 1, 1, 0), 1.0),
+            (1, datetime(2024, 1, 1, 1, 0, 20), 100.0),
+            (1, datetime(2024, 1, 1, 1, 0, 40), 100.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    [r] = time_weighted_avg(df, key_col="user_id").collect()
+    assert r["twa"] < 5
+
+
+def test_interpolate_grid_linear_values(spark):
+    # samples at :00 (v=0) and :60 (v=60) → hourly grid hits both
+    # ends exactly; a second user samples at :30/:90 → single grid
+    # point at :60 interpolates halfway
+    rows = [(1, _ts(0), 0.0), (1, datetime(2024, 1, 1, 1, 0), 60.0),
+            (2, _ts(30), 10.0), (2, datetime(2024, 1, 1, 1, 30), 30.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {(r["user_id"], r["grid_ts"]): r["v_interp"]
+           for r in interpolate_grid(df, key_col="user_id",
+                                     step_minutes=60).collect()}
+    assert got[(1, _ts(0))] == pytest.approx(0.0)
+    assert got[(1, datetime(2024, 1, 1, 1, 0))] == pytest.approx(60.0)
+    assert got[(2, datetime(2024, 1, 1, 1, 0))] == pytest.approx(20.0)
+    assert len(got) == 3
+
+
+def test_interpolate_grid_duplicate_instants_averaged(spark):
+    rows = [(1, _ts(0), 0.0), (1, _ts(0), 10.0),
+            (1, datetime(2024, 1, 1, 2, 0), 5.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {r["grid_ts"]: r["v_interp"]
+           for r in interpolate_grid(df, key_col="user_id",
+                                     step_minutes=60).collect()}
+    assert got[_ts(0)] == pytest.approx(5.0)          # mean of dup instant
+    assert got[datetime(2024, 1, 1, 1, 0)] == pytest.approx(5.0)
+    assert got[datetime(2024, 1, 1, 2, 0)] == pytest.approx(5.0)
