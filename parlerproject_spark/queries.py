@@ -70,6 +70,8 @@ _DRIVER_PRIORITY: list[str] = [
     "time_weighted_value_users",
     "interpolate_hourly_values",
     "fuzzy_best_match_parts",
+    "unigram_vocab_docs",
+    "unigram_segment_docs",
     "logreg_quality_scores_docs",
     "cut_substring_spans_docs",
     "ngram_novelty_docs",
@@ -5680,3 +5682,33 @@ def fuzzy_best_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fuzzy_best_match(p, id_col="p_partkey", text_col="p_name",
                              max_dist=3)
             .orderBy("p_partkey"))
+
+
+@register("unigram_vocab_docs", None)  # iterative EM (pytest pins vs reference)
+def unigram_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training
+    (operators/unigram.train_unigram): substring seeding, hard-EM
+    Viterbi re-estimation, char-preserving prune — the second
+    standard subword trainer next to BPE. Iterative and therefore
+    rows-only for the driver; a pure-Python reference
+    implementation pins the exact vocab + log-probs in pytest."""
+    from parlerproject_spark.operators.unigram import train_unigram
+    d = _t(spark, sf_dir, "documents")
+    vocab = train_unigram(d, vocab_size=80, n_iters=2,
+                          max_piece_len=5, n_seed=150)
+    return spark.createDataFrame(
+        [(p, round(lp, 6)) for p, lp in vocab], "piece string, logp double")
+
+
+@register("unigram_segment_docs", None)  # Viterbi encode (pytest-pinned)
+def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi encoding under the trained unigram LM
+    (operators/unigram.segment_unigram): per-distinct-word dynamic
+    programming, joined back to the corpus — text is segmented once
+    per TYPE, not per token."""
+    from parlerproject_spark.operators.unigram import (segment_unigram,
+                                                       train_unigram)
+    d = _t(spark, sf_dir, "documents")
+    vocab = train_unigram(d, vocab_size=80, n_iters=2,
+                          max_piece_len=5, n_seed=150)
+    return segment_unigram(d, vocab).orderBy("doc_id")
