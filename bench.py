@@ -129,6 +129,26 @@ EXTRA = [
     "personalized_pagerank_user0",
     "grouped_split_by_source",
     "pretraining_corpus_pipeline",
+    # round-5 additions: density/mining/PCA, time-series, fuzzy ER,
+    # unigram tokenizer, composed RAG tail, unicode canonicalization.
+    # dbscan/hard-negatives bench their SCALE modes (lsh/cell); the
+    # exact modes are O(n²) oracle baselines by construction.
+    "dbscan_clusters_lsh",
+    "hard_negatives_cell",
+    "embedding_covariance",
+    "pca_whiten_embeddings",
+    "unicode_normalize_docs",
+    "time_weighted_value_users",
+    "interpolate_hourly_values",
+    "fuzzy_best_match_parts",
+    "unigram_segment_docs",
+    "rag_context_budget",
+    "logreg_quality_scores_docs",
+    "cut_substring_spans_docs",
+    "ngram_novelty_docs",
+    "token_budget_sample_docs",
+    "gopher_repetition_docs",
+    "semantic_decontaminate_embeddings",
 ]
 
 

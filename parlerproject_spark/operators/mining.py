@@ -41,7 +41,8 @@ def hard_negatives(vectors: DataFrame, *, k: int,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    mode: str = "exact", num_cells: int = 16,
                    nprobe: int = 4, max_iter: int = 3,
-                   train_mod: int | None = 8) -> DataFrame:
+                   train_mod: int | None = 8,
+                   round_c: int | None = None) -> DataFrame:
     """Top-k hardest different-group candidates per anchor.
 
     Columns: anchor_id, neg_id, sim (cosine, round 6), rank (1-based
@@ -67,7 +68,7 @@ def hard_negatives(vectors: DataFrame, *, k: int,
                                                           unit_rows)
         centroids = lloyd_centroids(vectors, k=num_cells, max_iter=max_iter,
                                     id_col=id_col, vec_col=vec_col,
-                                    train_mod=train_mod)
+                                    train_mod=train_mod, round_c=round_c)
         cent = centroid_literal(unit_rows(centroids))
         # candidate side: nearest cell per vector, computed on the
         # deterministic expression path (pure map, ties to lowest
@@ -85,20 +86,67 @@ def hard_negatives(vectors: DataFrame, *, k: int,
             F.transform(cent, lambda c: -dot(F.col("va"), c)),
             idx, lambda s, i: F.struct(s.alias("neg"), i.alias("cell"))))
         anch = a.select(
-            "anchor_id", "va", "ga", l2_norm("va").alias("na"),
+            "anchor_id", "va", "ga",
             F.explode(F.slice(F.transform(ranked, lambda r: r["cell"]),
                               1, nprobe).cast("array<int>")).alias("cell"))
-        pairs = anch.join(cand, "cell").filter(
-            (F.col("anchor_id") != F.col("neg_id"))
-            & (F.col("ga") != F.col("gb")))
+        # scoring: ONE BLAS matmul per cell via cogrouped
+        # applyInPandas — a per-pair aggregate() dot is interpreted
+        # per element and was measured 10× slower at sf0.1 (9M
+        # probe-cell pairs × dim lambda steps); the band filters run
+        # inside the kernel so rejected pairs never leave Python.
+        # Rounding is HALF_UP to match F.round in exact mode.
+        import numpy as np
+        import pandas as pd
+
+        id_t = vectors.schema[id_col].dataType.simpleString()
+
+        def score(adf, bdf):
+            if len(adf) == 0 or len(bdf) == 0:
+                return pd.DataFrame({"anchor_id": [], "neg_id": [],
+                                     "sim": []})
+            A = np.array(adf["va"].tolist(), dtype=np.float64)
+            B = np.array(bdf["vb"].tolist(), dtype=np.float64)
+            na = np.linalg.norm(A, axis=1)
+            nb = np.linalg.norm(B, axis=1)
+            den = np.outer(na, nb)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                raw = np.where(den > 0, (A @ B.T) / den, np.nan)
+            sim = np.where(raw >= 0,
+                           np.floor(raw * 1e6 + 0.5),
+                           np.ceil(raw * 1e6 - 0.5)) / 1e6
+            ga = adf["ga"].values
+            gb = bdf["gb"].values
+            ai = adf["anchor_id"].values
+            bi = bdf["neg_id"].values
+            mask = (ga[:, None] != gb[None, :]) \
+                & (ai[:, None] != bi[None, :]) & np.isfinite(sim)
+            if sim_lo is not None:
+                mask &= sim >= sim_lo
+            if sim_hi is not None:
+                mask &= sim < sim_hi
+            r, c = np.nonzero(mask)
+            return pd.DataFrame({"anchor_id": ai[r], "neg_id": bi[c],
+                                 "sim": sim[r, c]})
+
+        scored = (anch.groupBy("cell")
+                  .cogroup(cand.select("neg_id", "vb", "gb", "cell")
+                           .groupBy("cell"))
+                  .applyInPandas(score,
+                                 f"anchor_id {id_t}, neg_id {id_t}, "
+                                 "sim double")
+                  # multi-probe can surface a candidate via several cells
+                  .distinct())
+        w = Window.partitionBy("anchor_id").orderBy(F.col("sim").desc(),
+                                                    F.col("neg_id").asc())
+        return (scored.withColumn("rank",
+                                  F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k)
+                .select("anchor_id", "neg_id", "sim", "rank"))
     else:
         raise ValueError(f"unknown mode {mode!r}")
     sim = F.round(dot("va", "vb")
                   / (F.col("na") * F.col("nb")), 6).alias("sim")
     scored = pairs.select("anchor_id", "neg_id", sim)
-    if mode == "cell":
-        # multi-probe can surface a candidate via several cells
-        scored = scored.distinct()
     if sim_lo is not None:
         scored = scored.filter(F.col("sim") >= sim_lo)
     if sim_hi is not None:

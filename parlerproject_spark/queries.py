@@ -72,6 +72,9 @@ _DRIVER_PRIORITY: list[str] = [
     "fuzzy_best_match_parts",
     "unigram_vocab_docs",
     "unigram_segment_docs",
+    "rag_context_budget",
+    "dbscan_clusters_lsh",
+    "hard_negatives_cell",
     "logreg_quality_scores_docs",
     "cut_substring_spans_docs",
     "ngram_novelty_docs",
@@ -5655,33 +5658,39 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("fuzzy_best_match_parts", """
 WITH t AS (
-  SELECT p_partkey AS k, p_name AS n,
+  SELECT DISTINCT p_name AS k, p_name AS n,
          string_split(p_name, ' ')[-1] AS blk
   FROM part),
 cand AS (
-  SELECT a.k AS p_partkey, b.k AS match_id, levenshtein(a.n, b.n) AS dist
+  SELECT a.k AS name, b.k AS match_name, levenshtein(a.n, b.n) AS dist
   FROM t a JOIN t b ON a.blk = b.blk AND a.k <> b.k
   WHERE levenshtein(a.n, b.n) <= 3),
 r AS (
-  SELECT p_partkey, match_id, cast(dist AS INTEGER) AS dist,
-         row_number() OVER (PARTITION BY p_partkey
-                            ORDER BY dist ASC, match_id ASC) AS rn
+  SELECT name, match_name, cast(dist AS INTEGER) AS dist,
+         row_number() OVER (PARTITION BY name
+                            ORDER BY dist ASC, match_name ASC) AS rn
   FROM cand)
-SELECT p_partkey, match_id, dist FROM r WHERE rn = 1
-ORDER BY p_partkey
+SELECT name, match_name, dist FROM r WHERE rn = 1
+ORDER BY name
 """)
 def fuzzy_best_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity resolution (fuzzy.fuzzy_best_match): per part,
-    the nearest same-noun-block name within 3 edits — blocked
-    candidate generation + JVM levenshtein verify + deterministic
-    (dist, id) window pick. Spark's and DuckDB's levenshtein share
-    the classic unit-cost definition, so the whole pipeline is
-    hash-replayed."""
+    """Fuzzy entity resolution over the part-name DICTIONARY
+    (fuzzy.fuzzy_best_match): nearest same-noun-block name within 3
+    edits, per distinct name. Matching runs on distinct VALUES, not
+    records — the production ER shape: a record-level self-match is
+    dominated by exact-duplicate strings (distance 0 everywhere) and
+    a hub block over repeated values explodes quadratically in the
+    record count; the dictionary is bounded by vocabulary size, and
+    records join back to their value's match afterwards. Spark's and
+    DuckDB's levenshtein share the classic unit-cost definition, so
+    the whole pipeline is hash-replayed."""
     from parlerproject_spark.operators.fuzzy import fuzzy_best_match
-    p = _t(spark, sf_dir, "part")
-    return (fuzzy_best_match(p, id_col="p_partkey", text_col="p_name",
+    names = _t(spark, sf_dir, "part").select("p_name").distinct() \
+        .withColumnRenamed("p_name", "name")
+    return (fuzzy_best_match(names, id_col="name", text_col="name",
                              max_dist=3)
-            .orderBy("p_partkey"))
+            .withColumnRenamed("match_id", "match_name")
+            .orderBy("name"))
 
 
 @register("unigram_vocab_docs", None)  # iterative EM (pytest pins vs reference)
@@ -5712,3 +5721,238 @@ def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = train_unigram(d, vocab_size=80, n_iters=2,
                           max_piece_len=5, n_seed=150)
     return segment_unigram(d, vocab).orderBy("doc_id")
+
+
+@register("rag_context_budget", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0),
+sims AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM p GROUP BY vec_id),
+topk AS (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims QUALIFY rank <= 8),
+toks AS (
+  SELECT t.vec_id, t.sim, t.rank,
+         cast(len(list_filter(string_split_regex(lower(d.text),
+                                                 '[^a-z0-9]+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM topk t JOIN documents d ON d.doc_id = t.vec_id),
+run AS (
+  SELECT vec_id, sim, rank, n_tokens,
+         sum(n_tokens) OVER (ORDER BY rank
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks)
+SELECT vec_id AS doc_id, rank, sim, n_tokens,
+       cast(cum_tokens AS BIGINT) AS cum_tokens
+FROM run WHERE cum_tokens <= 400
+ORDER BY rank
+""")
+def rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval tail as one composed plan: exact cosine top-k
+    (the ANN oracle path; swap knn_ivf/probe_ivf_index at scale),
+    join retrieved ids to the documents table, and cut the ranked
+    list at a token budget with a running-total window — the
+    context-assembly step every retrieval pipeline runs between
+    index probe and prompt build. The cumulative cut keeps a prefix
+    of the ranking, so result rows are fully ordered and
+    hash-stable."""
+    from parlerproject_spark.functions.text import tokenize
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    q = _query_vec(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    topk = (similarity.knn_bruteforce(corpus, q, k=8)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc()))
+                .cast("long")))
+    toks = (topk.join(docs, topk["vec_id"] == docs["doc_id"])
+            .select("vec_id", "sim", "rank",
+                    F.size(tokenize("text")).cast("long").alias("n_tokens")))
+    run = toks.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)))
+    return (run.filter(F.col("cum_tokens") <= 400)
+            .select(F.col("vec_id").alias("doc_id"), "rank", "sim",
+                    "n_tokens", F.col("cum_tokens").cast("long"))
+            .orderBy("rank"))
+
+
+@register("dbscan_clusters_lsh", """
+WITH RECURSIVE pl AS MATERIALIZED (
+  SELECT t.tbl, p.p, d.d,
+         (('0x' || substr(md5('plane:' || t.tbl || ':' || p.p || ':'
+                              || d.d), 1, 12))::BIGINT
+          / power(16.0, 12)) * 2.0 - 1.0 AS w
+  FROM (SELECT unnest(range(0, 8)) AS tbl) t,
+       (SELECT unnest(range(0, 6)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.w) AS dp
+  FROM ex e JOIN pl ON pl.d = e.pos
+  GROUP BY e.vec_id, pl.tbl, pl.p),
+sig AS MATERIALIZED (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN dp >= 0
+                  THEN (1::BIGINT << (5 - p)) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id, tbl),
+candb AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM sig l JOIN sig r
+    ON l.tbl = r.tbl AND l.sig = r.sig AND l.vec_id < r.vec_id),
+pp AS (
+  SELECT c.id_a, c.id_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM candb c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b),
+p AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+             AS sim
+    FROM pp GROUP BY id_a, id_b)
+  WHERE sim >= 0.3),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM p
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM p),
+deg AS (SELECT s AS v, count(*) AS nn FROM edges GROUP BY s),
+core AS (SELECT v FROM deg WHERE nn + 1 >= 5),
+ce AS (
+  SELECT e.s, e.d FROM edges e
+  JOIN core a ON e.s = a.v JOIN core b ON e.d = b.v),
+reach(v, r) AS (
+  SELECT v, v FROM core
+  UNION
+  SELECT ce.s, reach.r FROM ce JOIN reach ON ce.d = reach.v),
+corecl AS (SELECT v, min(r) AS cid FROM reach GROUP BY v),
+bord AS (
+  SELECT e.s AS v, min(c.cid) AS cid
+  FROM edges e JOIN corecl c ON e.d = c.v
+  WHERE e.s NOT IN (SELECT v FROM core)
+  GROUP BY e.s),
+lab AS (
+  SELECT v, cid, TRUE AS is_core FROM corecl
+  UNION ALL
+  SELECT v, cid, FALSE AS is_core FROM bord)
+SELECT emb.vec_id, cast(coalesce(l.cid, -1) AS BIGINT) AS cluster,
+       coalesce(l.is_core, FALSE) AS is_core
+FROM embeddings emb LEFT JOIN lab l ON emb.vec_id = l.v
+ORDER BY emb.vec_id
+""")
+def dbscan_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over LSH-bucketed candidate pairs — the at-scale
+    density-clustering path (pair cost follows bucket density, not
+    n²), hash-verified end-to-end: the oracle replays plane family,
+    signatures, bucket join, cosine verify, then the same core/CC/
+    border/noise algebra as the exact-mode oracle. Recall < exact by
+    design (pytest proves the noise-superset invariant)."""
+    from parlerproject_spark.operators.density import dbscan
+    return (dbscan(_t(spark, sf_dir, "embeddings"),
+                   sim_threshold=0.3, min_pts=5, mode="lsh", dim=64)
+            .orderBy("vec_id"))
+
+
+def _hard_neg_cell_oracle(k: int = 5, num_cells: int = 8, nprobe: int = 3,
+                          iters: int = 3, mod: int = 8, round_c: int = 6,
+                          sim_hi: float = 0.98) -> str:
+    """Cell-probed hard-negative oracle: rounded-Lloyd cells (shared
+    block, head init over the md5 sample), candidate argmax
+    assignment, anchor top-nprobe probes, different-label filter,
+    rounded-sim cap + deterministic window."""
+    head = f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+s0 AS (
+  SELECT vec_id FROM embeddings
+  WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        % 2147483647 % {mod} = 0),
+samp AS (
+  SELECT vec_id FROM embeddings
+  WHERE (SELECT count(*) FROM s0) < {2 * num_cells}
+  UNION ALL
+  SELECT vec_id FROM s0 WHERE (SELECT count(*) FROM s0) >= {2 * num_cells}),
+sx AS (SELECT e.vec_id, e.pos, e.x FROM ex e JOIN samp USING (vec_id)),
+c0 AS (
+  SELECT r.t, e.pos, e.x AS c
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS t
+        FROM samp) r
+  JOIN ex e USING (vec_id)
+  WHERE r.t < {num_cells})"""
+    body = _lloyd_iters_sql(iters, round_c)
+    tail = f""",
+uf AS (
+  SELECT t, pos, CASE WHEN nrm > 0 THEN c / nrm ELSE c END AS cu
+  FROM (SELECT t, pos, c,
+               sqrt(sum(c * c) OVER (PARTITION BY t)) AS nrm
+        FROM c{iters})),
+asg AS MATERIALIZED (
+  SELECT vec_id, t FROM (
+    SELECT e.vec_id, u.t,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY sum(e.x * u.cu) DESC, u.t ASC) AS rn
+    FROM ex e JOIN uf u USING (pos)
+    GROUP BY e.vec_id, u.t) WHERE rn = 1),
+probes AS MATERIALIZED (
+  SELECT vec_id, t FROM (
+    SELECT e.vec_id, u.t,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY sum(e.x * u.cu) DESC, u.t ASC) AS rn
+    FROM ex e JOIN uf u USING (pos)
+    GROUP BY e.vec_id, u.t) WHERE rn <= {nprobe}),
+cp AS (
+  SELECT DISTINCT pr.vec_id AS anchor_id, a2.vec_id AS neg_id
+  FROM probes pr
+  JOIN asg a2 ON a2.t = pr.t
+  JOIN embeddings ea ON ea.vec_id = pr.vec_id
+  JOIN embeddings eb ON eb.vec_id = a2.vec_id
+  WHERE pr.vec_id <> a2.vec_id AND ea.label <> eb.label),
+pp AS (
+  SELECT c.anchor_id, c.neg_id,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM cp c
+  JOIN embeddings a ON a.vec_id = c.anchor_id
+  JOIN embeddings b ON b.vec_id = c.neg_id),
+sc AS (
+  SELECT anchor_id, neg_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM pp GROUP BY anchor_id, neg_id),
+r AS (
+  SELECT anchor_id, neg_id, sim,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY sim DESC, neg_id ASC) AS rank
+  FROM sc WHERE sim < {sim_hi})
+SELECT anchor_id, neg_id, sim, rank
+FROM r WHERE rank <= {k}
+ORDER BY anchor_id, rank"""
+    return head + body + tail
+
+
+@register("hard_negatives_cell", _hard_neg_cell_oracle())
+def hard_negatives_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-probed hard-negative mining — the at-scale mode of
+    hard_negatives_embeddings (candidate generation reads
+    ~nprobe/num_cells of the cross product), hash-verified via the
+    rounded-Lloyd contract: the oracle replays cell training,
+    candidate assignment, anchor probes, the different-label filter,
+    and the deterministic rounded-sim window."""
+    from parlerproject_spark.operators.mining import hard_negatives
+    return (hard_negatives(_t(spark, sf_dir, "embeddings"),
+                           k=5, group_col="label", sim_hi=0.98,
+                           mode="cell", num_cells=8, nprobe=3,
+                           round_c=6)
+            .orderBy("anchor_id", "rank"))
