@@ -149,6 +149,9 @@ EXTRA = [
     "token_budget_sample_docs",
     "gopher_repetition_docs",
     "semantic_decontaminate_embeddings",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "rolling_features_events",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Behavioral analytics operators: funnels, cohorts, rolling features.
+
+The product-analytics trio every event-stream warehouse ships
+(Amplitude/Mixpanel-style), expressed as single-exchange relational
+algebra over the events table:
+
+- funnel: ordered step matching — a user converts step i only with
+  an event of type i strictly AFTER their step-(i-1) conversion.
+  One sorted collect per user, one in-array fold (JVM higher-order
+  function over a per-user array, bounded by that user's event
+  count) — no per-step self-joins, which is how naive funnel SQL
+  goes quadratic in steps.
+- cohort retention: users bucketed by first-activity period ×
+  activity in later periods → the retention triangle. Two keyed
+  aggregations, no windows.
+- rolling features: per-key trailing-window statistics + lags (the
+  feature matrix a forecasting model trains on) — RANGE frames over
+  one (key, ts) exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, steps: list[str], *,
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Per-user funnel depth: the longest prefix of `steps` matched
+    by strictly-increasing timestamps. Ties at the same instant do
+    NOT advance the funnel (strict >), so replayed/batched events
+    can't fake a conversion. Columns: <user_col>, depth (0..len),
+    converted (depth == len).
+
+    Shape: filter to funnel event types (pushed to the scan), one
+    groupBy(user) with a sorted collect of (ts, step_idx) structs —
+    per-group memory bounded by that user's funnel events — then a
+    pure in-array fold: state = funnel depth + timestamp of the
+    last conversion; each event advances depth iff it is the next
+    step and strictly later."""
+    idx = F.array_position(
+        F.array(*[F.lit(s) for s in steps]), F.col(type_col))
+    ev = (events.filter(F.col(type_col).isin(steps))
+          .select(F.col(user_col),
+                  F.struct(F.col(ts_col).alias("ts"),
+                           (idx - 1).cast("int").alias("step"))
+                  .alias("e")))
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list("e")).alias("es"))
+    # fold state: struct(depth int, last_ts timestamp-as-long)
+    zero = F.struct(F.lit(0).alias("d"),
+                    F.lit(None).cast("timestamp").alias("t"))
+    step_fold = F.aggregate(
+        "es", zero,
+        lambda acc, e: F.when(
+            (e["step"] == acc["d"])
+            & (acc["t"].isNull() | (e["ts"] > acc["t"])),
+            F.struct((acc["d"] + 1).alias("d"), e["ts"].alias("t"))
+        ).otherwise(acc))
+    out = per_user.select(
+        user_col, step_fold.getField("d").alias("depth"))
+    return out.withColumn("converted", F.col("depth") == len(steps))
+
+
+def cohort_retention(events: DataFrame, *, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period: str = "week") -> DataFrame:
+    """Retention triangle: cohort = each user's first active period;
+    for every later period offset, how many of that cohort were
+    active. Columns: cohort (date), offset (periods since cohort,
+    ≥ 0), n_users. offset 0 row = cohort size by construction."""
+    trunc = F.date_trunc(period, F.col(ts_col)).cast("date")
+    active = events.select(F.col(user_col).alias("u"),
+                           trunc.alias("p")).distinct()
+    first = active.groupBy("u").agg(F.min("p").alias("cohort"))
+    per_unit = {"week": 7, "day": 1}[period]
+    return (active.join(first, "u")
+            .select("cohort",
+                    (F.datediff("p", "cohort") / per_unit)
+                    .cast("long").alias("offset"))
+            .groupBy("cohort", "offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def rolling_features(events: DataFrame, *, key_col: str = "user_id",
+                     ts_col: str = "ts", val_col: str = "value",
+                     days: int = 7, n_lags: int = 2) -> DataFrame:
+    """Per-event trailing feature vector: count/sum/min/max of
+    `val_col` over the trailing `days` window (RANGE frame on the
+    event-time long, inclusive of the current row) plus the previous
+    `n_lags` values — one (key, ts) exchange serves every frame.
+    The windowed statistic is the SUM, not the mean: the input's
+    2-decimal values make every true window sum an exact multiple of
+    0.01, so round(sum, 4) can never sit on a rounding boundary —
+    a mean divides by n and CAN land exactly on .00005, where
+    engine-dependent float summation order decides the side (hit in
+    practice at sf0.01). Consumers derive the mean as roll_sum /
+    roll_n. Columns: <key_col>, <ts_col>, roll_n, roll_sum,
+    roll_min, roll_max, lag_1..lag_<n_lags>."""
+    sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    base = events.select(key_col, ts_col,
+                         F.col(val_col).cast("double").alias("v"),
+                         sec.alias("sec"))
+    wr = (Window.partitionBy(key_col).orderBy("sec")
+          .rangeBetween(-days * 86400, 0))
+    wl = Window.partitionBy(key_col).orderBy("sec", "v")
+    out = (base
+           .withColumn("roll_n", F.count(F.lit(1)).over(wr))
+           .withColumn("roll_sum", F.round(F.sum("v").over(wr), 4))
+           .withColumn("roll_min", F.min("v").over(wr))
+           .withColumn("roll_max", F.max("v").over(wr)))
+    for i in range(1, n_lags + 1):
+        out = out.withColumn(f"lag_{i}", F.lag("v", i).over(wl))
+    return out.drop("v", "sec")

@@ -75,6 +75,9 @@ _DRIVER_PRIORITY: list[str] = [
     "rag_context_budget",
     "dbscan_clusters_lsh",
     "hard_negatives_cell",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "rolling_features_events",
     "logreg_quality_scores_docs",
     "cut_substring_spans_docs",
     "ngram_novelty_docs",
@@ -5956,3 +5959,93 @@ def hard_negatives_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
                            mode="cell", num_cells=8, nprobe=3,
                            round_c=6)
             .orderBy("anchor_id", "rank"))
+
+
+@register("funnel_view_click_purchase", """
+WITH base AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT b.user_id,
+       cast(CASE WHEN t3.t IS NOT NULL THEN 3
+                 WHEN t2.t IS NOT NULL THEN 2
+                 WHEN t1.t IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS depth,
+       t3.t IS NOT NULL AS converted
+FROM base b
+LEFT JOIN t1 ON t1.user_id = b.user_id
+LEFT JOIN t2 ON t2.user_id = b.user_id
+LEFT JOIN t3 ON t3.user_id = b.user_id
+ORDER BY b.user_id
+""")
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (analytics.funnel): view → click → purchase
+    with strictly-increasing timestamps. The engine folds each
+    user's sorted funnel events in-array (one groupBy, no per-step
+    self-joins); the oracle uses the equivalent greedy
+    earliest-conversion chain as per-step min-subqueries — greedy
+    matching is optimal for existence of an ordered chain, so the
+    two constructions must agree exactly."""
+    from parlerproject_spark.operators.analytics import funnel
+    ev = _t(spark, sf_dir, "events")
+    return (funnel(ev, ["view", "click", "purchase"])
+            .orderBy("user_id"))
+
+
+@register("cohort_retention_weekly", """
+WITH active AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts)::DATE AS p
+  FROM events),
+f0 AS (SELECT u, min(p) AS cohort FROM active GROUP BY u)
+SELECT f.cohort, cast((a.p - f.cohort) / 7 AS BIGINT) AS "offset",
+       cast(count(*) AS BIGINT) AS n_users
+FROM active a JOIN f0 f ON a.u = f.u
+GROUP BY f.cohort, "offset"
+ORDER BY cohort, "offset"
+""")
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (analytics.cohort_retention):
+    cohort = first active ISO week, offset = weeks since cohort,
+    n_users = cohort members active that week. Two keyed
+    aggregations, no windows, no self-joins."""
+    from parlerproject_spark.operators.analytics import cohort_retention
+    ev = _t(spark, sf_dir, "events")
+    return (cohort_retention(ev, period="week")
+            .orderBy("cohort", "offset"))
+
+
+@register("rolling_features_events", """
+SELECT user_id, ts,
+       cast(count(*) OVER wr AS BIGINT) AS roll_n,
+       round(sum(value::DOUBLE) OVER wr, 4) AS roll_sum,
+       min(value::DOUBLE) OVER wr AS roll_min,
+       max(value::DOUBLE) OVER wr AS roll_max,
+       lag(value::DOUBLE, 1) OVER wl AS lag_1,
+       lag(value::DOUBLE, 2) OVER wl AS lag_2
+FROM events
+WINDOW
+  wr AS (PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW),
+  wl AS (PARTITION BY user_id ORDER BY epoch(ts), value::DOUBLE)
+ORDER BY user_id, ts
+""")
+def rolling_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window feature matrix (analytics.rolling_features):
+    7-day RANGE-frame count/sum/min/max plus two lags per event —
+    the per-key forecasting features, all served by one (user, ts)
+    exchange. Same-instant ties order by value in the lag window on
+    both engines."""
+    from parlerproject_spark.operators.analytics import rolling_features
+    ev = _t(spark, sf_dir, "events")
+    return (rolling_features(ev, days=7, n_lags=2)
+            .orderBy("user_id", "ts"))

@@ -1,0 +1,83 @@
+"""Behavioral analytics operators (operators/analytics.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from parlerproject_spark.operators.analytics import (cohort_retention,
+                                                     funnel,
+                                                     rolling_features)
+
+
+def _t(day, hour=0):
+    return datetime(2024, 1, day, hour)
+
+
+def test_funnel_ordered_strictly(spark):
+    rows = [
+        # u1 converts fully in order
+        (1, _t(1), "view"), (1, _t(2), "click"), (1, _t(3), "purchase"),
+        # u2 has all three but out of order — purchase precedes click
+        (2, _t(1), "view"), (2, _t(2), "purchase"), (2, _t(3), "click"),
+        # u3 stalls at depth 1
+        (3, _t(1), "view"), (3, _t(2), "view"),
+        # u4 never views: depth 0 despite click+purchase
+        (4, _t(1), "click"), (4, _t(2), "purchase"),
+        # u5: same-instant click does NOT advance (strict >)
+        (5, _t(1), "view"), (5, _t(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["user_id"]: (r["depth"], r["converted"])
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got[1] == (3, True)
+    assert got[2] == (2, False)    # view→click matched, purchase too early
+    assert got[3] == (1, False)
+    assert got[4] == (0, False)
+    assert got[5] == (1, False)
+
+
+def test_funnel_greedy_uses_earliest_conversion(spark):
+    # view@1 click@2 view@5 purchase@3: greedy chain view@1→click@2→
+    # purchase@3 converts; an algorithm anchoring on the LAST view
+    # would miss it
+    rows = [(1, _t(1), "view"), (1, _t(2), "click"),
+            (1, _t(5), "view"), (1, _t(3), "purchase")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    [r] = funnel(df, ["view", "click", "purchase"]).collect()
+    assert r["depth"] == 3 and r["converted"]
+
+
+def test_cohort_retention_triangle(spark):
+    rows = [
+        (1, _t(1)), (1, _t(8)), (1, _t(15)),   # weeks 0,1,2
+        (2, _t(1)), (2, _t(15)),               # weeks 0,2 (skips 1)
+        (3, _t(8)),                            # later cohort, week 0 only
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(str(r["cohort"]), r["offset"]): r["n_users"]
+           for r in cohort_retention(df, period="week").collect()}
+    c0 = "2024-01-01"                          # Monday of week 1
+    c1 = "2024-01-08"
+    assert got[(c0, 0)] == 2
+    assert got[(c0, 1)] == 1
+    assert got[(c0, 2)] == 2
+    assert got[(c1, 0)] == 1
+    assert len(got) == 4
+
+
+def test_rolling_features_window_and_lags(spark):
+    rows = [(1, _t(d), float(d)) for d in (1, 2, 3, 12)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {r["ts"]: r for r in
+           rolling_features(df, days=7, n_lags=2).collect()}
+    r3 = got[_t(3)]
+    assert r3["roll_n"] == 3 and r3["roll_sum"] == pytest.approx(6.0)
+    assert r3["roll_min"] == 1.0 and r3["roll_max"] == 3.0
+    assert r3["lag_1"] == 2.0 and r3["lag_2"] == 1.0
+    r12 = got[_t(12)]                 # 7-day frame excludes days 1-3
+    assert r12["roll_n"] == 1 and r12["roll_sum"] == pytest.approx(12.0)
+    assert r12["lag_1"] == 3.0        # lags are positional, not framed
+    r1 = got[_t(1)]
+    assert r1["lag_1"] is None and r1["lag_2"] is None
