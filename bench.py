@@ -152,6 +152,14 @@ EXTRA = [
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
     "rolling_features_events",
+    # round-5 session-2: graph structure, behavioral models, corpus
+    # diagnostics, cross-split backoff LM
+    "markov_transitions_events",
+    "corpus_zipf_stats_docs",
+    "triangle_counts_events",
+    "label_propagation_events",
+    "item_cf_similarity_events",
+    "stupid_backoff_docs",
 ]
 
 

@@ -113,3 +113,100 @@ def rolling_features(events: DataFrame, *, key_col: str = "user_id",
     for i in range(1, n_lags + 1):
         out = out.withColumn(f"lag_{i}", F.lag("v", i).over(wl))
     return out.drop("v", "sec")
+
+
+def markov_transitions(events: DataFrame, *,
+                       key_col: str = "user_id",
+                       state_col: str = "event_type",
+                       ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix over per-key state
+    sequences: P(next_state | state), estimated from consecutive
+    event pairs within each key's (ts, id)-ordered stream.
+
+    The behavioral-model building block (next-action prediction,
+    anomalous-session scoring): one lag window per key — partitions
+    bounded by per-user event counts — then ONE aggregation over the
+    |states|² transition space, which is tiny regardless of corpus
+    size, so the row-probability window costs nothing. Ordering by
+    (ts, id) is a total order → deterministic, oracle-replayable.
+
+    Columns: cur, nxt, n, p (round 6).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(),
+                                            F.col(id_col).asc())
+    trans = (events
+             .select(F.col(key_col), F.col(ts_col), F.col(id_col),
+                     F.col(state_col).alias("nxt"))
+             .withColumn("cur", F.lag("nxt").over(w))
+             .filter(F.col("cur").isNotNull()))
+    counts = trans.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("cur")
+    return counts.select(
+        "cur", "nxt", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"))
+
+
+def item_cooccurrence_similarity(events: DataFrame, *,
+                                 user_col: str = "user_id",
+                                 item_expr: str = "$.k",
+                                 max_items_per_user: int = 20,
+                                 top_k: int = 5) -> DataFrame:
+    """Item-to-item collaborative filtering: cosine similarity
+    between items' user-interaction vectors, top-k neighbors per
+    item ("users who touched X also touched Y" — the Amazon
+    item-item CF shape).
+
+    Ratings are per-(user, item) interaction counts parsed from the
+    props JSON. Scale levers, in order:
+
+    1. **hyperactive-user cap** — each user contributes only their
+       `max_items_per_user` most-interacted items (count desc, item
+       asc tie-break). A bot user touching 1M items would otherwise
+       emit 10¹² co-occurrence pairs from one row; with the cap each
+       user emits ≤ cap² pairs, so candidate volume is linear in
+       users. This is the standard CF preprocessing step, and the
+       oracle applies the identical cap so results match exactly.
+    2. co-pairs are generated per-user from the capped item set (a
+       self-join on user over ≤cap-row groups), partial-aggregated
+       map-side into (i, j) dot products.
+    3. item norms ride a keyed join (corpus-scale model table — NOT
+       broadcast at 100 TB); top-k per item is one bounded window.
+
+    Columns: item_a, item_b, sim (round 6), rk.
+    """
+    rated = (events
+             .select(F.col(user_col).alias("u"),
+                     F.expr(f"try_cast(get_json_object(props, '{item_expr}') "
+                            "AS bigint)").alias("item"))
+             .filter(F.col("item").isNotNull())
+             .groupBy("u", "item").agg(F.count("*").alias("r")))
+    wu = Window.partitionBy("u").orderBy(F.col("r").desc(),
+                                         F.col("item").asc())
+    capped = (rated.withColumn("rk", F.row_number().over(wu))
+              .filter(F.col("rk") <= max_items_per_user)
+              .drop("rk"))
+    norms = (capped.groupBy("item")
+             .agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm")))
+    a = capped.select("u", F.col("item").alias("item_a"),
+                      F.col("r").alias("ra"))
+    b = capped.select("u", F.col("item").alias("item_b"),
+                      F.col("r").alias("rb"))
+    dots = (a.join(b, "u")
+            .filter(F.col("item_a") != F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.sum(F.col("ra") * F.col("rb")).alias("dot")))
+    sims = (dots
+            .join(norms.select(F.col("item").alias("item_a"),
+                               F.col("nrm").alias("na")), "item_a")
+            .join(norms.select(F.col("item").alias("item_b"),
+                               F.col("nrm").alias("nb")), "item_b")
+            .select("item_a", "item_b",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                    .alias("sim")))
+    wk = Window.partitionBy("item_a").orderBy(F.col("sim").desc(),
+                                              F.col("item_b").asc())
+    return (sims.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= top_k)
+            .select("item_a", "item_b", "sim",
+                    F.col("rk").cast("int").alias("rk")))

@@ -230,3 +230,114 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame, *,
         _warn_if_not_converged(prev, ranks, tol, iters,
                                "personalized_pagerank")
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonicalize a directed edge list to distinct undirected
+    edges (a < b). Self-loops dropped. Columns: a, b."""
+    return (edges
+            .select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the undirected projection of a directed edge list.
+
+    Engine addition (no reference analogue — the reference has no
+    graph surface): triangle density is the standard community-
+    structure diagnostic on interaction graphs, and the distributed
+    formulation here is the degree-oriented wedge join (Cohen's
+    MapReduce triangle algorithm / "forward" algorithm):
+
+    1. orient every undirected edge from its lower-(degree, id)
+       endpoint to the higher one — an acyclic orientation in which
+       every node's OUT-degree is O(sqrt(m)) for any graph, so
+    2. the wedge self-join on the oriented source generates
+       sum_v outdeg(v)^2 = O(m^1.5) candidates TOTAL — bounded even
+       on power-law graphs where a naive neighbor join on the hub
+       node would be deg(hub)^2 — and
+    3. each wedge closes against the oriented edge set once (every
+       triangle is counted exactly once, at its lowest-(deg, id)
+       apex).
+
+    The oracle enumerates triangles canonically (x < y < z three-way
+    join) — same single-count-per-triangle contract, so results
+    match while the Spark plan keeps the skew-proof orientation.
+
+    Columns: node, degree, triangles, clustering (round 6).
+    """
+    und = undirected_edges(edges).localCheckpoint(eager=True)
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("dg_b"))
+    # orient by (degree, node id) — a strict total order, so the
+    # orientation is acyclic and every triangle has a unique apex
+    lo_first = (F.col("dg_a") < F.col("dg_b")) | \
+        ((F.col("dg_a") == F.col("dg_b")) & (F.col("a") < F.col("b")))
+    oriented = (und.join(da, "a").join(db, "b")
+                .select(F.when(lo_first, F.col("a")).otherwise(F.col("b"))
+                        .alias("u"),
+                        F.when(lo_first, F.col("b")).otherwise(F.col("a"))
+                        .alias("v")))
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (o1.join(o2, "u").filter(F.col("x") < F.col("y")))
+    # x < y already holds, so the closing edge's canonical form is
+    # exactly (a=x, b=y) — an equi-join, shuffle-keyed on the pair
+    tri = wedges.join(
+        und, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")))
+    per_node = (tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+                .groupBy("node").agg(F.count("*").alias("triangles")))
+    return (deg.join(per_node, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("triangles", F.lit(0)).cast("long")
+                    .alias("triangles"),
+                    F.round(
+                        F.when(F.col("degree") >= 2,
+                               2.0 * F.coalesce("triangles", F.lit(0))
+                               / (F.col("degree")
+                                  * (F.col("degree") - F.lit(1))))
+                        .otherwise(F.lit(0.0)), 6).alias("clustering")))
+
+
+def label_propagation(edges: DataFrame, *, iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection, fixed
+    iteration count, fully deterministic tie-break.
+
+    Every node starts labeled with its own id; each round every node
+    adopts the label that is most frequent among its neighbors,
+    breaking count ties toward the SMALLEST label (asynchronous LPA
+    with random tie-breaks is the textbook version, but a
+    deterministic synchronous schedule is the only shape an oracle
+    can replay — and at cluster scale the synchronous form is one
+    keyed join + one aggregation per round, the same Pregel lowering
+    as `pagerank`).
+
+    The neighbor-mode argmax is a single max_by over
+    struct(cnt, -label): struct ordering compares fields left to
+    right, so it picks max count then (via the negation) min label —
+    no window, no sort. The oracle unrolls the same rounds with a
+    row_number() (cnt DESC, label ASC) pick.
+
+    Columns: node, label.
+    """
+    und = undirected_edges(edges).localCheckpoint(eager=True)
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionAll(und.select(F.col("b").alias("src"),
+                                F.col("a").alias("dst"))))
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(iters):
+        nb = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+              .groupBy(F.col("src").alias("node"), "label")
+              .agg(F.count("*").alias("cnt")))
+        labels = (nb.groupBy("node")
+                  .agg(F.max_by(
+                      "label", F.struct(F.col("cnt"), (-F.col("label"))
+                                        .alias("neg"))).alias("label")))
+    return labels.select("node", "label")

@@ -496,3 +496,131 @@ def chunk_documents(docs: DataFrame, *, id_col: str = "doc_id",
                     (F.col("start") / stride).cast("long").alias("chunk_no"),
                     F.size(chunk).cast("long").alias("n_toks"),
                     F.array_join(chunk, " ").alias("chunk_text")))
+
+
+def corpus_zipf_stats(docs: DataFrame, *, text_col: str = "text",
+                      slope_top: int = 1000) -> DataFrame:
+    """One-row corpus health diagnostic: Zipf slope + unigram
+    entropy + vocabulary mass.
+
+    Natural-language corpora follow Zipf's law (log-frequency ≈
+    slope · log-rank + c with slope ≈ -1); machine-generated or
+    template-heavy corpora bend it, so the fitted slope is a cheap
+    corpus-level quality gate (used exactly this way in pretraining
+    data audits). Unigram entropy is the companion diversity signal
+    — boilerplate corpora have low entropy for their size.
+
+    Plan: ONE exploded token count (map-side partial agg), a top-k
+    cut (TakeOrdered, never a global sort) for the slope fit — the
+    fit uses the `slope_top` head because Zipf linearity holds in
+    the head while the low-frequency tail is a ties staircase — and
+    a single-row regr_slope/entropy aggregate over bounded (k) and
+    corpus-vocab-sized inputs respectively. Everything downstream of
+    the token count operates on vocabulary-scale tables (≪ corpus
+    scale at 100 TB).
+
+    Columns: vocab_size, total_tokens, zipf_slope (round 6),
+    unigram_entropy (round 6).
+    """
+    from parlerproject_spark.functions.text import tokenize
+
+    tf = (docs.select(F.explode(tokenize(text_col)).alias("term"))
+          .groupBy("term").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    totals = tf.agg(F.count("*").cast("long").alias("vocab_size"),
+                    F.sum("tf").cast("long").alias("total_tokens"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    head = (tf.orderBy(F.col("tf").desc(), F.col("term").asc())
+            .limit(slope_top)
+            .withColumn("rank", F.row_number().over(w)))
+    slope = head.agg(F.round(
+        F.regr_slope(F.log("tf"), F.log("rank")), 6).alias("zipf_slope"))
+    ent = (tf.crossJoin(F.broadcast(
+        totals.select(F.col("total_tokens").cast("double").alias("tt"))))
+        .select((F.col("tf") / F.col("tt")).alias("p"))
+        .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6)
+             .alias("unigram_entropy")))
+    return (totals.crossJoin(F.broadcast(slope))
+            .crossJoin(F.broadcast(ent)))
+
+
+def stupid_backoff_score(docs: DataFrame, train: DataFrame, *,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         alpha: float = 0.4) -> DataFrame:
+    """Trigram stupid-backoff LM score per document, trained on a
+    separate corpus split (Brants et al. 2007 — the LM Google used
+    at web scale precisely BECAUSE it's count-based and
+    embarrassingly distributable; no discounting normalization, so
+    the "probabilities" are scores S, not a distribution):
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)        if trigram seen
+                   = α · c(w2w3)/c(w2)         elif bigram seen
+                   = α² · (c(w3)+1)/(N+V)      else (add-one floor so
+                                                unseen words stay
+                                                finite — documented
+                                                divergence from the
+                                                paper's c(w3)/N)
+
+    Because the model trains on a DIFFERENT split than it scores,
+    the backoff paths actually execute (training-on-self makes every
+    trigram seen, hiding the join logic). Counts are three keyed
+    aggregations on the train split; scoring is left joins from the
+    doc trigram stream to the count tables — shuffle joins keyed on
+    the n-gram (model tables are corpus-scale at 100 TB, never
+    broadcast); N and V ride one broadcast scalar row.
+
+    Columns: <id_col>, n_trigrams, sb_logp (round 6).
+    """
+    from parlerproject_spark.functions.text import tokenize
+
+    tr_toks = train.select(tokenize(text_col).alias("ts"))
+    uni = (tr_toks.select(F.explode("ts").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c1")))
+    big = (tr_toks.filter(F.size("ts") >= 2)
+           .select(F.explode(F.expr(
+               "transform(slice(ts, 1, size(ts) - 1), "
+               "(w, i) -> struct(w AS w1, ts[i + 1] AS w2))")).alias("g"))
+           .select("g.w1", "g.w2")
+           .groupBy("w1", "w2").agg(F.count("*").alias("c2")))
+    tri = (tr_toks.filter(F.size("ts") >= 3)
+           .select(F.explode(F.expr(
+               "transform(slice(ts, 1, size(ts) - 2), "
+               "(w, i) -> struct(w AS w1, ts[i + 1] AS w2, "
+               "ts[i + 2] AS w3))")).alias("g"))
+           .select("g.w1", "g.w2", "g.w3")
+           .groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3")))
+    scal = uni.agg(F.sum("c1").cast("double").alias("N"),
+                   F.count("*").cast("double").alias("V"))
+
+    dt = (docs.select(F.col(id_col).alias("doc_id"),
+                      tokenize(text_col).alias("ts"))
+          .filter(F.size("ts") >= 3)
+          .select("doc_id", F.explode(F.expr(
+              "transform(slice(ts, 1, size(ts) - 2), "
+              "(w, i) -> struct(w AS w1, ts[i + 1] AS w2, "
+              "ts[i + 2] AS w3))")).alias("g"))
+          .select("doc_id", "g.w1", "g.w2", "g.w3"))
+    scored = (dt
+              .join(tri, ["w1", "w2", "w3"], "left")
+              .join(big, ["w1", "w2"], "left")
+              .join(big.select(F.col("w1").alias("w2"),
+                               F.col("w2").alias("w3"),
+                               F.col("c2").alias("c23")),
+                    ["w2", "w3"], "left")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c1").alias("c1w2")), ["w2"], "left")
+              .join(uni.select(F.col("w").alias("w3"),
+                               F.col("c1").alias("c1w3")), ["w3"], "left")
+              .crossJoin(F.broadcast(scal))
+              .select("doc_id", F.log(
+                  F.when(F.col("c3").isNotNull(),
+                         F.col("c3") / F.col("c2"))
+                  .when(F.col("c23").isNotNull(),
+                        alpha * F.col("c23") / F.col("c1w2"))
+                  .otherwise(alpha * alpha
+                             * (F.coalesce(F.col("c1w3"), F.lit(0)) + 1.0)
+                             / (F.col("N") + F.col("V")))).alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_trigrams"),
+                 F.round(F.avg("lp"), 6).alias("sb_logp"))
+            .withColumnRenamed("doc_id", id_col))

@@ -62,6 +62,13 @@ _DRIVER_PRIORITY: list[str] = [
     # never-sampled first, then ascending last-sampled round, so
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
+    # Round-5 session-2 additions (never sampled):
+    "markov_transitions_events",
+    "corpus_zipf_stats_docs",
+    "triangle_counts_events",
+    "label_propagation_events",
+    "item_cf_similarity_events",
+    "stupid_backoff_docs",
     "dbscan_clusters_embeddings",
     "hard_negatives_embeddings",
     "embedding_covariance",
@@ -6049,3 +6056,252 @@ def rolling_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (rolling_features(ev, days=7, n_lags=2)
             .orderBy("user_id", "ts"))
+
+
+# ---------------------------------------------------------------------------
+# Round 5 additions: graph structure, behavioral models, corpus diagnostics
+# ---------------------------------------------------------------------------
+
+_EDGE_CTE = """
+keyed AS (
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+         ts, event_id, user_id AS dst
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        IS NOT NULL),
+edges AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT lag(dst) OVER (PARTITION BY obj ORDER BY ts, event_id) AS src,
+               dst
+        FROM keyed)
+  WHERE src IS NOT NULL AND src <> dst),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst)
+"""
+
+
+@register("markov_transitions_events", """
+WITH seq AS (
+  SELECT event_type AS nxt,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS cur
+  FROM events),
+c AS (SELECT cur, nxt, count(*) AS n
+      FROM seq WHERE cur IS NOT NULL GROUP BY cur, nxt)
+SELECT cur, nxt, cast(n AS BIGINT) AS n,
+       round(cast(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM c ORDER BY cur, nxt
+""")
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (analytics.markov_transitions): one bounded lag window
+    per user + one aggregation over the |states|^2 space. The
+    next-action behavioral model every event warehouse derives."""
+    from parlerproject_spark.operators.analytics import markov_transitions
+    return (markov_transitions(_t(spark, sf_dir, "events"))
+            .orderBy("cur", "nxt"))
+
+
+@register("corpus_zipf_stats_docs", """
+WITH tf AS (
+  SELECT t AS term, count(*) AS tf
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z0-9]+'),
+                      x -> x <> '')) AS t
+        FROM documents)
+  GROUP BY t),
+tot AS (SELECT cast(count(*) AS BIGINT) AS vocab_size,
+               cast(sum(tf) AS BIGINT) AS total_tokens FROM tf),
+head AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS rank
+         FROM tf ORDER BY tf DESC, term ASC LIMIT 1000),
+slope AS (SELECT round(regr_slope(ln(tf), ln(rank)), 6) AS zipf_slope
+          FROM head),
+ent AS (SELECT round(-sum(p * ln(p)), 6) AS unigram_entropy
+        FROM (SELECT tf / (SELECT cast(total_tokens AS DOUBLE) FROM tot)
+                     AS p
+              FROM tf))
+SELECT vocab_size, total_tokens, zipf_slope, unigram_entropy
+FROM tot, slope, ent
+""")
+def corpus_zipf_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf-slope + unigram-entropy diagnostic
+    (text_analysis.corpus_zipf_stats): one token count, a top-1000
+    head fit (regr_slope over log-log), one entropy aggregate —
+    the cheap pretraining-corpus health gate."""
+    return text_analysis.corpus_zipf_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("triangle_counts_events", """
+WITH """ + _EDGE_CTE + """,
+deg AS (SELECT node, count(*) AS degree
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+pn AS (SELECT node, count(*) AS triangles
+       FROM (SELECT x AS node FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+       GROUP BY node)
+SELECT d.node, cast(d.degree AS BIGINT) AS degree,
+       cast(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(pn.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN pn ON pn.node = d.node
+ORDER BY d.node
+""")
+def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + clustering coefficient over the
+    co-interaction graph (graph.triangle_counts): degree-oriented
+    wedge join — O(m^1.5) candidates even on power-law graphs. The
+    oracle enumerates triangles canonically (x<y<z 3-way join);
+    both count each triangle exactly once."""
+    from parlerproject_spark.operators.graph import (cointeraction_edges,
+                                                     triangle_counts)
+    edges = cointeraction_edges(_t(spark, sf_dir, "events"))
+    return (triangle_counts(edges)
+            .select(F.col("node"), F.col("degree").cast("long").alias("degree"),
+                    "triangles", "clustering")
+            .orderBy("node"))
+
+
+@register("label_propagation_events", """
+WITH """ + _EDGE_CTE + """,
+sym AS (SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+n1 AS (SELECT s.src AS node, l.label, count(*) AS cnt
+       FROM sym s JOIN l0 l ON l.node = s.dst GROUP BY s.src, l.label),
+l1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, label ASC) AS rn
+         FROM n1) WHERE rn = 1),
+n2 AS (SELECT s.src AS node, l.label, count(*) AS cnt
+       FROM sym s JOIN l1 l ON l.node = s.dst GROUP BY s.src, l.label),
+l2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, label ASC) AS rn
+         FROM n2) WHERE rn = 1),
+n3 AS (SELECT s.src AS node, l.label, count(*) AS cnt
+       FROM sym s JOIN l2 l ON l.node = s.dst GROUP BY s.src, l.label),
+l3 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, label ASC) AS rn
+         FROM n3) WHERE rn = 1)
+SELECT node, label FROM l3 ORDER BY node
+""")
+def label_propagation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the
+    co-interaction graph (graph.label_propagation, 3 rounds,
+    deterministic max-count/min-label tie-break). Oracle unrolls
+    the identical rounds as CTEs."""
+    from parlerproject_spark.operators.graph import (cointeraction_edges,
+                                                     label_propagation)
+    edges = cointeraction_edges(_t(spark, sf_dir, "events"))
+    return label_propagation(edges, iters=3).orderBy("node")
+
+
+@register("item_cf_similarity_events", """
+WITH rated AS (
+  SELECT user_id AS u,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         count(*) AS r
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+  GROUP BY 1, 2),
+capped AS (SELECT u, item, r FROM (
+  SELECT *, row_number() OVER (PARTITION BY u
+                               ORDER BY r DESC, item ASC) AS rk
+  FROM rated) WHERE rk <= 20),
+norms AS (SELECT item, sqrt(sum(r * r)) AS nrm FROM capped GROUP BY item),
+dots AS (SELECT a.item AS item_a, b.item AS item_b, sum(a.r * b.r) AS dot
+         FROM capped a JOIN capped b ON a.u = b.u AND a.item <> b.item
+         GROUP BY 1, 2),
+sims AS (SELECT item_a, item_b,
+                round(dot / (na.nrm * nb.nrm), 6) AS sim
+         FROM dots
+         JOIN norms na ON na.item = item_a
+         JOIN norms nb ON nb.item = item_b)
+SELECT item_a, item_b, sim, cast(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY item_a
+                               ORDER BY sim DESC, item_b ASC) AS rk
+  FROM sims)
+WHERE rk <= 5 ORDER BY item_a, rk
+""")
+def item_cf_similarity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering over props.k
+    interactions (analytics.item_cooccurrence_similarity): cosine
+    over user-count vectors with the hyperactive-user cap (<=20
+    items/user) that keeps candidate pairs linear in users at
+    100 TB. Top-5 neighbors per item, rounded-sim + id
+    tie-break."""
+    from parlerproject_spark.operators.analytics import (
+        item_cooccurrence_similarity)
+    return (item_cooccurrence_similarity(_t(spark, sf_dir, "events"))
+            .orderBy("item_a", "rk"))
+
+
+@register("stupid_backoff_docs", """
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+trn AS (SELECT ts FROM tk WHERE CAST(substr(source, 4) AS INT) < 10),
+tst AS (SELECT doc_id, ts FROM tk
+        WHERE CAST(substr(source, 4) AS INT) >= 10 AND len(ts) >= 3),
+uni AS (SELECT w, count(*) AS c1
+        FROM (SELECT unnest(ts) AS w FROM trn) GROUP BY w),
+scal AS (SELECT cast(sum(c1) AS DOUBLE) AS N,
+                cast(count(*) AS DOUBLE) AS V FROM uni),
+bidx AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         FROM trn WHERE len(ts) >= 2),
+big AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS c2
+        FROM bidx GROUP BY 1, 2),
+tidx AS (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         FROM trn WHERE len(ts) >= 3),
+tri AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
+               count(*) AS c3
+        FROM tidx GROUP BY 1, 2, 3),
+didx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         FROM tst),
+dtri AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+         FROM didx),
+sc AS (
+  SELECT d.doc_id,
+         ln(CASE WHEN t.c3 IS NOT NULL THEN t.c3 / b.c2
+                 WHEN b2.c2 IS NOT NULL THEN 0.4 * b2.c2 / u2.c1
+                 ELSE 0.4 * 0.4 * (coalesce(u3.c1, 0) + 1.0)
+                      / (s.N + s.V) END) AS lp
+  FROM dtri d
+  LEFT JOIN tri t ON t.w1 = d.w1 AND t.w2 = d.w2 AND t.w3 = d.w3
+  LEFT JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+  LEFT JOIN big b2 ON b2.w1 = d.w2 AND b2.w2 = d.w3
+  LEFT JOIN uni u2 ON u2.w = d.w2
+  LEFT JOIN uni u3 ON u3.w = d.w3
+  CROSS JOIN scal s)
+SELECT doc_id, cast(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(lp), 6) AS sb_logp
+FROM sc GROUP BY doc_id ORDER BY doc_id
+""")
+def stupid_backoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM (Brants et al. 2007) trained on the
+    src0-src9 half of the corpus, scoring the src10-src19 half
+    (text_analysis.stupid_backoff_score) — the cross-split setup
+    makes every backoff path execute. Count tables are keyed
+    shuffle joins (corpus-scale model, never broadcast)."""
+    docs = _t(spark, sf_dir, "documents")
+    src_n = F.expr("cast(substring(source, 4, 10) AS int)")
+    train = docs.filter(src_n < 10)
+    score = docs.filter(src_n >= 10)
+    return (text_analysis.stupid_backoff_score(score, train)
+            .orderBy("doc_id"))

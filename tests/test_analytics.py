@@ -81,3 +81,70 @@ def test_rolling_features_window_and_lags(spark):
     assert r12["lag_1"] == 3.0        # lags are positional, not framed
     r1 = got[_t(1)]
     assert r1["lag_1"] is None and r1["lag_2"] is None
+
+
+def test_markov_transitions_probabilities(spark):
+    from parlerproject_spark.operators.analytics import markov_transitions
+    rows = [
+        # user 1: A -> B -> A -> C   (A->B, B->A, A->C)
+        (1, _t(1), 1, "A"), (2, _t(2), 1, "B"),
+        (3, _t(3), 1, "A"), (4, _t(4), 1, "C"),
+        # user 2: A -> B              (A->B)
+        (5, _t(1), 2, "A"), (6, _t(2), 2, "B"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id",
+                                      "event_type"])
+    got = {(r["cur"], r["nxt"]): r for r in
+           markov_transitions(df, state_col="event_type").collect()}
+    assert got[("A", "B")]["n"] == 2
+    assert got[("A", "B")]["p"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[("A", "C")]["p"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[("B", "A")]["p"] == pytest.approx(1.0)
+    # rows per cur-state sum to 1
+    import collections
+    sums = collections.defaultdict(float)
+    for (cur, _), r in got.items():
+        sums[cur] += r["p"]
+    assert all(abs(s - 1.0) < 1e-5 for s in sums.values())
+
+
+def test_item_cf_cosine_and_user_cap(spark):
+    from parlerproject_spark.operators.analytics import (
+        item_cooccurrence_similarity)
+    import json
+    rows = []
+    eid = 0
+    # users 1,2 both touch items 10 and 11 (once each) -> cosine 1.0
+    for u in (1, 2):
+        for it in (10, 11):
+            eid += 1
+            rows.append((eid, _t(1), u, "view", json.dumps({"k": it})))
+    # user 3 touches item 10 only
+    eid += 1
+    rows.append((eid, _t(1), 3, "view", json.dumps({"k": 10})))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "props"])
+    got = {(r["item_a"], r["item_b"]): r["sim"] for r in
+           item_cooccurrence_similarity(df, max_items_per_user=20,
+                                        top_k=5).collect()}
+    # vec(10) = [1,1,1] over users 1,2,3; vec(11) = [1,1,0]
+    # cos = 2 / (sqrt(3) * sqrt(2))
+    import math
+    assert got[(10, 11)] == pytest.approx(2 / math.sqrt(6), abs=1e-6)
+    assert got[(10, 11)] == got[(11, 10)]
+
+    # hyperactive-user cap: user 4 touches 30 items; with
+    # max_items_per_user=2 only the two most-touched survive
+    rows4 = []
+    eid = 100
+    for it in range(30):
+        reps = 3 if it in (20, 21) else 1
+        for _ in range(reps):
+            eid += 1
+            rows4.append((eid, _t(1), 4, "view", json.dumps({"k": it})))
+    df4 = spark.createDataFrame(
+        rows4, ["event_id", "ts", "user_id", "event_type", "props"])
+    pairs = item_cooccurrence_similarity(
+        df4, max_items_per_user=2, top_k=5).collect()
+    items = {r["item_a"] for r in pairs} | {r["item_b"] for r in pairs}
+    assert items == {20, 21}

@@ -462,3 +462,60 @@ def test_centroid_outlier_flags_far_vector(spark):
     assert got[99] < 0 < got[0]             # outlier anti-aligned
     assert all(got[i] > 0.9 for i in range(10))
     assert got[200] > 0.999                 # homogeneous group ~1
+
+
+def test_corpus_zipf_stats_uniform_and_skewed(spark):
+    import math
+    from parlerproject_spark.operators.text_analysis import corpus_zipf_stats
+    # uniform corpus: every token equally frequent -> slope 0,
+    # entropy = ln(vocab)
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd")], ["doc_id", "text"])
+    r = corpus_zipf_stats(docs).collect()[0]
+    assert r["vocab_size"] == 4 and r["total_tokens"] == 8
+    assert r["zipf_slope"] == 0.0
+    assert r["unigram_entropy"] == round(math.log(4), 6)
+    # skewed corpus: freq 4/2/1 ranks 1/2/3 -> negative slope and
+    # entropy matches the hand computation
+    docs2 = spark.createDataFrame(
+        [(1, "aa aa aa aa bb bb cc")], ["doc_id", "text"])
+    r2 = corpus_zipf_stats(docs2).collect()[0]
+    assert r2["zipf_slope"] < -0.5
+    ps = [4 / 7, 2 / 7, 1 / 7]
+    want = -sum(p * math.log(p) for p in ps)
+    assert r2["unigram_entropy"] == round(want, 6)
+
+
+def test_stupid_backoff_all_three_paths(spark):
+    import math
+    from parlerproject_spark.operators.text_analysis import (
+        stupid_backoff_score)
+    train = spark.createDataFrame(
+        [(100, "a b c d"), (101, "a b c e")], ["doc_id", "text"])
+    # counts: tri a b c ×2, b c d, b c e; big: ab×2, bc×2, cd, ce;
+    # uni: a2 b2 c2 d1 e1 -> N=8, V=5
+    # doc 1 "a b c" -> trigram (a,b,c) seen: S = 2/2 = 1 -> lp 0
+    # doc 2 "b c d" -> trigram (b,c,d) seen: S = 1/2
+    # doc 3 "c a b" -> (c,a,b) unseen, bigram (a,b) seen:
+    #                  S = 0.4 * c(ab)/c(a) = 0.4 * 2/2 = 0.4
+    # doc 4 "d e zz" -> everything unseen at trigram+bigram level:
+    #                  S = 0.16 * (c(zz)+1)/(N+V) = 0.16 * 1/13
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "c a b"), (4, "d e zz")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           stupid_backoff_score(docs, train).collect()}
+    assert out[1]["sb_logp"] == 0.0
+    assert out[2]["sb_logp"] == round(math.log(0.5), 6)
+    assert out[3]["sb_logp"] == round(math.log(0.4), 6)
+    assert out[4]["sb_logp"] == round(math.log(0.16 / 13), 6)
+    assert all(r["n_trigrams"] == 1 for r in out.values())
+
+
+def test_stupid_backoff_excludes_short_docs(spark):
+    from parlerproject_spark.operators.text_analysis import (
+        stupid_backoff_score)
+    train = spark.createDataFrame([(9, "x y z")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "x y"), (2, "x")],
+                                 ["doc_id", "text"])
+    assert stupid_backoff_score(docs, train).count() == 0

@@ -194,6 +194,8 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "corpus_shuffle_order",    # 50-row limit extract
     "bm25_ranked_docs",        # rank over the 20-row limit extract
     "pmi_collocations_docs",   # rank over the 50-row limit extract
+    "rag_context_budget",      # running token sum over the k=8 extract
+    "corpus_zipf_stats_docs",  # rank over the 1000-row head extract
 }
 
 

@@ -320,3 +320,51 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
     assert all(pr[n] == 0.0 for n in (10, 11, 12))
     # the seed itself holds the most rank
     assert pr[1] == max(pr.values())
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from parlerproject_spark.operators.graph import triangle_counts
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 5-1
+    edges = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4),
+                           (3, 4), (5, 1)])
+    got = {r["node"]: r for r in triangle_counts(edges).collect()}
+    for n in (1, 2, 3, 4):
+        assert got[n]["triangles"] == 3
+    assert got[5]["triangles"] == 0 and got[5]["clustering"] == 0.0
+    assert got[2]["clustering"] == pytest.approx(1.0)      # deg 3, 3 tris
+    assert got[1]["degree"] == 4                            # K4 + pendant
+    assert got[1]["clustering"] == pytest.approx(0.5)       # 3/(4*3/2)
+
+
+def test_triangle_counts_direction_and_duplicates_ignored(spark):
+    from parlerproject_spark.operators.graph import triangle_counts
+    # same triangle expressed with mixed directions + duplicate edges
+    edges = _edges(spark, [(1, 2), (2, 1), (3, 2), (1, 3), (1, 3)])
+    got = {r["node"]: r["triangles"]
+           for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    from parlerproject_spark.operators.graph import label_propagation
+    # two triangles bridged by a single edge 3-10: LPA should keep
+    # two communities, each labeled by its minimum node id
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1),
+                           (10, 11), (11, 12), (12, 10),
+                           (3, 10)])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, iters=4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[11] == got[12]
+    assert got[11] != got[1]
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from parlerproject_spark.operators.graph import label_propagation
+    # star: center 5 with leaves 1..4. Round 1: every leaf sees only
+    # label 5; the center sees {1,2,3,4} each once -> tie -> min = 1.
+    edges = _edges(spark, [(5, 1), (5, 2), (5, 3), (5, 4)])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, iters=1).collect()}
+    assert got[5] == 1
+    assert all(got[leaf] == 5 for leaf in (1, 2, 3, 4))
