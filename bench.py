@@ -160,6 +160,8 @@ EXTRA = [
     "label_propagation_events",
     "item_cf_similarity_events",
     "stupid_backoff_docs",
+    "textrank_keywords_docs",
+    "compression_ratio_docs",
 ]
 
 

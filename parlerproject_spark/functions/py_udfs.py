@@ -99,3 +99,41 @@ def robust_zscores(df, *, key_col: str = "user_id", val_col: str = "value",
         "z double"])
     return (df.select(key_col, id_col, val_col)
             .groupBy(key_col).applyInPandas(per_group, out_schema))
+
+
+_zlib_ratio_cache = None
+
+
+def zlib_ratio():
+    """SCALAR pandas UDF: zlib-compressed size / raw UTF-8 size per
+    document — the compression-ratio quality signal (CCNet-family
+    pipelines use it to flag boilerplate/templates, which compress
+    far below natural text, and random noise, which doesn't compress
+    at all). Deterministic (zlib level 6 is bit-stable for a given
+    input), so the score is reproducible across runs and engines —
+    but no SQL engine exposes zlib, so the query is rows-only with
+    the pytest reference computing the same ratios in-process.
+
+    Arrow hands each batch as one pandas Series; the loop is per
+    document over the batch (compression is inherently per-blob),
+    which is the Arrow-batched slow path — acceptable because zlib
+    at level 6 runs ~100 MB/s/core and the UDF stage carries only
+    (id, text), nothing else."""
+    global _zlib_ratio_cache
+    if _zlib_ratio_cache is None:
+        import zlib
+
+        def _zr(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                if not raw:
+                    out.append(None)
+                    continue
+                out.append(len(zlib.compress(raw, 6)) / len(raw))
+            return pd.Series(out, dtype="float64")
+        _zlib_ratio_cache = pandas_udf(_zr, "double")
+    return _zlib_ratio_cache

@@ -118,12 +118,18 @@ def _warn_if_not_converged(prev: DataFrame, cur: DataFrame,
 
 def pagerank(edges: DataFrame, *, iters: int = 3,
              damping: float = 0.85,
-             tol: float | None = None) -> DataFrame:
+             tol: float | None = None,
+             weight_col: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list:
     r_{t+1}(v) = (1 - d)/N + d * sum_{u->v} r_t(u) / outdeg(u),
     starting uniform, run exactly `iters` rounds. (Simplified form:
     dangling mass is not redistributed — documented, and mirrored
     verbatim by the oracle.)
+
+    With `weight_col`, the weighted variant: each neighbor receives
+    r_t(u) * w(u,v) / outstrength(u) (outstrength = sum of u's
+    outgoing weights) — same plan shape, the degree aggregate just
+    becomes a sum.
 
     Plan: nodes and out-degrees are one aggregation each; every
     iteration is ONE shuffle join (rank ⋈ edges on src) plus ONE
@@ -147,7 +153,14 @@ def pagerank(edges: DataFrame, *, iters: int = 3,
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    if weight_col is None:
+        outdeg = edges.groupBy("src").agg(
+            F.count("*").cast("double").alias("deg"))
+        wexpr = F.lit(1.0)
+    else:
+        outdeg = edges.groupBy("src").agg(
+            F.sum(weight_col).cast("double").alias("deg"))
+        wexpr = F.col(weight_col).cast("double")
     n = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
     base = F.col("n_nodes")
     ranks = (nodes.crossJoin(F.broadcast(n))
@@ -159,7 +172,8 @@ def pagerank(edges: DataFrame, *, iters: int = 3,
                    .join(outdeg.withColumnRenamed("src", "node"), "node")
                    .join(edges.withColumnRenamed("src", "node"), "node")
                    .select(F.col("dst").alias("node"),
-                           (F.col("rank") / F.col("deg")).alias("c")))
+                           (F.col("rank") * wexpr / F.col("deg"))
+                           .alias("c")))
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (ranks.select("node", "n_nodes")
                  .join(summed, "node", "left")

@@ -624,3 +624,70 @@ def stupid_backoff_score(docs: DataFrame, train: DataFrame, *,
             .agg(F.count("*").cast("long").alias("n_trigrams"),
                  F.round(F.avg("lp"), 6).alias("sb_logp"))
             .withColumnRenamed("doc_id", id_col))
+
+
+def cooccurrence_edges(docs: DataFrame, *, text_col: str = "text",
+                       window: int = 2, min_len: int = 3,
+                       min_count: int = 2) -> DataFrame:
+    """Undirected word co-occurrence graph: an edge (a, b, w) for
+    every unordered token pair appearing within `window` positions
+    in a document, weighted by corpus-wide co-occurrence count.
+
+    Pair generation is a narrow in-array expression (one transform
+    per offset 1..window, the trigram-slice pattern — no self-join
+    on position), so the only exchange is the final (a, b) count
+    aggregation with map-side partial combine. Tokens shorter than
+    `min_len` are dropped BEFORE pairing (the cheap deterministic
+    stop-word surrogate) and edges rarer than `min_count` are cut —
+    both bound the graph: vocabulary-scale nodes, co-occurrence-
+    support edges, regardless of corpus size.
+    Columns: a, b, w.
+    """
+    from parlerproject_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.filter(tokenize(text_col),
+                 lambda t: F.length(t) >= min_len).alias("ts"))
+    pair_cols = []
+    for off in range(1, window + 1):
+        pair_cols.append(F.expr(
+            f"transform(slice(ts, 1, greatest(size(ts) - {off}, 0)), "
+            f"(t, i) -> struct(least(t, ts[i + {off}]) AS a, "
+            f"greatest(t, ts[i + {off}]) AS b))"))
+    pairs = (toks.select(F.explode(F.flatten(F.array(*pair_cols)))
+                         .alias("p"))
+             .select("p.a", "p.b")
+             .filter(F.col("a") != F.col("b")))
+    return (pairs.groupBy("a", "b").agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= min_count))
+
+
+def textrank_keywords(docs: DataFrame, *, text_col: str = "text",
+                      window: int = 2, min_len: int = 3,
+                      min_count: int = 2, iters: int = 3,
+                      damping: float = 0.85,
+                      top_k: int = 25) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004):
+    weighted PageRank over the word co-occurrence graph, top-k terms
+    by rank.
+
+    Composition, not new machinery: cooccurrence_edges builds the
+    bounded word graph, graph.pagerank(weight_col="w") runs the
+    fixed-iteration weighted rank (each undirected edge enters both
+    directions, so the random walk is symmetric), and the cut is a
+    TakeOrdered top-k with (rank, term) tie-break. Everything
+    downstream of the token count is vocabulary-scale.
+    Columns: term, rank (round 6).
+    """
+    from parlerproject_spark.operators.graph import pagerank
+
+    und = cooccurrence_edges(docs, text_col=text_col, window=window,
+                             min_len=min_len, min_count=min_count)
+    sym = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                      "w")
+           .unionAll(und.select(F.col("b").alias("src"),
+                                F.col("a").alias("dst"), "w")))
+    pr = pagerank(sym, iters=iters, damping=damping, weight_col="w")
+    return (pr.select(F.col("node").alias("term"), "rank")
+            .orderBy(F.col("rank").desc(), F.col("term").asc())
+            .limit(top_k))

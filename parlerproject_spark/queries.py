@@ -69,6 +69,8 @@ _DRIVER_PRIORITY: list[str] = [
     "label_propagation_events",
     "item_cf_similarity_events",
     "stupid_backoff_docs",
+    "textrank_keywords_docs",
+    "compression_ratio_docs",
     "dbscan_clusters_embeddings",
     "hard_negatives_embeddings",
     "embedding_covariance",
@@ -6304,4 +6306,74 @@ def stupid_backoff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(src_n < 10)
     score = docs.filter(src_n >= 10)
     return (text_analysis.stupid_backoff_score(score, train)
+            .orderBy("doc_id"))
+
+
+@register("textrank_keywords_docs", """
+WITH tk AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) >= 3) AS ts
+  FROM documents),
+idx1 AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         FROM tk WHERE len(ts) >= 2),
+p1 AS (SELECT least(ts[i], ts[i + 1]) AS a,
+              greatest(ts[i], ts[i + 1]) AS b FROM idx1),
+idx2 AS (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         FROM tk WHERE len(ts) >= 3),
+p2 AS (SELECT least(ts[i], ts[i + 2]) AS a,
+              greatest(ts[i], ts[i + 2]) AS b FROM idx2),
+und AS (SELECT a, b, count(*) AS w
+        FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        WHERE a <> b GROUP BY a, b HAVING count(*) >= 2),
+sym AS (SELECT a AS src, b AS dst, w FROM und
+        UNION ALL SELECT b, a, w FROM und),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+n AS (SELECT cast(count(*) AS DOUBLE) AS nn FROM nodes),
+outd AS (SELECT src, cast(sum(w) AS DOUBLE) AS deg
+         FROM sym GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn AS rank FROM nodes CROSS JOIN n),
+c1 AS (SELECT s.dst AS node, sum(r.rank * s.w / o.deg) AS sm
+       FROM sym s JOIN r0 r ON r.node = s.src
+       JOIN outd o ON o.src = s.src GROUP BY s.dst),
+r1 AS (SELECT nodes.node, 0.15 / nn + 0.85 * coalesce(c1.sm, 0) AS rank
+       FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.node = nodes.node),
+c2 AS (SELECT s.dst AS node, sum(r.rank * s.w / o.deg) AS sm
+       FROM sym s JOIN r1 r ON r.node = s.src
+       JOIN outd o ON o.src = s.src GROUP BY s.dst),
+r2 AS (SELECT nodes.node, 0.15 / nn + 0.85 * coalesce(c2.sm, 0) AS rank
+       FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.node = nodes.node),
+c3 AS (SELECT s.dst AS node, sum(r.rank * s.w / o.deg) AS sm
+       FROM sym s JOIN r2 r ON r.node = s.src
+       JOIN outd o ON o.src = s.src GROUP BY s.dst),
+r3 AS (SELECT nodes.node, 0.15 / nn + 0.85 * coalesce(c3.sm, 0) AS rank
+       FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.node = nodes.node)
+SELECT node AS term, round(rank, 6) AS rank
+FROM r3 ORDER BY round(rank, 6) DESC, term ASC LIMIT 25
+""")
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords
+    (text_analysis.textrank_keywords): weighted PageRank over the
+    window-2 word co-occurrence graph (len>=3 tokens, support>=2
+    edges), 3 fixed iterations, top-25 by (rank, term). The oracle
+    rebuilds the graph and unrolls the weighted rank in CTE SQL."""
+    return (text_analysis.textrank_keywords(
+        _t(spark, sf_dir, "documents"))
+        .orderBy(F.col("rank").desc(), F.col("term").asc()))
+
+
+@register("compression_ratio_docs", None)
+def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio + band filter
+    (functions/py_udfs.zlib_ratio) — the CCNet-style template/noise
+    quality signal. Python is unavoidable (no SQL zlib), so it rides
+    ONE Arrow-batched scalar pandas UDF over (doc_id, text) only;
+    rows-only driver check, with tests/test_udf_layer.py computing
+    the identical ratios in-process as the reference."""
+    from parlerproject_spark.functions.py_udfs import zlib_ratio
+    docs = _t(spark, sf_dir, "documents")
+    zr = zlib_ratio()
+    return (docs.select("doc_id", F.round(zr(F.col("text")), 6)
+                        .alias("zratio"))
+            .withColumn("keep",
+                        (F.col("zratio") >= 0.3) & (F.col("zratio") <= 0.9))
             .orderBy("doc_id"))

@@ -519,3 +519,36 @@ def test_stupid_backoff_excludes_short_docs(spark):
     docs = spark.createDataFrame([(1, "x y"), (2, "x")],
                                  ["doc_id", "text"])
     assert stupid_backoff_score(docs, train).count() == 0
+
+
+def test_cooccurrence_edges_window_and_filters(spark):
+    from parlerproject_spark.operators.text_analysis import (
+        cooccurrence_edges)
+    # "alpha beta gamma" twice: window 2 pairs per doc =
+    # (alpha,beta) (beta,gamma) (alpha,gamma); x2 docs -> w=2 each.
+    # "of" is dropped by min_len=3 BEFORE pairing, so in doc 3
+    # alpha..gamma become adjacent again.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "alpha of beta")],
+        ["doc_id", "text"])
+    got = {(r["a"], r["b"]): r["w"] for r in
+           cooccurrence_edges(docs, window=2, min_count=2).collect()}
+    assert got[("alpha", "beta")] == 3    # 2 adjacent + 1 post-filter
+    assert got[("beta", "gamma")] == 2
+    assert got[("alpha", "gamma")] == 2   # distance-2 pairs
+    assert all(a < b for (a, b) in got)
+
+
+def test_textrank_central_term_ranks_first(spark):
+    from parlerproject_spark.operators.text_analysis import (
+        textrank_keywords)
+    # "hub" co-occurs with every other term; spokes only with hub
+    docs = spark.createDataFrame(
+        [(1, "hub aaa hub bbb hub ccc hub ddd"),
+         (2, "hub aaa hub bbb hub ccc hub ddd")],
+        ["doc_id", "text"])
+    rows = textrank_keywords(docs, window=1, min_count=2,
+                             top_k=10).collect()
+    assert rows[0]["term"] == "hub"
+    assert rows[0]["rank"] == max(r["rank"] for r in rows)

@@ -265,3 +265,25 @@ def test_audio_chunks_reassemble_exactly(spark, sf_dir):
     for doc_id, parts in by_id.items():
         assert b"".join(parts) == originals[doc_id]  # lossless cover
         assert all(len(p) == 64 for p in parts[:-1])  # fixed-size except tail
+
+
+def test_zlib_ratio_matches_inprocess_reference(spark):
+    import zlib
+    from parlerproject_spark.functions.py_udfs import zlib_ratio
+    texts = ["aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",       # template -> low
+             "the quick brown fox jumps over it",    # natural
+             "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    zr = zlib_ratio()
+    got = {r["doc_id"]: r["ratio"] for r in
+           df.select("doc_id", zr("text").alias("ratio")).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None
+        else:
+            raw = t.encode()
+            assert got[i] == pytest.approx(
+                len(zlib.compress(raw, 6)) / len(raw), abs=1e-12)
+    # repetitive text compresses far better than natural text
+    assert got[0] < got[1]
