@@ -210,3 +210,48 @@ def item_cooccurrence_similarity(events: DataFrame, *,
             .filter(F.col("rk") <= top_k)
             .select("item_a", "item_b", "sim",
                     F.col("rk").cast("int").alias("rk")))
+
+
+def ab_test_proportions(events: DataFrame, *, user_col: str = "user_id",
+                        arm_expr: str = "user_id % 2",
+                        success_filter: str = "event_type = 'purchase'",
+                        ) -> DataFrame:
+    """Two-proportion z-test between experiment arms: unit = user,
+    success = the user has >= 1 event matching `success_filter`,
+    arm = deterministic hash/modulo assignment.
+
+    Shape: one per-user aggregation (bool_or of the success
+    predicate — users collapse BEFORE any stats, so a hyperactive
+    user counts once), one 2-row arm rollup, then scalar algebra on
+    a pivoted single row. The pooled standard error
+    sqrt(p(1-p)(1/n0+1/n1)) and z-score are plain Column math — at
+    any corpus size the cost is the one user-keyed exchange every
+    per-user metric already pays.
+    Columns (single row): n_0, n_1, conv_0, conv_1, p_0, p_1
+    (round 6), z_score (round 6), significant_95 (|z| > 1.96).
+    """
+    per_user = (events
+                .groupBy(user_col)
+                .agg(F.max(F.expr(f"CASE WHEN {success_filter} "
+                                  "THEN 1 ELSE 0 END")).alias("conv"))
+                .withColumn("arm", F.expr(arm_expr).cast("long")))
+    arms = (per_user.groupBy("arm")
+            .agg(F.count("*").alias("n"), F.sum("conv").alias("c")))
+    row = (arms.groupBy()
+           .pivot("arm", [0, 1])
+           .agg(F.first("n").alias("n"), F.first("c").alias("c")))
+    n0, c0 = F.col("0_n").cast("double"), F.col("0_c").cast("double")
+    n1, c1 = F.col("1_n").cast("double"), F.col("1_c").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    se = F.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    z = F.when(se > 0, (p1 - p0) / se)
+    return row.select(
+        F.col("0_n").cast("long").alias("n_0"),
+        F.col("1_n").cast("long").alias("n_1"),
+        F.col("0_c").cast("long").alias("conv_0"),
+        F.col("1_c").cast("long").alias("conv_1"),
+        F.round(p0, 6).alias("p_0"), F.round(p1, 6).alias("p_1"),
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False))
+         .alias("significant_95"))

@@ -355,3 +355,46 @@ def label_propagation(edges: DataFrame, *, iters: int = 3) -> DataFrame:
                       "label", F.struct(F.col("cnt"), (-F.col("label"))
                                         .alias("neg"))).alias("label")))
     return labels.select("node", "label")
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, *,
+                  max_hops: int = 3, directed: bool = True) -> DataFrame:
+    """Multi-source BFS: shortest hop-distance from any seed node,
+    bounded to `max_hops` levels.
+
+    Level-synchronous frontier expansion — the textbook distributed
+    BFS (Pregel's canonical example): each round joins the CURRENT
+    FRONTIER (nodes first reached last round, a shrinking set) to
+    the edge table and anti-joins out already-visited nodes. Cost
+    per round is one hash join keyed on src, proportional to the
+    frontier's out-degree sum, NOT the whole graph; `max_hops` is a
+    fixed iteration budget like pagerank's, so the driver loop is
+    bounded and each round's plan is static. The visited set stays
+    a DataFrame (node, dist) — no driver-side collect at any scale.
+
+    `edges` needs columns (src, dst); `seeds` one column `node`.
+    Columns: node, dist (0 for seeds, <= max_hops).
+    """
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+    e = e.distinct()
+    visited = seeds.select("node").distinct() \
+        .withColumn("dist", F.lit(0).cast("long"))
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (e.join(frontier.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(hop).cast("long")))
+        # each round's frontier/visited feed the next round's join
+        # twice (expand + anti); localCheckpoint truncates the
+        # re-executed lineage exactly like pagerank's per-iteration
+        # barrier
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

@@ -207,3 +207,44 @@ def sample_to_token_budget(docs: DataFrame, weights: DataFrame, *,
         domain_col)
     return (budgeted.filter(F.col("__cum") <= F.col("__budget"))
             .select(id_col, domain_col, "n_toks"))
+
+
+def mixture_weights(docs: DataFrame, *, group_col: str = "source",
+                    text_col: str = "text", alpha: float = 0.7,
+                    token_budget: int = 1_000_000) -> DataFrame:
+    """Temperature-scaled data-mixture weights per source domain —
+    the multilingual/multi-domain sampling scheme of GPT-3 / XLM-R
+    (w_g ∝ p_g^alpha): raw token share p_g is flattened with
+    exponent alpha < 1 so small domains are up-sampled, then the
+    token budget is apportioned and re-expressed as epochs over
+    each domain (epochs > 1 ⇒ the domain will repeat).
+
+    One token-count aggregation over the corpus (the groupBy is on
+    the domain key — cardinality is domains, not documents), then
+    pure scalar algebra on the domain-row table joined against its
+    own 1-row total via a broadcast cross join (the scalar-subquery
+    pattern used throughout the engine). Nothing here scales with
+    corpus size except the one count pass.
+    Columns: <group>, n_tokens, p_raw, weight (round 6), budget_tokens
+    (long), epochs (round 6).
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (docs.groupBy(group_col)
+           .agg(F.sum(toks).cast("long").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("tt"))
+    per = per.crossJoin(F.broadcast(tot))
+    per = per.withColumn("p_raw", F.col("n_tokens") / F.col("tt")) \
+             .withColumn("pa", F.pow(F.col("p_raw"), F.lit(alpha)))
+    norm = per.agg(F.sum("pa").alias("z"))
+    per = per.crossJoin(F.broadcast(norm))
+    w = F.col("pa") / F.col("z")
+    return (per
+            .withColumn("weight", F.round(w, 6))
+            .withColumn("budget_tokens",
+                        F.round(w * F.lit(float(token_budget)), 0)
+                        .cast("long"))
+            .withColumn("epochs",
+                        F.round(w * F.lit(float(token_budget))
+                                / F.col("n_tokens"), 6))
+            .select(group_col, "n_tokens", F.round("p_raw", 6).alias("p_raw"),
+                    "weight", "budget_tokens", "epochs"))

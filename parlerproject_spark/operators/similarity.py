@@ -662,3 +662,113 @@ def probe_ivfpq_index(spark, path: str, query_vec: list, *, k: int = 10,
                     F.round(cosine(vec_col, qlit), 6).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
             .limit(k))
+
+
+def int8_quantize(embs: DataFrame, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    store: scale_d = absmax_d / 127, code = round(x / scale_d)
+    clamped to [-127, 127] — the standard serving-side compression
+    (4x over float32) used before ANN indexes ship to disk.
+
+    Two distributed passes, both JVM-side: (1) posexplode →
+    per-dimension absmax — a d-row aggregate (d is bounded by model
+    width, so the result broadcasts for free); (2) broadcast-join
+    the scales back to the exploded values and re-assemble codes
+    per vector. No collect of vector data; the only driver-sized
+    object is the d-row scale table.
+    Columns: <id>, n_dims, code_sum, code_abs_sum, recon_mse
+    (round 6) — the code aggregates pin the exact quantized values
+    while staying hash-comparable, and recon_mse is the end-to-end
+    quantization-error audit.
+    """
+    ex = embs.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("d", "xf")) \
+        .withColumn("x", F.col("xf").cast("double")).drop("xf")
+    scales = (ex.groupBy("d")
+              .agg((F.max(F.abs(F.col("x"))) / F.lit(127.0))
+                   .alias("scale")))
+    code = F.when(F.col("scale") > 0,
+                  F.greatest(F.lit(-127), F.least(F.lit(127),
+                             F.round(F.col("x") / F.col("scale"), 0)
+                             .cast("long")))) \
+            .otherwise(F.lit(0))
+    coded = (ex.join(F.broadcast(scales), "d")
+             .withColumn("code", code)
+             .withColumn("err",
+                         (F.col("x") - F.col("code") * F.col("scale"))
+                         * (F.col("x") - F.col("code") * F.col("scale"))))
+    return (coded.groupBy(id_col)
+            .agg(F.count("*").alias("n_dims"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.abs(F.col("code"))).alias("code_abs_sum"),
+                 F.round(F.avg("err"), 6).alias("recon_mse")))
+
+
+def mmr_rerank(vectors: DataFrame, query: DataFrame, *,
+               k_candidates: int = 20, k_select: int = 5,
+               lam: float = 0.7, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass between ANN retrieval and RAG
+    context assembly: greedily pick k_select of the top
+    k_candidates, each step maximizing
+    lam*rel(c) − (1−lam)*max_{s∈selected} sim(c, s).
+
+    Stage split mirrors production retrieval: the RELEVANCE cut is
+    the distributed part (knn_bruteforce: broadcast 1-row query,
+    TakeOrdered k_candidates — the only stage that sees the
+    corpus); everything after operates on the BOUNDED candidate
+    set, so the k_candidates² pairwise-similarity matrix and the
+    k_select greedy steps are constant-size plan fragments
+    (broadcast joins over ≤ k_candidates-row relations), unrolled
+    exactly like the PageRank/BFS fixed-iteration operators — no
+    collect, no Python loop over data.
+
+    Determinism contract: selection compares ROUNDED (6 dp) sims
+    with ascending-id tie-break, so the greedy path is bit-stable
+    across engines and the oracle can replay it CTE-by-CTE.
+    Columns: rank (1-based), vec_id, rel, mmr_score.
+    """
+    from parlerproject_spark.functions.vectors import cosine
+
+    cand = knn_bruteforce(vectors, query, k=k_candidates,
+                          id_col=id_col, vec_col=vec_col) \
+        .withColumnRenamed("sim", "rel")
+    cvec = (vectors.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("v"))
+            .join(F.broadcast(cand.select("vec_id")), "vec_id"))
+    a = cvec.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = cvec.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    # bounded k_candidates² matrix — the crossJoin never sees the corpus
+    pairs = (a.crossJoin(F.broadcast(b))
+             .filter(F.col("ia") != F.col("ib"))
+             .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s")))
+    first = (cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+             .limit(1)
+             .select(F.lit(1).cast("long").alias("rank"), "vec_id", "rel",
+                     F.col("rel").alias("mmr_score")))
+    picks = [first]
+    sel = first.select("vec_id")
+    for t in range(2, k_select + 1):
+        scored = (cand.join(F.broadcast(sel), "vec_id", "left_anti")
+                  .join(pairs, F.col("vec_id") == F.col("ia"))
+                  .join(F.broadcast(sel.withColumnRenamed("vec_id", "ib")),
+                        "ib")
+                  .groupBy("vec_id", "rel")
+                  .agg(F.max("s").alias("ms"))
+                  .withColumn("mmr_score",
+                              F.round(F.lit(lam) * F.col("rel")
+                                      - F.lit(1.0 - lam) * F.col("ms"), 6)))
+        pick = (scored.orderBy(F.col("mmr_score").desc(),
+                               F.col("vec_id").asc())
+                .limit(1)
+                .select(F.lit(t).cast("long").alias("rank"), "vec_id",
+                        "rel", "mmr_score"))
+        picks.append(pick)
+        sel = sel.unionByName(pick.select("vec_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -108,3 +108,64 @@ def interpolate_grid(events: DataFrame, *, key_col: str = "user_id",
             .select(key_col,
                     F.timestamp_micros(F.col("us")).alias("grid_ts"),
                     F.round(interp, 6).alias("v_interp")))
+
+
+def cusum_changepoints(events: DataFrame, *, key_col: str = "user_id",
+                       ts_col: str = "ts", val_col: str = "value",
+                       order_tiebreak: str = "event_id",
+                       k: float = 0.5, h: float = 5.0,
+                       min_events: int = 5) -> DataFrame:
+    """One-sided CUSUM drift statistic per key (Page 1954):
+    standardize the key's value sequence, then fold
+    s_i = max(0, s_{i-1} + z_i - k) over time order; report the
+    peak statistic, where it peaked, and how often it crossed `h`.
+
+    The recursion is inherently sequential PER KEY — no window
+    frame expresses max(0, running) — so the sequence is collected
+    into one array per key (bounded by per-key cardinality, the
+    same contract every per-key sessionization holds) and folded by
+    a single JVM `aggregate` higher-order function: one groupBy
+    exchange, zero Python, state O(1) per element. Standardization
+    (mean/std) happens in-array on the same sorted list, so the
+    whole operator is one exchange end to end. Keys with < 
+    `min_events` rows or zero variance carry no drift signal and
+    are dropped.
+    Columns: <key>, n_events, max_cusum (round 6), peak_idx
+    (1-based, first peak wins), n_alarms (s > h).
+    """
+    rows = F.sort_array(F.collect_list(F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(order_tiebreak).alias("tb"),
+        F.col(val_col).cast("double").alias("v"))))
+    per = (events.groupBy(key_col).agg(rows.alias("rs"))
+           .filter(F.size("rs") >= min_events)
+           .withColumn("n", F.size("rs"))
+           .withColumn("mu", F.expr(
+               "aggregate(rs, 0.0d, (a, x) -> a + x.v) / n"))
+           .withColumn("sd", F.expr(
+               "sqrt(aggregate(rs, 0.0d, "
+               "(a, x) -> a + (x.v - mu) * (x.v - mu)) / n)"))
+           .filter(F.col("sd") > 0))
+    # acc: (s = current cusum, m = max so far, pi = argmax index,
+    #       i = position, na = alarm count); strict > keeps the
+    #       FIRST peak, matching the oracle's min(i)-at-max.
+    fold = F.expr(
+        f"""aggregate(
+              rs,
+              struct(0.0d AS s, 0.0d AS m, 0L AS pi, 0L AS i, 0L AS na),
+              (a, x) -> struct(
+                greatest(0.0d, a.s + (x.v - mu) / sd - {k}d) AS s,
+                greatest(a.m,
+                         greatest(0.0d, a.s + (x.v - mu) / sd - {k}d)) AS m,
+                CASE WHEN greatest(0.0d, a.s + (x.v - mu) / sd - {k}d) > a.m
+                     THEN a.i + 1 ELSE a.pi END AS pi,
+                a.i + 1 AS i,
+                a.na + CASE WHEN greatest(0.0d,
+                            a.s + (x.v - mu) / sd - {k}d) > {h}d
+                            THEN 1 ELSE 0 END AS na))""")
+    return (per.withColumn("f", fold)
+            .select(F.col(key_col),
+                    F.col("n").cast("long").alias("n_events"),
+                    F.round(F.col("f.m"), 6).alias("max_cusum"),
+                    F.col("f.pi").alias("peak_idx"),
+                    F.col("f.na").alias("n_alarms")))

@@ -62,6 +62,14 @@ _DRIVER_PRIORITY: list[str] = [
     # never-sampled first, then ascending last-sampled round, so
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
+    # Round-5 session-3 additions (never sampled):
+    "spatial_user_pairs",
+    "cusum_changepoints_events",
+    "int8_quantize_embeddings",
+    "mixture_weights_sources",
+    "ab_test_purchase_events",
+    "bfs_distances_events",
+    "mmr_rerank_embeddings",
     # Round-5 session-2 additions (never sampled):
     "markov_transitions_events",
     "corpus_zipf_stats_docs",
@@ -6377,3 +6385,349 @@ def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("keep",
                         (F.col("zratio") >= 0.3) & (F.col("zratio") <= 0.9))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-3: spatial join, CUSUM, int8 quantization, BFS,
+# mixture weights, A/B testing
+# ---------------------------------------------------------------------------
+
+@register("spatial_user_pairs", """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+p AS (
+  SELECT user_id,
+         (('0x' || substr(md5('geo-lat:' || user_id), 1, 15))::BIGINT
+          % 2147483647 % 12001) / 100.0 - 60.0 AS lat,
+         (('0x' || substr(md5('geo-lon:' || user_id), 1, 15))::BIGINT
+          % 2147483647 % 34001) / 100.0 - 170.0 AS lon
+  FROM u)
+SELECT a.user_id AS id_a, b.user_id AS id_b,
+       round(2 * 6371.0 * asin(sqrt(
+           sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin(radians(b.lon - a.lon) / 2)
+             * sin(radians(b.lon - a.lon) / 2))), 4) AS dist_km
+FROM p a JOIN p b ON a.user_id < b.user_id
+WHERE round(2 * 6371.0 * asin(sqrt(
+          sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * sin(radians(b.lon - a.lon) / 2)
+            * sin(radians(b.lon - a.lon) / 2))), 4) <= 500.0
+ORDER BY id_a, id_b
+""")
+def spatial_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join over user locations (operators/spatial
+    .grid_distance_pairs): users within 500 km, via a 3x3
+    neighbor-cell equi-join — never a cross join. Locations are
+    md5-derived decimal degrees (lat in [-60, 60], lon in
+    [-170, 170.01]) so the oracle can rebuild them; cell_deg=9.0
+    satisfies the completeness contract at the worst-case latitude
+    (500 km / (111.32 km/deg x cos 60deg) = 8.98 < 9). The oracle is
+    an INDEPENDENT construction — a brute-force O(n^2) distance
+    join — so the hash match proves the bucketed join is exact,
+    the same exact-vs-bucketed strategy as dbscan_clusters_lsh."""
+    from parlerproject_spark.functions.text import stable_hash31
+    from parlerproject_spark.operators.spatial import grid_distance_pairs
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    uid = F.col("user_id").cast("string")
+    pts = users.select(
+        F.col("user_id").alias("id"),
+        ((stable_hash31(F.concat(F.lit("geo-lat:"), uid)) % 12001)
+         / F.lit(100.0) - F.lit(60.0)).alias("lat"),
+        ((stable_hash31(F.concat(F.lit("geo-lon:"), uid)) % 34001)
+         / F.lit(100.0) - F.lit(170.0)).alias("lon"))
+    return (grid_distance_pairs(pts, radius_km=500.0, cell_deg=9.0)
+            .orderBy("id_a", "id_b"))
+
+
+@register("cusum_changepoints_events", """
+WITH RECURSIVE
+ordered AS (
+  SELECT user_id, value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events),
+st1 AS (SELECT user_id, avg(v) AS mu, count(*) AS n
+        FROM ordered GROUP BY user_id),
+st2 AS (SELECT o.user_id, mu, n,
+               sqrt(sum((v - mu) * (v - mu)) / n) AS sd
+        FROM ordered o JOIN st1 USING (user_id)
+        GROUP BY o.user_id, mu, n),
+z AS (SELECT o.user_id, i, (v - mu) / sd AS z
+      FROM ordered o JOIN st2 USING (user_id)
+      WHERE n >= 5 AND sd > 0),
+cusum(user_id, i, s) AS (
+  SELECT user_id, i, greatest(0.0, z - 0.5) FROM z WHERE i = 1
+  UNION ALL
+  SELECT zz.user_id, zz.i, greatest(0.0, c.s + zz.z - 0.5)
+  FROM cusum c JOIN z zz
+    ON zz.user_id = c.user_id AND zz.i = c.i + 1),
+m AS (SELECT user_id, max(s) AS ms, count(*) AS n
+      FROM cusum GROUP BY user_id)
+SELECT c.user_id,
+       cast(m.n AS BIGINT) AS n_events,
+       round(m.ms, 6) AS max_cusum,
+       cast(CASE WHEN m.ms > 0
+                 THEN min(CASE WHEN c.s = m.ms THEN c.i END)
+                 ELSE 0 END AS BIGINT) AS peak_idx,
+       cast(sum(CASE WHEN c.s > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarms
+FROM cusum c JOIN m USING (user_id)
+GROUP BY c.user_id, m.ms, m.n
+ORDER BY user_id
+""")
+def cusum_changepoints_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift detection (operators/timeseries
+    .cusum_changepoints): standardized one-sided CUSUM fold over
+    each user's time-ordered value sequence — peak statistic, peak
+    position, alarm count. Spark folds the recursion with one JVM
+    `aggregate` HOF per user (one exchange total); the oracle
+    replays it as a recursive CTE stepping i -> i+1. First-peak
+    semantics: the engine's strict-improvement argmax equals the
+    oracle's min(i at max) whenever the max is positive, and both
+    pin peak_idx=0 when the statistic never rises above zero."""
+    from parlerproject_spark.operators.timeseries import cusum_changepoints
+    return (cusum_changepoints(_t(spark, sf_dir, "events"))
+            .orderBy("user_id"))
+
+
+@register("int8_quantize_embeddings", """
+WITH ex AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+sc AS (SELECT d, max(abs(x)) / 127.0 AS scale FROM ex GROUP BY d),
+coded AS (
+  SELECT vec_id, x, scale,
+         CASE WHEN scale > 0
+              THEN greatest(-127, least(127,
+                   cast(round(x / scale, 0) AS BIGINT)))
+              ELSE 0 END AS code
+  FROM ex JOIN sc USING (d))
+SELECT vec_id,
+       cast(count(*) AS BIGINT) AS n_dims,
+       cast(sum(code) AS BIGINT) AS code_sum,
+       cast(sum(abs(code)) AS BIGINT) AS code_abs_sum,
+       round(avg((x - code * scale) * (x - code * scale)), 6)
+           AS recon_mse
+FROM coded
+GROUP BY vec_id
+ORDER BY vec_id
+""")
+def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    store (operators/similarity.int8_quantize) — the 4x serving
+    compression pass. Codes are exact integers on both engines
+    (identical absmax -> identical scale -> identical round), so
+    code_sum/code_abs_sum hash-pin the entire code matrix without
+    shipping it through the compare; recon_mse audits the error."""
+    from parlerproject_spark.operators.similarity import int8_quantize
+    return (int8_quantize(_t(spark, sf_dir, "embeddings"))
+            .orderBy("vec_id"))
+
+
+@register("mixture_weights_sources", """
+WITH per AS (
+  SELECT source,
+         cast(sum(len(string_split_regex(trim(text), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS tt FROM per),
+pa AS (
+  SELECT source, n_tokens, n_tokens / tt AS p_raw,
+         pow(n_tokens / tt, 0.7) AS pa
+  FROM per CROSS JOIN tot),
+z AS (SELECT sum(pa) AS z FROM pa)
+SELECT source, n_tokens,
+       round(p_raw, 6) AS p_raw,
+       round(pa / z, 6) AS weight,
+       cast(round(pa / z * 1000000.0, 0) AS BIGINT) AS budget_tokens,
+       round(pa / z * 1000000.0 / n_tokens, 6) AS epochs
+FROM pa CROSS JOIN z
+ORDER BY source
+""")
+def mixture_weights_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights per source domain
+    (operators/sampling.mixture_weights, alpha=0.7, budget=1M
+    tokens) — the GPT-3/XLM-R domain-sampling scheme: token share
+    flattened by p^alpha, renormalized, apportioned to a budget and
+    re-expressed as per-domain epochs."""
+    from parlerproject_spark.operators.sampling import mixture_weights
+    return (mixture_weights(_t(spark, sf_dir, "documents"))
+            .orderBy("source"))
+
+
+@register("ab_test_purchase_events", """
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS conv,
+         user_id % 2 AS arm
+  FROM events GROUP BY user_id),
+a AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM pu GROUP BY arm),
+w AS (SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS n0,
+        max(CASE WHEN arm = 0 THEN c END) AS c0,
+        max(CASE WHEN arm = 1 THEN n END) AS n1,
+        max(CASE WHEN arm = 1 THEN c END) AS c1
+      FROM a),
+s AS (SELECT n0, c0, n1, c1,
+             (c0 + c1) * 1.0 / (n0 + n1) AS pp
+      FROM w)
+SELECT cast(n0 AS BIGINT) AS n_0, cast(n1 AS BIGINT) AS n_1,
+       cast(c0 AS BIGINT) AS conv_0, cast(c1 AS BIGINT) AS conv_1,
+       round(c0 * 1.0 / n0, 6) AS p_0,
+       round(c1 * 1.0 / n1, 6) AS p_1,
+       round(CASE WHEN sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)) > 0
+                  THEN (c1 * 1.0 / n1 - c0 * 1.0 / n0)
+                       / sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+             END, 6) AS z_score,
+       coalesce(abs(CASE WHEN sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)) > 0
+                THEN (c1 * 1.0 / n1 - c0 * 1.0 / n0)
+                     / sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+           END) > 1.96, false) AS significant_95
+FROM s
+""")
+def ab_test_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic experiment arms
+    (operators/analytics.ab_test_proportions): unit = user, success
+    = any purchase event, arm = user_id % 2. Users collapse before
+    any statistics, so activity volume cannot bias the test."""
+    from parlerproject_spark.operators.analytics import ab_test_proportions
+    return ab_test_proportions(_t(spark, sf_dir, "events"))
+
+
+@register("bfs_distances_events", """
+WITH keyed AS (
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+         ts, event_id, user_id AS dst
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        IS NOT NULL),
+edges AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT lag(dst) OVER (PARTITION BY obj
+                              ORDER BY ts, event_id) AS src, dst
+        FROM keyed)
+  WHERE src IS NOT NULL AND src <> dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+d0 AS (SELECT min(node) AS node, 0 AS dist FROM nodes),
+f1 AS (SELECT DISTINCT e.dst AS node, 1 AS dist
+       FROM edges e JOIN d0 ON e.src = d0.node
+       WHERE e.dst NOT IN (SELECT node FROM d0)),
+v1 AS (SELECT node, dist FROM d0 UNION ALL SELECT node, dist FROM f1),
+f2 AS (SELECT DISTINCT e.dst AS node, 2 AS dist
+       FROM edges e JOIN f1 ON e.src = f1.node
+       WHERE e.dst NOT IN (SELECT node FROM v1)),
+v2 AS (SELECT node, dist FROM v1 UNION ALL SELECT node, dist FROM f2),
+f3 AS (SELECT DISTINCT e.dst AS node, 3 AS dist
+       FROM edges e JOIN f2 ON e.src = f2.node
+       WHERE e.dst NOT IN (SELECT node FROM v2)),
+v3 AS (SELECT node, dist FROM v2 UNION ALL SELECT node, dist FROM f3)
+SELECT node, cast(dist AS BIGINT) AS dist
+FROM v3
+ORDER BY dist, node
+""")
+def bfs_distances_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the co-interaction handoff
+    graph (operators/graph.bfs_distances): hop distance from the
+    minimum user node, 3 levels, level-synchronous frontier
+    expansion (join frontier -> anti-join visited). The oracle
+    unrolls the three frontiers as CTEs — the same fixed-iteration
+    strategy as the PageRank oracles."""
+    from parlerproject_spark.operators.graph import (bfs_distances,
+                                                     cointeraction_edges)
+    edges = cointeraction_edges(_t(spark, sf_dir, "events"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    seeds = nodes.agg(F.min("node").alias("node"))
+    return (bfs_distances(edges, seeds, max_hops=3)
+            .orderBy("dist", "node"))
+
+
+
+@register("mmr_rerank_embeddings", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+rp AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q WHERE e.vec_id <> 0),
+rel0 AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+             AS rel
+  FROM rp GROUP BY vec_id),
+cand AS (SELECT vec_id, rel FROM rel0
+         ORDER BY rel DESC, vec_id ASC LIMIT 20),
+cp AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         unnest(a.embedding)::DOUBLE AS x,
+         unnest(b.embedding)::DOUBLE AS y
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+    AND b.vec_id IN (SELECT vec_id FROM cand)
+    AND a.vec_id <> b.vec_id),
+p AS (
+  SELECT ia, ib,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+             AS s
+  FROM cp GROUP BY ia, ib),
+p1 AS (SELECT vec_id, rel, rel AS mmr_score FROM cand
+       ORDER BY rel DESC, vec_id ASC LIMIT 1),
+sel1 AS (SELECT vec_id FROM p1),
+m2 AS (SELECT c.vec_id, c.rel, max(p.s) AS ms
+       FROM cand c JOIN p ON p.ia = c.vec_id
+       JOIN sel1 s ON p.ib = s.vec_id
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+       GROUP BY c.vec_id, c.rel),
+p2 AS (SELECT vec_id, rel, round(0.7 * rel - (1.0 - 0.7) * ms, 6)
+           AS mmr_score
+       FROM m2 ORDER BY mmr_score DESC, vec_id ASC LIMIT 1),
+sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM p2),
+m3 AS (SELECT c.vec_id, c.rel, max(p.s) AS ms
+       FROM cand c JOIN p ON p.ia = c.vec_id
+       JOIN sel2 s ON p.ib = s.vec_id
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+       GROUP BY c.vec_id, c.rel),
+p3 AS (SELECT vec_id, rel, round(0.7 * rel - (1.0 - 0.7) * ms, 6)
+           AS mmr_score
+       FROM m3 ORDER BY mmr_score DESC, vec_id ASC LIMIT 1),
+sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM p3),
+m4 AS (SELECT c.vec_id, c.rel, max(p.s) AS ms
+       FROM cand c JOIN p ON p.ia = c.vec_id
+       JOIN sel3 s ON p.ib = s.vec_id
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+       GROUP BY c.vec_id, c.rel),
+p4 AS (SELECT vec_id, rel, round(0.7 * rel - (1.0 - 0.7) * ms, 6)
+           AS mmr_score
+       FROM m4 ORDER BY mmr_score DESC, vec_id ASC LIMIT 1),
+sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM p4),
+m5 AS (SELECT c.vec_id, c.rel, max(p.s) AS ms
+       FROM cand c JOIN p ON p.ia = c.vec_id
+       JOIN sel4 s ON p.ib = s.vec_id
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+       GROUP BY c.vec_id, c.rel),
+p5 AS (SELECT vec_id, rel, round(0.7 * rel - (1.0 - 0.7) * ms, 6)
+           AS mmr_score
+       FROM m5 ORDER BY mmr_score DESC, vec_id ASC LIMIT 1)
+SELECT cast(1 AS BIGINT) AS rank, vec_id, rel, mmr_score FROM p1
+UNION ALL SELECT 2, vec_id, rel, mmr_score FROM p2
+UNION ALL SELECT 3, vec_id, rel, mmr_score FROM p3
+UNION ALL SELECT 4, vec_id, rel, mmr_score FROM p4
+UNION ALL SELECT 5, vec_id, rel, mmr_score FROM p5
+ORDER BY rank
+""")
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse re-ranking (operators/similarity.mmr_rerank):
+    top-20 cosine candidates for the vec_id-0 query (query row
+    excluded), then 5 greedy picks maximizing
+    0.7*rel − 0.3*max-sim-to-selected. Selection compares rounded
+    sims with id tie-breaks, and 1−λ is written as (1.0 − 0.7) on
+    both engines, so every arithmetic step is bit-identical and the
+    oracle replays the greedy path pick-by-pick as unrolled CTEs."""
+    from parlerproject_spark.operators.similarity import mmr_rerank
+    embs = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(embs.filter(F.col("vec_id") != 0),
+                      _query_vec(spark, sf_dir)).orderBy("rank")
