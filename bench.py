@@ -162,6 +162,17 @@ EXTRA = [
     "stupid_backoff_docs",
     "textrank_keywords_docs",
     "compression_ratio_docs",
+    # round-5 session-3: spatial join, CUSUM, int8 quantization,
+    # mixture weights, A/B test, BFS, MMR re-rank
+    "spatial_user_pairs",
+    "cusum_changepoints_events",
+    "int8_quantize_embeddings",
+    "mixture_weights_sources",
+    "ab_test_purchase_events",
+    "bfs_distances_events",
+    "mmr_rerank_embeddings",
+    "source_overlap_jaccard",
+    "fk_integrity_audit",
 ]
 
 

@@ -637,3 +637,35 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
             .join(dupes, assigned[id_col] == dupes["dup_id"], "left")
             .select(F.col(id_col), F.col("cluster").cast("long"),
                     F.col("dup_id").isNull().alias("keep")))
+
+
+def source_overlap_jaccard(docs: DataFrame, *, group_col: str = "source",
+                           text_col: str = "text", n: int = 3) -> DataFrame:
+    """Corpus-pair overlap audit: exact Jaccard similarity between
+    the distinct-shingle sets of every pair of source domains — the
+    cross-corpus contamination/diversity report run before deciding
+    mixture weights or dedup scope.
+
+    The domain key simply rides the shingle cascade in the doc_id
+    seat, a (group, sh) distinct collapses per-domain sets, and
+    pairs come from the same bounded in-list expansion as the
+    near-dup operators (posting_list_pairs): each shingle's posting
+    list is capped by the NUMBER OF DOMAINS — bounded by
+    construction, no hub cap needed — so candidate pairs are
+    O(|shingles| x domains), never quadratic in documents.
+    Columns: src_a, src_b (src_a < src_b), n_a, n_b, n_common,
+    jaccard (round 6). Zero-overlap pairs are absent (inverted
+    indexes only see co-occurring keys).
+    """
+    sets = (shingles(docs.select(F.col(group_col).alias("doc_id"),
+                                 F.col(text_col).alias("text")), n=n)
+            .distinct())
+    wn = Window.partitionBy("doc_id")
+    posting = (sets.repartition("doc_id")
+               .withColumn("n", F.count("*").over(wn)))
+    inter = posting_list_pairs(posting, "sh")
+    j = F.round(F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
+    return inter.select(F.col("id_a").alias("src_a"),
+                        F.col("id_b").alias("src_b"),
+                        "n_a", "n_b", "n_common", j.alias("jaccard"))

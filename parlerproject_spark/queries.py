@@ -70,6 +70,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ab_test_purchase_events",
     "bfs_distances_events",
     "mmr_rerank_embeddings",
+    "source_overlap_jaccard",
+    "fk_integrity_audit",
     # Round-5 session-2 additions (never sampled):
     "markov_transitions_events",
     "corpus_zipf_stats_docs",
@@ -6731,3 +6733,117 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _t(spark, sf_dir, "embeddings")
     return mmr_rerank(embs.filter(F.col("vec_id") != 0),
                       _query_vec(spark, sf_dir)).orderBy("rank")
+
+
+@register("source_overlap_jaccard", """
+WITH toks AS (
+  SELECT source, doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
+  FROM (
+    SELECT source, array_to_string(ts[i:i+2], ' ') AS gram
+    FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+    WHERE len(ts) >= 3)),
+sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT src_a, src_b,
+       cast(sa.n AS BIGINT) AS n_a, cast(sb.n AS BIGINT) AS n_b,
+       cast(n_common AS BIGINT) AS n_common,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+""")
+def source_overlap_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain shingle overlap audit (operators/dedup
+    .source_overlap_jaccard): exact pairwise Jaccard between source
+    domains' distinct 3-gram sets via the bounded in-list posting
+    expansion — posting lists are capped by the domain count itself,
+    so the pair generation never touches a document cross join."""
+    return (dedup.source_overlap_jaccard(_t(spark, sf_dir, "documents"))
+            .orderBy("src_a", "src_b"))
+
+
+@register("fk_integrity_audit", """
+SELECT 'orders->customer' AS relation,
+       cast((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+       cast((SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'supplier->nation',
+       (SELECT count(*) FROM supplier),
+       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+UNION ALL
+SELECT 'nation->region',
+       (SELECT count(*) FROM nation),
+       (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+ORDER BY relation
+""")
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the seven TPC-H foreign
+    keys: child row count + orphan count (left-anti against the
+    parent key) per relation. Each anti-join broadcasts the parent
+    key column when it is the small side — the shape a nightly
+    data-quality sweep would run over a 100 TB lake, one bounded
+    report row per relationship."""
+    def rel(name: str, child: DataFrame, ckey: str,
+            parent: DataFrame, pkey: str) -> DataFrame:
+        orphans = (child.select(F.col(ckey).alias("k"))
+                   .join(F.broadcast(parent.select(F.col(pkey).alias("k"))),
+                         "k", "left_anti"))
+        return (child.agg(F.count("*").alias("n_child"))
+                .crossJoin(F.broadcast(
+                    orphans.agg(F.count("*").alias("n_orphans"))))
+                .select(F.lit(name).alias("relation"),
+                        "n_child", "n_orphans"))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    parts = [
+        rel("orders->customer", o, "o_custkey", c, "c_custkey"),
+        rel("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        rel("lineitem->part", li, "l_partkey",
+            _t(spark, sf_dir, "part"), "p_partkey"),
+        rel("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+        rel("customer->nation", c, "c_nationkey", na, "n_nationkey"),
+        rel("supplier->nation", s, "s_nationkey", na, "n_nationkey"),
+        rel("nation->region", na, "n_regionkey",
+            _t(spark, sf_dir, "region"), "r_regionkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")

@@ -234,3 +234,28 @@ class TestMmr:
         assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == \
             [1, 2, 3, 4, 5]
         assert len({r.vec_id for r in rows}) == 5  # no repeats
+
+
+class TestSourceOverlap:
+    def test_hand_computed_jaccard(self, spark):
+        # srcA docs share one 3-gram with srcB; sets sized by hand
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta", "A"),     # grams: abg, bgd
+             (2, "alpha beta gamma", "B"),           # gram: abg
+             (3, "zeta eta theta", "C")],            # gram: zet
+            ["doc_id", "text", "source"])
+        from parlerproject_spark.operators.dedup import source_overlap_jaccard
+        rows = {(r.src_a, r.src_b): r
+                for r in source_overlap_jaccard(docs).collect()}
+        assert set(rows) == {("A", "B")}  # C shares nothing -> absent
+        r = rows[("A", "B")]
+        assert (r.n_a, r.n_b, r.n_common) == (2, 1, 1)
+        assert r.jaccard == 0.5
+
+    def test_identical_sources_full_overlap(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "one two three four", "X"), (2, "one two three four", "Y")],
+            ["doc_id", "text", "source"])
+        from parlerproject_spark.operators.dedup import source_overlap_jaccard
+        r = source_overlap_jaccard(docs).first()
+        assert r.jaccard == 1.0
