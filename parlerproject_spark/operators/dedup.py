@@ -669,3 +669,130 @@ def source_overlap_jaccard(docs: DataFrame, *, group_col: str = "source",
     return inter.select(F.col("id_a").alias("src_a"),
                         F.col("id_b").alias("src_b"),
                         "n_a", "n_b", "n_common", j.alias("jaccard"))
+
+
+# Incremental near-dup + canonical selection --------------------------------
+
+def minhash_band_buckets(sig: DataFrame, *, bands: int = 4,
+                         rows_per_band: int = 3) -> DataFrame:
+    """(doc_id, band, key) banded LSH bucket rows from a signature
+    table — the persisted-store schema for incremental near-dup
+    (identical banding to minhash_lsh_pairs: concat of rows_per_band
+    consecutive hashes per band)."""
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.concat_ws(":", *parts).alias("key")))
+    return (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+            .select("doc_id", "bk.band", "bk.key"))
+
+
+def write_minhash_store(docs: DataFrame, path: str, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, num_hashes: int = 12,
+                        bands: int = 4) -> None:
+    """Persist the corpus's near-dup state: banded bucket rows
+    (PARTITIONED BY band) plus the df-uncapped shingle table — the
+    standing index that lets every future ingest batch near-dup
+    against 100 TB of history WITHOUT re-reading any historical
+    text. Exactly the incremental shape bloom_incremental_dedup
+    gives exact dedup, lifted to MinHash similarity."""
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n) \
+        .repartition("doc_id")
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col,
+                             n=n, num_hashes=num_hashes, _shingles_df=sh)
+    rows_per_band = num_hashes // bands
+    (minhash_band_buckets(sig, bands=bands, rows_per_band=rows_per_band)
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{path}/buckets"))
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def incremental_near_dup_minhash(new_docs: DataFrame,
+                                 seen_buckets: DataFrame,
+                                 seen_shingles: DataFrame, *,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text", n: int = 3,
+                                 num_hashes: int = 12, bands: int = 4,
+                                 threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate matches of an INGEST BATCH against a standing
+    corpus store — the production shape of MinHash dedup: history is
+    touched only through its (small) bucket and shingle tables,
+    never its text.
+
+    Probe: batch signatures → banded keys → equi-join the store's
+    buckets on (band, key) — a key-key join whose left side is
+    batch-sized, so at 100 TB the shuffle moves the BATCH, and the
+    store side prunes to the probed bands/keys. Candidates (new_id,
+    seen_id) then verify by exact Jaccard: batch shingles vs store
+    shingles semi-filtered to candidate ids only. Self-matches
+    (a doc already in the store re-ingested) are excluded by id.
+
+    Columns: new_id, seen_id, jaccard (>= threshold).
+    """
+    rows_per_band = num_hashes // bands
+    new_sh = shingles(new_docs, id_col=id_col, text_col=text_col, n=n) \
+        .repartition("doc_id")
+    sig = minhash_signatures(new_docs, id_col=id_col, text_col=text_col,
+                             n=n, num_hashes=num_hashes, _shingles_df=new_sh)
+    probe = minhash_band_buckets(sig, bands=bands,
+                                 rows_per_band=rows_per_band)
+    cand = (probe.alias("p")
+            .join(seen_buckets.alias("s"),
+                  (F.col("p.band") == F.col("s.band"))
+                  & (F.col("p.key") == F.col("s.key"))
+                  & (F.col("p.doc_id") != F.col("s.doc_id")))
+            .select(F.col("p.doc_id").alias("new_id"),
+                    F.col("s.doc_id").alias("seen_id"))
+            .distinct())
+    a = new_sh.select(F.col("doc_id").alias("new_id"),
+                      F.col("sh").alias("sh_a"))
+    b = seen_shingles.select(F.col("doc_id").alias("seen_id"),
+                             F.col("sh").alias("sh_b"))
+    inter = (cand.join(a, "new_id")
+             .join(b.withColumnRenamed("sh_b", "sh_a"), ["seen_id", "sh_a"])
+             .groupBy("new_id", "seen_id")
+             .agg(F.count("*").alias("n_common")))
+    na = a.groupBy("new_id").agg(F.count("*").alias("n_a"))
+    nb = b.groupBy("seen_id").agg(F.count("*").alias("n_b"))
+    return (inter.join(na, "new_id").join(nb, "seen_id")
+            .withColumn("jaccard", F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "seen_id", "jaccard"))
+
+
+def keep_best_per_cluster(docs: DataFrame, clusters: DataFrame, *,
+                          id_col: str = "doc_id",
+                          score_col: F.Column | None = None) -> DataFrame:
+    """Canonical-document selection: from each duplicate cluster keep
+    the HIGHEST-scoring member (ties → lowest id); documents in no
+    cluster survive as their own singleton. This is the policy step
+    after pair generation + connected components — real pipelines
+    keep the best copy (longest / highest quality), not the
+    arbitrary min-id member.
+
+    One left join to attach cluster ids (singletons get their own id
+    as cluster) and one max_by aggregation over struct(score, -id) —
+    the lexicographic argmax gives score-desc, id-asc in a single
+    combine-able aggregate, no window over the corpus.
+
+    Columns: <id_col>, cluster_id, score.
+    """
+    from parlerproject_spark.functions.text import quality_score
+    score = score_col if score_col is not None else quality_score("text")
+    scored = (docs.select(F.col(id_col), score.alias("score"))
+              .join(clusters.select(F.col(id_col),
+                                    F.col("cluster_id")), id_col, "left")
+              .withColumn("cluster_id",
+                          F.coalesce(F.col("cluster_id"), F.col(id_col))))
+    return (scored.groupBy("cluster_id")
+            .agg(F.max_by(
+                F.struct(F.col(id_col), F.col("score")),
+                F.struct(F.col("score"), (-F.col(id_col)).alias("nid")))
+                .alias("w"))
+            .select(F.col(f"w.{id_col}").alias(id_col), "cluster_id",
+                    F.col("w.score").alias("score")))

@@ -150,3 +150,53 @@ def co_partitioned(left: DataFrame, right: DataFrame, on: str,
     REQUIREMENTS elides the second shuffle)."""
     return (left.repartition(partitions, on),
             right.repartition(partitions, on))
+
+
+def compact_small_files(spark: SparkSession, src: str, dst: str, *,
+                        target_mb: int = 128,
+                        sort_within_by: Sequence[str] = ()) -> dict:
+    """Rewrite a many-small-files Parquet dataset into ~target_mb
+    files — the table-maintenance pass every long-lived 100 TB lake
+    needs (streaming sinks and fine-grained partition writes leave
+    thousands of KB-sized files; each costs a task + a footer read
+    per query, and at scale the NameNode/listing RPCs alone dominate
+    scan setup).
+
+    File count is chosen from the SOURCE byte size (driver-side
+    listing via the Hadoop FS API — no data read), not guessed:
+    ceil(total_bytes / target). `repartition(n)` round-robins rows
+    into equal output files; an optional `sort_within_by` applies a
+    per-file sortWithinPartitions so min/max footer stats stay tight
+    for data-skipping after compaction (pair with zorder_layout for
+    multi-column skipping). Row counts are preserved exactly — the
+    rewrite is pure layout.
+
+    Returns {files_before, files_after, bytes, target_files}.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    total, files_before = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            total += st.getLen()
+            files_before += 1
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src).repartition(n_out)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst)
+    q = jvm.org.apache.hadoop.fs.Path(dst)
+    it2 = fs.listFiles(q, True)
+    files_after = 0
+    while it2.hasNext():
+        name = it2.next().getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            files_after += 1
+    return {"files_before": files_before, "files_after": files_after,
+            "bytes": int(total), "target_files": int(n_out)}

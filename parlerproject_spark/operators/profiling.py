@@ -1,0 +1,164 @@
+"""Dataset profiling — the ingest-time diagnostics a 100 TB corpus
+needs before any pipeline runs over it.
+
+The reference eyeballs its data interactively (`preview_data.ipynb`
+cell 8: `df.info()` / `df.describe()` over the 86-column ExifTool
+frame; `preview_file_downloads.ipynb` cell 3: shape + `sum()` over the
+listing). At 100 TB "look at the frame" becomes three distributed
+shapes:
+
+- `profile_table`   — one aggregation pass over every column
+                      (null rate, cardinality, min/max), the
+                      `df.info()+describe()` analogue;
+- `key_skew_report` — per-key mass distribution for any join/groupBy
+                      key, the pre-flight check that decides whether
+                      `skew.salted_join`/`salted_agg` is needed;
+- `heavy_hitters`   — bounded-memory Misra-Gries candidates + one
+                      exact verification pass, for key spaces too
+                      large to group exactly (the two-pass pattern:
+                      sketch proposes, exact count disposes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: Sequence[str], *,
+                  approx: bool = False) -> DataFrame:
+    """Per-column profile in ONE aggregation job: row count, null
+    count, distinct count, min and max (rendered as strings so every
+    column fits one uniform long-format schema).
+
+    All measures for all columns are computed in a single global
+    `agg`, so the input is scanned once regardless of how many
+    columns are profiled. With `approx=False` the distinct counts
+    are exact, which makes Catalyst plan an EXPAND (one input row
+    fans out once per distinct-aggregate) — fine up to a handful of
+    columns; at 100 TB × many columns pass `approx=True` to use HLL
+    sketches (`approx_count_distinct`) instead, which keeps the scan
+    at exactly one row per row and merges partials like any other
+    aggregate.
+
+    Columns: col_name, n_rows, n_nulls, n_distinct, min_s, max_s.
+    """
+    cd = (F.approx_count_distinct if approx else F.count_distinct)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            cd(c).alias(f"__d_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    # long format via an inline struct array + explode: one output
+    # row per profiled column, computed from the single agg row.
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col("__n").alias("n_rows"),
+                 (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                 F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+                 F.col(f"__mn_{c}").alias("min_s"),
+                 F.col(f"__mx_{c}").alias("max_s"))
+        for c in cols])
+    return (one.select(F.explode(rows).alias("p")).select("p.*"))
+
+
+def key_skew_report(df: DataFrame, key_col: str, *,
+                    top: int = 20) -> DataFrame:
+    """Mass distribution of a prospective join/groupBy key: the top
+    `top` keys by row count with each key's share of total rows and
+    the running cumulative share.
+
+    This is the pre-flight for `operators/skew.py`: a top key whose
+    `share` dwarfs 1/shuffle-partitions is the hot key that melts a
+    reducer, and `cum_share` says how much of the table the head
+    carries. One hash aggregation (map-side combined) + a top-k on
+    the tiny key-count table; the windows run over at most `top`
+    rows after TakeOrdered, never over the raw data.
+
+    Columns: <key_col>, n_rows, share, cum_share.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__t"))
+    topk = (counts
+            .orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+            .limit(top)
+            .crossJoin(F.broadcast(total)))
+    w = (Window.orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (topk.select(
+        key_col, "n_rows",
+        F.round(F.col("n_rows") / F.col("__t"), 6).alias("share"),
+        F.round(F.sum("n_rows").over(w) / F.col("__t"), 6)
+        .alias("cum_share")))
+
+
+def misra_gries_candidates(df: DataFrame, key_col: str, *,
+                           k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries (≤ `k` counters each),
+    unioned into one candidate-key table.
+
+    Guarantee (why two-pass heavy hitters is sound): within a
+    partition of n_p rows, a k-counter MG summary retains every key
+    whose true partition count exceeds n_p/(k+1) — each decrement
+    round removes ≥ k+1 units of mass, so at most n_p/(k+1) total is
+    ever subtracted from any key. By averaging, a key with GLOBAL
+    count > n/(k+1) must beat the per-partition threshold somewhere,
+    so the union of partition summaries is a SUPERSET of the global
+    heavy keys. Memory is O(k) per partition no matter how many
+    distinct keys stream through — the property plain per-partition
+    pre-aggregation (unbounded hash table) does not have.
+
+    The summary is maintained vectorized: each Arrow batch collapses
+    to value_counts, merges into the running dict, and one
+    subtract-the-(k+1)th-largest sweep re-bounds it — the standard
+    mergeable-MG step (Agarwal et al., "Mergeable Summaries"), not a
+    per-row Python loop.
+    """
+    import pandas as pd
+
+    field = df.schema[key_col]
+
+    def summarize(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        summary: dict = {}
+        for batch in it:
+            vc = batch[key_col].dropna().value_counts()
+            for key, c in vc.items():
+                summary[key] = summary.get(key, 0) + int(c)
+            if len(summary) > k:
+                dec = sorted(summary.values(), reverse=True)[k]
+                summary = {kk: v - dec for kk, v in summary.items()
+                           if v - dec > 0}
+        yield pd.DataFrame({key_col: list(summary.keys())})
+
+    return df.select(key_col).mapInPandas(
+        summarize, schema=f"{key_col} {field.dataType.simpleString()}")
+
+
+def heavy_hitters(df: DataFrame, key_col: str, *, k: int) -> DataFrame:
+    """Keys with global count strictly greater than n/(k+1), with
+    EXACT counts — two passes, bounded memory.
+
+    Pass 1 proposes candidates with `misra_gries_candidates` (O(k)
+    state per partition). Pass 2 semi-joins the raw table to the
+    (small, broadcast) candidate set and counts exactly, keeping
+    keys over the threshold. The result is deterministic and
+    identical to a full `GROUP BY ... HAVING count(*)*(k+1) > n` —
+    but pass 2's aggregation state is bounded by the candidate set,
+    not by the key cardinality, which is the point at 100 TB where
+    the key space itself may not fit a reducer.
+
+    Columns: <key_col>, n_rows.
+    """
+    cands = misra_gries_candidates(df, key_col, k=k).distinct()
+    total = df.agg(F.count(F.lit(1)).alias("__t"))
+    exact = (df.join(F.broadcast(cands), key_col, "left_semi")
+             .groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows")))
+    return (exact.crossJoin(F.broadcast(total))
+            .filter(F.col("n_rows") * (k + 1) > F.col("__t"))
+            .select(key_col, "n_rows"))

@@ -214,3 +214,99 @@ def probe_text_index(spark, path: str, query_terms: list[str], *,
             .limit(top_k)
             .select("doc_id", "score",
                     F.row_number().over(w).cast("long").alias("rank")))
+
+
+# Phrase search --------------------------------------------------------------
+
+def phrase_count(docs: DataFrame, phrase: str, *,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Exact-phrase occurrence count per document — the quoted-query
+    ("hash join") retrieval primitive BM25's bag-of-words scoring
+    cannot express.
+
+    Single-scan shape: tokenize (narrow map), then count the start
+    offsets where the next len(phrase) tokens equal the phrase — a
+    filter over sequence(0, |d|-m) with an m-way conjunction of
+    element_at probes, all one codegen'd array expression. ZERO
+    shuffle, zero joins: per-doc work is O(|d| * m) in the worst
+    case and the phrase terms are literals, so at 100 TB this is a
+    pure map stage that scales with input splits. Docs shorter than
+    the phrase count 0.
+
+    Columns: <id_col>, n_matches (only docs with ≥ 1 match).
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    m = len(terms)
+    assert m >= 1, "phrase must contain at least one token"
+    ts = tokenize(text_col)
+
+    def match_at(s):
+        cond = None
+        for i, t in enumerate(terms):
+            eq = F.element_at(F.col("__ts"), s + i + 1) == F.lit(t)
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    starts = F.when(
+        F.size("__ts") >= m,
+        F.size(F.filter(F.sequence(F.lit(0), F.size("__ts") - m),
+                        match_at))).otherwise(F.lit(0))
+    return (docs.select(F.col(id_col), ts.alias("__ts"))
+            .select(id_col, starts.cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def build_positional_index(docs: DataFrame, path: str, *,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> None:
+    """Materialize POSITIONAL postings (doc_id, term, pos) Parquet-
+    partitioned by md5(term) % 256 — the index `build_text_index`
+    builds minus the tf collapse: keeping every position is exactly
+    what turns a bag-of-words index into a phrase index. Build cost
+    is one tokenize + posexplode pass; no aggregation at all (the
+    posting IS the exploded row), so the write is a pure map stage.
+    """
+    (docs.select(F.col(id_col).alias("doc_id"),
+                 F.posexplode(tokenize(text_col)).alias("pos", "term"))
+         .withColumn("bucket", _term_bucket(F.col("term")))
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(f"{path}/postings"))
+
+
+def probe_phrase_index(spark, path: str, phrase: str) -> DataFrame:
+    """Exact-phrase counts against a persisted positional index,
+    WITHOUT touching document text.
+
+    The classic formulation joins one postings scan per phrase term
+    on (doc, pos - i) — m joins for an m-word phrase. This probe is
+    ONE shuffle for any m: broadcast the tiny (term, offset) phrase
+    table against the bucket-pruned postings scan (planning-time
+    partition filter, same contract as probe_text_index), map each
+    hit to its implied phrase START (pos - offset), then count
+    DISTINCT offsets per (doc, start) — a start where all m offsets
+    appear is a phrase occurrence. Repeated phrase words are handled
+    for free: each (term, offset) pair is a distinct probe row.
+
+    Columns: doc_id, n_matches (docs with ≥ 1 match).
+    """
+    import hashlib
+    terms = [t for t in phrase.lower().split() if t]
+    m = len(terms)
+    assert m >= 1, "phrase must contain at least one token"
+    buckets = sorted({int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                      % INDEX_BUCKETS for t in terms})
+    probe = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, off int")
+    post = (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(sorted(set(terms)))))
+    hits = (post.join(F.broadcast(probe), "term")
+            .select("doc_id", (F.col("pos") - F.col("off")).alias("start"),
+                    "off")
+            .filter(F.col("start") >= 0))
+    return (hits.groupBy("doc_id", "start")
+            .agg(F.count_distinct("off").alias("__k"))
+            .filter(F.col("__k") == m)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches")))

@@ -62,6 +62,13 @@ _DRIVER_PRIORITY: list[str] = [
     # never-sampled first, then ascending last-sampled round, so
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
+    # Round-5 session-4 additions (never sampled):
+    "incremental_near_dup_docs",
+    "canonical_docs_near_dup",
+    "profile_events_table",
+    "key_skew_events",
+    "heavy_hitters_users",
+    "phrase_count_docs",
     # Round-5 session-3 additions (never sampled):
     "spatial_user_pairs",
     "cusum_changepoints_events",
@@ -6847,3 +6854,233 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# Dataset profiling + phrase retrieval (operators/profiling.py, retrieval.py)
+# ---------------------------------------------------------------------------
+
+@register("profile_events_table", """
+WITH s AS (
+  SELECT event_id, user_id, event_type,
+         value::DECIMAL(18,2) AS value_d,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+  FROM events)
+SELECT 'event_id' AS col_name, count(*) AS n_rows,
+       count(*) - count(event_id) AS n_nulls,
+       count(DISTINCT event_id) AS n_distinct,
+       min(event_id)::VARCHAR AS min_s, max(event_id)::VARCHAR AS max_s
+FROM s
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id), min(user_id)::VARCHAR, max(user_id)::VARCHAR
+FROM s
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type), min(event_type), max(event_type)
+FROM s
+UNION ALL
+SELECT 'value_d', count(*), count(*) - count(value_d),
+       count(DISTINCT value_d), min(value_d)::VARCHAR, max(value_d)::VARCHAR
+FROM s
+UNION ALL
+SELECT 'ts_s', count(*), count(*) - count(ts_s),
+       count(DISTINCT ts_s), min(ts_s), max(ts_s)
+FROM s
+ORDER BY col_name
+""")
+def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile (operators/profiling.profile_table)
+    of the events table — the distributed analogue of the reference's
+    interactive `df.info()`/`describe()` (preview_data.ipynb cell 8).
+    Floats are profiled as DECIMAL(18,2) and timestamps as a fixed
+    6-digit-microsecond string so the min/max string rendering is
+    engine-neutral (double→string and ts→string formatting differ
+    between engines; decimal and fixed-format strings do not)."""
+    from parlerproject_spark.operators.profiling import profile_table
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.col("value").cast("decimal(18,2)").alias("value_d"),
+                  F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                  .alias("ts_s")))
+    return profile_table(
+        ev, ["event_id", "user_id", "event_type", "value_d", "ts_s"]) \
+        .orderBy("col_name")
+
+
+@register("key_skew_events", """
+WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+t AS (SELECT sum(n_rows) AS tt FROM c),
+k AS (SELECT user_id, n_rows FROM c
+      ORDER BY n_rows DESC, user_id ASC LIMIT 20)
+SELECT user_id, n_rows,
+       round(n_rows / tt, 6) AS share,
+       round(sum(n_rows) OVER (ORDER BY n_rows DESC, user_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) / tt, 6) AS cum_share
+FROM k CROSS JOIN t
+ORDER BY n_rows DESC, user_id ASC
+""")
+def key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight (operators/profiling.key_skew_report):
+    top-20 user_id keys by row mass with per-key share and cumulative
+    share — the diagnostic that decides whether skew.salted_join /
+    salted_agg is warranted before a 100 TB shuffle melts one
+    reducer. The windows run over the 20-row top-k only."""
+    from parlerproject_spark.operators.profiling import key_skew_report
+    ev = _t(spark, sf_dir, "events")
+    return (key_skew_report(ev, "user_id", top=20)
+            .orderBy(F.col("n_rows").desc(), F.col("user_id").asc()))
+
+
+@register("heavy_hitters_users", """
+SELECT user_id, count(*) AS n_rows
+FROM events
+GROUP BY user_id
+HAVING count(*) * 200 > (SELECT count(*) FROM events)
+ORDER BY user_id
+""")
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass bounded-memory heavy hitters (operators/profiling.
+    heavy_hitters, k=199): per-partition Misra-Gries summaries
+    propose candidates in O(k) memory, one exact semi-joined count
+    pass verifies against the n/(k+1) threshold. Result is provably
+    identical to the oracle's full GROUP BY ... HAVING — the sketch
+    only bounds pass-2 state, it never changes the answer."""
+    from parlerproject_spark.operators.profiling import heavy_hitters
+    ev = _t(spark, sf_dir, "events")
+    return (heavy_hitters(ev, "user_id", k=199)
+            .select("user_id", F.col("n_rows").cast("long").alias("n_rows"))
+            .orderBy("user_id"))
+
+
+@register("phrase_count_docs", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents)
+SELECT doc_id,
+       cast(len(list_filter(range(1, len(ts)),
+                            s -> ts[s] = 'hash' AND ts[s + 1] = 'join'))
+            AS BIGINT) AS n_matches
+FROM t
+WHERE len(list_filter(range(1, len(ts)),
+                      s -> ts[s] = 'hash' AND ts[s + 1] = 'join')) > 0
+ORDER BY doc_id
+""")
+def phrase_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("hash join") via the zero-shuffle
+    array-expression scan (operators/retrieval.phrase_count) — the
+    quoted-query primitive BM25 cannot express. The persisted
+    positional-index variant (build_positional_index /
+    probe_phrase_index) is proven result-identical in
+    tests/test_retrieval_selection_graph.py."""
+    from parlerproject_spark.operators.retrieval import phrase_count
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_count(docs, "hash join").orderBy("doc_id")
+
+
+@register("incremental_near_dup_docs", f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
+  FROM (
+    SELECT doc_id,
+           array_to_string(ts[i:i+2], ' ') AS gram
+    FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+    WHERE len(ts) >= 3)),
+sig AS (
+  SELECT doc_id,
+       {_MINHASH_MINS}
+  FROM grams GROUP BY doc_id),
+buckets AS (
+  {_MINHASH_BANDS}),
+cand AS (
+  SELECT DISTINCT p.doc_id AS new_id, s.doc_id AS seen_id
+  FROM buckets p JOIN buckets s
+    ON p.band = s.band AND p.key = s.key AND p.doc_id <> s.doc_id
+  WHERE p.doc_id % 3 = 0 AND s.doc_id % 2 = 0),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT new_id, seen_id, count(*) AS n_common
+  FROM cand
+  JOIN grams a ON a.doc_id = new_id
+  JOIN grams b ON b.doc_id = seen_id AND a.sh = b.sh
+  GROUP BY new_id, seen_id)
+SELECT new_id, seen_id,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = seen_id
+WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+ORDER BY new_id, seen_id
+""")
+def incremental_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch near-dup against a standing corpus store
+    (dedup.write_minhash_store / incremental_near_dup_minhash):
+    history (doc_id %% 2 = 0) is touched only through its banded
+    bucket + shingle tables; the batch (doc_id %% 3 = 0) probes
+    buckets on (band, key) and exact-verifies candidates only.
+    Self-matches (docs in both sets) are id-excluded. The oracle
+    rebuilds the identical deterministic pipeline corpus-wide and
+    applies the same set filters."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    from parlerproject_spark.operators.dedup import (
+        incremental_near_dup_minhash, minhash_band_buckets,
+        minhash_signatures, shingles)
+    seen_sh = shingles(seen).repartition("doc_id")
+    seen_sig = minhash_signatures(seen, _shingles_df=seen_sh)
+    seen_buckets = minhash_band_buckets(seen_sig)
+    out = incremental_near_dup_minhash(new, seen_buckets, seen_sh,
+                                       threshold=0.5)
+    return out.orderBy("new_id", "seen_id")
+
+
+@register("canonical_docs_near_dup", f"""
+WITH RECURSIVE np AS ({_NGRAM_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM np
+  UNION
+  SELECT id_b AS s, id_a AS d FROM np),
+nodes AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v),
+cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+m AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         round(least(length(d.text) / 500.0, 1.0) *
+               (CASE WHEN length(d.text) > 0
+                     THEN length(regexp_replace(d.text, '[^A-Za-z ]', '', 'g'))
+                          * 1.0 / length(d.text)
+                     ELSE 0.0 END), 6) AS score
+  FROM documents d LEFT JOIN cl USING (doc_id)),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM m)
+SELECT doc_id, cluster_id, score
+FROM w WHERE rn = 1
+ORDER BY doc_id
+""")
+def canonical_docs_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection (dedup.keep_best_per_cluster):
+    n-gram-Jaccard pairs -> connected components -> keep the
+    highest-quality member per duplicate cluster (ties -> lowest
+    id), singletons survive as themselves. One max_by aggregate on
+    struct(score, -id) — never a corpus-wide window. The oracle
+    replays pairs + transitive closure (recursive CTE) + the same
+    argmax policy."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=128)
+    clusters = dedup.duplicate_clusters(pairs)
+    from parlerproject_spark.operators.dedup import keep_best_per_cluster
+    return keep_best_per_cluster(docs, clusters).orderBy("doc_id")

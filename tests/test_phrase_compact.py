@@ -1,0 +1,91 @@
+"""Phrase retrieval (scan vs positional index) and small-file
+compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parlerproject_spark.operators.retrieval import (
+    build_positional_index,
+    phrase_count,
+    probe_phrase_index,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "the hash join beats the sort merge join"),
+         (2, "hash join hash join hash join"),
+         (3, "a hash, join them"),          # punctuation splits: still adjacent
+         (4, "join hash"),                   # wrong order
+         (5, "no phrase here at all"),
+         (6, "hash"),                        # shorter than the phrase
+         (7, "HASH Join is case-insensitive")],
+        "doc_id bigint, text string")
+
+
+def test_phrase_count_scan(spark):
+    got = {(r["doc_id"], r["n_matches"])
+           for r in phrase_count(_docs(spark), "hash join").collect()}
+    assert got == {(1, 1), (2, 3), (3, 1), (7, 1)}
+
+
+def test_phrase_count_single_term_and_long_phrase(spark):
+    d = _docs(spark)
+    one = {(r["doc_id"], r["n_matches"])
+           for r in phrase_count(d, "join").collect()}
+    assert one == {(1, 2), (2, 3), (3, 1), (4, 1), (7, 1)}
+    # repeated-word phrase: overlapping occurrences each count
+    rep = {(r["doc_id"], r["n_matches"])
+           for r in phrase_count(d, "hash join hash").collect()}
+    assert rep == {(2, 2)}
+
+
+def test_probe_phrase_index_matches_scan(spark, tmp_path):
+    d = _docs(spark)
+    path = str(tmp_path / "pidx")
+    build_positional_index(d, path)
+    for phrase in ["hash join", "join", "hash join hash join"]:
+        scan = {(r["doc_id"], r["n_matches"])
+                for r in phrase_count(d, phrase).collect()}
+        idx = {(r["doc_id"], r["n_matches"])
+               for r in probe_phrase_index(spark, path, phrase).collect()}
+        assert idx == scan, phrase
+
+
+def test_probe_phrase_index_prunes_buckets(spark, tmp_path):
+    d = _docs(spark)
+    path = str(tmp_path / "pidx")
+    build_positional_index(d, path)
+    plan = (probe_phrase_index(spark, path, "hash join")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan
+
+
+def test_compact_small_files_preserves_rows(spark, tmp_path):
+    from parlerproject_spark.operators.layout import compact_small_files
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 7).alias("m"))
+    df.repartition(64).write.parquet(src)
+    stats = compact_small_files(spark, src, dst, target_mb=128)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == stats["target_files"] == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 10000
+    assert got.agg(F.sum("id")).first()[0] == 10000 * 9999 // 2
+
+
+def test_compact_small_files_sorted_within(spark, tmp_path):
+    from parlerproject_spark.operators.layout import compact_small_files
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k")) \
+        .repartition(16).write.parquet(src)
+    compact_small_files(spark, src, dst, target_mb=128, sort_within_by=["k"])
+    import pandas as pd  # noqa: F401
+    pdf = spark.read.parquet(dst).toPandas()
+    assert (pdf["k"].values == sorted(pdf["k"].values)).all()

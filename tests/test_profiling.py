@@ -1,0 +1,87 @@
+"""Dataset profiling operators (operators/profiling.py): one-pass
+column profiles, key-skew reports, and bounded-memory two-pass heavy
+hitters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parlerproject_spark.operators.profiling import (
+    heavy_hitters,
+    key_skew_report,
+    misra_gries_candidates,
+    profile_table,
+)
+
+
+def test_profile_table_counts_nulls_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x bigint, s string")
+    out = {r["col_name"]: r for r in
+           profile_table(df, ["x", "s"]).collect()}
+    assert out["x"]["n_rows"] == 4
+    assert out["x"]["n_nulls"] == 1
+    assert out["x"]["n_distinct"] == 3
+    assert out["x"]["min_s"] == "1" and out["x"]["max_s"] == "3"
+    assert out["s"]["n_nulls"] == 1
+    assert out["s"]["n_distinct"] == 2
+    assert out["s"]["min_s"] == "a" and out["s"]["max_s"] == "b"
+
+
+def test_profile_table_approx_path_close_to_exact(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 97).alias("m"))
+    out = {r["col_name"]: r for r in
+           profile_table(df, ["id", "m"], approx=True).collect()}
+    # HLL default rsd 5%: 97 distinct should estimate within 10
+    assert abs(out["m"]["n_distinct"] - 97) <= 10
+    assert abs(out["id"]["n_distinct"] - 5000) <= 5000 * 0.1
+
+
+def test_key_skew_report_shares_sum_to_one_for_full_top(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 6 + [2] * 3 + [3] * 1], "k bigint")
+    rows = key_skew_report(df, "k", top=10).collect()
+    assert [r["k"] for r in rows] == [1, 2, 3]
+    assert [r["n_rows"] for r in rows] == [6, 3, 1]
+    assert rows[0]["share"] == 0.6
+    assert rows[-1]["cum_share"] == 1.0
+
+
+def _skewed(spark, n_noise=3000, hot=400):
+    """One hot key amid a long tail of singletons — the MG target."""
+    noise = spark.range(0, n_noise).select(
+        (F.col("id") + 1000).alias("k"))
+    hot_df = spark.range(0, hot).select(F.lit(7).alias("k"))
+    return noise.unionByName(hot_df).repartition(8)
+
+
+def test_misra_gries_summary_is_bounded_and_keeps_hot_key(spark):
+    df = _skewed(spark)
+    k = 10
+    cands = misra_gries_candidates(df, "k", k=k)
+    per_part = (cands.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count("*").alias("n")).collect())
+    # each partition summary is bounded by k counters
+    assert all(r["n"] <= k for r in per_part)
+    assert 7 in {r["k"] for r in cands.collect()}
+
+
+def test_heavy_hitters_equals_exact_group_by(spark):
+    df = _skewed(spark)
+    k = 10
+    got = {(r["k"], r["n_rows"])
+           for r in heavy_hitters(df, "k", k=k).collect()}
+    n = df.count()
+    want = {(r["k"], r["n"]) for r in
+            df.groupBy("k").agg(F.count("*").alias("n"))
+            .filter(F.col("n") * (k + 1) > n).collect()}
+    assert got == want and got == {(7, 400)}
+
+
+def test_heavy_hitters_ignores_nulls_in_candidates(spark):
+    df = spark.createDataFrame(
+        [(None,)] * 50 + [(1,)] * 30 + [(2,)] * 3, "k bigint")
+    cands = misra_gries_candidates(df, "k", k=5).collect()
+    assert None not in {r["k"] for r in cands}
