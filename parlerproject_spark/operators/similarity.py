@@ -733,9 +733,15 @@ def mmr_rerank(vectors: DataFrame, query: DataFrame, *,
     """
     from parlerproject_spark.functions.vectors import cosine
 
+    # persist() both bounded leaves: the unrolled greedy below
+    # references cand/pairs once per pick and Spark shares no
+    # subplans, so without materialization the CORPUS-wide knn cut
+    # re-executes for every reference (measured 7 s vs <1 s at
+    # sf0.01). The cached relations are ≤ k_candidates and
+    # ≤ k_candidates² rows — model-sized, never corpus-sized.
     cand = knn_bruteforce(vectors, query, k=k_candidates,
                           id_col=id_col, vec_col=vec_col) \
-        .withColumnRenamed("sim", "rel")
+        .withColumnRenamed("sim", "rel").persist()
     cvec = (vectors.select(F.col(id_col).alias("vec_id"),
                            F.col(vec_col).alias("v"))
             .join(F.broadcast(cand.select("vec_id")), "vec_id"))
@@ -744,7 +750,8 @@ def mmr_rerank(vectors: DataFrame, query: DataFrame, *,
     # bounded k_candidates² matrix — the crossJoin never sees the corpus
     pairs = (a.crossJoin(F.broadcast(b))
              .filter(F.col("ia") != F.col("ib"))
-             .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s")))
+             .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
+             .persist())
     first = (cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
              .limit(1)
              .select(F.lit(1).cast("long").alias("rank"), "vec_id", "rel",
@@ -765,7 +772,16 @@ def mmr_rerank(vectors: DataFrame, query: DataFrame, *,
                                F.col("vec_id").asc())
                 .limit(1)
                 .select(F.lit(t).cast("long").alias("rank"), "vec_id",
-                        "rel", "mmr_score"))
+                        "rel", "mmr_score")
+                # eager lineage cut: `sel` appears TWICE in every
+                # scored_t (anti-join + max-sim join), so without
+                # truncation the logical plan doubles per pick —
+                # 2^k analysis blow-up (measured 7 s of pure
+                # planning at k=5). Each checkpointed pick is ONE
+                # row; the greedy loop is k bounded micro-jobs over
+                # the persisted candidate relations, the same
+                # iterative-operator contract as duplicate_clusters.
+                .localCheckpoint(eager=True))
         picks.append(pick)
         sel = sel.unionByName(pick.select("vec_id"))
     out = picks[0]
