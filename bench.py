@@ -173,6 +173,14 @@ EXTRA = [
     "mmr_rerank_embeddings",
     "source_overlap_jaccard",
     "fk_integrity_audit",
+    # round-5 session-4: profiling, heavy hitters, phrase retrieval,
+    # incremental near-dup store, canonical dedup selection
+    "profile_events_table",
+    "key_skew_events",
+    "heavy_hitters_users",
+    "phrase_count_docs",
+    "incremental_near_dup_docs",
+    "canonical_docs_near_dup",
 ]
 
 
@@ -196,7 +204,11 @@ def _median(xs: list[float]) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # median-of-5: this host shows intermittent multi-second
+    # hypervisor steal (observed q1 per-run spread 1.0-4.3 s on
+    # identical work); 3 runs let ONE noisy window poison a median,
+    # 5 tolerate two. Extras still run once (see below).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
     registry = Q.queries()
@@ -213,7 +225,7 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
-    def time_queries(names: list[str]) -> dict[str, float]:
+    def time_queries(names: list[str], runs_each: int) -> dict[str, float]:
         # A missing or crashing query is recorded and skipped — one bad
         # entry must never cost the round its headline number (round 2
         # lost its number to an oversized output line; same lesson).
@@ -222,7 +234,7 @@ def main() -> None:
             try:
                 fn = registry[name]
                 per = []
-                for _ in range(n_runs):
+                for _ in range(runs_each):
                     start = time.perf_counter()
                     fn(spark, sf_dir).write.format("noop").mode(
                         "overwrite").save()
@@ -235,8 +247,15 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         return timings
 
-    timings = time_queries(HEADLINE)
-    extra = time_queries(EXTRA)
+    # Headline keeps the median-of-n noise guard; the ~110-query extra
+    # tail runs ONCE each — at 3 runs the full bench outgrew a
+    # 10-minute wall (the tail is informational tracking, not the
+    # cross-round contract number, and a tail-query regression is
+    # visible at 1 run just as well).
+    n_runs_extra = max(1, int(
+        os.environ.get("SPARK_GRAFT_BENCH_EXTRA_RUNS", "1")))
+    timings = time_queries(HEADLINE, n_runs)
+    extra = time_queries(EXTRA, n_runs_extra)
 
     total = round(sum(timings.values()), 3)
     headline = {

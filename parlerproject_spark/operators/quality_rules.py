@@ -154,7 +154,8 @@ def gopher_repetition_flags(docs: DataFrame, *, id_col: str = "doc_id",
                             max_dup_para_char_frac: float = 0.20,
                             max_top2_char_frac: float = 0.20,
                             max_top3_char_frac: float = 0.18,
-                            max_top4_char_frac: float = 0.16) -> DataFrame:
+                            max_top4_char_frac: float = 0.16,
+                            impl: str = "arrow") -> DataFrame:
     """The Gopher REPETITION filters (Rae et al. 2021 §A1, the
     companion of gopher_quality_flags' §A1.1 rules; the same signal
     set Dolma/RedPajama/FineWeb ship): documents dominated by
@@ -184,15 +185,30 @@ def gopher_repetition_flags(docs: DataFrame, *, id_col: str = "doc_id",
     dup_line_char_frac, dup_para_char_frac, top2gram_char_frac,
     top3gram_char_frac, top4gram_char_frac, pass_* per signal, keep.
     """
+    if impl == "arrow":
+        return _gopher_repetition_arrow(
+            docs, id_col=id_col, text_col=text_col,
+            thresholds=(max_dup_line_frac, max_dup_para_frac,
+                        max_dup_line_char_frac, max_dup_para_char_frac,
+                        max_top2_char_frac, max_top3_char_frac,
+                        max_top4_char_frac))
+
     from pyspark.sql import Window
 
     from parlerproject_spark.functions.text import tokenize
 
+    # the trim lambda must be wrapped: transform() sees that bare
+    # F.trim accepts a second argument and calls it as (element,
+    # INDEX) — the index becomes trim's character-set parameter and
+    # nothing is space-trimmed (latent divergence vs the oracle's
+    # trim(), caught by the arrow==expr equivalence test)
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), F.trim),
+        F.transform(F.split(F.col(text_col), r"\n"),
+                    lambda l: F.trim(l)),
         lambda l: F.length(l) > 0)
     paras = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n{2,}"), F.trim),
+        F.transform(F.split(F.col(text_col), r"\n{2,}"),
+                    lambda p: F.trim(p)),
         lambda p: F.length(p) > 0)
 
     def dup_frac(arr):
@@ -273,3 +289,104 @@ def gopher_repetition_flags(docs: DataFrame, *, id_col: str = "doc_id",
             & F.col("pass_top2") & F.col("pass_top3") & F.col("pass_top4"))
     return (flags.withColumn("keep", keep)
             .withColumnRenamed("doc_id", id_col))
+
+
+def _gopher_repetition_arrow(docs: DataFrame, *, id_col: str,
+                             text_col: str,
+                             thresholds: tuple) -> DataFrame:
+    """Arrow per-document implementation of the repetition signals —
+    result-identical to the expression form (same winnowing-style
+    impl split as text_analysis.winnow_fingerprints).
+
+    Why it exists: every signal is a function of ONE document, yet
+    the relational form pays (a) interpreted higher-order-function
+    lambdas per token to build three word-n-gram streams and (b) a
+    corpus-wide (doc, gram) exchange + window just to find each
+    doc's hottest gram. Here the whole computation is a ZERO-shuffle
+    mapInPandas: C-speed Counter over n-gram tuples per doc (tuple
+    order equals joined-string order because ' ' sorts below every
+    [a-z0-9] token char, so the lexicographic tie-break is
+    preserved). Measured ~6x faster at sf0.1.
+
+    Rounding matches the JVM exactly: Decimal(float) quantized
+    HALF_UP is BigDecimal(double).setScale(6, HALF_UP) — Python's
+    built-in round() (banker's) would diverge on half-interval
+    values.
+    """
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    (t_dl, t_dp, t_dlc, t_dpc, t2, t3, t4) = thresholds
+    tok = re.compile(r"[a-z0-9]+")
+    para_split = re.compile(r"\n{2,}")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, dup_line_frac double, "
+              "dup_para_frac double, dup_line_char_frac double, "
+              "dup_para_char_frac double, top2gram_char_frac double, "
+              "top3gram_char_frac double, top4gram_char_frac double, "
+              "pass_dup_line boolean, pass_dup_para boolean, "
+              "pass_dup_line_chars boolean, pass_dup_para_chars boolean, "
+              "pass_top2 boolean, pass_top3 boolean, pass_top4 boolean, "
+              "keep boolean")
+
+    def r6(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    def dup_frac(a: list) -> float:
+        t = len(a)
+        return r6((t - len(set(a))) / max(t, 1))
+
+    def dup_char_frac(a: list) -> float:
+        t = sum(map(len, a))
+        return r6((t - sum(map(len, set(a)))) / max(t, 1))
+
+    def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                # F.trim / DuckDB trim strip SPACES only — strip(' ')
+                lines = [s for s in (l.strip(" ")
+                                     for l in text.split("\n")) if s]
+                paras = [s for s in (p.strip(" ")
+                                     for p in para_split.split(text)) if s]
+                ts = tok.findall(text.lower())
+                wc = sum(map(len, ts))
+                fr = {}
+                for n in (2, 3, 4):
+                    if len(ts) < n:
+                        fr[n] = 0.0
+                        continue
+                    c = Counter(zip(*[ts[i:] for i in range(n)]))
+                    # count desc, joined-gram asc — one min() on the
+                    # negated-count pair
+                    neg, gram = min((-v, " ".join(k))
+                                    for k, v in c.items())
+                    fr[n] = r6((-neg) * (len(gram) - (n - 1))
+                               / max(wc, 1))
+                d = dict(dup_line_frac=dup_frac(lines),
+                         dup_para_frac=dup_frac(paras),
+                         dup_line_char_frac=dup_char_frac(lines),
+                         dup_para_char_frac=dup_char_frac(paras))
+                p2, p3, p4 = fr[2] <= t2, fr[3] <= t3, fr[4] <= t4
+                pl, pp = d["dup_line_frac"] <= t_dl, d["dup_para_frac"] <= t_dp
+                plc = d["dup_line_char_frac"] <= t_dlc
+                ppc = d["dup_para_char_frac"] <= t_dpc
+                rows.append((did, d["dup_line_frac"], d["dup_para_frac"],
+                             d["dup_line_char_frac"], d["dup_para_char_frac"],
+                             fr[2], fr[3], fr[4],
+                             pl, pp, plc, ppc, p2, p3, p4,
+                             pl and pp and plc and ppc and p2 and p3 and p4))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "dup_line_frac", "dup_para_frac",
+                "dup_line_char_frac", "dup_para_char_frac",
+                "top2gram_char_frac", "top3gram_char_frac",
+                "top4gram_char_frac", "pass_dup_line", "pass_dup_para",
+                "pass_dup_line_chars", "pass_dup_para_chars",
+                "pass_top2", "pass_top3", "pass_top4", "keep"])
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -164,3 +164,24 @@ def test_repetition_top_ngram_tie_breaks_lexicographically(spark):
     r1 = _rep(spark, "aa dd bb cc")
     r2 = _rep(spark, "aa dd bb cc")
     assert r1["top2gram_char_frac"] == r2["top2gram_char_frac"]
+
+
+def test_repetition_arrow_equals_expr(spark):
+    """The Arrow per-doc implementation is row-identical to the
+    expression form on adversarial fixtures: duplicate lines/paras,
+    tie-broken top grams, short docs, empty-after-trim lines."""
+    from parlerproject_spark.operators.quality_rules import (
+        gopher_repetition_flags)
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc\naa bb cc\n\naa bb cc"),
+         (2, "x y x y x y x y"),
+         (3, "one"),                      # no 2-grams at all
+         (4, "  \n  \npad line  \npad line"),
+         (5, "aa dd bb cc"),              # top-gram tie
+         (6, "w1 w2 w3 " * 50 + "tail")],
+        "doc_id bigint, text string")
+    a = gopher_repetition_flags(docs, impl="arrow").orderBy("doc_id")
+    e = gopher_repetition_flags(docs, impl="expr").orderBy("doc_id")
+    assert [(f.name, f.dataType) for f in a.schema] == \
+           [(f.name, f.dataType) for f in e.schema]
+    assert a.collect() == e.collect()
