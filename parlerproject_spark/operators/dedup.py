@@ -605,8 +605,6 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
     Columns: <id_col>, cluster (k-means cell), keep (boolean —
     false = semantic duplicate of a kept earlier vector).
     """
-    from parlerproject_spark.functions.vectors import dot as _dot
-    from parlerproject_spark.functions.vectors import l2_norm
     from parlerproject_spark.operators.topics import _assign, lloyd_centroids
 
     cents = lloyd_centroids(vectors, k=k, max_iter=max_iter,
@@ -615,21 +613,43 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
     assigned = (_assign(vectors, cents, id_col=id_col, vec_col=vec_col,
                         impl="expr")
                 .withColumnRenamed("topic", "cluster"))
-    sides = assigned.select("cluster", F.col(id_col).alias("vid"),
-                            F.col(vec_col).alias("v"),
-                            l2_norm(vec_col).alias("n"))
-    a = sides.alias("a")
-    # both sides are the same corpus-scale table: shuffle-hash on the
-    # cluster key, never a broadcast (same rationale as
-    # fingerprint_overlap_pairs)
-    b = sides.hint("shuffle_hash").alias("b")
-    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
-    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-                    & (F.col("a.vid") < F.col("b.vid")))
-             .filter((F.col("a.n") > 0) & (F.col("b.n") > 0))
-             .select(F.col("a.vid").alias("id_a"),
-                     F.col("b.vid").alias("id_b"), sim.alias("sim"))
-             .filter(F.col("sim") >= threshold))
+    # Within-cell pairs as ONE Arrow gram matrix per cell
+    # (applyInPandas over the k-means cell key) — the paper's own
+    # per-cluster computation shape. The relational self-join pays an
+    # interpreted higher-order-function dot per candidate pair
+    # (~n²/k of them); the matmul is vectorized float64 and the
+    # group's memory is (cell size)² doubles, bounded by
+    # construction because the caller picks k so cells fit an
+    # executor — the same knob that bounds the join's skew. Zero
+    # norms are masked (same n > 0 guard as the join form).
+    import numpy as np
+    import pandas as pd
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["vid"].to_numpy()
+        n = np.linalg.norm(X, axis=1)
+        ok = n > 0
+        X, ids, n = X[ok], ids[ok], n[ok]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "sim": np.array([], dtype=np.float64)})
+        order = np.argsort(ids)
+        X, ids, n = X[order], ids[order], n[order]
+        S = (X / n[:, None]) @ (X / n[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = S[iu, ju] >= threshold
+        return pd.DataFrame({"id_a": ids[iu[hit]], "id_b": ids[ju[hit]],
+                             "sim": S[iu[hit], ju[hit]]})
+
+    pairs = (assigned.select("cluster", F.col(id_col).alias("vid"),
+                             F.col(vec_col).alias("v"))
+             .groupBy("cluster")
+             .applyInPandas(cell_pairs,
+                            schema=f"id_a {id_type}, id_b {id_type}, "
+                                   "sim double"))
     comps = duplicate_clusters(pairs)  # (doc_id, cluster_id=min label)
     dupes = (comps.filter(F.col("doc_id") != F.col("cluster_id"))
              .select(F.col("doc_id").alias("dup_id")))

@@ -173,7 +173,8 @@ def train_bpe(docs: DataFrame, *, n_merges: int = 50,
 
 def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]], *,
               id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              impl: str = "arrow") -> DataFrame:
     """Segment each document's tokens with a learned merge list —
     merges replay in training order over each word's symbols (the
     standard BPE encoder).
@@ -194,24 +195,58 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]], *,
     """
     toked = docs.select(F.col(id_col).alias("doc_id"),
                         tokenize(text_col).alias("ws"))
-    words = (toked.select(F.explode("ws").alias("word")).distinct()
-             .withColumn("syms", F.concat(
-                 F.filter(F.split("word", ""),
-                          lambda c: F.length(c) > 0),
-                 F.array(F.lit(EOW)))))
-    for a, b in merges:
-        la, lb = F.lit(a), F.lit(b)
-        words = words.withColumn(
-            "syms",
-            F.aggregate(
+    vocab_words = toked.select(F.explode("ws").alias("word")).distinct()
+    if impl == "arrow":
+        # Same left-to-right greedy replay, vectorized per vocab
+        # batch in Python instead of n_merges NESTED interpreted
+        # aggregate() expressions (the expr form re-walks every
+        # word's symbol array once per merge through an interpreted
+        # lambda with O(len) array rebuilds — measured ~5x slower at
+        # sf0.1 with 50 merges). Pure string algorithm, bit-identical
+        # output; the reference-BPE pytest pins both forms.
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        mlist = list(merges)
+
+        def seg(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            def one(word: str) -> list[str]:
+                syms = list(word) + [EOW]
+                for a, b in mlist:
+                    out: list[str] = []
+                    for s in syms:
+                        if out and out[-1] == a and s == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(s)
+                    syms = out
+                return syms
+
+            for pdf in it:
+                yield pd.DataFrame({"word": pdf["word"],
+                                    "syms": [one(w) for w in pdf["word"]]})
+
+        words = vocab_words.mapInPandas(
+            seg, schema="word string, syms array<string>")
+    else:
+        words = vocab_words.withColumn("syms", F.concat(
+            F.filter(F.split("word", ""),
+                     lambda c: F.length(c) > 0),
+            F.array(F.lit(EOW))))
+        for a, b in merges:
+            la, lb = F.lit(a), F.lit(b)
+            words = words.withColumn(
                 "syms",
-                F.expr("cast(array() as array<string>)"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == la) & (s == lb),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                             F.array(F.concat(la, lb)))
-                ).otherwise(F.concat(acc, F.array(s)))))
+                F.aggregate(
+                    "syms",
+                    F.expr("cast(array() as array<string>)"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == la) & (s == lb),
+                        F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                 F.array(F.concat(la, lb)))
+                    ).otherwise(F.concat(acc, F.array(s)))))
     strip = F.transform("syms", lambda s: F.replace(s, F.lit(EOW),
                                                     F.lit("")))
     vocab = words.select(

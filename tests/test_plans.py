@@ -196,6 +196,7 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "pmi_collocations_docs",   # rank over the 50-row limit extract
     "rag_context_budget",      # running token sum over the k=8 extract
     "corpus_zipf_stats_docs",  # rank over the 1000-row head extract
+    "key_skew_events",         # cum-share over the top-20 key extract
 }
 
 
@@ -214,3 +215,62 @@ def test_registry_has_no_unpartitioned_window_over_unbounded_input(
             if " ASC" in first or " DESC" in first:
                 flagged.setdefault(name, []).append(first)
     assert set(flagged) <= _BOUNDED_WINDOW_ALLOWLIST, flagged
+
+
+def test_phrase_count_zero_shuffle_map(spark, sf_dir):
+    """phrase_count is one regexp pass over the scan: no exchange,
+    no join, and the scan reads only (doc_id, text)."""
+    from parlerproject_spark.plans.inspect import (exchange_count,
+                                                   read_schema_columns)
+    df = Q.queries()["phrase_count_docs"](spark, sf_dir)
+    # the trailing orderBy adds one range exchange; the core is the
+    # child — assert on the un-ordered operator output instead
+    from parlerproject_spark.catalog import load_table
+    from parlerproject_spark.operators.retrieval import phrase_count
+    core = phrase_count(load_table(spark, "documents", sf_dir),
+                        "hash join")
+    assert exchange_count(core) == 0
+    assert all(set(cols) <= {"doc_id", "text"}
+               for cols in read_schema_columns(core))
+    assert df.count() > 0
+
+
+def test_profile_table_is_single_scan_single_agg(spark, sf_dir):
+    """One aggregation job over one scan no matter how many columns
+    are profiled (the EXPAND for exact distincts multiplies rows
+    in-stage, never re-reads)."""
+    from parlerproject_spark.catalog import load_table
+    from parlerproject_spark.operators.profiling import profile_table
+    from parlerproject_spark.plans.inspect import executed_plan
+    ev = load_table(spark, "events", sf_dir)
+    plan = executed_plan(profile_table(ev, ["event_id", "user_id",
+                                            "event_type"]))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Expand") == 1
+
+
+def test_heavy_hitters_verify_pass_broadcasts_candidates(spark, sf_dir):
+    """Pass 2's exact count must semi-join the raw table against a
+    BROADCAST candidate set — never shuffle the corpus on the key
+    before the filter."""
+    from parlerproject_spark.catalog import load_table
+    from parlerproject_spark.operators.profiling import heavy_hitters
+    from parlerproject_spark.plans.inspect import executed_plan
+    ev = load_table(spark, "events", sf_dir)
+    plan = executed_plan(heavy_hitters(ev, "user_id", k=50))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_registry_has_no_cartesian_products(spark, sf_dir):
+    """No registered query may plan a CartesianProduct: every
+    intentional crossJoin in the engine is crossJoin(broadcast(
+    <one-row/bounded side>)) which plans as BroadcastNestedLoopJoin.
+    A CartesianProduct means both sides shuffle-materialize — the
+    one join shape with no 100 TB story."""
+    flagged = {}
+    for name, fn in Q.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        if "CartesianProduct" in plan:
+            flagged[name] = True
+    assert not flagged, sorted(flagged)
