@@ -181,6 +181,7 @@ EXTRA = [
     "phrase_count_docs",
     "incremental_near_dup_docs",
     "canonical_docs_near_dup",
+    "psi_drift_events",
 ]
 
 

@@ -44,3 +44,64 @@ def robust_zscores_native(df: DataFrame, *, key_col: str = "user_id",
                 F.round((F.col("__v") - F.col("__med")) / F.col("__mad"), 6))
          .otherwise(F.lit(0.0)))
     return staged.select(key_col, id_col, z.alias("z"))
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, *, key_col: str,
+              val_col: str, bins: int = 10) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current snapshot of a numeric column, per key — the standing
+    drift monitor every production corpus/feature pipeline runs
+    (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 action).
+
+    Bins are FIXED-WIDTH over the reference's [min, max] per key
+    (not percentile-interpolated: equal-width edges are exact IEEE
+    arithmetic both engines reproduce bit-for-bit, where engine
+    percentile interpolation can differ in ulps and flip a boundary
+    value's bin). Values outside the reference range clamp into the
+    edge bins — new mass beyond the observed range lands in bin 0 or
+    bins-1, which is exactly the shift PSI should flag. Proportions
+    are smoothed ((c + 0.5) / (n + bins/2)) so an empty bin never
+    produces ln(0).
+
+    Plan shape: one aggregation per side for the reference edges
+    (key-count rows, broadcast back), one binning aggregation per
+    side (map-side combined), one key-bin join of two bounded
+    partial tables, one final per-key aggregation. The raw tables
+    stream; nothing corpus-sized is ever collected or windowed.
+
+    Columns: <key_col>, psi (round 6), n_ref, n_cur.
+    """
+    edges = (ref.groupBy(key_col)
+             .agg(F.min(val_col).cast("double").alias("__mn"),
+                  F.max(val_col).cast("double").alias("__mx")))
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        w = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+        raw = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+            F.floor((F.col(val_col).cast("double") - F.col("__mn")) / w))
+        b = F.least(F.greatest(raw, F.lit(0)),
+                    F.lit(bins - 1)).cast("int").alias("bin")
+        return (df.join(F.broadcast(edges), key_col)
+                .select(key_col, b)
+                .groupBy(key_col, "bin")
+                .agg(F.count(F.lit(1)).alias(f"c_{tag}")))
+
+    r = binned(ref, "ref")
+    c = binned(cur, "cur")
+    # full outer on (key, bin): a bin empty on one side still
+    # contributes its smoothed term
+    j = (r.join(c, [key_col, "bin"], "full_outer")
+         .select(key_col,
+                 F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+                 F.coalesce("c_cur", F.lit(0)).alias("c_cur")))
+    totals = Window.partitionBy(key_col)
+    p_ref = ((F.col("c_ref") + 0.5)
+             / (F.sum("c_ref").over(totals) + 0.5 * bins))
+    p_cur = ((F.col("c_cur") + 0.5)
+             / (F.sum("c_cur").over(totals) + 0.5 * bins))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (j.select(key_col, term.alias("__t"), "c_ref", "c_cur")
+            .groupBy(key_col)
+            .agg(F.round(F.sum("__t"), 6).alias("psi"),
+                 F.sum("c_ref").cast("long").alias("n_ref"),
+                 F.sum("c_cur").cast("long").alias("n_cur")))

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "psi_drift_events",
     "incremental_near_dup_docs",
     "canonical_docs_near_dup",
     "profile_events_table",
@@ -7084,3 +7085,66 @@ def canonical_docs_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup.duplicate_clusters(pairs)
     from parlerproject_spark.operators.dedup import keep_best_per_cluster
     return keep_best_per_cluster(docs, clusters).orderBy("doc_id")
+
+
+@register("psi_drift_events", """
+WITH ref AS (
+  SELECT event_type, value FROM events
+  WHERE ts < TIMESTAMP '2024-02-01'),
+cur AS (
+  SELECT event_type, value FROM events
+  WHERE ts >= TIMESTAMP '2024-02-01'),
+edges AS (
+  SELECT event_type, min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx
+  FROM ref GROUP BY event_type),
+rb AS (
+  SELECT r.event_type,
+         (CASE WHEN mx = mn THEN 0
+               ELSE least(greatest(floor((value::DOUBLE - mn)
+                                         / ((mx - mn) / 10.0)), 0), 9)
+          END)::INT AS bin,
+         count(*) AS c_ref
+  FROM ref r JOIN edges USING (event_type) GROUP BY 1, 2),
+cb AS (
+  SELECT c.event_type,
+         (CASE WHEN mx = mn THEN 0
+               ELSE least(greatest(floor((value::DOUBLE - mn)
+                                         / ((mx - mn) / 10.0)), 0), 9)
+          END)::INT AS bin,
+         count(*) AS c_cur
+  FROM cur c JOIN edges USING (event_type) GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(rb.event_type, cb.event_type) AS event_type,
+         coalesce(rb.bin, cb.bin) AS bin,
+         coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+  FROM rb FULL OUTER JOIN cb
+    ON rb.event_type = cb.event_type AND rb.bin = cb.bin),
+p AS (
+  SELECT event_type, c_ref, c_cur,
+         (c_ref + 0.5) / (sum(c_ref) OVER (PARTITION BY event_type) + 5.0)
+           AS p_ref,
+         (c_cur + 0.5) / (sum(c_cur) OVER (PARTITION BY event_type) + 5.0)
+           AS p_cur
+  FROM j)
+SELECT event_type,
+       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+       cast(sum(c_ref) AS BIGINT) AS n_ref,
+       cast(sum(c_cur) AS BIGINT) AS n_cur
+FROM p GROUP BY event_type
+ORDER BY event_type
+""")
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/stats.psi_drift):
+    Population Stability Index of the value distribution per
+    event_type between the January reference snapshot and everything
+    after — fixed-width reference bins (exact IEEE edge arithmetic
+    both engines reproduce), smoothed proportions, out-of-range mass
+    clamped to the edge bins. The standing data-quality gate a
+    100 TB ingest runs before mixing a new snapshot into training."""
+    from parlerproject_spark.operators.stats import psi_drift
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-02-01").cast("timestamp_ntz")
+    return (psi_drift(ev.filter(F.col("ts") < cut),
+                      ev.filter(F.col("ts") >= cut),
+                      key_col="event_type", val_col="value", bins=10)
+            .orderBy("event_type"))

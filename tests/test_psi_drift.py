@@ -1,0 +1,62 @@
+"""PSI distribution-drift monitor (operators/stats.psi_drift)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from parlerproject_spark.operators.stats import psi_drift
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def test_identical_distributions_score_near_zero(spark):
+    rows = [("a", float(i % 20)) for i in range(400)]
+    out = psi_drift(_df(spark, rows), _df(spark, rows),
+                    key_col="k", val_col="v").collect()
+    [r] = out
+    assert abs(r["psi"]) < 1e-6
+    assert r["n_ref"] == r["n_cur"] == 400
+
+
+def test_shifted_distribution_flags(spark):
+    ref = _df(spark, [("a", float(i % 20)) for i in range(400)])
+    cur = _df(spark, [("a", float(15 + i % 5)) for i in range(400)])
+    [r] = psi_drift(ref, cur, key_col="k", val_col="v").collect()
+    assert r["psi"] > 0.25  # action threshold
+
+
+def test_out_of_range_mass_clamps_to_edge_bins(spark):
+    ref = _df(spark, [("a", float(i)) for i in range(100)])
+    cur = _df(spark, [("a", 1e6)] * 50)   # far beyond ref max
+    [r] = psi_drift(ref, cur, key_col="k", val_col="v").collect()
+    assert math.isfinite(r["psi"]) and r["psi"] > 0.25
+
+
+def test_constant_reference_column_single_bin(spark):
+    ref = _df(spark, [("a", 7.0)] * 30)
+    cur = _df(spark, [("a", 7.0)] * 30 + [("a", 9.0)] * 0)
+    [r] = psi_drift(ref, cur, key_col="k", val_col="v").collect()
+    assert math.isfinite(r["psi"]) and abs(r["psi"]) < 1e-6
+
+
+def test_per_key_independence(spark):
+    ref = _df(spark, [("a", float(i % 10)) for i in range(100)]
+              + [("b", float(i % 10)) for i in range(100)])
+    cur = _df(spark, [("a", float(i % 10)) for i in range(100)]
+              + [("b", 9.0)] * 100)
+    out = {r["k"]: r["psi"] for r in
+           psi_drift(ref, cur, key_col="k", val_col="v").collect()}
+    assert abs(out["a"]) < 1e-6
+    assert out["b"] > 0.25
+
+
+def test_edges_broadcast_not_shuffled(spark):
+    ref = _df(spark, [("a", float(i)) for i in range(50)])
+    cur = _df(spark, [("a", float(i)) for i in range(50)])
+    plan = psi_drift(ref, cur, key_col="k", val_col="v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
