@@ -182,6 +182,7 @@ EXTRA = [
     "incremental_near_dup_docs",
     "canonical_docs_near_dup",
     "psi_drift_events",
+    "training_shard_manifest",
 ]
 
 

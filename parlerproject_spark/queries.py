@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "training_shard_manifest",
     "psi_drift_events",
     "incremental_near_dup_docs",
     "canonical_docs_near_dup",
@@ -7148,3 +7149,34 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ev.filter(F.col("ts") >= cut),
                       key_col="event_type", val_col="value", bins=10)
             .orderBy("event_type"))
+
+
+@register("training_shard_manifest", """
+WITH plan AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shard-v1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           AS skey,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS n_tokens
+  FROM documents)
+SELECT floor(skey / 4294967296.0 * 16)::INT AS shard,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+       cast(sum(skey) % 2147483647 AS BIGINT) AS checksum
+FROM plan
+GROUP BY 1
+ORDER BY shard
+""")
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-corpus export accounting (operators/export
+    .shard_manifest, n_shards=16): hash-assigned shard membership
+    (no global sort, no driver state), per-shard doc/token counts
+    and a mergeable order-insensitive checksum — the manifest the
+    write_training_shards sink materializes next to the shard dirs
+    (pytest covers the physical write + determinism)."""
+    from parlerproject_spark.operators.export import shard_manifest
+    docs = _t(spark, sf_dir, "documents")
+    return (shard_manifest(docs, n_shards=16)
+            .select(F.col("shard").cast("int").alias("shard"),
+                    "n_docs", "n_tokens", "checksum")
+            .orderBy("shard"))
