@@ -183,6 +183,7 @@ EXTRA = [
     "canonical_docs_near_dup",
     "psi_drift_events",
     "training_shard_manifest",
+    "ks_drift_events",
 ]
 
 

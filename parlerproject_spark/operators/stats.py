@@ -105,3 +105,47 @@ def psi_drift(ref: DataFrame, cur: DataFrame, *, key_col: str,
             .agg(F.round(F.sum("__t"), 6).alias("psi"),
                  F.sum("c_ref").cast("long").alias("n_ref"),
                  F.sum("c_cur").cast("long").alias("n_cur")))
+
+
+def ks_drift(ref: DataFrame, cur: DataFrame, *, key_col: str,
+             val_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per key — the BINLESS
+    companion of psi_drift: D = max over pooled values of
+    |F_ref(x) - F_cur(x)| with right-continuous empirical CDFs.
+    PSI sees shifts through a fixed binning; KS catches any CDF
+    separation (location, scale, shape) without choosing bins.
+
+    Shape: tag-and-union the two sides (zero shuffle), ONE keyed
+    aggregation to per-(key, value) counts, then cumulative sums
+    and per-key totals as windows over the same key partitioning —
+    the value ordering is a per-key sort inside the one exchange,
+    never a global sort. All arithmetic is integer counts divided
+    once at the end, so both engines agree bit-for-bit before the
+    final round.
+
+    Columns: <key_col>, ks (round 6), n_ref, n_cur.
+    """
+    tagged = (ref.select(F.col(key_col), F.col(val_col).alias("__v"),
+                         F.lit(1).alias("__r"), F.lit(0).alias("__c"))
+              .unionByName(
+                  cur.select(F.col(key_col), F.col(val_col).alias("__v"),
+                             F.lit(0).alias("__r"), F.lit(1).alias("__c"))))
+    g = (tagged.groupBy(key_col, "__v")
+         .agg(F.sum("__r").alias("c_ref"), F.sum("__c").alias("c_cur")))
+    byk = Window.partitionBy(key_col)
+    w = byk.orderBy("__v").rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow)
+    cum = (g.withColumn("cum_r", F.sum("c_ref").over(w))
+           .withColumn("cum_c", F.sum("c_cur").over(w))
+           .withColumn("n_r", F.sum("c_ref").over(byk))
+           .withColumn("n_c", F.sum("c_cur").over(byk)))
+    # D is defined only when BOTH samples are non-empty; a key seen
+    # in one snapshot only is dropped (and would divide by zero
+    # under ANSI arithmetic otherwise)
+    both = cum.filter((F.col("n_r") > 0) & (F.col("n_c") > 0))
+    d = F.abs(F.col("cum_r") / F.col("n_r")
+              - F.col("cum_c") / F.col("n_c"))
+    return (both.groupBy(key_col)
+            .agg(F.round(F.max(d), 6).alias("ks"),
+                 F.max("n_r").cast("long").alias("n_ref"),
+                 F.max("n_c").cast("long").alias("n_cur")))

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "ks_drift_events",
     "training_shard_manifest",
     "psi_drift_events",
     "incremental_near_dup_docs",
@@ -7180,3 +7181,47 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("shard").cast("int").alias("shard"),
                     "n_docs", "n_tokens", "checksum")
             .orderBy("shard"))
+
+
+@register("ks_drift_events", """
+WITH tagged AS (
+  SELECT event_type, value AS v,
+         CASE WHEN ts < TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END AS r,
+         CASE WHEN ts < TIMESTAMP '2024-02-01' THEN 0 ELSE 1 END AS c
+  FROM events),
+g AS (
+  SELECT event_type, v, sum(r) AS c_ref, sum(c) AS c_cur
+  FROM tagged GROUP BY event_type, v),
+cum AS (
+  SELECT event_type,
+         sum(c_ref) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_r,
+         sum(c_cur) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_c,
+         sum(c_ref) OVER (PARTITION BY event_type) AS n_r,
+         sum(c_cur) OVER (PARTITION BY event_type) AS n_c
+  FROM g)
+SELECT event_type,
+       round(max(abs(cum_r * 1.0 / n_r - cum_c * 1.0 / n_c)), 6) AS ks,
+       cast(max(n_r) AS BIGINT) AS n_ref,
+       cast(max(n_c) AS BIGINT) AS n_cur
+FROM cum
+WHERE n_r > 0 AND n_c > 0
+GROUP BY event_type
+ORDER BY event_type
+""")
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binless drift gate (operators/stats.ks_drift): two-sample KS
+    statistic of the value distribution per event_type across the
+    same snapshot split as psi_drift_events — one keyed aggregation
+    + per-key windows inside one exchange; integer count arithmetic
+    until the final division, so both engines agree exactly."""
+    from parlerproject_spark.operators.stats import ks_drift
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-02-01").cast("timestamp_ntz")
+    return (ks_drift(ev.filter(F.col("ts") < cut),
+                     ev.filter(F.col("ts") >= cut),
+                     key_col="event_type", val_col="value")
+            .orderBy("event_type"))

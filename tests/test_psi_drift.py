@@ -60,3 +60,39 @@ def test_edges_broadcast_not_shuffled(spark):
     plan = psi_drift(ref, cur, key_col="k", val_col="v") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# KS drift -------------------------------------------------------------------
+
+def test_ks_identical_is_zero(spark):
+    from parlerproject_spark.operators.stats import ks_drift
+    rows = [("a", float(i % 20)) for i in range(200)]
+    [r] = ks_drift(_df(spark, rows), _df(spark, rows),
+                   key_col="k", val_col="v").collect()
+    assert r["ks"] == 0.0 and r["n_ref"] == r["n_cur"] == 200
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    from parlerproject_spark.operators.stats import ks_drift
+    ref = _df(spark, [("a", float(i)) for i in range(50)])
+    cur = _df(spark, [("a", 1000.0 + i) for i in range(50)])
+    [r] = ks_drift(ref, cur, key_col="k", val_col="v").collect()
+    assert r["ks"] == 1.0
+
+
+def test_ks_matches_scipy_formula_by_hand(spark):
+    from parlerproject_spark.operators.stats import ks_drift
+    # ref = {1,2,3,4}, cur = {3,4,5,6}: D = 0.5 at x=2
+    ref = _df(spark, [("a", float(v)) for v in (1, 2, 3, 4)])
+    cur = _df(spark, [("a", float(v)) for v in (3, 4, 5, 6)])
+    [r] = ks_drift(ref, cur, key_col="k", val_col="v").collect()
+    assert r["ks"] == 0.5
+
+
+def test_ks_single_sided_key_dropped(spark):
+    from parlerproject_spark.operators.stats import ks_drift
+    ref = _df(spark, [("a", 1.0), ("only_ref", 2.0)])
+    cur = _df(spark, [("a", 1.0)])
+    out = {r["k"] for r in ks_drift(ref, cur,
+                                    key_col="k", val_col="v").collect()}
+    assert out == {"a"}
