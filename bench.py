@@ -184,6 +184,7 @@ EXTRA = [
     "psi_drift_events",
     "training_shard_manifest",
     "ks_drift_events",
+    "split_skew_join_events",
 ]
 
 

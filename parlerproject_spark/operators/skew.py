@@ -73,3 +73,35 @@ def salted_join(big: DataFrame, skewed_dim: DataFrame, on: str,
         .withColumn("__salt", F.col("__salt").cast("int")))
     out = big_s.join(dim_s, [on, "__salt"])
     return out.drop("__salt")
+
+
+def split_skew_join(big: DataFrame, dim: DataFrame, on: str, *,
+                    hot_threshold: int, salt_buckets: int = 8) -> DataFrame:
+    """Hybrid skew join — the production pattern when a handful of
+    hot keys would melt single reducers but salting EVERYTHING would
+    replicate the whole dim side `salt_buckets`×: detect the hot
+    keys (one key-count aggregation on the big side — key-sized
+    output, broadcast back), route hot-key rows through salted_join
+    (dim rows for hot keys only replicate across salts) and cold-key
+    rows through the plain equi-join, union the halves.
+
+    Result-identical to `big.join(dim, on)` for any threshold — the
+    split only reshapes the shuffle. hot_threshold is rows-per-key
+    on the big side; set it near (shuffle target rows per task): a
+    key under it fits one reducer comfortably by definition.
+
+    At 100 TB the hot set is small by Zipf's law, so the dim
+    replication cost is |hot| × salt_buckets rows — negligible —
+    while every reducer's input is bounded by max(hot_threshold,
+    n_hot_key / salt_buckets).
+    """
+    counts = big.groupBy(on).agg(F.count(F.lit(1)).alias("__n"))
+    hot = counts.filter(F.col("__n") > hot_threshold).select(on)
+    big_hot = big.join(F.broadcast(hot), on, "left_semi")
+    big_cold = big.join(F.broadcast(hot), on, "left_anti")
+    dim_hot = dim.join(F.broadcast(hot), on, "left_semi")
+    hot_joined = salted_join(big_hot, dim_hot, on,
+                             salt_buckets=salt_buckets)
+    cold_joined = big_cold.join(dim, on)
+    return hot_joined.select(*cold_joined.columns) \
+        .unionByName(cold_joined)

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "split_skew_join_events",
     "ks_drift_events",
     "training_shard_manifest",
     "psi_drift_events",
@@ -7225,3 +7226,35 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ev.filter(F.col("ts") >= cut),
                      key_col="event_type", val_col="value")
             .orderBy("event_type"))
+
+
+@register("split_skew_join_events", """
+WITH dim AS (
+  SELECT user_id, min(event_type) AS first_type,
+         round(avg(value), 4) AS avg_value
+  FROM events GROUP BY user_id)
+SELECT e.user_id, d.first_type,
+       cast(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value - d.avg_value), 4) + 0.0 AS total_dev
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.user_id, d.first_type
+ORDER BY e.user_id
+""")
+def split_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid skew join (operators/skew.split_skew_join): keys above
+    the hot threshold route through the salted join, cold keys
+    through the plain equi-join — result-identical to the oracle's
+    plain JOIN (the split only reshapes the shuffle). The dim side
+    is a per-user profile derived from the same events."""
+    from parlerproject_spark.operators.skew import split_skew_join
+    ev = _t(spark, sf_dir, "events")
+    dim = (ev.groupBy("user_id")
+           .agg(F.min("event_type").alias("first_type"),
+                F.round(F.avg("value"), 4).alias("avg_value")))
+    joined = split_skew_join(ev.select("user_id", "value"), dim,
+                             "user_id", hot_threshold=400)
+    return (joined.groupBy("user_id", "first_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 (F.round(F.sum(F.col("value") - F.col("avg_value")), 4)
+                  + F.lit(0.0)).alias("total_dev"))
+            .orderBy("user_id"))

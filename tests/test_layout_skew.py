@@ -164,3 +164,34 @@ def test_equi_depth_bits_balances_heavy_tail(spark, sf_dir):
                   lin.groupBy("b").agg(F.count("*").alias("n")).collect()]
     # the linear image really is lopsided on this distribution
     assert max(lin_counts) > 4 * min(lin_counts), lin_counts
+
+
+def test_split_skew_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from parlerproject_spark.operators.skew import split_skew_join
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(20)]
+        + [(3, i) for i in range(7)], "k bigint, v bigint")
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (3, "cold"), (9, "orphan")],
+        "k bigint, label string")
+    got = split_skew_join(big, dim, "k", hot_threshold=100,
+                          salt_buckets=4)
+    want = big.join(dim, "k")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    assert got.columns == want.columns
+
+
+def test_split_skew_join_all_cold_and_all_hot_degenerate(spark):
+    from parlerproject_spark.operators.skew import split_skew_join
+    big = spark.createDataFrame([(i % 3, i) for i in range(60)],
+                                "k bigint, v bigint")
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")],
+                                "k bigint, label string")
+    want = sorted(map(tuple, big.join(dim, "k").collect()))
+    for thr in (10 ** 9, 0):   # nothing hot / everything hot
+        got = sorted(map(tuple, split_skew_join(
+            big, dim, "k", hot_threshold=thr).collect()))
+        assert got == want, thr
