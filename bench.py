@@ -185,6 +185,7 @@ EXTRA = [
     "training_shard_manifest",
     "ks_drift_events",
     "split_skew_join_events",
+    "bootstrap_ci_events",
 ]
 
 

@@ -200,3 +200,25 @@ def compact_small_files(spark: SparkSession, src: str, dst: str, *,
             files_after += 1
     return {"files_before": files_before, "files_after": files_after,
             "bytes": int(total), "target_files": int(n_out)}
+
+
+def overwrite_partitions(df: DataFrame, path: str, *,
+                         partition_by: Sequence[str]) -> None:
+    """Dynamic partition overwrite — the incremental-backfill write:
+    only the partitions PRESENT IN `df` are replaced; every other
+    partition directory is left byte-untouched. This is how a 100 TB
+    partitioned table takes a late-data correction for one day
+    without rewriting (or even listing) the other ~36,500 day
+    directories, and without a read-modify-write race window on the
+    untouched ones.
+
+    Implemented with Spark's partitionOverwriteMode=dynamic, set per
+    WRITE via the DataFrameWriter option (not session-wide — a
+    session-level flip would silently change every other writer's
+    overwrite semantics from "truncate table" to "replace touched
+    partitions").
+    """
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_by)
+       .parquet(path))

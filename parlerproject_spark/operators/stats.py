@@ -149,3 +149,65 @@ def ks_drift(ref: DataFrame, cur: DataFrame, *, key_col: str,
             .agg(F.round(F.max(d), 6).alias("ks"),
                  F.max("n_r").cast("long").alias("n_ref"),
                  F.max("n_c").cast("long").alias("n_cur")))
+
+
+#: Poisson(1) CDF thresholds c_k = P(X <= k), k = 0..8 — literal
+#: constants (11 dp) so Spark and the SQL oracle compare IDENTICAL
+#: doubles; a replica weight is the smallest k with u < c_k (k = 9
+#: beyond the table, P ~ 1e-7).
+POISSON1_CDF = (0.36787944117, 0.73575888234, 0.91969860293,
+                0.98101184313, 0.99634015317, 0.99940581518,
+                0.99991675944, 0.99998974847, 0.99999886011)
+
+
+def bootstrap_ci(df: DataFrame, *, key_col: str, val_col: str,
+                 id_col: str, n_replicas: int = 200,
+                 seed: str = "boot-v1") -> DataFrame:
+    """Percentile-bootstrap confidence interval for the per-key MEAN
+    via the POISSON bootstrap (Chamandy et al., Google 2012) — the
+    bootstrap that distributes: classical resampling needs n draws
+    from a global index (a shuffle per replica); Poisson(1) weights
+    are i.i.d. PER ROW, so all `n_replicas` replicas materialize in
+    ONE explode over the row stream and aggregate with map-side
+    combine. Weights are deterministic (md5(seed:replica:id) →
+    uniform → inverse CDF over literal constants), so the whole
+    estimator is engine-reproducible and the oracle replays it.
+
+    The CI is ORDER-STATISTIC based (2.5th/97.5th percentile as the
+    ceil(0.025 B) / ceil(0.975 B) smallest replica means, ties by
+    replica id) — no interpolation, no engine drift. The final
+    window runs over n_replicas rows per key, never over data.
+    Replicas whose weights sum to zero are skipped (they carry no
+    sample).
+
+    Columns: <key_col>, mean_obs, ci_lo, ci_hi (round 6).
+    """
+    reps = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("r")
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(seed), F.col("r"), F.col(id_col))), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(float(2 ** 32)))
+    w = F.lit(9)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = (df.select(F.col(key_col), F.col(val_col), F.col(id_col),
+                          reps)
+                .withColumn("w", w))
+    means = (weighted.groupBy(key_col, "r")
+             .agg(F.sum(F.col("w") * F.col(val_col)).alias("sv"),
+                  F.sum("w").alias("sw"))
+             .filter(F.col("sw") > 0)
+             .select(key_col, "r", (F.col("sv") / F.col("sw"))
+                     .alias("m")))
+    lo_rank = -(-25 * n_replicas // 1000)    # ceil(0.025 B)
+    hi_rank = -(-975 * n_replicas // 1000)   # ceil(0.975 B)
+    rn = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(F.col("m").asc(),
+                                            F.col("r").asc()))
+    picks = (means.withColumn("rn", rn)
+             .filter(F.col("rn").isin(lo_rank, hi_rank))
+             .groupBy(key_col)
+             .agg(F.round(F.min("m"), 6).alias("ci_lo"),
+                  F.round(F.max("m"), 6).alias("ci_hi")))
+    obs = (df.groupBy(key_col)
+           .agg(F.round(F.avg(val_col), 6).alias("mean_obs")))
+    return obs.join(picks, key_col)

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "bootstrap_ci_events",
     "split_skew_join_events",
     "ks_drift_events",
     "training_shard_manifest",
@@ -7258,3 +7259,60 @@ def split_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.sum(F.col("value") - F.col("avg_value")), 4)
                   + F.lit(0.0)).alias("total_dev"))
             .orderBy("user_id"))
+
+
+@register("bootstrap_ci_events", """
+WITH reps AS (
+  SELECT event_type, value, event_id, r
+  FROM events, unnest(range(0, 200)) AS t(r)),
+wtd AS (
+  SELECT event_type, value, r,
+         (CASE
+            WHEN u < 0.36787944117 THEN 0
+            WHEN u < 0.73575888234 THEN 1
+            WHEN u < 0.91969860293 THEN 2
+            WHEN u < 0.98101184313 THEN 3
+            WHEN u < 0.99634015317 THEN 4
+            WHEN u < 0.99940581518 THEN 5
+            WHEN u < 0.99991675944 THEN 6
+            WHEN u < 0.99998974847 THEN 7
+            WHEN u < 0.99999886011 THEN 8
+            ELSE 9 END) AS w
+  FROM (
+    SELECT event_type, value, r,
+           ('0x' || substr(md5('boot-v1:' || r::VARCHAR || ':'
+                                || event_id::VARCHAR), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+    FROM reps)),
+means AS (
+  SELECT event_type, r, sum(w * value) / sum(w) AS m
+  FROM wtd GROUP BY event_type, r
+  HAVING sum(w) > 0),
+ranked AS (
+  SELECT event_type, m,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY m ASC, r ASC) AS rn
+  FROM means),
+picks AS (
+  SELECT event_type, round(min(m), 6) AS ci_lo, round(max(m), 6) AS ci_hi
+  FROM ranked WHERE rn IN (5, 195) GROUP BY event_type),
+obs AS (
+  SELECT event_type, round(avg(value), 6) AS mean_obs
+  FROM events GROUP BY event_type)
+SELECT o.event_type, mean_obs, ci_lo, ci_hi
+FROM obs o JOIN picks p ON o.event_type = p.event_type
+ORDER BY o.event_type
+""")
+def bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean value per event_type
+    (operators/stats.bootstrap_ci, 200 replicas): i.i.d. per-row
+    Poisson(1) weights make every replica materialize in ONE explode
+    with map-side-combined aggregation — the bootstrap that
+    distributes (no per-replica global resample). Deterministic
+    md5-derived weights and order-statistic percentiles make the
+    whole estimator replayable in SQL."""
+    from parlerproject_spark.operators.stats import bootstrap_ci
+    ev = _t(spark, sf_dir, "events")
+    return (bootstrap_ci(ev, key_col="event_type", val_col="value",
+                         id_col="event_id", n_replicas=200)
+            .orderBy("event_type"))

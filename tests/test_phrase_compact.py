@@ -89,3 +89,26 @@ def test_compact_small_files_sorted_within(spark, tmp_path):
     import pandas as pd  # noqa: F401
     pdf = spark.read.parquet(dst).toPandas()
     assert (pdf["k"].values == sorted(pdf["k"].values)).all()
+
+
+def test_overwrite_partitions_touches_only_present_partitions(
+        spark, tmp_path):
+    import os
+
+    from parlerproject_spark.operators.layout import overwrite_partitions
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3), ("d3", 4)], "day string, v int")
+    overwrite_partitions(base, path, partition_by=["day"])
+    d2_files = {(f, os.path.getmtime(os.path.join(path, "day=d2", f)))
+                for f in os.listdir(os.path.join(path, "day=d2"))
+                if f.endswith(".parquet")}
+    # replace ONLY d1 with corrected rows
+    fix = spark.createDataFrame([("d1", 99)], "day string, v int")
+    overwrite_partitions(fix, path, partition_by=["day"])
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", 99), ("d2", 3), ("d3", 4)}
+    d2_after = {(f, os.path.getmtime(os.path.join(path, "day=d2", f)))
+                for f in os.listdir(os.path.join(path, "day=d2"))
+                if f.endswith(".parquet")}
+    assert d2_after == d2_files   # untouched files, same mtimes

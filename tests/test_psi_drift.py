@@ -96,3 +96,48 @@ def test_ks_single_sided_key_dropped(spark):
     out = {r["k"] for r in ks_drift(ref, cur,
                                     key_col="k", val_col="v").collect()}
     assert out == {"a"}
+
+
+# Poisson bootstrap CI -------------------------------------------------------
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    from parlerproject_spark.operators.stats import bootstrap_ci
+    import pyspark.sql.functions as SF
+    df = spark.range(0, 2000).select(
+        SF.lit("a").alias("k"), SF.col("id").alias("i"),
+        ((SF.col("id") % 100) / 10.0).alias("v"))
+    [r] = bootstrap_ci(df, key_col="k", val_col="v",
+                       id_col="i").collect()
+    assert r["ci_lo"] <= r["mean_obs"] <= r["ci_hi"]
+    # width sanity: sd ~ 2.87, n=2000 -> 95% CI half-width ~ 0.126
+    assert 0.05 < (r["ci_hi"] - r["ci_lo"]) < 0.5
+
+
+def test_bootstrap_ci_deterministic_across_runs(spark):
+    from parlerproject_spark.operators.stats import bootstrap_ci
+    import pyspark.sql.functions as SF
+    df = spark.range(0, 500).select(
+        (SF.col("id") % 2).cast("string").alias("k"),
+        SF.col("id").alias("i"), (SF.col("id") % 7).cast("double")
+        .alias("v")).repartition(8)
+    a = sorted(map(tuple, bootstrap_ci(
+        df, key_col="k", val_col="v", id_col="i").collect()))
+    b = sorted(map(tuple, bootstrap_ci(
+        df.orderBy(SF.rand(5)), key_col="k", val_col="v",
+        id_col="i").collect()))
+    assert a == b
+
+
+def test_bootstrap_ci_tightens_with_n(spark):
+    from parlerproject_spark.operators.stats import bootstrap_ci
+    import pyspark.sql.functions as SF
+
+    def width(n):
+        df = spark.range(0, n).select(
+            SF.lit("a").alias("k"), SF.col("id").alias("i"),
+            ((SF.col("id") * 13 % 50) / 5.0).alias("v"))
+        [r] = bootstrap_ci(df, key_col="k", val_col="v",
+                           id_col="i").collect()
+        return r["ci_hi"] - r["ci_lo"]
+
+    assert width(4000) < width(250)
