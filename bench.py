@@ -186,6 +186,9 @@ EXTRA = [
     "ks_drift_events",
     "split_skew_join_events",
     "bootstrap_ci_events",
+    "ses_forecast_users",
+    "except_all_priorities",
+    "intersect_all_priorities",
 ]
 
 

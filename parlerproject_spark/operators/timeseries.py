@@ -169,3 +169,36 @@ def cusum_changepoints(events: DataFrame, *, key_col: str = "user_id",
                     F.round(F.col("f.m"), 6).alias("max_cusum"),
                     F.col("f.pi").alias("peak_idx"),
                     F.col("f.na").alias("n_alarms")))
+
+
+def ses_level(df: DataFrame, *, key_col: str, bucket_col: str,
+              val_col: str, alpha: float = 0.5) -> DataFrame:
+    """Simple-exponential-smoothing level (and flat one-step
+    forecast) per key over an ordered bucket series — the first-line
+    per-entity forecaster (monitoring baselines, demand smoothing).
+
+    The recurrence l_t = α x_t + (1-α) l_{t-1}, l_0 = x_0 has the
+    CLOSED FORM l_T = (1-α)^T x_0 + Σ_{t≥1} α (1-α)^{T-t} x_t — a
+    per-row weight times the value, so the whole per-key recursion
+    is ONE row_number window (for t and T) and ONE aggregation: no
+    iterative fold, no per-key collect. Weights underflow to exact
+    0.0 for ancient buckets, which is the behavior you want (and
+    with α = 0.5 every weight is a power of two, so the oracle's
+    pow() agrees bit-for-bit).
+
+    Columns: <key_col>, n_buckets, level (round 6) — level IS the
+    flat h-step forecast for SES.
+    """
+    w = Window.partitionBy(key_col).orderBy(bucket_col)
+    t = F.row_number().over(w) - 1
+    n = F.count(F.lit(1)).over(Window.partitionBy(key_col))
+    coef = F.when(
+        t == 0, F.pow(F.lit(1.0 - alpha), n - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(1.0 - alpha), n - 1 - t))
+    return (df.select(F.col(key_col), F.col(bucket_col),
+                      F.col(val_col).alias("__x"))
+            .withColumn("__c", coef)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                 F.round(F.sum(F.col("__c") * F.col("__x")), 6)
+                 .alias("level")))

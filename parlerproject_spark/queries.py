@@ -63,6 +63,9 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "ses_forecast_users",
+    "except_all_priorities",
+    "intersect_all_priorities",
     "bootstrap_ci_events",
     "split_skew_join_events",
     "ks_drift_events",
@@ -7316,3 +7319,68 @@ def bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (bootstrap_ci(ev, key_col="event_type", val_col="value",
                          id_col="event_id", n_replicas=200)
             .orderBy("event_type"))
+
+
+@register("except_all_priorities", """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""")
+def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (engine add completing the §2.7 set-op
+    family): bag difference keeps surplus MULTIPLICITY, not mere
+    membership — Spark exceptAll plans it as a count-difference
+    generate, one aggregation, no join explosion."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return a.exceptAll(b)
+
+
+@register("intersect_all_priorities", """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""")
+def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL — min-of-multiplicities bag
+    intersection (Spark intersectAll)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return a.intersectAll(b)
+
+
+@register("ses_forecast_users", """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         round(sum(value), 4) AS x
+  FROM events WHERE user_id < 20
+  GROUP BY user_id, date_trunc('hour', ts)),
+idx AS (
+  SELECT user_id, x,
+         row_number() OVER (PARTITION BY user_id ORDER BY bucket) - 1 AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM hourly)
+SELECT user_id,
+       cast(max(n) AS BIGINT) AS n_buckets,
+       round(sum((CASE WHEN t = 0 THEN pow(0.5, n - 1)
+                       ELSE 0.5 * pow(0.5, n - 1 - t) END) * x), 6)
+         AS level
+FROM idx GROUP BY user_id
+ORDER BY user_id
+""")
+def ses_forecast_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user simple-exponential-smoothing level over hourly value
+    sums (operators/timeseries.ses_level, alpha=0.5): the recursion
+    collapsed to its closed-form weighted sum — one window + one
+    aggregation per key, no iterative fold; power-of-two weights so
+    both engines' pow() agree exactly."""
+    from parlerproject_spark.operators.timeseries import ses_level
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.round(F.sum("value"), 4).alias("x")))
+    return (ses_level(hourly, key_col="user_id", bucket_col="bucket",
+                      val_col="x", alpha=0.5)
+            .orderBy("user_id"))

@@ -66,3 +66,36 @@ def test_interpolate_grid_duplicate_instants_averaged(spark):
     assert got[_ts(0)] == pytest.approx(5.0)          # mean of dup instant
     assert got[datetime(2024, 1, 1, 1, 0)] == pytest.approx(5.0)
     assert got[datetime(2024, 1, 1, 2, 0)] == pytest.approx(5.0)
+
+
+def test_ses_level_matches_sequential_recurrence(spark):
+    from parlerproject_spark.operators.timeseries import ses_level
+    xs = [3.0, 5.0, 4.0, 8.0, 2.0, 6.0]
+    alpha = 0.3
+    lvl = xs[0]
+    for x in xs[1:]:
+        lvl = alpha * x + (1 - alpha) * lvl
+    df = spark.createDataFrame(
+        [("u", i, x) for i, x in enumerate(xs)],
+        "k string, b int, x double")
+    [r] = ses_level(df, key_col="k", bucket_col="b", val_col="x",
+                    alpha=alpha).collect()
+    assert r["n_buckets"] == len(xs)
+    assert abs(r["level"] - lvl) < 1e-6
+
+
+def test_ses_level_single_point_is_itself(spark):
+    from parlerproject_spark.operators.timeseries import ses_level
+    df = spark.createDataFrame([("u", 0, 42.5)], "k string, b int, x double")
+    [r] = ses_level(df, key_col="k", bucket_col="b", val_col="x").collect()
+    assert r["level"] == 42.5
+
+
+def test_ses_level_recent_values_dominate(spark):
+    from parlerproject_spark.operators.timeseries import ses_level
+    df = spark.createDataFrame(
+        [("u", i, 0.0) for i in range(20)] + [("u", 20, 100.0)],
+        "k string, b int, x double")
+    [r] = ses_level(df, key_col="k", bucket_col="b", val_col="x",
+                    alpha=0.5).collect()
+    assert r["level"] == 50.0   # alpha * latest
