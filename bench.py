@@ -189,6 +189,8 @@ EXTRA = [
     "ses_forecast_users",
     "except_all_priorities",
     "intersect_all_priorities",
+    "trimmed_mean_events",
+    "negative_samples_docs",
 ]
 
 

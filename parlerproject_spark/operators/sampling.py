@@ -248,3 +248,53 @@ def mixture_weights(docs: DataFrame, *, group_col: str = "source",
                                 / F.col("n_tokens"), 6))
             .select(group_col, "n_tokens", F.round("p_raw", 6).alias("p_raw"),
                     "weight", "budget_tokens", "epochs"))
+
+
+def negative_sampling_draws(docs: DataFrame, n_draws: int, *,
+                            text_col: str = "text",
+                            min_count: int = 5,
+                            seed: str = "neg-v1") -> DataFrame:
+    """Deterministic draws from the unigram^0.75 noise distribution
+    — word2vec/contrastive-training negative sampling (Mikolov et
+    al. 2013), as a relational op: vocabulary counts → tempered
+    weights → cumulative bounds → inverse-CDF range join.
+
+    Exactness contract: the 0.75 temper is computed as
+    sqrt(c)·sqrt(sqrt(c)) — sqrt is IEEE-exactly-rounded in every
+    libm, where pow(c, 0.75) is not, so both engines build the SAME
+    cumulative table bit-for-bit. The running bounds accumulate in
+    token order (a window over the min_count-CUT vocabulary — a
+    bounded extract, not the corpus), the total is max(hi) (order-
+    insensitive), and each draw's uniform comes from md5(seed:i).
+
+    The draws-to-bucket match is a range join against the BROADCAST
+    vocabulary bounds — at any corpus scale the vocab after the
+    min_count cut is the bounded side, the draws stream.
+
+    Columns: draw_id, token.
+    """
+    from parlerproject_spark.functions.text import tokenize
+
+    counts = (docs.select(F.explode(tokenize(text_col)).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+              .filter(F.col("c") >= min_count))
+    w = F.sqrt(F.col("c")) * F.sqrt(F.sqrt(F.col("c")))
+    run = Window.orderBy("token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    bounds = (counts.withColumn("__w", w)
+              .withColumn("hi", F.sum("__w").over(run))
+              .withColumn("lo", F.col("hi") - F.col("__w"))
+              .select("token", "lo", "hi"))
+    total = bounds.agg(F.max("hi").alias("__W"))
+    spark = docs.sparkSession
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(seed), F.col("draw_id"))), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(float(2 ** 32))) * F.col("__W")
+    draws = (spark.range(n_draws)
+             .select(F.col("id").alias("draw_id"))
+             .crossJoin(F.broadcast(total))
+             .select("draw_id", u.alias("__u")))
+    return (draws.join(F.broadcast(bounds),
+                       (F.col("__u") >= F.col("lo"))
+                       & (F.col("__u") < F.col("hi")))
+            .select("draw_id", "token"))

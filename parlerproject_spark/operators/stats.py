@@ -211,3 +211,34 @@ def bootstrap_ci(df: DataFrame, *, key_col: str, val_col: str,
     obs = (df.groupBy(key_col)
            .agg(F.round(F.avg(val_col), 6).alias("mean_obs")))
     return obs.join(picks, key_col)
+
+
+def trimmed_mean(df: DataFrame, *, key_col: str, val_col: str,
+                 trim: float = 0.05) -> DataFrame:
+    """Symmetric trimmed mean per key — the robust location estimate
+    a metrics pipeline reports when raw means are outlier-poisoned:
+    drop the floor(trim * n) smallest and largest observations
+    (RANK-based, ties broken by value order within the key — no
+    percentile interpolation, so both engines agree exactly), then
+    average the rest.
+
+    One per-key window for ranks + one aggregation; the window is a
+    keyed sort inside a single exchange (spill-safe), never a global
+    sort. n <= 2*floor(trim*n) cannot happen for trim < 0.5, so the
+    kept set is never empty.
+
+    Columns: <key_col>, n_used, n_trimmed_each, tmean (round 6).
+    """
+    byk = Window.partitionBy(key_col)
+    rn = F.row_number().over(byk.orderBy(F.col("__v").asc()))
+    n = F.count(F.lit(1)).over(byk)
+    k = F.floor(n * F.lit(trim))
+    kept = (df.select(F.col(key_col), F.col(val_col).alias("__v"))
+            .withColumn("__rn", rn).withColumn("__n", n)
+            .withColumn("__k", k)
+            .filter((F.col("__rn") > F.col("__k"))
+                    & (F.col("__rn") <= F.col("__n") - F.col("__k"))))
+    return (kept.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_used"),
+                 F.max("__k").cast("long").alias("n_trimmed_each"),
+                 F.round(F.avg("__v"), 6).alias("tmean")))

@@ -63,6 +63,8 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "trimmed_mean_events",
+    "negative_samples_docs",
     "ses_forecast_users",
     "except_all_priorities",
     "intersect_all_priorities",
@@ -7384,3 +7386,73 @@ def ses_forecast_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ses_level(hourly, key_col="user_id", bucket_col="bucket",
                       val_col="x", alpha=0.5)
             .orderBy("user_id"))
+
+
+@register("trimmed_mean_events", """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+kept AS (
+  SELECT event_type, value, floor(n * 0.05) AS k, n
+  FROM ranked
+  WHERE rn > floor(n * 0.05) AND rn <= n - floor(n * 0.05))
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_used,
+       cast(max(k) AS BIGINT) AS n_trimmed_each,
+       round(avg(value), 6) AS tmean
+FROM kept GROUP BY event_type
+ORDER BY event_type
+""")
+def trimmed_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimate (operators/stats.trimmed_mean, 5%
+    symmetric trim): rank-based trimming — no percentile
+    interpolation to drift between engines — one keyed window + one
+    aggregation."""
+    from parlerproject_spark.operators.stats import trimmed_mean
+    ev = _t(spark, sf_dir, "events")
+    return (trimmed_mean(ev, key_col="event_type", val_col="value",
+                         trim=0.05)
+            .orderBy("event_type"))
+
+
+@register("negative_samples_docs", """
+WITH counts AS (
+  SELECT token, count(*) AS c
+  FROM (SELECT unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS token
+        FROM documents)
+  GROUP BY token HAVING count(*) >= 5),
+bounds AS (
+  SELECT token,
+         sum(sqrt(c) * sqrt(sqrt(c))) OVER (ORDER BY token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         sum(sqrt(c) * sqrt(sqrt(c))) OVER (ORDER BY token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - sqrt(c) * sqrt(sqrt(c)) AS lo
+  FROM counts),
+total AS (SELECT max(hi) AS W FROM bounds),
+draws AS (
+  SELECT i AS draw_id,
+         ('0x' || substr(md5('neg-v1:' || i::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 * W AS u
+  FROM range(0, 500) AS t(i) CROSS JOIN total)
+SELECT draw_id, token
+FROM draws JOIN bounds ON u >= lo AND u < hi
+ORDER BY draw_id
+""")
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative sampling (operators/sampling
+    .negative_sampling_draws): 500 deterministic draws from the
+    unigram^0.75 noise distribution via inverse-CDF range join
+    against broadcast vocabulary bounds. The 0.75 temper is
+    sqrt(c)*sqrt(sqrt(c)) — exactly-rounded sqrt, not libm pow — so
+    both engines build the identical cumulative table."""
+    from parlerproject_spark.operators.sampling import (
+        negative_sampling_draws)
+    docs = _t(spark, sf_dir, "documents")
+    return (negative_sampling_draws(docs, 500, min_count=5)
+            .orderBy("draw_id"))

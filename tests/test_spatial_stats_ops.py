@@ -259,3 +259,38 @@ class TestSourceOverlap:
         from parlerproject_spark.operators.dedup import source_overlap_jaccard
         r = source_overlap_jaccard(docs).first()
         assert r.jaccard == 1.0
+
+
+def test_negative_sampling_proportional_and_deterministic(spark):
+    from pyspark.sql import functions as SF
+
+    from parlerproject_spark.operators.sampling import (
+        negative_sampling_draws)
+    # vocabulary: 'common' 640x, 'mid' 40x, 'rare' 10x, 'cut' 2x
+    text = " ".join(["common"] * 640 + ["mid"] * 40 + ["rare"] * 10
+                    + ["cut"] * 2)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = negative_sampling_draws(docs, 2000, min_count=5).collect()
+    assert len(out) == 2000                       # every draw matched once
+    freq = {}
+    for r in out:
+        freq[r["token"]] = freq.get(r["token"], 0) + 1
+    assert "cut" not in freq                      # min_count excluded
+    # weights c^0.75: 640->127.0, 40->15.9, 10->5.6 ; shares ~.855/.107/.038
+    assert freq["common"] > freq["mid"] > freq.get("rare", 0) > 0
+    assert 0.75 < freq["common"] / 2000 < 0.95
+    # determinism under input reorder
+    again = negative_sampling_draws(
+        docs.repartition(4), 2000, min_count=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_trimmed_mean_drops_exact_outlier_count(spark):
+    from parlerproject_spark.operators.stats import trimmed_mean
+    rows = ([("a", 1000.0)] + [("a", float(v)) for v in range(1, 20)]
+            + [("a", -1000.0)])   # 21 values, floor(21*.05)=1 each side
+    df = spark.createDataFrame(rows, "k string, v double")
+    [r] = trimmed_mean(df, key_col="k", val_col="v", trim=0.05).collect()
+    assert r["n_trimmed_each"] == 1
+    assert r["n_used"] == 19
+    assert r["tmean"] == 10.0
