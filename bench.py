@@ -191,6 +191,8 @@ EXTRA = [
     "intersect_all_priorities",
     "trimmed_mean_events",
     "negative_samples_docs",
+    "retractable_rollup_events",
+    "erase_audit_events",
 ]
 
 

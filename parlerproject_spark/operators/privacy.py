@@ -43,3 +43,35 @@ def redact_pii(df: DataFrame, *, text_col: str = "text",
     for _, (pat, token) in PII_PATTERNS.items():
         c = F.regexp_replace(c, pat, token)
     return df.withColumn(out_col, c)
+
+
+def erase_keys(tables: dict, key_cols: dict, keys, *, spark=None):
+    """Right-to-be-forgotten pass: drop every row belonging to the
+    given subject keys across a set of tables, returning (rewritten
+    DataFrames, audit). `tables` maps name -> DataFrame, `key_cols`
+    maps name -> subject-key column. The key list is small by nature
+    (one deletion request batch) → broadcast anti-joins; each table
+    streams once. The audit (name, n_before, n_dropped) is the
+    compliance record the deletion job must emit.
+
+    At 100 TB this composes with layout.overwrite_partitions: rewrite
+    only the partitions the audit shows contain subject rows. Erasure
+    here is physical row removal — for append-only/immutable stores
+    use key-scoped encryption (crypto-shredding) instead; this
+    operator is the mutable-lake path.
+    """
+    from pyspark.sql import functions as F
+    sp = spark or next(iter(tables.values())).sparkSession
+    kdf = F.broadcast(sp.createDataFrame(
+        [(k,) for k in keys], "__erase_key bigint"))
+    cleaned, audit_rows = {}, []
+    for name, df in tables.items():
+        kc = key_cols[name]
+        out = df.join(kdf, df[kc] == kdf["__erase_key"], "left_anti")
+        n_before = df.count()
+        n_after = out.count()
+        cleaned[name] = out
+        audit_rows.append((name, n_before, n_before - n_after))
+    audit = sp.createDataFrame(
+        audit_rows, "table_name string, n_before long, n_dropped long")
+    return cleaned, audit

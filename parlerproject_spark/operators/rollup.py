@@ -405,3 +405,44 @@ def decayed_rollup_serve(rollup: DataFrame, *, key_cols: Sequence[str],
             .groupBy(*key_cols)
             .agg(F.round(F.sum("dn"), 6).alias("decayed_n"),
                  F.sum("n_rows").alias("n_rows")))
+
+
+def retractable_rollup(events: DataFrame, *, bucket: F.Column,
+                       key_cols: Sequence[str], value_col: str,
+                       op_col: str,
+                       bucket_alias: str = "bucket") -> DataFrame:
+    """Delete-aware partial rollup: rows carry +1 (upsert) / -1
+    (retraction) in `op_col`, and the partial state keeps only the
+    LINEAR measures (count, sum) — the ones where a retraction is
+    algebraic (merge with negated partials). min/max are
+    deliberately absent: they are NOT retractable (removing the
+    current min needs the runner-up, i.e. raw history), which is
+    exactly why production retractable views (Flink, Materialize)
+    restrict to linear aggregates or keep per-group full state.
+
+    Merging is plain merge_rollups-style summation, so a CDC stream
+    of inserts and deletes maintains the rollup incrementally and
+    the result equals recomputing over the surviving rows — pytest
+    pins that equality. Rows: one per (bucket, keys) with n_rows,
+    sum_value (groups that net to zero rows are dropped).
+    """
+    part = (events
+            .groupBy(bucket.alias(bucket_alias), *key_cols)
+            .agg(F.sum(F.col(op_col)).alias("n_rows"),
+                 F.sum(F.col(op_col) * F.col(value_col))
+                 .alias("sum_value")))
+    return part.filter(F.col("n_rows") != 0)
+
+
+def merge_retractable(*parts: DataFrame) -> DataFrame:
+    """Fold retractable partials (same shape as merge_rollups, minus
+    min/max): union + one re-aggregation; zero-net groups drop."""
+    assert parts, "merge_retractable needs at least one input"
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    keys = [c for c in out.columns if c not in ("n_rows", "sum_value")]
+    return (out.groupBy(*keys)
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("sum_value").alias("sum_value"))
+            .filter(F.col("n_rows") != 0))

@@ -63,6 +63,8 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "retractable_rollup_events",
+    "erase_audit_events",
     "trimmed_mean_events",
     "negative_samples_docs",
     "ses_forecast_users",
@@ -7456,3 +7458,63 @@ def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (negative_sampling_draws(docs, 500, min_count=5)
             .orderBy("draw_id"))
+
+
+@register("retractable_rollup_events", """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+       event_type,
+       cast(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 4) + 0.0 AS sum_value
+FROM events WHERE event_id % 7 <> 0
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+""")
+def retractable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware incremental rollup (operators/rollup
+    .retractable_rollup/merge_retractable): the full event stream as
+    +1 upserts merged with a retraction stream (event_id %% 7 == 0
+    as -1) must equal the oracle's direct recompute over the
+    surviving rows — the CDC-maintained linear-aggregate view."""
+    from parlerproject_spark.operators.rollup import (merge_retractable,
+                                                      retractable_rollup)
+    ev = _t(spark, sf_dir, "events")
+    ins = ev.withColumn("op", F.lit(1))
+    dels = ev.filter(F.col("event_id") % 7 == 0) \
+             .withColumn("op", F.lit(-1))
+    bucket = F.date_format(F.date_trunc("day", F.col("ts")),
+                           "yyyy-MM-dd")
+    parts = [retractable_rollup(d, bucket=bucket,
+                                key_cols=["event_type"],
+                                value_col="value", op_col="op")
+             for d in (ins, dels)]
+    return (merge_retractable(*parts)
+            .select("bucket", "event_type",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    (F.round("sum_value", 4) + F.lit(0.0))
+                    .alias("sum_value"))
+            .orderBy("bucket", "event_type"))
+
+
+@register("erase_audit_events", """
+SELECT 'events' AS table_name,
+       (SELECT count(*) FROM events) AS n_before,
+       (SELECT count(*) FROM events WHERE user_id IN (1, 2, 3))
+         AS n_dropped
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_custkey IN (1, 2, 3))
+ORDER BY table_name
+""")
+def erase_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit (operators/privacy.erase_keys):
+    subjects {1,2,3} erased across events (user_id) and orders
+    (o_custkey) via broadcast anti-joins; the audit rows are the
+    compliance record and must equal the oracle's direct counts."""
+    from parlerproject_spark.operators.privacy import erase_keys
+    _, audit = erase_keys(
+        {"events": _t(spark, sf_dir, "events"),
+         "orders": _t(spark, sf_dir, "orders")},
+        {"events": "user_id", "orders": "o_custkey"},
+        [1, 2, 3], spark=spark)
+    return audit.orderBy("table_name")

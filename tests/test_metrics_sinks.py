@@ -59,3 +59,25 @@ def test_partitioned_text_sink(spark, sf_dir, tmp_path):
     only_en = spark.read.text(os.path.join(out, "lang=en"))
     n_en = load_table(spark, "documents", sf_dir).filter(F.col("lang") == "en").count()
     assert only_en.count() == n_en
+
+
+def test_erase_keys_removes_subject_everywhere_with_audit(spark):
+    from parlerproject_spark.operators.privacy import erase_keys
+    ev = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 11, "c"), (4, 12, "d")],
+        "event_id bigint, user_id bigint, x string")
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 13)], "doc_id bigint, author_id bigint")
+    cleaned, audit = erase_keys(
+        {"events": ev, "docs": docs},
+        {"events": "user_id", "docs": "author_id"},
+        [10, 11])
+    assert {r["user_id"] for r in cleaned["events"].collect()} == {12}
+    assert {r["author_id"] for r in cleaned["docs"].collect()} == {13}
+    a = {r["table_name"]: (r["n_before"], r["n_dropped"])
+         for r in audit.collect()}
+    assert a == {"events": (4, 3), "docs": (2, 1)}
+    # anti-join must be broadcast (key list is a deletion batch)
+    plan = cleaned["events"]._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Broadcast" in plan and "LeftAnti" in plan

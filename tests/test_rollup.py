@@ -332,3 +332,42 @@ def test_decayed_serve_is_merge_invariant_and_recency_biased(
            R.decayed_rollup_serve(tp, key_cols=["user_id"],
                                   now=now).collect()}
     assert out[1] > out[2]
+
+
+def test_retractable_rollup_equals_recompute_after_deletes(spark):
+    from pyspark.sql import functions as F
+
+    from parlerproject_spark.operators.rollup import (merge_retractable,
+                                                      retractable_rollup)
+    ins = spark.createDataFrame(
+        [(d, u, float(v), 1) for d, u, v in
+         [(1, 10, 5.0), (1, 10, 3.0), (1, 11, 7.0), (2, 10, 2.0)]],
+        "day int, user bigint, value double, op int")
+    # retract one of user 10's day-1 rows and ALL of user 11's
+    dels = spark.createDataFrame(
+        [(1, 10, 3.0, -1), (1, 11, 7.0, -1)],
+        "day int, user bigint, value double, op int")
+    r1 = retractable_rollup(ins, bucket=F.col("day"),
+                            key_cols=["user"], value_col="value",
+                            op_col="op")
+    r2 = retractable_rollup(dels, bucket=F.col("day"),
+                            key_cols=["user"], value_col="value",
+                            op_col="op")
+    merged = {(r["bucket"], r["user"]): (r["n_rows"], r["sum_value"])
+              for r in merge_retractable(r1, r2).collect()}
+    # surviving rows: (1,10,5.0) and (2,10,2.0)
+    assert merged == {(1, 10): (1, 5.0), (2, 10): (1, 2.0)}
+
+
+def test_retractable_rollup_drops_zero_net_groups(spark):
+    from pyspark.sql import functions as F
+
+    from parlerproject_spark.operators.rollup import (merge_retractable,
+                                                      retractable_rollup)
+    df = spark.createDataFrame(
+        [(1, 5, 4.0, 1), (1, 5, 4.0, -1)],
+        "day int, user bigint, value double, op int")
+    out = retractable_rollup(df, bucket=F.col("day"), key_cols=["user"],
+                             value_col="value", op_col="op")
+    assert out.count() == 0
+    assert merge_retractable(out, out).count() == 0
