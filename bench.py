@@ -193,6 +193,7 @@ EXTRA = [
     "negative_samples_docs",
     "retractable_rollup_events",
     "erase_audit_events",
+    "source_scorecard_docs",
 ]
 
 

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "source_scorecard_docs",
     "retractable_rollup_events",
     "erase_audit_events",
     "trimmed_mean_events",
@@ -7518,3 +7519,54 @@ def erase_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"events": "user_id", "orders": "o_custkey"},
         [1, 2, 3], spark=spark)
     return audit.orderBy("table_name")
+
+
+@register("source_scorecard_docs", """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '')) AS n_tokens,
+         round(least(length(text) / 500.0, 1.0) *
+               (CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                          * 1.0 / length(text)
+                     ELSE 0.0 END), 6) AS q
+  FROM documents),
+dupes AS (
+  SELECT f, count(*) AS df FROM fp GROUP BY f)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       round(avg(q), 6) AS mean_quality,
+       round(avg(n_tokens), 4) AS mean_tokens,
+       round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_share
+FROM fp JOIN dupes USING (f)
+GROUP BY source
+ORDER BY source
+""")
+def source_scorecard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus scorecard — the ingest-review dashboard
+    row: volume, mean heuristic quality, mean token length, and the
+    share of docs whose exact-dedup fingerprint collides anywhere in
+    the corpus. One scan; the fingerprint df rides a window over one
+    fingerprint exchange (capped_shingles pattern — no join-back
+    recompute of the scan)."""
+    from parlerproject_spark.functions.text import (fingerprint_md5,
+                                                    quality_score,
+                                                    token_count)
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", fingerprint_md5("text").alias("f"),
+        quality_score("text").alias("q"),
+        token_count("text").alias("n_tokens")).repartition("f")
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("f"))
+    return (fp.withColumn("df", dfw)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("q"), 6).alias("mean_quality"),
+                 F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+                 F.round(F.sum((F.col("df") > 1).cast("int"))
+                         / F.count(F.lit(1)), 6).alias("dup_share"))
+            .orderBy("source"))
