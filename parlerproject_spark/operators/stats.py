@@ -189,8 +189,15 @@ def bootstrap_ci(df: DataFrame, *, key_col: str, val_col: str,
     w = F.lit(9)
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
-    weighted = (df.select(F.col(key_col), F.col(val_col), F.col(id_col),
-                          reps)
+    # spread BEFORE the 200x explode: the replica blow-up happens
+    # inside whatever parallelism the scan arrived with (a handful
+    # of parquet splits at test scale), so without a repartition a
+    # few tasks carry the entire n x B stream (measured 40 s vs ~4 s
+    # at sf0.1). No-op cost at cluster scale where splits are plentiful.
+    from parlerproject_spark.operators.layout import spread_input
+    weighted = (spread_input(df.select(F.col(key_col), F.col(val_col),
+                                       F.col(id_col)))
+                .select(key_col, val_col, id_col, reps)
                 .withColumn("w", w))
     means = (weighted.groupBy(key_col, "r")
              .agg(F.sum(F.col("w") * F.col(val_col)).alias("sv"),
