@@ -194,6 +194,7 @@ EXTRA = [
     "retractable_rollup_events",
     "erase_audit_events",
     "source_scorecard_docs",
+    "corpus_refresh_pipeline",
 ]
 
 

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "corpus_refresh_pipeline",
     "source_scorecard_docs",
     "retractable_rollup_events",
     "erase_audit_events",
@@ -7569,4 +7570,168 @@ def source_scorecard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
                  F.round(F.sum((F.col("df") > 1).cast("int"))
                          / F.count(F.lit(1)), 6).alias("dup_share"))
+            .orderBy("source"))
+
+
+_REFRESH_SQL = """
+WITH batch AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
+bfp AS (
+  SELECT doc_id, source, text,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM batch),
+cfp AS (
+  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS f
+  FROM documents WHERE doc_id % 3 <> 0),
+ex AS (
+  SELECT doc_id, source, text FROM bfp
+  WHERE f NOT IN (SELECT f FROM cfp)),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
+  FROM (
+    SELECT doc_id,
+           array_to_string(ts[i:i+2], ' ') AS gram
+    FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+    WHERE len(ts) >= 3)),
+sig AS (
+  SELECT doc_id,
+       @MINS@
+  FROM grams GROUP BY doc_id),
+buckets AS (
+  @BANDS@),
+cand AS (
+  SELECT DISTINCT p.doc_id AS new_id, s.doc_id AS seen_id
+  FROM buckets p JOIN buckets s
+    ON p.band = s.band AND p.key = s.key
+  WHERE p.doc_id IN (SELECT doc_id FROM ex) AND s.doc_id % 3 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+nd AS (
+  SELECT DISTINCT new_id
+  FROM (
+    SELECT new_id, seen_id, count(*) AS n_common
+    FROM cand
+    JOIN grams a ON a.doc_id = new_id
+    JOIN grams b ON b.doc_id = seen_id AND a.sh = b.sh
+    GROUP BY new_id, seen_id) i
+  JOIN sizes sa ON sa.doc_id = i.new_id
+  JOIN sizes sb ON sb.doc_id = i.seen_id
+  WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5),
+near AS (
+  SELECT * FROM ex WHERE doc_id NOT IN (SELECT new_id FROM nd)),
+gbase AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'),
+                     w -> w <> '') AS ws
+  FROM near),
+kept AS (
+  SELECT doc_id, source, len(ws) AS n_tokens
+  FROM gbase
+  WHERE len(ws) BETWEEN 50 AND 100000
+    AND round(cast(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+              / greatest(len(ws), 1), 4) BETWEEN 3.0 AND 10.0
+    AND round(cast(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                   AS DOUBLE) / greatest(len(ws), 1), 6) >= 0.8),
+s_batch AS (SELECT source, count(*) AS n_batch FROM batch GROUP BY source),
+s_ex AS (SELECT source, count(*) AS n_exact FROM ex GROUP BY source),
+s_near AS (SELECT source, count(*) AS n_near FROM near GROUP BY source),
+s_kept AS (
+  SELECT source, count(*) AS n_kept, sum(n_tokens) AS n_tokens
+  FROM kept GROUP BY source),
+joined AS (
+  SELECT b.source, b.n_batch,
+         coalesce(e.n_exact, 0) AS n_exact,
+         coalesce(n.n_near, 0) AS n_near,
+         coalesce(k.n_kept, 0) AS n_kept,
+         coalesce(k.n_tokens, 0) AS n_tokens,
+         sqrt(coalesce(k.n_tokens, 0))
+           * sqrt(sqrt(coalesce(k.n_tokens, 0))) AS tw
+  FROM s_batch b
+  LEFT JOIN s_ex e USING (source)
+  LEFT JOIN s_near n USING (source)
+  LEFT JOIN s_kept k USING (source)),
+total AS (SELECT sum(tw) AS tt FROM joined)
+SELECT source,
+       cast(n_batch AS BIGINT) AS n_batch,
+       cast(n_exact AS BIGINT) AS n_exact,
+       cast(n_near AS BIGINT) AS n_near,
+       cast(n_kept AS BIGINT) AS n_kept,
+       cast(n_tokens AS BIGINT) AS n_tokens,
+       round(tw / tt, 6) AS weight
+FROM joined CROSS JOIN total
+ORDER BY source
+""".replace("@MINS@", _MINHASH_MINS).replace("@BANDS@", _MINHASH_BANDS)
+
+
+@register("corpus_refresh_pipeline", _REFRESH_SQL)
+def corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CORPUS REFRESH: an incoming snapshot (doc_id % 3
+    == 0) folds into a standing corpus (the rest) through the full
+    ingest gauntlet — exact dedup against the corpus fingerprint set
+    (anti-join), incremental MinHash near-dup against the corpus's
+    banded store (dedup.incremental_near_dup_minhash — history text
+    never re-read), the Gopher word-band/mean-length/alpha quality
+    gate, then tempered (p^0.75, sqrt-composed) per-source mixture
+    weights over the surviving token mass. Every stage is a verified
+    operator composed unchanged; the oracle chains the same stages
+    as CTEs. Output: per-source funnel counts + final weight."""
+    from parlerproject_spark.functions.text import (fingerprint_md5,
+                                                    token_count)
+    from parlerproject_spark.operators.dedup import (
+        incremental_near_dup_minhash, minhash_band_buckets,
+        minhash_signatures, shingles)
+    from parlerproject_spark.operators.quality_rules import (
+        gopher_quality_flags)
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0) \
+        .select("doc_id", "source", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    cset = corpus.select(fingerprint_md5("text").alias("f")).distinct()
+    ex = (batch.withColumn("f", fingerprint_md5("text"))
+          .join(cset, "f", "left_anti").drop("f"))
+    seen_sh = shingles(corpus).repartition("doc_id")
+    seen_sig = minhash_signatures(corpus, _shingles_df=seen_sh)
+    nd = (incremental_near_dup_minhash(
+        ex, minhash_band_buckets(seen_sig), seen_sh, threshold=0.5)
+        .select(F.col("new_id").alias("doc_id")).distinct())
+    near = ex.join(nd, "doc_id", "left_anti")
+    flags = gopher_quality_flags(near)
+    kept = (near.join(
+        flags.filter(F.col("pass_words") & F.col("pass_mean_len")
+                     & F.col("pass_alpha")).select("doc_id"),
+        "doc_id", "left_semi")
+        .select("doc_id", "source", token_count("text").alias("n_tokens")))
+    s_batch = batch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"))
+    s_ex = ex.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    s_near = near.groupBy("source").agg(F.count(F.lit(1)).alias("n_near"))
+    s_kept = (kept.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_kept"),
+                   F.sum("n_tokens").alias("n_tokens")))
+    tw = (F.sqrt(F.col("n_tokens"))
+          * F.sqrt(F.sqrt(F.col("n_tokens"))))
+    joined = (s_batch
+              .join(s_ex, "source", "left")
+              .join(s_near, "source", "left")
+              .join(s_kept, "source", "left")
+              .select("source", "n_batch",
+                      F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+                      F.coalesce("n_near", F.lit(0)).alias("n_near"),
+                      F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                      F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"))
+              .withColumn("tw", tw))
+    total = joined.agg(F.sum("tw").alias("tt"))
+    return (joined.crossJoin(F.broadcast(total))
+            .select("source",
+                    F.col("n_batch").cast("long").alias("n_batch"),
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    F.col("n_near").cast("long").alias("n_near"),
+                    F.col("n_kept").cast("long").alias("n_kept"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.round(F.col("tw") / F.col("tt"), 6).alias("weight"))
             .orderBy("source"))

@@ -39,3 +39,14 @@ def test_registry_integrity():
     # priority names come first, in priority order
     assert names[:len(q._DRIVER_PRIORITY)] == [
         n for n in q._DRIVER_PRIORITY if n in set(names)]
+
+
+def test_corpus_refresh_pipeline_funnel_invariants(spark, sf_dir):
+    import parlerproject_spark.queries as Q
+    rows = Q.queries()["corpus_refresh_pipeline"](spark, sf_dir).collect()
+    assert rows, "refresh pipeline returned no sources"
+    for r in rows:
+        assert r["n_batch"] >= r["n_exact"] >= r["n_near"] >= r["n_kept"]
+        assert (r["n_kept"] == 0) == (r["n_tokens"] == 0)
+        assert 0.0 <= r["weight"] <= 1.0
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
