@@ -7692,14 +7692,19 @@ def corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     cset = corpus.select(fingerprint_md5("text").alias("f")).distinct()
+    # ex and near each feed multiple funnel branches (their own
+    # count + every later stage); Spark shares no subplans, so
+    # persist() the two batch-sized branch points — the cached unit
+    # is the INGEST BATCH, not the standing corpus, so the cache is
+    # bounded by design at any corpus scale
     ex = (batch.withColumn("f", fingerprint_md5("text"))
-          .join(cset, "f", "left_anti").drop("f"))
+          .join(cset, "f", "left_anti").drop("f").persist())
     seen_sh = shingles(corpus).repartition("doc_id")
     seen_sig = minhash_signatures(corpus, _shingles_df=seen_sh)
     nd = (incremental_near_dup_minhash(
         ex, minhash_band_buckets(seen_sig), seen_sh, threshold=0.5)
         .select(F.col("new_id").alias("doc_id")).distinct())
-    near = ex.join(nd, "doc_id", "left_anti")
+    near = ex.join(nd, "doc_id", "left_anti").persist()
     flags = gopher_quality_flags(near)
     kept = (near.join(
         flags.filter(F.col("pass_words") & F.col("pass_mean_len")
