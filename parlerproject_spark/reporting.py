@@ -318,3 +318,66 @@ def write_topic_reports(docs: DataFrame, vectors: DataFrame, out_dir: str,
         out["barchart"] = barchart_report(
             topic_words, out_dir, top_n_topics=min(10, unique_topics))
     return out
+
+
+def write_corpus_datasheet(spark, sf_dir: str, out_dir: str) -> dict:
+    """Dataset-card generator — the datasheet (Gebru et al. 2021)
+    a corpus release ships: one JSON + one Markdown summarizing the
+    corpus from already-verified engine queries (per-source
+    scorecard, language mix, events profile, dedup-funnel counts).
+
+    All numbers come from bounded aggregates (sources × metrics,
+    per-column profiles) — the driver only ever collects
+    report-sized tables, same contract as the topic reports above.
+    Returns {"json": path, "md": path}.
+    """
+    import json as _json
+    import os
+
+    from parlerproject_spark import queries as Q
+
+    reg = Q.queries()
+    scorecard = [r.asDict() for r in
+                 reg["source_scorecard_docs"](spark, sf_dir).collect()]
+    langs = [r.asDict() for r in
+             reg["language_id_docs"](spark, sf_dir)
+             .groupby("lang_pred").count().collect()]
+    profile = [r.asDict() for r in
+               reg["profile_events_table"](spark, sf_dir).collect()]
+    refresh = [r.asDict() for r in
+               reg["corpus_refresh_pipeline"](spark, sf_dir).collect()]
+    card = {"tables": {"documents": {"sources": scorecard,
+                                     "language_mix": langs,
+                                     "refresh_funnel": refresh},
+                       "events": {"profile": profile}}}
+    os.makedirs(out_dir, exist_ok=True)
+    jpath = os.path.join(out_dir, "datasheet.json")
+    with open(jpath, "w") as fh:
+        _json.dump(card, fh, indent=1, sort_keys=True, default=str)
+    lines = ["# Corpus datasheet", "",
+             "## documents: per-source scorecard", "",
+             "| source | docs | mean quality | mean tokens | dup share |",
+             "|---|---|---|---|---|"]
+    for r in scorecard:
+        lines.append(f"| {r['source']} | {r['n_docs']} | "
+                     f"{r['mean_quality']} | {r['mean_tokens']} | "
+                     f"{r['dup_share']} |")
+    lines += ["", "## documents: language mix", ""]
+    for r in sorted(langs, key=lambda x: -x["count"]):
+        lines.append(f"- {r['lang_pred']}: {r['count']}")
+    lines += ["", "## documents: refresh funnel (batch -> kept)", "",
+              "| source | batch | after exact | after near | kept |"
+              " weight |", "|---|---|---|---|---|---|"]
+    for r in refresh:
+        lines.append(f"| {r['source']} | {r['n_batch']} | {r['n_exact']}"
+                     f" | {r['n_near']} | {r['n_kept']} | {r['weight']} |")
+    lines += ["", "## events: column profile", "",
+              "| column | rows | nulls | distinct | min | max |",
+              "|---|---|---|---|---|---|"]
+    for r in profile:
+        lines.append(f"| {r['col_name']} | {r['n_rows']} | {r['n_nulls']}"
+                     f" | {r['n_distinct']} | {r['min_s']} | {r['max_s']} |")
+    mpath = os.path.join(out_dir, "datasheet.md")
+    with open(mpath, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return {"json": jpath, "md": mpath}

@@ -57,3 +57,20 @@ def test_too_few_topics_writes_nothing(spark, tmp_path):
     out = reporting.write_topic_reports(docs, vectors, str(tmp_path), k=4)
     assert out == {}
     assert not os.listdir(tmp_path)
+
+
+def test_corpus_datasheet_writes_json_and_md(spark, sf_dir, tmp_path):
+    import json
+
+    from parlerproject_spark.reporting import write_corpus_datasheet
+    out = write_corpus_datasheet(spark, sf_dir, str(tmp_path / "card"))
+    card = json.load(open(out["json"]))
+    srcs = card["tables"]["documents"]["sources"]
+    assert srcs and all("mean_quality" in r for r in srcs)
+    assert card["tables"]["events"]["profile"]
+    md = open(out["md"]).read()
+    assert "# Corpus datasheet" in md
+    assert "refresh funnel" in md
+    # deterministic: a second run writes identical content
+    out2 = write_corpus_datasheet(spark, sf_dir, str(tmp_path / "card2"))
+    assert open(out2["md"]).read() == md
