@@ -195,6 +195,7 @@ EXTRA = [
     "erase_audit_events",
     "source_scorecard_docs",
     "corpus_refresh_pipeline",
+    "search_snippets_docs",
 ]
 
 

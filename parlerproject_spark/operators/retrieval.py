@@ -307,3 +307,46 @@ def probe_phrase_index(spark, path: str, phrase: str) -> DataFrame:
             .filter(F.col("__k") == m)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_matches")))
+
+
+def search_snippets(docs: DataFrame, query_terms: list[str], *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    half_window: int = 60) -> DataFrame:
+    """Result snippets (Lucene-style first-occurrence fragmenter):
+    for every document containing a query term, the character window
+    around the EARLIEST term occurrence in the normalized token
+    stream, plus the total term-hit count — the display layer of the
+    BM25/phrase retrieval stack.
+
+    Zero-shuffle scalar pipeline: the token stream is rebuilt
+    in-place (lower + delimiter collapse, byte-identical to joining
+    tokenize() with spaces), the first position is min over literal
+    `instr` probes of ' term ' (plain substring search — codegen,
+    no regex), hits are one token-boundary regexp_count, the snippet
+    one substring. Docs without any term are filtered out before
+    anything else computes.
+
+    Columns: <id_col>, first_pos (1-based char offset in the padded
+    stream), n_hits, snippet.
+    """
+    import re as _re
+    terms = sorted({t.lower() for t in query_terms if t})
+    assert terms, "need at least one query term"
+    stream = F.concat(F.lit(" "),
+                      F.regexp_replace(F.lower(F.col(text_col)),
+                                       r"[^a-z0-9]+", " "),
+                      F.lit(" "))
+    d = docs.select(F.col(id_col), stream.alias("__s"))
+    pos = F.least(*[
+        F.nullif(F.instr("__s", f" {t} "), F.lit(0)) for t in terms]) \
+        if len(terms) > 1 else \
+        F.nullif(F.instr("__s", f" {terms[0]} "), F.lit(0))
+    alt = "|".join(_re.escape(t) for t in terms)
+    hits = F.regexp_count("__s", F.lit(f"(?<= )(?:{alt})(?= )"))
+    start = F.greatest(F.col("first_pos") - half_window, F.lit(1))
+    return (d.withColumn("first_pos", pos)
+            .filter(F.col("first_pos").isNotNull())
+            .withColumn("n_hits", hits.cast("long"))
+            .select(id_col, F.col("first_pos").cast("long"), "n_hits",
+                    F.trim(F.substring("__s", start,
+                                       2 * half_window)).alias("snippet")))

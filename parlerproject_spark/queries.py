@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "search_snippets_docs",
     "corpus_refresh_pipeline",
     "source_scorecard_docs",
     "retractable_rollup_events",
@@ -7740,3 +7741,36 @@ def corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.round(F.col("tw") / F.col("tt"), 6).alias("weight"))
             .orderBy("source"))
+
+
+@register("search_snippets_docs", """
+WITH s AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' '
+           AS st,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+hit AS (
+  SELECT doc_id, st,
+         least(nullif(instr(st, ' hash '), 0),
+               nullif(instr(st, ' join '), 0)) AS first_pos,
+         len(list_filter(ts, t -> t IN ('hash', 'join'))) AS n_hits
+  FROM s)
+SELECT doc_id, cast(first_pos AS BIGINT) AS first_pos,
+       cast(n_hits AS BIGINT) AS n_hits,
+       trim(substr(st, greatest(first_pos - 60, 1), 120)) AS snippet
+FROM hit WHERE first_pos IS NOT NULL
+ORDER BY doc_id
+""")
+def search_snippets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval snippets (operators/retrieval.search_snippets) for
+    the query {hash, join}: earliest-occurrence character window +
+    total hit count per matching doc — zero-shuffle scalar pipeline
+    (literal instr probes, one boundary regexp_count, one
+    substring). The oracle rebuilds the stream and counts hits via
+    the token list (RE2 has no lookbehind)."""
+    from parlerproject_spark.operators.retrieval import search_snippets
+    docs = _t(spark, sf_dir, "documents")
+    return (search_snippets(docs, ["hash", "join"])
+            .orderBy("doc_id"))

@@ -112,3 +112,21 @@ def test_overwrite_partitions_touches_only_present_partitions(
                 for f in os.listdir(os.path.join(path, "day=d2"))
                 if f.endswith(".parquet")}
     assert d2_after == d2_files   # untouched files, same mtimes
+
+
+def test_search_snippets_first_hit_and_counts(spark):
+    from parlerproject_spark.operators.retrieval import search_snippets
+    docs = spark.createDataFrame(
+        [(1, "a b c hash d e join f hash"),
+         (2, "nothing relevant here"),
+         (3, "JOIN, first; then hash")],
+        "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in
+            search_snippets(docs, ["hash", "join"],
+                            half_window=10).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_hits"] == 3
+    assert rows[3]["n_hits"] == 2
+    assert "hash" in rows[1]["snippet"]
+    # earliest occurrence wins: doc 3 starts with 'join'
+    assert rows[3]["snippet"].startswith("join")
