@@ -196,6 +196,7 @@ EXTRA = [
     "source_scorecard_docs",
     "corpus_refresh_pipeline",
     "search_snippets_docs",
+    "hybrid_rerank_docs",
 ]
 
 

@@ -350,3 +350,47 @@ def search_snippets(docs: DataFrame, query_terms: list[str], *,
             .select(id_col, F.col("first_pos").cast("long"), "n_hits",
                     F.trim(F.substring("__s", start,
                                        2 * half_window)).alias("snippet")))
+
+
+def hybrid_rerank(docs: DataFrame, query_terms: list[str], *,
+                  k_candidates: int = 50, top_k: int = 10,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Two-stage retrieval: BM25 recall pass (k_candidates) then a
+    bounded rerank by 0.5·coverage + 0.5·normalized-BM25, where
+    coverage is the share of DISTINCT query terms the document
+    contains — the cheap lexical stand-in for a cross-encoder in the
+    standard retrieve→rerank serving stack (the rerank stage is the
+    seam where a model scorer drops in; everything around it is the
+    production shape: candidates bounded, corpus touched only by the
+    recall pass).
+
+    The coverage computation semi-joins the corpus to the BROADCAST
+    candidate id set before tokenizing, so stage 2 re-reads
+    k_candidates documents, never the corpus.
+
+    Columns: <id_col>, score (BM25), coverage, rerank_score, rank.
+    """
+    terms = sorted({t.lower() for t in query_terms if t})
+    cand = bm25_scores(docs, terms, id_col=id_col, text_col=text_col,
+                       top_k=k_candidates).drop("rank")
+    cid = cand.select(F.col("doc_id").alias("__cid"))
+    cdocs = docs.join(F.broadcast(cid),
+                      docs[id_col] == F.col("__cid"), "left_semi")
+    cov = (cdocs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(tokenize(text_col)).alias("t"))
+           .filter(F.col("t").isin(terms))
+           .groupBy("doc_id")
+           .agg(F.round(F.count_distinct("t") / F.lit(float(len(terms))),
+                        6).alias("coverage")))
+    mx = cand.agg(F.max("score").alias("__mx"))
+    w = Window.orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
+    return (cand.join(cov, "doc_id")
+            .crossJoin(F.broadcast(mx))
+            .withColumn("rerank_score",
+                        F.round(0.5 * F.col("coverage")
+                                + 0.5 * F.col("score") / F.col("__mx"), 6))
+            .orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
+            .limit(top_k)
+            .select("doc_id", "score", "coverage", "rerank_score",
+                    F.row_number().over(w).cast("long").alias("rank")))

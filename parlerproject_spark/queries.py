@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "hybrid_rerank_docs",
     "search_snippets_docs",
     "corpus_refresh_pipeline",
     "source_scorecard_docs",
@@ -7774,3 +7775,61 @@ def search_snippets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (search_snippets(docs, ["hash", "join"])
             .orderBy("doc_id"))
+
+
+@register("hybrid_rerank_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+lens AS (SELECT doc_id, len(ts) AS dl FROM toks),
+stats AS (SELECT cast(count(*) AS DOUBLE) AS n_docs,
+                 avg(dl) AS avgdl FROM lens),
+post AS (
+  SELECT doc_id, w AS term, cast(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)
+  WHERE w IN ('spark', 'join', 'query')
+  GROUP BY doc_id, w),
+wdf AS (SELECT term, cast(count(*) AS DOUBLE) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+  FROM post p
+  JOIN wdf USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats),
+cand AS (
+  SELECT doc_id, round(sum(s), 6) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT 50),
+cov AS (
+  SELECT doc_id,
+         round(count(DISTINCT term) / 3.0, 6) AS coverage
+  FROM post WHERE doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY doc_id),
+mx AS (SELECT max(score) AS m FROM cand),
+rr AS (
+  SELECT c.doc_id, c.score, v.coverage,
+         round(0.5 * v.coverage + 0.5 * c.score / m, 6) AS rerank_score
+  FROM cand c JOIN cov v USING (doc_id) CROSS JOIN mx)
+SELECT doc_id, score, coverage, rerank_score,
+       cast(row_number() OVER (ORDER BY rerank_score DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM rr
+ORDER BY rerank_score DESC, doc_id ASC
+LIMIT 10
+""")
+def hybrid_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators/retrieval.hybrid_rerank): BM25
+    recall (50 candidates) then a bounded lexical rerank — the
+    retrieve→rerank serving shape with the rerank stage as the
+    model-scorer seam. Stage 2 re-reads only the broadcast candidate
+    set, never the corpus."""
+    from parlerproject_spark.operators.retrieval import hybrid_rerank
+    return hybrid_rerank(_t(spark, sf_dir, "documents"),
+                         ["spark", "join", "query"],
+                         k_candidates=50, top_k=10)

@@ -368,3 +368,20 @@ def test_label_propagation_deterministic_tiebreak(spark):
            for r in label_propagation(edges, iters=1).collect()}
     assert got[5] == 1
     assert all(got[leaf] == 5 for leaf in (1, 2, 3, 4))
+
+
+def test_hybrid_rerank_coverage_boosts_full_match(spark):
+    """A doc containing every query term must outrank a doc that
+    spams a single term, even if the spammer's BM25 is higher."""
+    from parlerproject_spark.operators.retrieval import hybrid_rerank
+    docs = spark.createDataFrame(
+        [(1, "alpha " * 30 + "filler words here"),          # 1 term, high tf
+         (2, "alpha beta gamma mixed with other words"),    # all 3 terms
+         (3, "no relevant terms at all")],
+        "doc_id bigint, text string")
+    rows = hybrid_rerank(docs, ["alpha", "beta", "gamma"],
+                         k_candidates=10, top_k=5).collect()
+    assert rows[0]["doc_id"] == 2
+    assert rows[0]["coverage"] == 1.0
+    assert {r["doc_id"] for r in rows} == {1, 2}   # doc 3 never retrieved
+    assert [r["rank"] for r in rows] == [1, 2]
