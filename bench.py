@@ -197,6 +197,7 @@ EXTRA = [
     "corpus_refresh_pipeline",
     "search_snippets_docs",
     "hybrid_rerank_docs",
+    "blocklist_filter_docs",
 ]
 
 

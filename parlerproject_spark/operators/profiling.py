@@ -162,3 +162,39 @@ def heavy_hitters(df: DataFrame, key_col: str, *, k: int) -> DataFrame:
     return (exact.crossJoin(F.broadcast(total))
             .filter(F.col("n_rows") * (k + 1) > F.col("__t"))
             .select(key_col, "n_rows"))
+
+
+def file_size_report(spark, path: str) -> "DataFrame":
+    """Physical-layout diagnostic for a Parquet dataset: per-file
+    row counts (from one `input_file_name()` aggregation — a scan
+    that reads zero data columns) joined to per-file byte sizes from
+    a driver-side FS listing. The skew of THIS table is what decides
+    whether `layout.compact_small_files` is worth running — many
+    tiny files mean task-scheduling and footer overhead dominate
+    scans; one giant file means no parallelism.
+
+    Columns: file_name, n_rows, bytes.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    sizes = {}
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            sizes[name] = st.getLen()
+    rows = (spark.read.parquet(path)
+            .select(F.element_at(F.split(F.input_file_name(), "/"), -1)
+                    .alias("file_name"))
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+    size_df = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(sizes.items())],
+        "file_name string, bytes long")
+    return rows.join(F.broadcast(size_df), "file_name", "full_outer") \
+        .select("file_name",
+                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                F.coalesce("bytes", F.lit(0)).alias("bytes"))

@@ -390,3 +390,31 @@ def _gopher_repetition_arrow(docs: DataFrame, *, id_col: str,
                 "pass_top2", "pass_top3", "pass_top4", "keep"])
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def blocklist_filter(docs: DataFrame, blocked: list, *,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2 drop docs
+    containing any "bad word"): flag every document whose TOKEN
+    stream contains a blocked term — token-boundary matching, so
+    'assembler' does not trip 'ass'. Zero shuffle: the stream is
+    rebuilt in place and each blocked term is one literal instr
+    probe (codegen substring search, no regex, no explode).
+
+    Emits flags rather than dropping: pipelines audit what the gate
+    removes (the keep/flag split rides into the funnel reports).
+    Columns: <id_col>, n_blocked_terms, keep.
+    """
+    terms = sorted({t.lower() for t in blocked if t})
+    assert terms, "blocklist must be non-empty"
+    stream = F.concat(F.lit(" "),
+                      F.regexp_replace(F.lower(F.col(text_col)),
+                                       r"[^a-z0-9]+", " "),
+                      F.lit(" "))
+    d = docs.select(F.col(id_col), stream.alias("__s"))
+    hits = sum((F.when(F.instr("__s", f" {t} ") > 0, 1).otherwise(0)
+                for t in terms), start=F.lit(0))
+    return (d.select(id_col,
+                     hits.cast("long").alias("n_blocked_terms"))
+            .withColumn("keep", F.col("n_blocked_terms") == 0))

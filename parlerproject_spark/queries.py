@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "blocklist_filter_docs",
     "hybrid_rerank_docs",
     "search_snippets_docs",
     "corpus_refresh_pipeline",
@@ -7833,3 +7834,32 @@ def hybrid_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rerank(_t(spark, sf_dir, "documents"),
                          ["spark", "join", "query"],
                          k_candidates=50, top_k=10)
+
+
+@register("blocklist_filter_docs", """
+WITH s AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' '
+           AS st
+  FROM documents)
+SELECT doc_id,
+       cast((CASE WHEN instr(st, ' spill ') > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN instr(st, ' leak ') > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN instr(st, ' corrupt ') > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked_terms,
+       ((CASE WHEN instr(st, ' spill ') > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN instr(st, ' leak ') > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN instr(st, ' corrupt ') > 0 THEN 1 ELSE 0 END)) = 0
+         AS keep
+FROM s
+ORDER BY doc_id
+""")
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (operators/quality_rules
+    .blocklist_filter) with a placeholder blocklist {spill, leak,
+    corrupt}: token-boundary literal probes, zero shuffle, flags
+    kept for funnel auditing rather than silently dropping."""
+    from parlerproject_spark.operators.quality_rules import blocklist_filter
+    return (blocklist_filter(_t(spark, sf_dir, "documents"),
+                             ["spill", "leak", "corrupt"])
+            .orderBy("doc_id"))

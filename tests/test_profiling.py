@@ -85,3 +85,13 @@ def test_heavy_hitters_ignores_nulls_in_candidates(spark):
         [(None,)] * 50 + [(1,)] * 30 + [(2,)] * 3, "k bigint")
     cands = misra_gries_candidates(df, "k", k=5).collect()
     assert None not in {r["k"] for r in cands}
+
+
+def test_file_size_report_counts_every_file(spark, tmp_path):
+    from parlerproject_spark.operators.profiling import file_size_report
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).repartition(4).write.parquet(path)
+    rows = file_size_report(spark, path).collect()
+    assert len(rows) == 4
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert all(r["bytes"] > 0 for r in rows)
