@@ -198,6 +198,7 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "corpus_zipf_stats_docs",  # rank over the 1000-row head extract
     "key_skew_events",         # cum-share over the top-20 key extract
     "negative_samples_docs",   # cumulative bounds over the min_count-cut vocab
+    "hybrid_rerank_docs",      # rank over the limit(top_k) rerank extract
 }
 
 
