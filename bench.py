@@ -198,6 +198,7 @@ EXTRA = [
     "search_snippets_docs",
     "hybrid_rerank_docs",
     "blocklist_filter_docs",
+    "embedding_drift_snapshots",
 ]
 
 

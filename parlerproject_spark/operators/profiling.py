@@ -198,3 +198,29 @@ def file_size_report(spark, path: str) -> "DataFrame":
         .select("file_name",
                 F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
                 F.coalesce("bytes", F.lit(0)).alias("bytes"))
+
+
+def schema_diff(spark, path_a: str, path_b: str) -> "DataFrame":
+    """Schema-evolution audit between two Parquet snapshots: which
+    columns were added, removed, or changed type — the pre-flight a
+    pipeline runs before pointing itself at a new snapshot (the
+    ragged-ExifTool problem from the reference's metadata corpus,
+    §1.1, as a first-class check instead of a surprise at read
+    time). Driver-side footer reads only; no data is scanned.
+
+    Columns: col_name, status (added|removed|type_changed|same),
+    type_a, type_b.
+    """
+    a = {f.name: f.dataType.simpleString()
+         for f in spark.read.parquet(path_a).schema}
+    b = {f.name: f.dataType.simpleString()
+         for f in spark.read.parquet(path_b).schema}
+    rows = []
+    for c in sorted(set(a) | set(b)):
+        ta, tb = a.get(c), b.get(c)
+        status = ("removed" if tb is None else
+                  "added" if ta is None else
+                  "same" if ta == tb else "type_changed")
+        rows.append((c, status, ta, tb))
+    return spark.createDataFrame(
+        rows, "col_name string, status string, type_a string, type_b string")

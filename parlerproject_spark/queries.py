@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the driver's ~50-query cap always refreshes the stalest rows
     # (r4 verdict #8: 27 queries' newest row was still r1).
     # Round-5 session-4 additions (never sampled):
+    "embedding_drift_snapshots",
     "blocklist_filter_docs",
     "hybrid_rerank_docs",
     "search_snippets_docs",
@@ -7863,3 +7864,35 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (blocklist_filter(_t(spark, sf_dir, "documents"),
                              ["spill", "leak", "corrupt"])
             .orderBy("doc_id"))
+
+
+@register("embedding_drift_snapshots", """
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+mr AS (SELECT i, avg(x) AS mu_ref FROM ex WHERE vec_id % 2 = 0 GROUP BY i),
+mc AS (SELECT i, avg(x) AS mu_cur FROM ex WHERE vec_id % 2 <> 0 GROUP BY i),
+nn AS (
+  SELECT cast(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         cast(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM embeddings)
+SELECT n_ref, n_cur,
+       round(sqrt(sum((mu_ref - mu_cur) * (mu_ref - mu_cur))), 6)
+         AS centroid_shift,
+       round(max(abs(mu_ref - mu_cur)), 6) AS max_dim_shift
+FROM mr JOIN mc USING (i) CROSS JOIN nn
+GROUP BY n_ref, n_cur
+""")
+def embedding_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space drift monitor (operators/pca.embedding_drift):
+    centroid L2 displacement + worst-dimension mean shift between
+    the even/odd vec_id snapshot halves — the check that catches a
+    swapped or retrained embedding model before any scalar column
+    moves. Corpus touched once per side; only d-row tables shuffle."""
+    from parlerproject_spark.operators.pca import embedding_drift
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(emb.filter(F.col("vec_id") % 2 == 0),
+                           emb.filter(F.col("vec_id") % 2 != 0))

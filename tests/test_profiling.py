@@ -95,3 +95,18 @@ def test_file_size_report_counts_every_file(spark, tmp_path):
     assert len(rows) == 4
     assert sum(r["n_rows"] for r in rows) == 1000
     assert all(r["bytes"] > 0 for r in rows)
+
+
+def test_schema_diff_classifies_all_changes(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from parlerproject_spark.operators.profiling import schema_diff
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(3).select("id", SF.lit("x").alias("gone"),
+                          SF.lit(1).alias("mut")).write.parquet(a)
+    spark.range(3).select("id", SF.lit(2.5).alias("mut"),
+                          SF.lit(True).alias("fresh")).write.parquet(b)
+    got = {r["col_name"]: r["status"]
+           for r in schema_diff(spark, a, b).collect()}
+    assert got == {"id": "same", "gone": "removed",
+                   "mut": "type_changed", "fresh": "added"}
