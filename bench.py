@@ -276,6 +276,12 @@ def main() -> None:
     extra = time_queries(EXTRA, n_runs_extra)
 
     total = round(sum(timings.values()), 3)
+    # The PRINTED line must stay under the driver's ~2,000-char tail
+    # capture (round 5 lost its official headline to parsed:null when
+    # the 118-entry per-query extra map pushed the line to ~17 KB).
+    # Printed line = scalars + the 31 frozen headline timings only
+    # (~1.2 KB); the per-query extra map lives ONLY in the
+    # BENCH_DETAIL.json sidecar.
     headline = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -283,25 +289,25 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extra_total": round(sum(extra.values()), 3),
-        # per-query extras ON the printed line (r4 verdict: 60+ s of
-        # extra-tail runtime was untracked — a regression there was
-        # invisible); ~30 entries ≈ 1 KB, still well inside the
-        # driver's tail window with the line printed LAST
-        "extra": extra,
+        "extra_count": len(extra),
     }
 
-    # Full detail (per-run samples, spread, shuffle counts, extras) to
-    # a sidecar file — keeps the printed line small enough for the
-    # driver's bounded tail capture.
+    # Full detail (per-run samples, spread, shuffle counts, per-query
+    # extras) to a sidecar file.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
-        json.dump({**headline, "n_runs": n_runs, "runs": runs,
-                   "spread": spread, "shuffles": shuffles,
-                   "extra_queries": extra, "errors": errors}, fh, indent=1)
+        json.dump({**headline, "extra": extra, "n_runs": n_runs,
+                   "runs": runs, "spread": spread, "shuffles": shuffles,
+                   "errors": errors}, fh, indent=1)
 
     # The compact headline line, printed LAST.
-    print(json.dumps(headline, separators=(",", ":")))
+    line = json.dumps(headline, separators=(",", ":"))
+    # Hard guard: never print a line the driver can't capture whole.
+    if len(line) > 1900:
+        headline.pop("queries", None)
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -58,78 +58,26 @@ def register(name: str, oracle: str | None):
 # driver CORRECTNESS row at most ~2 rounds stale (all entries also pass the
 # local oracle replica, tools/check_oracle.py, every session).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-5 rotation, regenerated from CORRECTNESS_r01-r04:
-    # never-sampled first, then ascending last-sampled round, so
-    # the driver's ~50-query cap always refreshes the stalest rows
-    # (r4 verdict #8: 27 queries' newest row was still r1).
-    # Round-5 session-4 additions (never sampled):
-    "embedding_drift_snapshots",
-    "blocklist_filter_docs",
-    "hybrid_rerank_docs",
-    "search_snippets_docs",
-    "corpus_refresh_pipeline",
-    "source_scorecard_docs",
-    "retractable_rollup_events",
-    "erase_audit_events",
-    "trimmed_mean_events",
-    "negative_samples_docs",
-    "ses_forecast_users",
-    "except_all_priorities",
-    "intersect_all_priorities",
-    "bootstrap_ci_events",
-    "split_skew_join_events",
-    "ks_drift_events",
-    "training_shard_manifest",
-    "psi_drift_events",
-    "incremental_near_dup_docs",
-    "canonical_docs_near_dup",
-    "profile_events_table",
-    "key_skew_events",
-    "heavy_hitters_users",
-    "phrase_count_docs",
-    # Round-5 session-3 additions (never sampled):
-    "spatial_user_pairs",
-    "cusum_changepoints_events",
-    "int8_quantize_embeddings",
-    "mixture_weights_sources",
-    "ab_test_purchase_events",
-    "bfs_distances_events",
-    "mmr_rerank_embeddings",
-    "source_overlap_jaccard",
-    "fk_integrity_audit",
-    # Round-5 session-2 additions (never sampled):
-    "markov_transitions_events",
-    "corpus_zipf_stats_docs",
-    "triangle_counts_events",
-    "label_propagation_events",
-    "item_cf_similarity_events",
-    "stupid_backoff_docs",
-    "textrank_keywords_docs",
-    "compression_ratio_docs",
-    "dbscan_clusters_embeddings",
-    "hard_negatives_embeddings",
-    "embedding_covariance",
-    "pca_whiten_embeddings",
-    "unicode_normalize_docs",
-    "time_weighted_value_users",
-    "interpolate_hourly_values",
-    "fuzzy_best_match_parts",
-    "unigram_vocab_docs",
-    "unigram_segment_docs",
-    "rag_context_budget",
-    "dbscan_clusters_lsh",
-    "hard_negatives_cell",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "rolling_features_events",
-    "logreg_quality_scores_docs",
-    "cut_substring_spans_docs",
-    "ngram_novelty_docs",
-    "group_head_sample_docs",
+    # Round-6 rotation, regenerated from CORRECTNESS_r01-r05:
+    # never-sampled first, then ascending last-sampled round
+    # (r5 verdict #3: 15 never-sampled + 55 r1/r2-stale).
+    # last driver row: never
     "centroid_outlier_embeddings",
+    "cohort_retention_weekly",
+    "cut_substring_spans_docs",
+    "dbscan_clusters_lsh",
+    "funnel_view_click_purchase",
     "gopher_repetition_docs",
+    "group_head_sample_docs",
+    "hard_negatives_cell",
+    "logreg_quality_scores_docs",
+    "ngram_novelty_docs",
+    "rag_context_budget",
+    "rolling_features_events",
     "semantic_decontaminate_embeddings",
     "token_budget_sample_docs",
+    "unigram_segment_docs",
+    # last driver row: r1
     "argmax_events",
     "collect_sorted_events",
     "concat_object_urls",
@@ -157,6 +105,7 @@ _DRIVER_PRIORITY: list[str] = [
     "topk_orders",
     "tumbling_window_events",
     "window_rank_orders",
+    # last driver row: r2
     "embed_documents_fake",
     "embedding_near_dup_lsh",
     "full_outer_reconcile_keys",
@@ -185,6 +134,7 @@ _DRIVER_PRIORITY: list[str] = [
     "type_token_ratio_docs",
     "unpivot_part_metrics",
     "value_quartiles_bucketed",
+    # last driver row: r3
     "approx_distinct_users",
     "asof_join_purchase_view",
     "audio_chunk_parts",
@@ -235,6 +185,7 @@ _DRIVER_PRIORITY: list[str] = [
     "view_purchase_stream_join",
     "vocab_coverage_docs",
     "window_family_orders",
+    # last driver row: r4
     "anti_join_idle_customers",
     "audience_overlap_theta",
     "bloom_incremental_dedup_docs",
@@ -285,8 +236,58 @@ _DRIVER_PRIORITY: list[str] = [
     "value_quantiles_kll",
     "when_case_acctbal",
     "zorder_events_stats",
+    # last driver row: r5
+    "ab_test_purchase_events",
+    "bfs_distances_events",
+    "blocklist_filter_docs",
+    "bootstrap_ci_events",
+    "canonical_docs_near_dup",
+    "compression_ratio_docs",
+    "corpus_refresh_pipeline",
+    "corpus_zipf_stats_docs",
+    "cusum_changepoints_events",
+    "dbscan_clusters_embeddings",
+    "embedding_covariance",
+    "embedding_drift_snapshots",
+    "erase_audit_events",
+    "except_all_priorities",
+    "fk_integrity_audit",
+    "fuzzy_best_match_parts",
+    "hard_negatives_embeddings",
+    "heavy_hitters_users",
+    "hybrid_rerank_docs",
+    "incremental_near_dup_docs",
+    "int8_quantize_embeddings",
+    "interpolate_hourly_values",
+    "intersect_all_priorities",
+    "item_cf_similarity_events",
+    "key_skew_events",
+    "ks_drift_events",
+    "label_propagation_events",
+    "markov_transitions_events",
+    "mixture_weights_sources",
+    "mmr_rerank_embeddings",
+    "negative_samples_docs",
+    "pca_whiten_embeddings",
+    "phrase_count_docs",
+    "profile_events_table",
+    "psi_drift_events",
+    "retractable_rollup_events",
+    "search_snippets_docs",
+    "ses_forecast_users",
+    "source_overlap_jaccard",
+    "source_scorecard_docs",
+    "spatial_user_pairs",
+    "split_skew_join_events",
+    "stupid_backoff_docs",
+    "textrank_keywords_docs",
+    "time_weighted_value_users",
+    "training_shard_manifest",
+    "triangle_counts_events",
+    "trimmed_mean_events",
+    "unicode_normalize_docs",
+    "unigram_vocab_docs",
 ]
-
 def _ordered_names() -> list[str]:
     prio = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(prio)]
@@ -5570,16 +5571,25 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sign-fixed) → broadcast-literal matmul map. Rows-only for the
     driver (SQL cannot eigendecompose); pytest asserts orthonormal
     components, descending explained variance, and ≈identity
-    covariance of the whitened output."""
+    covariance of the whitened output.
+
+    Registered output is SCALAR-shaped — (vec_id, dim, value) via
+    posexplode — because the driver's canonicalizer sorts the frame
+    with pandas, which cannot factorize array cells (round 5's one red
+    row was this query returning a raw array<float> column). The
+    operator itself keeps its array API; only the registry projection
+    explodes. `+ 0.0` folds -0.0 → 0.0 so the value hash is stable
+    for components that round to zero."""
     from parlerproject_spark.operators.pca import (pca_components,
                                                    pca_project)
     emb = _t(spark, sf_dir, "embeddings")
     mu, comps, evals = pca_components(emb, n_components=8)
     proj = pca_project(emb, mu, comps, evals, whiten=True)
     return proj.select(
-        "vec_id",
-        F.transform("pc", lambda x: F.round(x, 4)).alias("pc")) \
-        .orderBy("vec_id")
+        "vec_id", F.posexplode("pc").alias("dim", "v")) \
+        .select("vec_id", "dim",
+                (F.round(F.col("v"), 4) + F.lit(0.0)).alias("value")) \
+        .orderBy("vec_id", "dim")
 
 
 @register("unicode_normalize_docs", """
