@@ -585,7 +585,9 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
                    k: int = 16, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    max_iter: int = 3,
-                   round_c: int | None = None) -> DataFrame:
+                   round_c: int | None = None,
+                   impl: str = "expr",
+                   block: int = 2048) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space semantic
     deduplication — k-means-cluster the vectors, form cosine >=
     threshold pairs ONLY inside each cluster, connected-component
@@ -598,13 +600,27 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
     topics.lloyd_centroids (deterministic seeded init, expr
     assignment: bit-stable across environments); component formation
     reuses duplicate_clusters (pointer jumping, O(log d) rounds).
-    k-means assignment is not SQL-expressible, so the driver check
-    is rows-only; pytest pins the semantics against brute-force CC
-    at k=1.
+
+    impl="expr" (default, the ORACLED path): within-cell candidate
+    pairs via a shuffle-hash self-join on the cluster key, cosine as
+    JVM expressions — F.aggregate folds the dot sequentially in
+    float64, the same formula AND summation order as the SQL oracle's
+    sum(x*y)/(sqrt(sum(x²))·sqrt(sum(y²))), so the unrounded
+    `sim >= threshold` comparison cannot flip on near-boundary pairs.
+    impl="arrow": per-cell BLOCK-WISE gram matrix via applyInPandas —
+    the dot is computed UN-normalized (X_blk @ Xᵀ, divided by the
+    norm outer product: same formula as the oracle, vectorized sum
+    order) in row blocks of `block`, so peak memory per group is
+    block × |cell| float64 (bounded) rather than |cell|² (a 100k-row
+    skewed cell would need ~80 GB dense). Pytest pins expr/arrow
+    pair-set equivalence; arrow is the throughput path when cells are
+    large and pairs dense, expr is the hash-exact default.
 
     Columns: <id_col>, cluster (k-means cell), keep (boolean —
     false = semantic duplicate of a kept earlier vector).
     """
+    from parlerproject_spark.functions.vectors import dot as _dot
+    from parlerproject_spark.functions.vectors import l2_norm
     from parlerproject_spark.operators.topics import _assign, lloyd_centroids
 
     cents = lloyd_centroids(vectors, k=k, max_iter=max_iter,
@@ -613,43 +629,68 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
     assigned = (_assign(vectors, cents, id_col=id_col, vec_col=vec_col,
                         impl="expr")
                 .withColumnRenamed("topic", "cluster"))
-    # Within-cell pairs as ONE Arrow gram matrix per cell
-    # (applyInPandas over the k-means cell key) — the paper's own
-    # per-cluster computation shape. The relational self-join pays an
-    # interpreted higher-order-function dot per candidate pair
-    # (~n²/k of them); the matmul is vectorized float64 and the
-    # group's memory is (cell size)² doubles, bounded by
-    # construction because the caller picks k so cells fit an
-    # executor — the same knob that bounds the join's skew. Zero
-    # norms are masked (same n > 0 guard as the join form).
-    import numpy as np
-    import pandas as pd
 
-    id_type = vectors.schema[id_col].dataType.simpleString()
+    if impl == "expr":
+        sides = assigned.select("cluster", F.col(id_col).alias("vid"),
+                                F.col(vec_col).alias("v"),
+                                l2_norm(vec_col).alias("n"))
+        a = sides.alias("a")
+        # both sides are the same corpus-scale table: shuffle-hash on
+        # the cluster key, never a broadcast (same rationale as
+        # fingerprint_overlap_pairs)
+        b = sides.hint("shuffle_hash").alias("b")
+        sim = (_dot(F.col("a.v"), F.col("b.v"))
+               / (F.col("a.n") * F.col("b.n")))
+        pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                        & (F.col("a.vid") < F.col("b.vid")))
+                 .filter((F.col("a.n") > 0) & (F.col("b.n") > 0))
+                 .select(F.col("a.vid").alias("id_a"),
+                         F.col("b.vid").alias("id_b"), sim.alias("sim"))
+                 .filter(F.col("sim") >= threshold))
+    elif impl == "arrow":
+        import numpy as np
+        import pandas as pd
 
-    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        X = np.array(pdf["v"].tolist(), dtype=np.float64)
-        ids = pdf["vid"].to_numpy()
-        n = np.linalg.norm(X, axis=1)
-        ok = n > 0
-        X, ids, n = X[ok], ids[ok], n[ok]
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
-                                 "sim": np.array([], dtype=np.float64)})
-        order = np.argsort(ids)
-        X, ids, n = X[order], ids[order], n[order]
-        S = (X / n[:, None]) @ (X / n[:, None]).T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = S[iu, ju] >= threshold
-        return pd.DataFrame({"id_a": ids[iu[hit]], "id_b": ids[ju[hit]],
-                             "sim": S[iu[hit], ju[hit]]})
+        id_type = vectors.schema[id_col].dataType.simpleString()
 
-    pairs = (assigned.select("cluster", F.col(id_col).alias("vid"),
-                             F.col(vec_col).alias("v"))
-             .groupBy("cluster")
-             .applyInPandas(cell_pairs,
-                            schema=f"id_a {id_type}, id_b {id_type}, "
-                                   "sim double"))
+        def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            ids = pdf["vid"].to_numpy()
+            n = np.linalg.norm(X, axis=1)
+            ok = n > 0
+            X, ids, n = X[ok], ids[ok], n[ok]
+            m = len(ids)
+            empty = pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                  "sim": np.array([], dtype=np.float64)})
+            if m < 2:
+                return empty
+            order = np.argsort(ids)
+            X, ids, n = X[order], ids[order], n[order]
+            # Row-blocked gram: block × m scratch at a time,
+            # un-normalized dot then norm-product division (the
+            # oracle's formula), only threshold HITS retained — never
+            # the dense m × m matrix.
+            out = [empty]
+            for s in range(0, m, block):
+                e = min(s + block, m)
+                S = (X[s:e] @ X.T) / np.outer(n[s:e], n)
+                bi, bj = np.nonzero(S >= threshold)
+                gi = bi + s
+                up = gi < bj           # strict upper triangle only
+                bi, gi, bj = bi[up], gi[up], bj[up]
+                out.append(pd.DataFrame({"id_a": ids[gi],
+                                         "id_b": ids[bj],
+                                         "sim": S[bi, bj]}))
+            return pd.concat(out, ignore_index=True)
+
+        pairs = (assigned.select("cluster", F.col(id_col).alias("vid"),
+                                 F.col(vec_col).alias("v"))
+                 .groupBy("cluster")
+                 .applyInPandas(cell_pairs,
+                                schema=f"id_a {id_type}, id_b {id_type}, "
+                                       "sim double"))
+    else:
+        raise ValueError(f"unknown impl: {impl}")
     comps = duplicate_clusters(pairs)  # (doc_id, cluster_id=min label)
     dupes = (comps.filter(F.col("doc_id") != F.col("cluster_id"))
              .select(F.col("doc_id").alias("dup_id")))

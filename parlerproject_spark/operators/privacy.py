@@ -50,9 +50,17 @@ def erase_keys(tables: dict, key_cols: dict, keys, *, spark=None):
     given subject keys across a set of tables, returning (rewritten
     DataFrames, audit). `tables` maps name -> DataFrame, `key_cols`
     maps name -> subject-key column. The key list is small by nature
-    (one deletion request batch) → broadcast anti-joins; each table
-    streams once. The audit (name, n_before, n_dropped) is the
-    compliance record the deletion job must emit.
+    (one deletion request batch) → broadcast anti-joins. The audit
+    (name, n_before, n_dropped) is the compliance record the deletion
+    job must emit: it is a LAZY DataFrame built from ONE aggregate
+    per table (count(*) + count of broadcast-matched keys over a
+    single left join) — one scan per table when the caller runs it,
+    not the eager before/after double-count an earlier version paid
+    (2 scans per table, serial from the driver; at 100 TB that
+    doubled the erasure job's I/O). The key frame's type is inferred
+    per table from the key column's schema, so string subject ids
+    (user/document ids) join correctly rather than failing or
+    silently mis-casting against a hardcoded bigint.
 
     At 100 TB this composes with layout.overwrite_partitions: rewrite
     only the partitions the audit shows contain subject rows. Erasure
@@ -60,18 +68,26 @@ def erase_keys(tables: dict, key_cols: dict, keys, *, spark=None):
     use key-scoped encryption (crypto-shredding) instead; this
     operator is the mutable-lake path.
     """
+    from functools import reduce
+
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
     sp = spark or next(iter(tables.values())).sparkSession
-    kdf = F.broadcast(sp.createDataFrame(
-        [(k,) for k in keys], "__erase_key bigint"))
-    cleaned, audit_rows = {}, []
+    uniq = list(dict.fromkeys(keys))  # dup keys must not dup joined rows
+    cleaned, audits = {}, []
     for name, df in tables.items():
         kc = key_cols[name]
-        out = df.join(kdf, df[kc] == kdf["__erase_key"], "left_anti")
-        n_before = df.count()
-        n_after = out.count()
-        cleaned[name] = out
-        audit_rows.append((name, n_before, n_before - n_after))
-    audit = sp.createDataFrame(
-        audit_rows, "table_name string, n_before long, n_dropped long")
+        kdf = F.broadcast(sp.createDataFrame(
+            [(k,) for k in uniq],
+            T.StructType([T.StructField(
+                "__erase_key", df.schema[kc].dataType, False)])))
+        cleaned[name] = df.join(
+            kdf, df[kc] == kdf["__erase_key"], "left_anti")
+        audits.append(
+            df.join(kdf, df[kc] == kdf["__erase_key"], "left")
+            .agg(F.count(F.lit(1)).alias("n_before"),
+                 F.count("__erase_key").alias("n_dropped"))
+            .select(F.lit(name).alias("table_name"),
+                    "n_before", "n_dropped"))
+    audit = reduce(DataFrame.unionAll, audits)
     return cleaned, audit

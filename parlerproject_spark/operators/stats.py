@@ -178,7 +178,12 @@ def bootstrap_ci(df: DataFrame, *, key_col: str, val_col: str,
     replica id) — no interpolation, no engine drift. The final
     window runs over n_replicas rows per key, never over data.
     Replicas whose weights sum to zero are skipped (they carry no
-    sample).
+    sample), and B is the per-key SURVIVING replica count, not the
+    nominal n_replicas — ranking against the nominal count would
+    leave the 97.5th-rank row nonexistent for small keys where
+    replicas die, silently collapsing ci_hi onto ci_lo (r5 advice).
+    Rank arithmetic is integer ((p·B + 999) div 1000), never
+    float·0.025, so ceil never drifts across engines.
 
     Columns: <key_col>, mean_obs, ci_lo, ci_hi (round 6).
     """
@@ -205,13 +210,14 @@ def bootstrap_ci(df: DataFrame, *, key_col: str, val_col: str,
              .filter(F.col("sw") > 0)
              .select(key_col, "r", (F.col("sv") / F.col("sw"))
                      .alias("m")))
-    lo_rank = -(-25 * n_replicas // 1000)    # ceil(0.025 B)
-    hi_rank = -(-975 * n_replicas // 1000)   # ceil(0.975 B)
-    rn = F.row_number().over(
-        Window.partitionBy(key_col).orderBy(F.col("m").asc(),
-                                            F.col("r").asc()))
-    picks = (means.withColumn("rn", rn)
-             .filter(F.col("rn").isin(lo_rank, hi_rank))
+    byk = Window.partitionBy(key_col)
+    rn = F.row_number().over(byk.orderBy(F.col("m").asc(),
+                                         F.col("r").asc()))
+    surv = F.count(F.lit(1)).over(byk)   # surviving replicas per key
+    lo_rank = F.floor((F.lit(25) * F.col("surv") + 999) / 1000)
+    hi_rank = F.floor((F.lit(975) * F.col("surv") + 999) / 1000)
+    picks = (means.withColumn("rn", rn).withColumn("surv", surv)
+             .filter((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
              .groupBy(key_col)
              .agg(F.round(F.min("m"), 6).alias("ci_lo"),
                   F.round(F.max("m"), 6).alias("ci_hi")))

@@ -7314,11 +7314,15 @@ means AS (
 ranked AS (
   SELECT event_type, m,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY m ASC, r ASC) AS rn
+                            ORDER BY m ASC, r ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS surv
   FROM means),
 picks AS (
   SELECT event_type, round(min(m), 6) AS ci_lo, round(max(m), 6) AS ci_hi
-  FROM ranked WHERE rn IN (5, 195) GROUP BY event_type),
+  FROM ranked
+  WHERE rn IN (cast(floor((25 * surv + 999) / 1000.0) AS BIGINT),
+               cast(floor((975 * surv + 999) / 1000.0) AS BIGINT))
+  GROUP BY event_type),
 obs AS (
   SELECT event_type, round(avg(value), 6) AS mean_obs
   FROM events GROUP BY event_type)

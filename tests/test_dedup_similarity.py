@@ -405,6 +405,23 @@ def test_semantic_dedup_transitive_chain_keeps_one(spark):
     assert out == {10: True, 11: False, 12: False}
 
 
+def test_semantic_dedup_arrow_impl_matches_expr(spark, sf_dir):
+    """The block-wise Arrow gram path must produce the identical
+    (vec_id, cluster, keep) frame as the oracled JVM-expression join
+    path — block=7 forces multiple row blocks per cell so the
+    blocking logic itself is exercised (r5 advice: the dense
+    |cell|² matrix OOMs on skewed cells; the blocked form must stay
+    result-identical)."""
+    from parlerproject_spark.operators.dedup import semantic_dedup
+    emb = load_table(spark, "embeddings", sf_dir).limit(120)
+    kw = dict(threshold=0.9, k=4, round_c=6)
+    expr = sorted(map(tuple, semantic_dedup(emb, impl="expr",
+                                            **kw).collect()))
+    arrow = sorted(map(tuple, semantic_dedup(emb, impl="arrow", block=7,
+                                             **kw).collect()))
+    assert expr == arrow
+
+
 # Product quantization ------------------------------------------------------
 
 def test_pq_recall_and_compression(spark, sf_dir):

@@ -81,3 +81,26 @@ def test_erase_keys_removes_subject_everywhere_with_audit(spark):
     plan = cleaned["events"]._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Broadcast" in plan and "LeftAnti" in plan
+
+
+def test_erase_keys_string_subjects_and_single_scan_audit(spark):
+    """String subject ids must join correctly (the key frame's type
+    is inferred from each table's key column — an earlier version
+    hardcoded bigint); duplicate keys in the request batch must not
+    double-count dropped rows; and the audit plan must be ONE
+    aggregate over the table scan, not an eager before/after
+    double-count."""
+    from parlerproject_spark.operators.privacy import erase_keys
+    docs = spark.createDataFrame(
+        [("u1", 1), ("u1", 2), ("u2", 3), ("u3", 4)],
+        "author string, doc_id bigint")
+    cleaned, audit = erase_keys(
+        {"docs": docs}, {"docs": "author"}, ["u1", "u3", "u1"])
+    assert {r["author"] for r in cleaned["docs"].collect()} == {"u2"}
+    a = audit.collect()
+    assert [tuple(r) for r in a] == [("docs", 4, 3)]
+    # single-pass: the audit plan contains no more scans of the input
+    # than the one left-join aggregate needs
+    plan = (audit._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])  # AQE dump repeats the tree
+    assert plan.count("Scan ExistingRDD") <= 2  # docs + key frame

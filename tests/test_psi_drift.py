@@ -128,6 +128,21 @@ def test_bootstrap_ci_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_bootstrap_ci_small_key_ranks_against_survivors(spark):
+    """A 2-row key loses ~e⁻² ≈ 13.5% of its Poisson replicas to
+    zero total weight, so the 97.5th rank of the NOMINAL 200 does
+    not exist; ranking must use the surviving count or ci_hi
+    silently collapses onto ci_lo (r5 advice). With two distinct
+    values the replica means are spread, so a non-degenerate
+    interval proves both ranks were found."""
+    from parlerproject_spark.operators.stats import bootstrap_ci
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 9.0)], "k string, i long, v double")
+    [r] = bootstrap_ci(df, key_col="k", val_col="v", id_col="i").collect()
+    assert r["ci_lo"] < r["ci_hi"]
+    assert 1.0 <= r["ci_lo"] and r["ci_hi"] <= 9.0
+
+
 def test_bootstrap_ci_tightens_with_n(spark):
     from parlerproject_spark.operators.stats import bootstrap_ci
     import pyspark.sql.functions as SF
