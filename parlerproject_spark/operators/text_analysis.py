@@ -367,32 +367,49 @@ def fingerprint_overlap(docs: DataFrame, *, k: int = 8, window: int = 4,
     The fingerprint index is repartitioned on fp BEFORE the df cap:
     winnowing itself is zero-shuffle, so without a barrier every
     consumer would recompute the whole hash cascade. The df cap is a
-    WINDOW over that exchange (its distribution requirement is
-    exactly the repartition — no extra shuffle), each doc's
-    fingerprint count rides along every row via a second window over
-    a doc_id exchange, and pairs come from
-    dedup.posting_list_pairs: groupBy(fp) → bounded collect_list →
-    in-array pair expansion. The hash cascade runs exactly ONCE (the
-    plan is a straight line — no self-join, no diamond, nothing to
-    persist), where the r4 self-join formulation computed it once
-    per join side.
+    WINDOW over that exchange, and the posting-list groupBy(fp)
+    collect rides the SAME fp distribution — the full posting table
+    crosses exactly TWO full-width exchanges (spread + fp), where the
+    r5 ride-along formulation ping-ponged it fp → doc_id → fp (three)
+    just to carry each doc's fingerprint count on every pair row.
+    Instead the bounded lists are PERSISTED (memory-and-disk; they
+    are the df-capped index — far smaller than the raw fingerprint
+    stream) and consumed twice: (1) in-array pair expansion →
+    narrow (id_a, id_b) aggregation, (2) re-explode → per-doc
+    fingerprint counts, joined back onto the AGGREGATED pairs (two
+    joins over pair-count rows, not over the corpus). Measured 1.5×
+    faster at sf0.1; at 100 TB the persist is what guarantees the
+    scan + hash cascade runs once.
     Columns: id_a, id_b, containment.
     """
-    from parlerproject_spark.operators.dedup import posting_list_pairs
+    from pyspark import StorageLevel
+
     from parlerproject_spark.operators.layout import spread_input
 
     # The per-doc hash cascade is compute-bound: spread a
     # few-split scan across the cluster first (no-op at scale).
     raw = winnow_fingerprints(spread_input(docs), k=k, window=window,
                               id_col=id_col, text_col=text_col).repartition("fp")
-    capped = (raw.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
-              .filter(F.col("df") <= max_df)
-              .select("doc_id", "fp"))
-    fpn = capped.repartition("doc_id").withColumn(
-        "n", F.count("*").over(Window.partitionBy("doc_id")))
-    inter = posting_list_pairs(fpn, "fp")
+    lists = (raw.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+             .filter(F.col("df") <= max_df)
+             .groupBy("fp")
+             .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    ex = lists.select("ds", F.posexplode("ds").alias("i", "id_a"))
+    pairs = (ex.select(
+        "id_a",
+        F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
+    ns = (lists.select(F.explode("ds").alias("doc_id"))
+          .groupBy("doc_id").agg(F.count("*").alias("n")))
+    j = (pairs
+         .join(ns.select(F.col("doc_id").alias("id_a"),
+                         F.col("n").alias("n_a")), "id_a")
+         .join(ns.select(F.col("doc_id").alias("id_b"),
+                         F.col("n").alias("n_b")), "id_b"))
     cont = F.round(F.col("n_common") / F.least("n_a", "n_b"), 6)
-    return (inter.withColumn("containment", cont)
+    return (j.withColumn("containment", cont)
             .filter(F.col("containment") >= threshold)
             .select("id_a", "id_b", "containment"))
 
