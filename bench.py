@@ -199,6 +199,15 @@ EXTRA = [
     "hybrid_rerank_docs",
     "blocklist_filter_docs",
     "embedding_drift_snapshots",
+    # round-6 additions: attribution, SRM guardrail, weighted
+    # reservoir sampling, per-source calibration, FIM transform,
+    # scene cuts
+    "touch_attribution_events",
+    "srm_check_events",
+    "weighted_sample_docs",
+    "calibrate_scores_docs",
+    "fim_transform_docs",
+    "scene_cuts_media",
 ]
 
 

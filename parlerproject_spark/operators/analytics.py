@@ -212,6 +212,80 @@ def item_cooccurrence_similarity(events: DataFrame, *,
                     F.col("rk").cast("int").alias("rk")))
 
 
+def touch_attribution(events: DataFrame, *, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id", value_col: str = "value",
+                      conversion: str = "purchase") -> DataFrame:
+    """First/last-touch conversion attribution: every `conversion`
+    event's value is credited to the first and to the most recent
+    PRECEDING non-conversion event type (the "channel") of the same
+    user — the attribution report every growth pipeline derives from
+    its event stream.
+
+    Shape: one (user, ts, id)-ordered window carries the running
+    first/last non-conversion channel to each row (first/last with
+    ignoreNulls over rows-between unbounded-preceding .. -1, so the
+    conversion's own row never attributes to itself and ordering is
+    fully deterministic under ts ties via the id tiebreak); then the
+    conversions stack their two credit rows (model = 'first'/'last')
+    and one aggregation rolls up count + value per (model, channel).
+    Cost at any scale: the one user-keyed exchange every per-user
+    metric pays + a channel-keyed rollup over conversions only.
+    Conversions with no preceding touch credit '(none)'.
+    Columns: model, channel, n_conv, total_value (round 4).
+    """
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ch = F.when(F.col(type_col) != conversion, F.col(type_col))
+    touched = (events
+               .withColumn("__first_ch", F.first(ch, ignorenulls=True).over(w))
+               .withColumn("__last_ch", F.last(ch, ignorenulls=True).over(w))
+               .filter(F.col(type_col) == conversion))
+    stacked = touched.select(
+        F.explode(F.array(
+            F.struct(F.lit("first").alias("model"),
+                     F.coalesce("__first_ch", F.lit("(none)"))
+                     .alias("channel")),
+            F.struct(F.lit("last").alias("model"),
+                     F.coalesce("__last_ch", F.lit("(none)"))
+                     .alias("channel")))).alias("m"),
+        F.col(value_col))
+    return (stacked.groupBy(F.col("m.model").alias("model"),
+                            F.col("m.channel").alias("channel"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_conv"),
+                 F.round(F.sum(value_col), 4).alias("total_value")))
+
+
+def srm_check(events: DataFrame, *, user_col: str = "user_id",
+              arm_expr: str = "user_id % 2",
+              expected: tuple[float, float] = (0.5, 0.5)) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for an A/B assignment: the
+    chi-square statistic of observed arm sizes against the intended
+    split — the first validity check any experiment readout runs
+    (a biased assignment invalidates ab_test_proportions before any
+    effect-size math). Unit = user (distinct users per arm), df = 1,
+    flag at the 95% critical value 3.841.
+
+    Shape: one user-distinct aggregation, a 2-row rollup, scalar
+    algebra — same single user-keyed exchange as ab_test_proportions.
+    Columns (single row): n_0, n_1, chi2 (round 6), srm_alarm.
+    """
+    per_user = (events.select(F.col(user_col))
+                .distinct()
+                .withColumn("arm", F.expr(arm_expr).cast("long")))
+    row = (per_user.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+           .groupBy().pivot("arm", [0, 1]).agg(F.first("n")))
+    n0, n1 = F.col("0").cast("double"), F.col("1").cast("double")
+    tot = n0 + n1
+    e0, e1 = tot * expected[0], tot * expected[1]
+    chi2 = (n0 - e0) ** 2 / e0 + (n1 - e1) ** 2 / e1
+    return row.select(F.col("0").cast("long").alias("n_0"),
+                      F.col("1").cast("long").alias("n_1"),
+                      F.round(chi2, 6).alias("chi2"),
+                      (chi2 > 3.841).alias("srm_alarm"))
+
+
 def ab_test_proportions(events: DataFrame, *, user_col: str = "user_id",
                         arm_expr: str = "user_id % 2",
                         success_filter: str = "event_type = 'purchase'",

@@ -24,7 +24,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MAGIC = b"IMG1"
@@ -189,6 +189,44 @@ def frame_sample(videos: DataFrame, *, id_col: str = "doc_id",
     rows. Columns: <id_col>, frame_no."""
     idxs = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every))
     return (videos.select(F.col(id_col), F.explode(idxs).alias("frame_no")))
+
+
+def scene_cuts(videos: DataFrame, *, id_col: str = "doc_id",
+               n_frames_col: str = "n_frames", every: int = 10,
+               max_hamming: int = 20, seed: str = "scene-v1") -> DataFrame:
+    """Shot-boundary (scene-cut) detection over sampled frames: a cut
+    is declared wherever consecutive sampled frames' perceptual
+    hashes differ in more than `max_hamming` of 60 bits — the
+    frame-segmentation pass a video-training pipeline runs before
+    clip extraction. Composes frame_sample (relational frame-index
+    explode) with a per-frame pHash and ONE lag window per video.
+
+    The per-frame hash here is the deterministic FAKE of the decode
+    seam (md5 of (seed, asset, frame_no) — 15 hex chars = 60 bits,
+    engine-portable): a real pHash from a decoded frame plugs into
+    the same int64 contract at decode_features' `_decode_real` seam
+    without touching the window or the cut logic, which is the part
+    this engine owns. Scale: explode + narrow maps + one
+    (video)-keyed window — a keyed sort, never global; hamming is
+    JVM bit_count(xor), zero Python.
+
+    Columns: <id_col>, frame_no, prev_frame, hamming, is_cut
+    (first frame of each video: prev/hamming null, is_cut false).
+    """
+    frames = frame_sample(videos, id_col=id_col,
+                          n_frames_col=n_frames_col, every=every)
+    ph = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(seed), F.col(id_col).cast("string"),
+        F.col("frame_no").cast("string"))), 1, 15), 16, 10).cast("bigint")
+    w = Window.partitionBy(id_col).orderBy(F.col("frame_no").asc())
+    hp = frames.withColumn("__ph", ph).withColumn(
+        "__prev", F.lag("__ph").over(w)).withColumn(
+        "prev_frame", F.lag("frame_no").over(w))
+    ham = F.bit_count(F.col("__ph").bitwiseXOR(F.col("__prev")))
+    return (hp.select(
+        F.col(id_col), "frame_no", "prev_frame",
+        ham.alias("hamming"),
+        F.coalesce(ham > max_hamming, F.lit(False)).alias("is_cut")))
 
 
 def phash_near_dup(assets: DataFrame, *, id_col: str = "asset_id",

@@ -250,6 +250,42 @@ def mixture_weights(docs: DataFrame, *, group_col: str = "source",
                     "weight", "budget_tokens", "epochs"))
 
 
+def weighted_reservoir_sample(df: DataFrame, k: int, *,
+                              id_col: str = "doc_id",
+                              weight_col: str = "n_chars",
+                              seed: str = "wrs-v1") -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of size k —
+    the Efraimidis–Spirakis A-ES reservoir scheme as a relational
+    op: each row draws u = md5-uniform(seed:id) and is ranked by
+    u^(1/w); the k largest keys ARE a weighted sample without
+    replacement (the classic one-pass result, here with the
+    deterministic-uniform twist every sampling op in this engine
+    uses so reruns and the SQL oracle reproduce the sample exactly).
+    Ranking uses the monotone-equivalent ln(u)/w (descending) —
+    no pow(), and the key is rounded (6 dp, id tiebreak) so the
+    order-statistic cut is engine-stable.
+
+    Scale shape: a pure per-row projection (scan-stage codegen)
+    followed by a global top-k — TakeOrderedAndProject, k rows per
+    partition then k at the driver, never a global sort. Zero or
+    negative weights are excluded (they have no sampling mass).
+
+    Columns: <id_col>, weight, key (round 6).
+    """
+    u = ((F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(seed), F.col(id_col))), 1, 8), 16, 10)
+        .cast("bigint") + 1) / F.lit(float(2 ** 32)))
+    # + 0.0 folds round's -0.0 to 0.0 (ln(u)/w rounds to zero for
+    # huge weights; -0.0 vs 0.0 breaks cross-engine value hashes)
+    key = F.round(F.log(u) / F.col(weight_col), 6) + F.lit(0.0)
+    return (df.filter(F.col(weight_col) > 0)
+            .select(F.col(id_col),
+                    F.col(weight_col).cast("double").alias("weight"),
+                    key.alias("key"))
+            .orderBy(F.col("key").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def negative_sampling_draws(docs: DataFrame, n_draws: int, *,
                             text_col: str = "text",
                             min_count: int = 5,

@@ -304,3 +304,34 @@ def importance_resample(raw: DataFrame, target: DataFrame, *, n: int,
     return (w.select(id_col, "log_weight", key.alias("sample_key"))
             .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
             .limit(n))
+
+
+def calibrate_scores(df: DataFrame, *, group_col: str = "source",
+                     score_col: str = "score",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-group score calibration: percent-rank and z-score of a
+    quality score WITHIN its group — the cross-source normalization
+    step a mixture pipeline runs before comparing or thresholding
+    scores produced by per-source scorers (raw score distributions
+    differ per domain; a global cut keeps whole domains or drops
+    them wholesale). percent_rank gives the rank-calibrated [0,1]
+    score (distribution-free); z uses the population stddev (null
+    when a group's scores are constant, rather than a divide-by-
+    zero).
+
+    Shape: ONE group-keyed exchange consumed by both the rank window
+    and the moment window (same partitioning, no second shuffle) —
+    at 100 TB this is a keyed sort per group, spill-safe, never
+    global. Columns: <id_col>, <group_col>, score, pct, z (round 6).
+    """
+    from pyspark.sql import Window
+    byg = Window.partitionBy(group_col)
+    rank_w = byg.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    mu = F.avg(score_col).over(byg)
+    sd = F.stddev_pop(score_col).over(byg)
+    return (df
+            .withColumn("pct", F.round(F.percent_rank().over(rank_w), 6))
+            .withColumn("z", F.round(
+                F.when(sd > 0, (F.col(score_col) - mu) / sd), 6))
+            .select(F.col(id_col), F.col(group_col),
+                    F.col(score_col).alias("score"), "pct", "z"))

@@ -708,3 +708,41 @@ def textrank_keywords(docs: DataFrame, *, text_col: str = "text",
     return (pr.select(F.col("node").alias("term"), "rank")
             .orderBy(F.col("rank").desc(), F.col("term").asc())
             .limit(top_k))
+
+
+def fim_transform(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", seed: str = "fim-v1",
+                  pre_tok: str = "<PRE>", suf_tok: str = "<SUF>",
+                  mid_tok: str = "<MID>") -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022) in
+    PSM order: split each document at two deterministic positions
+    into (prefix, middle, suffix) and emit
+    `<PRE>prefix<SUF>suffix<MID>middle` — the data-side transform
+    that teaches a causal LM to infill. Split points are md5-derived
+    from (seed, id) — reruns and the SQL oracle produce the identical
+    corpus, the same determinism contract as every sampling op here.
+
+    Pure Column algebra (two hash mods + three substrings + concat)
+    inside the scan stage — zero shuffle, embarrassingly parallel at
+    any scale. Columns: <id_col>, n_chars, cut_a, cut_b, fim_text.
+    """
+    L = F.length(F.col(text_col))
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    a, b = h1 % (L + 1), h2 % (L + 1)
+    lo, hi = F.least(a, b), F.greatest(a, b)
+    # substring needs column start/len -> expr over aliased cut columns
+    out = (docs
+           .withColumn("__lo", lo.cast("int"))
+           .withColumn("__hi", hi.cast("int")))
+    prefix = F.expr(f"substring({text_col}, 1, __lo)")
+    middle = F.expr(f"substring({text_col}, __lo + 1, __hi - __lo)")
+    suffix = F.expr(f"substring({text_col}, __hi + 1, "
+                    f"length({text_col}) - __hi)")
+    return out.select(
+        F.col(id_col), L.alias("n_chars"),
+        F.col("__lo").cast("long").alias("cut_a"),
+        F.col("__hi").cast("long").alias("cut_b"),
+        F.concat(F.lit(pre_tok), prefix, F.lit(suf_tok), suffix,
+                 F.lit(mid_tok), middle).alias("fim_text"))

@@ -61,6 +61,13 @@ _DRIVER_PRIORITY: list[str] = [
     # Round-6 rotation, regenerated from CORRECTNESS_r01-r05:
     # never-sampled first, then ascending last-sampled round
     # (r5 verdict #3: 15 never-sampled + 55 r1/r2-stale).
+    # round-6 additions (never sampled):
+    "touch_attribution_events",
+    "srm_check_events",
+    "weighted_sample_docs",
+    "calibrate_scores_docs",
+    "fim_transform_docs",
+    "scene_cuts_media",
     # last driver row: never
     "centroid_outlier_embeddings",
     "cohort_retention_weekly",
@@ -7910,3 +7917,182 @@ def embedding_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_drift(emb.filter(F.col("vec_id") % 2 == 0),
                            emb.filter(F.col("vec_id") % 2 != 0))
+
+
+@register("touch_attribution_events", """
+WITH w AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_ch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_ch
+  FROM events),
+conv AS (
+  SELECT coalesce(first_ch, '(none)') AS fc,
+         coalesce(last_ch, '(none)') AS lc, value
+  FROM w WHERE event_type = 'purchase'),
+stacked AS (
+  SELECT 'first' AS model, fc AS channel, value FROM conv
+  UNION ALL
+  SELECT 'last' AS model, lc AS channel, value FROM conv)
+SELECT model, channel, count(*) AS n_conv,
+       round(sum(value), 4) AS total_value
+FROM stacked GROUP BY model, channel
+ORDER BY model, channel
+""")
+def touch_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution
+    (operators/analytics.touch_attribution): every purchase credits
+    its value to the user's first and most recent preceding
+    non-purchase event type via one deterministic user-keyed window
+    (ts, event_id ordering), then a channel rollup over conversions
+    only."""
+    from parlerproject_spark.operators.analytics import touch_attribution
+    return (touch_attribution(_t(spark, sf_dir, "events"))
+            .orderBy("model", "channel"))
+
+
+@register("srm_check_events", """
+WITH pu AS (SELECT DISTINCT user_id FROM events),
+arms AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm FROM pu),
+c AS (
+  SELECT cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+         cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1
+  FROM arms),
+s AS (
+  SELECT n_0, n_1,
+         CAST(n_0 AS DOUBLE) AS d0, CAST(n_1 AS DOUBLE) AS d1,
+         (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE)) * 0.5 AS e0,
+         (CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE)) * 0.5 AS e1
+  FROM c)
+SELECT n_0, n_1,
+       round(power(d0 - e0, 2) / e0 + power(d1 - e1, 2) / e1, 6) AS chi2,
+       (power(d0 - e0, 2) / e0 + power(d1 - e1, 2) / e1) > 3.841
+         AS srm_alarm
+FROM s
+""")
+def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail
+    (operators/analytics.srm_check): chi-square of the observed
+    user_id%2 arm sizes against the intended 50/50 split — the
+    assignment-validity gate run before any A/B effect readout."""
+    from parlerproject_spark.operators.analytics import srm_check
+    return srm_check(_t(spark, sf_dir, "events"))
+
+
+@register("weighted_sample_docs", """
+WITH k AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(ln((('0x' || substr(md5('wrs-v1:' || doc_id::VARCHAR),
+                                   1, 8))::BIGINT + 1) / 4294967296.0)
+               / n_chars, 6) + 0.0 AS key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, weight, key
+FROM k ORDER BY key DESC, doc_id ASC LIMIT 64
+""")
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted reservoir sample
+    (operators/sampling.weighted_reservoir_sample): 64 docs drawn
+    without replacement with probability proportional to length —
+    md5-uniform keys ranked by ln(u)/w, TakeOrderedAndProject cut,
+    no global sort."""
+    from parlerproject_spark.operators.sampling import (
+        weighted_reservoir_sample)
+    return weighted_reservoir_sample(_t(spark, sf_dir, "documents"), 64)
+
+
+@register("calibrate_scores_docs", """
+SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars ASC, doc_id ASC), 6)
+         AS pct,
+       CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY source) > 0
+            THEN round((n_chars - avg(n_chars) OVER (PARTITION BY source))
+                       / stddev_pop(n_chars) OVER (PARTITION BY source), 6)
+       END AS z
+FROM documents
+ORDER BY doc_id
+""")
+def calibrate_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score calibration
+    (operators/selection.calibrate_scores): percent-rank and
+    population z-score of the document length score within each
+    source — the cross-domain normalization run before global
+    quality thresholds; one source-keyed exchange serves both
+    windows."""
+    from parlerproject_spark.operators.selection import calibrate_scores
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "score", F.col("n_chars").cast("double"))
+    return (calibrate_scores(d, group_col="source", score_col="score")
+            .orderBy("doc_id"))
+
+
+@register("fim_transform_docs", """
+WITH c AS (
+  SELECT doc_id, text, length(text) AS L,
+         ('0x' || substr(md5('fim-v1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % (length(text) + 1) AS a,
+         ('0x' || substr(md5('fim-v1:' || doc_id::VARCHAR), 9, 8))::BIGINT
+           % (length(text) + 1) AS b
+  FROM documents),
+d AS (SELECT doc_id, text, L, least(a, b) AS lo, greatest(a, b) AS hi
+      FROM c)
+SELECT doc_id, L AS n_chars, lo AS cut_a, hi AS cut_b,
+       '<PRE>' || substr(text, 1, lo) || '<SUF>'
+         || substr(text, hi + 1, L - hi) || '<MID>'
+         || substr(text, lo + 1, hi - lo) AS fim_text
+FROM d ORDER BY doc_id
+""")
+def fim_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle corpus transform
+    (operators/text_analysis.fim_transform): deterministic
+    md5-derived cut points, PSM token order — zero-shuffle Column
+    algebra inside the scan stage."""
+    from parlerproject_spark.operators.text_analysis import fim_transform
+    return fim_transform(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register("scene_cuts_media", """
+WITH f AS (
+  SELECT p_partkey AS doc_id,
+         unnest(range(0, p_size * 7 + 5, 10)) AS frame_no
+  FROM part),
+h AS (
+  SELECT doc_id, frame_no,
+         ('0x' || substr(md5('scene-v1:' || doc_id::VARCHAR || ':'
+                             || frame_no::VARCHAR), 1, 15))::BIGINT AS ph
+  FROM f),
+l AS (
+  SELECT doc_id, frame_no,
+         lag(frame_no) OVER w AS prev_frame,
+         lag(ph) OVER w AS prev_ph, ph
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+o AS (
+  SELECT doc_id, frame_no, prev_frame,
+         cast(bit_count(xor(ph, prev_ph)) AS BIGINT) AS hamming
+  FROM l)
+SELECT doc_id, frame_no, prev_frame, hamming,
+       coalesce(hamming > 20, false) AS is_cut
+FROM o ORDER BY doc_id, frame_no
+""")
+def scene_cuts_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over sampled frames
+    (operators/multimodal.scene_cuts): consecutive sampled frames'
+    60-bit perceptual hashes compared via one lag window per video;
+    the per-frame hash is the deterministic decode-seam fake (a real
+    pHash plugs into the same int64 contract)."""
+    from parlerproject_spark.operators.multimodal import scene_cuts
+    vids = (_t(spark, sf_dir, "part")
+            .select(F.col("p_partkey").alias("doc_id"),
+                    (F.col("p_size") * 7 + 5).alias("n_frames")))
+    return (scene_cuts(vids, every=10)
+            .withColumn("frame_no", F.col("frame_no").cast("long"))
+            .withColumn("prev_frame", F.col("prev_frame").cast("long"))
+            .withColumn("hamming", F.col("hamming").cast("long"))
+            .orderBy("doc_id", "frame_no"))

@@ -148,3 +148,57 @@ def test_item_cf_cosine_and_user_cap(spark):
         df4, max_items_per_user=2, top_k=5).collect()
     items = {r["item_a"] for r in pairs} | {r["item_b"] for r in pairs}
     assert items == {20, 21}
+
+
+# Touch attribution ---------------------------------------------------------
+
+def _attr_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def test_touch_attribution_first_and_last_credit(spark):
+    from datetime import datetime as dt
+    from parlerproject_spark.operators.analytics import touch_attribution
+    ev = _attr_events(spark, [
+        (1, dt(2024, 1, 1, 0), 1, "view", 0.0),
+        (2, dt(2024, 1, 1, 1), 1, "click", 0.0),
+        (3, dt(2024, 1, 1, 2), 1, "purchase", 10.0),
+        (4, dt(2024, 1, 1, 3), 1, "purchase", 5.0),   # last touch: click
+        (5, dt(2024, 1, 1, 0), 2, "purchase", 7.0),   # no prior touch
+    ])
+    got = {(r["model"], r["channel"]): (r["n_conv"], r["total_value"])
+           for r in touch_attribution(ev).collect()}
+    assert got == {("first", "view"): (2, 15.0),
+                   ("last", "click"): (2, 15.0),
+                   ("first", "(none)"): (1, 7.0),
+                   ("last", "(none)"): (1, 7.0)}
+
+
+def test_touch_attribution_conversion_never_credits_itself(spark):
+    from datetime import datetime as dt
+    from parlerproject_spark.operators.analytics import touch_attribution
+    # two consecutive purchases: the second must NOT attribute to the
+    # first purchase (conversions are not channels)
+    ev = _attr_events(spark, [
+        (1, dt(2024, 1, 1, 0), 1, "signup", 0.0),
+        (2, dt(2024, 1, 1, 1), 1, "purchase", 1.0),
+        (3, dt(2024, 1, 1, 2), 1, "purchase", 2.0),
+    ])
+    got = {(r["model"], r["channel"]): r["n_conv"]
+           for r in touch_attribution(ev).collect()}
+    assert got == {("first", "signup"): 2, ("last", "signup"): 2}
+
+
+def test_srm_check_balanced_vs_skewed(spark):
+    from parlerproject_spark.operators.analytics import srm_check
+    import pyspark.sql.functions as SF
+    base = spark.range(0, 1000).select(SF.col("id").alias("user_id"))
+    [ok] = srm_check(base.withColumn("event_type", SF.lit("x"))).collect()
+    assert ok["n_0"] == ok["n_1"] == 500 and not ok["srm_alarm"]
+    # keep only 10% of one arm -> blatant mismatch
+    skew = base.filter((SF.col("user_id") % 2 == 0)
+                       | (SF.col("user_id") % 20 == 1))
+    [bad] = srm_check(skew.withColumn("event_type", SF.lit("x"))).collect()
+    assert bad["srm_alarm"] and bad["chi2"] > 100

@@ -552,3 +552,70 @@ def test_textrank_central_term_ranks_first(spark):
                              top_k=10).collect()
     assert rows[0]["term"] == "hub"
     assert rows[0]["rank"] == max(r["rank"] for r in rows)
+
+
+# Weighted reservoir sampling ----------------------------------------------
+
+def test_weighted_reservoir_sample_basic_contract(spark):
+    from parlerproject_spark.operators.sampling import (
+        weighted_reservoir_sample)
+    rows = [(i, 1 + (i % 50)) for i in range(200)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_reservoir_sample(df, 50).collect()
+    assert len(out) == 50
+    ids = [r["doc_id"] for r in out]
+    assert 999 not in ids                      # zero weight excluded
+    assert len(set(ids)) == 50                 # without replacement
+    # weighted: the sample over-represents heavy rows vs uniform
+    mean_w = sum(r["weight"] for r in out) / 50
+    pop_w = sum(w for _, w in rows[:-1]) / 200
+    assert mean_w > pop_w
+    # k > n returns everything with positive weight
+    assert len(weighted_reservoir_sample(df, 500).collect()) == 200
+
+
+def test_weighted_reservoir_sample_deterministic(spark):
+    from parlerproject_spark.operators.sampling import (
+        weighted_reservoir_sample)
+    df = spark.createDataFrame(
+        [(i, 10 + i) for i in range(100)], "doc_id long, n_chars long")
+    a = [r["doc_id"] for r in weighted_reservoir_sample(df, 20).collect()]
+    b = [r["doc_id"] for r in
+         weighted_reservoir_sample(df.repartition(7), 20).collect()]
+    assert a == b
+
+
+# Score calibration ---------------------------------------------------------
+
+def test_calibrate_scores_ranks_and_z(spark):
+    from parlerproject_spark.operators.selection import calibrate_scores
+    rows = ([(i, "a", float(i)) for i in range(1, 5)]
+            + [(10 + i, "b", 7.0) for i in range(3)])  # constant group
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r["doc_id"]: r for r in
+           calibrate_scores(df, group_col="source").collect()}
+    assert out[1]["pct"] == 0.0 and out[4]["pct"] == 1.0
+    assert all(out[10 + i]["z"] is None for i in range(3))  # sd == 0
+    zs = [out[i]["z"] for i in range(1, 5)]
+    assert abs(sum(zs)) < 1e-6                 # z-scores center on 0
+
+
+# Fill-in-the-middle --------------------------------------------------------
+
+def test_fim_transform_reassembles_to_original(spark):
+    from parlerproject_spark.operators.text_analysis import fim_transform
+    import pyspark.sql.functions as SF
+    texts = [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "ab"), (3, ""), (4, "x" * 500)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    for doc_id, text in texts:
+        r = out[doc_id]
+        assert 0 <= r["cut_a"] <= r["cut_b"] <= len(text)
+        body = r["fim_text"]
+        assert body.startswith("<PRE>")
+        pre, rest = body[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == text         # lossless permutation
+        assert pre == text[:r["cut_a"]]
+        assert mid == text[r["cut_a"]:r["cut_b"]]

@@ -197,3 +197,22 @@ def test_winnow_norm_vertical_tab_engine_independent(spark):
         " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), '[^ -~]', '', 'g'),"
         " ' +', ' ', 'g'))) AS t", params={"t": raw}).fetchone()[0]
     assert got == oracle == "alpha beta gamma delta"
+
+
+def test_scene_cuts_window_contract(spark):
+    from parlerproject_spark.operators.multimodal import scene_cuts
+    vids = spark.createDataFrame(
+        [(1, 35), (2, 5)], "doc_id long, n_frames long")
+    rows = {(r["doc_id"], r["frame_no"]): r
+            for r in scene_cuts(vids, every=10).collect()}
+    # video 1 samples frames 0,10,20,30; video 2 only frame 0
+    assert set(rows) == {(1, 0), (1, 10), (1, 20), (1, 30), (2, 0)}
+    first = rows[(1, 0)]
+    assert first["prev_frame"] is None and first["hamming"] is None
+    assert first["is_cut"] is False
+    mid = rows[(1, 20)]
+    assert mid["prev_frame"] == 10 and 0 <= mid["hamming"] <= 60
+    # deterministic across runs
+    again = {(r["doc_id"], r["frame_no"]): r["hamming"]
+             for r in scene_cuts(vids, every=10).collect()}
+    assert again == {k: v["hamming"] for k, v in rows.items()}
