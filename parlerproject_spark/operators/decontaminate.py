@@ -64,7 +64,8 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
 def semantic_contamination_hits(corpus_emb: DataFrame, eval_emb: DataFrame,
                                 *, threshold: float = 0.9,
                                 id_col: str = "vec_id",
-                                vec_col: str = "embedding") -> DataFrame:
+                                vec_col: str = "embedding",
+                                impl: str = "hybrid") -> DataFrame:
     """Per-corpus-doc EMBEDDING-space contamination: how many eval
     vectors each corpus vector matches at cosine >= threshold, and
     the best match. The semantic companion of contamination_hits —
@@ -80,15 +81,71 @@ def semantic_contamination_hits(corpus_emb: DataFrame, eval_emb: DataFrame,
     the one keyed aggregation's input is bounded by contamination
     density, never corpus x eval. Columns: doc_id, n_hits,
     max_sim (round 6).
+
+    impl="hybrid" (default): the corpus × eval cosines run
+    VECTORIZED — the bounded eval matrix is collected once (the same
+    model-sized-collect contract as the topic seeds) and each Arrow
+    corpus batch is matmul'd against it at threshold − 1e-6; only the
+    surviving (doc, eval) candidates — bounded by contamination
+    density — are re-scored with the hash-exact JVM fold that decides
+    the rounded `sim >= threshold` comparison. matmul vs sequential
+    fold differ ≲1e-13 ≪ the margin, so the candidate set provably
+    contains every true hit. impl="expr" keeps the all-pairs JVM
+    fold (the verification semantics: one interpreted 2·d-element
+    fold per corpus × eval pair — the engine's documented hotspot
+    shape, ~8× slower at sf0.1).
     """
     from parlerproject_spark.functions.vectors import cosine
 
     ev = eval_emb.select(F.col(id_col).alias("__eid"),
                          F.col(vec_col).alias("__ev"))
-    sim = F.round(cosine(vec_col, "__ev"), 6)
-    return (corpus_emb.select(F.col(id_col).alias("doc_id"),
-                              F.col(vec_col))
-            .crossJoin(F.broadcast(ev))
+    if impl == "expr":
+        sim = F.round(cosine(vec_col, "__ev"), 6)
+        return (corpus_emb.select(F.col(id_col).alias("doc_id"),
+                                  F.col(vec_col))
+                .crossJoin(F.broadcast(ev))
+                .select("doc_id", sim.alias("sim"))
+                .filter(F.col("sim") >= threshold)
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_hits"),
+                     F.max("sim").alias("max_sim")))
+    if impl != "hybrid":
+        raise ValueError(f"unknown impl: {impl}")
+
+    import numpy as np
+    import pandas as pd
+
+    ev_rows = ev.collect()          # eval suite: small by construction
+    E = np.array([list(r["__ev"]) for r in ev_rows], dtype=np.float64)
+    eids = np.array([r["__eid"] for r in ev_rows])
+    en = np.linalg.norm(E, axis=1)
+    thr = threshold - 1e-6
+    id_type = corpus_emb.schema[id_col].dataType.simpleString()
+
+    def prefilter(it):
+        for pdf in it:
+            if len(pdf) == 0 or len(eids) == 0:
+                continue
+            X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                S = (X @ E.T) / np.outer(xn, en)
+            ci, ei = np.nonzero(S >= thr)
+            if len(ci):
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"].to_numpy()[ci],
+                    "__eid": eids[ei]})
+
+    cand = (corpus_emb.select(F.col(id_col).alias("doc_id"),
+                              F.col(vec_col).alias("__v"))
+            .mapInPandas(prefilter,
+                         schema=f"doc_id {id_type}, __eid {id_type}"))
+    sim = F.round(cosine("__cv", "__ev"), 6)
+    return (cand
+            .join(corpus_emb.select(F.col(id_col).alias("doc_id"),
+                                    F.col(vec_col).alias("__cv")),
+                  "doc_id")
+            .join(F.broadcast(ev), "__eid")
             .select("doc_id", sim.alias("sim"))
             .filter(F.col("sim") >= threshold)
             .groupBy("doc_id")

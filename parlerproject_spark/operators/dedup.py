@@ -586,7 +586,7 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
                    vec_col: str = "embedding",
                    max_iter: int = 3,
                    round_c: int | None = None,
-                   impl: str = "expr",
+                   impl: str = "hybrid",
                    block: int = 2048) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space semantic
     deduplication — k-means-cluster the vectors, form cosine >=
@@ -601,20 +601,30 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
     assignment: bit-stable across environments); component formation
     reuses duplicate_clusters (pointer jumping, O(log d) rounds).
 
-    impl="expr" (default, the ORACLED path): within-cell candidate
-    pairs via a shuffle-hash self-join on the cluster key, cosine as
-    JVM expressions — F.aggregate folds the dot sequentially in
-    float64, the same formula AND summation order as the SQL oracle's
-    sum(x*y)/(sqrt(sum(x²))·sqrt(sum(y²))), so the unrounded
-    `sim >= threshold` comparison cannot flip on near-boundary pairs.
+    impl="hybrid" (default, the ORACLED path): the quadratic
+    within-cell work runs VECTORIZED (the arrow block-gram below) at
+    a LOOSENED threshold − 1e-6, then only the surviving candidate
+    pairs — near-dups, orders of magnitude fewer than all cell pairs
+    — are re-scored with the JVM expression fold whose formula AND
+    sequential float64 summation order match the SQL oracle's
+    sum(x*y)/(sqrt(sum(x²))·sqrt(sum(y²))). The final
+    `sim >= threshold` decision is therefore hash-exact while the
+    O(n²/k) dot products never touch an interpreted HOF: matmul vs
+    sequential fold differ by ≲ d·ulp ≈ 1e-13 ≪ the 1e-6 margin, so
+    no true pair can be lost at the prefilter. (The pure-expr path
+    folded the dot per pair via F.aggregate — interpreted per
+    element, the engine's documented hotspot pattern — and was 8× the
+    cost at sf0.1.)
+    impl="expr": the all-pairs JVM fold (hash-exact but quadratic in
+    interpreted expression evaluations — the verification semantics,
+    kept for the equivalence pytest).
     impl="arrow": per-cell BLOCK-WISE gram matrix via applyInPandas —
     the dot is computed UN-normalized (X_blk @ Xᵀ, divided by the
     norm outer product: same formula as the oracle, vectorized sum
     order) in row blocks of `block`, so peak memory per group is
     block × |cell| float64 (bounded) rather than |cell|² (a 100k-row
-    skewed cell would need ~80 GB dense). Pytest pins expr/arrow
-    pair-set equivalence; arrow is the throughput path when cells are
-    large and pairs dense, expr is the hash-exact default.
+    skewed cell would need ~80 GB dense). Pytest pins
+    expr/arrow/hybrid pair-set equivalence.
 
     Columns: <id_col>, cluster (k-means cell), keep (boolean —
     false = semantic duplicate of a kept earlier vector).
@@ -630,24 +640,7 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
                         impl="expr")
                 .withColumnRenamed("topic", "cluster"))
 
-    if impl == "expr":
-        sides = assigned.select("cluster", F.col(id_col).alias("vid"),
-                                F.col(vec_col).alias("v"),
-                                l2_norm(vec_col).alias("n"))
-        a = sides.alias("a")
-        # both sides are the same corpus-scale table: shuffle-hash on
-        # the cluster key, never a broadcast (same rationale as
-        # fingerprint_overlap_pairs)
-        b = sides.hint("shuffle_hash").alias("b")
-        sim = (_dot(F.col("a.v"), F.col("b.v"))
-               / (F.col("a.n") * F.col("b.n")))
-        pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-                        & (F.col("a.vid") < F.col("b.vid")))
-                 .filter((F.col("a.n") > 0) & (F.col("b.n") > 0))
-                 .select(F.col("a.vid").alias("id_a"),
-                         F.col("b.vid").alias("id_b"), sim.alias("sim"))
-                 .filter(F.col("sim") >= threshold))
-    elif impl == "arrow":
+    def _arrow_pairs(thr: float) -> DataFrame:
         import numpy as np
         import pandas as pd
 
@@ -674,7 +667,7 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
             for s in range(0, m, block):
                 e = min(s + block, m)
                 S = (X[s:e] @ X.T) / np.outer(n[s:e], n)
-                bi, bj = np.nonzero(S >= threshold)
+                bi, bj = np.nonzero(S >= thr)
                 gi = bi + s
                 up = gi < bj           # strict upper triangle only
                 bi, gi, bj = bi[up], gi[up], bj[up]
@@ -683,12 +676,54 @@ def semantic_dedup(vectors: DataFrame, *, threshold: float = 0.95,
                                          "sim": S[bi, bj]}))
             return pd.concat(out, ignore_index=True)
 
-        pairs = (assigned.select("cluster", F.col(id_col).alias("vid"),
-                                 F.col(vec_col).alias("v"))
-                 .groupBy("cluster")
-                 .applyInPandas(cell_pairs,
-                                schema=f"id_a {id_type}, id_b {id_type}, "
-                                       "sim double"))
+        return (assigned.select("cluster", F.col(id_col).alias("vid"),
+                                F.col(vec_col).alias("v"))
+                .groupBy("cluster")
+                .applyInPandas(cell_pairs,
+                               schema=f"id_a {id_type}, id_b {id_type}, "
+                                      "sim double"))
+
+    if impl == "expr":
+        sides = assigned.select("cluster", F.col(id_col).alias("vid"),
+                                F.col(vec_col).alias("v"),
+                                l2_norm(vec_col).alias("n"))
+        a = sides.alias("a")
+        # both sides are the same corpus-scale table: shuffle-hash on
+        # the cluster key, never a broadcast (same rationale as
+        # fingerprint_overlap_pairs)
+        b = sides.hint("shuffle_hash").alias("b")
+        sim = (_dot(F.col("a.v"), F.col("b.v"))
+               / (F.col("a.n") * F.col("b.n")))
+        pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                        & (F.col("a.vid") < F.col("b.vid")))
+                 .filter((F.col("a.n") > 0) & (F.col("b.n") > 0))
+                 .select(F.col("a.vid").alias("id_a"),
+                         F.col("b.vid").alias("id_b"), sim.alias("sim"))
+                 .filter(F.col("sim") >= threshold))
+    elif impl == "arrow":
+        pairs = _arrow_pairs(threshold)
+    elif impl == "hybrid":
+        # Vectorized prefilter with a 1e-6 slack, then the hash-exact
+        # sequential fold on the (tiny) candidate set only. The two
+        # corpus-side joins stay un-exchanged when AQE broadcasts the
+        # candidate frame (near-dup pairs ≪ corpus by construction);
+        # with a dup-heavy corpus AQE falls back to a keyed join —
+        # either way the fold now runs |candidates| times, not
+        # |cell|²/2 times.
+        cand = _arrow_pairs(threshold - 1e-6).select("id_a", "id_b")
+        sides = assigned.select(F.col(id_col).alias("vid"),
+                                F.col(vec_col).alias("v"),
+                                l2_norm(vec_col).alias("n"))
+        a = sides.select(F.col("vid").alias("id_a"),
+                         F.col("v").alias("va"), F.col("n").alias("na"))
+        b = sides.select(F.col("vid").alias("id_b"),
+                         F.col("v").alias("vb"), F.col("n").alias("nb"))
+        pairs = (cand.join(a, "id_a").join(b, "id_b")
+                 .filter((F.col("na") > 0) & (F.col("nb") > 0))
+                 .select("id_a", "id_b",
+                         (_dot("va", "vb")
+                          / (F.col("na") * F.col("nb"))).alias("sim"))
+                 .filter(F.col("sim") >= threshold))
     else:
         raise ValueError(f"unknown impl: {impl}")
     comps = duplicate_clusters(pairs)  # (doc_id, cluster_id=min label)

@@ -95,11 +95,30 @@ def test_semantic_decontaminate_eval_side_broadcasts(spark, sf_dir):
         semantic_contamination_hits)
     emb = load_table(spark, "embeddings", sf_dir)
     ev = emb.filter(F.col("vec_id") % 20 == 0)
-    plan = semantic_contamination_hits(emb, ev, threshold=0.3) \
+    plan = semantic_contamination_hits(emb, ev, threshold=0.3,
+                                       impl="expr") \
         ._jdf.queryExecution().executedPlan().toString()
     # eval side rides a broadcast nested loop; corpus never shuffles
     # before the bounded per-doc aggregation
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_contamination_hybrid_matches_expr(spark, sf_dir):
+    """The default hybrid path (collected eval matrix, Arrow matmul
+    prefilter at threshold−1e-6, exact JVM fold on candidates) must
+    be row-identical to the all-pairs expr path — including n_hits
+    and the rounded max_sim."""
+    from parlerproject_spark.operators.decontaminate import (
+        semantic_contamination_hits)
+    emb = load_table(spark, "embeddings", sf_dir).limit(300)
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    kw = dict(threshold=0.3)
+    expr = sorted(map(tuple, semantic_contamination_hits(
+        corpus, ev, impl="expr", **kw).collect()))
+    hyb = sorted(map(tuple, semantic_contamination_hits(
+        corpus, ev, impl="hybrid", **kw).collect()))
+    assert expr == hyb and len(expr) > 0
 
 
 # ---- sessionization ------------------------------------------------------

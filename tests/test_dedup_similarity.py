@@ -422,6 +422,22 @@ def test_semantic_dedup_arrow_impl_matches_expr(spark, sf_dir):
     assert expr == arrow
 
 
+def test_semantic_dedup_hybrid_impl_matches_expr(spark, sf_dir):
+    """The default hybrid path (vectorized prefilter at threshold−1e-6
+    → exact JVM fold on survivors) must be result-identical to the
+    pure-expr verification semantics: matmul vs sequential-fold
+    rounding differs by ≲1e-13, far inside the prefilter margin, so
+    the exact fold alone decides every pair."""
+    from parlerproject_spark.operators.dedup import semantic_dedup
+    emb = load_table(spark, "embeddings", sf_dir).limit(120)
+    kw = dict(threshold=0.9, k=4, round_c=6)
+    expr = sorted(map(tuple, semantic_dedup(emb, impl="expr",
+                                            **kw).collect()))
+    hybrid = sorted(map(tuple, semantic_dedup(emb, impl="hybrid", block=7,
+                                              **kw).collect()))
+    assert expr == hybrid
+
+
 # Product quantization ------------------------------------------------------
 
 def test_pq_recall_and_compression(spark, sf_dir):
