@@ -208,6 +208,13 @@ EXTRA = [
     "calibrate_scores_docs",
     "fim_transform_docs",
     "scene_cuts_media",
+    # round-6 evaluation pillar: ranking eval, AUC, calibration,
+    # agreement, survival
+    "ranking_metrics_docs",
+    "roc_auc_docs",
+    "calibration_docs",
+    "fleiss_kappa_docs",
+    "kaplan_meier_users",
 ]
 
 

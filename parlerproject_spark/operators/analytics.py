@@ -329,3 +329,81 @@ def ab_test_proportions(events: DataFrame, *, user_col: str = "user_id",
         F.round(z, 6).alias("z_score"),
         F.coalesce(F.abs(z) > 1.96, F.lit(False))
          .alias("significant_95"))
+
+
+def kaplan_meier(events: DataFrame, *, user_col: str = "user_id",
+                 ts_col: str = "ts",
+                 horizon_days: int = 7,
+                 death_filter: str | None = None) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes — the
+    censoring-aware retention readout (naive "share still active
+    after t days" is biased by users who simply joined late).
+
+    Lifetime = whole days between a user's first and last event.
+    Two censoring modes: with `death_filter` (a boolean SQL
+    expression over the event columns), a user's lifetime ended
+    observably iff their LAST event (max ts; ties take the max flag)
+    satisfies it — e.g. "event_type = 'error'" reads a terminal
+    failure as churn; without it, a user whose last event falls
+    within `horizon_days` of the corpus's end is CENSORED (still
+    alive as far as the data can tell) and everyone else died
+    observably. At each observed-death time t:
+    S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with n_i = users whose
+    lifetime ≥ t_i (censored users leave the risk set but never
+    count as deaths — exactly the KM estimator).
+
+    Shape: ONE user-keyed aggregation reduces the corpus to a
+    per-user (lifetime, observed) table; everything after runs on
+    day-granularity frames (≤ observation-window-in-days rows):
+    per-day death/at-risk counts via one cumulative window, the
+    product via exp(Σ ln(1−d/n)) over the same ordered window, with
+    an explicit zero-factor carry (ln is undefined at d = n; from
+    that day on survival is exactly 0).
+
+    Columns: t_days, n_risk, n_events, survival (round 6).
+    """
+    if death_filter is not None:
+        flag = F.expr(f"CASE WHEN {death_filter} THEN 1 ELSE 0 END")
+        life = (events.groupBy(user_col)
+                .agg(F.datediff(F.max(ts_col).cast("date"),
+                                F.min(ts_col).cast("date"))
+                     .cast("long").alias("t_days"),
+                     F.max(F.struct(F.col(ts_col).alias("__ts"),
+                                    flag.alias("__f")))["__f"]
+                     .alias("__obs")))
+    else:
+        per_user = (events.groupBy(user_col)
+                    .agg(F.min(ts_col).alias("__first"),
+                         F.max(ts_col).alias("__last")))
+        horizon = per_user.agg(
+            F.date_sub(F.max(F.col("__last").cast("date")), horizon_days)
+            .alias("__cut"))
+        life = (per_user.crossJoin(F.broadcast(horizon))
+                .select(F.datediff(F.col("__last").cast("date"),
+                                   F.col("__first").cast("date"))
+                        .cast("long").alias("t_days"),
+                        (F.col("__last").cast("date") <= F.col("__cut"))
+                        .cast("int").alias("__obs")))
+    per_day = (life.groupBy("t_days")
+               .agg(F.count("*").alias("__n"),
+                    F.sum("__obs").alias("n_events")))
+    w_after = (Window.orderBy("t_days")
+               .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    w_upto = (Window.orderBy("t_days")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    curve = (per_day
+             .withColumn("n_risk", F.sum("__n").over(w_after))
+             .filter(F.col("n_events") > 0)
+             .withColumn("__dead",
+                         F.max((F.col("n_events") == F.col("n_risk"))
+                               .cast("int")).over(w_upto))
+             .withColumn("__logs",
+                         F.sum(F.when(F.col("n_events") < F.col("n_risk"),
+                                      F.log(1.0 - F.col("n_events")
+                                            / F.col("n_risk")))
+                               .otherwise(0.0)).over(w_upto)))
+    return curve.select(
+        "t_days", F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.when(F.col("__dead") == 1, 0.0)
+                .otherwise(F.exp("__logs")), 6).alias("survival"))

@@ -1,0 +1,189 @@
+"""Offline evaluation & label-QC metrics — the measurement half of a
+training-data pipeline: ranking quality for retrieval systems, ROC-AUC
+and calibration for quality classifiers, chance-corrected agreement
+for labeling campaigns.
+
+Design for 100 TB: every metric here reduces the raw frame with ONE
+keyed (or global) aggregation first and runs its windows/algebra over
+the small reduced table only — per-query result lists (≤ k rows each),
+distinct score values, label categories, rating histograms. Nothing
+windows over the corpus itself: ROC-AUC deliberately avoids the
+textbook per-row global rank (a full sort at corpus scale) in favor of
+the tie-exact cumulative histogram form, and Fleiss' kappa is three
+aggregates over an (item, label) contingency no wider than the label
+vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ranking_metrics(results: DataFrame, judgments: DataFrame, *,
+                    k: int = 10, query_col: str = "query_id",
+                    id_col: str = "doc_id", rank_col: str = "rank",
+                    rel_col: str = "rel") -> DataFrame:
+    """Per-query ranked-retrieval metrics: NDCG@k (graded, 2^rel−1
+    gains), MRR (reciprocal rank of the first relevant hit in the
+    top-k), recall@k (relevant retrieved / relevant total).
+
+    `results` holds system rankings (query, doc, 1-based rank);
+    `judgments` holds graded relevance (query, doc, rel ≥ 0 — absent
+    pairs count as rel 0). The ideal DCG comes from the judgments
+    side: top-k rels per query ordered (rel desc, doc asc —
+    deterministic ties). Queries with zero relevant docs report
+    ndcg/recall 0 rather than null so the frame stays total.
+
+    Scale: one bounded join (results are ≤ k rows per query) + two
+    query-keyed aggregations; windows run over judgments *per query*
+    after a rel-desc cut, never over the corpus.
+
+    Columns: <query_col>, n_retrieved, n_relevant, ndcg, mrr, recall.
+    """
+    q, d = F.col(query_col), F.col(id_col)
+    res = results.filter(F.col(rank_col) <= k) \
+        .select(q, d, F.col(rank_col).alias("__rank"))
+    jud = judgments.select(q, d, F.col(rel_col).cast("double").alias("__rel"))
+
+    gain = lambda rel, pos: ((F.pow(F.lit(2.0), rel) - 1.0)
+                             / F.log2(pos + 1.0))
+    joined = (res.join(jud, [query_col, id_col], "left")
+              .withColumn("__rel", F.coalesce("__rel", F.lit(0.0))))
+    sys_side = (joined.groupBy(query_col).agg(
+        F.count("*").alias("n_retrieved"),
+        F.sum(gain(F.col("__rel"), F.col("__rank"))).alias("__dcg"),
+        F.coalesce(F.max(F.when(F.col("__rel") > 0,
+                                1.0 / F.col("__rank"))),
+                   F.lit(0.0)).alias("__mrr"),
+        F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0))
+        .alias("__hits")))
+
+    w = Window.partitionBy(query_col).orderBy(F.col("__rel").desc(),
+                                              F.col(id_col).asc())
+    ideal = (jud.withColumn("__rn", F.row_number().over(w))
+             .groupBy(query_col).agg(
+                 F.sum(F.when(F.col("__rn") <= k,
+                              gain(F.col("__rel"), F.col("__rn")))
+                       .otherwise(0.0)).alias("__idcg"),
+                 F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0))
+                 .alias("n_relevant")))
+
+    out = sys_side.join(ideal, query_col, "full_outer")
+    return out.select(
+        F.col(query_col),
+        F.coalesce("n_retrieved", F.lit(0)).cast("long")
+        .alias("n_retrieved"),
+        F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+        F.round(F.when(F.col("__idcg") > 0,
+                       F.coalesce("__dcg", F.lit(0.0)) / F.col("__idcg"))
+                .otherwise(0.0), 6).alias("ndcg"),
+        F.round(F.coalesce("__mrr", F.lit(0.0)), 6).alias("mrr"),
+        F.round(F.when(F.col("n_relevant") > 0,
+                       F.coalesce("__hits", F.lit(0)).cast("double")
+                       / F.col("n_relevant")).otherwise(0.0), 6)
+        .alias("recall"))
+
+
+def roc_auc(df: DataFrame, *, score_col: str = "score",
+            label_col: str = "label") -> DataFrame:
+    """Exact tie-corrected ROC-AUC (the Mann-Whitney statistic) as a
+    one-row frame: n_pos, n_neg, auc.
+
+    NOT the textbook per-row global rank — that is a full corpus sort.
+    Instead the corpus collapses to one row per DISTINCT score (one
+    map-side-combined aggregation); the cumulative-histogram identity
+    AUC = Σ_s pos_s · (neg_below_s + neg_s/2) / (n_pos·n_neg)
+    is tie-exact and runs its single ordered window over the distinct
+    score values only (bounded by score cardinality, not rows).
+    """
+    lab = F.col(label_col).cast("int")
+    per = (df.select(F.col(score_col).alias("__s"), lab.alias("__y"))
+           .groupBy("__s")
+           .agg(F.sum("__y").alias("__pos"),
+                F.sum(1 - F.col("__y")).alias("__neg")))
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = F.col("__pos") * (F.coalesce(F.sum("__neg").over(w),
+                                           F.lit(0)).cast("double")
+                                + F.col("__neg") / 2.0)
+    return (per.select("__pos", "__neg", contrib.alias("__c"))
+            .agg(F.sum("__pos").cast("long").alias("n_pos"),
+                 F.sum("__neg").cast("long").alias("n_neg"),
+                 # try_divide: a single-class input has no ranking to
+                 # score — auc is null, not an ANSI divide-by-zero
+                 F.round(F.try_divide(F.sum("__c"),
+                                      F.sum("__pos") * F.sum("__neg")), 6)
+                 .alias("auc")))
+
+
+def calibration_report(df: DataFrame, *, prob_col: str = "prob",
+                       label_col: str = "label",
+                       n_bins: int = 10) -> DataFrame:
+    """Reliability diagram + Brier score for a probabilistic
+    classifier: equal-width probability bins with per-bin volume,
+    mean predicted probability and empirical positive rate; the
+    global Brier score (mean squared error of prob vs label) rides
+    every row for single-frame consumption.
+
+    One keyed aggregation (bins) + one global aggregation (Brier)
+    joined by a broadcast of the 1-row side — two passes over the
+    input, no windows.
+
+    Columns: bin, n, mean_prob, frac_pos, brier.
+    """
+    p = F.col(prob_col).cast("double")
+    lab = F.col(label_col).cast("double")
+    binc = F.least(F.floor(p * n_bins), F.lit(n_bins - 1)).cast("long")
+    base = df.select(p.alias("__p"), lab.alias("__y"),
+                     binc.alias("bin"))
+    bins = (base.groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.avg("__p"), 6).alias("mean_prob"),
+                 F.round(F.avg("__y"), 6).alias("frac_pos")))
+    brier = base.agg(
+        F.round(F.avg(F.pow(F.col("__p") - F.col("__y"), 2)), 6)
+        .alias("brier"))
+    return bins.crossJoin(F.broadcast(brier))
+
+
+def fleiss_kappa(ratings: DataFrame, *, n_raters: int,
+                 item_col: str = "item_id", label_col: str = "label") \
+        -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for a labeling
+    campaign where each item is judged by `n_raters` raters (items
+    with a different rating count are dropped, and reported).
+
+    P_i = (Σ_j n_ij² − m) / (m(m−1)) per item, P̄ its mean;
+    p_j the label's overall share, P̄_e = Σ p_j²;
+    kappa = (P̄ − P̄_e)/(1 − P̄_e).
+
+    Scale: one (item, label) count aggregation → one item-keyed
+    aggregation → one global row; the label-share table is as wide as
+    the label vocabulary. No windows, no joins against the raw frame.
+
+    Columns (one row): n_items, n_raters, p_bar, p_e, kappa.
+    """
+    m = n_raters
+    cell = (ratings.groupBy(item_col, label_col)
+            .agg(F.count("*").alias("__n")))
+    items = (cell.groupBy(item_col)
+             .agg(F.sum("__n").alias("__tot"),
+                  F.sum(F.col("__n") * F.col("__n")).alias("__sq"))
+             .filter(F.col("__tot") == m))
+    kept = items.select(F.col(item_col),
+                        ((F.col("__sq") - m) / (m * (m - 1.0)))
+                        .alias("__pi"))
+    shares = (cell.join(kept.select(item_col), item_col)
+              .groupBy(label_col).agg(F.sum("__n").alias("__c")))
+    pe = shares.agg(
+        (F.sum(F.col("__c") * F.col("__c"))
+         / (F.sum("__c") * F.sum("__c"))).alias("p_e"))
+    pbar = kept.agg(F.count("*").cast("long").alias("n_items"),
+                    F.avg("__pi").alias("p_bar"))
+    return (pbar.crossJoin(F.broadcast(pe))
+            .select("n_items", F.lit(m).cast("long").alias("n_raters"),
+                    F.round("p_bar", 6).alias("p_bar"),
+                    F.round("p_e", 6).alias("p_e"),
+                    F.round((F.col("p_bar") - F.col("p_e"))
+                            / (1.0 - F.col("p_e")), 6).alias("kappa")))

@@ -31,6 +31,7 @@ from parlerproject_spark.functions.text import (
     quality_score,
     stable_hash31,
     token_count,
+    tokenize,
 )
 from parlerproject_spark.operators import dedup, relational, similarity, text_analysis
 
@@ -62,6 +63,11 @@ _DRIVER_PRIORITY: list[str] = [
     # never-sampled first, then ascending last-sampled round
     # (r5 verdict #3: 15 never-sampled + 55 r1/r2-stale).
     # round-6 additions (never sampled):
+    "ranking_metrics_docs",
+    "roc_auc_docs",
+    "calibration_docs",
+    "fleiss_kappa_docs",
+    "kaplan_meier_users",
     "touch_attribution_events",
     "srm_check_events",
     "weighted_sample_docs",
@@ -8096,3 +8102,255 @@ def scene_cuts_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("prev_frame", F.col("prev_frame").cast("long"))
             .withColumn("hamming", F.col("hamming").cast("long"))
             .orderBy("doc_id", "frame_no"))
+
+
+@register("ranking_metrics_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+tf AS (
+  SELECT w AS query_id, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)
+  WHERE w IN ('spark', 'join', 'query') GROUP BY w, doc_id),
+res AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tf DESC, doc_id ASC) AS rnk
+  FROM tf QUALIFY rnk <= 10),
+jud AS (SELECT query_id, doc_id, CAST(doc_id % 3 AS DOUBLE) AS rel
+        FROM tf),
+joined AS (
+  SELECT r.query_id, r.rnk, coalesce(j.rel, 0.0) AS rel
+  FROM res r LEFT JOIN jud j USING (query_id, doc_id)),
+sys AS (
+  SELECT query_id, count(*) AS n_retrieved,
+         sum((power(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg,
+         coalesce(max(CASE WHEN rel > 0 THEN 1.0 / rnk END), 0.0) AS mrr,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits
+  FROM joined GROUP BY query_id),
+ideal AS (
+  SELECT query_id,
+         sum(CASE WHEN rn <= 10
+                  THEN (power(2.0, rel) - 1.0) / log2(rn + 1.0)
+                  ELSE 0.0 END) AS idcg,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_relevant
+  FROM (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id ASC) AS rn
+        FROM jud)
+  GROUP BY query_id)
+SELECT s.query_id,
+       CAST(n_retrieved AS BIGINT) AS n_retrieved,
+       CAST(n_relevant AS BIGINT) AS n_relevant,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg,
+       round(mrr, 6) AS mrr,
+       round(CASE WHEN n_relevant > 0
+                  THEN CAST(hits AS DOUBLE) / n_relevant
+                  ELSE 0.0 END, 6) AS recall
+FROM sys s JOIN ideal USING (query_id)
+ORDER BY query_id
+""")
+def ranking_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation (operators/evaluation
+    .ranking_metrics): NDCG@10 / MRR / recall@10 for a deterministic
+    tf ranker over three single-term queries, judged against graded
+    doc_id%3 relevance — the offline eval harness for any of the
+    engine's retrieval stacks (BM25, hybrid rerank, ANN). The oracle
+    replays ranker, judgments, and every metric."""
+    from parlerproject_spark.operators.evaluation import ranking_metrics
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "join", "query"]
+    tf = (docs.select("doc_id", F.explode(tokenize("text")).alias("w"))
+          .filter(F.col("w").isin(terms))
+          .groupBy(F.col("w").alias("query_id"), "doc_id")
+          .agg(F.count("*").alias("tf")))
+    w = Window.partitionBy("query_id").orderBy(F.col("tf").desc(),
+                                               F.col("doc_id").asc())
+    results = (tf.withColumn("rank", F.row_number().over(w).cast("long"))
+               .filter(F.col("rank") <= 10)
+               .select("query_id", "doc_id", "rank"))
+    judgments = tf.select("query_id", "doc_id",
+                          (F.col("doc_id") % 3).alias("rel"))
+    return (ranking_metrics(results, judgments, k=10)
+            .orderBy("query_id"))
+
+
+@register("roc_auc_docs", """
+WITH base AS (
+  SELECT CAST(n_chars AS DOUBLE) / (n_chars + 100.0) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+per AS (SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM base GROUP BY s),
+cum AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM per)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       round(sum(pos * (CAST(nb AS DOUBLE) + neg / 2.0))
+             / (CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6)
+         AS auc
+FROM cum
+""")
+def roc_auc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC (operators/evaluation.roc_auc) of
+    a length-based quality score against the lang=='en' weak label —
+    the discrimination readout for every quality classifier in
+    selection.py. The score n_chars/(n_chars+100) is IEEE-exact on
+    both engines (single correctly-rounded division), so the
+    distinct-score histogram groups identically; the AUC itself uses
+    the cumulative-histogram identity, never a corpus-wide rank."""
+    from parlerproject_spark.operators.evaluation import roc_auc
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("n_chars").cast("double")
+         / (F.col("n_chars") + 100.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    return roc_auc(d)
+
+
+@register("calibration_docs", """
+WITH base AS (
+  SELECT CAST(n_chars AS DOUBLE) / (n_chars + 300.0) AS p,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+bins AS (
+  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+         count(*) AS n, round(avg(p), 6) AS mean_prob,
+         round(avg(y), 6) AS frac_pos
+  FROM base GROUP BY 1),
+b AS (SELECT round(avg((p - y) * (p - y)), 6) AS brier FROM base)
+SELECT bin, CAST(n AS BIGINT) AS n, mean_prob, frac_pos, brier
+FROM bins CROSS JOIN b
+ORDER BY bin
+""")
+def calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier score (operators/evaluation
+    .calibration_report) for a pseudo-probability of the lang=='en'
+    label — the calibration companion to roc_auc_docs (a classifier
+    can discriminate well and still be badly calibrated; threshold
+    choices need this table). The probability n_chars/(n_chars+300)
+    is IEEE-exact on both engines, so bin assignment is identical."""
+    from parlerproject_spark.operators.evaluation import calibration_report
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("n_chars").cast("double")
+         / (F.col("n_chars") + 300.0)).alias("prob"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    return calibration_report(d, n_bins=10).orderBy("bin")
+
+
+@register("fleiss_kappa_docs", """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 300 THEN 'short'
+              WHEN n_chars < 700 THEN 'medium'
+              ELSE 'long' END AS band
+  FROM documents),
+ratings AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5('rater-v1:' || doc_id::VARCHAR
+                    || ':' || r::VARCHAR), 1, 8))::BIGINT % 10 = 0
+              THEN ['short', 'medium', 'long'][
+                   CAST(('0x' || substr(md5('rater-v1:' || doc_id::VARCHAR
+                        || ':' || r::VARCHAR), 9, 8))::BIGINT % 3
+                        AS INTEGER) + 1]
+              ELSE band END AS label
+  FROM base CROSS JOIN (SELECT unnest([1, 2, 3]) AS r)),
+cell AS (SELECT doc_id, label, count(*) AS n
+         FROM ratings GROUP BY doc_id, label),
+items AS (
+  SELECT doc_id, sum(n) AS tot, sum(n * n) AS sq
+  FROM cell GROUP BY doc_id HAVING sum(n) = 3),
+pi AS (SELECT (CAST(sq AS DOUBLE) - 3) / (3 * 2.0) AS p_i FROM items),
+shares AS (
+  SELECT label, sum(n) AS c
+  FROM cell JOIN items USING (doc_id) GROUP BY label),
+pe AS (SELECT sum(CAST(c AS DOUBLE) * c)
+              / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS p_e
+       FROM shares),
+pb AS (SELECT CAST(count(*) AS BIGINT) AS n_items, avg(p_i) AS p_bar
+       FROM pi)
+SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+       round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+       round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
+FROM pb CROSS JOIN pe
+""")
+def fleiss_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (operators/evaluation.fleiss_kappa):
+    Fleiss' kappa over a 3-rater labeling campaign at the annotation
+    seam — deterministic raters emit the doc's length band with a 10%
+    md5-derived disagreement, exactly the shape a human labeling job
+    feeds back. The oracle replays raters, the contingency counts,
+    and the kappa algebra."""
+    from parlerproject_spark.operators.evaluation import fleiss_kappa
+    docs = _t(spark, sf_dir, "documents")
+    band = (F.when(F.col("n_chars") < 300, "short")
+            .when(F.col("n_chars") < 700, "medium").otherwise("long"))
+    base = docs.select("doc_id", band.alias("band"))
+    r = F.col("r")
+    key = F.concat_ws(":", F.lit("rater-v1"), F.col("doc_id"), r)
+    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("bigint")
+    noisy = F.element_at(F.array(F.lit("short"), F.lit("medium"),
+                                 F.lit("long")), (h2 % 3 + 1).cast("int"))
+    ratings = (base
+               .select("doc_id", "band",
+                       F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                       .alias("r"))
+               .select(F.col("doc_id").alias("item_id"),
+                       F.when(h1 % 10 == 0, noisy)
+                       .otherwise(F.col("band")).alias("label")))
+    return fleiss_kappa(ratings, n_raters=3, item_col="item_id")
+
+
+@register("kaplan_meier_users", """
+WITH ev AS (SELECT * FROM events WHERE event_id % 11 = 0),
+pu AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l,
+         max(ts) AS lt
+  FROM ev GROUP BY user_id),
+life AS (
+  SELECT date_diff('day', f, l) AS t_days,
+         (SELECT max(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+          FROM ev e
+          WHERE e.user_id = pu.user_id AND e.ts = pu.lt) AS obs
+  FROM pu),
+per_day AS (SELECT t_days, count(*) AS n, sum(obs) AS n_events
+            FROM life GROUP BY t_days),
+risk AS (
+  SELECT t_days, n_events,
+         sum(n) OVER (ORDER BY t_days ROWS BETWEEN CURRENT ROW AND
+                      UNBOUNDED FOLLOWING) AS n_risk
+  FROM per_day),
+curve AS (
+  SELECT t_days, n_risk, n_events,
+         max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER w
+           AS dead,
+         sum(CASE WHEN n_events < n_risk
+                  THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                  ELSE 0.0 END) OVER w AS logs
+  FROM risk WHERE n_events > 0
+  WINDOW w AS (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW))
+SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(logs) END, 6)
+         AS survival
+FROM curve ORDER BY t_days
+""")
+def kaplan_meier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Censoring-aware user-retention curve (operators/analytics
+    .kaplan_meier): KM survival over user lifetimes where a journey
+    ending in an 'error' event is an observed churn and every other
+    user is censored — the unbiased churn readout (naive retention
+    miscounts still-active users as churned). Oracle replays the
+    last-event death flag, risk sets, and the product-limit
+    estimator."""
+    from parlerproject_spark.operators.analytics import kaplan_meier
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return (kaplan_meier(ev, death_filter="event_type = 'error'")
+            .orderBy("t_days"))

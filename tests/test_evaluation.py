@@ -1,0 +1,187 @@
+"""Evaluation & label-QC metrics (operators/evaluation.py,
+analytics.kaplan_meier) — every assertion hand-computed."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parlerproject_spark.operators.analytics import kaplan_meier
+from parlerproject_spark.operators.evaluation import (
+    calibration_report,
+    fleiss_kappa,
+    ranking_metrics,
+    roc_auc,
+)
+
+
+# ---- ranking_metrics -------------------------------------------------------
+
+def _rm(spark, results, judgments, k=3):
+    res = spark.createDataFrame(results,
+                                "query_id string, doc_id long, rank long")
+    jud = spark.createDataFrame(judgments,
+                                "query_id string, doc_id long, rel long")
+    return {r["query_id"]: r for r in
+            ranking_metrics(res, jud, k=k).collect()}
+
+
+def test_ranking_metrics_hand_case(spark):
+    # q1: ranked [d1(rel2), d2(rel0), d3(rel1)], judged {d1:2, d3:1, d4:1}
+    out = _rm(spark,
+              [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3)],
+              [("q1", 1, 2), ("q1", 3, 1), ("q1", 4, 1)])
+    r = out["q1"]
+    dcg = 3.0 / math.log2(2) + 0.0 + 1.0 / math.log2(4)
+    idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert r["ndcg"] == pytest.approx(round(dcg / idcg, 6))
+    assert r["mrr"] == 1.0                     # first hit at rank 1
+    assert r["recall"] == pytest.approx(round(2 / 3, 6))
+    assert r["n_retrieved"] == 3 and r["n_relevant"] == 3
+
+
+def test_ranking_metrics_no_relevant_and_late_hit(spark):
+    out = _rm(spark,
+              [("q1", 1, 1), ("q1", 2, 2),          # nothing relevant
+               ("q2", 5, 1), ("q2", 6, 2)],         # hit at rank 2
+              [("q1", 9, 0),                        # rel 0 only
+               ("q2", 6, 1)])
+    assert out["q1"]["ndcg"] == 0.0 and out["q1"]["recall"] == 0.0
+    assert out["q1"]["mrr"] == 0.0
+    assert out["q2"]["mrr"] == 0.5 and out["q2"]["recall"] == 1.0
+    # ideal rank 1 vs actual rank 2 -> dcg=1/log2(3), idcg=1/log2(2)=1
+    assert out["q2"]["ndcg"] == pytest.approx(
+        round((1 / math.log2(3)) / 1.0, 6))
+
+
+def test_ranking_metrics_respects_k_cut(spark):
+    # relevant doc at rank 4 is invisible at k=3
+    out = _rm(spark,
+              [("q", 1, 1), ("q", 2, 2), ("q", 3, 3), ("q", 4, 4)],
+              [("q", 4, 1)], k=3)
+    r = out["q"]
+    assert r["n_retrieved"] == 3 and r["mrr"] == 0.0 and r["recall"] == 0.0
+
+
+# ---- roc_auc ---------------------------------------------------------------
+
+def _auc(spark, rows):
+    df = spark.createDataFrame(rows, "score double, label int")
+    return roc_auc(df).collect()[0]
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    rows = [(float(s), int(s > 2)) for s in range(1, 5)]
+    assert _auc(spark, rows)["auc"] == 1.0
+    inv = [(-s, y) for s, y in rows]
+    assert _auc(spark, inv)["auc"] == 0.0
+
+
+def test_roc_auc_ties_hand_case(spark):
+    # scores: pos at {3, 2}, neg at {2, 1} -> pairs: (3>2)=1, (3>1)=1,
+    # (2=2)=0.5, (2>1)=1 -> auc = 3.5/4
+    r = _auc(spark, [(3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)])
+    assert r["auc"] == pytest.approx(0.875)
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+
+
+def test_roc_auc_single_class_is_null(spark):
+    assert _auc(spark, [(1.0, 1), (2.0, 1)])["auc"] is None
+
+
+# ---- calibration_report ----------------------------------------------------
+
+def test_calibration_bins_and_brier(spark):
+    rows = [(0.05, 0), (0.05, 0), (0.95, 1), (0.95, 0), (1.0, 1)]
+    df = spark.createDataFrame(rows, "prob double, label int")
+    out = {r["bin"]: r for r in calibration_report(df).collect()}
+    assert set(out) == {0, 9}                  # prob 1.0 clamps into bin 9
+    assert out[0]["n"] == 2 and out[0]["frac_pos"] == 0.0
+    assert out[9]["n"] == 3
+    assert out[9]["mean_prob"] == pytest.approx(round((0.95 + 0.95 + 1) / 3, 6))
+    assert out[9]["frac_pos"] == pytest.approx(round(2 / 3, 6))
+    brier = (0.05**2 + 0.05**2 + 0.05**2 + 0.95**2 + 0.0) / 5
+    assert out[0]["brier"] == pytest.approx(round(brier, 6))
+
+
+# ---- fleiss_kappa ----------------------------------------------------------
+
+def _kappa(spark, rows, m):
+    df = spark.createDataFrame(rows, "item_id long, rater string, label string")
+    return fleiss_kappa(df, n_raters=m, item_col="item_id").collect()[0]
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    rows = [(i, r, "a" if i % 2 else "b")
+            for i in range(4) for r in ("r1", "r2", "r3")]
+    r = _kappa(spark, rows, 3)
+    assert r["kappa"] == 1.0 and r["n_items"] == 4
+
+
+def test_fleiss_kappa_hand_case_and_partial_items_dropped(spark):
+    # 2 items x 2 raters: item1 agrees on 'a', item2 splits a/b.
+    # P_1 = (4-2)/2 = 1, P_2 = (1+1-2)/2 = 0, Pbar = 0.5
+    # p_a = 3/4, p_b = 1/4, Pe = 9/16+1/16 = 0.625
+    # kappa = (0.5-0.625)/(1-0.625) = -1/3
+    rows = [(1, "r1", "a"), (1, "r2", "a"),
+            (2, "r1", "a"), (2, "r2", "b"),
+            (3, "r1", "a")]                     # only 1 rating -> dropped
+    r = _kappa(spark, rows, 2)
+    assert r["n_items"] == 2
+    assert r["p_bar"] == 0.5 and r["p_e"] == 0.625
+    assert r["kappa"] == pytest.approx(round(-1 / 3, 6))
+
+
+# ---- kaplan_meier ----------------------------------------------------------
+
+def _km(spark, rows, **kw):
+    from datetime import datetime
+    rows = [(u, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), e)
+            for u, ts, e in rows]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string")
+    return {r["t_days"]: r for r in kaplan_meier(df, **kw).collect()}
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    # lifetimes: u1 dies t=1, u2 dies t=2, u3 censored t=2, u4 dies t=3
+    # S(1) = 1 - 1/4 = 0.75
+    # S(2) = 0.75 * (1 - 1/3) = 0.5
+    # S(3) = 0.5 * (1 - 1/1) = 0   (zero-factor carry)
+    def u(uid, days, last_type):
+        return [(uid, f"2024-01-01 00:00:00", "view"),
+                (uid, f"2024-01-0{1 + days} 12:00:00", last_type)]
+    rows = (u(1, 1, "error") + u(2, 2, "error")
+            + u(3, 2, "view") + u(4, 3, "error"))
+    out = _km(spark, rows, death_filter="event_type = 'error'")
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_risk"] == 4 and out[1]["survival"] == 0.75
+    assert out[2]["n_risk"] == 3 and out[2]["n_events"] == 1
+    assert out[2]["survival"] == 0.5
+    assert out[3]["n_risk"] == 1 and out[3]["survival"] == 0.0
+
+
+def test_kaplan_meier_last_event_tie_takes_death(spark):
+    # two events at the identical max ts: the death flag wins the tie
+    rows = [(1, "2024-01-01 00:00:00", "view"),
+            (1, "2024-01-02 00:00:00", "view"),
+            (1, "2024-01-02 00:00:00", "error"),
+            (2, "2024-01-01 00:00:00", "view"),
+            (2, "2024-01-03 00:00:00", "view")]
+    out = _km(spark, rows, death_filter="event_type = 'error'")
+    assert out[1]["n_events"] == 1 and out[1]["n_risk"] == 2
+    assert out[1]["survival"] == 0.5
+
+
+def test_kaplan_meier_horizon_censoring_mode(spark):
+    # corpus ends 2024-01-20; horizon 7 -> cut = 01-13.
+    # u1 last 01-05 (observed, t=4), u2 last 01-20 (censored, t=19)
+    rows = [(1, "2024-01-01 00:00:00", "view"),
+            (1, "2024-01-05 00:00:00", "view"),
+            (2, "2024-01-01 00:00:00", "view"),
+            (2, "2024-01-20 00:00:00", "view")]
+    out = _km(spark, rows, horizon_days=7)
+    assert set(out) == {4}
+    assert out[4]["n_risk"] == 2 and out[4]["survival"] == 0.5
