@@ -258,7 +258,7 @@ def touch_attribution(events: DataFrame, *, user_col: str = "user_id",
 
 
 def srm_check(events: DataFrame, *, user_col: str = "user_id",
-              arm_expr: str = "user_id % 2",
+              arm_expr: str = "pmod(user_id, 2)",
               expected: tuple[float, float] = (0.5, 0.5)) -> DataFrame:
     """Sample-ratio-mismatch guardrail for an A/B assignment: the
     chi-square statistic of observed arm sizes against the intended
@@ -276,12 +276,15 @@ def srm_check(events: DataFrame, *, user_col: str = "user_id",
                 .withColumn("arm", F.expr(arm_expr).cast("long")))
     row = (per_user.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
            .groupBy().pivot("arm", [0, 1]).agg(F.first("n")))
-    n0, n1 = F.col("0").cast("double"), F.col("1").cast("double")
+    # an arm with ZERO users pivots to null — coalesce to 0 so the
+    # most extreme possible mismatch alarms instead of returning null
+    n0 = F.coalesce(F.col("0").cast("double"), F.lit(0.0))
+    n1 = F.coalesce(F.col("1").cast("double"), F.lit(0.0))
     tot = n0 + n1
     e0, e1 = tot * expected[0], tot * expected[1]
     chi2 = (n0 - e0) ** 2 / e0 + (n1 - e1) ** 2 / e1
-    return row.select(F.col("0").cast("long").alias("n_0"),
-                      F.col("1").cast("long").alias("n_1"),
+    return row.select(n0.cast("long").alias("n_0"),
+                      n1.cast("long").alias("n_1"),
                       F.round(chi2, 6).alias("chi2"),
                       (chi2 > 3.841).alias("srm_alarm"))
 

@@ -116,11 +116,18 @@ def semantic_contamination_hits(corpus_emb: DataFrame, eval_emb: DataFrame,
     import pandas as pd
 
     ev_rows = ev.collect()          # eval suite: small by construction
+    if not ev_rows:
+        # shape-(0,) eval matrix has no axis-1 to norm over; the expr
+        # path already returns the correct empty grouped frame
+        return semantic_contamination_hits(
+            corpus_emb, eval_emb, threshold=threshold, id_col=id_col,
+            vec_col=vec_col, impl="expr")
     E = np.array([list(r["__ev"]) for r in ev_rows], dtype=np.float64)
     eids = np.array([r["__eid"] for r in ev_rows])
     en = np.linalg.norm(E, axis=1)
     thr = threshold - 1e-6
     id_type = corpus_emb.schema[id_col].dataType.simpleString()
+    eid_type = eval_emb.schema[id_col].dataType.simpleString()
 
     def prefilter(it):
         for pdf in it:
@@ -139,7 +146,12 @@ def semantic_contamination_hits(corpus_emb: DataFrame, eval_emb: DataFrame,
     cand = (corpus_emb.select(F.col(id_col).alias("doc_id"),
                               F.col(vec_col).alias("__v"))
             .mapInPandas(prefilter,
-                         schema=f"doc_id {id_type}, __eid {id_type}"))
+                         schema=f"doc_id {id_type}, __eid {eid_type}")
+            # duplicate corpus ids: d dup rows each flag the pair, and
+            # the re-score join fans back out by d — distinct() keeps
+            # the hybrid count identical to the expr path's d (the
+            # re-score still judges every dup row on its own vector)
+            .distinct())
     sim = F.round(cosine("__cv", "__ev"), 6)
     return (cand
             .join(corpus_emb.select(F.col(id_col).alias("doc_id"),

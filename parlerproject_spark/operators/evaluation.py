@@ -87,27 +87,61 @@ def ranking_metrics(results: DataFrame, judgments: DataFrame, *,
 
 
 def roc_auc(df: DataFrame, *, score_col: str = "score",
-            label_col: str = "label") -> DataFrame:
+            label_col: str = "label",
+            n_buckets: int = 1024) -> DataFrame:
     """Exact tie-corrected ROC-AUC (the Mann-Whitney statistic) as a
     one-row frame: n_pos, n_neg, auc.
 
     NOT the textbook per-row global rank — that is a full corpus sort.
-    Instead the corpus collapses to one row per DISTINCT score (one
+    The corpus collapses to one row per DISTINCT score (one
     map-side-combined aggregation); the cumulative-histogram identity
     AUC = Σ_s pos_s · (neg_below_s + neg_s/2) / (n_pos·n_neg)
-    is tie-exact and runs its single ordered window over the distinct
-    score values only (bounded by score cardinality, not rows).
+    is tie-exact. A float-scored classifier has distinct-scores ≈ rows,
+    so the prefix sum is TWO-LEVEL rather than one global window:
+    scores range-bucket into ≤`n_buckets` ordered buckets (floor over
+    (s−min)/(max−min) is IEEE-monotone, so bucket order == score
+    order); cross-bucket negative offsets come from a broadcast
+    cross-join over the ≤B-row bucket-total frame (B² ≤ 1M cells, all
+    driver-free); the within-bucket prefix runs under a
+    `partitionBy(bucket)` window whose partitions hold ~distinct/B
+    rows each. No unpartitioned window anywhere — every shuffle is
+    keyed and every single-partition structure is ≤n_buckets rows.
     """
     lab = F.col(label_col).cast("int")
-    per = (df.select(F.col(score_col).alias("__s"), lab.alias("__y"))
+    per = (df.select(F.col(score_col).cast("double").alias("__s"),
+                     lab.alias("__y"))
            .groupBy("__s")
            .agg(F.sum("__y").alias("__pos"),
                 F.sum(1 - F.col("__y")).alias("__neg")))
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    contrib = F.col("__pos") * (F.coalesce(F.sum("__neg").over(w),
-                                           F.lit(0)).cast("double")
+    bounds = per.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    # NaN scores (floor → null) deliberately land in the top bucket:
+    # NaN sorts above every double in both the bucketing and the
+    # within-bucket ORDER BY, so the identity stays exact
+    bucket = F.coalesce(
+        F.when(span > 0,
+               F.least(F.floor((F.col("__s") - F.col("__lo"))
+                               / span * n_buckets),
+                       F.lit(n_buckets - 1))).otherwise(F.lit(0)),
+        F.lit(n_buckets - 1)).cast("long")
+    b = (per.crossJoin(F.broadcast(bounds))
+         .select("__s", "__pos", "__neg", bucket.alias("__b")))
+    btot = b.groupBy("__b").agg(F.sum("__neg").alias("__bneg"))
+    lower = btot.select(F.col("__b").alias("__b2"),
+                        F.col("__bneg").alias("__bneg2"))
+    off = (btot.crossJoin(F.broadcast(lower))
+           .groupBy("__b")
+           .agg(F.sum(F.when(F.col("__b2") < F.col("__b"),
+                             F.col("__bneg2")).otherwise(F.lit(0)))
+                .alias("__off")))
+    w = (Window.partitionBy("__b").orderBy("__s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    neg_below = (F.col("__off")
+                 + F.coalesce(F.sum("__neg").over(w), F.lit(0)))
+    contrib = F.col("__pos") * (neg_below.cast("double")
                                 + F.col("__neg") / 2.0)
-    return (per.select("__pos", "__neg", contrib.alias("__c"))
+    return (b.join(F.broadcast(off), "__b")
+            .select("__pos", "__neg", contrib.alias("__c"))
             .agg(F.sum("__pos").cast("long").alias("n_pos"),
                  F.sum("__neg").cast("long").alias("n_neg"),
                  # try_divide: a single-class input has no ranking to

@@ -353,7 +353,11 @@ def label_propagation(edges: DataFrame, *, iters: int = 3) -> DataFrame:
         labels = (nb.groupBy("node")
                   .agg(F.max_by(
                       "label", F.struct(F.col("cnt"), (-F.col("label"))
-                                        .alias("neg"))).alias("label")))
+                                        .alias("neg"))).alias("label"))
+                  # cut the lineage each round (mirrors bfs_distances):
+                  # the labels frame is node-sized, and without the cut
+                  # round k's plan re-analyzes k nested join+agg layers
+                  .localCheckpoint(eager=True))
     return labels.select("node", "label")
 
 

@@ -45,6 +45,11 @@ def redact_pii(df: DataFrame, *, text_col: str = "text",
     return df.withColumn(out_col, c)
 
 
+#: audit-side key-count strategy cutover: IN-list literal up to here,
+#: broadcast left-join count beyond (plan size, not correctness)
+_ISIN_AUDIT_MAX = 10_000
+
+
 def erase_keys(tables: dict, key_cols: dict, keys, *, spark=None):
     """Right-to-be-forgotten pass: drop every row belonging to the
     given subject keys across a set of tables, returning (rewritten
@@ -53,9 +58,14 @@ def erase_keys(tables: dict, key_cols: dict, keys, *, spark=None):
     (one deletion request batch) → broadcast anti-joins. The audit
     (name, n_before, n_dropped) is the compliance record the deletion
     job must emit: it is a LAZY DataFrame built from ONE aggregate
-    per table (count(*) + count of broadcast-matched keys over a
-    single left join) — one scan per table when the caller runs it,
-    not the eager before/after double-count an earlier version paid
+    per table — count(*) plus a conditional count of key-matched rows
+    in the SAME scan, with the key set inlined as an `isin` literal
+    (a deletion request batch is small by nature), so the audit plans
+    as a pure whole-stage-codegen scan aggregate: no join, no
+    driver-built key frame, one pass per table. Batches past
+    _ISIN_AUDIT_MAX keys fall back to a broadcast left-join count
+    (literal IN-lists that large bloat the plan). Neither shape is
+    the eager before/after double-count an earlier version paid
     (2 scans per table, serial from the driver; at 100 TB that
     doubled the erasure job's I/O). The key frame's type is inferred
     per table from the key column's schema, so string subject ids
@@ -83,10 +93,16 @@ def erase_keys(tables: dict, key_cols: dict, keys, *, spark=None):
                 "__erase_key", df.schema[kc].dataType, False)])))
         cleaned[name] = df.join(
             kdf, df[kc] == kdf["__erase_key"], "left_anti")
+        if len(uniq) <= _ISIN_AUDIT_MAX:
+            dropped = F.count(F.when(F.col(kc).isin(uniq), 1))
+            agg_src = df
+        else:
+            dropped = F.count("__erase_key")
+            agg_src = df.join(kdf, df[kc] == kdf["__erase_key"], "left")
         audits.append(
-            df.join(kdf, df[kc] == kdf["__erase_key"], "left")
+            agg_src
             .agg(F.count(F.lit(1)).alias("n_before"),
-                 F.count("__erase_key").alias("n_dropped"))
+                 dropped.alias("n_dropped"))
             .select(F.lit(name).alias("table_name"),
                     "n_before", "n_dropped"))
     audit = reduce(DataFrame.unionAll, audits)

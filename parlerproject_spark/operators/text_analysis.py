@@ -349,7 +349,7 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 8, window: int = 4,
 def fingerprint_overlap(docs: DataFrame, *, k: int = 8, window: int = 4,
                         threshold: float = 0.8, max_df: int = 128,
                         id_col: str = "doc_id", text_col: str = "text",
-                        ) -> DataFrame:
+                        eager: bool = False) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint containment
     (MOSS-style): |fp_a ∩ fp_b| / min(|fp_a|, |fp_b|) >= threshold,
     computed over fingerprints retained by the `max_df` hub cap.
@@ -380,6 +380,15 @@ def fingerprint_overlap(docs: DataFrame, *, k: int = 8, window: int = 4,
     joins over pair-count rows, not over the corpus). Measured 1.5×
     faster at sf0.1; at 100 TB the persist is what guarantees the
     scan + hash cascade runs once.
+
+    Cache lifetime: the lazy API cannot know when the caller is done,
+    so the persisted posting lists outlive the call. Spark's
+    CacheManager dedupes by logical plan (repeated calls on the SAME
+    input reuse one entry), but DIFFERENT inputs in one long session
+    accumulate MEMORY_AND_DISK blocks until the ContextCleaner GCs
+    them. Pass `eager=True` to materialize the (small) pair table,
+    unpersist the posting lists immediately, and return the persisted
+    result instead — the batch-job shape.
     Columns: id_a, id_b, containment.
     """
     from pyspark import StorageLevel
@@ -409,9 +418,14 @@ def fingerprint_overlap(docs: DataFrame, *, k: int = 8, window: int = 4,
          .join(ns.select(F.col("doc_id").alias("id_b"),
                          F.col("n").alias("n_b")), "id_b"))
     cont = F.round(F.col("n_common") / F.least("n_a", "n_b"), 6)
-    return (j.withColumn("containment", cont)
-            .filter(F.col("containment") >= threshold)
-            .select("id_a", "id_b", "containment"))
+    out = (j.withColumn("containment", cont)
+           .filter(F.col("containment") >= threshold)
+           .select("id_a", "id_b", "containment"))
+    if eager:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()            # materialize pairs off the posting lists
+        lists.unpersist()      # then release the (much larger) index
+    return out
 
 
 # Bigram language-model quality scoring -----------------------------------

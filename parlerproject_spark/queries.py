@@ -7966,7 +7966,7 @@ def touch_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("srm_check_events", """
 WITH pu AS (SELECT DISTINCT user_id FROM events),
-arms AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm FROM pu),
+arms AS (SELECT CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS arm FROM pu),
 c AS (
   SELECT cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
          cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1

@@ -199,6 +199,10 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "key_skew_events",         # cum-share over the top-20 key extract
     "negative_samples_docs",   # cumulative bounds over the min_count-cut vocab
     "hybrid_rerank_docs",      # rank over the limit(top_k) rerank extract
+    "kaplan_meier_users",      # cum-hazard over the per-DAY lifetime
+                               # histogram: rows ≤ observation window
+                               # in days (a decade of data = ~3.7k
+                               # rows) regardless of corpus size
 }
 
 
