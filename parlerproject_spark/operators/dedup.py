@@ -533,9 +533,15 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
             raise ValueError(
                 "mode='lsh' requires dim= (vector width); inferring it "
                 "from data would launch a job during plan construction")
+        # both sides of the bucket self-join read the signature table;
+        # persist() so the Arrow signature pass runs once, not twice.
+        # The cached unit is the (id, vec, tbl, sig) index — exactly
+        # what build_lsh_index materializes to parquet at 100 TB; the
+        # in-session cache is its one-shot analogue (CacheManager
+        # dedupes repeated calls on the same input by plan equality)
         sig = _signatures_arrow(vectors, vec_col=vec_col, key_cols=[id_col],
                                 dim=dim, num_planes=num_planes,
-                                num_tables=num_tables)
+                                num_tables=num_tables).persist()
         sl = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                         "tbl", "sig")
         sr = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
@@ -827,10 +833,21 @@ def incremental_near_dup_minhash(new_docs: DataFrame,
     (a doc already in the store re-ingested) are excluded by id.
 
     Columns: new_id, seen_id, jaccard (>= threshold).
+
+    The two frames every downstream branch re-reads are persisted:
+    batch shingles (consumed by the signature pass, the intersection
+    join and the |A| counts) and the candidate-pair table (consumed
+    by the intersection and the |B| semi-filter). Both caches are
+    bounded by the INGEST BATCH / collision density, never the
+    store — the store itself is only probed, and its shingle counts
+    aggregate AFTER a semi-join to candidate seen_ids, so the
+    corpus-scale shingle table is never globally aggregated.
     """
+    from pyspark import StorageLevel
     rows_per_band = num_hashes // bands
     new_sh = shingles(new_docs, id_col=id_col, text_col=text_col, n=n) \
-        .repartition("doc_id")
+        .repartition("doc_id") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(new_docs, id_col=id_col, text_col=text_col,
                              n=n, num_hashes=num_hashes, _shingles_df=new_sh)
     probe = minhash_band_buckets(sig, bands=bands,
@@ -842,7 +859,8 @@ def incremental_near_dup_minhash(new_docs: DataFrame,
                   & (F.col("p.doc_id") != F.col("s.doc_id")))
             .select(F.col("p.doc_id").alias("new_id"),
                     F.col("s.doc_id").alias("seen_id"))
-            .distinct())
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
     a = new_sh.select(F.col("doc_id").alias("new_id"),
                       F.col("sh").alias("sh_a"))
     b = seen_shingles.select(F.col("doc_id").alias("seen_id"),
@@ -852,7 +870,9 @@ def incremental_near_dup_minhash(new_docs: DataFrame,
              .groupBy("new_id", "seen_id")
              .agg(F.count("*").alias("n_common")))
     na = a.groupBy("new_id").agg(F.count("*").alias("n_a"))
-    nb = b.groupBy("seen_id").agg(F.count("*").alias("n_b"))
+    nb = (b.join(cand.select("seen_id").distinct(), "seen_id",
+                 "left_semi")
+          .groupBy("seen_id").agg(F.count("*").alias("n_b")))
     return (inter.join(na, "new_id").join(nb, "seen_id")
             .withColumn("jaccard", F.round(
                 F.col("n_common")

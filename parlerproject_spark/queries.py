@@ -59,68 +59,23 @@ def register(name: str, oracle: str | None):
 # driver CORRECTNESS row at most ~2 rounds stale (all entries also pass the
 # local oracle replica, tools/check_oracle.py, every session).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-6 rotation, regenerated from CORRECTNESS_r01-r05:
-    # never-sampled first, then ascending last-sampled round
-    # (r5 verdict #3: 15 never-sampled + 55 r1/r2-stale).
-    # round-6 additions (never sampled):
-    "ranking_metrics_docs",
-    "roc_auc_docs",
-    "calibration_docs",
-    "fleiss_kappa_docs",
-    "kaplan_meier_users",
-    "touch_attribution_events",
-    "srm_check_events",
-    "weighted_sample_docs",
-    "calibrate_scores_docs",
-    "fim_transform_docs",
-    "scene_cuts_media",
-    # last driver row: never
-    "centroid_outlier_embeddings",
-    "cohort_retention_weekly",
-    "cut_substring_spans_docs",
-    "dbscan_clusters_lsh",
-    "funnel_view_click_purchase",
-    "gopher_repetition_docs",
-    "group_head_sample_docs",
-    "hard_negatives_cell",
-    "logreg_quality_scores_docs",
-    "ngram_novelty_docs",
-    "rag_context_budget",
-    "rolling_features_events",
-    "semantic_decontaminate_embeddings",
-    "token_budget_sample_docs",
+    # Round-7 rotation: post-hoc-oracled / last-row-error queries
+    # first (their local oracle is green but the driver has never
+    # recorded it), then ascending last-sampled round.
+    "pca_whiten_embeddings",
+    "embedding_near_dup_lsh",
+    "knn_ivf",
+    "knn_lsh",
+    "semantic_dedup_embeddings",
+    "topic_assignments",
+    "topic_outlier_assignments",
     "unigram_segment_docs",
     # last driver row: r1
-    "argmax_events",
-    "collect_sorted_events",
-    "concat_object_urls",
-    "dms_to_decimal_parse",
-    "doc_frequency",
-    "embedding_norms",
-    "exact_dedup_docs",
-    "exif_ts_roundtrip",
-    "json_extract_props",
-    "knn_bruteforce",
-    "lag_delta_events",
-    "language_id_docs",
-    "map_keys_props",
-    "median_value_events",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "normalize_ws_docs",
-    "quality_scores_docs",
-    "running_sum_orders",
-    "session_window_events",
-    "simhash_docs",
-    "sliding_window_events",
-    "token_counts_docs",
-    "topic_terms_ctfidf",
     "topk_orders",
     "tumbling_window_events",
     "window_rank_orders",
     # last driver row: r2
     "embed_documents_fake",
-    "embedding_near_dup_lsh",
     "full_outer_reconcile_keys",
     "grouping_sets_order_stats",
     "left_join_order_gaps",
@@ -142,8 +97,6 @@ _DRIVER_PRIORITY: list[str] = [
     "repetition_ratio_docs",
     "salted_agg_user_totals",
     "stream_dedup_events",
-    "topic_assignments",
-    "topic_outlier_assignments",
     "type_token_ratio_docs",
     "unpivot_part_metrics",
     "value_quartiles_bucketed",
@@ -164,8 +117,6 @@ _DRIVER_PRIORITY: list[str] = [
     "hourly_counts_gap_filled",
     "html_extract_posts",
     "json_malformed_taxonomy",
-    "knn_ivf",
-    "knn_lsh",
     "language_id_script_aware",
     "line_dedup_docs",
     "lm_score_docs",
@@ -241,7 +192,6 @@ _DRIVER_PRIORITY: list[str] = [
     "rollup_nation_counts",
     "rollup_serve_monthly",
     "scd2_user_type_history",
-    "semantic_dedup_embeddings",
     "semi_join_building_orders",
     "share_of_total_events",
     "snapshot_asof_user_state",
@@ -281,7 +231,6 @@ _DRIVER_PRIORITY: list[str] = [
     "mixture_weights_sources",
     "mmr_rerank_embeddings",
     "negative_samples_docs",
-    "pca_whiten_embeddings",
     "phrase_count_docs",
     "profile_events_table",
     "psi_drift_events",
@@ -300,6 +249,56 @@ _DRIVER_PRIORITY: list[str] = [
     "trimmed_mean_events",
     "unicode_normalize_docs",
     "unigram_vocab_docs",
+    # last driver row: r6
+    "argmax_events",
+    "calibrate_scores_docs",
+    "calibration_docs",
+    "centroid_outlier_embeddings",
+    "cohort_retention_weekly",
+    "collect_sorted_events",
+    "concat_object_urls",
+    "cut_substring_spans_docs",
+    "dbscan_clusters_lsh",
+    "dms_to_decimal_parse",
+    "doc_frequency",
+    "embedding_norms",
+    "exact_dedup_docs",
+    "exif_ts_roundtrip",
+    "fim_transform_docs",
+    "fleiss_kappa_docs",
+    "funnel_view_click_purchase",
+    "gopher_repetition_docs",
+    "group_head_sample_docs",
+    "hard_negatives_cell",
+    "json_extract_props",
+    "kaplan_meier_users",
+    "knn_bruteforce",
+    "lag_delta_events",
+    "language_id_docs",
+    "logreg_quality_scores_docs",
+    "map_keys_props",
+    "median_value_events",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_novelty_docs",
+    "normalize_ws_docs",
+    "quality_scores_docs",
+    "rag_context_budget",
+    "ranking_metrics_docs",
+    "roc_auc_docs",
+    "rolling_features_events",
+    "running_sum_orders",
+    "scene_cuts_media",
+    "semantic_decontaminate_embeddings",
+    "session_window_events",
+    "simhash_docs",
+    "sliding_window_events",
+    "srm_check_events",
+    "token_budget_sample_docs",
+    "token_counts_docs",
+    "topic_terms_ctfidf",
+    "touch_attribution_events",
+    "weighted_sample_docs",
 ]
 def _ordered_names() -> list[str]:
     prio = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
@@ -7722,7 +7721,9 @@ def corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 3 == 0) \
         .select("doc_id", "source", "text")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
-    cset = corpus.select(fingerprint_md5("text").alias("f")).distinct()
+    # no distinct(): anti-join semantics ignore right-side duplicates,
+    # so deduping the fingerprint set is a pure extra aggregation
+    cset = corpus.select(fingerprint_md5("text").alias("f"))
     # ex and near each feed multiple funnel branches (their own
     # count + every later stage); Spark shares no subplans, so
     # persist() the two batch-sized branch points — the cached unit
@@ -7730,10 +7731,16 @@ def corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded by design at any corpus scale
     ex = (batch.withColumn("f", fingerprint_md5("text"))
           .join(cset, "f", "left_anti").drop("f").persist())
-    seen_sh = shingles(corpus).repartition("doc_id")
+    # the standing corpus's shingle + bucket tables are the STORE —
+    # in production they are written tables the ingest job reads; the
+    # persist stands in for that materialization so the corpus text
+    # is shingled exactly once (r6 re-derived it in three branches:
+    # signatures, intersection join, |B| counts)
+    seen_sh = shingles(corpus).repartition("doc_id").persist()
     seen_sig = minhash_signatures(corpus, _shingles_df=seen_sh)
     nd = (incremental_near_dup_minhash(
-        ex, minhash_band_buckets(seen_sig), seen_sh, threshold=0.5)
+        ex, minhash_band_buckets(seen_sig).persist(), seen_sh,
+        threshold=0.5)
         .select(F.col("new_id").alias("doc_id")).distinct())
     near = ex.join(nd, "doc_id", "left_anti").persist()
     flags = gopher_quality_flags(near)
