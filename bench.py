@@ -215,6 +215,9 @@ EXTRA = [
     "calibration_docs",
     "fleiss_kappa_docs",
     "kaplan_meier_users",
+    # round-7: sampled-fit/full-assign density topics (HDBSCAN
+    # analogue; exact fit on the 1/4 sample, broadcast full assign)
+    "density_topic_assignments",
 ]
 
 

@@ -104,3 +104,77 @@ def dbscan(vectors: DataFrame, *, sim_threshold: float, min_pts: int,
                     F.coalesce("cluster", F.lit(-1)).cast("long")
                     .alias("cluster"),
                     F.coalesce("is_core", F.lit(False)).alias("is_core")))
+
+
+def sampled_density_assign(vectors: DataFrame, *, sample_mod: int = 4,
+                           sim_threshold: float = 0.3, min_pts: int = 3,
+                           assign_threshold: float = 0.15,
+                           exemplars_per_cluster: int = 4,
+                           mode: str = "exact", dim: int | None = None,
+                           num_planes: int = 6, num_tables: int = 8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           impl: str = "arrow") -> DataFrame:
+    """Sampled-fit / full-assign density topics — the distributed
+    HDBSCAN-analogue BERTopic actually needs (reference
+    code/bertopicTest.py:53-61 fits HDBSCAN on everything because it
+    is single-node; at corpus scale nobody density-clusters 100 TB of
+    vectors directly):
+
+    1. FIT on a deterministic hash sample (stable_hash31(id) %
+       sample_mod == 0 — SQL-reproducible, no RNG): `dbscan` grows
+       arbitrary-shape clusters with an explicit noise set. Sample
+       size is corpus/sample_mod — choose sample_mod so the fit side
+       is cluster-sized, exactly like HDBSCAN-on-a-sample +
+       approximate_predict in production BERTopic deployments.
+    2. EXEMPLARS: per fitted cluster, the `exemplars_per_cluster`
+       lowest-id CORE members (HDBSCAN's exemplars_ analogue;
+       lowest-id = deterministic). Their vectors collect to the
+       driver — a model-sized collect (clusters × E × dim floats),
+       the same bounded-collect contract as the k-means topic seeds.
+    3. FULL ASSIGN: every corpus vector goes to the cluster of its
+       best-cosine exemplar via `topics._assign` — one broadcast
+       matmul map, zero shuffle — or to -1 (noise/outlier) when the
+       best cosine falls below `assign_threshold`. Multi-exemplar
+       max-cosine is the single-linkage-flavored assignment that
+       keeps non-spherical fitted shapes, where a per-cluster
+       centroid would re-impose sphericity.
+
+    Scale shape: dbscan cost is bounded by the SAMPLE (and its lsh
+    mode bounds pair generation by bucket density); the full corpus
+    is touched exactly once, by a narrow Arrow map against a
+    driver-bounded exemplar matrix. Columns: <id_col>, topic
+    (cluster id = min sample member id, or -1).
+    """
+    from parlerproject_spark.functions.text import stable_hash31
+    from parlerproject_spark.operators.topics import _assign
+
+    sample = vectors.filter(
+        stable_hash31(F.col(id_col).cast("string")) % sample_mod == 0)
+    fitted = dbscan(sample, sim_threshold=sim_threshold, min_pts=min_pts,
+                    mode=mode, dim=dim, num_planes=num_planes,
+                    num_tables=num_tables, id_col=id_col, vec_col=vec_col)
+    ex_ids = (fitted.filter(F.col("is_core"))
+              .groupBy("cluster")
+              .agg(F.slice(F.sort_array(F.collect_list(F.col(id_col))),
+                           1, exemplars_per_cluster).alias("__ids"))
+              .select("cluster", F.explode("__ids").alias(id_col)))
+    ex_rows = (ex_ids.join(vectors.select(id_col, vec_col), id_col)
+               .orderBy("cluster", id_col)
+               .select("cluster", vec_col)
+               .collect())                    # model-sized: clusters × E
+    if not ex_rows:
+        # no dense region in the sample: the whole corpus is noise
+        return vectors.select(F.col(id_col),
+                              F.lit(-1).cast("long").alias("topic"))
+    exemplar_vecs = [list(r[vec_col]) for r in ex_rows]
+    labels = [int(r["cluster"]) for r in ex_rows]
+    assigned = _assign(vectors, exemplar_vecs, id_col=id_col,
+                       vec_col=vec_col, impl=impl,
+                       outlier_threshold=assign_threshold)
+    lab = F.lit(labels)
+    return assigned.select(
+        F.col(id_col),
+        F.when(F.col("topic") >= 0,
+               F.element_at(lab, F.col("topic") + 1))
+         .otherwise(F.lit(-1)).cast("long").alias("topic"))

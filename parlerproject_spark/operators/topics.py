@@ -273,16 +273,35 @@ def fit_topics(docs: DataFrame, vectors: DataFrame, *, k: int = 8,
                doc_id_col: str = "doc_id", vec_id_col: str = "vec_id",
                train_mod: int | None = None,
                outlier_threshold: float | None = None,
+               method: str = "kmeans",
+               density_kwargs: dict | None = None,
                ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The full M3 surface: (doc_topics, topic_info, topic_words) —
     the triple bertopicTest.py:93-112 reports, from one clustering
     pass + two aggregations. With `outlier_threshold` set, topic -1
     flows through all three outputs exactly as BERTopic's outlier
     topic does in the reference's report (topic_info's -1 row IS the
-    outlier-share line of bertopicTest.py:107)."""
-    assignment = kmeans_topics(vectors, k=k, max_iter=max_iter,
-                               id_col=vec_id_col, train_mod=train_mod,
-                               outlier_threshold=outlier_threshold)
+    outlier-share line of bertopicTest.py:107).
+
+    method="kmeans" (default): distributed Lloyd's — the centroid
+    half of the M3 decomposition. method="density": sampled-fit /
+    full-assign DBSCAN exemplar assignment
+    (density.sampled_density_assign) — the HDBSCAN-analogue half,
+    closest in spirit to the reference's actual clusterer (arbitrary
+    cluster shapes, first-class noise); `density_kwargs` passes
+    through to it, and `outlier_threshold`/`k`/`max_iter`/
+    `train_mod` are kmeans-only."""
+    if method == "density":
+        from parlerproject_spark.operators.density import (
+            sampled_density_assign)
+        assignment = sampled_density_assign(
+            vectors, **{"id_col": vec_id_col, **(density_kwargs or {})})
+    elif method == "kmeans":
+        assignment = kmeans_topics(vectors, k=k, max_iter=max_iter,
+                                   id_col=vec_id_col, train_mod=train_mod,
+                                   outlier_threshold=outlier_threshold)
+    else:
+        raise ValueError(f"unknown method: {method}")
     doc_topics = docs.join(
         assignment.withColumnRenamed(vec_id_col, doc_id_col), doc_id_col)
     topic_info = share_of_total(doc_topics, "topic",

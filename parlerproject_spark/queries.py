@@ -59,9 +59,11 @@ def register(name: str, oracle: str | None):
 # driver CORRECTNESS row at most ~2 rounds stale (all entries also pass the
 # local oracle replica, tools/check_oracle.py, every session).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-7 rotation: post-hoc-oracled / last-row-error queries
-    # first (their local oracle is green but the driver has never
-    # recorded it), then ascending last-sampled round.
+    # Round-7 rotation: never-sampled first, then post-hoc-oracled /
+    # last-row-error queries (their local oracle is green but the
+    # driver has never recorded it), then ascending last-sampled
+    # round.
+    "density_topic_assignments",
     "pca_whiten_embeddings",
     "embedding_near_dup_lsh",
     "knn_ivf",
@@ -5931,6 +5933,95 @@ def dbscan_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.density import dbscan
     return (dbscan(_t(spark, sf_dir, "embeddings"),
                    sim_threshold=0.3, min_pts=5, mode="lsh", dim=64)
+            .orderBy("vec_id"))
+
+
+@register("density_topic_assignments", """
+WITH RECURSIVE samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        % 2147483647 % 4 = 0),
+p AS (
+  SELECT id_a, id_b FROM (
+    SELECT ia AS id_a, ib AS id_b,
+           sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+    FROM (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 unnest(a.embedding)::DOUBLE AS x,
+                 unnest(b.embedding)::DOUBLE AS y
+          FROM samp a JOIN samp b ON a.vec_id < b.vec_id)
+    GROUP BY ia, ib)
+  WHERE sim >= 0.3),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM p
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM p),
+deg AS (SELECT s AS v, count(*) AS nn FROM edges GROUP BY s),
+core AS (SELECT v FROM deg WHERE nn + 1 >= 3),
+ce AS (
+  SELECT e.s, e.d FROM edges e
+  JOIN core a ON e.s = a.v JOIN core b ON e.d = b.v),
+reach(v, r) AS (
+  SELECT v, v FROM core
+  UNION
+  SELECT ce.s, reach.r FROM ce JOIN reach ON ce.d = reach.v),
+corecl AS (SELECT v, min(r) AS cid FROM reach GROUP BY v),
+exi AS (
+  SELECT cid, v, row_number() OVER (ORDER BY cid, v) - 1 AS idx
+  FROM (SELECT cid, v,
+               row_number() OVER (PARTITION BY cid ORDER BY v) AS rn
+        FROM corecl)
+  WHERE rn <= 4),
+exv AS (
+  SELECT i.idx, i.cid, e.pos, e.x
+  FROM exi i JOIN (
+    SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+           unnest(embedding)::DOUBLE AS x
+    FROM embeddings) e ON e.vec_id = i.v),
+exu AS (
+  SELECT idx, cid, pos,
+         CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS cu
+  FROM (SELECT idx, cid, pos, x,
+               sqrt(sum(x * x) OVER (PARTITION BY idx)) AS nrm
+        FROM exv)),
+ax AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+best AS (
+  SELECT vec_id, cid, s, nv,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, idx ASC) AS rn
+  FROM (SELECT a.vec_id, u.idx, u.cid,
+               sum(a.x * u.cu) AS s, sqrt(sum(a.x * a.x)) AS nv
+        FROM ax a JOIN exu u USING (pos)
+        GROUP BY a.vec_id, u.idx, u.cid))
+SELECT emb.vec_id,
+       cast(coalesce(CASE WHEN b.nv > 0 AND b.s / b.nv >= 0.15
+                          THEN b.cid ELSE -1 END, -1) AS BIGINT) AS topic
+FROM embeddings emb
+LEFT JOIN (SELECT vec_id, cid, s, nv FROM best WHERE rn = 1) b
+  ON emb.vec_id = b.vec_id
+ORDER BY emb.vec_id
+""")
+def density_topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-fit / full-assign density topics
+    (density.sampled_density_assign) — the HDBSCAN-analogue half of
+    M3 (reference code/bertopicTest.py:53-61), distributed the way
+    production BERTopic actually scales: DBSCAN fits a 1/4 hash
+    sample, per-cluster core exemplars collect driver-side
+    (model-sized), and the FULL corpus assigns by best-exemplar
+    cosine in one broadcast Arrow map, below-threshold best -> -1.
+    The oracle replays the sample, the exact eps-graph, the
+    recursive-CTE components, exemplar pick, and the argmax
+    assignment; the int topic output makes ulp-level float drift
+    harmless away from exact argmax ties, which identical duplicate
+    vectors resolve identically on both engines."""
+    from parlerproject_spark.operators.density import (
+        sampled_density_assign)
+    return (sampled_density_assign(
+                _t(spark, sf_dir, "embeddings"), sample_mod=4,
+                sim_threshold=0.3, min_pts=3, assign_threshold=0.15,
+                exemplars_per_cluster=4, mode="exact")
             .orderBy("vec_id"))
 
 

@@ -117,3 +117,85 @@ def test_dbscan_cluster_id_is_min_member_core(spark, sf_dir):
         cores = [m for m in members if m["is_core"]]
         assert cores, f"cluster {cid} has no core member"
         assert cid == min(m["vec_id"] for m in cores)
+
+
+# Sampled-fit / full-assign density topics ---------------------------------
+
+def test_density_assign_exemplar_self_assignment(spark, sf_dir):
+    """Every exemplar (a core member chosen from the fitted sample)
+    assigns to its OWN fitted cluster: cos(v, v/|v|) = 1 is the max
+    possible, and ties on duplicate vectors break to the lowest
+    exemplar index, which sorts by (cluster, id)."""
+    from parlerproject_spark.operators.density import (
+        dbscan, sampled_density_assign)
+    from parlerproject_spark.functions.text import stable_hash31
+    import pyspark.sql.functions as F
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = sampled_density_assign(emb, sample_mod=4, sim_threshold=0.3,
+                                 min_pts=3, assign_threshold=0.15,
+                                 exemplars_per_cluster=4, mode="exact")
+    sample = emb.filter(
+        stable_hash31(F.col("vec_id").cast("string")) % 4 == 0)
+    fitted = dbscan(sample, sim_threshold=0.3, min_pts=3, mode="exact")
+    cores = {r["vec_id"]: r["cluster"]
+             for r in fitted.filter("is_core").collect()}
+    got = {r["vec_id"]: r["topic"] for r in out.collect()}
+    # exemplars = up to 4 lowest-id cores per cluster
+    by_cluster: dict[int, list[int]] = {}
+    for vid, cl in sorted(cores.items()):
+        by_cluster.setdefault(cl, []).append(vid)
+    exemplars = {vid: cl for cl, vids in by_cluster.items()
+                 for vid in sorted(vids)[:4]}
+    assert exemplars, "fixture must produce at least one cluster"
+    # a duplicate of an exemplar vector in a DIFFERENT cluster could
+    # legitimately steal the tie; the synthetic embeddings have no
+    # cross-cluster duplicates, so self-assignment must hold exactly
+    for vid, cl in exemplars.items():
+        assert got[vid] == cl, (vid, got[vid], cl)
+
+
+def test_density_assign_arrow_expr_parity(spark, sf_dir):
+    """impl='arrow' (BLAS matmul) and impl='expr' (JVM fold) agree on
+    every int topic — argmax + threshold decisions never sit on the
+    float reduction-order boundary for real data."""
+    from parlerproject_spark.operators.density import (
+        sampled_density_assign)
+    emb = load_table(spark, "embeddings", sf_dir)
+    kw = dict(sample_mod=4, sim_threshold=0.3, min_pts=3,
+              assign_threshold=0.15, exemplars_per_cluster=4,
+              mode="exact")
+    a = {r["vec_id"]: r["topic"]
+         for r in sampled_density_assign(emb, impl="arrow", **kw).collect()}
+    e = {r["vec_id"]: r["topic"]
+         for r in sampled_density_assign(emb, impl="expr", **kw).collect()}
+    assert a == e
+
+
+def test_density_assign_empty_fit_is_all_noise(spark):
+    """A sample with no dense region (min_pts unreachable) labels the
+    whole corpus -1 instead of crashing on an empty exemplar set."""
+    from parlerproject_spark.operators.density import (
+        sampled_density_assign)
+    df, _ = _blob_fixture(spark)
+    out = sampled_density_assign(df, sample_mod=1, sim_threshold=0.999999,
+                                 min_pts=22, assign_threshold=0.5,
+                                 exemplars_per_cluster=4, mode="exact")
+    rows = out.collect()
+    assert len(rows) == 22 and all(r["topic"] == -1 for r in rows)
+
+
+def test_fit_topics_density_method(spark, sf_dir):
+    """fit_topics(method='density') produces the same (doc_topics,
+    topic_info, topic_words) triple shape as the kmeans path, with
+    the density assignment driving all three."""
+    from parlerproject_spark.operators.topics import fit_topics
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    dt, info, words = fit_topics(
+        docs, emb.withColumnRenamed("vec_id", "doc_id"),
+        vec_id_col="doc_id", method="density",
+        density_kwargs=dict(sample_mod=4, sim_threshold=0.3, min_pts=3,
+                            assign_threshold=0.15, id_col="doc_id"))
+    assert set(dt.columns) == {"doc_id", "topic"}
+    assert {"topic", "Count", "share_pct"} <= set(info.columns)
+    assert dt.count() > 0 and info.count() > 0 and words.count() > 0
