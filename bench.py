@@ -216,8 +216,11 @@ EXTRA = [
     "fleiss_kappa_docs",
     "kaplan_meier_users",
     # round-7: sampled-fit/full-assign density topics (HDBSCAN
-    # analogue; exact fit on the 1/4 sample, broadcast full assign)
+    # analogue; exact fit on the 1/4 sample, broadcast full assign),
+    # Bradley-Terry preference strengths, k-anonymity audit
     "density_topic_assignments",
+    "bradley_terry_sources",
+    "k_anonymity_events",
 ]
 
 

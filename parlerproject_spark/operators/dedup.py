@@ -494,7 +494,8 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         mode: str = "exact", num_planes: int = 6,
                         num_tables: int = 8,
-                        dim: int | None = None) -> DataFrame:
+                        dim: int | None = None,
+                        cache_out: list | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim).
 
     mode='exact': all-pairs cosine via self-join — the correctness
@@ -506,6 +507,12 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
     (pytest measures it against exact). `dim` (the vector width) is
     required in lsh mode: the caller always knows it, and inferring
     it from data would fire a Spark job during plan construction.
+
+    `cache_out`: lsh mode persists its signature table (see below);
+    pass a list to receive that persisted frame so a caller that
+    MATERIALIZES the pairs (e.g. dbscan's eager edge checkpoint) can
+    unpersist it immediately instead of leaving the cache to the
+    ContextCleaner.
     """
     from parlerproject_spark.functions.vectors import dot as _dot
     from parlerproject_spark.functions.vectors import l2_norm
@@ -542,6 +549,8 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
         sig = _signatures_arrow(vectors, vec_col=vec_col, key_cols=[id_col],
                                 dim=dim, num_planes=num_planes,
                                 num_tables=num_tables).persist()
+        if cache_out is not None:
+            cache_out.append(sig)
         sl = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                         "tbl", "sig")
         sr = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),

@@ -65,14 +65,20 @@ def dbscan(vectors: DataFrame, *, sim_threshold: float, min_pts: int,
     """
     if min_pts < 2:
         raise ValueError(f"min_pts must be >= 2, got {min_pts}")
+    caches: list = []
     pairs = embedding_near_dups(vectors, threshold=sim_threshold,
                                 id_col=id_col, vec_col=vec_col, mode=mode,
                                 num_planes=num_planes, num_tables=num_tables,
-                                dim=dim)
+                                dim=dim, cache_out=caches)
     edges = (pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
              .union(pairs.select(F.col("id_b").alias("s"),
                                  F.col("id_a").alias("d")))
              .localCheckpoint(eager=True))
+    # the eager checkpoint just materialized every pair — the lsh
+    # signature cache has served its one purpose; release it now
+    # rather than letting caches pile up across calls in a session
+    for c in caches:
+        c.unpersist()
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("nn"))
     core = (deg.filter(F.col("nn") + 1 >= min_pts)
             .select(F.col("s").alias("v")))

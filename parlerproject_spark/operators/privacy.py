@@ -107,3 +107,44 @@ def erase_keys(tables: dict, key_cols: dict, keys, *, spark=None):
                     "n_before", "n_dropped"))
     audit = reduce(DataFrame.unionAll, audits)
     return cleaned, audit
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: list[str], *, k: int = 5,
+                      sensitive_col: str | None = None) -> DataFrame:
+    """k-anonymity (and optional l-diversity) audit — the release
+    gate a dataset passes before quasi-identifiers ship: every
+    equivalence class over `quasi_cols` must hold >= k rows, and
+    (with `sensitive_col`) >= l distinct sensitive values, else the
+    class re-identifies / attribute-discloses its members.
+
+    Shape: ONE aggregation keyed on the quasi-identifier tuple
+    (count + optional distinct-sensitive count per class), then one
+    global rollup of the class table — the class table is the only
+    shuffled frame and is bounded by distinct quasi tuples. No
+    windows, no joins against the raw frame, so the audit costs the
+    same keyed exchange any per-class metric pays at 100 TB.
+
+    Columns (one row): n_rows, n_classes, min_class_size,
+    rows_below_k, pct_below_k (round 6), and with sensitive_col also
+    min_l_diversity, classes_below_l (l re-uses the k bound).
+    """
+    classes = (df.groupBy(*[F.col(c) for c in quasi_cols])
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    *([F.count_distinct(F.col(sensitive_col))
+                       .alias("__l")] if sensitive_col else [])))
+    aggs = [
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__n").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+         .cast("long").alias("rows_below_k"),
+        F.round(F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+                / F.sum("__n"), 6).alias("pct_below_k"),
+    ]
+    if sensitive_col:
+        aggs += [
+            F.min("__l").cast("long").alias("min_l_diversity"),
+            F.sum(F.when(F.col("__l") < k, 1).otherwise(0)).cast("long")
+             .alias("classes_below_l"),
+        ]
+    return classes.agg(*aggs)

@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: list[str] = [
     # driver has never recorded it), then ascending last-sampled
     # round.
     "density_topic_assignments",
+    "bradley_terry_sources",
+    "k_anonymity_events",
     "pca_whiten_embeddings",
     "embedding_near_dup_lsh",
     "knn_ivf",
@@ -7641,6 +7643,117 @@ def erase_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"events": "user_id", "orders": "o_custkey"},
         [1, 2, 3], spark=spark)
     return audit.orderBy("table_name")
+
+
+@register("k_anonymity_events", """
+WITH classes AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+         count(DISTINCT user_id) AS l
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT cast(sum(n) AS BIGINT) AS n_rows,
+       cast(count(*) AS BIGINT) AS n_classes,
+       cast(min(n) AS BIGINT) AS min_class_size,
+       cast(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+         AS pct_below_k,
+       cast(min(l) AS BIGINT) AS min_l_diversity,
+       cast(sum(CASE WHEN l < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_l
+FROM classes
+""")
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit
+    (operators/privacy.k_anonymity_audit) over events with
+    quasi-identifiers (event_type, event date) and user_id as the
+    sensitive attribute at k=5 — the disclosure-risk companion to
+    the erase/redact pipeline: one quasi-keyed aggregation + one
+    global rollup, no joins against the raw frame."""
+    from parlerproject_spark.operators.privacy import k_anonymity_audit
+    ev = _t(spark, sf_dir, "events")
+    return k_anonymity_audit(
+        ev.select("event_type", F.col("ts").cast("date").alias("d"),
+                  "user_id"),
+        ["event_type", "d"], k=5, sensitive_col="user_id")
+
+
+def _bt_iter_sql(iters: int) -> str:
+    """Unrolled Bradley-Terry MM iterations: each round is a
+    raw-update CTE (W_i / Sum n/(p_i+p_j)) + a mean-1 renormalize +
+    round(6) CTE — the same fixed-iteration-unroll strategy as the
+    Lloyd/PageRank/logreg oracles, with the division order mirroring
+    the engine exactly (z = N/Sum r computed first, then r*z)."""
+    out = []
+    prev = "p0"
+    for k in range(1, iters + 1):
+        out.append(f""",
+raw{k} AS (
+  SELECT m.i AS item, max(wt.W) / sum(m.n / (pi.p + pj.p)) AS r
+  FROM m JOIN wt ON wt.i = m.i
+  JOIN {prev} pi ON pi.item = m.i
+  JOIN {prev} pj ON pj.item = m.j
+  GROUP BY m.i),
+p{k} AS (
+  SELECT item,
+         round(r * ((SELECT count(*) FROM raw{k})
+                    / (SELECT sum(r) FROM raw{k})), 6) AS p
+  FROM raw{k})""")
+        prev = f"p{k}"
+    return "".join(out)
+
+
+@register("bradley_terry_sources", """
+WITH cmp AS (
+  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END
+           AS winner,
+         CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END
+           AS loser
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.source <> b.source AND a.n_chars <> b.n_chars),
+d AS (SELECT winner AS i, loser AS j, count(*)::DOUBLE AS w
+      FROM cmp GROUP BY winner, loser),
+m AS (
+  SELECT coalesce(d.i, r.i) AS i, coalesce(d.j, r.j) AS j,
+         coalesce(d.w, 0) + 0.5 AS w,
+         coalesce(d.w, 0) + coalesce(r.l, 0) + 1.0 AS n
+  FROM d FULL OUTER JOIN (SELECT j AS i, i AS j, w AS l FROM d) r
+    ON d.i = r.i AND d.j = r.j),
+wt AS (SELECT i, sum(w) AS W FROM m GROUP BY i),
+p0 AS (SELECT i AS item, 1.0 AS p FROM wt)""" + _bt_iter_sql(3) + """
+SELECT p3.item, p3.p AS strength,
+       cast(coalesce(w.nw, 0) AS BIGINT) AS n_wins,
+       cast(coalesce(w.nw, 0) + coalesce(l.nl, 0) AS BIGINT) AS n_games
+FROM p3
+LEFT JOIN (SELECT winner, count(*) AS nw FROM cmp GROUP BY winner) w
+  ON w.winner = p3.item
+LEFT JOIN (SELECT loser, count(*) AS nl FROM cmp GROUP BY loser) l
+  ON l.loser = p3.item
+ORDER BY item
+""")
+def bradley_terry_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths
+    (operators/preference.bradley_terry) over per-SOURCE pairwise
+    comparisons synthesized deterministically from the corpus:
+    consecutive doc pairs (doc_id, doc_id+1) across different
+    sources, winner = the longer document — the "which source wins
+    head-to-head" readout an RLHF pipeline computes over judge
+    verdicts. 3 MM iterations, Laplace 0.5 smoothing, round-6
+    re-sync each round; the oracle unrolls the identical updates."""
+    from parlerproject_spark.operators.preference import bradley_terry
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.col("source").alias("sa"),
+                    F.col("n_chars").alias("ca"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                    F.col("source").alias("sb"),
+                    F.col("n_chars").alias("cb"))
+    cmp = (a.join(b, "doc_id")
+           .filter((F.col("sa") != F.col("sb"))
+                   & (F.col("ca") != F.col("cb")))
+           .select(F.when(F.col("ca") > F.col("cb"), F.col("sa"))
+                   .otherwise(F.col("sb")).alias("winner"),
+                   F.when(F.col("ca") > F.col("cb"), F.col("sb"))
+                   .otherwise(F.col("sa")).alias("loser")))
+    return bradley_terry(cmp).orderBy("item")
 
 
 @register("source_scorecard_docs", """

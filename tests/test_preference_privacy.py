@@ -1,0 +1,96 @@
+"""Bradley-Terry preference fit + k-anonymity audit (round 7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parlerproject_spark.operators.preference import (bradley_terry,
+                                                      pairwise_matchups)
+from parlerproject_spark.operators.privacy import k_anonymity_audit
+
+
+def _ref_bt(comps, iters=3, smoothing=0.5, round_c=6):
+    """Single-node reference MM fit with the operator's exact
+    smoothing / normalization / rounding contract."""
+    from collections import defaultdict
+    wins = defaultdict(float)
+    for w, l in comps:
+        wins[(w, l)] += 1.0
+    pairs = set()
+    for (w, l) in wins:
+        pairs.add((w, l)); pairs.add((l, w))
+    m = {}
+    for (i, j) in pairs:
+        w = wins.get((i, j), 0.0) + smoothing
+        n = wins.get((i, j), 0.0) + wins.get((j, i), 0.0) + 2 * smoothing
+        m[(i, j)] = (w, n)
+    items = sorted({i for i, _ in m})
+    W = {i: sum(w for (a, _), (w, _) in m.items() if a == i) for i in items}
+    p = {i: 1.0 for i in items}
+    for _ in range(iters):
+        raw = {}
+        for i in items:
+            den = sum(n / (p[i] + p[j])
+                      for (a, j), (_, n) in m.items() if a == i)
+            raw[i] = W[i] / den
+        z = len(items) / sum(raw.values())
+        p = {i: round(raw[i] * z, round_c) for i in items}
+    return p
+
+
+def test_bradley_terry_matches_reference(spark):
+    comps = [("a", "b")] * 6 + [("b", "a")] * 2 + [("a", "c")] * 3 \
+        + [("c", "b")] * 4 + [("b", "c")]
+    df = spark.createDataFrame(comps, ["winner", "loser"])
+    got = {r["item"]: (r["strength"], r["n_wins"], r["n_games"])
+           for r in bradley_terry(df).collect()}
+    ref = _ref_bt(comps)
+    assert set(got) == set(ref)
+    for i, pref in ref.items():
+        assert got[i][0] == pytest.approx(pref, abs=2e-6), (i, got[i], pref)
+    assert got["a"][1] == 9 and got["a"][2] == 11     # observed counts
+    # a dominates b dominates... strengths must order a > c, a > b
+    assert got["a"][0] > got["b"][0]
+
+
+def test_bradley_terry_all_losing_item_positive(spark):
+    """Laplace smoothing keeps a never-winning item's strength
+    strictly positive (a hard zero would poison the next update's
+    p_i + p_j denominator)."""
+    df = spark.createDataFrame([("a", "z")] * 5 + [("b", "z")] * 5,
+                               ["winner", "loser"])
+    got = {r["item"]: r["strength"] for r in bradley_terry(df).collect()}
+    assert got["z"] > 0
+    assert got["a"] > got["z"] and got["b"] > got["z"]
+
+
+def test_pairwise_matchups_symmetry(spark):
+    df = spark.createDataFrame([("a", "b"), ("a", "b"), ("b", "a")],
+                               ["winner", "loser"])
+    rows = {(r["i"], r["j"]): (r["w"], r["n"])
+            for r in pairwise_matchups(df).collect()}
+    assert rows[("a", "b")] == (2.5, 4.0)
+    assert rows[("b", "a")] == (1.5, 4.0)
+
+
+def test_k_anonymity_hand_case(spark):
+    # classes: (x,1)x5 rows/3 users, (x,2)x2 rows/1 user, (y,1)x7/7
+    rows = ([("x", 1, u) for u in (1, 1, 2, 2, 3)]
+            + [("x", 2, 9), ("x", 2, 9)]
+            + [("y", 1, u) for u in range(7)])
+    df = spark.createDataFrame(rows, ["q1", "q2", "uid"])
+    r = k_anonymity_audit(df, ["q1", "q2"], k=5,
+                          sensitive_col="uid").collect()[0]
+    assert r["n_rows"] == 14 and r["n_classes"] == 3
+    assert r["min_class_size"] == 2
+    assert r["rows_below_k"] == 2          # only the (x,2) class
+    assert r["pct_below_k"] == pytest.approx(2 / 14, abs=1e-6)
+    assert r["min_l_diversity"] == 1       # (x,2) has one user
+    assert r["classes_below_l"] == 2       # (x,1): 3 users, (x,2): 1
+
+
+def test_k_anonymity_without_sensitive(spark):
+    df = spark.createDataFrame([("x", 1)] * 6, ["q1", "uid"])
+    r = k_anonymity_audit(df, ["q1"], k=5).collect()[0]
+    assert r["rows_below_k"] == 0 and r["pct_below_k"] == 0.0
+    assert "min_l_diversity" not in r.asDict()
