@@ -221,6 +221,8 @@ EXTRA = [
     "density_topic_assignments",
     "bradley_terry_sources",
     "k_anonymity_events",
+    "leakage_safe_split_docs",
+    "dp_event_type_counts",
 ]
 
 

@@ -148,3 +148,39 @@ def k_anonymity_audit(df: DataFrame, quasi_cols: list[str], *, k: int = 5,
              .alias("classes_below_l"),
         ]
     return classes.agg(*aggs)
+
+
+def dp_group_counts(df: DataFrame, group_cols: list[str], *,
+                    epsilon: float = 1.0,
+                    seed: str = "dp-v1") -> DataFrame:
+    """Differentially-private histogram release: per-group counts
+    with Laplace(1/epsilon) noise — the standard ε-DP mechanism for
+    unit-count queries (sensitivity 1), the release form for "how
+    many documents per source / events per type" tables that must
+    not leak any single contributor.
+
+    Noise is DERIVED, not drawn: u = (md5-hash31(seed:key)+0.5) /
+    2^31-1 ∈ (0,1), inverse-CDF'd to Laplace via
+    −b·sign(u−½)·ln(1−2|u−½|). A production release draws true
+    randomness per publication; the seeded form is the reproducible-
+    pipeline / cross-engine-replayable variant (same contract as the
+    engine's deterministic bootstrap weights) — rotate `seed` per
+    release or the noise repeats, which voids the privacy guarantee
+    across releases.
+
+    Shape: one keyed aggregation + a pure noise map on the group
+    key — the noise term never sees the data, only the key and seed.
+    True counts are NOT in the output (that would be the leak).
+    Columns: <group_cols...>, dp_count (round 6).
+    """
+    b = 1.0 / float(epsilon)
+    key = F.concat_ws(":", F.lit(seed),
+                      *[F.col(c).cast("string") for c in group_cols])
+    from parlerproject_spark.functions.text import stable_hash31
+    u = (stable_hash31(key).cast("double") + 0.5) / 2147483647.0
+    noise = (-b * F.signum(u - 0.5)
+             * F.log(1.0 - 2.0 * F.abs(u - 0.5)))
+    return (df.groupBy(*[F.col(c) for c in group_cols])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .select(*group_cols,
+                    F.round(F.col("__n") + noise, 6).alias("dp_count")))

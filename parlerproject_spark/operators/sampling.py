@@ -334,3 +334,35 @@ def negative_sampling_draws(docs: DataFrame, n_draws: int, *,
                        (F.col("__u") >= F.col("lo"))
                        & (F.col("__u") < F.col("hi")))
             .select("draw_id", "token"))
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, *,
+                       id_col: str = "doc_id",
+                       train_pct: int = 80, val_pct: int = 10,
+                       seed: str = "split-v1") -> DataFrame:
+    """Near-dup-aware train/val/test split: the unit of assignment is
+    the NEAR-DUPLICATE CLUSTER, so no two near-copies can straddle
+    train and eval — the split-time half of decontamination (a plain
+    doc-hash split leaks every templated near-copy; grouped_split
+    needs a grouping COLUMN, this derives it from similarity).
+
+    `pairs` is any near-dup pair table (id_a, id_b, ...) — n-gram
+    Jaccard, MinHash, fingerprint containment, embedding cosine — so
+    the leakage definition composes with every pair generator the
+    engine has. Clusters come from `dedup.duplicate_clusters`
+    (min-label + pointer jumping, ids-only shuffles); documents in no
+    pair are their own singleton cluster via one left join, and the
+    split is grouped_split's md5(seed:cluster) map — deterministic,
+    join-free past the one cluster attach, stable as the corpus
+    grows. Columns: <id_col>, cluster_id, split.
+    """
+    from parlerproject_spark.operators.dedup import duplicate_clusters
+
+    cl = duplicate_clusters(pairs)
+    base = (df.select(F.col(id_col))
+            .join(cl.withColumnRenamed("doc_id", id_col), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("cluster_id", F.col(id_col))
+                    .alias("cluster_id")))
+    return grouped_split(base, group_col="cluster_id",
+                         train_pct=train_pct, val_pct=val_pct, seed=seed)

@@ -66,6 +66,8 @@ _DRIVER_PRIORITY: list[str] = [
     "density_topic_assignments",
     "bradley_terry_sources",
     "k_anonymity_events",
+    "leakage_safe_split_docs",
+    "dp_event_type_counts",
     "pca_whiten_embeddings",
     "embedding_near_dup_lsh",
     "knn_ivf",
@@ -3064,6 +3066,69 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n=3, threshold=0.5, max_df=128)
     return (dedup.duplicate_clusters(pairs)
             .orderBy("doc_id"))
+
+
+@register("leakage_safe_split_docs", f"""
+WITH RECURSIVE np AS ({_NGRAM_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM np
+  UNION
+  SELECT id_b AS s, id_a AS d FROM np),
+nodes AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v),
+cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+assigned AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             ('0x' || substr(md5('split-v1:' || cast(cluster_id AS VARCHAR)),
+                             1, 15))::BIGINT % 2147483647 % 100 AS bucket
+      FROM assigned)
+ORDER BY doc_id
+""")
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split
+    (operators/sampling.leakage_safe_split): n-gram-Jaccard near-dup
+    clusters (pairs -> connected components, singletons = own id) are
+    the unit of split assignment, so templated near-copies can never
+    straddle train and eval — the split-time half of decontamination.
+    The oracle replays pair generation, the recursive-CTE closure,
+    singleton padding and the md5(seed:cluster) bucket map."""
+    from parlerproject_spark.operators.sampling import leakage_safe_split
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=128)
+    return leakage_safe_split(docs, pairs).orderBy("doc_id")
+
+
+@register("dp_event_type_counts", """
+SELECT event_type,
+       round(cnt + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))),
+             6) AS dp_count
+FROM (
+  SELECT event_type, cast(count(*) AS DOUBLE) AS cnt,
+         ((('0x' || substr(md5('dp-v1:' || event_type), 1, 15))::BIGINT
+           % 2147483647)::DOUBLE + 0.5) / 2147483647.0 AS u
+  FROM events GROUP BY event_type)
+ORDER BY event_type
+""")
+def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP histogram release (operators/privacy.dp_group_counts):
+    per-event-type counts + Laplace(1/ε) noise at ε=1, noise derived
+    from md5(seed:key) by inverse CDF so the release is reproducible
+    and cross-engine replayable (production rotates the seed per
+    publication — see the operator docstring). One keyed aggregation
+    + a pure noise map on the key; true counts never ship."""
+    from parlerproject_spark.operators.privacy import dp_group_counts
+    ev = _t(spark, sf_dir, "events")
+    return dp_group_counts(ev, ["event_type"], epsilon=1.0) \
+        .orderBy("event_type")
 
 
 @register("train_val_test_split", """

@@ -94,3 +94,50 @@ def test_k_anonymity_without_sensitive(spark):
     r = k_anonymity_audit(df, ["q1"], k=5).collect()[0]
     assert r["rows_below_k"] == 0 and r["pct_below_k"] == 0.0
     assert "min_l_diversity" not in r.asDict()
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    """THE invariant: no near-dup pair may land in two different
+    splits (the contamination mode a doc-hash split invites)."""
+    from parlerproject_spark.catalog import load_table
+    from parlerproject_spark.operators import dedup
+    from parlerproject_spark.operators.sampling import leakage_safe_split
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=128)
+    sp = leakage_safe_split(docs, pairs)
+    straddle = (pairs
+                .join(sp.select(F.col("doc_id").alias("id_a"),
+                                F.col("split").alias("sa")), "id_a")
+                .join(sp.select(F.col("doc_id").alias("id_b"),
+                                F.col("split").alias("sb")), "id_b")
+                .filter(F.col("sa") != F.col("sb")))
+    assert straddle.count() == 0
+    # and the split is total: every doc got exactly one row
+    assert sp.count() == docs.count()
+
+
+def test_dp_group_counts_noise_contract(spark):
+    """Noise is Laplace-scaled (~1/eps), deterministic for a fixed
+    seed, different under seed rotation, and never exposes the true
+    count column."""
+    from parlerproject_spark.operators.privacy import dp_group_counts
+    rows = [(f"k{i % 20}",) for i in range(400)]
+    df = spark.createDataFrame(rows, ["key"])
+    a = dp_group_counts(df, ["key"], epsilon=1.0, seed="s1")
+    b = dp_group_counts(df, ["key"], epsilon=1.0, seed="s1")
+    c = dp_group_counts(df, ["key"], epsilon=1.0, seed="s2")
+    assert set(a.columns) == {"key", "dp_count"}
+    ra = {r["key"]: r["dp_count"] for r in a.collect()}
+    assert ra == {r["key"]: r["dp_count"] for r in b.collect()}
+    rc = {r["key"]: r["dp_count"] for r in c.collect()}
+    assert ra != rc                       # seed rotation moves noise
+    noise = [abs(v - 20.0) for v in ra.values()]
+    # Laplace(b=1): mean |noise| = 1; with 20 draws allow wide slack,
+    # but it must be non-zero and far under the eps=0.1 scale
+    assert 0 < sum(noise) / len(noise) < 4
+    tight = dp_group_counts(df, ["key"], epsilon=10.0, seed="s1")
+    rt = {r["key"]: r["dp_count"] for r in tight.collect()}
+    loose_err = sum(abs(v - 20.0) for v in ra.values())
+    tight_err = sum(abs(v - 20.0) for v in rt.values())
+    assert tight_err < loose_err          # higher eps -> less noise
