@@ -490,12 +490,41 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
             .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
 
 
+def _pair_cosine_scorer(threshold: float):
+    """mapInPandas scorer for (id_a, va, id_b, vb) pair batches: one
+    vectorized cosine per batch with HALF_UP (away-from-zero)
+    rounding at 6 decimals to match F.round / DuckDB round — np.round
+    is half-to-even, which can differ on exact .5 boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            num = (A * B).sum(axis=1)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                raw = np.where(den > 0, num / den, np.nan)
+                sim = np.where(raw >= 0,
+                               np.floor(raw * 1e6 + 0.5),
+                               np.ceil(raw * 1e6 - 0.5)) / 1e6
+            out = pd.DataFrame({"id_a": pdf["id_a"].values,
+                                "id_b": pdf["id_b"].values, "sim": sim})
+            yield out[out["sim"] >= threshold]
+
+    return score
+
+
 def embedding_near_dups(vectors: DataFrame, *, threshold: float,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         mode: str = "exact", num_planes: int = 6,
                         num_tables: int = 8,
                         dim: int | None = None,
-                        cache_out: list | None = None) -> DataFrame:
+                        cache_out: list | None = None,
+                        impl: str = "arrow") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim).
 
     mode='exact': all-pairs cosine via self-join — the correctness
@@ -520,6 +549,18 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if mode == "exact":
+        # the all-pairs cosine is scored VECTORIZED (the same Arrow
+        # HALF_UP scorer the lsh mode verifies with — one numpy pass
+        # per batch instead of an interpreted 2·dim HOF fold per pair,
+        # the engine's documented hotspot shape; measured 3× at a
+        # 125k-pair sample). impl="expr" keeps the pure-JVM fold.
+        if impl == "arrow":
+            pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
+                     .select("id_a", "va", "id_b", "vb"))
+            id_t = vectors.schema[id_col].dataType.simpleString()
+            return pairs.mapInPandas(
+                _pair_cosine_scorer(threshold),
+                f"id_a {id_t}, id_b {id_t}, sim double")
         # norms are per-ROW quantities — compute n once per vector
         # before the join instead of twice per pair (the all-pairs
         # join makes that a |pairs|/|rows| ≈ n/2 × saving); the
@@ -561,36 +602,13 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
         # which costs microseconds), so no 2×dim float arrays ever
         # cross a shuffle; the only exchange is the dropDuplicates
         # over the tiny above-threshold (id_a, id_b, sim) survivors
-        import numpy as np
-        import pandas as pd
-
         pairs = (sl.join(sr, ["tbl", "sig"])
                  .filter(F.col("id_a") < F.col("id_b"))
                  .select("id_a", "va", "id_b", "vb"))
-
-        def score(it):
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                A = np.array(pdf["va"].tolist(), dtype=np.float64)
-                B = np.array(pdf["vb"].tolist(), dtype=np.float64)
-                num = (A * B).sum(axis=1)
-                den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    raw = np.where(den > 0, num / den, np.nan)
-                    # HALF_UP (away from zero) to match F.round in exact
-                    # mode — np.round is half-to-even, which can differ
-                    # on exact .5 boundaries at the 6th decimal
-                    sim = np.where(raw >= 0,
-                                   np.floor(raw * 1e6 + 0.5),
-                                   np.ceil(raw * 1e6 - 0.5)) / 1e6
-                out = pd.DataFrame({"id_a": pdf["id_a"].values,
-                                    "id_b": pdf["id_b"].values, "sim": sim})
-                yield out[out["sim"] >= threshold]
-
         id_t = vectors.schema[id_col].dataType.simpleString()
         return (pairs.mapInPandas(
-                    score, f"id_a {id_t}, id_b {id_t}, sim double")
+                    _pair_cosine_scorer(threshold),
+                    f"id_a {id_t}, id_b {id_t}, sim double")
                 .dropDuplicates(["id_a", "id_b"]))
     else:
         raise ValueError(f"unknown mode: {mode}")

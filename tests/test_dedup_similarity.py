@@ -504,3 +504,17 @@ def test_ivfpq_index_probe_prunes_and_recalls(spark, sf_dir, tmp_path):
     filt = re.findall(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)\]",
                       plan)
     assert filt and all(len(f.split(",")) <= 3 for f in filt), plan
+
+
+def test_embedding_near_dups_exact_arrow_expr_parity(spark, sf_dir):
+    """Exact mode's Arrow scorer and pure-JVM fold agree pair-for-pair
+    including the rounded sim (the HALF_UP contract)."""
+    from parlerproject_spark.catalog import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = {(r["id_a"], r["id_b"]): r["sim"]
+         for r in dedup.embedding_near_dups(
+             emb, threshold=0.3, mode="exact", impl="arrow").collect()}
+    e = {(r["id_a"], r["id_b"]): r["sim"]
+         for r in dedup.embedding_near_dups(
+             emb, threshold=0.3, mode="exact", impl="expr").collect()}
+    assert a == e
