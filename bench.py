@@ -223,6 +223,8 @@ EXTRA = [
     "k_anonymity_events",
     "leakage_safe_split_docs",
     "dp_event_type_counts",
+    "token_js_divergence_sources",
+    "embedding_drift_snapshots",
 ]
 
 

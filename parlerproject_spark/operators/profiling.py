@@ -224,3 +224,50 @@ def schema_diff(spark, path_a: str, path_b: str) -> "DataFrame":
         rows.append((c, status, ta, tb))
     return spark.createDataFrame(
         rows, "col_name string, status string, type_a string, type_b string")
+
+
+def embedding_drift(old: DataFrame, new: DataFrame, *,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space drift between two corpus snapshots — the
+    vector-column companion of the scalar PSI/KS drift monitors: a
+    re-embedded or re-sourced corpus whose distribution moved shows
+    up here before any downstream index or topic fit degrades.
+
+    Readouts: L2 shift and cosine between the two MEAN vectors, and
+    the ratio of mean vector norms (a scale/normalization change
+    detector — cosine alone is blind to it).
+
+    Shape: each side is one posexplode + a dim-keyed mean (map-side
+    combined, d rows out); the comparison joins two d-row frames and
+    rolls up to one row. Cost at any corpus size = two narrow scans +
+    two d-row exchanges.
+
+    Columns (one row): n_old, n_new, mean_l2_shift, mean_cosine,
+    norm_ratio (all round 6).
+    """
+    def dims(df, side):
+        return (df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+                .groupBy("pos")
+                .agg(F.avg("x").alias(f"m_{side}")))
+
+    def stats(df, side):
+        from parlerproject_spark.functions.vectors import l2_norm
+        return (df.select(l2_norm(vec_col).alias("nrm"))
+                .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+                     F.avg("nrm").alias(f"avg_nrm_{side}")))
+
+    d = dims(old, "old").join(dims(new, "new"), "pos")
+    comp = d.agg(
+        F.sum(F.pow(F.col("m_old") - F.col("m_new"), 2)).alias("__sq"),
+        F.sum(F.col("m_old") * F.col("m_new")).alias("__dot"),
+        F.sum(F.col("m_old") * F.col("m_old")).alias("__na"),
+        F.sum(F.col("m_new") * F.col("m_new")).alias("__nb"))
+    return (stats(old, "old").crossJoin(F.broadcast(stats(new, "new")))
+            .crossJoin(F.broadcast(comp))
+            .select("n_old", "n_new",
+                    F.round(F.sqrt("__sq"), 6).alias("mean_l2_shift"),
+                    F.round(F.col("__dot")
+                            / (F.sqrt("__na") * F.sqrt("__nb")), 6)
+                    .alias("mean_cosine"),
+                    F.round(F.col("avg_nrm_new") / F.col("avg_nrm_old"), 6)
+                    .alias("norm_ratio")))

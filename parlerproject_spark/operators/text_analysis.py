@@ -760,3 +760,51 @@ def fim_transform(docs: DataFrame, *, id_col: str = "doc_id",
         F.col("__hi").cast("long").alias("cut_b"),
         F.concat(F.lit(pre_tok), prefix, F.lit(suf_tok), suffix,
                  F.lit(mid_tok), middle).alias("fim_text"))
+
+
+def token_js_divergence(docs: DataFrame, *, group_col: str = "source",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-group Jensen-Shannon divergence between each group's
+    unigram token distribution and the corpus-wide distribution —
+    the mixture diagnostic that tells a training pipeline which
+    sources are lexically off-distribution (the readout behind
+    mixture re-weighting and contamination triage; bounded in
+    [0, ln 2], higher = further from the corpus).
+
+    The KL(Q||M) half needs a sum over the ENTIRE vocabulary — but
+    tokens absent from a group contribute q·ln(q / (q/2)) = q·ln 2
+    each, so the out-of-group mass collapses to the closed form
+    ln 2 · (1 − Σ_{t∈group} q_t). That turns the computation into ONE
+    (group, token) count aggregation joined to the token-total table
+    on the token key (a keyed shuffle join — the vocabulary is
+    corpus-scale, never broadcast) plus one per-group aggregation:
+    no full-outer join against the vocabulary, no per-group rescan.
+
+    Columns: <group_col>, n_tokens, js_divergence (round 6).
+    """
+    from parlerproject_spark.functions.text import tokenize
+
+    tok = docs.select(F.col(group_col).alias("g"),
+                      F.explode(tokenize(text_col)).alias("t"))
+    gt = tok.groupBy("g", "t").agg(F.count(F.lit(1)).alias("c_g"))
+    tot_t = gt.groupBy("t").agg(F.sum("c_g").alias("c"))
+    tot_g = gt.groupBy("g").agg(F.sum("c_g").alias("n_g"))
+    n = tot_t.agg(F.sum("c").alias("n"))
+    j = (gt.join(tot_t, "t")
+         .join(tot_g, "g")
+         .crossJoin(F.broadcast(n)))
+    p = F.col("c_g") / F.col("n_g")          # in-group prob
+    q = F.col("c") / F.col("n")              # corpus prob
+    m = (p + q) / 2.0
+    contrib = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    per_g = (j.groupBy("g")
+             .agg(F.sum(contrib).alias("__in"),
+                  F.sum(q).alias("__qmass"),
+                  F.first("n_g").alias("n_tokens")))
+    ln2 = 0.6931471805599453
+    return per_g.select(
+        F.col("g").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("__in") + 0.5 * ln2 * (1.0 - F.col("__qmass")), 6)
+        .alias("js_divergence"))

@@ -68,6 +68,8 @@ _DRIVER_PRIORITY: list[str] = [
     "k_anonymity_events",
     "leakage_safe_split_docs",
     "dp_event_type_counts",
+    "token_js_divergence_sources",
+    "embedding_drift_snapshots",
     "pca_whiten_embeddings",
     "embedding_near_dup_lsh",
     "knn_ivf",
@@ -7821,6 +7823,88 @@ def bradley_terry_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(cmp).orderBy("item")
 
 
+@register("token_js_divergence_sources", """
+WITH tok AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents),
+gt AS (SELECT g, t, count(*)::DOUBLE AS c_g FROM tok GROUP BY g, t),
+tot_t AS (SELECT t, sum(c_g) AS c FROM gt GROUP BY t),
+tot_g AS (SELECT g, sum(c_g) AS n_g FROM gt GROUP BY g),
+n AS (SELECT sum(c) AS n FROM tot_t),
+j AS (
+  SELECT gt.g, gt.c_g / tg.n_g AS p, tt.c / n.n AS q, tg.n_g
+  FROM gt JOIN tot_t tt USING (t) JOIN tot_g tg USING (g) CROSS JOIN n),
+per_g AS (
+  SELECT g,
+         sum(0.5 * p * ln(p / ((p + q) / 2.0))
+             + 0.5 * q * ln(q / ((p + q) / 2.0))) AS in_mass,
+         sum(q) AS qmass, max(n_g) AS n_g
+  FROM j GROUP BY g)
+SELECT g AS source, cast(n_g AS BIGINT) AS n_tokens,
+       round(in_mass + 0.5 * 0.6931471805599453 * (1.0 - qmass), 6)
+         AS js_divergence
+FROM per_g
+ORDER BY source
+""")
+def token_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Jensen-Shannon divergence vs the corpus
+    distribution (operators/text_analysis.token_js_divergence) — the
+    lexical drift / mixture diagnostic. The out-of-group vocabulary
+    mass collapses to a closed form (ln2 * (1 - covered q-mass)), so
+    the plan is one (source, token) aggregation + one token-keyed
+    join + one per-source rollup — no full-outer against the
+    vocabulary."""
+    from parlerproject_spark.operators.text_analysis import (
+        token_js_divergence)
+    docs = _t(spark, sf_dir, "documents")
+    return token_js_divergence(docs).orderBy("source")
+
+
+@register("embedding_drift_snapshots", """
+WITH old AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+new_ AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+exo AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM old),
+exn AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM new_),
+mo AS (SELECT pos, avg(x) AS m_old FROM exo GROUP BY pos),
+mn AS (SELECT pos, avg(x) AS m_new FROM exn GROUP BY pos),
+comp AS (
+  SELECT sum((m_old - m_new) * (m_old - m_new)) AS sq,
+         sum(m_old * m_new) AS dp,
+         sum(m_old * m_old) AS na, sum(m_new * m_new) AS nb
+  FROM mo JOIN mn USING (pos)),
+so AS (
+  SELECT count(*) AS n_old, avg(nrm) AS avg_old
+  FROM (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exo GROUP BY vec_id)),
+sn AS (
+  SELECT count(*) AS n_new, avg(nrm) AS avg_new
+  FROM (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exn GROUP BY vec_id))
+SELECT cast(n_old AS BIGINT) AS n_old, cast(n_new AS BIGINT) AS n_new,
+       round(sqrt(sq), 6) AS mean_l2_shift,
+       round(dp / (sqrt(na) * sqrt(nb)), 6) AS mean_cosine,
+       round(avg_new / avg_old, 6) AS norm_ratio
+FROM so CROSS JOIN sn CROSS JOIN comp
+""")
+def embedding_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two deterministic snapshot
+    halves of the embeddings table (vec_id parity stands in for
+    old/new) via operators/profiling.embedding_drift: mean-vector L2
+    shift + cosine + norm ratio — the vector companion of the PSI/KS
+    scalar drift monitors; two narrow scans, two d-row exchanges, no
+    corpus joins."""
+    from parlerproject_spark.operators.profiling import embedding_drift
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(emb.filter(F.col("vec_id") % 2 == 0),
+                           emb.filter(F.col("vec_id") % 2 == 1))
+
+
 @register("source_scorecard_docs", """
 WITH fp AS (
   SELECT doc_id, source,
@@ -8167,38 +8251,6 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (blocklist_filter(_t(spark, sf_dir, "documents"),
                              ["spill", "leak", "corrupt"])
             .orderBy("doc_id"))
-
-
-@register("embedding_drift_snapshots", """
-WITH ex AS (
-  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS i,
-         unnest(embedding)::DOUBLE AS x
-  FROM embeddings),
-mr AS (SELECT i, avg(x) AS mu_ref FROM ex WHERE vec_id % 2 = 0 GROUP BY i),
-mc AS (SELECT i, avg(x) AS mu_cur FROM ex WHERE vec_id % 2 <> 0 GROUP BY i),
-nn AS (
-  SELECT cast(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_ref,
-         cast(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_cur
-  FROM embeddings)
-SELECT n_ref, n_cur,
-       round(sqrt(sum((mu_ref - mu_cur) * (mu_ref - mu_cur))), 6)
-         AS centroid_shift,
-       round(max(abs(mu_ref - mu_cur)), 6) AS max_dim_shift
-FROM mr JOIN mc USING (i) CROSS JOIN nn
-GROUP BY n_ref, n_cur
-""")
-def embedding_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-space drift monitor (operators/pca.embedding_drift):
-    centroid L2 displacement + worst-dimension mean shift between
-    the even/odd vec_id snapshot halves — the check that catches a
-    swapped or retrained embedding model before any scalar column
-    moves. Corpus touched once per side; only d-row tables shuffle."""
-    from parlerproject_spark.operators.pca import embedding_drift
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_drift(emb.filter(F.col("vec_id") % 2 == 0),
-                           emb.filter(F.col("vec_id") % 2 != 0))
 
 
 @register("touch_attribution_events", """

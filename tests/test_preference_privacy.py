@@ -141,3 +141,47 @@ def test_dp_group_counts_noise_contract(spark):
     loose_err = sum(abs(v - 20.0) for v in ra.values())
     tight_err = sum(abs(v - 20.0) for v in rt.values())
     assert tight_err < loose_err          # higher eps -> less noise
+
+
+def test_token_js_divergence_bounds(spark):
+    """Identical distribution -> 0; disjoint vocabularies -> ln 2;
+    everything in [0, ln 2]."""
+    import math
+    from parlerproject_spark.operators.text_analysis import (
+        token_js_divergence)
+    same = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "x y z")],
+        ["doc_id", "source", "text"])
+    r = {x["source"]: x["js_divergence"]
+         for x in token_js_divergence(same).collect()}
+    # each source's distribution equals the corpus distribution
+    assert r["a"] == 0.0 and r["b"] == 0.0
+    disj = spark.createDataFrame(
+        [(1, "a", "x x x"), (2, "b", "y y y")],
+        ["doc_id", "source", "text"])
+    d = {x["source"]: x["js_divergence"]
+         for x in token_js_divergence(disj).collect()}
+    # each source covers half the corpus mass: JS(source, corpus)
+    # = 0.5*ln2 + small; strictly inside (0, ln2]
+    for v in d.values():
+        assert 0 < v <= round(math.log(2), 6)
+    assert d["a"] == d["b"]
+
+
+def test_embedding_drift_fixed_points(spark):
+    """Identical snapshots -> zero shift, cosine 1, ratio 1; a
+    uniformly scaled copy keeps cosine 1 but moves the norm ratio
+    (the scale-change detector cosine alone misses)."""
+    from parlerproject_spark.operators.profiling import embedding_drift
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(1, 6)]
+    a = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    r = embedding_drift(a, a).collect()[0]
+    assert r["mean_l2_shift"] == 0.0 and r["mean_cosine"] == 1.0
+    assert r["norm_ratio"] == 1.0 and r["n_old"] == r["n_new"] == 5
+    b = spark.createDataFrame(
+        [(i, [2.0 * x for x in v]) for i, v in rows],
+        ["vec_id", "embedding"])
+    s = embedding_drift(a, b).collect()[0]
+    assert s["mean_cosine"] == 1.0
+    assert s["norm_ratio"] == 2.0
+    assert s["mean_l2_shift"] > 0
