@@ -229,15 +229,25 @@ EXTRA = [
 
 
 def _shuffle_count(df) -> int:
-    """Exchange operators in the pre-execution physical plan — the
-    number of shuffles the query schedules (AQE may later coalesce
-    partitions or convert joins, but the exchange boundaries it
-    starts from are the comparable metric)."""
+    """DISTINCT Exchange operators in the pre-execution physical
+    plan — the number of shuffles the query schedules (AQE may later
+    coalesce partitions or convert joins, but the exchange
+    boundaries it starts from are the comparable metric).
+
+    Distinct by plan_id, not raw line count: the plan STRING
+    re-prints a shared subtree once per reference (and an
+    InMemoryRelation re-prints its entire cached child plan at every
+    cache reference), so a raw findall over a plan with persisted/
+    shared frames multiply-counts the same physical exchange — the
+    r6 corpus_refresh "160 shuffles" was ~19 real exchanges printed
+    ~8x."""
     import re
     text = df._jdf.queryExecution().executedPlan().toString()
-    return len(re.findall(
+    ids = re.findall(
         r"Exchange (?:hashpartitioning|rangepartitioning|"
-        r"RoundRobinPartitioning|SinglePartition)", text))
+        r"RoundRobinPartitioning|SinglePartition).*?\[plan_id=(\d+)\]",
+        text)
+    return len(set(ids)) if ids else len(re.findall(r"\bExchange ", text))
 
 
 def _median(xs: list[float]) -> float:

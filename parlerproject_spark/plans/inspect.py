@@ -68,8 +68,13 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Shuffle exchanges in the final plan — the number to minimize.
-    Executes the frame."""
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|"
-                          r"RoundRobinPartitioning|SinglePartition)",
-                          final_plan(df)))
+    """DISTINCT shuffle exchanges in the final plan — the number to
+    minimize. Executes the frame. Distinct by plan_id: the plan
+    string re-prints shared/cached subtrees once per reference, so a
+    raw findall multiply-counts the same physical exchange (see
+    bench._shuffle_count)."""
+    text = final_plan(df)
+    ids = re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|"
+                     r"RoundRobinPartitioning|SinglePartition)"
+                     r".*?\[plan_id=(\d+)\]", text)
+    return len(set(ids)) if ids else len(re.findall(r"\bExchange ", text))

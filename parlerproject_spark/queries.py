@@ -219,7 +219,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cusum_changepoints_events",
     "dbscan_clusters_embeddings",
     "embedding_covariance",
-    "embedding_drift_snapshots",
     "erase_audit_events",
     "except_all_priorities",
     "fk_integrity_audit",
