@@ -224,7 +224,13 @@ EXTRA = [
     "leakage_safe_split_docs",
     "dp_event_type_counts",
     "token_js_divergence_sources",
-    "embedding_drift_snapshots",
+    # round-7 session 2: curriculum order, length-bucket batching,
+    # per-group quantile trim, MAD outliers, Benford audit
+    "curriculum_order_docs",
+    "length_bucket_batches_docs",
+    "quantile_band_docs",
+    "robust_outliers_events",
+    "benford_values_events",
 ]
 
 

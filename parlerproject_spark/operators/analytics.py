@@ -410,3 +410,42 @@ def kaplan_meier(events: DataFrame, *, user_col: str = "user_id",
         F.col("n_events").cast("long").alias("n_events"),
         F.round(F.when(F.col("__dead") == 1, 0.0)
                 .otherwise(F.exp("__logs")), 6).alias("survival"))
+
+
+def robust_outliers(df: DataFrame, *, key_col: str = "user_id",
+                    value_col: str = "value",
+                    k: float = 3.5) -> DataFrame:
+    """Per-key robust outlier report via the median/MAD rule: a value
+    is an outlier iff |x − median| > k · 1.4826 · MAD (the modified
+    z-score; 1.4826 scales MAD to σ under normality). Mean/stddev
+    fences break on the very outliers they hunt — the median pair is
+    the monitoring-grade version.
+
+    Exact per-key medians via the `median` aggregate (keyed,
+    map-side-partial, no windows — each key's median is an agg
+    state, not a sorted partition), one keyed join back for the
+    deviation pass, a second median agg for the MAD, and a final
+    count rollup. Three keyed exchanges total, output one row per
+    key. Zero-MAD keys (>=50% identical values) flag only exact
+    deviants — every non-median value is an outlier there, which is
+    the rule's documented literature behavior.
+
+    Columns: <key_col>, n, med, mad, n_outliers.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.select(F.col(key_col), v.alias("__v"))
+    med = base.groupBy(key_col).agg(F.median("__v").alias("__med"),
+                                    F.count("*").alias("n"))
+    dev = (base.join(med, key_col)
+           .withColumn("__ad", F.abs(F.col("__v") - F.col("__med"))))
+    mad = dev.groupBy(key_col).agg(F.median("__ad").alias("__mad"))
+    flagged = (dev.join(mad, key_col)
+               .withColumn("__out",
+                           (F.col("__ad")
+                            > F.lit(k) * F.lit(1.4826) * F.col("__mad"))
+                           .cast("int")))
+    return (flagged.groupBy(key_col)
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.round(F.max("__med"), 6).alias("med"),
+                 F.round(F.max("__mad"), 6).alias("mad"),
+                 F.sum("__out").cast("long").alias("n_outliers")))

@@ -271,3 +271,41 @@ def embedding_drift(old: DataFrame, new: DataFrame, *,
                     .alias("mean_cosine"),
                     F.round(F.col("avg_nrm_new") / F.col("avg_nrm_old"), 6)
                     .alias("norm_ratio")))
+
+
+def benford_audit(df: DataFrame, *, value_col: str = "value") -> DataFrame:
+    """Benford first-digit audit — the classic fabricated-numbers /
+    broken-ETL smell test: the leading significant digit of natural
+    multi-scale quantities follows P(d) = log10(1 + 1/d); a corpus
+    whose sizes, durations or amounts deviate hard from that curve
+    was truncated, defaulted, or synthesized somewhere upstream.
+
+    One map-side-combined aggregation over the scan (digit = first
+    [1-9] of the value's shortest-round-trip decimal string — the
+    float-exact extraction; floor(x/10^floor(log10 x)) misdigits
+    sub-1 values like 0.6 where 10^-1 is inexact; zero, null and NaN
+    rows are excluded as digit-less), then the 9-row digit table
+    picks up the global chi-square statistic n·Σ (obs − exp)²/exp
+    from a broadcast 1-row cross join.
+
+    Columns: digit, n, share, expected, chi2 (chi2 repeated on every
+    row for single-frame consumption; df = 8).
+    """
+    x = F.abs(F.col(value_col).cast("double"))
+    digit = F.regexp_extract(x.cast("string"), "[1-9]", 0).cast("long")
+    per = (df.filter(x > 0).filter(~F.isnan(x))
+           .select(digit.alias("digit"))
+           .groupBy("digit").agg(F.count("*").cast("long").alias("n")))
+    tot = per.agg(F.sum("n").cast("double").alias("__t"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n") / F.col("__t")
+    scored = (per.crossJoin(F.broadcast(tot))
+              .withColumn("__chi",
+                          F.col("__t") * F.pow(share - expected, 2)
+                          / expected))
+    chi2 = scored.agg(F.sum("__chi").alias("__chi2"))
+    return (scored.crossJoin(F.broadcast(chi2))
+            .select("digit", "n",
+                    F.round(share, 6).alias("share"),
+                    F.round(expected, 6).alias("expected"),
+                    F.round("__chi2", 6).alias("chi2")))

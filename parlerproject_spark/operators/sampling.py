@@ -366,3 +366,93 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame, *,
                     .alias("cluster_id")))
     return grouped_split(base, group_col="cluster_id",
                          train_pct=train_pct, val_pct=val_pct, seed=seed)
+
+
+def curriculum_order(df: DataFrame, *, id_col: str, band_col: str,
+                     shards: int = 16,
+                     seed: str = "curr-v1") -> DataFrame:
+    """Curriculum training order: a global 0-based position that
+    visits difficulty bands in ascending order with a deterministic
+    md5 shuffle inside each band — the easy→hard data schedule
+    (curriculum learning), produced WITHOUT a global sort.
+
+    `band_col` is any precomputed integer difficulty band (length
+    band, perplexity bucket, quality decile). The global index is a
+    two-level prefix sum: docs hash into `shards` independent
+    streams per band; (band, shard) group sizes — a ≤B·S-row frame —
+    get cross-group offsets from a broadcast cross join (no
+    unpartitioned window, same shape as evaluation.roc_auc); the
+    within-group rank is a `partitionBy(band, shard)` row_number
+    over the seeded md5 key. Equivalent to
+    row_number() over (order by band, shard, md5(seed:id), id) - 1,
+    but every shuffle is keyed and the only single-partition
+    structure is the B·S-cell offset table. One keyed exchange for
+    the window + two tiny aggregations.
+
+    Columns: <id_col>, <band_col>, shard, order_idx.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    staged = df.select(
+        F.col(id_col), F.col(band_col).cast("long").alias(band_col),
+        (stable_hash31(F.col(id_col).cast("string")) % shards)
+        .cast("int").alias("shard"),
+        key.alias("__key"))
+    cnt = staged.groupBy(band_col, "shard").agg(F.count("*").alias("__n"))
+    other = cnt.select(F.col(band_col).alias("__b2"),
+                       F.col("shard").alias("__s2"),
+                       F.col("__n").alias("__n2"))
+    off = (cnt.crossJoin(F.broadcast(other))
+           .groupBy(band_col, "shard")
+           .agg(F.sum(F.when(
+               (F.col("__b2") < F.col(band_col))
+               | ((F.col("__b2") == F.col(band_col))
+                  & (F.col("__s2") < F.col("shard"))),
+               F.col("__n2")).otherwise(F.lit(0))).alias("__off")))
+    w = Window.partitionBy(band_col, "shard").orderBy("__key", id_col)
+    return (staged
+            .withColumn("__rn", F.row_number().over(w).cast("long"))
+            .join(F.broadcast(off), [band_col, "shard"])
+            .select(id_col, band_col, "shard",
+                    (F.col("__off") + F.col("__rn") - 1).alias("order_idx")))
+
+
+def length_bucket_batches(docs: DataFrame, *, id_col: str,
+                          tokens_col: str, batch_size: int = 32,
+                          bucket_width: int = 64, n_buckets: int = 32,
+                          shards: int = 8,
+                          seed: str = "lbb-v1") -> DataFrame:
+    """Length-bucketed inference/training batching with a padding-
+    efficiency report: docs bucket by token count, batch ids form
+    inside each (bucket, shard) stream, and each batch reports how
+    much of its padded token rectangle is real tokens — the batch
+    construction that keeps short docs from being padded to the
+    longest doc in the corpus.
+
+    Deterministic (seeded md5 order inside buckets) and parallel:
+    the shard salt keeps a popular length bucket from becoming one
+    window partition (same salting as pack_sequences). One keyed
+    exchange; per-batch aggregation combines map-side.
+
+    Columns: bucket, shard, batch_id, n_docs, max_tokens,
+    sum_tokens, pad_efficiency (= sum/(n·max), 1.0 = zero waste).
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    bucket = F.least(F.floor(F.col(tokens_col) / bucket_width),
+                     F.lit(n_buckets - 1)).cast("long")
+    staged = docs.select(
+        F.col(id_col), F.col(tokens_col).alias("__t"),
+        bucket.alias("bucket"),
+        (stable_hash31(F.col(id_col).cast("string")) % shards)
+        .cast("int").alias("shard"),
+        key.alias("__key"))
+    w = Window.partitionBy("bucket", "shard").orderBy("__key", id_col)
+    batched = staged.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"))
+    return (batched.groupBy("bucket", "shard", "batch_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.max("__t").cast("long").alias("max_tokens"),
+                 F.sum("__t").cast("long").alias("sum_tokens"),
+                 F.round(F.sum("__t")
+                         / (F.count("*") * F.max("__t")), 6)
+                 .alias("pad_efficiency")))

@@ -23,7 +23,7 @@ an exact DuckDB oracle (the oracle retrains the same model in SQL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parlerproject_spark.functions.text import tokenize
@@ -335,3 +335,57 @@ def calibrate_scores(df: DataFrame, *, group_col: str = "source",
                 F.when(sd > 0, (F.col(score_col) - mu) / sd), 6))
             .select(F.col(id_col), F.col(group_col),
                     F.col(score_col).alias("score"), "pct", "z"))
+
+
+def quantile_band_filter(df: DataFrame, *, group_col: str,
+                         score_col: str, id_col: str,
+                         lo: float = 0.1, hi: float = 0.9,
+                         n_buckets: int = 512) -> DataFrame:
+    """Per-group EXACT inter-quantile retention — keep each group's
+    middle (lo, hi] score band (trim the worst and the
+    suspiciously-best tails per source, the standard quality-prune
+    before training) without ever sorting a whole group in one
+    window partition.
+
+    A row survives iff its within-group ascending rank r (ties
+    broken by id) satisfies lo·n < r ≤ hi·n. Rank is a two-level
+    prefix sum (the evaluation.roc_auc shape, keyed by group):
+    scores range-bucket into ≤`n_buckets` ordered buckets per group
+    (floor over (s−min)/span is IEEE-monotone, so bucket order
+    follows score order and equal scores share a bucket); the
+    cross-bucket offset is a `partitionBy(group)` running sum over
+    ≤n_buckets rows per group; the within-bucket rank is a
+    `partitionBy(group, bucket)` row_number. Every shuffle is keyed
+    on (group) or (group, bucket); no partition holds more than one
+    bucket of one group.
+
+    Columns: <group_col>, <id_col>, <score_col>, rank, n.
+    """
+    s = F.col(score_col).cast("double")
+    base = df.select(F.col(group_col), F.col(id_col), s.alias("__s"))
+    gb = base.groupBy(group_col).agg(F.min("__s").alias("__lo"),
+                                     F.max("__s").alias("__hi"),
+                                     F.count("*").alias("__n"))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span > 0,
+                    F.least(F.floor((F.col("__s") - F.col("__lo"))
+                                    / span * n_buckets),
+                            F.lit(n_buckets - 1))) \
+        .otherwise(F.lit(0)).cast("long")
+    b = (base.join(gb, group_col)
+         .select(group_col, id_col, "__s", "__n", bucket.alias("__b")))
+    cnt = b.groupBy(group_col, "__b").agg(F.count("*").alias("__bn"))
+    woff = (Window.partitionBy(group_col).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = cnt.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(woff), F.lit(0)))
+    wrn = Window.partitionBy(group_col, "__b").orderBy("__s", id_col)
+    ranked = (b.withColumn("__rn", F.row_number().over(wrn).cast("long"))
+              .join(off.select(group_col, "__b", "__off"),
+                    [group_col, "__b"])
+              .withColumn("rank", F.col("__off") + F.col("__rn")))
+    return (ranked
+            .filter((F.col("rank") > F.lit(lo) * F.col("__n"))
+                    & (F.col("rank") <= F.lit(hi) * F.col("__n")))
+            .select(group_col, id_col, F.col("__s").alias(score_col),
+                    "rank", F.col("__n").alias("n")))

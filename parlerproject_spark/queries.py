@@ -63,6 +63,11 @@ _DRIVER_PRIORITY: list[str] = [
     # last-row-error queries (their local oracle is green but the
     # driver has never recorded it), then ascending last-sampled
     # round.
+    "curriculum_order_docs",
+    "length_bucket_batches_docs",
+    "quantile_band_docs",
+    "robust_outliers_events",
+    "benford_values_events",
     "density_topic_assignments",
     "bradley_terry_sources",
     "k_anonymity_events",
@@ -8681,3 +8686,166 @@ def kaplan_meier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
     return (kaplan_meier(ev, death_filter="event_type = 'error'")
             .orderBy("t_days"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session 2: curriculum ordering, padding-efficient batching,
+# per-group quantile trim, robust outliers, Benford audit
+# ---------------------------------------------------------------------------
+
+
+@register("curriculum_order_docs", """
+WITH b AS (
+  SELECT doc_id,
+         least(cast(floor(n_chars / 256) AS BIGINT), 7) AS band,
+         ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 2147483647 % 16 AS shard,
+         md5('curr-v1:' || cast(doc_id AS VARCHAR)) AS k
+  FROM documents)
+SELECT doc_id, band, shard,
+       cast(row_number() OVER (ORDER BY band, shard, k, doc_id) - 1
+            AS BIGINT) AS order_idx
+FROM b
+ORDER BY order_idx
+""")
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (operators/sampling.curriculum_order):
+    easy→hard schedule over length bands with a seeded md5 shuffle
+    inside each band. The oracle is the one-window global ordering;
+    the Spark plan is the two-level prefix sum (broadcast (band,
+    shard) offsets + partitionBy(band, shard) row_number) — same
+    positions, no global sort, no unpartitioned window."""
+    from parlerproject_spark.operators.sampling import curriculum_order
+    d = _t(spark, sf_dir, "documents")
+    banded = d.withColumn(
+        "band", F.least(F.floor(F.col("n_chars") / 256), F.lit(7)))
+    return (curriculum_order(banded, id_col="doc_id", band_col="band",
+                             shards=16)
+            .withColumn("shard", F.col("shard").cast("long")))
+
+
+@register("length_bucket_batches_docs", """
+WITH s AS (
+  SELECT doc_id, n_chars AS t,
+         least(cast(floor(n_chars / 64) AS BIGINT), 31) AS bucket,
+         ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 2147483647 % 8 AS shard,
+         md5('lbb-v1:' || cast(doc_id AS VARCHAR)) AS k
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                               ORDER BY k, doc_id) AS rn
+  FROM s)
+SELECT bucket, shard,
+       cast(floor((rn - 1) / 32) AS BIGINT) AS batch_id,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(max(t) AS BIGINT) AS max_tokens,
+       cast(sum(t) AS BIGINT) AS sum_tokens,
+       round(sum(t)::DOUBLE / (count(*) * max(t)), 6) AS pad_efficiency
+FROM r
+GROUP BY bucket, shard, batch_id
+ORDER BY bucket, shard, batch_id
+""")
+def length_bucket_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency batching (operators/sampling
+    .length_bucket_batches): docs bucket by length, deterministic
+    batches form inside each (bucket, shard) stream, and each batch
+    reports sum/(n·max) token utilization — the batch construction
+    that keeps padding waste bounded by the bucket width."""
+    from parlerproject_spark.operators.sampling import length_bucket_batches
+    d = _t(spark, sf_dir, "documents")
+    return (length_bucket_batches(d, id_col="doc_id",
+                                  tokens_col="n_chars", batch_size=32,
+                                  bucket_width=64, n_buckets=32, shards=8)
+            .withColumn("shard", F.col("shard").cast("long")))
+
+
+@register("quantile_band_docs", """
+WITH r AS (
+  SELECT source, doc_id, n_chars::DOUBLE AS n_chars,
+         cast(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars::DOUBLE, doc_id)
+              AS BIGINT) AS "rank",
+         cast(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents)
+SELECT source, doc_id, n_chars, "rank", n
+FROM r
+WHERE "rank" > 0.1 * n AND "rank" <= 0.9 * n
+ORDER BY source, doc_id
+""")
+def quantile_band_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact inter-quantile retention (operators/selection
+    .quantile_band_filter): keep each source's middle (10%, 90%]
+    length band. The oracle ranks with one per-source window; the
+    Spark plan is the keyed two-level prefix sum (range buckets +
+    per-source ≤512-row offset window + partitionBy(source, bucket)
+    row_number) — identical ranks, no whole-source window
+    partition."""
+    from parlerproject_spark.operators.selection import quantile_band_filter
+    d = _t(spark, sf_dir, "documents")
+    return quantile_band_filter(d, group_col="source",
+                                score_col="n_chars", id_col="doc_id",
+                                lo=0.1, hi=0.9).orderBy("source", "doc_id")
+
+
+@register("robust_outliers_events", """
+WITH med AS (
+  SELECT user_id, median(value) AS med, count(*) AS n
+  FROM events GROUP BY user_id),
+dev AS (
+  SELECT e.user_id, abs(e.value - m.med) AS ad, m.med, m.n
+  FROM events e JOIN med m USING (user_id)),
+mad AS (SELECT user_id, median(ad) AS mad FROM dev GROUP BY user_id)
+SELECT d.user_id,
+       cast(max(d.n) AS BIGINT) AS n,
+       round(max(d.med), 6) AS med,
+       round(max(m.mad), 6) AS mad,
+       cast(sum(CASE WHEN d.ad > 3.5 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (user_id)
+GROUP BY d.user_id
+ORDER BY user_id
+""")
+def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user median/MAD outlier report (operators/analytics
+    .robust_outliers): modified z-score |x−med| > 3.5·1.4826·MAD.
+    Exact per-key medians ride the `median` AGGREGATE (keyed agg
+    state, no per-key sorted window) + two keyed joins back."""
+    from parlerproject_spark.operators.analytics import robust_outliers
+    e = _t(spark, sf_dir, "events")
+    return (robust_outliers(e, key_col="user_id", value_col="value",
+                            k=3.5)
+            .orderBy("user_id"))
+
+
+@register("benford_values_events", """
+WITH v AS (
+  SELECT abs(value) AS x FROM events
+  WHERE abs(value) > 0 AND NOT isnan(value)),
+per AS (
+  SELECT cast(regexp_extract(cast(x AS VARCHAR), '[1-9]', 0)
+              AS BIGINT) AS digit,
+         count(*) AS n
+  FROM v GROUP BY 1),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM per),
+sc AS (
+  SELECT digit, n, n / t AS share,
+         log10(1 + 1.0 / digit) AS expected, t
+  FROM per CROSS JOIN tot),
+chi AS (
+  SELECT sum(t * (share - expected) * (share - expected) / expected)
+           AS chi2
+  FROM sc)
+SELECT digit, cast(n AS BIGINT) AS n, round(share, 6) AS share,
+       round(expected, 6) AS expected, round(chi2, 6) AS chi2
+FROM sc CROSS JOIN chi
+ORDER BY digit
+""")
+def benford_values_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/profiling.benford_audit)
+    over event values — the fabricated-numbers / broken-ETL smell
+    test: observed leading-digit shares vs log10(1+1/d) with the
+    global chi-square statistic on every row."""
+    from parlerproject_spark.operators.profiling import benford_audit
+    e = _t(spark, sf_dir, "events")
+    return benford_audit(e, value_col="value").orderBy("digit")

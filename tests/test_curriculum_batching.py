@@ -1,0 +1,174 @@
+"""Round-7 session-2 operators: curriculum ordering, length-bucket
+batching, per-group quantile trim, robust outliers, Benford audit."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from parlerproject_spark.operators.analytics import robust_outliers
+from parlerproject_spark.operators.profiling import benford_audit
+from parlerproject_spark.operators.sampling import (curriculum_order,
+                                                    length_bucket_batches)
+from parlerproject_spark.operators.selection import quantile_band_filter
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 * 100 + 50).alias("n_chars"))
+
+
+# ---------------------------------------------------------------- curriculum
+
+def test_curriculum_order_is_a_permutation_visiting_bands_in_order(spark):
+    d = _docs(spark).withColumn(
+        "band", F.least(F.floor(F.col("n_chars") / 256), F.lit(3)))
+    out = curriculum_order(d, id_col="doc_id", band_col="band",
+                           shards=4).collect()
+    idxs = sorted(r["order_idx"] for r in out)
+    assert idxs == list(range(len(out)))          # 0-based, gap-free
+    # positions are band-monotone: every band-b row precedes band-b+1
+    by_idx = sorted(out, key=lambda r: r["order_idx"])
+    bands = [r["band"] for r in by_idx]
+    assert bands == sorted(bands)
+
+
+def test_curriculum_order_matches_single_window_reference(spark):
+    d = _docs(spark, 120).withColumn(
+        "band", F.least(F.floor(F.col("n_chars") / 256), F.lit(3)))
+    got = {r["doc_id"]: r["order_idx"]
+           for r in curriculum_order(d, id_col="doc_id",
+                                     band_col="band", shards=4).collect()}
+    # reference: one global ordering by (band, shard, md5 key, id)
+    from parlerproject_spark.functions.text import stable_hash31
+    ref_rows = (d.select(
+        "doc_id", "band",
+        (stable_hash31(F.col("doc_id").cast("string")) % 4).alias("shard"),
+        F.md5(F.concat_ws(":", F.lit("curr-v1"),
+                          F.col("doc_id").cast("string"))).alias("k"))
+        .orderBy("band", "shard", "k", "doc_id").collect())
+    for pos, r in enumerate(ref_rows):
+        assert got[r["doc_id"]] == pos
+
+
+def test_curriculum_order_is_seed_sensitive_within_band(spark):
+    d = _docs(spark).withColumn("band", F.lit(0))
+    a = {r["doc_id"]: r["order_idx"]
+         for r in curriculum_order(d, id_col="doc_id", band_col="band",
+                                   seed="a").collect()}
+    b = {r["doc_id"]: r["order_idx"]
+         for r in curriculum_order(d, id_col="doc_id", band_col="band",
+                                   seed="b").collect()}
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values())
+
+
+# ------------------------------------------------------------------ batching
+
+def test_length_bucket_batches_full_batches_and_efficiency_bounds(spark):
+    d = _docs(spark, 300)
+    out = length_bucket_batches(d, id_col="doc_id", tokens_col="n_chars",
+                                batch_size=16, bucket_width=128,
+                                n_buckets=8, shards=2).collect()
+    assert sum(r["n_docs"] for r in out) == 300
+    for r in out:
+        assert 1 <= r["n_docs"] <= 16
+        assert 0.0 < r["pad_efficiency"] <= 1.0
+        assert r["sum_tokens"] <= r["n_docs"] * r["max_tokens"]
+    # only the LAST batch of a (bucket, shard) stream may be partial
+    from collections import defaultdict
+    streams = defaultdict(list)
+    for r in out:
+        streams[(r["bucket"], r["shard"])].append(r)
+    for rows in streams.values():
+        rows.sort(key=lambda r: r["batch_id"])
+        assert [r["batch_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["n_docs"] == 16
+
+
+def test_length_bucket_batches_single_length_bucket_is_fully_packed(spark):
+    d = spark.range(64).select(F.col("id").alias("doc_id"),
+                               F.lit(100).alias("n_chars"))
+    out = length_bucket_batches(d, id_col="doc_id", tokens_col="n_chars",
+                                batch_size=8, bucket_width=128,
+                                n_buckets=8, shards=1).collect()
+    assert all(r["pad_efficiency"] == 1.0 for r in out)
+    assert sum(r["n_docs"] for r in out) == 64
+
+
+# --------------------------------------------------------------- quantile band
+
+def test_quantile_band_filter_matches_single_window_rank(spark):
+    d = spark.createDataFrame(
+        [(f"s{i % 3}", i, float(i * 37 % 101)) for i in range(150)],
+        ["source", "doc_id", "score"])
+    out = quantile_band_filter(d, group_col="source", score_col="score",
+                               id_col="doc_id", lo=0.2, hi=0.8).collect()
+    import itertools
+    rows = sorted(d.collect(), key=lambda r: (r["source"], r["score"],
+                                              r["doc_id"]))
+    expect = {}
+    for src, grp in itertools.groupby(rows, key=lambda r: r["source"]):
+        grp = list(grp)
+        n = len(grp)
+        for rank, r in enumerate(grp, start=1):
+            if 0.2 * n < rank <= 0.8 * n:
+                expect[r["doc_id"]] = rank
+    got = {r["doc_id"]: r["rank"] for r in out}
+    assert got == expect
+    assert all(r["n"] == 50 for r in out)
+
+
+def test_quantile_band_filter_constant_scores_keep_id_order(spark):
+    d = spark.createDataFrame([("s", i, 5.0) for i in range(10)],
+                              ["source", "doc_id", "score"])
+    out = quantile_band_filter(d, group_col="source", score_col="score",
+                               id_col="doc_id", lo=0.1, hi=0.9)
+    # span == 0 → single bucket; ranks follow doc_id; keep ranks 2..9
+    got = sorted((r["doc_id"], r["rank"]) for r in out.collect())
+    assert got == [(i, i + 1) for i in range(1, 9)]
+
+
+# --------------------------------------------------------------- MAD outliers
+
+def test_robust_outliers_flags_only_the_spike(spark):
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 1000.0]
+    d = spark.createDataFrame([(1, v) for v in vals], ["user_id", "value"])
+    [r] = robust_outliers(d, key_col="user_id", value_col="value").collect()
+    assert r["n"] == 8
+    assert r["n_outliers"] == 1
+    assert abs(r["med"] - 10.1) < 1e-9
+
+
+def test_robust_outliers_zero_mad_flags_every_deviant(spark):
+    d = spark.createDataFrame(
+        [(1, 5.0)] * 6 + [(1, 7.0), (1, 3.0)], ["user_id", "value"])
+    [r] = robust_outliers(d, key_col="user_id", value_col="value").collect()
+    assert r["mad"] == 0.0
+    assert r["n_outliers"] == 2
+
+
+# -------------------------------------------------------------------- Benford
+
+def test_benford_audit_uniform_digits_and_chi2(spark):
+    # 9 values, one per leading digit, spread over magnitudes
+    vals = [1.2, 23.0, 0.0031, 450.0, 5.5, 0.6, 71.0, 800.0, 9999.0]
+    d = spark.createDataFrame([(v,) for v in vals], ["value"])
+    out = {r["digit"]: r for r in benford_audit(d).collect()}
+    assert sorted(out) == list(range(1, 10))
+    assert all(r["n"] == 1 for r in out.values())
+    chi2 = next(iter(out.values()))["chi2"]
+    # uniform shares vs Benford expectation, n=9
+    exp = 9 * sum((1 / 9 - math.log10(1 + 1 / d)) ** 2
+                  / math.log10(1 + 1 / d) for d in range(1, 10))
+    assert abs(chi2 - exp) < 1e-4
+
+
+def test_benford_audit_excludes_zero_null_nan(spark):
+    d = spark.createDataFrame(
+        [(0.0,), (None,), (float("nan"),), (123.0,), (-20.0,)], ["value"])
+    out = {r["digit"]: r["n"] for r in benford_audit(d).collect()}
+    assert out == {1: 1, 2: 1}
