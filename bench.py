@@ -231,6 +231,8 @@ EXTRA = [
     "quantile_band_docs",
     "robust_outliers_events",
     "benford_values_events",
+    "source_minhash_similarity",
+    "vocab_coverage_sources",
 ]
 
 

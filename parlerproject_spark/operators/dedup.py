@@ -939,3 +939,49 @@ def keep_best_per_cluster(docs: DataFrame, clusters: DataFrame, *,
                 .alias("w"))
             .select(F.col(f"w.{id_col}").alias(id_col), "cluster_id",
                     F.col("w.score").alias("score")))
+
+
+def group_minhash_similarity(docs: DataFrame, *, group_col: str = "source",
+                             text_col: str = "text", n: int = 3,
+                             num_hashes: int = 12) -> DataFrame:
+    """Corpus-level similarity audit: pairwise estimated Jaccard
+    between GROUPS (sources, snapshots, domains) from per-group
+    MinHash signatures — "how much does src3 overlap src7" answered
+    without ever intersecting the groups' shingle sets.
+
+    The scale story is the sketch's mergeability: a group's
+    signature is min-per-permutation over its shingle hashes, so the
+    shuffle carries one partial-min row per (partition, group) —
+    map-side combine collapses the corpus before the exchange, and
+    signatures from separate ingest runs merge by element-wise min.
+    The pairwise stage is a broadcast self-join over the ≤|groups|-row
+    signature frame (BroadcastNestedLoopJoin on the < inequality —
+    G² cells of a tiny frame, never corpus-scale).
+
+    est_jaccard = matching permutations / num_hashes, the standard
+    unbiased MinHash estimate. Columns: src_a, src_b, n_match,
+    est_jaccard.
+    """
+    # shingles() keyed by the GROUP column: one row per doc still
+    # (tokenize/gram are per-row), but the hash table is keyed by
+    # group directly — no corpus-wide doc->group join
+    sh = shingles(docs, id_col=group_col, text_col=text_col, n=n)
+    aggs = [
+        F.min((F.col("sh") * MINHASH_A[i] + MINHASH_B[i]) % _P31)
+        .alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs) \
+        .withColumnRenamed("doc_id", group_col)
+    l, r = sig.alias("l"), sig.alias("r")
+    n_match = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"),
+                      F.lit(1)).otherwise(F.lit(0))
+        n_match = term if n_match is None else n_match + term
+    return (l.join(F.broadcast(r),
+                   F.col(f"l.{group_col}") < F.col(f"r.{group_col}"))
+            .select(F.col(f"l.{group_col}").alias("src_a"),
+                    F.col(f"r.{group_col}").alias("src_b"),
+                    n_match.cast("long").alias("n_match"))
+            .withColumn("est_jaccard",
+                        F.round(F.col("n_match") / num_hashes, 6)))

@@ -808,3 +808,43 @@ def token_js_divergence(docs: DataFrame, *, group_col: str = "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.col("__in") + 0.5 * ln2 * (1.0 - F.col("__qmass")), 6)
         .alias("js_divergence"))
+
+
+def vocab_coverage(docs: DataFrame, *, vocab_size: int = 1000,
+                   group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Per-group vocabulary coverage vs the corpus's top-V token
+    vocabulary — the tokenizer-QA report: how much of each source
+    would a V-word vocab leave out-of-vocabulary, by occurrence mass
+    and by distinct types.
+
+    The vocabulary is the top `vocab_size` corpus tokens by count
+    (token-asc tiebreak, fully deterministic). Top-V rides
+    orderBy+limit → TakeOrderedAndProject (parallel partial top-k,
+    no global sort materialized), then broadcasts into the
+    (group, token) count table — the corpus shuffles once for the
+    token counts and once for the (group, token) counts, both
+    map-side combined; nothing corpus-scale ever joins or sorts
+    globally.
+
+    Columns: <group_col>, n_tokens, n_types, oov_token_rate,
+    oov_type_rate (round 6; rate of occurrences / distinct tokens
+    NOT covered by the vocab).
+    """
+    tok = docs.select(F.col(group_col).alias("g"),
+                      F.explode(tokenize(text_col)).alias("t"))
+    vocab = (tok.groupBy("t").agg(F.count("*").alias("__c"))
+             .orderBy(F.col("__c").desc(), F.col("t").asc())
+             .limit(vocab_size)
+             .select("t", F.lit(1).alias("__in_v")))
+    gt = tok.groupBy("g", "t").agg(F.count("*").alias("c"))
+    cov = gt.join(F.broadcast(vocab), "t", "left")
+    in_v = F.col("__in_v").isNotNull().cast("long")
+    return (cov.groupBy("g")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_types"),
+                 F.round(1.0 - F.sum(F.col("c") * in_v) / F.sum("c"), 6)
+                 .alias("oov_token_rate"),
+                 F.round(1.0 - F.sum(in_v) / F.count("*"), 6)
+                 .alias("oov_type_rate"))
+            .withColumnRenamed("g", group_col))

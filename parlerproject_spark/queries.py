@@ -68,6 +68,8 @@ _DRIVER_PRIORITY: list[str] = [
     "quantile_band_docs",
     "robust_outliers_events",
     "benford_values_events",
+    "source_minhash_similarity",
+    "vocab_coverage_sources",
     "density_topic_assignments",
     "bradley_terry_sources",
     "k_anonymity_events",
@@ -8849,3 +8851,76 @@ def benford_values_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.profiling import benford_audit
     e = _t(spark, sf_dir, "events")
     return benford_audit(e, value_col="value").orderBy("digit")
+
+
+@register("source_minhash_similarity", f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
+  FROM (
+    SELECT source,
+           array_to_string(ts[i:i+2], ' ') AS gram
+    FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+    WHERE len(ts) >= 3)),
+sig AS (
+  SELECT source, {_MINHASH_MINS.replace("doc_id", "source")}
+  FROM grams GROUP BY source),
+pair AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END + CASE WHEN a.h8 = b.h8 THEN 1 ELSE 0 END + CASE WHEN a.h9 = b.h9 THEN 1 ELSE 0 END + CASE WHEN a.h10 = b.h10 THEN 1 ELSE 0 END + CASE WHEN a.h11 = b.h11 THEN 1 ELSE 0 END) AS n_match
+  FROM sig a JOIN sig b ON a.source < b.source)
+SELECT src_a, src_b, cast(n_match AS BIGINT) AS n_match,
+       round(n_match / 12.0, 6) AS est_jaccard
+FROM pair
+ORDER BY src_a, src_b
+""")
+def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimate from per-source MinHash
+    signatures (operators/dedup.group_minhash_similarity) — the
+    corpus-composition audit. Signatures are mergeable min-sketches
+    (one partial-min row per partition x group reaches the shuffle);
+    the G^2 pairwise stage is a broadcast nested-loop over the
+    |sources|-row signature frame. The oracle replays the exact
+    md5 + permutation family and the match count."""
+    d = _t(spark, sf_dir, "documents")
+    return (dedup.group_minhash_similarity(d, group_col="source")
+            .orderBy("src_a", "src_b"))
+
+
+@register("vocab_coverage_sources", """
+WITH tok AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents),
+vocab AS (
+  SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t)
+  ORDER BY c DESC, t LIMIT 30),
+gt AS (SELECT g, t, count(*) AS c FROM tok GROUP BY g, t),
+cov AS (
+  SELECT gt.g, gt.c, (v.t IS NOT NULL)::INT AS iv
+  FROM gt LEFT JOIN vocab v USING (t))
+SELECT g AS source, cast(sum(c) AS BIGINT) AS n_tokens,
+       cast(count(*) AS BIGINT) AS n_types,
+       round(1.0 - sum(c * iv)::DOUBLE / sum(c)::DOUBLE, 6)
+         AS oov_token_rate,
+       round(1.0 - sum(iv)::DOUBLE / count(*)::DOUBLE, 6)
+         AS oov_type_rate
+FROM cov GROUP BY g
+ORDER BY source
+""")
+def vocab_coverage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rates vs the corpus top-30 vocabulary
+    (operators/text_analysis.vocab_coverage) — the tokenizer-QA
+    report: occurrence-mass and type coverage a V-token vocab
+    achieves per source. Top-V is TakeOrderedAndProject (partial
+    top-k, no global sort), then broadcast into the (source, token)
+    counts."""
+    from parlerproject_spark.operators.text_analysis import vocab_coverage
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d, vocab_size=30, group_col="source") \
+        .orderBy("source")

@@ -172,3 +172,69 @@ def test_benford_audit_excludes_zero_null_nan(spark):
         [(0.0,), (None,), (float("nan"),), (123.0,), (-20.0,)], ["value"])
     out = {r["digit"]: r["n"] for r in benford_audit(d).collect()}
     assert out == {1: 1, 2: 1}
+
+
+# ------------------------------------------------- source minhash similarity
+
+def test_group_minhash_similarity_identical_groups_match_fully(spark):
+    from parlerproject_spark.operators.dedup import group_minhash_similarity
+    rows = []
+    for i in range(10):
+        text = f"alpha beta gamma delta epsilon zeta eta theta doc{i} words"
+        rows.append((i, "a", text))
+        rows.append((i + 100, "b", text))          # b is a copy of a
+        rows.append((i + 200, "c", f"totally different corpus {i} "
+                                   f"unrelated tokens here now then"))
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r["src_a"], r["src_b"]): r
+           for r in group_minhash_similarity(d, group_col="source").collect()}
+    assert out[("a", "b")]["n_match"] == 12          # identical shingle sets
+    assert out[("a", "b")]["est_jaccard"] == 1.0
+    assert out[("a", "c")]["n_match"] < 12
+
+
+def test_group_minhash_similarity_merges_like_a_sketch(spark):
+    # signature of (a ∪ b) == elementwise min of signatures — the
+    # mergeability property the 100-TB story rests on
+    from parlerproject_spark.operators.dedup import (group_minhash_similarity,
+                                                     minhash_signatures)
+    rows = [(i, "g", f"some shared text body number {i} with tokens")
+            for i in range(20)]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    half1 = d.filter(F.col("doc_id") < 10)
+    half2 = d.filter(F.col("doc_id") >= 10)
+    def sig(frame):
+        from parlerproject_spark.operators.dedup import shingles, \
+            MINHASH_A, MINHASH_B, _P31
+        sh = shingles(frame, id_col="source")
+        aggs = [F.min((F.col("sh") * MINHASH_A[i] + MINHASH_B[i]) % _P31)
+                .alias(f"h{i}") for i in range(12)]
+        [r] = sh.groupBy("doc_id").agg(*aggs).collect()
+        return [r[f"h{i}"] for i in range(12)]
+    full, s1, s2 = sig(d), sig(half1), sig(half2)
+    assert full == [min(a, b) for a, b in zip(s1, s2)]
+
+
+# ----------------------------------------------------------- vocab coverage
+
+def test_vocab_coverage_full_vocab_means_zero_oov(spark):
+    from parlerproject_spark.operators.text_analysis import vocab_coverage
+    d = spark.createDataFrame(
+        [(i, "s", "alpha beta gamma") for i in range(5)],
+        ["doc_id", "source", "text"])
+    [r] = vocab_coverage(d, vocab_size=10, group_col="source").collect()
+    assert r["oov_token_rate"] == 0.0 and r["oov_type_rate"] == 0.0
+    assert r["n_tokens"] == 15 and r["n_types"] == 3
+
+
+def test_vocab_coverage_rates_count_occurrences_vs_types(spark):
+    from parlerproject_spark.operators.text_analysis import vocab_coverage
+    # corpus: 'common' x6 dominates; vocab_size=1 keeps only it
+    d = spark.createDataFrame(
+        [(0, "s", "common common common rare1"),
+         (1, "s", "common common common rare2")],
+        ["doc_id", "source", "text"])
+    [r] = vocab_coverage(d, vocab_size=1, group_col="source").collect()
+    assert r["n_tokens"] == 8 and r["n_types"] == 3
+    assert r["oov_token_rate"] == 0.25      # 2 of 8 occurrences OOV
+    assert abs(r["oov_type_rate"] - 2 / 3) < 1e-6
