@@ -233,6 +233,8 @@ EXTRA = [
     "benford_values_events",
     "source_minhash_similarity",
     "vocab_coverage_sources",
+    "linear_trend_users",
+    "diff_in_diff_events",
 ]
 
 

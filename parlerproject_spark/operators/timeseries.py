@@ -202,3 +202,80 @@ def ses_level(df: DataFrame, *, key_col: str, bucket_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"),
                  F.round(F.sum(F.col("__c") * F.col("__x")), 6)
                  .alias("level")))
+
+
+#: x-axis origin for trend fits — 2024-01-01 UTC; centering the
+#: regressor keeps the normal-equation sums ~1e2-scale so the
+#: cross-engine float parity survives the regr_* subtractions
+#: (raw epoch seconds ~1.7e9 would cancel catastrophically).
+_TREND_EPOCH0 = 1_704_067_200
+
+
+def linear_trend(events: DataFrame, *, key_col: str = "user_id",
+                 ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Per-key OLS trend — slope / intercept / R² of value over time
+    (hours since 2024-01-01) — the drift-direction monitor behind
+    "is this user's / source's metric trending up": one keyed
+    aggregation using the regr_* aggregates (JVM-side running sums,
+    map-side combined — never a per-key sort or window; the same
+    one-pass normal-equation shape at any scale).
+
+    Keys with fewer than 2 points or zero time variance fit no line
+    and report nulls (regr_* semantics on both engines).
+
+    Columns: <key_col>, n, slope (value/hour), intercept, r2
+    (round 6).
+    """
+    x = ((F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6
+          - _TREND_EPOCH0) / 3600.0)
+    y = F.col(value_col).cast("double")
+    base = events.select(F.col(key_col), x.alias("__x"), y.alias("__y"))
+    return (base.groupBy(key_col)
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.regr_slope("__y", "__x"), 6).alias("slope"),
+                 F.round(F.regr_intercept("__y", "__x"), 6)
+                 .alias("intercept"),
+                 F.round(F.regr_r2("__y", "__x"), 6).alias("r2")))
+
+
+def diff_in_diff(events: DataFrame, *, unit_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 cutover: str = "2024-01-15",
+                 treat_expr=None) -> DataFrame:
+    """Difference-in-differences estimate for a cutover-style launch:
+    did = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre),
+    the parallel-trends-adjusted effect when randomization happened
+    at the UNIT level but exposure started at a point in time.
+
+    `treat_expr` defaults to the deterministic unit-hash arm
+    (stable_hash31 % 2 — the same assignment srm_check audits).
+    One four-cell aggregation over the scan (group by arm × period,
+    map-side combined) and a broadcast pivot of the 4-row frame —
+    nothing above cell granularity ever shuffles.
+
+    One row: n_cells plus per-cell means (pre_ctrl, post_ctrl,
+    pre_treat, post_treat) and did (round 6).
+    """
+    from parlerproject_spark.functions.text import stable_hash31
+    if treat_expr is None:
+        treat_expr = (stable_hash31(F.col(unit_col).cast("string")) % 2
+                      ).cast("int")
+    post = (F.col(ts_col).cast("timestamp")
+            >= F.lit(cutover).cast("timestamp")).cast("int")
+    cells = (events
+             .select(treat_expr.alias("__t"), post.alias("__p"),
+                     F.col(value_col).cast("double").alias("__y"))
+             .groupBy("__t", "__p")
+             .agg(F.avg("__y").alias("__m"), F.count("*").alias("__n")))
+    m = {(t, p): F.max(F.when((F.col("__t") == t) & (F.col("__p") == p),
+                              F.col("__m")))
+         for t in (0, 1) for p in (0, 1)}
+    return (cells.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.round(m[(0, 0)], 6).alias("pre_ctrl"),
+        F.round(m[(0, 1)], 6).alias("post_ctrl"),
+        F.round(m[(1, 0)], 6).alias("pre_treat"),
+        F.round(m[(1, 1)], 6).alias("post_treat"),
+        F.round((m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)]), 6)
+        .alias("did")))

@@ -70,6 +70,8 @@ _DRIVER_PRIORITY: list[str] = [
     "benford_values_events",
     "source_minhash_similarity",
     "vocab_coverage_sources",
+    "linear_trend_users",
+    "diff_in_diff_events",
     "density_topic_assignments",
     "bradley_terry_sources",
     "k_anonymity_events",
@@ -8924,3 +8926,53 @@ def vocab_coverage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return vocab_coverage(d, vocab_size=30, group_col="source") \
         .orderBy("source")
+
+
+@register("linear_trend_users", """
+SELECT user_id, cast(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, (epoch(ts) - 1704067200) / 3600.0), 6)
+         AS slope,
+       round(regr_intercept(value, (epoch(ts) - 1704067200) / 3600.0), 6)
+         AS intercept,
+       round(regr_r2(value, (epoch(ts) - 1704067200) / 3600.0), 6) AS r2
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""")
+def linear_trend_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value-over-time trend (operators/timeseries
+    .linear_trend): slope/intercept/R² from one keyed regr_*
+    aggregation — running normal-equation sums, no per-key sort. The
+    regressor is hours since 2024-01-01 so the cross-engine float
+    parity survives the regr_* subtractions."""
+    from parlerproject_spark.operators.timeseries import linear_trend
+    e = _t(spark, sf_dir, "events")
+    return linear_trend(e).orderBy("user_id")
+
+
+@register("diff_in_diff_events", """
+WITH cells AS (
+  SELECT ('0x' || substr(md5(cast(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 2147483647 % 2 AS t,
+         (ts >= TIMESTAMP '2024-01-15')::INT AS p,
+         avg(value) AS m, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT cast(sum(n) AS BIGINT) AS n,
+       round(max(CASE WHEN t = 0 AND p = 0 THEN m END), 6) AS pre_ctrl,
+       round(max(CASE WHEN t = 0 AND p = 1 THEN m END), 6) AS post_ctrl,
+       round(max(CASE WHEN t = 1 AND p = 0 THEN m END), 6) AS pre_treat,
+       round(max(CASE WHEN t = 1 AND p = 1 THEN m END), 6) AS post_treat,
+       round((max(CASE WHEN t = 1 AND p = 1 THEN m END)
+              - max(CASE WHEN t = 1 AND p = 0 THEN m END))
+             - (max(CASE WHEN t = 0 AND p = 1 THEN m END)
+                - max(CASE WHEN t = 0 AND p = 0 THEN m END)), 6) AS did
+FROM cells
+""")
+def diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences launch read-out (operators/timeseries
+    .diff_in_diff): unit-hash arms × pre/post 2024-01-15 cutover;
+    four-cell aggregation + one-row pivot — the parallel-trends
+    effect estimate with nothing above cell granularity shuffling."""
+    from parlerproject_spark.operators.timeseries import diff_in_diff
+    e = _t(spark, sf_dir, "events")
+    return diff_in_diff(e)

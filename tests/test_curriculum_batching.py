@@ -238,3 +238,53 @@ def test_vocab_coverage_rates_count_occurrences_vs_types(spark):
     assert r["n_tokens"] == 8 and r["n_types"] == 3
     assert r["oov_token_rate"] == 0.25      # 2 of 8 occurrences OOV
     assert abs(r["oov_type_rate"] - 2 / 3) < 1e-6
+
+
+# ------------------------------------------------------------- linear trend
+
+def test_linear_trend_recovers_exact_line(spark):
+    from datetime import datetime
+    from parlerproject_spark.operators.timeseries import linear_trend
+    # y = 2*x + 5 where x is hours since 2024-01-01
+    rows = [(1, datetime(2024, 1, 1, h), 2.0 * h + 5.0) for h in range(10)]
+    d = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    [r] = linear_trend(d).collect()
+    assert r["slope"] == 2.0 and r["intercept"] == 5.0 and r["r2"] == 1.0
+
+
+def test_linear_trend_degenerate_keys_yield_nulls(spark):
+    from datetime import datetime
+    from parlerproject_spark.operators.timeseries import linear_trend
+    d = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2), 3.0),                  # single point
+         (2, datetime(2024, 1, 2), 1.0),                  # zero time var
+         (2, datetime(2024, 1, 2), 9.0)],
+        ["user_id", "ts", "value"])
+    out = {r["user_id"]: r for r in linear_trend(d).collect()}
+    assert out[1]["slope"] is None
+    assert out[2]["slope"] is None
+
+
+# ------------------------------------------------------------ diff in diff
+
+def test_diff_in_diff_recovers_injected_effect(spark):
+    from datetime import datetime
+    from parlerproject_spark.operators.timeseries import diff_in_diff
+    rows = []
+    for u in range(40):
+        for day in (10, 20):                      # pre=10, post=20
+            base = 10.0 + (5.0 if day == 20 else 0.0)   # common shock +5
+            rows.append((u, datetime(2024, 1, day), base))
+    d = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    # no differential effect: did == 0 despite the +5 common shock
+    [r] = diff_in_diff(d).collect()
+    assert r["did"] == 0.0
+    # inject +3 on treated units post-cutover only
+    treated = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                  1, 15), 16, 10).cast("bigint")
+               % 2147483647 % 2 == 1)
+    post = F.col("ts") >= F.lit("2024-01-15").cast("timestamp")
+    d2 = d.withColumn("value", F.col("value")
+                      + F.when(treated & post, 3.0).otherwise(0.0))
+    [r2] = diff_in_diff(d2).collect()
+    assert r2["did"] == 3.0
