@@ -390,6 +390,16 @@ def curriculum_order(df: DataFrame, *, id_col: str, band_col: str,
     the window + two tiny aggregations.
 
     Columns: <id_col>, <band_col>, shard, order_idx.
+
+    Plan shape note: the size/offset branches re-scan the input
+    (3 narrow scans total) rather than sharing the window's
+    exchange. Deliberate: the branches map-side-combine to ≤B·S-row
+    partials before their exchanges, so the extra cost is two
+    projection-pruned column scans — forcing co-partitioning with
+    repartition() instead would push the FULL corpus through three
+    shuffles (measured), and a shared-subtree rewrite is defeated by
+    Catalyst correctly pruning the unused window from the count
+    branch.
     """
     key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
     staged = df.select(
