@@ -235,6 +235,8 @@ EXTRA = [
     "vocab_coverage_sources",
     "linear_trend_users",
     "diff_in_diff_events",
+    "stream_enrich_segments",
+    "psi_gate_events",
 ]
 
 

@@ -810,9 +810,9 @@ def token_js_divergence(docs: DataFrame, *, group_col: str = "source",
         .alias("js_divergence"))
 
 
-def vocab_coverage(docs: DataFrame, *, vocab_size: int = 1000,
-                   group_col: str = "source",
-                   text_col: str = "text") -> DataFrame:
+def group_oov_rates(docs: DataFrame, *, vocab_size: int = 1000,
+                    group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
     """Per-group vocabulary coverage vs the corpus's top-V token
     vocabulary — the tokenizer-QA report: how much of each source
     would a V-word vocab leave out-of-vocabulary, by occurrence mass

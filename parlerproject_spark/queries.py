@@ -72,6 +72,8 @@ _DRIVER_PRIORITY: list[str] = [
     "vocab_coverage_sources",
     "linear_trend_users",
     "diff_in_diff_events",
+    "stream_enrich_segments",
+    "psi_gate_events",
     "density_topic_assignments",
     "bradley_terry_sources",
     "k_anonymity_events",
@@ -8917,14 +8919,14 @@ ORDER BY source
 """)
 def vocab_coverage_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source OOV rates vs the corpus top-30 vocabulary
-    (operators/text_analysis.vocab_coverage) — the tokenizer-QA
+    (operators/text_analysis.group_oov_rates) — the tokenizer-QA
     report: occurrence-mass and type coverage a V-token vocab
     achieves per source. Top-V is TakeOrderedAndProject (partial
     top-k, no global sort), then broadcast into the (source, token)
     counts."""
-    from parlerproject_spark.operators.text_analysis import vocab_coverage
+    from parlerproject_spark.operators.text_analysis import group_oov_rates
     d = _t(spark, sf_dir, "documents")
-    return vocab_coverage(d, vocab_size=30, group_col="source") \
+    return group_oov_rates(d, vocab_size=30, group_col="source") \
         .orderBy("source")
 
 
@@ -8976,3 +8978,72 @@ def diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.timeseries import diff_in_diff
     e = _t(spark, sf_dir, "events")
     return diff_in_diff(e)
+
+
+@register("stream_enrich_segments", """
+SELECT c.c_mktsegment AS segment,
+       cast(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment NULLS FIRST
+""")
+def stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (streaming/events
+    .enrich_with_dim): events look up the customer segment via a
+    broadcast left join — on a stream the static side re-resolves
+    per micro-batch (dim refresh without restart); the oracle checks
+    the identical batch plan. Unmatched users keep a null segment
+    (the miss-rate is visible, not silently dropped)."""
+    from parlerproject_spark.streaming.events import enrich_with_dim
+    e = _t(spark, sf_dir, "events")
+    dim = (_t(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    return (enrich_with_dim(e, dim, key_col="user_id", how="left")
+            .groupBy("segment")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy(F.col("segment").asc_nulls_first()))
+
+
+@register("psi_gate_events", """
+WITH b AS (
+  SELECT CASE WHEN value < 10 THEN 0 WHEN value < 20 THEN 1
+              WHEN value < 40 THEN 2 WHEN value < 80 THEN 3
+              ELSE 4 END AS bucket, ts
+  FROM events),
+ref AS (SELECT bucket, count(*) AS c FROM b
+        WHERE ts < TIMESTAMP '2024-01-15' GROUP BY bucket),
+spine AS (SELECT unnest(range(0, 5)) AS bucket),
+refq AS (
+  SELECT s.bucket,
+         coalesce(r.c, 0)::DOUBLE / (SELECT sum(c) FROM ref) AS q
+  FROM spine s LEFT JOIN ref r USING (bucket)),
+cur AS (SELECT bucket, count(*) AS c FROM b
+        WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY bucket),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cur),
+terms AS (
+  SELECT coalesce(cur.c, 0) AS n_b,
+         (greatest(coalesce(cur.c, 0) / t, 1e-6)
+            - greatest(q, 1e-6))
+         * ln(greatest(coalesce(cur.c, 0) / t, 1e-6)
+              / greatest(q, 1e-6)) AS term
+  FROM refq LEFT JOIN cur USING (bucket) CROSS JOIN tot)
+SELECT cast(sum(n_b) AS BIGINT) AS n, round(sum(term), 6) AS psi,
+       (sum(n_b) > 0 AND round(sum(term), 6) > 0.2) AS alert
+FROM terms
+""")
+def psi_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch PSI drift gate (streaming/events.batch_psi_gate):
+    the post-2024-01-15 "batch" gated against the pre-cutover
+    reference shares (value_bucket_shares) — one bucket count + a
+    5-row broadcast join per trigger. Batch plan == the foreachBatch
+    body; the oracle replays buckets, floors and the rounded-psi
+    alert rule."""
+    from parlerproject_spark.streaming.events import (batch_psi_gate,
+                                                      value_bucket_shares)
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    ref = value_bucket_shares(e.filter(F.col("ts") < cut))
+    return batch_psi_gate(e.filter(F.col("ts") >= cut), ref)

