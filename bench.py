@@ -237,6 +237,12 @@ EXTRA = [
     "diff_in_diff_events",
     "stream_enrich_segments",
     "psi_gate_events",
+    "margin_pairs_embeddings",
+    "bleu_pairs_docs",
+    "grouped_roc_auc_sources",
+    "ips_policy_value_events",
+    "t_closeness_events",
+    "association_source_lang",
 ]
 
 

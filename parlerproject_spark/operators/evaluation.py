@@ -221,3 +221,196 @@ def fleiss_kappa(ratings: DataFrame, *, n_raters: int,
                     F.round("p_e", 6).alias("p_e"),
                     F.round((F.col("p_bar") - F.col("p_e"))
                             / (1.0 - F.col("p_e")), 6).alias("kappa")))
+
+
+def bleu_pairs(cand: DataFrame, ref: DataFrame, *,
+               pair_col: str = "pair_id", text_col: str = "text",
+               eps: float = 1e-9) -> DataFrame:
+    """Corpus-scale sentence-BLEU-2 between aligned (candidate,
+    reference) text pairs — the standard n-gram-overlap score for
+    generation/translation eval (Papineni et al. 2002): clipped
+    modified precision p_n for n∈{1,2}, brevity penalty
+    exp(min(0, 1−r/c)), geometric mean with ε-smoothing for
+    zero-overlap pairs.
+
+    Scale shape: tokens explode ONCE per side into (pair, n, gram)
+    count tables (spread_input first — the ~tokens× blow-up must not
+    run inside the scan's few splits); clipping is one LEFT join of
+    candidate counts onto reference counts followed by a pair-keyed
+    aggregation. No windows, no driver state; every stage is keyed
+    on pair_id (+ gram) and map-side combinable. Reference-only
+    grams never join (they clip to 0 by construction), so the join's
+    left side bounds the shuffle.
+
+    Determinism contract: p1/p2/bp are HALF_UP-rounded at 6 dp and
+    the BLEU geometric mean is computed FROM the rounded components,
+    so the score is CTE-replayable cross-engine.
+
+    Columns: pair_id, n_cand, n_ref, p1, p2, bp, bleu.
+    """
+    from parlerproject_spark.operators.layout import spread_input
+
+    def toks(df):
+        ws = F.filter(F.split(F.col(text_col), r"\s+"),
+                      lambda t: F.length(t) > 0)
+        return spread_input(
+            df.select(F.col(pair_col).alias("__pid"), ws.alias("__ws")))
+
+    def grams(tdf):
+        c = F.col("__ws")
+        # sequence(1, 0) would generate a DESCENDING ramp — guard
+        # sub-bigram docs explicitly
+        bi = F.when(F.size(c) >= 2, F.transform(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(c, i),
+                                  F.element_at(c, i + 1)))
+        ).otherwise(F.array().cast("array<string>"))
+        uni = tdf.select("__pid", F.lit(1).alias("__n"),
+                         F.explode(c).alias("__g"))
+        big = tdf.select("__pid", F.lit(2).alias("__n"),
+                         F.explode(bi).alias("__g"))
+        return (uni.unionByName(big)
+                .groupBy("__pid", "__n", "__g")
+                .agg(F.count(F.lit(1)).alias("__c")))
+
+    ct, rt = toks(cand), toks(ref)
+    lens = (ct.select("__pid", F.size("__ws").cast("long").alias("n_cand"))
+            .join(rt.select("__pid",
+                            F.size("__ws").cast("long").alias("n_ref")),
+                  "__pid"))
+    cc = grams(ct)
+    rc = grams(rt).withColumnRenamed("__c", "__r")
+    cl = (cc.join(rc, ["__pid", "__n", "__g"], "left")
+          .groupBy("__pid", "__n")
+          .agg(F.sum(F.least("__c", F.coalesce("__r", F.lit(0))))
+               .alias("__clip"),
+               F.sum("__c").alias("__tot")))
+    p = (cl.groupBy("__pid")
+         .agg(*[F.round(F.max(F.when(F.col("__n") == n,
+                                     F.col("__clip") / F.col("__tot"))), 6)
+                .alias(f"p{n}") for n in (1, 2)]))
+    bp_raw = F.when(F.col("n_cand") >= F.col("n_ref"), F.lit(1.0)) \
+        .otherwise(F.exp(1.0 - F.col("n_ref") / F.col("n_cand")))
+    out = (lens.join(p, "__pid", "left")
+           .select(F.col("__pid").alias(pair_col), "n_cand", "n_ref",
+                   F.coalesce("p1", F.lit(0.0)).alias("p1"),
+                   F.coalesce("p2", F.lit(0.0)).alias("p2"),
+                   F.when(F.col("n_cand") > 0, F.round(bp_raw, 6))
+                   .otherwise(F.lit(0.0)).alias("bp")))
+    bleu = F.round(
+        F.col("bp") * F.exp(
+            0.5 * F.log(F.greatest("p1", F.lit(eps)))
+            + 0.5 * F.log(F.greatest("p2", F.lit(eps)))), 6)
+    return out.withColumn("bleu", bleu)
+
+
+def grouped_roc_auc(df: DataFrame, group_cols: list[str], *,
+                    score_col: str = "score", label_col: str = "label",
+                    n_buckets: int = 1024) -> DataFrame:
+    """Per-slice ROC-AUC — one exact tie-corrected AUC per group
+    (per source, per language, per annotator batch): the sliced-eval
+    readout that catches a classifier scoring 0.9 overall while
+    failing one slice entirely.
+
+    Same cumulative-histogram identity as `roc_auc` (AUC = Σ pos·
+    (neg_below + neg_tied/2) / (P·N)), and the same shuffle-bounded
+    prefix-sum discipline, but the GROUP key makes both windows
+    naturally partitioned: per-(group, score) histogram → per-group
+    range-bucketing (floor over (s−lo)/(hi−lo), IEEE-monotone) →
+    cross-bucket offsets from a window over the ≤n_buckets bucket
+    rows `partitionBy(group)` → within-bucket prefix
+    `partitionBy(group, bucket)`. Every exchange is keyed on the
+    group (+ bucket); no structure anywhere exceeds a group's
+    distinct-score count split B ways. Single-class groups report
+    auc NULL (no ranking exists), not a divide-by-zero.
+
+    Columns: *group_cols, n_pos, n_neg, auc.
+    """
+    lab = F.col(label_col).cast("int")
+    per = (df.select(*group_cols,
+                     F.col(score_col).cast("double").alias("__s"),
+                     lab.alias("__y"))
+           .groupBy(*group_cols, "__s")
+           .agg(F.sum("__y").alias("__pos"),
+                F.sum(1 - F.col("__y")).alias("__neg")))
+    bounds = (per.groupBy(*group_cols)
+              .agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi")))
+    span = F.col("__hi") - F.col("__lo")
+    # NaN scores (floor → null) land in the top bucket: NaN sorts
+    # above every double in both the bucketing and the ORDER BY
+    bucket = F.coalesce(
+        F.when(span > 0,
+               F.least(F.floor((F.col("__s") - F.col("__lo"))
+                               / span * n_buckets),
+                       F.lit(n_buckets - 1))).otherwise(F.lit(0)),
+        F.lit(n_buckets - 1)).cast("long")
+    b = (per.join(bounds, list(group_cols))
+         .select(*group_cols, "__s", "__pos", "__neg",
+                 bucket.alias("__b")))
+    wo = (Window.partitionBy(*group_cols).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    btot = (b.groupBy(*group_cols, "__b")
+            .agg(F.sum("__neg").alias("__bneg"))
+            .select(*group_cols, "__b",
+                    F.coalesce(F.sum("__bneg").over(wo), F.lit(0))
+                    .alias("__off")))
+    wi = (Window.partitionBy(*group_cols, "__b").orderBy("__s")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    neg_below = (F.col("__off")
+                 + F.coalesce(F.sum("__neg").over(wi), F.lit(0)))
+    contrib = F.col("__pos") * (neg_below.cast("double")
+                                + F.col("__neg") / 2.0)
+    return (b.join(btot, [*group_cols, "__b"])
+            .select(*group_cols, "__pos", "__neg", contrib.alias("__c"))
+            .groupBy(*group_cols)
+            .agg(F.sum("__pos").cast("long").alias("n_pos"),
+                 F.sum("__neg").cast("long").alias("n_neg"),
+                 F.round(F.try_divide(F.sum("__c"),
+                                      F.sum("__pos") * F.sum("__neg")), 6)
+                 .alias("auc")))
+
+
+def off_policy_value(logs: DataFrame, target_probs: dict, *,
+                     action_col: str = "action",
+                     reward_col: str = "reward") -> DataFrame:
+    """Off-policy (counterfactual) evaluation of a target policy from
+    logged interaction data — IPS and SNIPS estimators (Horvitz-
+    Thompson / self-normalized importance sampling; Swaminathan &
+    Joachims 2015): "what reward would policy π have earned on the
+    traffic we already logged?" without deploying it.
+
+    The logging policy's propensities are estimated empirically
+    (μ(a) = logged share of action a — the standard move when the
+    logger didn't record μ); `target_probs` maps action → π(a)
+    (actions absent from the map get π=0, i.e. the target never
+    plays them). Per-row weight w = π(a)/μ(a); IPS = mean(w·r),
+    SNIPS = Σ(w·r)/Σw, ESS = (Σw)²/Σw² — the effective sample size
+    that says whether the estimate is worth trusting — and max_w,
+    the single-weight concentration diagnostic.
+
+    Scale: ONE aggregation over actions (the ≤|actions|-row
+    propensity dim, broadcast back) + ONE global aggregation over
+    the weighted scan. No windows, no corpus-sized shuffle — the
+    same cost as any global mean at 100 TB.
+
+    Columns (one row): n, ips, snips, ess, max_w (all round 6).
+    """
+    mu = (logs.groupBy(action_col)
+          .agg(F.count(F.lit(1)).alias("__na")))
+    tot = logs.agg(F.count(F.lit(1)).alias("__n"))
+    pi = F.coalesce(*[F.when(F.col(action_col) == a, F.lit(float(p)))
+                      for a, p in sorted(target_probs.items())],
+                    F.lit(0.0))
+    w = pi / (F.col("__na") / F.col("__n"))
+    base = (logs.join(F.broadcast(mu), action_col)
+            .crossJoin(F.broadcast(tot))
+            .select(w.alias("__w"),
+                    (w * F.col(reward_col)).alias("__wr")))
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("__wr"), 6).alias("ips"),
+        F.round(F.try_divide(F.sum("__wr"), F.sum("__w")), 6).alias("snips"),
+        F.round(F.try_divide(F.sum("__w") * F.sum("__w"),
+                             F.sum(F.col("__w") * F.col("__w"))), 6)
+        .alias("ess"),
+        F.round(F.max("__w"), 6).alias("max_w"))

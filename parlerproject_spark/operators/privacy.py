@@ -184,3 +184,44 @@ def dp_group_counts(df: DataFrame, group_cols: list[str], *,
             .agg(F.count(F.lit(1)).alias("__n"))
             .select(*group_cols,
                     F.round(F.col("__n") + noise, 6).alias("dp_count")))
+
+
+def t_closeness_audit(df: DataFrame, quasi_cols: list[str],
+                      sensitive_col: str, *, t: float = 0.2) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    step past k-anonymity/l-diversity: a class can hold many rows
+    AND many distinct sensitive values yet still disclose (90%
+    one diagnosis, say). t-closeness bounds how far each
+    equivalence class's sensitive-value DISTRIBUTION drifts from
+    the table-wide one: total-variation distance
+    TVD = ½(Σ_present |q_v − p_v| + Σ_absent p_v), where the absent
+    mass folds in as 1 − Σ_present p_v (classes never see every
+    category).
+
+    Shape: one (quasi, sensitive) cell count → class totals (quasi-
+    keyed) + the global category distribution (≤|categories| rows,
+    broadcast back) → one class-keyed aggregation. Nothing above
+    cell granularity shuffles; the audit scales like any two-level
+    count rollup.
+
+    Columns: *quasi_cols, n (class size), tvd (round 6),
+    breach (tvd > t). One row per equivalence class.
+    """
+    cell = (df.groupBy(*quasi_cols, sensitive_col)
+            .agg(F.count(F.lit(1)).alias("__c")))
+    cls = (cell.groupBy(*quasi_cols)
+           .agg(F.sum("__c").alias("__n")))
+    glob = (cell.groupBy(sensitive_col)
+            .agg(F.sum("__c").alias("__g")))
+    tot = glob.agg(F.sum("__g").alias("__tot"))
+    gshare = (glob.crossJoin(F.broadcast(tot))
+              .select(sensitive_col,
+                      (F.col("__g") / F.col("__tot")).alias("__p")))
+    per = (cell.join(cls, list(quasi_cols))
+           .join(F.broadcast(gshare), sensitive_col))
+    tvd = 0.5 * (F.sum(F.abs(F.col("__c") / F.col("__n") - F.col("__p")))
+                 + (1.0 - F.sum("__p")))
+    return (per.groupBy(*quasi_cols)
+            .agg(F.max("__n").cast("long").alias("n"),
+                 F.round(tvd, 6).alias("tvd"))
+            .withColumn("breach", F.col("tvd") > t))

@@ -309,3 +309,54 @@ def benford_audit(df: DataFrame, *, value_col: str = "value") -> DataFrame:
                     F.round(share, 6).alias("share"),
                     F.round(expected, 6).alias("expected"),
                     F.round("__chi2", 6).alias("chi2")))
+
+
+def association_audit(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Categorical-association audit between two columns — the
+    confound/leakage detector a training pipeline runs before
+    trusting a slice design: chi-square statistic over the
+    contingency table, Cramér's V (chi² normalized to [0,1] by
+    n·(min(R,C)−1) — effect size, comparable across tables), and
+    mutual information in nats (Σ p_ij·ln(p_ij/(p_i·p_j)) over
+    observed cells). V≈0 means the columns are safe to cross in
+    splits; V→1 means one predicts the other (e.g. language
+    confounded with source, so a by-source split leaks language).
+
+    Shape: one (a,b) cell aggregation → the contingency table
+    (bounded by |A|·|B| — categorical by contract) → marginals as
+    two tiny broadcast dims → one global row. Expected counts stay
+    an EXPRESSION on the joined cell frame; no cross join of
+    marginals materializes missing cells (they contribute 0 to MI
+    and their chi² mass is added via the closed form
+    chi² = n·(Σ n_ij²/(r_i·c_j) − 1), which needs observed cells
+    only).
+
+    Columns (one row): n, n_a, n_b, dof, chi2, cramers_v, mi.
+    """
+    cell = (df.groupBy(a_col, b_col)
+            .agg(F.count(F.lit(1)).alias("__c")))
+    ra = cell.groupBy(a_col).agg(F.sum("__c").alias("__ra"))
+    cb = cell.groupBy(b_col).agg(F.sum("__c").alias("__cb"))
+    j = (cell.join(F.broadcast(ra), a_col)
+         .join(F.broadcast(cb), b_col))
+    n = F.sum("__c")
+    # chi2 over observed cells only: n * (sum n_ij^2/(r_i c_j) - 1)
+    chi2 = n * (F.sum(F.col("__c") * F.col("__c")
+                      / (F.col("__ra") * F.col("__cb"))) - 1.0)
+    na = F.count_distinct(F.col(a_col))
+    nb = F.count_distinct(F.col(b_col))
+    # MI rewritten so no aggregate nests inside the sum:
+    # Σ(c/n)·ln(c·n/(ra·cb)) = Σ c·ln(c/(ra·cb))/n + ln(n)
+    mi = (F.sum(F.col("__c")
+                * F.log(F.col("__c")
+                        / (F.col("__ra") * F.col("__cb")))) / n
+          + F.log(n))
+    dof = (na - 1) * (nb - 1)
+    v = F.sqrt(F.try_divide(chi2, n * (F.least(na, nb) - 1.0)))
+    return j.agg(n.cast("long").alias("n"),
+                 na.cast("long").alias("n_a"),
+                 nb.cast("long").alias("n_b"),
+                 dof.cast("long").alias("dof"),
+                 F.round(chi2, 6).alias("chi2"),
+                 F.round(v, 6).alias("cramers_v"),
+                 F.round(mi, 6).alias("mi"))

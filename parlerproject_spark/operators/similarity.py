@@ -788,3 +788,102 @@ def mmr_rerank(vectors: DataFrame, query: DataFrame, *,
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
+                       margin_threshold: float = 1.0, mutual: bool = True,
+                       mode: str = "exact", dim: int | None = None,
+                       num_planes: int = 4, num_tables: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       impl: str = "arrow") -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    the CCMatrix/LASER bitext-mining criterion): score every
+    candidate (src, tgt) pair by its cosine RELATIVE to each side's
+    neighborhood — margin(a,b) = cos(a,b) / ((fwd_k(a)+bwd_k(b))/2)
+    where fwd_k/bwd_k are the mean of the k best cosines from that
+    row into the OTHER side — then keep mutual best-margin matches
+    above `margin_threshold`. The ratio cancels hubness: a vector
+    whose neighborhood is uniformly hot must beat its own
+    neighborhood to mine a pair, which raw-cosine thresholds get
+    wrong (the reference's embedding store, code/embeddings.py:119,
+    is exactly the kind of corpus this pairs across snapshots).
+
+    mode='exact': all-pairs cosine, tgt broadcast — the correctness
+    baseline for bounded sides (an eval alignment set, one ingest
+    batch vs a reference slice). mode='lsh': pairs form only inside
+    shared random-hyperplane buckets (same deterministic plane
+    family as knn_lsh) and fwd/bwd means run over the CANDIDATE
+    sims — the 100 TB shape: cost follows neighborhood density,
+    recall < 1 by design (pytest measures it against exact).
+
+    Determinism contract: sims are HALF_UP-rounded at 6 dp before
+    the top-k means (rn tie-break: sim desc, partner id asc), the
+    margin is rounded at 6 dp, and best-match selection compares the
+    ROUNDED margin with ascending-id tie-breaks — bit-stable across
+    engines, CTE-replayable. All windows are partitioned by a side's
+    id; every join is keyed. Columns: src_id, tgt_id, sim, margin.
+    """
+    from pyspark.sql.window import Window
+
+    from parlerproject_spark.operators.dedup import _pair_cosine_scorer
+    from parlerproject_spark.operators.layout import spread_input
+
+    a = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = tgt.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    id_t = src.schema[id_col].dataType.simpleString()
+    if mode == "exact":
+        # spread FIRST: the |src|×|tgt| blow-up must not run inside
+        # the scan's few input splits
+        pairs = spread_input(a).join(F.broadcast(b))
+    elif mode == "lsh":
+        if dim is None:
+            raise ValueError("lsh mode requires dim=")
+        sig_a = _signatures_arrow(a, vec_col="va", key_cols=["id_a"],
+                                  dim=dim, num_planes=num_planes,
+                                  num_tables=num_tables)
+        sig_b = _signatures_arrow(b, vec_col="vb", key_cols=["id_b"],
+                                  dim=dim, num_planes=num_planes,
+                                  num_tables=num_tables)
+        cand = (sig_a.select("id_a", "tbl", "sig")
+                .join(sig_b.select("id_b", "tbl", "sig"), ["tbl", "sig"])
+                .select("id_a", "id_b").distinct())
+        pairs = (cand.join(a, "id_a").join(b, "id_b")
+                 .select("id_a", "va", "id_b", "vb"))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    if impl == "arrow":
+        sims = pairs.select("id_a", "va", "id_b", "vb").mapInPandas(
+            _pair_cosine_scorer(-2.0),
+            schema=f"id_a {id_t}, id_b {id_t}, sim double")
+    else:
+        sims = pairs.select(
+            "id_a", "id_b",
+            (F.round(cosine("va", "vb"), 6) + F.lit(0.0)).alias("sim"))
+    wf = Window.partitionBy("id_a").orderBy(F.col("sim").desc(),
+                                            F.col("id_b").asc())
+    wb = Window.partitionBy("id_b").orderBy(F.col("sim").desc(),
+                                            F.col("id_a").asc())
+    fwd = (sims.withColumn("__rn", F.row_number().over(wf))
+           .filter(F.col("__rn") <= k)
+           .groupBy("id_a").agg(F.avg("sim").alias("__fwd")))
+    bwd = (sims.withColumn("__rn", F.row_number().over(wb))
+           .filter(F.col("__rn") <= k)
+           .groupBy("id_b").agg(F.avg("sim").alias("__bwd")))
+    scored = (sims.join(fwd, "id_a").join(bwd, "id_b")
+              .select("id_a", "id_b", "sim",
+                      F.round(F.col("sim")
+                              / ((F.col("__fwd") + F.col("__bwd")) / 2),
+                              6).alias("margin")))
+    ba = Window.partitionBy("id_a").orderBy(F.col("margin").desc(),
+                                            F.col("id_b").asc())
+    best = (scored.withColumn("__ra", F.row_number().over(ba))
+            .filter(F.col("__ra") == 1).drop("__ra"))
+    if mutual:
+        bb = Window.partitionBy("id_b").orderBy(F.col("margin").desc(),
+                                                F.col("id_a").asc())
+        rb = (scored.withColumn("__rb", F.row_number().over(bb))
+              .filter(F.col("__rb") == 1).select("id_a", "id_b"))
+        best = best.join(rb, ["id_a", "id_b"], "left_semi")
+    return (best.filter(F.col("margin") >= margin_threshold)
+            .select(F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("tgt_id"), "sim", "margin"))

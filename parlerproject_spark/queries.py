@@ -63,6 +63,12 @@ _DRIVER_PRIORITY: list[str] = [
     # last-row-error queries (their local oracle is green but the
     # driver has never recorded it), then ascending last-sampled
     # round.
+    "margin_pairs_embeddings",
+    "bleu_pairs_docs",
+    "grouped_roc_auc_sources",
+    "ips_policy_value_events",
+    "t_closeness_events",
+    "association_source_lang",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9047,3 +9053,281 @@ def psi_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("2024-01-15").cast("timestamp")
     ref = value_bucket_shares(e.filter(F.col("ts") < cut))
     return batch_psi_gate(e.filter(F.col("ts") >= cut), ref)
+
+
+@register("margin_pairs_embeddings", """
+WITH src AS (
+  SELECT vec_id AS id_a, embedding AS va FROM embeddings
+  WHERE vec_id % 2 = 0),
+tgt AS (
+  SELECT vec_id AS id_b, embedding AS vb FROM embeddings
+  WHERE vec_id % 2 <> 0),
+px AS (
+  SELECT s.id_a, t.id_b,
+         unnest(s.va)::DOUBLE AS x, unnest(t.vb)::DOUBLE AS y
+  FROM src s, tgt t),
+sims AS (
+  SELECT id_a, id_b,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM px GROUP BY id_a, id_b),
+fwd AS (
+  SELECT id_a, avg(sim) AS f FROM (
+    SELECT id_a, sim,
+           row_number() OVER (PARTITION BY id_a
+                              ORDER BY sim DESC, id_b ASC) AS rn
+    FROM sims) WHERE rn <= 4 GROUP BY id_a),
+bwd AS (
+  SELECT id_b, avg(sim) AS b FROM (
+    SELECT id_b, sim,
+           row_number() OVER (PARTITION BY id_b
+                              ORDER BY sim DESC, id_a ASC) AS rn
+    FROM sims) WHERE rn <= 4 GROUP BY id_b),
+m AS (
+  SELECT s.id_a, s.id_b, s.sim,
+         round(s.sim / ((fwd.f + bwd.b) / 2), 6) AS margin
+  FROM sims s JOIN fwd USING (id_a) JOIN bwd USING (id_b)),
+ba AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY margin DESC, id_b ASC) AS ra
+  FROM m),
+bb AS (
+  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b
+                                        ORDER BY margin DESC, id_a ASC) AS rb
+  FROM m)
+SELECT a.id_a AS src_id, a.id_b AS tgt_id, a.sim, a.margin
+FROM ba a JOIN bb USING (id_a, id_b)
+WHERE a.ra = 1 AND rb = 1 AND a.margin >= 1.05
+ORDER BY src_id
+""")
+def margin_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019;
+    similarity.margin_pair_mining): the even-id embedding snapshot
+    half mines its mutual best-margin partner in the odd half —
+    cosine relative to each side's k=4 neighborhood mean, mutual
+    argmax, margin ≥ 1.05. The CCMatrix criterion for aligning two
+    corpus snapshots (or two languages) by embedding alone; raw
+    cosine thresholds can't cancel hubness, the margin ratio does.
+    Exact mode here (bounded snapshot sides, broadcast target); the
+    lsh mode is the 100 TB bucketed path (recall pytest)."""
+    from parlerproject_spark.operators.similarity import margin_pair_mining
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 != 0)
+    return (margin_pair_mining(src, tgt, k=4, margin_threshold=1.05,
+                               mutual=True)
+            .orderBy("src_id"))
+
+
+@register("bleu_pairs_docs", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents),
+pairs AS (
+  SELECT c.doc_id AS pair_id, c.ws AS cws, r.ws AS rws
+  FROM toks c JOIN toks r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 2 = 0),
+cg AS (
+  SELECT pair_id, 1 AS n, unnest(cws) AS g FROM pairs
+  UNION ALL
+  SELECT pair_id, 2 AS n,
+         unnest(list_transform(range(1, len(cws)),
+                               i -> cws[i] || ' ' || cws[i + 1])) AS g
+  FROM pairs),
+rg AS (
+  SELECT pair_id, 1 AS n, unnest(rws) AS g FROM pairs
+  UNION ALL
+  SELECT pair_id, 2 AS n,
+         unnest(list_transform(range(1, len(rws)),
+                               i -> rws[i] || ' ' || rws[i + 1])) AS g
+  FROM pairs),
+cc AS (SELECT pair_id, n, g, count(*) AS c FROM cg GROUP BY pair_id, n, g),
+rc AS (SELECT pair_id, n, g, count(*) AS r FROM rg GROUP BY pair_id, n, g),
+cl AS (
+  SELECT cc.pair_id, cc.n,
+         sum(least(cc.c, coalesce(rc.r, 0))) AS clip,
+         sum(cc.c) AS tot
+  FROM cc LEFT JOIN rc USING (pair_id, n, g)
+  GROUP BY cc.pair_id, cc.n),
+p AS (
+  SELECT pair_id,
+         round(max(CASE WHEN n = 1 THEN clip::DOUBLE / tot END), 6) AS p1,
+         round(max(CASE WHEN n = 2 THEN clip::DOUBLE / tot END), 6) AS p2
+  FROM cl GROUP BY pair_id),
+base AS (
+  SELECT pr.pair_id, len(pr.cws)::BIGINT AS n_cand,
+         len(pr.rws)::BIGINT AS n_ref,
+         coalesce(p.p1, 0.0) AS p1, coalesce(p.p2, 0.0) AS p2,
+         CASE WHEN len(pr.cws) = 0 THEN 0.0
+              WHEN len(pr.cws) >= len(pr.rws) THEN 1.0
+              ELSE round(exp(1.0 - len(pr.rws)::DOUBLE / len(pr.cws)), 6)
+         END AS bp
+  FROM pairs pr LEFT JOIN p USING (pair_id))
+SELECT pair_id, n_cand, n_ref, p1, p2, bp,
+       round(bp * exp(0.5 * ln(greatest(p1, 1e-9))
+                      + 0.5 * ln(greatest(p2, 1e-9))), 6) AS bleu
+FROM base
+ORDER BY pair_id
+""")
+def bleu_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-BLEU-2 over aligned doc pairs
+    (evaluation.bleu_pairs): every even doc_id is a "candidate"
+    scored against doc_id+1 as its "reference" — the generation-eval
+    metric (Papineni et al. 2002) run as a corpus-scale batch job:
+    clipped modified 1/2-gram precision via count-table left join,
+    brevity penalty, ε-smoothed geometric mean. All stages pair-keyed
+    aggs; the clipped-overlap join is the only shuffle that sees
+    gram granularity."""
+    from parlerproject_spark.operators.evaluation import bleu_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = (d.filter(F.col("doc_id") % 2 == 0)
+            .select(F.col("doc_id").alias("pair_id"), "text"))
+    ref = (d.filter(F.col("doc_id") % 2 != 0)
+           .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
+    return (bleu_pairs(cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
+                       ref.join(cand.select("pair_id"), "pair_id", "left_semi"))
+            .orderBy("pair_id"))
+
+
+@register("grouped_roc_auc_sources", """
+WITH base AS (
+  SELECT source, CAST(n_chars AS DOUBLE) / (n_chars + 100.0) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+per AS (
+  SELECT source, s, sum(y) AS pos, sum(1 - y) AS neg
+  FROM base GROUP BY source, s),
+cum AS (
+  SELECT source, pos, neg,
+         coalesce(sum(neg) OVER (PARTITION BY source ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS nb
+  FROM per)
+SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       round(sum(pos * (CAST(nb AS DOUBLE) + neg / 2.0))
+             / (CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6)
+         AS auc
+FROM cum GROUP BY source
+ORDER BY source
+""")
+def grouped_roc_auc_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC (evaluation.grouped_roc_auc) of the
+    length-based quality score vs the lang=='en' weak label — the
+    sliced-eval companion to roc_auc_docs: a classifier can hold
+    0.9 corpus-wide and fail one source outright; slice evals are
+    how that ships visible. Same bucketed two-level prefix sum, but
+    the source key makes every window naturally partitioned."""
+    from parlerproject_spark.operators.evaluation import grouped_roc_auc
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        (F.col("n_chars").cast("double")
+         / (F.col("n_chars") + 100.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    return grouped_roc_auc(d, ["source"]).orderBy("source")
+
+
+@register("ips_policy_value_events", """
+WITH mu AS (
+  SELECT event_type, count(*) AS na FROM events GROUP BY event_type),
+tot AS (SELECT count(*) AS n FROM events),
+base AS (
+  SELECT (CASE WHEN e.event_type = 'purchase' THEN 0.6
+               ELSE 0.1 END) / (CAST(mu.na AS DOUBLE) / tot.n) AS w,
+         e.value
+  FROM events e JOIN mu USING (event_type) CROSS JOIN tot)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(avg(w * value), 6) AS ips,
+       round(sum(w * value) / sum(w), 6) AS snips,
+       round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
+       round(max(w), 6) AS max_w
+FROM base
+""")
+def ips_policy_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual policy value (evaluation.off_policy_value):
+    IPS/SNIPS estimate of a purchase-seeking target policy
+    (π(purchase)=0.6, 0.1 elsewhere) on the logged event stream,
+    with empirical logging propensities, effective-sample-size and
+    max-weight diagnostics — offline policy eval without a deploy."""
+    from parlerproject_spark.operators.evaluation import off_policy_value
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("action"),
+        F.col("value").alias("reward"))
+    probs = {t: (0.6 if t == "purchase" else 0.1)
+             for t in ("view", "click", "purchase", "signup", "error")}
+    return off_policy_value(e, probs)
+
+
+@register("t_closeness_events", """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         least(CAST(floor(value / 20.0) AS BIGINT), 4) AS vb
+  FROM events),
+cell AS (
+  SELECT event_type, d, vb, count(*) AS c FROM base
+  GROUP BY event_type, d, vb),
+cls AS (
+  SELECT event_type, d, sum(c) AS n FROM cell GROUP BY event_type, d),
+gd AS (SELECT vb, sum(c) AS g FROM cell GROUP BY vb),
+tot AS (SELECT sum(g) AS t FROM gd),
+gs AS (SELECT vb, g::DOUBLE / t AS p FROM gd CROSS JOIN tot),
+per AS (
+  SELECT cell.event_type, cell.d, cls.n,
+         abs(cell.c::DOUBLE / cls.n - gs.p) AS term, gs.p
+  FROM cell JOIN cls USING (event_type, d) JOIN gs USING (vb))
+SELECT event_type, d,
+       CAST(max(n) AS BIGINT) AS n,
+       round(0.5 * (sum(term) + (1.0 - sum(p))), 6) AS tvd,
+       (round(0.5 * (sum(term) + (1.0 - sum(p))), 6) > 0.2) AS breach
+FROM per GROUP BY event_type, d
+ORDER BY event_type, d
+""")
+def t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (privacy.t_closeness_audit) over
+    events: quasi-identifiers (event_type, date), sensitive
+    attribute = banded value (five 20-unit bands) — per-class
+    total-variation distance from the table-wide band distribution,
+    breach flag at t=0.2. The disclosure check l-diversity misses:
+    a class can be diverse and still skewed."""
+    from parlerproject_spark.operators.privacy import t_closeness_audit
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"),
+        F.least(F.floor(F.col("value") / 20.0),
+                F.lit(4)).cast("long").alias("vb"))
+    return (t_closeness_audit(ev, ["event_type", "d"], "vb", t=0.2)
+            .orderBy("event_type", "d"))
+
+
+@register("association_source_lang", """
+WITH cell AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+ra AS (SELECT source, sum(c) AS r FROM cell GROUP BY source),
+cb AS (SELECT lang, sum(c) AS cc FROM cell GROUP BY lang),
+j AS (
+  SELECT cell.c, ra.r, cb.cc FROM cell
+  JOIN ra USING (source) JOIN cb USING (lang))
+SELECT CAST(sum(c) AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM ra) AS BIGINT) AS n_a,
+       CAST((SELECT count(*) FROM cb) AS BIGINT) AS n_b,
+       CAST(((SELECT count(*) FROM ra) - 1)
+            * ((SELECT count(*) FROM cb) - 1) AS BIGINT) AS dof,
+       round(sum(c) * (sum(c::DOUBLE * c / (r * cc)) - 1.0), 6) AS chi2,
+       round(sqrt(sum(c) * (sum(c::DOUBLE * c / (r * cc)) - 1.0)
+                  / (sum(c) * (least((SELECT count(*) FROM ra),
+                                     (SELECT count(*) FROM cb)) - 1.0))), 6)
+         AS cramers_v,
+       round(sum(c * ln(c::DOUBLE / (r * cc))) / sum(c) + ln(sum(c)), 6)
+         AS mi
+FROM j
+""")
+def association_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×language association audit (profiling.association_audit):
+    chi-square, Cramér's V and mutual information over the
+    contingency table — the confound check before any by-source
+    split or slice eval (if V is high, "balanced by source" silently
+    unbalances language). Observed-cell closed forms only; nothing
+    above (source, lang) cells shuffles."""
+    from parlerproject_spark.operators.profiling import association_audit
+    d = _t(spark, sf_dir, "documents").select("source", "lang")
+    return association_audit(d, "source", "lang")

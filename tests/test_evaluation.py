@@ -185,3 +185,100 @@ def test_kaplan_meier_horizon_censoring_mode(spark):
     out = _km(spark, rows, horizon_days=7)
     assert set(out) == {4}
     assert out[4]["n_risk"] == 2 and out[4]["survival"] == 0.5
+
+
+class TestBleuPairs:
+    def _run(self, spark, rows):
+        from parlerproject_spark.operators.evaluation import bleu_pairs
+        cand = spark.createDataFrame([(i, c) for i, (c, _) in enumerate(rows)],
+                                     "pair_id long, text string")
+        ref = spark.createDataFrame([(i, r) for i, (_, r) in enumerate(rows)],
+                                    "pair_id long, text string")
+        return {r.pair_id: r for r in bleu_pairs(cand, ref).collect()}
+
+    def test_identity_scores_one(self, spark):
+        out = self._run(spark, [("the cat sat on the mat",
+                                 "the cat sat on the mat")])
+        r = out[0]
+        assert (r.p1, r.p2, r.bp, r.bleu) == (1.0, 1.0, 1.0, 1.0)
+
+    def test_disjoint_scores_epsilon(self, spark):
+        r = self._run(spark, [("aa bb cc", "xx yy zz")])[0]
+        assert r.p1 == 0.0 and r.p2 == 0.0 and r.bleu < 1e-8
+
+    def test_brevity_penalty(self, spark):
+        # candidate shorter than reference: bp = exp(1 - r/c)
+        import math
+        r = self._run(spark, [("the cat", "the cat sat on mat")])[0]
+        assert r.n_cand == 2 and r.n_ref == 5
+        assert abs(r.bp - round(math.exp(1 - 5 / 2), 6)) < 1e-9
+        # clipping: "the the the" vs one "the" in ref -> p1 = 1/3
+        r2 = self._run(spark, [("the the the", "the cat")])[0]
+        assert abs(r2.p1 - round(1 / 3, 6)) < 1e-6
+
+    def test_sub_bigram_docs_total(self, spark):
+        # one-token candidate: no bigrams, p2 -> 0, frame stays total
+        out = self._run(spark, [("cat", "cat"), ("", "cat dog")])
+        assert out[0].p1 == 1.0 and out[0].p2 == 0.0
+        assert out[1].bp == 0.0 and out[1].bleu == 0.0
+
+
+class TestGroupedRocAuc:
+    def test_matches_per_group_roc_auc(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+        from parlerproject_spark.catalog import load_table
+        from parlerproject_spark.operators.evaluation import (grouped_roc_auc,
+                                                              roc_auc)
+        docs = load_table(spark, "documents", sf_dir).select(
+            "source",
+            (F.col("n_chars").cast("double") / (F.col("n_chars") + 100.0))
+            .alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label"))
+        got = {r.source: (r.n_pos, r.n_neg, r.auc)
+               for r in grouped_roc_auc(docs, ["source"]).collect()}
+        for src in list(got)[:3]:
+            solo = roc_auc(docs.filter(F.col("source") == src)).collect()[0]
+            assert got[src] == (solo.n_pos, solo.n_neg, solo.auc), src
+
+    def test_separated_and_single_class_slices(self, spark):
+        from parlerproject_spark.operators.evaluation import grouped_roc_auc
+        rows = ([("sep", float(i), 1 if i >= 50 else 0) for i in range(100)]
+                + [("mono", float(i), 1) for i in range(40)])
+        df = spark.createDataFrame(rows, "g string, score double, label int")
+        out = {r.g: r for r in grouped_roc_auc(df, ["g"]).collect()}
+        assert out["sep"].auc == 1.0
+        assert out["mono"].auc is None and out["mono"].n_neg == 0
+
+
+class TestOffPolicyValue:
+    def _logs(self, spark, rows):
+        return spark.createDataFrame(rows, "action string, reward double")
+
+    def test_identity_policy_is_on_policy_mean(self, spark):
+        # pi == empirical mu -> every weight is exactly 1: IPS ==
+        # SNIPS == plain mean, ESS == n, max_w == 1
+        from parlerproject_spark.operators.evaluation import off_policy_value
+        rows = [("a", 10.0)] * 3 + [("b", 20.0)] * 1
+        out = off_policy_value(self._logs(spark, rows),
+                               {"a": 0.75, "b": 0.25}).collect()[0]
+        assert (out.n, out.ips, out.snips, out.ess, out.max_w) == \
+            (4, 12.5, 12.5, 4.0, 1.0)
+
+    def test_target_shift_reweights(self, spark):
+        # pi plays only "b": rows logged as "a" get w=0 and the
+        # estimate collapses to b's mean (SNIPS) / b-mass (IPS)
+        from parlerproject_spark.operators.evaluation import off_policy_value
+        rows = [("a", 10.0), ("a", 10.0), ("b", 40.0), ("b", 20.0)]
+        out = off_policy_value(self._logs(spark, rows),
+                               {"b": 1.0}).collect()[0]
+        # w_b = 1.0 / 0.5 = 2 -> ips = (0+0+80+40)/4 = 30
+        assert out.ips == 30.0 and out.snips == 30.0
+        assert out.max_w == 2.0
+
+    def test_unlisted_action_gets_zero_prob(self, spark):
+        from parlerproject_spark.operators.evaluation import off_policy_value
+        rows = [("a", 10.0), ("c", 99.0)]
+        out = off_policy_value(self._logs(spark, rows),
+                               {"a": 1.0}).collect()[0]
+        # c contributes weight 0: ips = (1/0.5*10 + 0)/2 = 10
+        assert out.ips == 10.0 and out.n == 2

@@ -185,3 +185,27 @@ def test_embedding_drift_fixed_points(spark):
     assert s["mean_cosine"] == 1.0
     assert s["norm_ratio"] == 2.0
     assert s["mean_l2_shift"] > 0
+
+
+class TestTCloseness:
+    def test_identical_distribution_scores_zero(self, spark):
+        from parlerproject_spark.operators.privacy import t_closeness_audit
+        # both classes mirror the global 50/50 split -> tvd 0, no breach
+        rows = [("c1", s) for s in ("a", "b") * 4] \
+            + [("c2", s) for s in ("a", "b") * 2]
+        df = spark.createDataFrame(rows, "q string, s string")
+        out = {r.q: r for r in t_closeness_audit(df, ["q"], "s").collect()}
+        assert out["c1"].tvd == 0.0 and not out["c1"].breach
+        assert out["c2"].tvd == 0.0 and out["c2"].n == 4
+
+    def test_concentrated_class_breaches(self, spark):
+        from parlerproject_spark.operators.privacy import t_closeness_audit
+        # global: a=5/8, b=3/8. c2 is all-b (absent 'a' folds in as p_a)
+        rows = ([("c1", "a")] * 5 + [("c1", "b")]) + [("c2", "b")] * 2
+        df = spark.createDataFrame(rows, "q string, s string")
+        out = {r.q: r for r in
+               t_closeness_audit(df, ["q"], "s", t=0.2).collect()}
+        # c2: tvd = 0.5*(|1 - 3/8| + (1 - 3/8)) = 5/8
+        assert out["c2"].tvd == 0.625 and out["c2"].breach
+        # c1: q_a=5/6 vs p_a=5/8, q_b=1/6 vs p_b=3/8 -> tvd = 5/24
+        assert abs(out["c1"].tvd - round(5 / 24, 6)) < 1e-9

@@ -110,3 +110,35 @@ def test_schema_diff_classifies_all_changes(spark, tmp_path):
            for r in schema_diff(spark, a, b).collect()}
     assert got == {"id": "same", "gone": "removed",
                    "mut": "type_changed", "fresh": "added"}
+
+
+class TestAssociationAudit:
+    def _run(self, spark, rows):
+        from parlerproject_spark.operators.profiling import association_audit
+        df = spark.createDataFrame(rows, "a string, b string")
+        return association_audit(df, "a", "b").collect()[0]
+
+    def test_independent_columns_score_zero(self, spark):
+        # perfectly balanced 2x2: chi2 = 0, V = 0, MI = 0
+        rows = [(a, b) for a in "xy" for b in "uv" for _ in range(3)]
+        r = self._run(spark, rows)
+        assert (r.chi2, r.cramers_v, r.mi) == (0.0, 0.0, 0.0)
+        assert r.n == 12 and r.dof == 1
+
+    def test_perfect_association(self, spark):
+        import math
+        # a determines b: V = 1, MI = ln(2) (uniform 2-class)
+        rows = [("x", "u")] * 4 + [("y", "v")] * 4
+        r = self._run(spark, rows)
+        assert r.cramers_v == 1.0
+        assert abs(r.mi - round(math.log(2), 6)) < 1e-9
+        assert r.chi2 == 8.0          # n * (min(R,C)-1) at V=1
+
+    def test_hand_2x2_chi2(self, spark):
+        # cells: xu=3, xv=1, yu=1, yv=3 -> chi2 = n(sum c^2/(r c) - 1)
+        rows = ([("x", "u")] * 3 + [("x", "v")]
+                + [("y", "u")] + [("y", "v")] * 3)
+        r = self._run(spark, rows)
+        expect = 8 * ((9 + 1 + 1 + 9) / 16.0 - 1.0)
+        assert abs(r.chi2 - round(expect, 6)) < 1e-9
+        assert r.n_a == 2 and r.n_b == 2
