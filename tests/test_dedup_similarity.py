@@ -518,3 +518,37 @@ def test_embedding_near_dups_exact_arrow_expr_parity(spark, sf_dir):
          for r in dedup.embedding_near_dups(
              emb, threshold=0.3, mode="exact", impl="expr").collect()}
     assert a == e
+
+
+class TestTruncationRecall:
+    def test_full_width_is_sanity_one(self, spark):
+        import numpy as np
+        from parlerproject_spark.operators.similarity import (
+            truncation_recall)
+        rng = np.random.default_rng(9)
+        rows = [(i, rng.normal(size=16).tolist()) for i in range(60)]
+        vec = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+        q = spark.createDataFrame([(rows[0][1],)], "q array<double>")
+        out = {r.dim: r for r in
+               truncation_recall(vec, q, dims=[4, 16], k=10).collect()}
+        assert out[16].recall == 1.0 and out[16].hits == 10
+        assert 0.0 <= out[4].recall <= 1.0
+
+    def test_prefix_constant_vectors_keep_recall(self, spark):
+        import numpy as np
+        from parlerproject_spark.operators.similarity import (
+            truncation_recall)
+        # information lives entirely in the first 4 dims: the rest is
+        # a shared constant tail, so truncation to 4 loses nothing
+        rng = np.random.default_rng(3)
+        rows = [(i, rng.normal(size=4).tolist() + [1.0] * 12)
+                for i in range(40)]
+        vec = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+        q = spark.createDataFrame([(rows[0][1],)], "q array<double>")
+        out = {r.dim: r.recall for r in
+               truncation_recall(vec, q, dims=[4, 16], k=8).collect()}
+        # not exactly 1.0 (norm of the tail still reweights) but the
+        # prefix carries the ranking: most of the top-k survives
+        assert out[4] >= 0.5 and out[16] == 1.0

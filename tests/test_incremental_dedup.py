@@ -123,3 +123,34 @@ def test_ngram_pairs_to_canonical_end_to_end(spark):
     # docs 1/2/4 collapse to one survivor; 3 and 5 remain
     assert 3 in ids and 5 in ids
     assert len(ids & {1, 2, 4}) == 1
+
+
+class TestIntraDocRepeatedSpans:
+    def _run(self, spark, texts, n=2):
+        from parlerproject_spark.operators.dedup import (
+            intra_doc_repeated_spans)
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        return [(r.doc_id, r.start, r.end, r.masked_tokens)
+                for r in intra_doc_repeated_spans(df, n=n)
+                .orderBy("doc_id", "start").collect()]
+
+    def test_single_repeat_masks_second_occurrence(self, spark):
+        # "a b" repeats at positions 1 and 4 -> mask tokens 4-5 only
+        out = self._run(spark, ["a b c a b"])
+        assert out == [(0, 4, 5, 2)]
+
+    def test_adjacent_spans_merge_into_island(self, spark):
+        # "a a a a": bigram "a a" at 1,2,3 -> 2 and 3 masked,
+        # spans [2,3] and [3,4] merge to one island [2,4]
+        out = self._run(spark, ["a a a a"])
+        assert out == [(0, 2, 4, 3)]
+
+    def test_no_repeats_no_rows_and_short_docs(self, spark):
+        out = self._run(spark, ["a b c d", "x", ""])
+        assert out == []
+
+    def test_trigram_mode(self, spark):
+        # "a b c" repeats (pos 1 and 5) at n=3 -> mask [5,7]
+        out = self._run(spark, ["a b c x a b c"], n=3)
+        assert out == [(0, 5, 7, 3)]
