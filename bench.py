@@ -245,6 +245,9 @@ EXTRA = [
     "association_source_lang",
     "repetition_spans_docs",
     "truncation_recall_embeddings",
+    "selection_parity_sources",
+    "conformal_coverage_docs",
+    "weak_label_summary_docs",
 ]
 
 

@@ -414,3 +414,83 @@ def off_policy_value(logs: DataFrame, target_probs: dict, *,
                              F.sum(F.col("__w") * F.col("__w"))), 6)
         .alias("ess"),
         F.round(F.max("__w"), 6).alias("max_w"))
+
+
+def selection_rate_parity(df: DataFrame, group_col: str, *,
+                          flag_col: str = "selected") -> DataFrame:
+    """Selection-rate parity audit across slices — the
+    four-fifths-rule check a filtering/selection stage passes before
+    its output ships: per-group selection rate, the gap to the
+    best-treated group, and the disparate-impact ratio
+    (rate / max rate; the EEOC 4/5ths convention flags ratio < 0.8).
+    For a data pipeline "selection" is the quality gate — a filter
+    that keeps 60% of one source and 15% of another silently
+    reweights the corpus.
+
+    One group-keyed aggregation + a broadcast of the 1-row global
+    extrema — the same cost as any per-group rate at 100 TB.
+
+    Columns: <group_col>, n, n_selected, rate, rate_gap (max rate −
+    rate), impact_ratio (rate / max rate), below_four_fifths.
+    """
+    g = (df.groupBy(group_col)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col(flag_col).cast("int")).alias("n_selected")))
+    g = g.withColumn("rate", F.col("n_selected") / F.col("n"))
+    mx = g.agg(F.max("rate").alias("__mx"))
+    return (g.crossJoin(F.broadcast(mx))
+            .select(group_col, F.col("n").cast("long").alias("n"),
+                    F.col("n_selected").cast("long").alias("n_selected"),
+                    F.round("rate", 6).alias("rate"),
+                    F.round(F.col("__mx") - F.col("rate"), 6)
+                    .alias("rate_gap"),
+                    F.round(F.try_divide(F.col("rate"), F.col("__mx")), 6)
+                    .alias("impact_ratio"))
+            .withColumn("below_four_fifths",
+                        F.col("impact_ratio") < 0.8))
+
+
+def conformal_coverage(df: DataFrame, *, score_col: str = "score",
+                       label_col: str = "label",
+                       alpha: float = 0.1,
+                       split_expr=None) -> DataFrame:
+    """Split-conformal calibration check (Vovk et al.; Angelopoulos
+    & Bates 2021 tutorial form) for a probabilistic binary
+    classifier: split the frame into calibration/test halves via
+    `split_expr`, take the conformal quantile q̂ = the
+    ⌈(n+1)(1−α)⌉-th smallest calibration nonconformity
+    (s(x,y) = 1 − p̂(y|x)), and report the test-side coverage of
+    {s ≤ q̂} — which the conformal guarantee puts at ≥ 1−α
+    regardless of the model.
+
+    The order statistic is a distributed top-k cut (ascending
+    TakeOrdered k → max), NOT a global rank window. The rank k needs
+    the calibration COUNT first: that is one count() action reading
+    a single scalar — metadata-sized, the same bounded-driver-read
+    class as the d-row moment collect in pca.py — after which the
+    scoring plan is fully declarative. At 100 TB the count is a
+    partial-aggregated scan; nothing corpus-sized ever converges.
+
+    Columns (one row): n_calib, n_test, qhat, coverage, target.
+    """
+    if split_expr is None:
+        raise ValueError("pass split_expr (deterministic, e.g. hash-based)")
+    s = F.when(F.col(label_col).cast("int") == 1,
+               1.0 - F.col(score_col).cast("double")) \
+        .otherwise(F.col(score_col).cast("double"))
+    base = df.select(s.alias("__s"), split_expr.alias("__cal"))
+    cal = base.filter(F.col("__cal")).select("__s")
+    test = base.filter(~F.col("__cal")).select("__s")
+    import math
+    n_cal = cal.count()          # bounded scalar action (see docstring)
+    k = min(n_cal, int(math.ceil((n_cal + 1) * (1 - alpha))))
+    q = (cal.orderBy(F.col("__s").asc()).limit(k)
+         .agg(F.max("__s").alias("__q")))
+    return (test.crossJoin(F.broadcast(q))
+            .agg(F.lit(n_cal).cast("long").alias("n_calib"),
+                 F.count(F.lit(1)).cast("long").alias("n_test"),
+                 F.round(F.max("__q"), 6).alias("qhat"),
+                 F.round(F.avg((F.col("__s") <= F.col("__q"))
+                               .cast("double")), 6).alias("coverage"))
+            .select("n_calib", "n_test", "qhat", "coverage",
+                    F.round(F.lit(1 - alpha), 6).alias("target")))

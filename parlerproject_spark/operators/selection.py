@@ -389,3 +389,76 @@ def quantile_band_filter(df: DataFrame, *, group_col: str,
                     & (F.col("rank") <= F.lit(hi) * F.col("__n")))
             .select(group_col, id_col, F.col("__s").alias(score_col),
                     "rank", F.col("__n").alias("n")))
+
+
+def weak_label_summary(df: DataFrame, lf_cols: list[str], *,
+                       truth_col: str | None = None) -> DataFrame:
+    """Labeling-function diagnostics for programmatic/weak
+    supervision (the Snorkel LF-summary table, Ratner et al. 2017):
+    each LF votes {-1, 0, 1} per row (0 = abstain); the summary
+    reports, per LF — coverage (non-abstain share), overlap (share
+    of rows where ≥1 OTHER LF also votes), conflict (share where
+    another LF votes the OPPOSITE sign), majority-agreement (share
+    of its votes matching the per-row majority of non-abstain
+    votes), and, with `truth_col`, empirical accuracy on labeled
+    rows. This is the triage view that decides which weak rule to
+    fix before label-model training.
+
+    Shape: ONE pass computes every per-row quantity as expressions
+    (votes, majority sign, pairwise disagreement counts derive from
+    the row's own LF columns — no self-join, no explode), then one
+    aggregation per LF folded into a single global agg + unpivot to
+    one row per LF. Constant-width state regardless of corpus size.
+
+    Columns: lf, n_votes, coverage, overlap, conflict,
+    majority_agreement, accuracy (null without truth).
+    """
+    n_lfs = len(lf_cols)
+    vote = {c: F.col(c).cast("int") for c in lf_cols}
+    nonzero = {c: (vote[c] != 0).cast("int") for c in lf_cols}
+    tot_votes = sum(nonzero[c] for c in lf_cols)
+    tot_sum = sum(vote[c] for c in lf_cols)
+    maj = F.signum(tot_sum)
+    rows = df.select(
+        *[vote[c].alias(f"__v_{i}") for i, c in enumerate(lf_cols)],
+        tot_votes.alias("__nv"), maj.alias("__maj"),
+        *([F.col(truth_col).cast("int").alias("__y")]
+          if truth_col else [F.lit(None).cast("int").alias("__y")]))
+    aggs = []
+    for i in range(n_lfs):
+        v = F.col(f"__v_{i}")
+        voted = (v != 0).cast("int")
+        others = F.col("__nv") - voted
+        opp = sum((F.col(f"__v_{j}") == -v).cast("int")
+                  for j in range(n_lfs) if j != i) * voted
+        aggs += [
+            F.sum(voted).alias(f"n_{i}"),
+            F.avg(voted.cast("double")).alias(f"cov_{i}"),
+            F.avg(((others > 0) & (voted == 1)).cast("double"))
+             .alias(f"ovl_{i}"),
+            F.avg((opp > 0).cast("double")).alias(f"cfl_{i}"),
+            F.try_divide(F.sum(((v == F.col("__maj")) & (voted == 1))
+                               .cast("int")), F.sum(voted))
+             .alias(f"agr_{i}"),
+            F.try_divide(
+                F.sum(F.when(F.col("__y").isNotNull() & (voted == 1)
+                             & (v == F.when(F.col("__y") == 1, 1)
+                                .otherwise(-1)), 1).otherwise(0)),
+                F.sum(F.when(F.col("__y").isNotNull(), voted)
+                      .otherwise(0))).alias(f"acc_{i}"),
+        ]
+    one = rows.agg(*aggs)
+    parts = []
+    for i, c in enumerate(lf_cols):
+        parts.append(one.select(
+            F.lit(c).alias("lf"),
+            F.col(f"n_{i}").cast("long").alias("n_votes"),
+            F.round(f"cov_{i}", 6).alias("coverage"),
+            F.round(f"ovl_{i}", 6).alias("overlap"),
+            F.round(f"cfl_{i}", 6).alias("conflict"),
+            F.round(f"agr_{i}", 6).alias("majority_agreement"),
+            F.round(f"acc_{i}", 6).alias("accuracy")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

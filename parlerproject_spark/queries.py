@@ -71,6 +71,9 @@ _DRIVER_PRIORITY: list[str] = [
     "association_source_lang",
     "repetition_spans_docs",
     "truncation_recall_embeddings",
+    "selection_parity_sources",
+    "conformal_coverage_docs",
+    "weak_label_summary_docs",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9422,3 +9425,157 @@ def truncation_recall_embeddings(spark: SparkSession,
     return (truncation_recall(emb, _query_vec(spark, sf_dir),
                               dims=[8, 16, 32, 64], k=10)
             .orderBy("dim"))
+
+
+@register("selection_parity_sources", """
+WITH g AS (
+  SELECT source, count(*) AS n,
+         sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS n_selected
+  FROM documents GROUP BY source),
+r AS (SELECT source, n, n_selected, n_selected::DOUBLE / n AS rate FROM g),
+mx AS (SELECT max(rate) AS m FROM r)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(n_selected AS BIGINT) AS n_selected,
+       round(rate, 6) AS rate,
+       round(m - rate, 6) AS rate_gap,
+       round(rate / m, 6) AS impact_ratio,
+       (round(rate / m, 6) < 0.8) AS below_four_fifths
+FROM r CROSS JOIN mx
+ORDER BY source
+""")
+def selection_parity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-rate parity audit (evaluation.selection_rate_parity)
+    of a length gate (n_chars >= 500) across sources — the
+    four-fifths-rule check that a quality filter isn't silently
+    reweighting the corpus: per-source keep rate, gap to the
+    best-treated source, disparate-impact ratio with the 0.8 flag."""
+    from parlerproject_spark.operators.evaluation import (
+        selection_rate_parity)
+    d = _t(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") >= 500).alias("selected"))
+    return (selection_rate_parity(d, "source").orderBy("source"))
+
+
+@register("conformal_coverage_docs", """
+WITH base AS (
+  SELECT CASE WHEN lang = 'en'
+              THEN 1.0 - CAST(n_chars AS DOUBLE) / (n_chars + 100.0)
+              ELSE CAST(n_chars AS DOUBLE) / (n_chars + 100.0) END AS s,
+         (doc_id % 2 = 0) AS cal
+  FROM documents),
+ncal AS (SELECT count(*) AS n FROM base WHERE cal),
+kk AS (SELECT least(n, CAST(ceil((n + 1) * 0.9) AS BIGINT)) AS k, n
+       FROM ncal),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s ASC) AS rn
+  FROM base WHERE cal),
+q AS (SELECT max(s) AS qhat FROM ranked, kk WHERE rn <= kk.k)
+SELECT CAST((SELECT n FROM ncal) AS BIGINT) AS n_calib,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round((SELECT qhat FROM q), 6) AS qhat,
+       round(avg(CASE WHEN s <= (SELECT qhat FROM q)
+                      THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+       0.9 AS target
+FROM base WHERE NOT cal
+""")
+def conformal_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage check (evaluation.conformal_coverage)
+    at α=0.1 for the length-based lang=='en' pseudo-classifier:
+    even doc_ids calibrate, odd test; q̂ is the ⌈(n+1)·0.9⌉-th
+    smallest calibration nonconformity via a distributed TakeOrdered
+    cut, and the reported test coverage carries the ≥0.9 conformal
+    guarantee. The oracle replays the same rank with a single-node
+    window (windows are free in DuckDB; the ENGINE side never ranks
+    globally)."""
+    from parlerproject_spark.operators.evaluation import conformal_coverage
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars").cast("double")
+         / (F.col("n_chars") + 100.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+        (F.col("doc_id") % 2 == 0).alias("cal"))
+    return conformal_coverage(d, alpha=0.1, split_expr=F.col("cal"))
+
+
+@register("weak_label_summary_docs", """
+WITH v AS (
+  SELECT CASE WHEN n_chars >= 600 THEN 1
+              WHEN n_chars < 200 THEN -1 ELSE 0 END AS v0,
+         CASE WHEN contains(text, ' the ') THEN 1 ELSE 0 END AS v1,
+         CASE WHEN contains(text, ' la ') OR contains(text, ' der ')
+              THEN -1 ELSE 0 END AS v2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+r AS (
+  SELECT v0, v1, v2, y,
+         (CASE WHEN v0 <> 0 THEN 1 ELSE 0 END
+          + CASE WHEN v1 <> 0 THEN 1 ELSE 0 END
+          + CASE WHEN v2 <> 0 THEN 1 ELSE 0 END) AS nv,
+         sign(v0 + v1 + v2) AS maj
+  FROM v),
+s AS (
+  SELECT
+    sum(CASE WHEN v0 <> 0 THEN 1 ELSE 0 END) AS n_0,
+    avg(CASE WHEN v0 <> 0 THEN 1.0 ELSE 0.0 END) AS cov_0,
+    avg(CASE WHEN v0 <> 0 AND nv - 1 > 0 THEN 1.0 ELSE 0.0 END) AS ovl_0,
+    avg(CASE WHEN v0 <> 0 AND ((v1 = -v0 AND v1 <> 0)
+             OR (v2 = -v0 AND v2 <> 0)) THEN 1.0 ELSE 0.0 END) AS cfl_0,
+    sum(CASE WHEN v0 <> 0 AND v0 = maj THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN v0 <> 0 THEN 1 ELSE 0 END) AS agr_0,
+    sum(CASE WHEN v0 <> 0 AND v0 = CASE WHEN y = 1 THEN 1 ELSE -1 END
+             THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN v0 <> 0 THEN 1 ELSE 0 END) AS acc_0,
+    sum(CASE WHEN v1 <> 0 THEN 1 ELSE 0 END) AS n_1,
+    avg(CASE WHEN v1 <> 0 THEN 1.0 ELSE 0.0 END) AS cov_1,
+    avg(CASE WHEN v1 <> 0 AND nv - 1 > 0 THEN 1.0 ELSE 0.0 END) AS ovl_1,
+    avg(CASE WHEN v1 <> 0 AND ((v0 = -v1 AND v0 <> 0)
+             OR (v2 = -v1 AND v2 <> 0)) THEN 1.0 ELSE 0.0 END) AS cfl_1,
+    sum(CASE WHEN v1 <> 0 AND v1 = maj THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN v1 <> 0 THEN 1 ELSE 0 END) AS agr_1,
+    sum(CASE WHEN v1 <> 0 AND v1 = CASE WHEN y = 1 THEN 1 ELSE -1 END
+             THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN v1 <> 0 THEN 1 ELSE 0 END) AS acc_1,
+    sum(CASE WHEN v2 <> 0 THEN 1 ELSE 0 END) AS n_2,
+    avg(CASE WHEN v2 <> 0 THEN 1.0 ELSE 0.0 END) AS cov_2,
+    avg(CASE WHEN v2 <> 0 AND nv - 1 > 0 THEN 1.0 ELSE 0.0 END) AS ovl_2,
+    avg(CASE WHEN v2 <> 0 AND ((v0 = -v2 AND v0 <> 0)
+             OR (v1 = -v2 AND v1 <> 0)) THEN 1.0 ELSE 0.0 END) AS cfl_2,
+    sum(CASE WHEN v2 <> 0 AND v2 = maj THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN v2 <> 0 THEN 1 ELSE 0 END) AS agr_2,
+    sum(CASE WHEN v2 <> 0 AND v2 = CASE WHEN y = 1 THEN 1 ELSE -1 END
+             THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN v2 <> 0 THEN 1 ELSE 0 END) AS acc_2
+  FROM r)
+SELECT 'lf_length' AS lf, CAST(n_0 AS BIGINT) AS n_votes,
+       round(cov_0, 6) AS coverage, round(ovl_0, 6) AS overlap,
+       round(cfl_0, 6) AS conflict, round(agr_0, 6) AS majority_agreement,
+       round(acc_0, 6) AS accuracy FROM s
+UNION ALL
+SELECT 'lf_stop_en', CAST(n_1 AS BIGINT), round(cov_1, 6), round(ovl_1, 6),
+       round(cfl_1, 6), round(agr_1, 6), round(acc_1, 6) FROM s
+UNION ALL
+SELECT 'lf_stop_xx', CAST(n_2 AS BIGINT), round(cov_2, 6), round(ovl_2, 6),
+       round(cfl_2, 6), round(agr_2, 6), round(acc_2, 6) FROM s
+ORDER BY lf
+""")
+def weak_label_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style labeling-function diagnostics
+    (selection.weak_label_summary): three weak voters for the
+    lang=='en' label — a length band (±1/abstain), the ' the '
+    stopword (+1/abstain) and non-English stopwords ' la '/' der '
+    (−1/abstain) — reporting per-LF coverage / overlap / conflict /
+    majority-agreement / empirical accuracy in ONE pass with
+    constant-width state. The triage table programmatic labeling
+    runs before fitting any label model."""
+    from parlerproject_spark.operators.selection import weak_label_summary
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 600, 1)
+         .when(F.col("n_chars") < 200, -1).otherwise(0).alias("lf_length"),
+        F.when(F.col("text").contains(" the "), 1).otherwise(0)
+         .alias("lf_stop_en"),
+        F.when(F.col("text").contains(" la ")
+               | F.col("text").contains(" der "), -1).otherwise(0)
+         .alias("lf_stop_xx"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    return (weak_label_summary(d, ["lf_length", "lf_stop_en", "lf_stop_xx"],
+                               truth_col="y")
+            .orderBy("lf"))

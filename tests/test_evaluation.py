@@ -282,3 +282,67 @@ class TestOffPolicyValue:
                                {"a": 1.0}).collect()[0]
         # c contributes weight 0: ips = (1/0.5*10 + 0)/2 = 10
         assert out.ips == 10.0 and out.n == 2
+
+
+class TestSelectionRateParity:
+    def _run(self, spark, rows):
+        from parlerproject_spark.operators.evaluation import (
+            selection_rate_parity)
+        df = spark.createDataFrame(rows, "g string, selected boolean")
+        return {r.g: r for r in
+                selection_rate_parity(df, "g").collect()}
+
+    def test_equal_rates_never_flag(self, spark):
+        rows = [(g, i % 2 == 0) for g in "ab" for i in range(10)]
+        out = self._run(spark, rows)
+        for g in "ab":
+            assert out[g].impact_ratio == 1.0
+            assert out[g].rate_gap == 0.0 and not out[g].below_four_fifths
+
+    def test_four_fifths_breach(self, spark):
+        # a keeps 80%, b keeps 30% -> ratio 0.375 < 0.8
+        rows = ([("a", True)] * 8 + [("a", False)] * 2
+                + [("b", True)] * 3 + [("b", False)] * 7)
+        out = self._run(spark, rows)
+        assert out["b"].impact_ratio == 0.375 and out["b"].below_four_fifths
+        assert not out["a"].below_four_fifths
+
+    def test_zero_selection_group(self, spark):
+        rows = [("a", True), ("b", False), ("b", False)]
+        out = self._run(spark, rows)
+        assert out["b"].rate == 0.0 and out["b"].impact_ratio == 0.0
+        assert out["b"].below_four_fifths
+
+
+class TestConformalCoverage:
+    def test_exact_rank_quantile_and_guarantee(self, spark):
+        import pyspark.sql.functions as F
+        from parlerproject_spark.operators.evaluation import (
+            conformal_coverage)
+        # calib nonconformities are 0.01..0.99 on even ids; alpha=0.2
+        # -> k = ceil(100*0.8) = 80 over n=99 ... use a hand-sized set
+        rows = [(i, i / 20.0, 1) for i in range(1, 20)]
+        df = spark.createDataFrame(rows, "i long, p double, label int") \
+            .select((1.0 - F.col("p")).alias("score"), "label",
+                    (F.col("i") % 2 == 0).alias("cal"))
+        # label=1 -> s = 1 - score = p: calib s = {.1,.2,...,.9}; n=9,
+        # k = ceil(10*0.9) = 9 -> qhat = 0.9; test s = odd twentieths
+        out = conformal_coverage(df, alpha=0.1,
+                                 split_expr=F.col("cal")).collect()[0]
+        assert out.n_calib == 9 and out.qhat == 0.9
+        # test side: {.05,.15,...,.95}: 9 of 10 <= 0.9
+        assert out.coverage == 0.9 and out.target == 0.9
+
+    def test_tiny_calibration_clamps_k(self, spark):
+        import pyspark.sql.functions as F
+        from parlerproject_spark.operators.evaluation import (
+            conformal_coverage)
+        rows = [(1, 0.3, 1), (2, 0.7, 1), (3, 0.5, 0)]
+        df = spark.createDataFrame(rows, "i long, p double, label int") \
+            .select(F.col("p").alias("score"), "label",
+                    (F.col("i") < 3).alias("cal"))
+        out = conformal_coverage(df, alpha=0.1,
+                                 split_expr=F.col("cal")).collect()[0]
+        # k = min(2, ceil(3*0.9)=3) = 2 -> qhat = max calib s = 0.7
+        assert out.n_calib == 2 and out.qhat == 0.7
+        assert out.n_test == 1 and out.coverage == 1.0

@@ -385,3 +385,42 @@ def test_hybrid_rerank_coverage_boosts_full_match(spark):
     assert rows[0]["coverage"] == 1.0
     assert {r["doc_id"] for r in rows} == {1, 2}   # doc 3 never retrieved
     assert [r["rank"] for r in rows] == [1, 2]
+
+
+class TestWeakLabelSummary:
+    def _run(self, spark, rows, truth=True):
+        from parlerproject_spark.operators.selection import (
+            weak_label_summary)
+        df = spark.createDataFrame(rows, "a int, b int, c int, y int")
+        return {r.lf: r for r in weak_label_summary(
+            df, ["a", "b", "c"],
+            truth_col="y" if truth else None).collect()}
+
+    def test_hand_vote_matrix(self, spark):
+        # rows: (a, b, c, y)
+        rows = [(1, 1, 0, 1),    # a,b agree; maj=+1
+                (1, -1, 0, 0),   # a vs b conflict; maj=0
+                (0, 0, -1, 0),   # only c votes; maj=-1
+                (0, 0, 0, 1)]    # nobody votes
+        out = self._run(spark, rows)
+        a = out["a"]
+        assert a.n_votes == 2 and a.coverage == 0.5
+        assert a.overlap == 0.5          # both a-votes have company
+        assert a.conflict == 0.25        # one row conflicts
+        assert a.majority_agreement == 0.5   # maj +1 then 0
+        assert a.accuracy == 0.5         # y=1 (right), y=0 (wrong)
+        c = out["c"]
+        assert c.n_votes == 1 and c.overlap == 0.0
+        assert c.majority_agreement == 1.0 and c.accuracy == 1.0
+
+    def test_abstain_only_lf_is_null_not_crash(self, spark):
+        rows = [(1, 0, 0, 1), (-1, 0, 0, 0)]
+        out = self._run(spark, rows)
+        b = out["b"]
+        assert b.n_votes == 0 and b.coverage == 0.0
+        assert b.majority_agreement is None and b.accuracy is None
+
+    def test_truthless_mode_nulls_accuracy(self, spark):
+        rows = [(1, 1, -1, 1)]
+        out = self._run(spark, rows, truth=False)
+        assert all(v.accuracy is None for v in out.values())
