@@ -248,6 +248,7 @@ EXTRA = [
     "selection_parity_sources",
     "conformal_coverage_docs",
     "weak_label_summary_docs",
+    "active_learning_batch_docs",
 ]
 
 

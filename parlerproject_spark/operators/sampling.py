@@ -466,3 +466,39 @@ def length_bucket_batches(docs: DataFrame, *, id_col: str,
                  F.round(F.sum("__t")
                          / (F.count("*") * F.max("__t")), 6)
                  .alias("pad_efficiency")))
+
+
+def uncertainty_diverse_batch(df: DataFrame, *, k: int,
+                              per_group_cap: int,
+                              score_col: str = "score",
+                              group_col: str = "source",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Active-learning batch selection — uncertainty sampling with a
+    diversity cap: rank rows by distance of the classifier score
+    from 0.5 (most uncertain first), keep at most `per_group_cap`
+    per group so one domain can't fill the batch, then cut the
+    global top-k. The standard label-budget allocator for improving
+    a quality classifier: label where the model is least sure, but
+    spread across sources.
+
+    Shape: one group-partitioned row_number window (the cap), then a
+    distributed TakeOrdered k-cut — the single-partition structure
+    is exactly k rows at any corpus size. Determinism: uncertainty
+    compares the ROUNDED (6 dp) distance with ascending-id
+    tie-break, so the batch is replayable cross-engine.
+
+    Columns: <id_col>, <group_col>, score (round 6),
+    uncertainty (round 6, higher = more uncertain).
+    """
+    s = F.col(score_col).cast("double")
+    unc = F.round(0.5 - F.abs(s - 0.5), 6)
+    base = df.select(F.col(id_col), F.col(group_col),
+                     F.round(s, 6).alias("score"),
+                     unc.alias("uncertainty"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("uncertainty").desc(), F.col(id_col).asc())
+    capped = (base.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= per_group_cap).drop("__rn"))
+    return (capped.orderBy(F.col("uncertainty").desc(),
+                           F.col(id_col).asc())
+            .limit(k))

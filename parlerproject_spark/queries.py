@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "selection_parity_sources",
     "conformal_coverage_docs",
     "weak_label_summary_docs",
+    "active_learning_batch_docs",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9579,3 +9580,35 @@ def weak_label_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (weak_label_summary(d, ["lf_length", "lf_stop_en", "lf_stop_xx"],
                                truth_col="y")
             .orderBy("lf"))
+
+
+@register("active_learning_batch_docs", """
+WITH base AS (
+  SELECT doc_id, source,
+         round(CAST(n_chars AS DOUBLE) / (n_chars + 100.0), 6) AS score,
+         round(0.5 - abs(CAST(n_chars AS DOUBLE) / (n_chars + 100.0)
+                         - 0.5), 6) AS uncertainty
+  FROM documents),
+capped AS (
+  SELECT doc_id, source, score, uncertainty,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY uncertainty DESC, doc_id ASC) AS rn
+  FROM base)
+SELECT doc_id, source, score, uncertainty
+FROM capped WHERE rn <= 5
+ORDER BY uncertainty DESC, doc_id ASC LIMIT 50
+""")
+def active_learning_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning label batch (sampling
+    .uncertainty_diverse_batch): the 50 docs whose length-based
+    quality score sits closest to 0.5, capped at 5 per source — the
+    label-budget allocator that feeds human labels back into the
+    quality classifier without one domain hogging the batch. Cap =
+    source-partitioned window; cut = TakeOrdered 50."""
+    from parlerproject_spark.operators.sampling import (
+        uncertainty_diverse_batch)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (F.col("n_chars").cast("double")
+         / (F.col("n_chars") + 100.0)).alias("score"))
+    return uncertainty_diverse_batch(d, k=50, per_group_cap=5)

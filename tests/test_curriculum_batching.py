@@ -288,3 +288,35 @@ def test_diff_in_diff_recovers_injected_effect(spark):
                       + F.when(treated & post, 3.0).otherwise(0.0))
     [r2] = diff_in_diff(d2).collect()
     assert r2["did"] == 3.0
+
+
+class TestUncertaintyDiverseBatch:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows,
+                                     "doc_id long, source string, score double")
+
+    def test_cap_and_ordering(self, spark):
+        from parlerproject_spark.operators.sampling import (
+            uncertainty_diverse_batch)
+        # source a: scores at exactly 0.5 (max uncertainty), 4 rows;
+        # source b: further away
+        rows = ([(i, "a", 0.5) for i in range(4)]
+                + [(10 + i, "b", 0.4 + i * 0.01) for i in range(4)])
+        out = uncertainty_diverse_batch(
+            self._df(spark, rows), k=5, per_group_cap=2).collect()
+        # cap bites BOTH groups: 2 + 2 survive, k=5 is not reached
+        assert len(out) == 4
+        a_rows = [r for r in out if r.source == "a"]
+        assert len(a_rows) == 2           # cap bites
+        assert [r.doc_id for r in a_rows] == [0, 1]   # id tie-break
+        # most uncertain overall lead the batch
+        assert out[0].uncertainty == 0.5
+
+    def test_k_cut_is_global(self, spark):
+        from parlerproject_spark.operators.sampling import (
+            uncertainty_diverse_batch)
+        rows = [(i, f"s{i % 10}", 0.1) for i in range(100)]
+        out = uncertainty_diverse_batch(
+            self._df(spark, rows), k=7, per_group_cap=100).collect()
+        assert len(out) == 7
+        assert [r.doc_id for r in out] == list(range(7))
