@@ -249,6 +249,8 @@ EXTRA = [
     "conformal_coverage_docs",
     "weak_label_summary_docs",
     "active_learning_batch_docs",
+    "theil_sen_trend_users",
+    "rfm_scores_users",
 ]
 
 

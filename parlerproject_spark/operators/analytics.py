@@ -449,3 +449,61 @@ def robust_outliers(df: DataFrame, *, key_col: str = "user_id",
                  F.round(F.max("__med"), 6).alias("med"),
                  F.round(F.max("__mad"), 6).alias("mad"),
                  F.sum("__out").cast("long").alias("n_outliers")))
+
+
+def rfm_scores(events: DataFrame, *, user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               asof=None, n_bands: int = 5) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary scores, the
+    classic user-value featurization (and the segment key behind
+    "churn-risk big spenders" style slices): per user, days since
+    last event (R), event count (F), summed value (M), each banded
+    1..n_bands by the METRIC'S OWN quantile cuts (band n_bands =
+    best: most recent, most frequent, highest value).
+
+    Scale shape: one user-keyed aggregation builds the metric table
+    (|users| rows); the quantile cuts are ONE exact `percentile`
+    aggregate over it (sort-based agg state — keyed-partial, no
+    window, no single-partition sort) broadcast back as a 1-row
+    frame; banding is an expression. Nothing above user granularity
+    ever shuffles. Band boundary semantics: score = 1 + #cuts the
+    value is strictly above (recency uses the NEGATED axis so
+    fresher = higher), identical CASE logic on both engines.
+
+    Columns: <user_col>, recency_days, frequency, monetary (round
+    6), r_score, f_score, m_score, rfm (100·r + 10·f + m).
+    """
+    if asof is None:
+        asof = F.lit("2024-02-01").cast("timestamp")
+    per = (events.groupBy(user_col)
+           .agg(F.max(F.col(ts_col)).alias("__last"),
+                F.count(F.lit(1)).cast("long").alias("frequency"),
+                F.round(F.sum(F.col(value_col)), 6).alias("monetary")))
+    per = per.select(
+        user_col,
+        (F.unix_micros(asof.cast("timestamp")) / 1e6
+         - F.unix_micros(F.col("__last").cast("timestamp")) / 1e6)
+        .alias("__rsec"), "frequency", "monetary")
+    ps = [i / n_bands for i in range(1, n_bands)]
+    cuts = per.agg(
+        F.percentile(F.col("__rsec") * -1, ps).alias("__rc"),
+        F.percentile(F.col("frequency").cast("double"), ps).alias("__fc"),
+        F.percentile(F.col("monetary"), ps).alias("__mc"))
+
+    def band(metric, cut_col):
+        s = F.lit(1)
+        for i in range(len(ps)):
+            s = s + (metric > F.element_at(F.col(cut_col), i + 1)) \
+                .cast("int")
+        return s.cast("long")
+
+    out = per.crossJoin(F.broadcast(cuts))
+    return out.select(
+        user_col,
+        F.round(F.col("__rsec") / 86400.0, 6).alias("recency_days"),
+        "frequency", "monetary",
+        band(F.col("__rsec") * -1, "__rc").alias("r_score"),
+        band(F.col("frequency").cast("double"), "__fc").alias("f_score"),
+        band(F.col("monetary"), "__mc").alias("m_score")) \
+        .withColumn("rfm", (F.col("r_score") * 100 + F.col("f_score") * 10
+                            + F.col("m_score")).cast("long"))

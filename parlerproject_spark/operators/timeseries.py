@@ -279,3 +279,56 @@ def diff_in_diff(events: DataFrame, *, unit_col: str = "user_id",
         F.round(m[(1, 1)], 6).alias("post_treat"),
         F.round((m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)]), 6)
         .alias("did")))
+
+
+def theil_sen_trend(events: DataFrame, *, key_col: str = "user_id",
+                    ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Per-key Theil–Sen robust trend — the median of all pairwise
+    slopes (value per hour), with intercept = median(y − slope·x) —
+    the outlier-resistant companion to `linear_trend`: one corrupted
+    reading drags an OLS slope arbitrarily far, but Theil–Sen
+    tolerates ~29% contamination (breakdown point 1−1/√2).
+
+    Scale contract: the pair stage is a per-key equi-join, so its
+    volume is Σ n_k² — quadratic in the PER-KEY depth, never in the
+    corpus. That is the operator's honest cost (per-key history is
+    bounded by the retention window by contract; the same bound the
+    reference's per-user timelines carry), and every stage is keyed:
+    pair join → keyed median aggregate → broadcast slope re-join →
+    keyed median again. No windows, no global structures. Pairs with
+    identical timestamps are excluded on BOTH engines (no 0-division
+    slope); keys with no valid pair report nulls.
+
+    The regressor is hours since 2024-01-01 (same centering as
+    linear_trend) so cross-engine float parity survives the
+    subtractions. Columns: <key_col>, n_pairs, slope, intercept
+    (round 6).
+    """
+    x = ((F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6
+          - _TREND_EPOCH0) / 3600.0)
+    y = F.col(value_col).cast("double")
+    base = events.select(F.col(key_col).alias("__k"),
+                         x.alias("__x"), y.alias("__y"))
+    a = base.select("__k", F.col("__x").alias("__xa"),
+                    F.col("__y").alias("__ya"))
+    b = base.select("__k", F.col("__x").alias("__xb"),
+                    F.col("__y").alias("__yb"))
+    pairs = (a.join(b, "__k")
+             .filter(F.col("__xb") > F.col("__xa"))
+             .select("__k", ((F.col("__yb") - F.col("__ya"))
+                             / (F.col("__xb") - F.col("__xa")))
+                     .alias("__s")))
+    slopes = (pairs.groupBy("__k")
+              .agg(F.median("__s").alias("__m"),
+                   F.count(F.lit(1)).alias("n_pairs")))
+    resid = (base.join(slopes, "__k")
+             .select("__k", "__m", "n_pairs",
+                     (F.col("__y") - F.col("__m") * F.col("__x"))
+                     .alias("__r")))
+    return (resid.groupBy("__k", "__m", "n_pairs")
+            .agg(F.median("__r").alias("__b"))
+            .select(F.col("__k").alias(key_col),
+                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    F.round("__m", 6).alias("slope"),
+                    F.round("__b", 6).alias("intercept")))

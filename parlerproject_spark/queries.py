@@ -75,6 +75,8 @@ _DRIVER_PRIORITY: list[str] = [
     "conformal_coverage_docs",
     "weak_label_summary_docs",
     "active_learning_batch_docs",
+    "theil_sen_trend_users",
+    "rfm_scores_users",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9612,3 +9614,75 @@ def active_learning_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double")
          / (F.col("n_chars") + 100.0)).alias("score"))
     return uncertainty_diverse_batch(d, k=50, per_group_cap=5)
+
+
+@register("theil_sen_trend_users", """
+WITH e AS (
+  SELECT user_id, (epoch(ts) - 1704067200) / 3600.0 AS x, value AS y
+  FROM events),
+p AS (
+  SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS s
+  FROM e a JOIN e b ON a.user_id = b.user_id AND b.x > a.x),
+sl AS (
+  SELECT user_id, median(s) AS m, count(*) AS n_pairs
+  FROM p GROUP BY user_id),
+r AS (
+  SELECT e.user_id, sl.m, sl.n_pairs, e.y - sl.m * e.x AS resid
+  FROM e JOIN sl USING (user_id))
+SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(m, 6) AS slope, round(median(resid), 6) AS intercept
+FROM r GROUP BY user_id, n_pairs, m
+ORDER BY user_id
+""")
+def theil_sen_trend_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil–Sen robust trend (timeseries.theil_sen_trend):
+    median pairwise slope + median-residual intercept of value over
+    hours — the outlier-resistant reading next to linear_trend's
+    OLS (compare the two to FIND the contaminated users). Pair stage
+    is per-key quadratic — bounded by per-user history depth, never
+    corpus-sized."""
+    from parlerproject_spark.operators.timeseries import theil_sen_trend
+    return (theil_sen_trend(_t(spark, sf_dir, "events"))
+            .orderBy("user_id"))
+
+
+@register("rfm_scores_users", """
+WITH per AS (
+  SELECT user_id,
+         epoch(TIMESTAMP '2024-02-01') - epoch(max(ts)) AS rsec,
+         count(*) AS frequency,
+         round(sum(value), 6) AS monetary
+  FROM events GROUP BY user_id),
+cuts AS (
+  SELECT quantile_cont(-rsec, [0.2, 0.4, 0.6, 0.8]) AS rc,
+         quantile_cont(frequency::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS fc,
+         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+  FROM per),
+scored AS (
+  SELECT user_id,
+         round(rsec / 86400.0, 6) AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency, monetary,
+         CAST(1 + (-rsec > rc[1])::INT + (-rsec > rc[2])::INT
+                + (-rsec > rc[3])::INT + (-rsec > rc[4])::INT
+              AS BIGINT) AS r_score,
+         CAST(1 + (frequency > fc[1])::INT + (frequency > fc[2])::INT
+                + (frequency > fc[3])::INT + (frequency > fc[4])::INT
+              AS BIGINT) AS f_score,
+         CAST(1 + (monetary > mc[1])::INT + (monetary > mc[2])::INT
+                + (monetary > mc[3])::INT + (monetary > mc[4])::INT
+              AS BIGINT) AS m_score
+  FROM per CROSS JOIN cuts)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+FROM scored ORDER BY user_id
+""")
+def rfm_scores_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation (analytics.rfm_scores): recency /
+    frequency / monetary quintile scores as of 2024-02-01 — the
+    classic user-value featurization, built as one user-keyed agg +
+    one exact-percentile cut row broadcast back. Nothing above user
+    granularity shuffles; banding is an expression."""
+    from parlerproject_spark.operators.analytics import rfm_scores
+    return (rfm_scores(_t(spark, sf_dir, "events"))
+            .orderBy("user_id"))

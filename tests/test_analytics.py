@@ -202,3 +202,33 @@ def test_srm_check_balanced_vs_skewed(spark):
                        | (SF.col("user_id") % 20 == 1))
     [bad] = srm_check(skew.withColumn("event_type", SF.lit("x"))).collect()
     assert bad["srm_alarm"] and bad["chi2"] > 100
+
+
+class TestRfmScores:
+    def test_hand_built_bands(self, spark):
+        from datetime import datetime, timedelta
+        import pyspark.sql.functions as F
+        from parlerproject_spark.operators.analytics import rfm_scores
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        # 5 users: user u has u+1 events of value 10*(u+1), last event
+        # u days after t0 -> strictly increasing F, M, recency axes
+        for u in range(5):
+            for i in range(u + 1):
+                rows.append((u, t0 + timedelta(days=u, hours=i),
+                             10.0 * (u + 1)))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, value double")
+        out = {r.user_id: r for r in rfm_scores(
+            df, asof=F.lit("2024-02-01").cast("timestamp")).collect()}
+        # user 4: most recent, most frequent, highest value -> 555
+        assert (out[4].r_score, out[4].f_score, out[4].m_score) == (5, 5, 5)
+        assert out[4].rfm == 555
+        # user 0: oldest, least frequent, lowest value -> 111
+        assert out[0].rfm == 111
+        # monotone in user id on every axis
+        for a in ("r_score", "f_score", "m_score"):
+            vals = [getattr(out[u], a) for u in range(5)]
+            assert vals == sorted(vals)
+        assert out[0].frequency == 1 and out[4].frequency == 5
+        assert out[3].monetary == 160.0           # 4 events x 40

@@ -99,3 +99,46 @@ def test_ses_level_recent_values_dominate(spark):
     [r] = ses_level(df, key_col="k", bucket_col="b", val_col="x",
                     alpha=0.5).collect()
     assert r["level"] == 50.0   # alpha * latest
+
+
+class TestTheilSenTrend:
+    def _run(self, spark, rows):
+        from datetime import datetime, timedelta
+        from parlerproject_spark.operators.timeseries import theil_sen_trend
+        t0 = datetime(2024, 1, 1)
+        data = [(u, t0 + timedelta(hours=h), float(v)) for u, h, v in rows]
+        df = spark.createDataFrame(
+            data, "user_id long, ts timestamp_ntz, value double")
+        return {r.user_id: r for r in theil_sen_trend(df).collect()}
+
+    def test_exact_line_recovery(self, spark):
+        # y = 2x + 5 exactly: every pairwise slope is 2
+        rows = [(1, h, 2 * h + 5) for h in range(6)]
+        r = self._run(spark, rows)[1]
+        assert r.slope == 2.0 and r.intercept == 5.0
+        assert r.n_pairs == 15
+
+    def test_outlier_resistance_beats_ols(self, spark):
+        from datetime import datetime, timedelta
+        import pyspark.sql.functions as F
+        from parlerproject_spark.operators.timeseries import (linear_trend,
+                                                              theil_sen_trend)
+        # y = x with ONE wild outlier at the end
+        rows = [(1, h, float(h)) for h in range(10)] + [(1, 10, 1000.0)]
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(u, t0 + timedelta(hours=h), v) for u, h, v in rows],
+            "user_id long, ts timestamp_ntz, value double")
+        ts = theil_sen_trend(df).collect()[0]
+        ols = linear_trend(df).collect()[0]
+        assert abs(ts.slope - 1.0) < 0.01      # robust: barely moves
+        assert ols.slope > 10                  # OLS dragged far off
+
+    def test_equal_timestamps_excluded(self, spark):
+        # two readings at the SAME instant never pair (no 0-division);
+        # remaining pairs still fit the line
+        rows = [(1, 0, 0.0), (1, 0, 100.0), (1, 1, 1.0), (1, 2, 2.0)]
+        r = self._run(spark, rows)[1]
+        # pairs: (0h,1h),(0h,2h) x2 readings at 0h -> 5 valid pairs
+        assert r.n_pairs == 5
+        assert r.slope is not None
