@@ -251,6 +251,7 @@ EXTRA = [
     "active_learning_batch_docs",
     "theil_sen_trend_users",
     "rfm_scores_users",
+    "group_sequential_ab_events",
 ]
 
 

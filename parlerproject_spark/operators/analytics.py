@@ -507,3 +507,85 @@ def rfm_scores(events: DataFrame, *, user_col: str = "user_id",
         band(F.col("monetary"), "__mc").alias("m_score")) \
         .withColumn("rfm", (F.col("r_score") * 100 + F.col("f_score") * 10
                             + F.col("m_score")).cast("long"))
+
+
+def group_sequential_ab(events: DataFrame, looks: list[str], *,
+                        user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        arm_expr: str = "user_id % 2",
+                        success_filter: str = "event_type = 'purchase'",
+                        boundary_z: float | None = None,
+                        alpha: float = 0.05) -> DataFrame:
+    """Group-sequential A/B monitoring — the two-proportion z-test of
+    `ab_test_proportions` evaluated at K interim LOOKS (event-time
+    cutoffs) against a Bonferroni-spent boundary z_{1−α/(2K)}:
+    peeking at an experiment K times at the naive 1.96 inflates the
+    false-positive rate severalfold; spending α across looks is the
+    fix every experimentation platform ships (Pocock 1977 framing;
+    Bonferroni spending chosen because its boundary is a closed-form
+    constant both engines share as a literal — conservative, never
+    anti-conservative).
+
+    Shape: ONE per-user aggregation computes the user's first
+    event time and first success time; each look is then a bank of
+    filtered-sum EXPRESSIONS over that |users|-row frame folded into
+    a single global row (constant width: 4K sums), unpivoted to one
+    row per look. Two keyed apertures total, regardless of K or
+    corpus size. A user enters look k's denominator only if active
+    by that cutoff — the enrolled-by-then population.
+
+    `boundary_z`: override the boundary; default = the two-sided
+    Bonferroni z for (alpha, K) from the inverse-normal table
+    {0.05/K: K=1..5} (1.96, 2.2414, 2.3940, 2.4977, 2.5758).
+
+    Columns: look (1-based), cutoff, n_0, n_1, conv_0, conv_1,
+    z (round 6), boundary, crossed.
+    """
+    k_looks = len(looks)
+    if boundary_z is None:
+        table = {1: 1.959964, 2: 2.241403, 3: 2.394000,
+                 4: 2.497705, 5: 2.575829}
+        if alpha != 0.05 or k_looks not in table:
+            raise ValueError("default boundary table covers alpha=0.05, "
+                             "K<=5; pass boundary_z= explicitly")
+        boundary_z = table[k_looks]
+    per_user = (events
+                .groupBy(user_col)
+                .agg(F.min(F.col(ts_col)).alias("__first"),
+                     F.min(F.expr(f"CASE WHEN {success_filter} THEN "
+                                  f"{ts_col} END")).alias("__succ"))
+                .withColumn("__arm", F.expr(arm_expr).cast("long")))
+    aggs = []
+    for i, cut in enumerate(looks):
+        c = F.lit(cut).cast("timestamp")
+        enrolled = F.col("__first") <= c
+        conv = F.col("__succ").isNotNull() & (F.col("__succ") <= c)
+        for arm in (0, 1):
+            inarm = enrolled & (F.col("__arm") == arm)
+            aggs += [F.sum(inarm.cast("int")).alias(f"n{arm}_{i}"),
+                     F.sum((inarm & conv).cast("int")).alias(f"c{arm}_{i}")]
+    one = per_user.agg(*aggs)
+    parts = []
+    for i, cut in enumerate(looks):
+        n0 = F.col(f"n0_{i}").cast("double")
+        n1 = F.col(f"n1_{i}").cast("double")
+        c0 = F.col(f"c0_{i}").cast("double")
+        c1 = F.col(f"c1_{i}").cast("double")
+        pp = (c0 + c1) / (n0 + n1)
+        se = F.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+        z = F.when(se > 0, (c1 / n1 - c0 / n0) / se)
+        parts.append(one.select(
+            F.lit(i + 1).cast("long").alias("look"),
+            F.lit(cut).cast("timestamp").alias("cutoff"),
+            F.col(f"n0_{i}").cast("long").alias("n_0"),
+            F.col(f"n1_{i}").cast("long").alias("n_1"),
+            F.col(f"c0_{i}").cast("long").alias("conv_0"),
+            F.col(f"c1_{i}").cast("long").alias("conv_1"),
+            F.round(z, 6).alias("z"),
+            F.lit(boundary_z).alias("boundary"),
+            F.coalesce(F.abs(z) > boundary_z, F.lit(False))
+             .alias("crossed")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

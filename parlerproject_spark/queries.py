@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: list[str] = [
     "active_learning_batch_docs",
     "theil_sen_trend_users",
     "rfm_scores_users",
+    "group_sequential_ab_events",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9686,3 +9687,67 @@ def rfm_scores_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.analytics import rfm_scores
     return (rfm_scores(_t(spark, sf_dir, "events"))
             .orderBy("user_id"))
+
+
+def _gsab_look_sql(i: int, cut: str) -> str:
+    return f"""
+SELECT {i + 1} AS look, TIMESTAMP '{cut}' AS cutoff,
+       CAST(n0_{i} AS BIGINT) AS n_0, CAST(n1_{i} AS BIGINT) AS n_1,
+       CAST(c0_{i} AS BIGINT) AS conv_0, CAST(c1_{i} AS BIGINT) AS conv_1,
+       round(CASE WHEN sqrt(((c0_{i} + c1_{i})::DOUBLE / (n0_{i} + n1_{i}))
+                  * (1 - (c0_{i} + c1_{i})::DOUBLE / (n0_{i} + n1_{i}))
+                  * (1.0 / n0_{i} + 1.0 / n1_{i})) > 0
+             THEN (c1_{i}::DOUBLE / n1_{i} - c0_{i}::DOUBLE / n0_{i})
+                  / sqrt(((c0_{i} + c1_{i})::DOUBLE / (n0_{i} + n1_{i}))
+                  * (1 - (c0_{i} + c1_{i})::DOUBLE / (n0_{i} + n1_{i}))
+                  * (1.0 / n0_{i} + 1.0 / n1_{i})) END, 6) AS z,
+       2.575829 AS boundary,
+       coalesce(abs(CASE WHEN sqrt(((c0_{i} + c1_{i})::DOUBLE
+                  / (n0_{i} + n1_{i}))
+                  * (1 - (c0_{i} + c1_{i})::DOUBLE / (n0_{i} + n1_{i}))
+                  * (1.0 / n0_{i} + 1.0 / n1_{i})) > 0
+             THEN (c1_{i}::DOUBLE / n1_{i} - c0_{i}::DOUBLE / n0_{i})
+                  / sqrt(((c0_{i} + c1_{i})::DOUBLE / (n0_{i} + n1_{i}))
+                  * (1 - (c0_{i} + c1_{i})::DOUBLE / (n0_{i} + n1_{i}))
+                  * (1.0 / n0_{i} + 1.0 / n1_{i})) END) > 2.575829, FALSE)
+         AS crossed
+FROM one"""
+
+
+_GSAB_LOOKS = ["2024-01-07 00:00:00", "2024-01-13 00:00:00",
+               "2024-01-19 00:00:00", "2024-01-25 00:00:00",
+               "2024-01-31 00:00:00"]
+
+_GSAB_SQL = ("""
+WITH per AS (
+  SELECT user_id, min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS succ_ts,
+         user_id % 2 AS arm
+  FROM events GROUP BY user_id),
+one AS (
+  SELECT
+""" + ",\n".join(
+    f"""    sum(CASE WHEN first_ts <= TIMESTAMP '{cut}' AND arm = {arm}
+             THEN 1 ELSE 0 END) AS n{arm}_{i},
+    sum(CASE WHEN first_ts <= TIMESTAMP '{cut}' AND arm = {arm}
+             AND succ_ts IS NOT NULL AND succ_ts <= TIMESTAMP '{cut}'
+             THEN 1 ELSE 0 END) AS c{arm}_{i}"""
+    for i, cut in enumerate(_GSAB_LOOKS) for arm in (0, 1))
+ + "\n  FROM per)\n"
+ + "\nUNION ALL\n".join(_gsab_look_sql(i, cut)
+                        for i, cut in enumerate(_GSAB_LOOKS))
+ + "\nORDER BY look")
+
+
+@register("group_sequential_ab_events", _GSAB_SQL)
+def group_sequential_ab_events(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitor (analytics.group_sequential_ab):
+    the purchase-conversion z-test at five interim looks (6-day
+    event-time cutoffs) against the Bonferroni-spent boundary
+    z_{1-0.05/10} = 2.575829 — peeking-safe experiment monitoring.
+    One per-user agg + one constant-width (4K sums) global row,
+    unpivoted per look."""
+    from parlerproject_spark.operators.analytics import group_sequential_ab
+    return (group_sequential_ab(_t(spark, sf_dir, "events"), _GSAB_LOOKS)
+            .orderBy("look"))

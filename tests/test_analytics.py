@@ -232,3 +232,47 @@ class TestRfmScores:
             assert vals == sorted(vals)
         assert out[0].frequency == 1 and out[4].frequency == 5
         assert out[3].monetary == 160.0           # 4 events x 40
+
+
+class TestGroupSequentialAb:
+    def _df(self, spark, rows):
+        from datetime import datetime, timedelta
+        t0 = datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(u, t0 + timedelta(days=d), t) for u, d, t in rows],
+            "user_id long, ts timestamp_ntz, event_type string")
+
+    def test_enrolled_by_cutoff_and_boundary(self, spark):
+        from parlerproject_spark.operators.analytics import (
+            group_sequential_ab)
+        # arm = user_id % 2; user 3 only appears after look 1
+        rows = [(0, 0, "view"), (1, 0, "view"), (2, 0, "purchase"),
+                (3, 5, "purchase")]
+        out = {r.look: r for r in group_sequential_ab(
+            self._df(spark, rows),
+            ["2024-01-03 00:00:00", "2024-01-10 00:00:00"]).collect()}
+        l1 = out[1]
+        assert (l1.n_0, l1.n_1) == (2, 1)       # user 3 not yet enrolled
+        assert (l1.conv_0, l1.conv_1) == (1, 0)
+        assert l1.boundary == 2.241403           # K=2 Bonferroni, not 1.96
+        l2 = out[2]
+        assert (l2.n_0, l2.n_1) == (2, 2) and l2.conv_1 == 1
+
+    def test_strong_effect_crosses(self, spark):
+        from parlerproject_spark.operators.analytics import (
+            group_sequential_ab)
+        # arm 1 always converts, arm 0 never: z explodes at one look
+        rows = [(2 * i, 0, "view") for i in range(50)] \
+            + [(2 * i + 1, 0, "purchase") for i in range(50)]
+        out = group_sequential_ab(
+            self._df(spark, rows), ["2024-01-02 00:00:00"]).collect()[0]
+        assert out.crossed and out.z > out.boundary == 1.959964
+
+    def test_null_z_when_degenerate(self, spark):
+        from parlerproject_spark.operators.analytics import (
+            group_sequential_ab)
+        # nobody converts: pooled p = 0, se = 0 -> z null, not crossed
+        rows = [(0, 0, "view"), (1, 0, "view")]
+        out = group_sequential_ab(
+            self._df(spark, rows), ["2024-01-02 00:00:00"]).collect()[0]
+        assert out.z is None and not out.crossed
