@@ -252,6 +252,8 @@ EXTRA = [
     "theil_sen_trend_users",
     "rfm_scores_users",
     "group_sequential_ab_events",
+    "cuped_lift_events",
+    "mann_whitney_arms_events",
 ]
 
 

@@ -589,3 +589,59 @@ def group_sequential_ab(events: DataFrame, looks: list[str], *,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cuped_adjustment(events: DataFrame, *, user_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     cutover: str = "2024-01-15",
+                     arm_expr: str = "user_id % 2") -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for an A/B
+    metric: adjust each user's post-period metric by their
+    PRE-period covariate — Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X) —
+    which removes the between-user variance the experiment didn't
+    cause and shrinks confidence intervals at zero cost in bias
+    (E[Y'] = E[Y] because θ(X−X̄) is mean-zero). The standard
+    experimentation-platform trick for detecting small lifts.
+
+    Shape: one user-keyed aggregation splits each user's value mass
+    at the cutover (X = pre sum, Y = post sum); θ and X̄ come from
+    ONE global covar_pop/var_pop/avg aggregate (running co-moment
+    sums, map-side combined) broadcast back as a 1-row frame; the
+    adjusted per-arm means and variances are a second constant-width
+    global row. Nothing above user granularity shuffles.
+
+    Columns (one row): n, theta, mean_x, lift_raw (arm1−arm0 mean of
+    Y), lift_adj (same on Y'), var_y, var_adj, var_reduction
+    (1 − var_adj/var_y). All round 6.
+    """
+    c = F.lit(cutover).cast("timestamp")
+    per = (events.groupBy(user_col)
+           .agg(F.sum(F.when(F.col(ts_col) < c, F.col(value_col))
+                      .otherwise(F.lit(0.0))).alias("__x"),
+                F.sum(F.when(F.col(ts_col) >= c, F.col(value_col))
+                      .otherwise(F.lit(0.0))).alias("__y"))
+           .withColumn("__arm", F.expr(arm_expr).cast("long")))
+    th = per.agg(
+        F.try_divide(F.covar_pop("__x", "__y"),
+                     F.var_pop("__x")).alias("__th"),
+        F.avg("__x").alias("__mx"))
+    adj = (per.crossJoin(F.broadcast(th))
+           .select("__arm", "__y",
+                   (F.col("__y") - F.col("__th")
+                    * (F.col("__x") - F.col("__mx"))).alias("__ya"),
+                   "__th", "__mx"))
+    return adj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("__th"), 6).alias("theta"),
+        F.round(F.max("__mx"), 6).alias("mean_x"),
+        F.round(F.avg(F.when(F.col("__arm") == 1, F.col("__y")))
+                - F.avg(F.when(F.col("__arm") == 0, F.col("__y"))), 6)
+        .alias("lift_raw"),
+        F.round(F.avg(F.when(F.col("__arm") == 1, F.col("__ya")))
+                - F.avg(F.when(F.col("__arm") == 0, F.col("__ya"))), 6)
+        .alias("lift_adj"),
+        F.round(F.var_pop("__y"), 6).alias("var_y"),
+        F.round(F.var_pop("__ya"), 6).alias("var_adj"),
+        F.round(1.0 - F.try_divide(F.var_pop("__ya"),
+                                   F.var_pop("__y")), 6)
+        .alias("var_reduction"))

@@ -494,3 +494,71 @@ def conformal_coverage(df: DataFrame, *, score_col: str = "score",
                                .cast("double")), 6).alias("coverage"))
             .select("n_calib", "n_test", "qhat", "coverage",
                     F.round(F.lit(1 - alpha), 6).alias("target")))
+
+
+def mann_whitney_u(df: DataFrame, *, value_col: str = "value",
+                   group_col: str = "arm",
+                   n_buckets: int = 1024) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
+    nonparametric arm comparison for heavy-tailed metrics where the
+    t/z-on-means test is dominated by outliers: U = #{(i,j):
+    v_i > v_j} + ½·ties over cross-group pairs, with the normal
+    approximation z = (U − n₁n₀/2)/σ using the TIE-CORRECTED
+    variance σ² = n₁n₀/12·((n+1) − Σ(t³−t)/(n(n−1))).
+
+    U is the same cumulative-histogram identity as roc_auc's
+    numerator (label = group), so the implementation reuses that
+    operator's shuffle-bounded two-level prefix sum — per-distinct-
+    value histogram, range-bucketing, broadcast cross-bucket
+    offsets, partitionBy(bucket) window — and the tie term Σ(t³−t)
+    is one extra expression on the same histogram. No global rank
+    window exists anywhere.
+
+    Columns (one row): n_1, n_0, u (round 6), z (round 6; null when
+    a group is empty or all values tie).
+    """
+    g = F.col(group_col).cast("int")
+    per = (df.select(F.col(value_col).cast("double").alias("__s"),
+                     g.alias("__g"))
+           .groupBy("__s")
+           .agg(F.sum("__g").alias("__n1"),
+                F.sum(1 - F.col("__g")).alias("__n0")))
+    bounds = per.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.coalesce(
+        F.when(span > 0,
+               F.least(F.floor((F.col("__s") - F.col("__lo"))
+                               / span * n_buckets),
+                       F.lit(n_buckets - 1))).otherwise(F.lit(0)),
+        F.lit(n_buckets - 1)).cast("long")
+    b = (per.crossJoin(F.broadcast(bounds))
+         .select("__s", "__n1", "__n0", bucket.alias("__b")))
+    btot = b.groupBy("__b").agg(F.sum("__n0").alias("__b0"))
+    lower = btot.select(F.col("__b").alias("__b2"),
+                        F.col("__b0").alias("__b02"))
+    off = (btot.crossJoin(F.broadcast(lower))
+           .groupBy("__b")
+           .agg(F.sum(F.when(F.col("__b2") < F.col("__b"),
+                             F.col("__b02")).otherwise(F.lit(0)))
+                .alias("__off")))
+    w = (Window.partitionBy("__b").orderBy("__s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    below = F.col("__off") + F.coalesce(F.sum("__n0").over(w), F.lit(0))
+    t = F.col("__n1") + F.col("__n0")
+    contrib = (b.join(F.broadcast(off), "__b")
+               .select("__n1", "__n0",
+                       (F.col("__n1") * (below.cast("double")
+                                         + F.col("__n0") / 2.0))
+                       .alias("__c"),
+                       (t * t * t - t).cast("double").alias("__t3")))
+    n1, n0 = F.sum("__n1").cast("double"), F.sum("__n0").cast("double")
+    n = n1 + n0
+    u = F.sum("__c")
+    sigma2 = (n1 * n0 / 12.0
+              * ((n + 1.0) - F.sum("__t3") / (n * (n - 1.0))))
+    z = F.when(sigma2 > 0, (u - n1 * n0 / 2.0) / F.sqrt(sigma2))
+    return contrib.agg(
+        F.sum("__n1").cast("long").alias("n_1"),
+        F.sum("__n0").cast("long").alias("n_0"),
+        F.round(u, 6).alias("u"),
+        F.round(z, 6).alias("z"))

@@ -78,6 +78,8 @@ _DRIVER_PRIORITY: list[str] = [
     "theil_sen_trend_users",
     "rfm_scores_users",
     "group_sequential_ab_events",
+    "cuped_lift_events",
+    "mann_whitney_arms_events",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9751,3 +9753,80 @@ def group_sequential_ab_events(spark: SparkSession,
     from parlerproject_spark.operators.analytics import group_sequential_ab
     return (group_sequential_ab(_t(spark, sf_dir, "events"), _GSAB_LOOKS)
             .orderBy("look"))
+
+
+@register("cuped_lift_events", """
+WITH per AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                  THEN value ELSE 0.0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                  THEN value ELSE 0.0 END) AS y,
+         user_id % 2 AS arm
+  FROM events GROUP BY user_id),
+th AS (
+  SELECT covar_pop(x, y) / var_pop(x) AS t, avg(x) AS mx FROM per),
+adj AS (
+  SELECT arm, y, y - th.t * (x - th.mx) AS ya, th.t, th.mx
+  FROM per CROSS JOIN th)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(max(t), 6) AS theta,
+       round(max(mx), 6) AS mean_x,
+       round(avg(CASE WHEN arm = 1 THEN y END)
+             - avg(CASE WHEN arm = 0 THEN y END), 6) AS lift_raw,
+       round(avg(CASE WHEN arm = 1 THEN ya END)
+             - avg(CASE WHEN arm = 0 THEN ya END), 6) AS lift_adj,
+       round(var_pop(y), 6) AS var_y,
+       round(var_pop(ya), 6) AS var_adj,
+       round(1.0 - var_pop(ya) / var_pop(y), 6) AS var_reduction
+FROM adj
+""")
+def cuped_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment lift (analytics.cuped_adjustment):
+    each user's post-cutover value mass adjusted by their pre-period
+    covariate (θ = cov/var) — the variance-reduction trick that
+    makes small lifts detectable. Reports raw vs adjusted lift and
+    the variance reduction achieved."""
+    from parlerproject_spark.operators.analytics import cuped_adjustment
+    return cuped_adjustment(_t(spark, sf_dir, "events"))
+
+
+@register("mann_whitney_arms_events", """
+WITH base AS (
+  SELECT value AS s, (user_id % 2)::INT AS g FROM events),
+per AS (
+  SELECT s, sum(g) AS n1, sum(1 - g) AS n0 FROM base GROUP BY s),
+cum AS (
+  SELECT n1, n0,
+         coalesce(sum(n0) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0) AS below,
+         (n1 + n0) AS t
+  FROM per)
+SELECT CAST(sum(n1) AS BIGINT) AS n_1,
+       CAST(sum(n0) AS BIGINT) AS n_0,
+       round(sum(n1 * (below::DOUBLE + n0 / 2.0)), 6) AS u,
+       round(CASE WHEN sum(n1)::DOUBLE * sum(n0) / 12.0
+                  * ((sum(n1) + sum(n0) + 1.0)
+                     - sum((t * t * t - t)::DOUBLE)
+                       / ((sum(n1) + sum(n0))::DOUBLE
+                          * (sum(n1) + sum(n0) - 1.0))) > 0
+             THEN (sum(n1 * (below::DOUBLE + n0 / 2.0))
+                   - sum(n1)::DOUBLE * sum(n0) / 2.0)
+                  / sqrt(sum(n1)::DOUBLE * sum(n0) / 12.0
+                  * ((sum(n1) + sum(n0) + 1.0)
+                     - sum((t * t * t - t)::DOUBLE)
+                       / ((sum(n1) + sum(n0))::DOUBLE
+                          * (sum(n1) + sum(n0) - 1.0)))) END, 6) AS z
+FROM cum
+""")
+def mann_whitney_arms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between experiment arms
+    (evaluation.mann_whitney_u): rank-sum comparison of event values
+    across the user-hash arms with tie-corrected normal z — the
+    outlier-robust companion to the mean-based z-test. Engine side
+    reuses the roc_auc bucketed prefix sum; the oracle replays the
+    single-node cumulative window."""
+    from parlerproject_spark.operators.evaluation import mann_whitney_u
+    e = _t(spark, sf_dir, "events").select(
+        "value", (F.col("user_id") % 2).cast("int").alias("arm"))
+    return mann_whitney_u(e, value_col="value", group_col="arm")

@@ -276,3 +276,28 @@ class TestGroupSequentialAb:
         out = group_sequential_ab(
             self._df(spark, rows), ["2024-01-02 00:00:00"]).collect()[0]
         assert out.z is None and not out.crossed
+
+
+class TestCupedAdjustment:
+    def test_perfect_covariate_and_unbiased_lift(self, spark):
+        from datetime import datetime
+        from parlerproject_spark.operators.analytics import cuped_adjustment
+        pre, post = datetime(2024, 1, 10), datetime(2024, 1, 20)
+        rows = []
+        # y = x exactly (theta=1): CUPED removes ~all variance; arm
+        # effect +5 on arm 1 survives adjustment (unbiased)
+        # base depends on the PAIR index (u//2), so both arms see the
+        # identical covariate distribution: cov(X, arm) = 0 exactly
+        # and theta = cov(X, X + 5*arm)/var(X) = 1
+        for u in range(40):
+            base = float((u // 2) % 7)
+            lift = 5.0 if u % 2 == 1 else 0.0
+            rows += [(u, pre, base), (u, post, base + lift)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, value double")
+        r = cuped_adjustment(df).collect()[0]
+        assert abs(r.theta - 1.0) < 1e-6
+        assert abs(r.lift_raw - 5.0) < 1e-6
+        assert abs(r.lift_adj - 5.0) < 1e-6      # adjustment is unbiased
+        # Y' = 5*arm exactly: all covariate variance removed
+        assert r.var_adj < r.var_y and r.var_reduction > 0.3

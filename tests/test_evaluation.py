@@ -346,3 +346,29 @@ class TestConformalCoverage:
         # k = min(2, ceil(3*0.9)=3) = 2 -> qhat = max calib s = 0.7
         assert out.n_calib == 2 and out.qhat == 0.7
         assert out.n_test == 1 and out.coverage == 1.0
+
+
+class TestMannWhitneyU:
+    def _run(self, spark, ones, zeros):
+        from parlerproject_spark.operators.evaluation import mann_whitney_u
+        rows = [(float(v), 1) for v in ones] + [(float(v), 0) for v in zeros]
+        df = spark.createDataFrame(rows, "value double, arm int")
+        return mann_whitney_u(df, group_col="arm").collect()[0]
+
+    def test_hand_case_with_ties(self, spark):
+        # arm1 = {1,2}, arm0 = {1,2}: U = 0.5 + 1.5 = 2 = n1n0/2 -> z=0
+        r = self._run(spark, [1, 2], [1, 2])
+        assert (r.n_1, r.n_0, r.u, r.z) == (2, 2, 2.0, 0.0)
+
+    def test_fully_separated_groups(self, spark):
+        # arm1 = {3,4} all above arm0 = {1,2}: U = 4 (max), z > 0
+        r = self._run(spark, [3, 4], [1, 2])
+        assert r.u == 4.0
+        import math
+        want = (4 - 2) / math.sqrt(4 / 12 * 5)
+        assert abs(r.z - round(want, 6)) < 1e-9
+
+    def test_all_tied_is_null_z(self, spark):
+        # every value identical: sigma^2 = 0 -> z null
+        r = self._run(spark, [5, 5], [5, 5])
+        assert r.z is None and r.u == 2.0
