@@ -254,6 +254,10 @@ EXTRA = [
     "group_sequential_ab_events",
     "cuped_lift_events",
     "mann_whitney_arms_events",
+    "distinct_ngram_sources",
+    "loso_quality_sources",
+    "ece_docs",
+    "association_rules_events",
 ]
 
 

@@ -645,3 +645,55 @@ def cuped_adjustment(events: DataFrame, *, user_col: str = "user_id",
         F.round(1.0 - F.try_divide(F.var_pop("__ya"),
                                    F.var_pop("__y")), 6)
         .alias("var_reduction"))
+
+
+def association_rules(events: DataFrame, *, user_col: str = "user_id",
+                      item_col: str = "event_type",
+                      min_support: float = 0.01) -> DataFrame:
+    """Market-basket association rules over per-user item sets:
+    for every ordered item pair (a → b), support = share of baskets
+    containing both, confidence = P(b | a), lift = confidence /
+    P(b) — the affinity-mining classic (Agrawal & Srikant 1994's
+    measures; pairs only, which is what production affinity uses),
+    with lift > 1 meaning a and b co-occur beyond chance.
+
+    Shape: baskets = distinct (user, item) — one keyed dedup; the
+    pair stage is a per-user equi-join whose width is bounded by the
+    ITEM VOCABULARY (a user contributes ≤ |items|² pairs no matter
+    how many events they log, because baskets are distinct sets);
+    supports come from one item-keyed count broadcast back twice.
+    Nothing scales with raw event volume past the first dedup.
+
+    Columns: antecedent, consequent, n_both, support, confidence,
+    lift (round 6) — both rule directions, min_support-filtered.
+    """
+    basket = (events.select(F.col(user_col).alias("__u"),
+                            F.col(item_col).alias("__i"))
+              .distinct())
+    n_users = basket.agg(
+        F.count_distinct("__u").alias("__nu"))
+    item_n = basket.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    a = basket.select("__u", F.col("__i").alias("antecedent"))
+    b = basket.select("__u", F.col("__i").alias("consequent"))
+    pairs = (a.join(b, "__u")
+             .filter(F.col("antecedent") != F.col("consequent"))
+             .groupBy("antecedent", "consequent")
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    j = (pairs
+         .join(F.broadcast(item_n.select(
+             F.col("__i").alias("antecedent"),
+             F.col("__ni").alias("__na"))), "antecedent")
+         .join(F.broadcast(item_n.select(
+             F.col("__i").alias("consequent"),
+             F.col("__ni").alias("__nb"))), "consequent")
+         .crossJoin(F.broadcast(n_users)))
+    sup = F.col("n_both") / F.col("__nu")
+    conf = F.col("n_both") / F.col("__na")
+    lift = (F.col("n_both") * F.col("__nu")
+            / (F.col("__na") * F.col("__nb")))
+    return (j.filter(sup >= min_support)
+            .select("antecedent", "consequent",
+                    F.col("n_both").cast("long").alias("n_both"),
+                    F.round(sup, 6).alias("support"),
+                    F.round(conf, 6).alias("confidence"),
+                    F.round(lift, 6).alias("lift")))

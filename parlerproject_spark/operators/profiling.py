@@ -360,3 +360,35 @@ def association_audit(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
                  F.round(chi2, 6).alias("chi2"),
                  F.round(v, 6).alias("cramers_v"),
                  F.round(mi, 6).alias("mi"))
+
+
+def leave_one_out_deltas(df: DataFrame, *, group_col: str = "source",
+                         value_col: str = "value") -> DataFrame:
+    """Leave-one-group-out contribution analysis — data-valuation's
+    cheapest honest primitive: for each group, what the corpus-wide
+    mean of `value_col` would be WITHOUT that group, and the delta
+    the group's presence contributes. For additive metrics the
+    counterfactual is exact algebra over per-group sums —
+    loo_mean_g = (ΣY − Σ_g Y)/(N − n_g) — so the "remove each of G
+    groups and recompute" sweep costs ONE group-keyed aggregation +
+    a broadcast 1-row total, not G recomputes.
+
+    A group with delta > 0 pulls the corpus metric UP (removing it
+    would lower the mean). Columns: <group_col>, n, group_mean,
+    loo_mean, delta (= global_mean − loo_mean, round 6).
+    """
+    g = (df.groupBy(group_col)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col(value_col).cast("double")).alias("__s")))
+    # totals get distinct names: Spark resolves case-insensitively,
+    # so __S would collide with the per-group __s after the crossJoin
+    tot = g.agg(F.sum("n").alias("__totn"), F.sum("__s").alias("__tots"))
+    j = g.crossJoin(F.broadcast(tot))
+    glob = F.col("__tots") / F.col("__totn")
+    loo = F.try_divide(F.col("__tots") - F.col("__s"),
+                       F.col("__totn") - F.col("n"))
+    return j.select(group_col, F.col("n").cast("long").alias("n"),
+                    F.round(F.col("__s") / F.col("n"), 6)
+                    .alias("group_mean"),
+                    F.round(loo, 6).alias("loo_mean"),
+                    F.round(glob - loo, 6).alias("delta"))

@@ -848,3 +848,51 @@ def group_oov_rates(docs: DataFrame, *, vocab_size: int = 1000,
                  F.round(1.0 - F.sum(in_v) / F.count("*"), 6)
                  .alias("oov_type_rate"))
             .withColumnRenamed("g", group_col))
+
+
+def distinct_ngram_diversity(docs: DataFrame, *,
+                             group_col: str = "source",
+                             text_col: str = "text",
+                             max_n: int = 2) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016's distinct-1/distinct-2):
+    per group, the ratio of UNIQUE n-grams to total n-grams — the
+    standard degeneration/mode-collapse readout for generated or
+    scraped text (a source whose distinct-2 craters is templated
+    boilerplate even when its docs pass length gates).
+
+    One token explode (spread first) feeding a (group, n, gram)
+    count → two group-keyed aggregations. Columns: <group_col>,
+    n (gram order), n_total, n_unique, distinct_ratio (round 6).
+    """
+    from parlerproject_spark.operators.layout import spread_input
+
+    ws = F.filter(F.split(F.col(text_col), r"\s+"),
+                  lambda t: F.length(t) > 0)
+    base = spread_input(
+        docs.select(F.col(group_col).alias("__g"), ws.alias("__ws")))
+    parts = []
+    for n in range(1, max_n + 1):
+        c = F.col("__ws")
+        if n == 1:
+            arr = c
+        else:
+            arr = F.when(F.size(c) >= n, F.transform(
+                F.sequence(F.lit(1), F.size(c) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(c, i + off) for off in range(n)]))
+            ).otherwise(F.array().cast("array<string>"))
+        parts.append(base.select(
+            "__g", F.lit(n).alias("__n"), F.explode(arr).alias("__gr")))
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    cnt = (allg.groupBy("__g", "__n", "__gr")
+           .agg(F.count(F.lit(1)).alias("__c")))
+    return (cnt.groupBy("__g", "__n")
+            .agg(F.sum("__c").cast("long").alias("n_total"),
+                 F.count(F.lit(1)).cast("long").alias("n_unique"))
+            .select(F.col("__g").alias(group_col),
+                    F.col("__n").cast("long").alias("n"),
+                    "n_total", "n_unique",
+                    F.round(F.col("n_unique") / F.col("n_total"), 6)
+                    .alias("distinct_ratio")))

@@ -80,6 +80,10 @@ _DRIVER_PRIORITY: list[str] = [
     "group_sequential_ab_events",
     "cuped_lift_events",
     "mann_whitney_arms_events",
+    "distinct_ngram_sources",
+    "loso_quality_sources",
+    "ece_docs",
+    "association_rules_events",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9830,3 +9834,126 @@ def mann_whitney_arms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
         "value", (F.col("user_id") % 2).cast("int").alias("arm"))
     return mann_whitney_u(e, value_col="value", group_col="arm")
+
+
+@register("distinct_ngram_sources", r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents),
+g AS (
+  SELECT source, 1 AS n, unnest(ws) AS gr FROM toks
+  UNION ALL
+  SELECT source, 2 AS n,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gr
+  FROM toks),
+cnt AS (SELECT source, n, gr, count(*) AS c FROM g GROUP BY source, n, gr)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       round(count(*)::DOUBLE / sum(c), 6) AS distinct_ratio
+FROM cnt GROUP BY source, n
+ORDER BY source, n
+""")
+def distinct_ngram_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/distinct-2 diversity per source
+    (text_analysis.distinct_ngram_diversity): unique-to-total n-gram
+    ratio — the mode-collapse/boilerplate readout (Li et al. 2016);
+    a source whose distinct-2 craters is templated text even when
+    its docs pass every length gate."""
+    from parlerproject_spark.operators.text_analysis import (
+        distinct_ngram_diversity)
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return (distinct_ngram_diversity(d, max_n=2)
+            .orderBy("source", "n"))
+
+
+@register("loso_quality_sources", """
+WITH g AS (
+  SELECT source, count(*) AS n, sum(CAST(n_chars AS DOUBLE)) AS s
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS nn, sum(s) AS ss FROM g)
+SELECT source, CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS group_mean,
+       round((ss - s) / (nn - n), 6) AS loo_mean,
+       round(ss / nn - (ss - s) / (nn - n), 6) AS delta
+FROM g CROSS JOIN tot
+ORDER BY source
+""")
+def loso_quality_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out contribution sweep
+    (profiling.leave_one_out_deltas) on doc length: what the corpus
+    mean n_chars would be without each source, exact counterfactual
+    algebra from per-group sums — the G-recompute data-valuation
+    sweep priced as ONE keyed aggregation."""
+    from parlerproject_spark.operators.profiling import leave_one_out_deltas
+    d = _t(spark, sf_dir, "documents").select("source",
+                                              F.col("n_chars").alias("value"))
+    return (leave_one_out_deltas(d, group_col="source", value_col="value")
+            .orderBy("source"))
+
+
+@register("ece_docs", """
+WITH base AS (
+  SELECT CAST(n_chars AS DOUBLE) / (n_chars + 300.0) AS p,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+bins AS (
+  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+         count(*) AS n, round(avg(p), 6) AS mean_prob,
+         round(avg(y), 6) AS frac_pos
+  FROM base GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+       round(sum(n * abs(frac_pos - mean_prob)) / sum(n), 6) AS ece
+FROM bins
+""")
+def ece_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the single-number summary of
+    calibration_docs' reliability diagram: Σ (n_b/N)·|acc_b −
+    conf_b| over the same 10 equal-width bins (computed FROM the
+    verified calibration_report frame, so the binning and rounding
+    are shared by construction)."""
+    from parlerproject_spark.operators.evaluation import calibration_report
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("n_chars").cast("double")
+         / (F.col("n_chars") + 300.0)).alias("prob"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    bins = calibration_report(d, n_bins=10)
+    return bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum(F.col("n")
+                      * F.abs(F.col("frac_pos") - F.col("mean_prob")))
+                / F.sum("n"), 6).alias("ece"))
+
+
+@register("association_rules_events", """
+WITH basket AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events),
+nu AS (SELECT count(DISTINCT u) AS n FROM basket),
+item_n AS (SELECT i, count(*) AS ni FROM basket GROUP BY i),
+pairs AS (
+  SELECT a.i AS antecedent, b.i AS consequent, count(*) AS n_both
+  FROM basket a JOIN basket b ON a.u = b.u AND a.i <> b.i
+  GROUP BY a.i, b.i)
+SELECT antecedent, consequent, CAST(n_both AS BIGINT) AS n_both,
+       round(n_both::DOUBLE / nu.n, 6) AS support,
+       round(n_both::DOUBLE / na.ni, 6) AS confidence,
+       round(n_both::DOUBLE * nu.n / (na.ni::DOUBLE * nb.ni), 6) AS lift
+FROM pairs
+JOIN item_n na ON na.i = antecedent
+JOIN item_n nb ON nb.i = consequent
+CROSS JOIN nu
+WHERE n_both::DOUBLE / nu.n >= 0.01
+ORDER BY antecedent, consequent
+""")
+def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rules over per-user event-type sets
+    (analytics.association_rules): support / confidence / lift for
+    every type pair — affinity mining whose pair stage is bounded by
+    the item vocabulary, not event volume (baskets are distinct
+    sets)."""
+    from parlerproject_spark.operators.analytics import association_rules
+    return (association_rules(_t(spark, sf_dir, "events"),
+                              min_support=0.01)
+            .orderBy("antecedent", "consequent"))

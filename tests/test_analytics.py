@@ -301,3 +301,28 @@ class TestCupedAdjustment:
         assert abs(r.lift_adj - 5.0) < 1e-6      # adjustment is unbiased
         # Y' = 5*arm exactly: all covariate variance removed
         assert r.var_adj < r.var_y and r.var_reduction > 0.3
+
+
+class TestAssociationRules:
+    def _run(self, spark, rows, min_support=0.0):
+        from parlerproject_spark.operators.analytics import association_rules
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        return {(r.antecedent, r.consequent): r for r in
+                association_rules(df, min_support=min_support).collect()}
+
+    def test_hand_measures(self, spark):
+        # 4 users: {a,b} x2, {a} x1, {b} x1
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "b")]
+        out = self._run(spark, rows)
+        r = out[("a", "b")]
+        assert r.n_both == 2 and r.support == 0.5
+        assert r.confidence == round(2 / 3, 6)
+        assert r.lift == round(2 * 4 / (3 * 3), 6)
+        # duplicate events must not inflate counts (baskets are sets)
+        out2 = self._run(spark, rows + [(1, "a"), (1, "a")])
+        assert out2[("a", "b")].n_both == 2
+
+    def test_min_support_cut(self, spark):
+        rows = [(u, "a") for u in range(99)] + [(99, "a"), (99, "b")]
+        out = self._run(spark, rows, min_support=0.05)
+        assert out == {}          # a-b co-occurs in 1/100 baskets only

@@ -638,3 +638,48 @@ def test_fim_transform_reassembles_to_original(spark):
         assert pre + mid + suf == text         # lossless permutation
         assert pre == text[:r["cut_a"]]
         assert mid == text[r["cut_a"]:r["cut_b"]]
+
+
+class TestDistinctNgramDiversity:
+    def _run(self, spark, rows):
+        from parlerproject_spark.operators.text_analysis import (
+            distinct_ngram_diversity)
+        df = spark.createDataFrame(rows, "source string, text string")
+        return {(r.source, r.n): r for r in
+                distinct_ngram_diversity(df, max_n=2).collect()}
+
+    def test_unique_vs_templated(self, spark):
+        out = self._run(spark, [("u", "a b c d"),
+                                ("t", "x y x y x y")])
+        assert out[("u", 1)].distinct_ratio == 1.0
+        assert out[("u", 2)].distinct_ratio == 1.0
+        # templated: 6 tokens, 2 unique -> 1/3; 5 bigrams, 2 unique
+        assert out[("t", 1)].distinct_ratio == round(2 / 6, 6)
+        assert out[("t", 2)].n_total == 5 and out[("t", 2)].n_unique == 2
+
+    def test_single_token_doc_has_no_bigrams(self, spark):
+        out = self._run(spark, [("s", "hello")])
+        assert ("s", 2) not in out and out[("s", 1)].n_total == 1
+
+
+class TestLeaveOneOutDeltas:
+    def test_hand_deltas(self, spark):
+        from parlerproject_spark.operators.profiling import (
+            leave_one_out_deltas)
+        rows = [("a", 10.0), ("a", 20.0), ("b", 100.0)]
+        df = spark.createDataFrame(rows, "source string, value double")
+        out = {r.source: r for r in
+               leave_one_out_deltas(df).collect()}
+        # global mean 130/3; without a: 100; without b: 15
+        assert out["a"].loo_mean == 100.0
+        assert out["b"].loo_mean == 15.0
+        assert out["a"].delta == round(130 / 3 - 100, 6)   # a pulls DOWN
+        assert out["b"].delta == round(130 / 3 - 15, 6)    # b pulls UP
+
+    def test_single_group_loo_is_null(self, spark):
+        from parlerproject_spark.operators.profiling import (
+            leave_one_out_deltas)
+        df = spark.createDataFrame([("only", 5.0)],
+                                   "source string, value double")
+        r = leave_one_out_deltas(df).collect()[0]
+        assert r.loo_mean is None and r.delta is None
