@@ -258,6 +258,7 @@ EXTRA = [
     "loso_quality_sources",
     "ece_docs",
     "association_rules_events",
+    "readability_docs",
 ]
 
 

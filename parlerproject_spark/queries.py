@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "loso_quality_sources",
     "ece_docs",
     "association_rules_events",
+    "readability_docs",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9957,3 +9958,38 @@ def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (association_rules(_t(spark, sf_dir, "events"),
                               min_support=0.01)
             .orderBy("antecedent", "consequent"))
+
+
+@register("readability_docs", r"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(t, '\s+'), w -> w <> ''))
+           ::DOUBLE AS words,
+         greatest(len(regexp_extract_all(t, '[.!?]+')), 1)::DOUBLE
+           AS sents,
+         len(regexp_extract_all(t, '[aeiouy]+'))::DOUBLE AS syll
+  FROM base)
+SELECT doc_id,
+       CAST(words AS BIGINT) AS n_words,
+       CAST(sents AS BIGINT) AS n_sentences,
+       CAST(syll AS BIGINT) AS n_syllables,
+       round(CASE WHEN words > 0 THEN
+             206.835 - 1.015 * (words / sents) - 84.6 * (syll / words)
+             END, 6) AS flesch_ease,
+       round(CASE WHEN words > 0 THEN
+             0.39 * (words / sents) + 11.8 * (syll / words) - 15.59
+             END, 6) AS fk_grade
+FROM m ORDER BY doc_id
+""")
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch ease + FK grade per doc
+    (quality_rules.readability_scores): vowel-group syllable proxy,
+    [.!?]+ sentences — zero-shuffle regexp expressions on the scan;
+    the readability features every quality classifier stack
+    includes."""
+    from parlerproject_spark.operators.quality_rules import (
+        readability_scores)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_scores(d).orderBy("doc_id")

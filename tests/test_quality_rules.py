@@ -185,3 +185,27 @@ def test_repetition_arrow_equals_expr(spark):
     assert [(f.name, f.dataType) for f in a.schema] == \
            [(f.name, f.dataType) for f in e.schema]
     assert a.collect() == e.collect()
+
+
+class TestReadabilityScores:
+    def _run(self, spark, texts):
+        from parlerproject_spark.operators.quality_rules import (
+            readability_scores)
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        return {r.doc_id: r for r in readability_scores(df).collect()}
+
+    def test_hand_counts_and_formula(self, spark):
+        out = self._run(spark, ["The cat sat. It ran!"])
+        r = out[0]
+        # vowel groups: e|a|a|i|a = 5; words 5; sentences 2
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+        ease = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+        grade = 0.39 * (5 / 2) + 11.8 * (5 / 5) - 15.59
+        assert abs(r.flesch_ease - round(ease, 6)) < 1e-9
+        assert abs(r.fk_grade - round(grade, 6)) < 1e-9
+
+    def test_zero_words_and_sentence_floor(self, spark):
+        out = self._run(spark, ["", "no punctuation here"])
+        assert out[0].flesch_ease is None and out[0].fk_grade is None
+        assert out[1].n_sentences == 1      # floor keeps ratios defined
