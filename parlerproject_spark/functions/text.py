@@ -123,3 +123,20 @@ def normalize_url(col: Column | str) -> Column:
     return F.concat(
         head, path_norm,
         F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")))
+
+
+def word_ngrams(arr: Column | str, n: int) -> Column:
+    """Space-joined word n-grams from a token array — the shared
+    builder behind bleu_pairs, intra_doc_repeated_spans and
+    distinct_ngram_diversity. Order matches token order (gram i
+    starts at 1-based token i). Spark's `sequence(1, 0)` generates a
+    DESCENDING ramp, so sub-n docs are guarded to an empty array
+    explicitly. n=1 returns the tokens themselves."""
+    c = F.col(arr) if isinstance(arr, str) else arr
+    if n == 1:
+        return c
+    return F.when(F.size(c) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(c) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(c, i + off) for off in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))

@@ -474,7 +474,9 @@ def rfm_scores(events: DataFrame, *, user_col: str = "user_id",
     6), r_score, f_score, m_score, rfm (100·r + 10·f + m).
     """
     if asof is None:
-        asof = F.lit("2024-02-01").cast("timestamp")
+        asof = "2024-02-01"
+    if isinstance(asof, str):
+        asof = F.lit(asof).cast("timestamp")
     per = (events.groupBy(user_col)
            .agg(F.max(F.col(ts_col)).alias("__last"),
                 F.count(F.lit(1)).cast("long").alias("frequency"),

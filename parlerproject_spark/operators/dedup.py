@@ -1015,13 +1015,8 @@ def intra_doc_repeated_spans(docs: DataFrame, *, n: int = 2,
                   lambda t: F.length(t) > 0)
     toks = spread_input(
         docs.select(F.col(id_col).alias("__id"), ws.alias("__ws")))
-    c = F.col("__ws")
-    grams_arr = F.when(F.size(c) >= n, F.transform(
-        F.sequence(F.lit(1), F.size(c) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(c, i + off) for off in range(n)]))
-    ).otherwise(F.array().cast("array<string>"))
-    g = (toks.select("__id", F.posexplode(grams_arr)
+    from parlerproject_spark.functions.text import word_ngrams
+    g = (toks.select("__id", F.posexplode(word_ngrams(F.col("__ws"), n))
                      .alias("__p0", "__g"))
          .select("__id", (F.col("__p0") + 1).alias("__pos"), "__g"))
     first = g.groupBy("__id", "__g").agg(F.min("__pos").alias("__fp"))

@@ -257,18 +257,12 @@ def bleu_pairs(cand: DataFrame, ref: DataFrame, *,
             df.select(F.col(pair_col).alias("__pid"), ws.alias("__ws")))
 
     def grams(tdf):
+        from parlerproject_spark.functions.text import word_ngrams
         c = F.col("__ws")
-        # sequence(1, 0) would generate a DESCENDING ramp — guard
-        # sub-bigram docs explicitly
-        bi = F.when(F.size(c) >= 2, F.transform(
-            F.sequence(F.lit(1), F.size(c) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(c, i),
-                                  F.element_at(c, i + 1)))
-        ).otherwise(F.array().cast("array<string>"))
         uni = tdf.select("__pid", F.lit(1).alias("__n"),
-                         F.explode(c).alias("__g"))
+                         F.explode(word_ngrams(c, 1)).alias("__g"))
         big = tdf.select("__pid", F.lit(2).alias("__n"),
-                         F.explode(bi).alias("__g"))
+                         F.explode(word_ngrams(c, 2)).alias("__g"))
         return (uni.unionByName(big)
                 .groupBy("__pid", "__n", "__g")
                 .agg(F.count(F.lit(1)).alias("__c")))
@@ -324,9 +318,18 @@ def grouped_roc_auc(df: DataFrame, group_cols: list[str], *,
     distinct-score count split B ways. Single-class groups report
     auc NULL (no ranking exists), not a divide-by-zero.
 
+    NULL group keys are EXCLUDED up front (documented contract):
+    the bucket-offset joins are equi-joins where NULL != NULL, so a
+    NULL slice would otherwise vanish mid-plan; filtering first makes
+    the exclusion explicit and engine-symmetric.
+
     Columns: *group_cols, n_pos, n_neg, auc.
     """
     lab = F.col(label_col).cast("int")
+    nn = F.lit(True)
+    for c in group_cols:
+        nn = nn & F.col(c).isNotNull()
+    df = df.filter(nn)
     per = (df.select(*group_cols,
                      F.col(score_col).cast("double").alias("__s"),
                      lab.alias("__y"))

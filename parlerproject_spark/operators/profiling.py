@@ -331,9 +331,17 @@ def association_audit(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     chi² = n·(Σ n_ij²/(r_i·c_j) − 1), which needs observed cells
     only).
 
+    NULL categories are EXCLUDED up front (documented contract):
+    count_distinct skips NULL and equi-joins drop NULL keys, so
+    keeping NULL rows would silently diverge from any GROUP-BY-based
+    replay that treats NULL as a category — filter first, identically
+    on both engines.
+
     Columns (one row): n, n_a, n_b, dof, chi2, cramers_v, mi.
     """
-    cell = (df.groupBy(a_col, b_col)
+    cell = (df.filter(F.col(a_col).isNotNull()
+                      & F.col(b_col).isNotNull())
+            .groupBy(a_col, b_col)
             .agg(F.count(F.lit(1)).alias("__c")))
     ra = cell.groupBy(a_col).agg(F.sum("__c").alias("__ra"))
     cb = cell.groupBy(b_col).agg(F.sum("__c").alias("__cb"))

@@ -795,7 +795,8 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
                        mode: str = "exact", dim: int | None = None,
                        num_planes: int = 4, num_tables: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       impl: str = "arrow") -> DataFrame:
+                       impl: str = "arrow",
+                       cache_out: list | None = None) -> DataFrame:
     """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
     the CCMatrix/LASER bitext-mining criterion): score every
     candidate (src, tgt) pair by its cosine RELATIVE to each side's
@@ -862,7 +863,7 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
     # sims feeds THREE consumers (fwd means, bwd means, the margin
     # re-join) and Spark shares no subplans — without materialization
     # the |A|×|B| scoring pass runs three times (measured 6.1 s →
-    # 2.3 s at sf0.1). The persisted unit is the CANDIDATE table: all
+    # 2.6 s warm at sf0.1). The persisted unit is the CANDIDATE table: all
     # pairs in exact mode (bounded sides by contract), bucket-collided
     # pairs in lsh mode — never corpus-squared at scale.
     sims = sims.persist()

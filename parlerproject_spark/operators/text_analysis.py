@@ -870,19 +870,13 @@ def distinct_ngram_diversity(docs: DataFrame, *,
                   lambda t: F.length(t) > 0)
     base = spread_input(
         docs.select(F.col(group_col).alias("__g"), ws.alias("__ws")))
+    from parlerproject_spark.functions.text import word_ngrams
+
     parts = []
     for n in range(1, max_n + 1):
-        c = F.col("__ws")
-        if n == 1:
-            arr = c
-        else:
-            arr = F.when(F.size(c) >= n, F.transform(
-                F.sequence(F.lit(1), F.size(c) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(c, i + off) for off in range(n)]))
-            ).otherwise(F.array().cast("array<string>"))
         parts.append(base.select(
-            "__g", F.lit(n).alias("__n"), F.explode(arr).alias("__gr")))
+            "__g", F.lit(n).alias("__n"),
+            F.explode(word_ngrams(F.col("__ws"), n)).alias("__gr")))
     allg = parts[0]
     for p in parts[1:]:
         allg = allg.unionByName(p)

@@ -298,7 +298,9 @@ def theil_sen_trend(events: DataFrame, *, key_col: str = "user_id",
     pair join → keyed median aggregate → broadcast slope re-join →
     keyed median again. No windows, no global structures. Pairs with
     identical timestamps are excluded on BOTH engines (no 0-division
-    slope); keys with no valid pair report nulls.
+    slope); a key with NO valid pair (one event, or every event at
+    one instant) fits no line and produces NO output row — absence,
+    not nulls, mirrored by the oracle's inner joins.
 
     The regressor is hours since 2024-01-01 (same centering as
     linear_trend) so cross-engine float parity survives the

@@ -9209,7 +9209,7 @@ def bleu_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT source, CAST(n_chars AS DOUBLE) / (n_chars + 100.0) AS s,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-  FROM documents),
+  FROM documents WHERE source IS NOT NULL),
 per AS (
   SELECT source, s, sum(y) AS pos, sum(1 - y) AS neg
   FROM base GROUP BY source, s),
@@ -9317,7 +9317,9 @@ def t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("association_source_lang", """
 WITH cell AS (
-  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+  SELECT source, lang, count(*) AS c FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY source, lang),
 ra AS (SELECT source, sum(c) AS r FROM cell GROUP BY source),
 cb AS (SELECT lang, sum(c) AS cc FROM cell GROUP BY lang),
 j AS (
