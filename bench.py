@@ -259,6 +259,7 @@ EXTRA = [
     "ece_docs",
     "association_rules_events",
     "readability_docs",
+    "k_core_users",
 ]
 
 

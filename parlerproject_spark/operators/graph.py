@@ -402,3 +402,46 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, *,
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def k_core(edges: DataFrame, *, k: int, max_iter: int = 20) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph where
+    every vertex keeps degree ≥ k — the standard dense-subgraph
+    extractor for spam/bot-ring detection and community seeding
+    (Seidman 1983). Computed by iterative PEELING: drop every vertex
+    whose current degree is < k, recompute degrees on the surviving
+    subgraph, repeat to a fixed point.
+
+    Iterative-operator contract (same as duplicate_clusters / BFS):
+    each round is one degree aggregation + two semi-joins over
+    (id, id) pairs only, the shrinking edge list is
+    localCheckpoint()ed so the plan never compounds, and the loop
+    EARLY-EXITS when no vertex was peeled (the fixed point; peeling
+    converges in ≤ |V| rounds, in practice a handful — max_iter is
+    the runaway bound and overrunning it raises rather than
+    returning a wrong subgraph).
+
+    Input: directed or undirected (src, dst) — canonicalized
+    internally. Columns: vertex, degree (degree WITHIN the k-core).
+    """
+    und = undirected_edges(edges).localCheckpoint(eager=True)
+    cur = und
+    for _ in range(max_iter):
+        deg = (cur.select(F.col("a").alias("v"))
+               .unionByName(cur.select(F.col("b").alias("v")))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.filter(F.col("d") >= k).select("v")
+        nxt = (cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+               .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+               .localCheckpoint(eager=True))
+        n_cur, n_nxt = cur.count(), nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            final = (cur.select(F.col("a").alias("vertex"))
+                     .unionByName(cur.select(F.col("b").alias("vertex")))
+                     .groupBy("vertex")
+                     .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+            return final.filter(F.col("degree") >= k)
+    raise RuntimeError(
+        f"k_core: no fixed point within max_iter={max_iter} peels — "
+        "raise max_iter (each peel strictly shrinks the edge set)")

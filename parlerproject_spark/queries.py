@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ece_docs",
     "association_rules_events",
     "readability_docs",
+    "k_core_users",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -9995,3 +9996,63 @@ def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         readability_scores)
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return readability_scores(d).orderBy("doc_id")
+
+
+def _kcore_peel_sql(i: int, k: int) -> str:
+    # every CTE is MATERIALIZED: each peel references its predecessor
+    # ~5 times, and DuckDB's default CTE inlining would otherwise
+    # expand the 6-peel chain into 5^6 scans of the events view (the
+    # SQL mirror of the 2^k logical-plan unroll trap)
+    return f""",
+d{i} AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i})
+  GROUP BY v),
+kv{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT v FROM kv{i}) AND b IN (SELECT v FROM kv{i}))"""
+
+
+_KCORE_PEELS = 6
+_KCORE_K = 70
+
+_KCORE_SQL = ("""
+WITH keyed AS (
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+         ts, event_id, user_id AS dst
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        IS NOT NULL),
+dir AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT lag(dst) OVER (PARTITION BY obj
+                              ORDER BY ts, event_id) AS src, dst
+        FROM keyed)
+  WHERE src IS NOT NULL AND src <> dst),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dir WHERE src <> dst)"""
+ + "".join(_kcore_peel_sql(i, _KCORE_K) for i in range(_KCORE_PEELS))
+ + f"""
+SELECT v AS vertex, CAST(d AS BIGINT) AS degree FROM (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e{_KCORE_PEELS}
+    UNION ALL SELECT b AS v FROM e{_KCORE_PEELS})
+  GROUP BY v)
+WHERE d >= {_KCORE_K}
+ORDER BY vertex""")
+
+
+@register("k_core_users", _KCORE_SQL)
+def k_core_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership of the co-interaction user graph
+    (graph.k_core, k=70): the dense-subgraph extractor (Seidman
+    1983) behind spam-ring and community detection — iterative
+    peeling with early exit; the oracle unrolls 6 peel CTEs (the
+    peel is idempotent at the fixed point, so over-unrolling is a
+    no-op; sf0.01 converges in 3)."""
+    from parlerproject_spark.operators.graph import (cointeraction_edges,
+                                                     k_core)
+    e = cointeraction_edges(_t(spark, sf_dir, "events"))
+    return k_core(e, k=_KCORE_K).orderBy("vertex")

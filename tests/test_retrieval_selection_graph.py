@@ -424,3 +424,34 @@ class TestWeakLabelSummary:
         rows = [(1, 1, -1, 1)]
         out = self._run(spark, rows, truth=False)
         assert all(v.accuracy is None for v in out.values())
+
+
+class TestKCore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def test_peeling_cascade(self, spark):
+        from parlerproject_spark.operators.graph import k_core
+        # triangle {1,2,3} plus a tail 3-4-5: tail vertices have
+        # degree <= 2 but 4 only drops AFTER 5 does (cascade)
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        out = {r.vertex: r.degree
+               for r in k_core(self._edges(spark, pairs), k=2).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_empty_core_and_direction_insensitive(self, spark):
+        from parlerproject_spark.operators.graph import k_core
+        # a path graph has no 2-core; reversed duplicate edges must
+        # not inflate degrees
+        pairs = [(1, 2), (2, 1), (2, 3)]
+        out = k_core(self._edges(spark, pairs), k=2).collect()
+        assert out == []
+
+    def test_max_iter_raise(self, spark):
+        import pytest
+        from parlerproject_spark.operators.graph import k_core
+        # a long path peels one end per round: max_iter=1 cannot reach
+        # the fixed point
+        pairs = [(i, i + 1) for i in range(6)]
+        with pytest.raises(RuntimeError, match="no fixed point"):
+            k_core(self._edges(spark, pairs), k=2, max_iter=1)
