@@ -260,6 +260,7 @@ EXTRA = [
     "association_rules_events",
     "readability_docs",
     "k_core_users",
+    "heaps_law_sources",
 ]
 
 

@@ -890,3 +890,60 @@ def distinct_ngram_diversity(docs: DataFrame, *,
                     "n_total", "n_unique",
                     F.round(F.col("n_unique") / F.col("n_total"), 6)
                     .alias("distinct_ratio")))
+
+
+def heaps_law_fit(docs: DataFrame, *, group_col: str = "source",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per group: V(N) ≈ K·N^β,
+    estimated by OLS on (ln N_i, ln V_i) over the group's doc-order
+    growth curve — the corpus-health statistic next to Zipf: natural
+    text grows vocabulary at β ≈ 0.4–0.6; β → 1 means unbounded
+    novelty (noise/mojibake), β → 0 means templated text that has
+    stopped contributing new types.
+
+    Shape: per-doc distinct tokens → first-seen doc per (group,
+    token) (one keyed min) → per-doc new-type counts → cumulative
+    (V, N) under a group-PARTITIONED window ordered by doc id →
+    one regr_* aggregation per group. Every window is partitioned;
+    every join keyed. Docs with zero tokens contribute N only.
+
+    Columns: <group_col>, n_points (curve points = docs with a
+    positive cumulative token count), n_tokens, vocab, beta,
+    k_factor (round 6; groups with <2 points fit no line → nulls).
+    """
+    from parlerproject_spark.operators.layout import spread_input
+
+    ws = F.filter(F.split(F.col(text_col), r"\s+"),
+                  lambda t: F.length(t) > 0)
+    base = spread_input(docs.select(F.col(group_col).alias("__g"),
+                                    F.col(id_col).alias("__d"),
+                                    ws.alias("__ws")))
+    toks = base.select("__g", "__d", F.size("__ws").alias("__nt"))
+    tok = (base.select("__g", "__d", F.explode_outer("__ws").alias("__t"))
+           .filter(F.col("__t").isNotNull())
+           .groupBy("__g", "__d", "__t").agg(F.lit(1).alias("__one")))
+    first = (tok.groupBy("__g", "__t")
+             .agg(F.min("__d").alias("__fd")))
+    new_types = (first.groupBy("__g", F.col("__fd").alias("__d"))
+                 .agg(F.count(F.lit(1)).alias("__nv")))
+    per_doc = (toks.join(new_types, ["__g", "__d"], "left")
+               .select("__g", "__d", "__nt",
+                       F.coalesce("__nv", F.lit(0)).alias("__nv")))
+    w = (Window.partitionBy("__g").orderBy("__d")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    curve = per_doc.select(
+        "__g",
+        F.sum("__nt").over(w).alias("__N"),
+        F.sum("__nv").over(w).alias("__V"))
+    pts = curve.filter((F.col("__N") > 0) & (F.col("__V") > 0)) \
+        .select("__g", F.log("__N").alias("__x"), F.log("__V").alias("__y"),
+                "__N", "__V")
+    return (pts.groupBy("__g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                 F.max("__N").cast("long").alias("n_tokens"),
+                 F.max("__V").cast("long").alias("vocab"),
+                 F.round(F.regr_slope("__y", "__x"), 6).alias("beta"),
+                 F.round(F.exp(F.regr_intercept("__y", "__x")), 6)
+                 .alias("k_factor"))
+            .withColumnRenamed("__g", group_col))

@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: list[str] = [
     "association_rules_events",
     "readability_docs",
     "k_core_users",
+    "heaps_law_sources",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -10056,3 +10057,45 @@ def k_core_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      k_core)
     e = cointeraction_edges(_t(spark, sf_dir, "events"))
     return k_core(e, k=_KCORE_K).orderBy("vertex")
+
+
+@register("heaps_law_sources", r"""
+WITH base AS (
+  SELECT source AS g, doc_id AS d,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents),
+toks AS (SELECT g, d, len(ws) AS nt FROM base),
+tok AS (
+  SELECT DISTINCT g, d, unnest(ws) AS t FROM base),
+fst AS (SELECT g, t, min(d) AS fd FROM tok GROUP BY g, t),
+newt AS (SELECT g, fd AS d, count(*) AS nv FROM fst GROUP BY g, fd),
+per_doc AS (
+  SELECT toks.g, toks.d, toks.nt, coalesce(newt.nv, 0) AS nv
+  FROM toks LEFT JOIN newt USING (g, d)),
+curve AS (
+  SELECT g,
+         sum(nt) OVER (PARTITION BY g ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS n,
+         sum(nv) OVER (PARTITION BY g ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS v
+  FROM per_doc)
+SELECT g AS source,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(max(v) AS BIGINT) AS vocab,
+       round(regr_slope(ln(v), ln(n)), 6) AS beta,
+       round(exp(regr_intercept(ln(v), ln(n))), 6) AS k_factor
+FROM curve WHERE n > 0 AND v > 0
+GROUP BY g ORDER BY source
+""")
+def heaps_law_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source
+    (text_analysis.heaps_law_fit): V ≈ K·N^β by OLS on the log-log
+    doc-order growth curve — β near 0.5 is healthy text, β → 1 is
+    unbounded novelty (noise), β → 0 is templated. All windows
+    source-partitioned; one regr_* agg per source."""
+    from parlerproject_spark.operators.text_analysis import heaps_law_fit
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return heaps_law_fit(d).orderBy("source")

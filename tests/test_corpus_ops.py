@@ -683,3 +683,32 @@ class TestLeaveOneOutDeltas:
                                    "source string, value double")
         r = leave_one_out_deltas(df).collect()[0]
         assert r.loo_mean is None and r.delta is None
+
+
+class TestHeapsLawFit:
+    def _run(self, spark, rows):
+        from parlerproject_spark.operators.text_analysis import heaps_law_fit
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, source string, text string")
+        return {r.source: r for r in heaps_law_fit(df).collect()}
+
+    def test_templated_source_beta_zero(self, spark):
+        # every doc repeats the same 2 tokens: V flat at 2 while N
+        # grows -> slope ~0 on the log-log curve
+        rows = [(i, "t", "a b a b") for i in range(6)]
+        r = self._run(spark, rows)["t"]
+        assert r.vocab == 2 and r.n_tokens == 24
+        assert abs(r.beta) < 0.35          # flat-ish growth
+
+    def test_all_new_tokens_beta_one(self, spark):
+        # every token everywhere is new: V == N exactly -> beta = 1,
+        # K = 1
+        rows = [(i, "n", f"w{4*i} w{4*i+1} w{4*i+2} w{4*i+3}")
+                for i in range(5)]
+        r = self._run(spark, rows)["n"]
+        assert r.vocab == r.n_tokens == 20
+        assert r.beta == 1.0 and r.k_factor == 1.0
+
+    def test_single_point_is_null_fit(self, spark):
+        r = self._run(spark, [(0, "s", "x y")])["s"]
+        assert r.beta is None and r.n_points == 1
