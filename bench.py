@@ -261,6 +261,7 @@ EXTRA = [
     "readability_docs",
     "k_core_users",
     "heaps_law_sources",
+    "gini_user_value_events",
 ]
 
 

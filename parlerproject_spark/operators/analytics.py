@@ -699,3 +699,66 @@ def association_rules(events: DataFrame, *, user_col: str = "user_id",
                     F.round(sup, 6).alias("support"),
                     F.round(conf, 6).alias("confidence"),
                     F.round(lift, 6).alias("lift")))
+
+
+def gini_coefficient(df: DataFrame, *, value_col: str = "value",
+                     n_buckets: int = 1024) -> DataFrame:
+    """Gini concentration coefficient of a non-negative metric —
+    the inequality readout for engagement/value/token-mass
+    ("5% of users generate 80% of events" quantified): G =
+    Σᵢⱼ|yᵢ−yⱼ| / (2n²μ), computed WITHOUT a global rank via the
+    distinct-value histogram identity Σ|yᵢ−yⱼ| = 2·Σ_v c_v·(v·
+    cnt_below(v) − sum_below(v)), whose prefix sums run under the
+    same shuffle-bounded two-level bucketing as roc_auc (per-bucket
+    totals, broadcast cross-bucket offsets, partitionBy(bucket)
+    window) — two running quantities (count and value mass) instead
+    of one. No single-partition structure above n_buckets rows.
+
+    Columns (one row): n, mean, gini (round 6; null when n·Σy = 0).
+    """
+    per = (df.select(F.col(value_col).cast("double").alias("__v"))
+           .groupBy("__v").agg(F.count(F.lit(1)).alias("__c")))
+    bounds = per.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.coalesce(
+        F.when(span > 0,
+               F.least(F.floor((F.col("__v") - F.col("__lo"))
+                               / span * n_buckets),
+                       F.lit(n_buckets - 1))).otherwise(F.lit(0)),
+        F.lit(n_buckets - 1)).cast("long")
+    b = (per.crossJoin(F.broadcast(bounds))
+         .select("__v", "__c", bucket.alias("__b")))
+    btot = (b.groupBy("__b")
+            .agg(F.sum("__c").alias("__bc"),
+                 F.sum(F.col("__c") * F.col("__v")).alias("__bs")))
+    lower = btot.select(F.col("__b").alias("__b2"),
+                        F.col("__bc").alias("__bc2"),
+                        F.col("__bs").alias("__bs2"))
+    off = (btot.crossJoin(F.broadcast(lower))
+           .groupBy("__b")
+           .agg(F.sum(F.when(F.col("__b2") < F.col("__b"),
+                             F.col("__bc2")).otherwise(F.lit(0)))
+                .alias("__offc"),
+                F.sum(F.when(F.col("__b2") < F.col("__b"),
+                             F.col("__bs2")).otherwise(F.lit(0.0)))
+                .alias("__offs")))
+    w = (Window.partitionBy("__b").orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    below_c = (F.col("__offc")
+               + F.coalesce(F.sum("__c").over(w), F.lit(0)))
+    below_s = (F.col("__offs")
+               + F.coalesce(F.sum(F.col("__c") * F.col("__v")).over(w),
+                            F.lit(0.0)))
+    contrib = F.col("__c") * (F.col("__v") * below_c.cast("double")
+                              - below_s)
+    agg = (b.join(F.broadcast(off), "__b")
+           .select("__c", "__v", contrib.alias("__g"))
+           .agg(F.sum("__c").cast("long").alias("n"),
+                F.sum(F.col("__c") * F.col("__v")).alias("__S"),
+                F.sum("__g").alias("__G")))
+    return agg.select(
+        "n",
+        F.round(F.col("__S") / F.col("n"), 6).alias("mean"),
+        F.round(F.try_divide(F.col("__G"),
+                             F.col("n").cast("double") * F.col("__S")), 6)
+        .alias("gini"))

@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: list[str] = [
     "readability_docs",
     "k_core_users",
     "heaps_law_sources",
+    "gini_user_value_events",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -10099,3 +10100,32 @@ def heaps_law_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.text_analysis import heaps_law_fit
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return heaps_law_fit(d).orderBy("source")
+
+
+@register("gini_user_value_events", """
+WITH per_user AS (
+  SELECT user_id, sum(value) AS y FROM events GROUP BY user_id),
+h AS (SELECT y AS v, count(*) AS c FROM per_user GROUP BY y),
+cum AS (
+  SELECT v, c,
+         coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS bc,
+         coalesce(sum(c * v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING), 0.0) AS bs
+  FROM h)
+SELECT CAST(sum(c) AS BIGINT) AS n,
+       round(sum(c * v) / sum(c), 6) AS mean,
+       round(sum(c * (v * bc - bs))
+             / (sum(c)::DOUBLE * sum(c * v)), 6) AS gini
+FROM cum
+""")
+def gini_user_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user total value
+    (analytics.gini_coefficient): the engagement-inequality readout
+    — engine side runs the rank-free histogram identity under the
+    bucketed two-level prefix sum (no global sort); the oracle
+    replays the single-node cumulative window."""
+    from parlerproject_spark.operators.analytics import gini_coefficient
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id").agg(F.sum("value").alias("y")))
+    return gini_coefficient(per, value_col="y")

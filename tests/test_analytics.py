@@ -326,3 +326,22 @@ class TestAssociationRules:
         rows = [(u, "a") for u in range(99)] + [(99, "a"), (99, "b")]
         out = self._run(spark, rows, min_support=0.05)
         assert out == {}          # a-b co-occurs in 1/100 baskets only
+
+
+class TestGiniCoefficient:
+    def _run(self, spark, vals):
+        from parlerproject_spark.operators.analytics import gini_coefficient
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "value double")
+        return gini_coefficient(df).collect()[0]
+
+    def test_equality_and_concentration_extremes(self, spark):
+        assert self._run(spark, [5, 5, 5, 5]).gini == 0.0
+        # all mass on one of n units -> G = (n-1)/n
+        r = self._run(spark, [0, 0, 0, 10])
+        assert r.gini == 0.75 and r.mean == 2.5
+
+    def test_hand_case(self, spark):
+        # y = {1,2,3}: sum|yi-yj| = 2*(1+2+1) = 8; G = 8/(2*9*2) = 2/9
+        r = self._run(spark, [1, 2, 3])
+        assert abs(r.gini - round(2 / 9, 6)) < 1e-9
