@@ -262,6 +262,7 @@ EXTRA = [
     "k_core_users",
     "heaps_law_sources",
     "gini_user_value_events",
+    "graph_stats_events",
 ]
 
 

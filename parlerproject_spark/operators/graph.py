@@ -445,3 +445,48 @@ def k_core(edges: DataFrame, *, k: int, max_iter: int = 20) -> DataFrame:
     raise RuntimeError(
         f"k_core: no fixed point within max_iter={max_iter} peels — "
         "raise max_iter (each peel strictly shrinks the edge set)")
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row global graph health summary — the numbers a graph
+    pipeline checks before trusting community/similarity outputs:
+    node/edge counts, mean degree, TRANSITIVITY (global clustering
+    3·triangles/wedges — how clique-like the graph is) and degree
+    ASSORTATIVITY (Pearson correlation of endpoint degrees over both
+    edge directions — positive: hubs prefer hubs; negative:
+    hub-and-spoke, Newman 2002).
+
+    Composition of verified pieces: `triangle_counts` supplies the
+    skew-proof triangle total (each triangle appears at 3 nodes —
+    divide by 3), wedges are Σ C(d,2) on the degree table, and the
+    assortativity is ONE corr aggregate over the degree-joined edge
+    list. Everything above edge granularity is |V|-row algebra.
+
+    Columns: n_nodes, n_edges, avg_degree, transitivity,
+    assortativity (round 6; nulls where degenerate).
+    """
+    und = undirected_edges(edges).localCheckpoint(eager=True)
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_counts(edges)
+    tsum = tri.agg((F.sum("triangles") / 3).alias("__t"))
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2).alias("__w"))
+    both = und.unionByName(und.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    assort = (both.join(da, "a").join(db, "b")
+              .agg(F.round(F.corr("__da", "__db"), 6)
+                   .alias("assortativity")))
+    return (base.crossJoin(F.broadcast(tsum))
+            .crossJoin(F.broadcast(assort))
+            .select("n_nodes", "n_edges", "avg_degree",
+                    F.round(F.try_divide(3.0 * F.col("__t"),
+                                         F.col("__w")), 6)
+                    .alias("transitivity"),
+                    "assortativity"))

@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "k_core_users",
     "heaps_law_sources",
     "gini_user_value_events",
+    "graph_stats_events",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -10129,3 +10130,55 @@ def gini_user_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (_t(spark, sf_dir, "events")
            .groupBy("user_id").agg(F.sum("value").alias("y")))
     return gini_coefficient(per, value_col="y")
+
+
+@register("graph_stats_events", """
+WITH keyed AS (
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS obj,
+         ts, event_id, user_id AS dst
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        IS NOT NULL),
+dir AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT lag(dst) OVER (PARTITION BY obj
+                              ORDER BY ts, event_id) AS src, dst
+        FROM keyed)
+  WHERE src IS NOT NULL AND src <> dst),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dir WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT v AS node, count(*) AS degree FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v),
+tri AS (
+  SELECT count(*) AS t
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+base AS (
+  SELECT count(*) AS n_nodes, sum(degree) / 2 AS n_edges,
+         round(avg(degree), 6) AS avg_degree,
+         sum(degree * (degree - 1) / 2) AS w
+  FROM deg),
+bidir AS (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+assort AS (
+  SELECT round(corr(da.degree, db.degree), 6) AS assortativity
+  FROM bidir JOIN deg da ON da.node = bidir.a
+  JOIN deg db ON db.node = bidir.b)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges, avg_degree,
+       round(3.0 * tri.t / base.w, 6) AS transitivity,
+       assortativity
+FROM base CROSS JOIN tri CROSS JOIN assort
+""")
+def graph_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global graph health summary (graph.graph_stats) of the
+    co-interaction user graph: transitivity (3·triangles/wedges) and
+    degree assortativity (Newman 2002) next to size/degree basics —
+    the pre-flight check before trusting community or similarity
+    outputs on the graph."""
+    from parlerproject_spark.operators.graph import (cointeraction_edges,
+                                                     graph_stats)
+    return graph_stats(cointeraction_edges(_t(spark, sf_dir, "events")))

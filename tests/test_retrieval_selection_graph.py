@@ -455,3 +455,23 @@ class TestKCore:
         pairs = [(i, i + 1) for i in range(6)]
         with pytest.raises(RuntimeError, match="no fixed point"):
             k_core(self._edges(spark, pairs), k=2, max_iter=1)
+
+
+class TestGraphStats:
+    def test_triangle_with_tail(self, spark):
+        from parlerproject_spark.operators.graph import graph_stats
+        # triangle {1,2,3} + tail 3-4: T=1; wedges = 1+1+3+0 = 5
+        df = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)],
+                                   "src long, dst long")
+        r = graph_stats(df).collect()[0]
+        assert (r.n_nodes, r.n_edges) == (4, 4)
+        assert r.transitivity == 0.6          # 3*1/5
+
+    def test_star_graph_is_disassortative(self, spark):
+        from parlerproject_spark.operators.graph import graph_stats
+        # hub 0 to 4 leaves: every edge pairs degree 4 with degree 1
+        df = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                                   "src long, dst long")
+        r = graph_stats(df).collect()[0]
+        assert r.transitivity == 0.0
+        assert r.assortativity == -1.0
