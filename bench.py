@@ -263,6 +263,8 @@ EXTRA = [
     "heaps_law_sources",
     "gini_user_value_events",
     "graph_stats_events",
+    "gains_curve_docs",
+    "required_sample_size_events",
 ]
 
 

@@ -565,3 +565,91 @@ def mann_whitney_u(df: DataFrame, *, value_col: str = "value",
         F.sum("__n0").cast("long").alias("n_0"),
         F.round(u, 6).alias("u"),
         F.round(z, 6).alias("z"))
+
+
+def gains_curve(df: DataFrame, *, score_col: str = "score",
+                label_col: str = "label",
+                n_bands: int = 10) -> DataFrame:
+    """Cumulative gains / lift table — the model-triage view for a
+    ranking classifier ("the top decile captures X% of positives at
+    Y× random"): rows bucketed into `n_bands` equal-width score
+    bands (descending — band 1 is the HIGHEST-score slice), each
+    band reporting its positive count, the cumulative share of all
+    positives captured down to it, and the cumulative lift vs
+    random targeting.
+
+    One banded aggregation + one window over ≤n_bands rows
+    (partitioned structure: the band table itself) + a broadcast
+    1-row total. Equal-WIDTH bands (not quantile bands) keep the
+    banding a pure expression — no rank, no sort, engine-mirrorable.
+
+    Columns: band, n, n_pos, cum_pos_share, cum_row_share, lift
+    (round 6).
+    """
+    s = F.col(score_col).cast("double")
+    band = (F.lit(n_bands)
+            - F.least(F.floor(s * n_bands),
+                      F.lit(n_bands - 1))).cast("long")
+    per = (df.select(band.alias("band"),
+                     F.col(label_col).cast("int").alias("__y"))
+           .groupBy("band")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("__y").alias("n_pos")))
+    tot = per.agg(F.sum("n").alias("__tn"), F.sum("n_pos").alias("__tp"))
+    w = (Window.orderBy("band")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # the window runs over the ≤n_bands band table only — a
+    # documented bounded single-partition structure
+    cum = (per.withColumn("__cn", F.sum("n").over(w))
+           .withColumn("__cp", F.sum("n_pos").over(w))
+           .crossJoin(F.broadcast(tot)))
+    return cum.select(
+        "band", F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.try_divide(F.col("__cp"), F.col("__tp")), 6)
+        .alias("cum_pos_share"),
+        F.round(F.col("__cn") / F.col("__tn"), 6).alias("cum_row_share"),
+        F.round(F.try_divide(F.try_divide(F.col("__cp"), F.col("__tp")),
+                             F.col("__cn") / F.col("__tn")), 6)
+        .alias("lift"))
+
+
+def required_sample_size(events: DataFrame, *, user_col: str = "user_id",
+                         success_filter: str = "event_type = 'purchase'",
+                         mdes: list | None = None,
+                         z_alpha: float = 1.959964,
+                         z_beta: float = 0.841621) -> DataFrame:
+    """Experiment power calculator seeded from the LIVE baseline:
+    estimate the current per-user conversion rate, then for each
+    minimum detectable effect (absolute Δ) report the required
+    users PER ARM for a two-proportion test at α=0.05 two-sided /
+    80% power — n = (z_{α/2}+z_β)²·2p̄(1−p̄)/Δ² with p̄ the midpoint
+    rate. The pre-experiment sizing every platform pairs with
+    `group_sequential_ab`; z constants are the standard normal
+    quantiles as shared literals.
+
+    One per-user aggregation → one global rate row → |mdes| rows of
+    closed-form algebra. Columns: mde, base_rate, n_per_arm,
+    total_users (round 6 / ceil).
+    """
+    if mdes is None:
+        mdes = [0.01, 0.02, 0.05]
+    per_user = (events.groupBy(user_col)
+                .agg(F.max(F.expr(f"CASE WHEN {success_filter} "
+                                  "THEN 1 ELSE 0 END")).alias("__c")))
+    rate = per_user.agg(F.avg("__c").alias("__p"))
+    parts = []
+    for d in mdes:
+        pbar = F.col("__p") + d / 2.0
+        n = (F.ceil(F.pow(F.lit(z_alpha + z_beta), 2) * 2.0
+                    * pbar * (1.0 - pbar) / (d * d))
+             .cast("long"))
+        parts.append(rate.select(
+            F.lit(float(d)).alias("mde"),
+            F.round("__p", 6).alias("base_rate"),
+            n.alias("n_per_arm"),
+            (n * 2).cast("long").alias("total_users")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -89,6 +89,8 @@ _DRIVER_PRIORITY: list[str] = [
     "heaps_law_sources",
     "gini_user_value_events",
     "graph_stats_events",
+    "gains_curve_docs",
+    "required_sample_size_events",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -10182,3 +10184,71 @@ def graph_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.graph import (cointeraction_edges,
                                                      graph_stats)
     return graph_stats(cointeraction_edges(_t(spark, sf_dir, "events")))
+
+
+@register("gains_curve_docs", """
+WITH base AS (
+  SELECT CAST(n_chars AS DOUBLE) / (n_chars + 100.0) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+per AS (
+  SELECT (10 - least(CAST(floor(s * 10) AS BIGINT), 9)) AS band,
+         count(*) AS n, sum(y) AS n_pos
+  FROM base GROUP BY 1),
+tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per),
+cum AS (
+  SELECT band, n, n_pos,
+         sum(n) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cn,
+         sum(n_pos) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cp
+  FROM per)
+SELECT band, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(cp::DOUBLE / tp, 6) AS cum_pos_share,
+       round(cn::DOUBLE / tn, 6) AS cum_row_share,
+       round((cp::DOUBLE / tp) / (cn::DOUBLE / tn), 6) AS lift
+FROM cum CROSS JOIN tot
+ORDER BY band
+""")
+def gains_curve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table (evaluation.gains_curve) for
+    the length-based lang=='en' classifier: per descending score
+    band, the share of all positives captured and the lift vs
+    random — the targeting-triage companion to roc_auc/calibration."""
+    from parlerproject_spark.operators.evaluation import gains_curve
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("n_chars").cast("double")
+         / (F.col("n_chars") + 100.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    return gains_curve(d, n_bands=10).orderBy("band")
+
+
+@register("required_sample_size_events", """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+  FROM events GROUP BY user_id),
+r AS (SELECT avg(c) AS p FROM per_user),
+m AS (SELECT unnest([0.01, 0.02, 0.05]) AS mde)
+SELECT mde, round(p, 6) AS base_rate,
+       CAST(ceil(power(1.959964 + 0.841621, 2) * 2.0
+                 * (p + mde / 2.0) * (1.0 - (p + mde / 2.0))
+                 / (mde * mde)) AS BIGINT) AS n_per_arm,
+       CAST(ceil(power(1.959964 + 0.841621, 2) * 2.0
+                 * (p + mde / 2.0) * (1.0 - (p + mde / 2.0))
+                 / (mde * mde)) AS BIGINT) * 2 AS total_users
+FROM m CROSS JOIN r
+ORDER BY mde
+""")
+def required_sample_size_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Experiment sizing from the live baseline
+    (evaluation.required_sample_size): users per arm to detect a
+    1/2/5-point absolute lift in purchase conversion at α=0.05,
+    80% power — the pre-experiment calculator paired with
+    group_sequential_ab."""
+    from parlerproject_spark.operators.evaluation import (
+        required_sample_size)
+    return (required_sample_size(_t(spark, sf_dir, "events"))
+            .orderBy("mde"))

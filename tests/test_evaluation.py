@@ -372,3 +372,43 @@ class TestMannWhitneyU:
         # every value identical: sigma^2 = 0 -> z null
         r = self._run(spark, [5, 5], [5, 5])
         assert r.z is None and r.u == 2.0
+
+
+class TestGainsCurve:
+    def test_perfect_ranker_concentrates_top_band(self, spark):
+        from parlerproject_spark.operators.evaluation import gains_curve
+        # positives all score 0.95+, negatives 0.05: band 1 captures
+        # every positive at lift = total/positive-band rows
+        rows = [(0.95 + i / 1000.0, 1) for i in range(10)] \
+            + [(0.05, 0)] * 30
+        df = spark.createDataFrame(rows, "score double, label int")
+        out = {r.band: r for r in gains_curve(df).collect()}
+        assert out[1].cum_pos_share == 1.0
+        assert out[1].lift == 4.0           # 40 rows / 10 top rows
+        assert out[10].lift == 1.0          # full table = random
+
+    def test_uniform_scores_lift_one(self, spark):
+        from parlerproject_spark.operators.evaluation import gains_curve
+        rows = [(b / 10.0 + 0.05, i % 2)
+                for b in range(10) for i in range(4)]
+        df = spark.createDataFrame(rows, "score double, label int")
+        for r in gains_curve(df).collect():
+            assert r.lift == 1.0
+
+
+class TestRequiredSampleSize:
+    def test_textbook_n(self, spark):
+        import math
+        from parlerproject_spark.operators.evaluation import (
+            required_sample_size)
+        # 100 users, 10 convert -> p = 0.1
+        rows = [(u, "purchase" if u < 10 else "view") for u in range(100)]
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        out = {r.mde: r for r in required_sample_size(
+            df, mdes=[0.02]).collect()}
+        r = out[0.02]
+        assert r.base_rate == 0.1
+        pbar = 0.11
+        want = math.ceil((1.959964 + 0.841621) ** 2 * 2 * pbar
+                         * (1 - pbar) / 0.02 ** 2)
+        assert r.n_per_arm == want and r.total_users == 2 * want

@@ -199,6 +199,11 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "key_skew_events",         # cum-share over the top-20 key extract
     "negative_samples_docs",   # cumulative bounds over the min_count-cut vocab
     "hybrid_rerank_docs",      # rank over the limit(top_k) rerank extract
+    "gains_curve_docs",        # cumulative window over the ≤10-row
+                               # score-BAND table (bands are a fixed
+                               # constant, not data-driven), after the
+                               # banded aggregation has already
+                               # reduced the corpus
     "kaplan_meier_users",      # cum-hazard over the per-DAY lifetime
                                # histogram: rows ≤ observation window
                                # in days (a decade of data = ~3.7k

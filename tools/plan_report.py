@@ -164,6 +164,8 @@ REPORT_QUERIES = [
     "heaps_law_sources",
     "gini_user_value_events",
     "graph_stats_events",
+    "gains_curve_docs",
+    "required_sample_size_events",
 ]
 
 
