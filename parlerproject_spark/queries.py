@@ -62,7 +62,19 @@ _DRIVER_PRIORITY: list[str] = [
     # Round-7 rotation: never-sampled first, then post-hoc-oracled /
     # last-row-error queries (their local oracle is green but the
     # driver has never recorded it), then ascending last-sampled
-    # round.
+    # round. The 8 post-hoc-oracled queries lead outright: their
+    # local oracle has been green since r6 but the driver's last
+    # record predates the oracle (VERDICT r6 item 2) — they must
+    # land inside the driver's sample window ahead of this round's
+    # brand-new queries.
+    "pca_whiten_embeddings",
+    "embedding_near_dup_lsh",
+    "knn_ivf",
+    "knn_lsh",
+    "semantic_dedup_embeddings",
+    "topic_assignments",
+    "topic_outlier_assignments",
+    "unigram_segment_docs",
     "margin_pairs_embeddings",
     "bleu_pairs_docs",
     "grouped_roc_auc_sources",
@@ -109,14 +121,6 @@ _DRIVER_PRIORITY: list[str] = [
     "dp_event_type_counts",
     "token_js_divergence_sources",
     "embedding_drift_snapshots",
-    "pca_whiten_embeddings",
-    "embedding_near_dup_lsh",
-    "knn_ivf",
-    "knn_lsh",
-    "semantic_dedup_embeddings",
-    "topic_assignments",
-    "topic_outlier_assignments",
-    "unigram_segment_docs",
     # last driver row: r1
     "topk_orders",
     "tumbling_window_events",
