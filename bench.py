@@ -265,6 +265,8 @@ EXTRA = [
     "graph_stats_events",
     "gains_curve_docs",
     "required_sample_size_events",
+    "cv_fold_auc_docs",
+    "spearman_length_tokens_sources",
 ]
 
 

@@ -762,3 +762,34 @@ def gini_coefficient(df: DataFrame, *, value_col: str = "value",
         F.round(F.try_divide(F.col("__G"),
                              F.col("n").cast("double") * F.col("__S")), 6)
         .alias("gini"))
+
+
+def spearman_by_group(df: DataFrame, *, group_col: str,
+                      x_col: str, y_col: str) -> DataFrame:
+    """Per-group Spearman rank correlation — the monotone-association
+    readout that survives outliers and nonlinearity where Pearson
+    lies (quality metrics vs engagement, length vs score): Pearson
+    over tie-corrected AVERAGE ranks, ρ per group.
+
+    Ranks use rank() + (|ties|−1)/2 (the textbook average-rank tie
+    treatment), built from two group-partitioned windows — bounded
+    by the group's row count, never global — then one corr aggregate
+    per group. Deterministic and CTE-replayable.
+
+    Columns: <group_col>, n, spearman_rho (round 6; null for
+    degenerate groups with a constant metric).
+    """
+    gx = Window.partitionBy(group_col).orderBy(F.col(x_col).asc())
+    gy = Window.partitionBy(group_col).orderBy(F.col(y_col).asc())
+    tx = Window.partitionBy(group_col, x_col)
+    ty = Window.partitionBy(group_col, y_col)
+    ranked = df.select(
+        group_col,
+        (F.rank().over(gx)
+         + (F.count(F.lit(1)).over(tx) - 1) / 2.0).alias("__rx"),
+        (F.rank().over(gy)
+         + (F.count(F.lit(1)).over(ty) - 1) / 2.0).alias("__ry"))
+    return (ranked.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.corr("__rx", "__ry"), 6)
+                 .alias("spearman_rho")))

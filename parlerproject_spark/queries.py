@@ -103,6 +103,8 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_stats_events",
     "gains_curve_docs",
     "required_sample_size_events",
+    "cv_fold_auc_docs",
+    "spearman_length_tokens_sources",
     "curriculum_order_docs",
     "length_bucket_batches_docs",
     "quantile_band_docs",
@@ -10256,3 +10258,86 @@ def required_sample_size_events(spark: SparkSession,
         required_sample_size)
     return (required_sample_size(_t(spark, sf_dir, "events"))
             .orderBy("mde"))
+
+
+@register("cv_fold_auc_docs", """
+WITH base AS (
+  SELECT doc_id % 5 AS fold,
+         CAST(n_chars AS DOUBLE) / (n_chars + 100.0) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+per AS (
+  SELECT fold, s, sum(y) AS pos, sum(1 - y) AS neg
+  FROM base GROUP BY fold, s),
+cum AS (
+  SELECT fold, pos, neg,
+         coalesce(sum(neg) OVER (PARTITION BY fold ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS nb
+  FROM per),
+folds AS (
+  SELECT fold,
+         round(sum(pos * (CAST(nb AS DOUBLE) + neg / 2.0))
+               / (CAST(sum(pos) AS DOUBLE) * sum(neg)), 6) AS auc
+  FROM cum GROUP BY fold)
+SELECT CAST(count(*) AS BIGINT) AS n_folds,
+       round(avg(auc), 6) AS mean_auc,
+       round(stddev_samp(auc), 6) AS std_auc,
+       round(min(auc), 6) AS min_auc,
+       round(max(auc), 6) AS max_auc
+FROM folds
+""")
+def cv_fold_auc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated AUC stability (grouped_roc_auc composed over
+    hash folds): the 5-fold mean/std/min/max of the quality
+    classifier's AUC — the variance readout that says whether a
+    headline AUC is luck. Pure composition of the verified sliced
+    AUC; folds are a hash expression, so the whole thing is one
+    extra keyed aggregation."""
+    from parlerproject_spark.operators.evaluation import grouped_roc_auc
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") % 5).alias("fold"),
+        (F.col("n_chars").cast("double")
+         / (F.col("n_chars") + 100.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    folds = grouped_roc_auc(d, ["fold"])
+    return folds.agg(
+        F.count(F.lit(1)).cast("long").alias("n_folds"),
+        F.round(F.avg("auc"), 6).alias("mean_auc"),
+        F.round(F.stddev_samp("auc"), 6).alias("std_auc"),
+        F.round(F.min("auc"), 6).alias("min_auc"),
+        F.round(F.max("auc"), 6).alias("max_auc"))
+
+
+@register("spearman_length_tokens_sources", r"""
+WITH base AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS x,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              w -> w <> '')) AS DOUBLE) AS y
+  FROM documents),
+ranked AS (
+  SELECT source,
+         rank() OVER (PARTITION BY source ORDER BY x ASC)
+           + (count(*) OVER (PARTITION BY source, x) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY source ORDER BY y ASC)
+           + (count(*) OVER (PARTITION BY source, y) - 1) / 2.0 AS ry
+  FROM base)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       round(corr(rx, ry), 6) AS spearman_rho
+FROM ranked GROUP BY source ORDER BY source
+""")
+def spearman_length_tokens_sources(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-source Spearman ρ (analytics.spearman_by_group) between
+    char length and token count — the monotone-association check
+    with tie-corrected average ranks; all windows source-partitioned,
+    one corr aggregate per group."""
+    from parlerproject_spark.operators.analytics import spearman_by_group
+    from parlerproject_spark.functions.text import token_count
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("x"),
+        token_count("text").cast("double").alias("y"))
+    return (spearman_by_group(d, group_col="source",
+                              x_col="x", y_col="y")
+            .orderBy("source"))

@@ -345,3 +345,27 @@ class TestGiniCoefficient:
         # y = {1,2,3}: sum|yi-yj| = 2*(1+2+1) = 8; G = 8/(2*9*2) = 2/9
         r = self._run(spark, [1, 2, 3])
         assert abs(r.gini - round(2 / 9, 6)) < 1e-9
+
+
+class TestSpearmanByGroup:
+    def _run(self, spark, rows):
+        from parlerproject_spark.operators.analytics import spearman_by_group
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        return {r.g: r for r in spearman_by_group(
+            df, group_col="g", x_col="x", y_col="y").collect()}
+
+    def test_monotone_extremes(self, spark):
+        rows = [("up", float(i), float(i * i)) for i in range(8)] \
+            + [("down", float(i), float(-i)) for i in range(8)]
+        out = self._run(spark, rows)
+        # nonlinear but monotone -> rho exactly 1 (Pearson would not be)
+        assert out["up"].spearman_rho == 1.0
+        assert out["down"].spearman_rho == -1.0
+
+    def test_tie_average_ranks(self, spark):
+        # x ties at 1.0 get average rank 1.5 each; hand rho:
+        # ranks x = [1.5, 1.5, 3], y = [1, 2, 3] -> corr = sqrt(3)/2
+        import math
+        rows = [("t", 1.0, 10.0), ("t", 1.0, 20.0), ("t", 2.0, 30.0)]
+        r = self._run(spark, rows)["t"]
+        assert abs(r.spearman_rho - round(math.sqrt(3) / 2, 6)) < 1e-9
