@@ -290,7 +290,7 @@ def srm_check(events: DataFrame, *, user_col: str = "user_id",
 
 
 def ab_test_proportions(events: DataFrame, *, user_col: str = "user_id",
-                        arm_expr: str = "user_id % 2",
+                        arm_expr: str = "pmod(user_id, 2)",
                         success_filter: str = "event_type = 'purchase'",
                         ) -> DataFrame:
     """Two-proportion z-test between experiment arms: unit = user,
@@ -514,7 +514,7 @@ def rfm_scores(events: DataFrame, *, user_col: str = "user_id",
 def group_sequential_ab(events: DataFrame, looks: list[str], *,
                         user_col: str = "user_id",
                         ts_col: str = "ts",
-                        arm_expr: str = "user_id % 2",
+                        arm_expr: str = "pmod(user_id, 2)",
                         success_filter: str = "event_type = 'purchase'",
                         boundary_z: float | None = None,
                         alpha: float = 0.05) -> DataFrame:
@@ -596,7 +596,7 @@ def group_sequential_ab(events: DataFrame, looks: list[str], *,
 def cuped_adjustment(events: DataFrame, *, user_col: str = "user_id",
                      ts_col: str = "ts", value_col: str = "value",
                      cutover: str = "2024-01-15",
-                     arm_expr: str = "user_id % 2") -> DataFrame:
+                     arm_expr: str = "pmod(user_id, 2)") -> DataFrame:
     """CUPED variance reduction (Deng et al. 2013) for an A/B
     metric: adjust each user's post-period metric by their
     PRE-period covariate — Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X) —

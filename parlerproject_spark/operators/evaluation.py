@@ -113,17 +113,23 @@ def roc_auc(df: DataFrame, *, score_col: str = "score",
            .groupBy("__s")
            .agg(F.sum("__y").alias("__pos"),
                 F.sum(1 - F.col("__y")).alias("__neg")))
-    bounds = per.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    # NaN scores are ISOLATED from the bucketing math: Spark's
+    # max() treats NaN as the largest double (span would go NaN and
+    # floor(NaN) is 0 — collapsing EVERY row into bucket 0, i.e. one
+    # global window). Bounds are computed over non-NaN scores only
+    # and NaN rows are routed straight to the top bucket, where the
+    # within-bucket ORDER BY (NaN sorts above every double) keeps the
+    # cumulative identity exact.
+    s_fin = F.when(F.isnan(F.col("__s")), F.lit(None)).otherwise(F.col("__s"))
+    bounds = per.agg(F.min(s_fin).alias("__lo"), F.max(s_fin).alias("__hi"))
     span = F.col("__hi") - F.col("__lo")
-    # NaN scores (floor → null) deliberately land in the top bucket:
-    # NaN sorts above every double in both the bucketing and the
-    # within-bucket ORDER BY, so the identity stays exact
-    bucket = F.coalesce(
-        F.when(span > 0,
-               F.least(F.floor((F.col("__s") - F.col("__lo"))
-                               / span * n_buckets),
-                       F.lit(n_buckets - 1))).otherwise(F.lit(0)),
-        F.lit(n_buckets - 1)).cast("long")
+    bucket = F.when(F.isnan(F.col("__s")), F.lit(n_buckets - 1)).otherwise(
+        F.coalesce(
+            F.when(span > 0,
+                   F.least(F.floor((F.col("__s") - F.col("__lo"))
+                                   / span * n_buckets),
+                           F.lit(n_buckets - 1))).otherwise(F.lit(0)),
+            F.lit(n_buckets - 1))).cast("long")
     b = (per.crossJoin(F.broadcast(bounds))
          .select("__s", "__pos", "__neg", bucket.alias("__b")))
     btot = b.groupBy("__b").agg(F.sum("__neg").alias("__bneg"))
@@ -336,17 +342,22 @@ def grouped_roc_auc(df: DataFrame, group_cols: list[str], *,
            .groupBy(*group_cols, "__s")
            .agg(F.sum("__y").alias("__pos"),
                 F.sum(1 - F.col("__y")).alias("__neg")))
+    # NaN isolation — same reasoning as roc_auc above: per-group
+    # bounds over non-NaN scores only (max() would propagate NaN and
+    # floor(NaN)=0 collapses the group into one bucket); NaN rows go
+    # straight to the top bucket where NaN's sort position keeps the
+    # identity exact.
+    s_fin = F.when(F.isnan(F.col("__s")), F.lit(None)).otherwise(F.col("__s"))
     bounds = (per.groupBy(*group_cols)
-              .agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi")))
+              .agg(F.min(s_fin).alias("__lo"), F.max(s_fin).alias("__hi")))
     span = F.col("__hi") - F.col("__lo")
-    # NaN scores (floor → null) land in the top bucket: NaN sorts
-    # above every double in both the bucketing and the ORDER BY
-    bucket = F.coalesce(
-        F.when(span > 0,
-               F.least(F.floor((F.col("__s") - F.col("__lo"))
-                               / span * n_buckets),
-                       F.lit(n_buckets - 1))).otherwise(F.lit(0)),
-        F.lit(n_buckets - 1)).cast("long")
+    bucket = F.when(F.isnan(F.col("__s")), F.lit(n_buckets - 1)).otherwise(
+        F.coalesce(
+            F.when(span > 0,
+                   F.least(F.floor((F.col("__s") - F.col("__lo"))
+                                   / span * n_buckets),
+                           F.lit(n_buckets - 1))).otherwise(F.lit(0)),
+            F.lit(n_buckets - 1))).cast("long")
     b = (per.join(bounds, list(group_cols))
          .select(*group_cols, "__s", "__pos", "__neg",
                  bucket.alias("__b")))
@@ -526,14 +537,20 @@ def mann_whitney_u(df: DataFrame, *, value_col: str = "value",
            .groupBy("__s")
            .agg(F.sum("__g").alias("__n1"),
                 F.sum(1 - F.col("__g")).alias("__n0")))
-    bounds = per.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    # NaN isolation — same reasoning as roc_auc: bounds over non-NaN
+    # values only (max() propagates NaN; floor(NaN)=0 would collapse
+    # everything into bucket 0); NaN values route to the top bucket
+    # where NaN's sort position keeps the cumulative identity exact.
+    s_fin = F.when(F.isnan(F.col("__s")), F.lit(None)).otherwise(F.col("__s"))
+    bounds = per.agg(F.min(s_fin).alias("__lo"), F.max(s_fin).alias("__hi"))
     span = F.col("__hi") - F.col("__lo")
-    bucket = F.coalesce(
-        F.when(span > 0,
-               F.least(F.floor((F.col("__s") - F.col("__lo"))
-                               / span * n_buckets),
-                       F.lit(n_buckets - 1))).otherwise(F.lit(0)),
-        F.lit(n_buckets - 1)).cast("long")
+    bucket = F.when(F.isnan(F.col("__s")), F.lit(n_buckets - 1)).otherwise(
+        F.coalesce(
+            F.when(span > 0,
+                   F.least(F.floor((F.col("__s") - F.col("__lo"))
+                                   / span * n_buckets),
+                           F.lit(n_buckets - 1))).otherwise(F.lit(0)),
+            F.lit(n_buckets - 1))).cast("long")
     b = (per.crossJoin(F.broadcast(bounds))
          .select("__s", "__n1", "__n0", bucket.alias("__b")))
     btot = b.groupBy("__b").agg(F.sum("__n0").alias("__b0"))
@@ -587,9 +604,14 @@ def gains_curve(df: DataFrame, *, score_col: str = "score",
     (round 6).
     """
     s = F.col(score_col).cast("double")
+    # clamp BOTH sides: floor(s*n_bands) is capped high by least()
+    # and low by greatest(0, ...) so out-of-contract scores (<0 or
+    # >1) still land in the documented 1..n_bands range instead of
+    # minting a band outside it
     band = (F.lit(n_bands)
-            - F.least(F.floor(s * n_bands),
-                      F.lit(n_bands - 1))).cast("long")
+            - F.greatest(F.lit(0),
+                         F.least(F.floor(s * n_bands),
+                                 F.lit(n_bands - 1)))).cast("long")
     per = (df.select(band.alias("band"),
                      F.col(label_col).cast("int").alias("__y"))
            .groupBy("band")

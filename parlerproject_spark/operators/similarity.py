@@ -867,6 +867,11 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
     # pairs in exact mode (bounded sides by contract), bucket-collided
     # pairs in lsh mode — never corpus-squared at scale.
     sims = sims.persist()
+    if cache_out is not None:
+        # surface the persisted handle (embedding_near_dups contract):
+        # callers that materialize the result unpersist via this list,
+        # otherwise MEMORY_AND_DISK blocks accumulate across calls.
+        cache_out.append(sims)
     wf = Window.partitionBy("id_a").orderBy(F.col("sim").desc(),
                                             F.col("id_b").asc())
     wb = Window.partitionBy("id_b").orderBy(F.col("sim").desc(),

@@ -55,79 +55,27 @@ def register(name: str, oracle: str | None):
 
 
 # The driver samples ~50 queries per round; this ordering decides which.
-# Policy: oldest-driver-row first, so every registered query gets a fresh
-# driver CORRECTNESS row at most ~2 rounds stale (all entries also pass the
-# local oracle replica, tools/check_oracle.py, every session).
+# Policy: never-driver-sampled first, then ascending last-sampled round,
+# so every registered query gets a fresh driver CORRECTNESS row at most
+# ~3 rounds stale (all entries also pass the local oracle replica,
+# tools/check_oracle.py, every session).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-7 rotation: never-sampled first, then post-hoc-oracled /
-    # last-row-error queries (their local oracle is green but the
-    # driver has never recorded it), then ascending last-sampled
-    # round. The 8 post-hoc-oracled queries lead outright: their
-    # local oracle has been green since r6 but the driver's last
-    # record predates the oracle (VERDICT r6 item 2) — they must
-    # land inside the driver's sample window ahead of this round's
-    # brand-new queries.
-    "pca_whiten_embeddings",
-    "embedding_near_dup_lsh",
-    "knn_ivf",
-    "knn_lsh",
-    "semantic_dedup_embeddings",
-    "topic_assignments",
-    "topic_outlier_assignments",
-    "unigram_segment_docs",
-    "margin_pairs_embeddings",
-    "bleu_pairs_docs",
-    "grouped_roc_auc_sources",
-    "ips_policy_value_events",
-    "t_closeness_events",
-    "association_source_lang",
-    "repetition_spans_docs",
-    "truncation_recall_embeddings",
-    "selection_parity_sources",
-    "conformal_coverage_docs",
-    "weak_label_summary_docs",
-    "active_learning_batch_docs",
-    "theil_sen_trend_users",
-    "rfm_scores_users",
-    "group_sequential_ab_events",
-    "cuped_lift_events",
-    "mann_whitney_arms_events",
-    "distinct_ngram_sources",
-    "loso_quality_sources",
-    "ece_docs",
-    "association_rules_events",
-    "readability_docs",
-    "k_core_users",
-    "heaps_law_sources",
-    "gini_user_value_events",
-    "graph_stats_events",
-    "gains_curve_docs",
-    "required_sample_size_events",
-    "cv_fold_auc_docs",
-    "spearman_length_tokens_sources",
-    "curriculum_order_docs",
-    "length_bucket_batches_docs",
-    "quantile_band_docs",
-    "robust_outliers_events",
-    "benford_values_events",
-    "source_minhash_similarity",
-    "vocab_coverage_sources",
-    "linear_trend_users",
-    "diff_in_diff_events",
-    "stream_enrich_segments",
-    "psi_gate_events",
-    "density_topic_assignments",
+    # Round-8 rotation. Head: the 5 queries no driver sample has ever
+    # recorded (VERDICT r7 item 1 — they sat at positions 50-54, one slot
+    # outside the ~50-query window). After them: round-8 additions (also
+    # never sampled), then every other query in ascending last-sampled
+    # round (r1 first), so nothing goes >3 rounds without a driver row.
     "bradley_terry_sources",
     "k_anonymity_events",
     "leakage_safe_split_docs",
     "dp_event_type_counts",
     "token_js_divergence_sources",
-    "embedding_drift_snapshots",
-    # last driver row: r1
+    # --- round-8 new queries get inserted here ---
+    # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
     "window_rank_orders",
-    # last driver row: r2
+    # last driver sample: round 2
     "embed_documents_fake",
     "full_outer_reconcile_keys",
     "grouping_sets_order_stats",
@@ -153,7 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     "type_token_ratio_docs",
     "unpivot_part_metrics",
     "value_quartiles_bucketed",
-    # last driver row: r3
+    # last driver sample: round 3
     "approx_distinct_users",
     "asof_join_purchase_view",
     "audio_chunk_parts",
@@ -202,7 +150,7 @@ _DRIVER_PRIORITY: list[str] = [
     "view_purchase_stream_join",
     "vocab_coverage_docs",
     "window_family_orders",
-    # last driver row: r4
+    # last driver sample: round 4
     "anti_join_idle_customers",
     "audience_overlap_theta",
     "bloom_incremental_dedup_docs",
@@ -252,7 +200,7 @@ _DRIVER_PRIORITY: list[str] = [
     "value_quantiles_kll",
     "when_case_acctbal",
     "zorder_events_stats",
-    # last driver row: r5
+    # last driver sample: round 5
     "ab_test_purchase_events",
     "bfs_distances_events",
     "blocklist_filter_docs",
@@ -264,6 +212,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cusum_changepoints_events",
     "dbscan_clusters_embeddings",
     "embedding_covariance",
+    "embedding_drift_snapshots",
     "erase_audit_events",
     "except_all_priorities",
     "fk_integrity_audit",
@@ -301,7 +250,7 @@ _DRIVER_PRIORITY: list[str] = [
     "trimmed_mean_events",
     "unicode_normalize_docs",
     "unigram_vocab_docs",
-    # last driver row: r6
+    # last driver sample: round 6
     "argmax_events",
     "calibrate_scores_docs",
     "calibration_docs",
@@ -351,6 +300,57 @@ _DRIVER_PRIORITY: list[str] = [
     "topic_terms_ctfidf",
     "touch_attribution_events",
     "weighted_sample_docs",
+    # last driver sample: round 7
+    "active_learning_batch_docs",
+    "association_rules_events",
+    "association_source_lang",
+    "benford_values_events",
+    "bleu_pairs_docs",
+    "conformal_coverage_docs",
+    "cuped_lift_events",
+    "curriculum_order_docs",
+    "cv_fold_auc_docs",
+    "density_topic_assignments",
+    "diff_in_diff_events",
+    "distinct_ngram_sources",
+    "ece_docs",
+    "embedding_near_dup_lsh",
+    "gains_curve_docs",
+    "gini_user_value_events",
+    "graph_stats_events",
+    "group_sequential_ab_events",
+    "grouped_roc_auc_sources",
+    "heaps_law_sources",
+    "ips_policy_value_events",
+    "k_core_users",
+    "knn_ivf",
+    "knn_lsh",
+    "length_bucket_batches_docs",
+    "linear_trend_users",
+    "loso_quality_sources",
+    "mann_whitney_arms_events",
+    "margin_pairs_embeddings",
+    "pca_whiten_embeddings",
+    "psi_gate_events",
+    "quantile_band_docs",
+    "readability_docs",
+    "repetition_spans_docs",
+    "required_sample_size_events",
+    "rfm_scores_users",
+    "robust_outliers_events",
+    "selection_parity_sources",
+    "semantic_dedup_embeddings",
+    "source_minhash_similarity",
+    "spearman_length_tokens_sources",
+    "stream_enrich_segments",
+    "t_closeness_events",
+    "theil_sen_trend_users",
+    "topic_assignments",
+    "topic_outlier_assignments",
+    "truncation_recall_embeddings",
+    "unigram_segment_docs",
+    "vocab_coverage_sources",
+    "weak_label_summary_docs",
 ]
 def _ordered_names() -> list[str]:
     prio = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
@@ -6816,7 +6816,7 @@ WITH pu AS (
   SELECT user_id,
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
              AS conv,
-         user_id % 2 AS arm
+         ((user_id % 2) + 2) % 2 AS arm
   FROM events GROUP BY user_id),
 a AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM pu GROUP BY arm),
 w AS (SELECT
@@ -9743,7 +9743,7 @@ _GSAB_SQL = ("""
 WITH per AS (
   SELECT user_id, min(ts) AS first_ts,
          min(CASE WHEN event_type = 'purchase' THEN ts END) AS succ_ts,
-         user_id % 2 AS arm
+         ((user_id % 2) + 2) % 2 AS arm
   FROM events GROUP BY user_id),
 one AS (
   SELECT
@@ -9781,7 +9781,7 @@ WITH per AS (
                   THEN value ELSE 0.0 END) AS x,
          sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
                   THEN value ELSE 0.0 END) AS y,
-         user_id % 2 AS arm
+         ((user_id % 2) + 2) % 2 AS arm
   FROM events GROUP BY user_id),
 th AS (
   SELECT covar_pop(x, y) / var_pop(x) AS t, avg(x) AS mx FROM per),
@@ -9812,7 +9812,7 @@ def cuped_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("mann_whitney_arms_events", """
 WITH base AS (
-  SELECT value AS s, (user_id % 2)::INT AS g FROM events),
+  SELECT value AS s, (((user_id % 2) + 2) % 2)::INT AS g FROM events),
 per AS (
   SELECT s, sum(g) AS n1, sum(1 - g) AS n0 FROM base GROUP BY s),
 cum AS (
@@ -9847,7 +9847,7 @@ def mann_whitney_arms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-node cumulative window."""
     from parlerproject_spark.operators.evaluation import mann_whitney_u
     e = _t(spark, sf_dir, "events").select(
-        "value", (F.col("user_id") % 2).cast("int").alias("arm"))
+        "value", F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"))
     return mann_whitney_u(e, value_col="value", group_col="arm")
 
 
@@ -10198,7 +10198,7 @@ WITH base AS (
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
   FROM documents),
 per AS (
-  SELECT (10 - least(CAST(floor(s * 10) AS BIGINT), 9)) AS band,
+  SELECT (10 - greatest(0, least(CAST(floor(s * 10) AS BIGINT), 9))) AS band,
          count(*) AS n, sum(y) AS n_pos
   FROM base GROUP BY 1),
 tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per),

@@ -412,3 +412,38 @@ class TestRequiredSampleSize:
         want = math.ceil((1.959964 + 0.841621) ** 2 * 2 * pbar
                          * (1 - pbar) / 0.02 ** 2)
         assert r.n_per_arm == want and r.total_users == 2 * want
+
+
+def test_roc_auc_nan_scores_exact_and_isolated(spark):
+    # NaN sorts above every double in Spark: a NaN-scored positive
+    # beats every negative. pos {NaN, 2}, neg {1, 3} -> pairs:
+    # (NaN>1)=1, (NaN>3)=1, (2>1)=1, (2>3)=0 -> auc 3/4. The NaN row
+    # must NOT poison the bucket bounds (max(score) propagates NaN;
+    # floor(NaN)=0 used to collapse every row into bucket 0).
+    r = _auc(spark, [(float("nan"), 1), (2.0, 1), (1.0, 0), (3.0, 0)])
+    assert r["auc"] == pytest.approx(0.75)
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+
+
+def test_mann_whitney_nan_values_exact(spark):
+    from parlerproject_spark.operators.evaluation import mann_whitney_u
+    # NaN value in group 1 ranks above everything: U counts it as a
+    # win over both group-0 values. group1 {NaN, 2}, group0 {1, 3}
+    # -> U = 2 + 1 = 3
+    df = spark.createDataFrame(
+        [(float("nan"), 1), (2.0, 1), (1.0, 0), (3.0, 0)],
+        "value double, arm int")
+    r = mann_whitney_u(df, value_col="value", group_col="arm").collect()[0]
+    assert r["u"] == pytest.approx(3.0)
+    assert r["n_1"] == 2 and r["n_0"] == 2
+
+
+def test_gains_curve_out_of_range_scores_clamp(spark):
+    from parlerproject_spark.operators.evaluation import gains_curve
+    # a score below 0 must clamp into the LOWEST band (10), not mint
+    # band 11+; a score above 1 clamps into band 1
+    rows = [(-0.5, 0), (1.5, 1), (0.5, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    bands = {r.band for r in gains_curve(df).collect()}
+    assert bands <= set(range(1, 11))
+    assert 10 in bands and 1 in bands
