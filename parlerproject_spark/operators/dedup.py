@@ -198,19 +198,23 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 
 
 def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
-                       id_b: str = "id_b", max_iter: int = 8) -> DataFrame:
+                       id_b: str = "id_b", max_iter: int = 8,
+                       symmetric: bool = False) -> DataFrame:
     """Connected components over near-duplicate pairs → one cluster
     id (the minimum member id) per document. This is the step every
     dedup pipeline runs after pair generation: pairs (a,b),(b,c) must
     collapse into ONE keep-set {a}, not two independent decisions.
 
     Distributed min-label propagation with pointer jumping: each
-    iteration (1) takes the min label over graph neighbors — one
-    join + one groupBy on ids only — and (2) path-halves through the
-    label table itself (lbl(v) := min(lbl(v), lbl(lbl(v)))), so
-    convergence needs O(log diameter) iterations, not O(diameter);
-    max_iter=8 covers components with diameters into the hundreds.
-    Only (id, id) pairs ever shuffle.
+    iteration (1) takes the min label over graph neighbors — the
+    edge list carries a SELF-LOOP per vertex, so one join + one
+    groupBy yields least(own, neighbor-min) directly (no second
+    corpus-sized left_outer re-join against the label table) — and
+    (2) path-halves TWICE through the label table itself
+    (lbl(v) := min(lbl(v), lbl(lbl(v))), applied twice = path
+    quartering), so convergence needs ~½·O(log diameter)
+    iterations; max_iter=8 covers diameters into the tens of
+    thousands. Only (id, id) pairs ever shuffle.
 
     The label table is localCheckpoint()ed each iteration: the
     pointer-jump self-join references it twice, so without lineage
@@ -218,42 +222,54 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     analysis time — the standard iterative-algorithm trap GraphX
     checkpoints around). This is an iterative operator like
     knn_ivf's Lloyd loop: constructing it runs jobs by design.
-    Columns: doc_id, cluster_id.
+
+    Fixed-point detection: labels are per-vertex monotone
+    non-increasing (every update is a least() including the current
+    label), so the label-table sum strictly decreases until the
+    fixed point — comparing one decimal(38,0) sum per iteration
+    replaces a changed-rows count and needs no prev column carried
+    through the joins (decimal38 holds ~1e12 rows of max-bigint ids
+    without overflow). Columns: doc_id, cluster_id.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("v")).distinct() \
-                  .select("v", F.col("v").alias("lbl"))
+    if symmetric:
+        # caller guarantees the pair list already contains both
+        # directions with no duplicates (e.g. dbscan's ε-graph) —
+        # skip the rev-union + distinct shuffle
+        edges = fwd
+    else:
+        rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        edges = fwd.union(rev).distinct()
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    edges_sl = (edges.union(verts.select(F.col("v").alias("src"),
+                                         F.col("v").alias("dst")))
+                .localCheckpoint(eager=True))
+    labels = (edges_sl.select(F.col("src").alias("v")).distinct()
+              .select("v", F.col("v").alias("lbl")))
     converged = False
+    prev_sum = None
     for _ in range(max_iter):
-        neigh = (edges.join(labels, edges["dst"] == labels["v"])
-                 .groupBy("src").agg(F.min("lbl").alias("nl")))
-        stepped = (labels.join(neigh, labels["v"] == neigh["src"], "left_outer")
-                   .select(labels["v"],
-                           F.least(labels["lbl"],
-                                   F.coalesce(neigh["nl"], labels["lbl"]))
-                           .alias("lbl"),
-                           labels["lbl"].alias("prev")))
-        x = stepped.alias("x")
-        y = stepped.select("v", "lbl").alias("y")
-        jumped = (x.join(y, F.col("x.lbl") == F.col("y.v"), "left_outer")
-                  .select(F.col("x.v").alias("v"),
-                          F.least(F.col("x.lbl"),
-                                  F.coalesce(F.col("y.lbl"), F.col("x.lbl")))
-                          .alias("lbl"),
-                          F.col("x.prev").alias("prev"))
-                  .localCheckpoint(eager=True))
-        # fixed-point check rides the already-materialized checkpoint:
-        # zero changed labels this iteration means every later
-        # iteration is a no-op, so stop (ADVICE r2: a component whose
-        # propagation distance exceeds a fixed budget would otherwise
-        # silently return split clusters)
-        changed = jumped.filter(F.col("lbl") != F.col("prev")).count()
-        labels = jumped.select("v", "lbl")
-        if changed == 0:
+        cur = (edges_sl.join(labels, edges_sl["dst"] == labels["v"])
+               .groupBy("src").agg(F.min("lbl").alias("lbl"))
+               .select(F.col("src").alias("v"), "lbl"))
+        for _jump in range(2):
+            y = cur.select(F.col("v").alias("__yv"),
+                           F.col("lbl").alias("__ylbl"))
+            cur = (cur.join(y, cur["lbl"] == y["__yv"], "left_outer")
+                   .select(cur["v"],
+                           F.least(cur["lbl"],
+                                   F.coalesce(F.col("__ylbl"), cur["lbl"]))
+                           .alias("lbl")))
+        labels = cur.localCheckpoint(eager=True)
+        # fixed-point check rides the already-materialized checkpoint
+        # (ADVICE r2: a component whose propagation distance exceeds a
+        # fixed budget would otherwise silently return split clusters)
+        cur_sum = (labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))
+                              .alias("s")).collect()[0]["s"])
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         import warnings
         warnings.warn(

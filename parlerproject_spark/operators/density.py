@@ -85,8 +85,11 @@ def dbscan(vectors: DataFrame, *, sim_threshold: float, min_pts: int,
     core_edges = (edges
                   .join(core.select(F.col("v").alias("s")), "s", "left_semi")
                   .join(core.select(F.col("v").alias("d")), "d", "left_semi"))
+    # core_edges is symmetric and duplicate-free by construction
+    # (edges = pairs ∪ reversed(pairs) with canonical a<b input,
+    # filtered by two semi joins) — tell CC to skip re-symmetrizing
     cc = duplicate_clusters(core_edges, id_a="s", id_b="d",
-                            max_iter=max_iter)
+                            max_iter=max_iter, symmetric=True)
     # duplicate_clusters only sees vertices that appear in an edge;
     # a core whose ε-neighbors are all non-core is a legitimate
     # singleton cluster (its own id), so pad with a left join.
