@@ -162,7 +162,8 @@ def posting_list_pairs(posting: DataFrame, key: str) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int = 128) -> DataFrame:
+                        max_df: int = 128,
+                        eager: bool = False) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity over
     the max_df-capped shingle universe.
 
@@ -170,31 +171,67 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     shingles, so candidate count tracks actual overlap — PROVIDED
     hub shingles are capped first (see capped_shingles; an uncapped
     hub shingle in d docs is a d² blowup no AQE skew-split can
-    shrink). Pairs come from posting_list_pairs (in-list expansion,
-    no self-join — the tokenize cascade runs exactly once). Jaccard
-    is computed over retained shingles on both sides, so the capped
-    universe is self-consistent and the oracle mirrors it exactly.
+    shrink). Jaccard is computed over retained shingles on both
+    sides, so the capped universe is self-consistent and the oracle
+    mirrors it exactly.
+
+    Plan shape (the fingerprint_overlap pattern — r8): the shingle
+    stream crosses exactly TWO full-width exchanges (spread + sh);
+    the df cap is a window over the sh exchange and the posting-list
+    groupBy(sh) rides the SAME distribution (zero extra exchange).
+    The earlier formulation ping-ponged the corpus sh → doc_id → sh
+    (three exchanges) just to carry each doc's shingle count on
+    every pair row; instead the bounded lists are PERSISTED (they
+    are the df-capped index, far smaller than the raw shingle
+    stream) and consumed twice: (1) in-array pair expansion →
+    narrow (id_a, id_b) aggregation, (2) re-explode → per-doc
+    retained-shingle counts, joined back onto the AGGREGATED pairs
+    (joins over pair rows, not the corpus). Duplicate doc_ids inside
+    a list (two grams colliding to one 31-bit hash) survive both the
+    expansion and the re-explode count, so pair multiplicity and |A|
+    match the previous formulation and the SQL oracle bit-for-bit.
+
+    Cache lifetime: same contract as fingerprint_overlap — pass
+    `eager=True` to materialize the pair table, unpersist the lists
+    immediately, and get the persisted result back (batch shape);
+    the lazy default leaves the index cached until the
+    ContextCleaner collects it.
     Columns: id_a, id_b (id_a < id_b), jaccard.
     """
+    from pyspark import StorageLevel
+
     from parlerproject_spark.operators.layout import spread_input
 
     # The tokenize cascade is compute-bound: make sure it isn't
     # serialized on a handful of scan splits (no-op at scale).
     sh = capped_shingles(spread_input(docs), id_col=id_col,
                          text_col=text_col, n=n, max_df=max_df)
-    # Per-doc size rides ALONG each shingle row (one more window over
-    # a doc_id exchange) instead of a separate groupBy branch joined
-    # back at the end: a second aggregate branch over the HOF-lambda
-    # subtree does not canonicalize equal — Catalyst would re-run the
-    # whole cascade — and a linear plan needs no materialization.
-    shn = sh.repartition("doc_id").withColumn(
-        "n", F.count("*").over(Window.partitionBy("doc_id")))
-    inter = posting_list_pairs(shn, "sh")
-    return (inter
-            .withColumn("jaccard", F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    lists = (sh.groupBy("sh")
+             .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    ex = lists.select("ds", F.posexplode("ds").alias("i", "id_a"))
+    pairs = (ex.select(
+        "id_a",
+        F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
+    ns = (lists.select(F.explode("ds").alias("doc_id"))
+          .groupBy("doc_id").agg(F.count("*").alias("n")))
+    j = (pairs
+         .join(ns.select(F.col("doc_id").alias("id_a"),
+                         F.col("n").alias("n_a")), "id_a")
+         .join(ns.select(F.col("doc_id").alias("id_b"),
+                         F.col("n").alias("n_b")), "id_b"))
+    out = (j.withColumn("jaccard", F.round(
+               F.col("n_common")
+               / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    if eager:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()            # materialize pairs off the posting lists
+        lists.unpersist()      # then release the (much larger) index
+    return out
 
 
 def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
