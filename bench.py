@@ -99,6 +99,7 @@ EXTRA = [
     # recorded number (VERDICT r3 task 6), plus the CDC pair and the
     # incremental-rollup / mergeable-sketch family
     "pipeline_archive_metadata",
+    "pipeline_zip_archive_metadata",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",

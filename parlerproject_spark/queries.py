@@ -70,7 +70,8 @@ _DRIVER_PRIORITY: list[str] = [
     "leakage_safe_split_docs",
     "dp_event_type_counts",
     "token_js_divergence_sources",
-    # --- round-8 new queries get inserted here ---
+    # --- round-8 new queries (never driver-sampled) ---
+    "pipeline_zip_archive_metadata",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -3404,6 +3405,84 @@ def pipeline_archive_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(TarMembersDataSource)
     path = _archive_fixture(spark, sf_dir)
     members = (spark.read.format("tar_members")
+               .option("path", path).option("suffix", ".json")
+               .option("numPartitions", "8").load())
+    decoded = ascii_decode_with_fallback(members, "content")
+    parsed = decoded.withColumn(
+        "m", F.from_json(
+            "text", "ID long, lang string, GPSPosition string, note string"))
+    gps = F.col("m.GPSPosition")
+    has_gps = (F.when(gps.isNotNull() & gps.rlike("^[0-9]+ deg"), F.lit(1))
+               .otherwise(F.lit(0)))
+    return (parsed.select("decode_status", has_gps.alias("has_gps"))
+            .groupBy("decode_status", "has_gps")
+            .agg(F.count("*").alias("n_members"))
+            .orderBy("decode_status", "has_gps"))
+
+
+def _zip_archive_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Zip twin of _archive_fixture — same member payloads (derived
+    row-for-row from documents, so the same DuckDB oracle is ground
+    truth), containered as a DEFLATE zip because that is what the
+    reference's posts container is (analysis/preview_posts.ipynb:23).
+    Fixed 1980 DOS timestamps keep the file byte-deterministic."""
+    import hashlib
+    import json as _json
+    import os
+    import zipfile
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".fixture_cache")
+    path = os.path.join(root, f"metadata_{digest}.zip")
+    if os.path.exists(path):
+        return path
+    rows = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "lang").collect())
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            obj = {"ID": int(r.doc_id), "lang": r.lang}
+            if r.doc_id % 3 == 0:
+                obj["GPSPosition"] = f"{int(r.doc_id) % 60} deg 3' 8.40\" N"
+            note = "café" if r.doc_id % 7 == 0 else "ok"
+            payload = _json.dumps(obj, ensure_ascii=True)[:-1] \
+                + ', "note": "' + note + '"}'
+            info = zipfile.ZipInfo(f"meta/{int(r.doc_id):06d}.json",
+                                   date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, payload.encode("latin-1"))
+    os.replace(tmp, path)
+    return path
+
+
+@register("pipeline_zip_archive_metadata", """
+SELECT CASE WHEN doc_id % 7 = 0 THEN 'encoding_error'
+            ELSE 'success' END AS decode_status,
+       CAST(doc_id % 3 = 0 AS INT) AS has_gps,
+       count(*) AS n_members
+FROM documents
+WHERE doc_id < 200
+GROUP BY decode_status, has_gps
+ORDER BY decode_status, has_gps
+""")
+def pipeline_zip_archive_metadata(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The archive pipeline routed through the ZIP member source
+    (S6 zip variant — the reference's posts container is a zip,
+    analysis/preview_posts.ipynb:23): central-directory catalog on
+    the driver, per-member RANDOM access in every task (zip members
+    compress independently, so — unlike .tar.gz — parallel
+    extraction needs no stream re-scan even when compressed). Same
+    decode→parse→GPS-taxonomy chain and the same documents-derived
+    oracle as pipeline_archive_metadata."""
+    from parlerproject_spark.sources.archives import ZipMembersDataSource
+    from parlerproject_spark.sources.files import ascii_decode_with_fallback
+    spark.dataSource.register(ZipMembersDataSource)
+    path = _zip_archive_fixture(spark, sf_dir)
+    members = (spark.read.format("zip_members")
                .option("path", path).option("suffix", ".json")
                .option("numPartitions", "8").load())
     decoded = ascii_decode_with_fallback(members, "content")

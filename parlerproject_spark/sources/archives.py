@@ -108,12 +108,78 @@ class TarMembersDataSource(DataSource):
         return TarMembersReader(self.options)
 
 
+class ZipMembersReader(DataSourceReader):
+    """Zip is the EASY archive case (reference containers posts in a
+    zip — analysis/preview_posts.ipynb:23): the central directory at
+    the end of the file is a complete member catalog, and every
+    member is compressed INDEPENDENTLY, so — unlike .tar.gz's single
+    gzip stream — every task gets true random access to its share of
+    members regardless of compression. The driver reads only the
+    central directory; tasks open the archive and seek straight to
+    their members."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("zip_members requires .option('path', ...)")
+        self.suffix = options.get("suffix", "")
+        self.num_partitions = int(options.get("numPartitions", "16"))
+
+    def partitions(self):
+        import zipfile
+
+        catalog: list[tuple[str, int, int]] = []
+        with zipfile.ZipFile(self.path) as zf:
+            for info in zf.infolist():
+                if not info.is_dir() and info.filename.endswith(self.suffix):
+                    # header_offset stands in the data-offset seat of
+                    # the shared chunk type; zipfile re-derives the
+                    # true data start per member at read time
+                    catalog.append((info.filename, info.header_offset,
+                                    info.file_size))
+        if not catalog:
+            return [_MemberChunk(self.path, [], False)]
+        n = min(self.num_partitions, len(catalog))
+        chunks = [catalog[i::n] for i in range(n)]
+        # offset order within a chunk: sequential disk reads
+        chunks = [sorted(c, key=lambda t: t[1]) for c in chunks]
+        return [_MemberChunk(self.path, c, False) for c in chunks]
+
+    def read(self, partition: _MemberChunk):
+        import zipfile
+
+        if not partition.members:
+            return
+        with zipfile.ZipFile(partition.archive) as zf:
+            for name, _offset, size in partition.members:
+                with zf.open(name) as f:
+                    yield (name, f.read(), size)
+
+
+class ZipMembersDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "zip_members"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return ZipMembersReader(self.options)
+
+
 def explode_archive_to_parquet(spark, archive_path: str, out_path: str,
                                *, suffix: str = "") -> None:
     """Re-container an archive once so every later query gets a
     splittable columnar scan — the scale fix for gzip's sequential
-    stream (SURVEY §7.3#1)."""
-    spark.dataSource.register(TarMembersDataSource)
-    (spark.read.format("tar_members")
+    stream (SURVEY §7.3#1). Routes .zip through the random-access
+    zip source, everything else through the tar source."""
+    if archive_path.endswith(".zip"):
+        spark.dataSource.register(ZipMembersDataSource)
+        fmt = "zip_members"
+    else:
+        spark.dataSource.register(TarMembersDataSource)
+        fmt = "tar_members"
+    (spark.read.format(fmt)
      .option("path", archive_path).option("suffix", suffix).load()
      .write.mode("overwrite").parquet(out_path))

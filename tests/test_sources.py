@@ -176,3 +176,106 @@ def test_fetch_objects_taxonomy_and_resume(spark, tmp_path):
     log = spark.read.parquet(log_path)
     todo = fetch.resume_fetch(listing, log, base_url="s3://bucket/")
     assert [r["filename"] for r in todo.collect()] == ["missing-b.png"]
+
+
+@pytest.fixture(scope="module")
+def zip_fixture(tmp_path_factory):
+    """Deflate zip twin of tar_fixture — same member payloads, plus a
+    stored (uncompressed) member to cover both compression methods."""
+    import zipfile
+    d = tmp_path_factory.mktemp("ziparchive")
+    path = d / "m.zip"
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for i in range(40):
+            rec = {"SourceFile": f"f{i:03d}", "FileType": "MOV",
+                   "MediaDataSize": i * 1000}
+            if i % 16 == 0:
+                rec["GPSLatitude"] = "38 deg 55' 58.80\" N"
+            zf.writestr(f"metadata/meta-{i:03d}.json",
+                        json.dumps([rec]).encode())
+        zf.writestr(zipfile.ZipInfo("metadata/readme.txt"), b"not json")
+        info = zipfile.ZipInfo("metadata/stored.json")
+        info.compress_type = zipfile.ZIP_STORED
+        zf.writestr(info, json.dumps([{"SourceFile": "stored"}]).encode())
+    return d
+
+
+def test_zip_datasource_reads_members(spark, zip_fixture):
+    spark.dataSource.register(archives.ZipMembersDataSource)
+    df = (spark.read.format("zip_members")
+          .option("path", str(zip_fixture / "m.zip"))
+          .option("suffix", ".json")
+          .option("numPartitions", "4").load())
+    assert df.count() == 41               # 40 deflated + 1 stored
+    assert df.rdd.getNumPartitions() == 4
+    parsed = (df.select("member",
+                        F.from_json(F.col("content").cast("string"),
+                                    "array<map<string,string>>")[0]
+                        .alias("meta")))
+    gps = parsed.filter(F.exists(F.map_keys("meta"),
+                                 lambda k: k.startswith("GPS")))
+    assert gps.count() == 3               # i in {0, 16, 32}
+    stored = df.filter(F.col("member") == "metadata/stored.json").collect()
+    assert json.loads(bytes(stored[0]["content"]))[0]["SourceFile"] == "stored"
+
+
+def test_zip_matches_tar_member_for_member(spark, tar_fixture, zip_fixture):
+    """Both sources yield identical (member-name-normalized) payloads
+    for the shared 40 JSON members — the format is the only variable."""
+    spark.dataSource.register(archives.TarMembersDataSource)
+    spark.dataSource.register(archives.ZipMembersDataSource)
+    tar_df = (spark.read.format("tar_members")
+              .option("path", str(tar_fixture / "m.tar"))
+              .option("suffix", ".json").load()
+              .select("member", "content", "size"))
+    zip_df = (spark.read.format("zip_members")
+              .option("path", str(zip_fixture / "m.zip"))
+              .option("suffix", ".json").load()
+              .filter(F.col("member") != "metadata/stored.json")
+              .select("member", "content", "size"))
+    t = {r["member"]: (bytes(r["content"]), r["size"])
+         for r in tar_df.collect()}
+    z = {r["member"]: (bytes(r["content"]), r["size"])
+         for r in zip_df.collect()}
+    assert t == z
+
+
+def test_zip_random_access_parallel_extraction(spark, tmp_path):
+    """Zip's central directory gives every task random access even to
+    DEFLATE members: 2000 compressed members split across 8 tasks,
+    balanced, every payload byte-exact."""
+    import zipfile
+    path = tmp_path / "big.zip"
+    n = 2000
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for i in range(n):
+            zf.writestr(f"m/{i:05d}.json",
+                        json.dumps({"i": i, "pad": "x" * (i % 97)}).encode())
+    spark.dataSource.register(archives.ZipMembersDataSource)
+    df = (spark.read.format("zip_members")
+          .option("path", str(path))
+          .option("suffix", ".json")
+          .option("numPartitions", "8").load())
+    assert df.rdd.getNumPartitions() == 8
+    per_part = (df.groupBy(F.spark_partition_id().alias("pid"))
+                .count().collect())
+    assert len(per_part) == 8
+    assert all(abs(r["count"] - n / 8) <= 1 for r in per_part)
+    parsed = df.select(
+        "member",
+        F.from_json(F.col("content").cast("string"), "i long, pad string")
+         .alias("rec"))
+    bad = parsed.filter(
+        F.col("rec.i") != F.regexp_extract("member", r"(\d+)", 1)
+        .cast("long"))
+    assert bad.count() == 0
+    assert df.count() == n
+
+
+def test_explode_zip_archive_to_parquet(spark, zip_fixture, tmp_path):
+    out = str(tmp_path / "zip_members_parquet")
+    archives.explode_archive_to_parquet(spark, str(zip_fixture / "m.zip"),
+                                        out, suffix=".json")
+    back = spark.read.parquet(out)
+    assert back.count() == 41
+    assert set(back.columns) == {"member", "content", "size"}

@@ -56,6 +56,7 @@ REPORT_QUERIES = [
     "corpus_shuffle_order",
     "language_id_script_aware",
     "pipeline_archive_metadata",
+    "pipeline_zip_archive_metadata",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
