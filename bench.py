@@ -354,6 +354,39 @@ def main() -> None:
     timings = time_queries(HEADLINE, n_runs)
     extra = time_queries(EXTRA, n_runs_extra)
 
+    # Steal marker (VERDICT r7 item 6): host steal moved untouched
+    # queries ±2× between rounds and cost a full manual adjudication.
+    # Re-time the three cheapest TPC-H headline queries at the END of
+    # the suite; steal_index = median(end-median / headline-median).
+    # ~1.0 → machine conditions held for the whole suite; >>1 → the
+    # host got noisier as the suite ran (later queries' numbers are
+    # inflated); <<1 → the headline pass itself ran under steal.
+    # Regression triage starts from this number, not from a diff.
+    # Bias note: the headline median includes each query's first
+    # (cold) execution, the end probes are fully warm — so a quiet
+    # host reads slightly BELOW 1.0 (more below at
+    # SPARK_GRAFT_BENCH_RUNS=1, where "median" == the cold run).
+    # Only an index well above 1 indicates steal during the suite.
+    steal_probes = ["q1_pricing_summary", "q6_revenue_delta",
+                    "q14_promo_revenue"]
+    steal: dict[str, dict] = {}
+    for name in steal_probes:
+        if name not in timings or timings[name] <= 0:
+            continue
+        try:
+            per = []
+            for _ in range(3):
+                start = time.perf_counter()
+                registry[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                per.append(round(time.perf_counter() - start, 3))
+            steal[name] = {"headline": timings[name],
+                           "end": round(_median(per), 3), "runs": per}
+        except Exception as exc:  # noqa: BLE001
+            errors[f"steal:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+    ratios = [v["end"] / v["headline"] for v in steal.values()]
+    steal_index = round(_median(ratios), 3) if ratios else None
+
     total = round(sum(timings.values()), 3)
     # The PRINTED line must stay under the driver's ~2,000-char tail
     # capture (round 5 lost its official headline to parsed:null when
@@ -369,6 +402,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extra_total": round(sum(extra.values()), 3),
         "extra_count": len(extra),
+        "steal_index": steal_index,
     }
 
     # Full detail (per-run samples, spread, shuffle counts, per-query
@@ -378,7 +412,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({**headline, "extra": extra, "n_runs": n_runs,
                    "runs": runs, "spread": spread, "shuffles": shuffles,
-                   "errors": errors}, fh, indent=1)
+                   "steal": steal, "errors": errors}, fh, indent=1)
 
     # The compact headline line, printed LAST.
     line = json.dumps(headline, separators=(",", ":"))
