@@ -99,7 +99,6 @@ EXTRA = [
     # recorded number (VERDICT r3 task 6), plus the CDC pair and the
     # incremental-rollup / mergeable-sketch family
     "pipeline_archive_metadata",
-    "pipeline_zip_archive_metadata",
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
     "incremental_rollup_events",
@@ -268,6 +267,11 @@ EXTRA = [
     "required_sample_size_events",
     "cv_fold_auc_docs",
     "spearman_length_tokens_sources",
+    # round-8: zip archive source end-to-end, landmark (UMAP-role)
+    # projection + projected-space topic clustering
+    "pipeline_zip_archive_metadata",
+    "landmark_projection_embeddings",
+    "landmark_topic_assignments",
 ]
 
 

@@ -179,3 +179,89 @@ def embedding_drift(ref: DataFrame, cur: DataFrame, *,
         .select(F.lit(nr).cast("long").alias("n_ref"),
                 F.lit(nc).cast("long").alias("n_cur"),
                 "centroid_shift", "max_dim_shift"))
+
+
+def landmark_anchors(vectors: DataFrame, *, n_anchors: int = 8,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[tuple]:
+    """Deterministic pseudo-random anchor set for landmark
+    projection: the `n_anchors` rows with the lowest
+    (stable_hash31(id), id) key — hash order decorrelates the pick
+    from id assignment order, and both engines reproduce it exactly
+    (md5-based hash, total tie-break). Plan shape is a
+    TakeOrderedAndProject (bounded k), and the collect is
+    model-sized (n_anchors × d floats — the same bounded-collect
+    contract as the k-means seed sample). Returns [(id, [vec]), ...]
+    in ascending (hash, id) order."""
+    from parlerproject_spark.functions.text import stable_hash31
+
+    rows = (vectors
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__v"),
+                    stable_hash31(F.col(id_col).cast("string"))
+                    .alias("__h"))
+            .orderBy("__h", "__id")
+            .limit(n_anchors)
+            .collect())
+    return [(r["__id"], [float(x) for x in r["__v"]]) for r in rows]
+
+
+def landmark_projection(vectors: DataFrame, *, n_anchors: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        out_col: str = "proj") -> DataFrame:
+    """Landmark (anchor-similarity) embedding — the distributed
+    stand-in for the UMAP step of the reference's BERTopic stack
+    (code/bertopicTest.py:53-61). UMAP itself builds a global k-NN
+    graph and optimizes a layout iteratively — a structure Spark
+    should not build at corpus scale — but its ROLE in that pipeline
+    is just "give the density clusterer a low-dimensional space
+    where cosine neighborhoods survive". Landmark/anchor projection
+    (the Nyström / landmark-MDS family) delivers exactly that with
+    one broadcast map: x → (cos(x, a₁), …, cos(x, a_m)) over m
+    deterministic anchors. Nearby vectors see every anchor at
+    similar angles, so neighborhoods are preserved (parity pytest
+    measures the rank correlation against exact cosine distances);
+    far-apart vectors disagree on some anchor. Nonlinear in x, no
+    global graph, no iterations.
+
+    Scale shape: ONE TakeOrdered anchor pick (bounded collect) +
+    ONE Arrow map over the corpus with the m×d anchor matrix closed
+    over — zero shuffles beyond the anchor cut. Sims are HALF_UP-
+    rounded at 6 dp (the _pair_cosine_scorer contract, hash-stable
+    vs DuckDB); the per-anchor (X·aⱼ)/(|X||aⱼ|) loop keeps numpy's
+    summation order identical to the SQL mirror (a BLAS matmul
+    would block-sum in a different order and can flip a 6-dp
+    half-boundary). Zero-norm inputs project to 0.0 against every
+    anchor. Columns: <id_col>, <out_col> array<double> (length
+    n_anchors, anchor order = ascending (hash, id))."""
+    import numpy as np
+    import pandas as pd
+
+    anchors = landmark_anchors(vectors, n_anchors=n_anchors,
+                               id_col=id_col, vec_col=vec_col)
+    A = np.array([v for _, v in anchors], dtype=np.float64)
+    a_norm = np.linalg.norm(A, axis=1)
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            cols = []
+            for j in range(A.shape[0]):
+                num = (X * A[j]).sum(axis=1)
+                den = xn * a_norm[j]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    raw = np.where(den > 0, num / den, 0.0)
+                    sim = np.where(raw >= 0,
+                                   np.floor(raw * 1e6 + 0.5),
+                                   np.ceil(raw * 1e6 - 0.5)) / 1e6
+                cols.append(sim)
+            P = np.stack(cols, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                out_col: [row.tolist() for row in P]})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {out_col} array<double>")

@@ -275,6 +275,8 @@ def fit_topics(docs: DataFrame, vectors: DataFrame, *, k: int = 8,
                outlier_threshold: float | None = None,
                method: str = "kmeans",
                density_kwargs: dict | None = None,
+               projection: str | None = None,
+               projection_kwargs: dict | None = None,
                ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The full M3 surface: (doc_topics, topic_info, topic_words) —
     the triple bertopicTest.py:93-112 reports, from one clustering
@@ -290,7 +292,22 @@ def fit_topics(docs: DataFrame, vectors: DataFrame, *, k: int = 8,
     closest in spirit to the reference's actual clusterer (arbitrary
     cluster shapes, first-class noise); `density_kwargs` passes
     through to it, and `outlier_threshold`/`k`/`max_iter`/
-    `train_mod` are kmeans-only."""
+    `train_mod` are kmeans-only.
+
+    projection="landmark" runs the clusterer in the anchor-
+    similarity space of pca.landmark_projection instead of the raw
+    embedding space — the stand-in for BERTopic's UMAP step
+    (bertopicTest.py:53-61): reduce to a space where cosine
+    neighborhoods survive, THEN density-cluster or k-means it.
+    `projection_kwargs` passes through (n_anchors, ...)."""
+    if projection == "landmark":
+        from parlerproject_spark.operators.pca import landmark_projection
+        vectors = landmark_projection(
+            vectors, id_col=vec_id_col, out_col="embedding",
+            **{k_: v for k_, v in (projection_kwargs or {}).items()
+               if k_ != "out_col"})
+    elif projection is not None:
+        raise ValueError(f"unknown projection: {projection}")
     if method == "density":
         from parlerproject_spark.operators.density import (
             sampled_density_assign)

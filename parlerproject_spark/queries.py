@@ -72,6 +72,8 @@ _DRIVER_PRIORITY: list[str] = [
     "token_js_divergence_sources",
     # --- round-8 new queries (never driver-sampled) ---
     "pipeline_zip_archive_metadata",
+    "landmark_projection_embeddings",
+    "landmark_topic_assignments",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -1141,19 +1143,26 @@ c{i} AS (
 
 def _kmeans_assign_oracle(k: int = 8, iters: int = 3, mod: int = 8,
                           round_c: int = 6,
-                          outlier_threshold: float | None = None) -> str:
+                          outlier_threshold: float | None = None,
+                          ex_sql: str | None = None) -> str:
     """Unrolled-Lloyd oracle for topic_assignments: each iteration is
     a (normalize, assign, mean, empty-keep-old) CTE block — the same
     fixed-iteration-unroll strategy as the PageRank and logreg
     oracles. Works because the engine (a) samples with the
     SQL-reproducible md5 hash and (b) rounds centroids to round_c
     decimals each update, re-synchronizing float state across
-    engines (topics.lloyd_centroids round_c contract)."""
-    head = f"""
-WITH ex AS (
+    engines (topics.lloyd_centroids round_c contract).
+
+    `ex_sql` swaps the feature source: any SQL body producing
+    (vec_id, pos, x) replaces the raw-embedding unnest — the
+    landmark-projection variant composes its anchor-similarity CTE
+    in here and reuses the whole Lloyd unroll unchanged."""
+    ex_body = ex_sql or """
   SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
          unnest(embedding)::DOUBLE AS x
-  FROM embeddings),
+  FROM embeddings"""
+    head = f"""
+WITH ex AS ({ex_body}),
 s0 AS (
   SELECT vec_id FROM embeddings
   WHERE ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 15))::BIGINT
@@ -1602,6 +1611,75 @@ def topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.operators.topics import kmeans_topics
     return (kmeans_topics(_t(spark, sf_dir, "embeddings"), k=8, max_iter=3,
                           train_mod=8, round_c=6)
+            .orderBy("vec_id"))
+
+
+# Anchor-similarity landmark embedding (the UMAP-role stand-in,
+# pca.landmark_projection): 8 anchors picked by ascending
+# (stable_hash31(id), id), one cosine per (vector, anchor). The same
+# SQL body doubles as the feature source (`ex_sql`) for the
+# projected-space Lloyd oracle below.
+_LANDMARK_EX_SQL = """
+WITH anch AS (
+  SELECT vec_id AS aid, embedding AS av,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(cast(vec_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % 2147483647, vec_id) AS rk
+  FROM embeddings QUALIFY rk <= 8),
+prs AS (
+  SELECT e.vec_id, a.rk,
+         unnest(e.embedding)::DOUBLE AS x, unnest(a.av)::DOUBLE AS y
+  FROM embeddings e, anch a)
+SELECT vec_id, rk - 1 AS pos,
+       round(CASE WHEN sqrt(sum(x * x)) * sqrt(sum(y * y)) > 0
+                  THEN sum(x * y)
+                       / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                  ELSE 0.0 END, 6) + 0.0 AS x
+FROM prs GROUP BY vec_id, rk"""
+
+
+@register("landmark_projection_embeddings", f"""
+WITH ex AS ({_LANDMARK_EX_SQL})
+SELECT vec_id, cast(pos AS BIGINT) AS anchor_rank, x AS sim
+FROM ex ORDER BY vec_id, anchor_rank
+""")
+def landmark_projection_embeddings(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Landmark projection hash-verified per coordinate
+    (pca.landmark_projection — the UMAP-role stand-in for
+    bertopicTest.py:53-61): deterministic hash-ordered anchor pick
+    (TakeOrdered, bounded collect) + one broadcast Arrow map
+    computing each vector's cosine to every anchor. Exploded to
+    (vec_id, anchor_rank, sim) so the driver hash covers every
+    projected coordinate."""
+    from parlerproject_spark.operators.pca import landmark_projection
+    proj = landmark_projection(_t(spark, sf_dir, "embeddings"),
+                               n_anchors=8)
+    return (proj.select("vec_id",
+                        F.posexplode("proj").alias("anchor_rank", "sim"))
+            .select("vec_id",
+                    F.col("anchor_rank").cast("long").alias("anchor_rank"),
+                    (F.col("sim") + F.lit(0.0)).alias("sim"))
+            .orderBy("vec_id", "anchor_rank"))
+
+
+@register("landmark_topic_assignments",
+          _kmeans_assign_oracle(ex_sql=_LANDMARK_EX_SQL))
+def landmark_topic_assignments(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Topic clustering in the LANDMARK-PROJECTED space — the full
+    BERTopic shape (project, then cluster;
+    fit_topics(projection='landmark') wires the same path): the
+    8-anchor cosine embedding feeds the identical deterministic
+    Lloyd fit as topic_assignments. The oracle swaps the projection
+    CTE into the unrolled-Lloyd generator's feature seat and replays
+    anchors, projection, sample, init, three updates and the final
+    argmax — a hash match proves the composed pipeline end-to-end."""
+    from parlerproject_spark.operators.pca import landmark_projection
+    from parlerproject_spark.operators.topics import kmeans_topics
+    proj = landmark_projection(_t(spark, sf_dir, "embeddings"),
+                               n_anchors=8, out_col="embedding")
+    return (kmeans_topics(proj, k=8, max_iter=3, train_mod=8, round_c=6)
             .orderBy("vec_id"))
 
 

@@ -60,3 +60,86 @@ def test_whitened_output_has_identity_covariance(spark, sf_dir):
     # the tolerance that rounding propagates through the eigenvectors
     assert np.allclose(C, np.eye(6), atol=1e-2)
     assert np.allclose(np.abs(P.mean(axis=0)), 0, atol=1e-6)
+
+
+class TestLandmarkProjection:
+    def test_matches_numpy_spec(self, spark, sf_dir):
+        from parlerproject_spark.operators.pca import (landmark_anchors,
+                                                       landmark_projection)
+        emb = load_table(spark, "embeddings", sf_dir)
+        anchors = landmark_anchors(emb, n_anchors=4)
+        assert len(anchors) == 4
+        A = np.array([v for _, v in anchors])
+        rows = landmark_projection(emb, n_anchors=4).orderBy("vec_id") \
+            .limit(50).collect()
+        for r in rows:
+            v = np.array(
+                emb.filter(emb.vec_id == r["vec_id"])
+                .collect()[0]["embedding"], dtype=np.float64)
+            for j in range(4):
+                num = float((v * A[j]).sum())
+                den = float(np.linalg.norm(v) * np.linalg.norm(A[j]))
+                raw = num / den if den > 0 else 0.0
+                exp = (np.floor(raw * 1e6 + 0.5) / 1e6 if raw >= 0
+                       else np.ceil(raw * 1e6 - 0.5) / 1e6)
+                assert r["proj"][j] == exp
+            break  # one vector fully checked element-wise is enough here
+
+    def test_neighborhood_preservation(self, spark):
+        """The UMAP-role parity claim: cosine-NEIGHBORHOODS survive
+        the projection — on data that HAS neighborhoods (clustered
+        vectors; on isotropic noise there is nothing to preserve and
+        no projection of any kind scores well). Two checks: Spearman
+        rank correlation of pairwise cosine distances is strongly
+        positive, and same-cluster pairs stay nearer in the projected
+        space than cross-cluster pairs on average by a wide margin
+        (the property the downstream density clusterer actually
+        needs; 8 anchors cannot guarantee every single pair
+        separates — neither does UMAP)."""
+        from parlerproject_spark.operators.pca import landmark_projection
+        rng = np.random.default_rng(13)
+        centers = rng.normal(size=(4, 32)) * 3
+        rows = []
+        for i in range(48):
+            v = centers[i % 4] + rng.normal(size=32) * 0.3
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<double>")
+        orig = {i: np.array(v) for i, v in rows}
+        proj = {r["vec_id"]: np.array(r["proj"], dtype=np.float64)
+                for r in landmark_projection(df, n_anchors=8).collect()}
+        ids = sorted(orig)
+
+        def cosdists(vecs):
+            out = []
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = vecs[ids[i]], vecs[ids[j]]
+                    out.append(1 - float(a @ b)
+                               / (np.linalg.norm(a) * np.linalg.norm(b)))
+            return np.array(out)
+
+        d0, d1 = cosdists(orig), cosdists(proj)
+        r0 = np.argsort(np.argsort(d0)).astype(float)
+        r1 = np.argsort(np.argsort(d1)).astype(float)
+        rho = float(np.corrcoef(r0, r1)[0, 1])
+        assert rho > 0.8, rho
+        same = [(ids[i] % 4) == (ids[j] % 4)
+                for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        same = np.array(same)
+        assert d1[same].mean() * 5 < d1[~same].mean()
+
+    def test_fit_topics_projection_wiring(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from parlerproject_spark.operators.topics import fit_topics
+        emb = load_table(spark, "embeddings", sf_dir).limit(200)
+        docs = emb.select(emb.vec_id.alias("doc_id"),
+                          F.concat(F.lit("doc "),
+                                   emb.vec_id.cast("string")).alias("text"))
+        doc_topics, info, words = fit_topics(
+            docs, emb, k=4, max_iter=2, projection="landmark",
+            projection_kwargs={"n_anchors": 4})
+        out = doc_topics.collect()
+        assert len(out) == 200
+        assert {r["topic"] for r in out} <= set(range(4))

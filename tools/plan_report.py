@@ -57,6 +57,8 @@ REPORT_QUERIES = [
     "language_id_script_aware",
     "pipeline_archive_metadata",
     "pipeline_zip_archive_metadata",
+    "landmark_projection_embeddings",
+    "landmark_topic_assignments",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
