@@ -256,9 +256,15 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, *,
+                    pre_undirected: bool = False) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over
     the undirected projection of a directed edge list.
+
+    pre_undirected=True: `edges` is already the canonical (a, b)
+    undirected projection, deduped and MATERIALIZED by the caller
+    (graph_stats shares one checkpointed projection across its three
+    consumers instead of re-running a derived-edge cascade here).
 
     Engine addition (no reference analogue — the reference has no
     graph surface): triangle density is the standard community-
@@ -283,7 +289,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Columns: node, degree, triangles, clustering (round 6).
     """
-    und = undirected_edges(edges).localCheckpoint(eager=True)
+    und = edges if pre_undirected \
+        else undirected_edges(edges).localCheckpoint(eager=True)
     deg = (und.select(F.col("a").alias("node"))
            .unionAll(und.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("degree")))
@@ -362,7 +369,8 @@ def label_propagation(edges: DataFrame, *, iters: int = 3) -> DataFrame:
 
 
 def bfs_distances(edges: DataFrame, seeds: DataFrame, *,
-                  max_hops: int = 3, directed: bool = True) -> DataFrame:
+                  max_hops: int = 3, directed: bool = True,
+                  materialized: bool = False) -> DataFrame:
     """Multi-source BFS: shortest hop-distance from any seed node,
     bounded to `max_hops` levels.
 
@@ -384,7 +392,15 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, *,
         e = e.unionByName(
             edges.select(F.col("dst").alias("src"),
                          F.col("src").alias("dst")))
-    e = e.distinct()
+    # the edge table feeds EVERY hop's frontier join; when `edges` is
+    # itself derived (e.g. a co-interaction self-join cascade) each
+    # reference would re-run that cascade — materialize it once, the
+    # same iterative-operator contract as k_core's peeled edge list.
+    # materialized=True: caller already deduped AND checkpointed (it
+    # needed the graph for seed derivation too); skip the redundant
+    # distinct shuffle + second materialization.
+    if not materialized:
+        e = e.distinct().localCheckpoint(eager=True)
     visited = seeds.select("node").distinct() \
         .withColumn("dist", F.lit(0).cast("long"))
     frontier = visited
@@ -469,7 +485,10 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     deg = (und.select(F.col("a").alias("node"))
            .unionAll(und.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
-    tri = triangle_counts(edges)
+    # share the one materialized projection — triangle_counts would
+    # otherwise re-run the (possibly derived) edge cascade for its
+    # own identical undirected checkpoint
+    tri = triangle_counts(und, pre_undirected=True)
     tsum = tri.agg((F.sum("triangles") / 3).alias("__t"))
     base = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

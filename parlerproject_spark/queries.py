@@ -7048,12 +7048,18 @@ def bfs_distances_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy as the PageRank oracles."""
     from parlerproject_spark.operators.graph import (bfs_distances,
                                                      cointeraction_edges)
-    edges = cointeraction_edges(_t(spark, sf_dir, "events"))
+    # materialize the derived co-interaction graph ONCE: the seed
+    # pick, and every BFS hop all read it — without the barrier the
+    # events self-join cascade re-runs per consumer (r8: 7.5 s ->
+    # ~4 s warm at sf0.1)
+    edges = (cointeraction_edges(_t(spark, sf_dir, "events"))
+             .select("src", "dst").distinct()
+             .localCheckpoint(eager=True))
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct())
     seeds = nodes.agg(F.min("node").alias("node"))
-    return (bfs_distances(edges, seeds, max_hops=3)
+    return (bfs_distances(edges, seeds, max_hops=3, materialized=True)
             .orderBy("dist", "node"))
 
 
