@@ -272,6 +272,7 @@ EXTRA = [
     "pipeline_zip_archive_metadata",
     "landmark_projection_embeddings",
     "landmark_topic_assignments",
+    "dictionary_tag_docs",
 ]
 
 

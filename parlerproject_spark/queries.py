@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_zip_archive_metadata",
     "landmark_projection_embeddings",
     "landmark_topic_assignments",
+    "dictionary_tag_docs",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -8429,6 +8430,35 @@ def hybrid_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rerank(_t(spark, sf_dir, "documents"),
                          ["spark", "join", "query"],
                          k_candidates=50, top_k=10)
+
+
+_LEXICON = ["table scan", "hash join", "sort merge", "data stream",
+            "window agg", "slow query", "fast table", "batch window",
+            "key scan", "row group"]
+
+_LEXICON_VALUES = ",\n       ".join(f"('{p}')" for p in _LEXICON)
+
+@register("dictionary_tag_docs", f"""
+WITH dict(phrase) AS (VALUES {_LEXICON_VALUES}),
+c AS (
+  SELECT d.doc_id, t.phrase,
+         CAST((length(d.text) - length(replace(d.text, t.phrase, '')))
+              // length(t.phrase) AS BIGINT) AS n
+  FROM documents d CROSS JOIN dict t)
+SELECT doc_id, phrase, n FROM c WHERE n > 0
+ORDER BY doc_id, phrase
+""")
+def dictionary_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary tagging (operators/lexicon.dictionary_tag): greedy
+    non-overlapping occurrence counts for a 10-phrase lexicon over
+    every document in ONE corpus scan (per-phrase replace-length
+    expressions, no join, no Python) — the blocklist-audit /
+    weak-label / brand-safety primitive. The arrow impl (Aho-
+    Corasick, one pass regardless of dictionary size) is proved
+    equivalent by pytest; the oracle replays the expr contract."""
+    from parlerproject_spark.operators.lexicon import dictionary_tag
+    return (dictionary_tag(_t(spark, sf_dir, "documents"), _LEXICON)
+            .orderBy("doc_id", "phrase"))
 
 
 @register("blocklist_filter_docs", """

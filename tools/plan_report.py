@@ -59,6 +59,7 @@ REPORT_QUERIES = [
     "pipeline_zip_archive_metadata",
     "landmark_projection_embeddings",
     "landmark_topic_assignments",
+    "dictionary_tag_docs",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
