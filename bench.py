@@ -273,6 +273,7 @@ EXTRA = [
     "landmark_projection_embeddings",
     "landmark_topic_assignments",
     "dictionary_tag_docs",
+    "preference_pairs_events",
 ]
 
 

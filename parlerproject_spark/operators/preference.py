@@ -112,3 +112,57 @@ def bradley_terry(comparisons: DataFrame, *,
                     (F.coalesce("__ow", F.lit(0))
                      + F.coalesce("__ol", F.lit(0))).cast("long")
                     .alias("n_games")))
+
+
+def preference_pairs(ratings: DataFrame, *,
+                     group_col: str = "prompt_id",
+                     item_col: str = "item_id",
+                     score_col: str = "score",
+                     margin: float = 0.0) -> DataFrame:
+    """Chosen/rejected pair construction from per-item ratings — the
+    step that turns raw scores into DPO/reward-model training rows:
+    per group (prompt), pair the BEST-scored item against the
+    WORST-scored one and keep the pair only when the score gap
+    clears `margin` (low-margin pairs are label noise; every public
+    preference-data recipe filters them).
+
+    Deterministic pick: chosen = rank 1 by (score DESC, item ASC),
+    rejected = rank 1 by (score ASC, item ASC); groups with one item
+    or chosen == rejected are dropped. Best-vs-worst (rather than
+    all-pairs) is the standard high-signal pairing and keeps output
+    one row per group.
+
+    Scale shape: two row_number windows partitioned by the group key
+    over the same exchange — group cardinality bounds partition
+    size (responses per prompt), nothing global. Columns:
+    <group_col>, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin (round 6).
+    """
+    from pyspark.sql import Window
+
+    g = ratings.select(F.col(group_col).alias("__g"),
+                       F.col(item_col).alias("__i"),
+                       F.col(score_col).cast("double").alias("__s"))
+    w_best = Window.partitionBy("__g").orderBy(F.col("__s").desc(),
+                                               F.col("__i").asc())
+    w_worst = Window.partitionBy("__g").orderBy(F.col("__s").asc(),
+                                                F.col("__i").asc())
+    ranked = (g.withColumn("__rb", F.row_number().over(w_best))
+              .withColumn("__rw", F.row_number().over(w_worst)))
+    best = (ranked.filter(F.col("__rb") == 1)
+            .select("__g", F.col("__i").alias("chosen_id"),
+                    F.col("__s").alias("chosen_score")))
+    worst = (ranked.filter(F.col("__rw") == 1)
+             .select("__g", F.col("__i").alias("rejected_id"),
+                     F.col("__s").alias("rejected_score")))
+    out = (best.join(worst, "__g")
+           .filter(F.col("chosen_id") != F.col("rejected_id"))
+           .withColumn("margin",
+                       F.round(F.col("chosen_score")
+                               - F.col("rejected_score"), 6))
+           .filter(F.col("margin") >= F.lit(float(margin))))
+    return out.select(F.col("__g").alias(group_col),
+                      "chosen_id", "rejected_id",
+                      F.round("chosen_score", 6).alias("chosen_score"),
+                      F.round("rejected_score", 6).alias("rejected_score"),
+                      "margin")

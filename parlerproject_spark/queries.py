@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "landmark_projection_embeddings",
     "landmark_topic_assignments",
     "dictionary_tag_docs",
+    "preference_pairs_events",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -7975,6 +7976,48 @@ p{k} AS (
   FROM raw{k})""")
         prev = f"p{k}"
     return "".join(out)
+
+
+@register("preference_pairs_events", """
+WITH r AS (
+  SELECT try_cast(json_extract_string(props, '$.k') AS BIGINT) AS g,
+         event_id AS i, value AS s
+  FROM events
+  WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+ranked AS (
+  SELECT g, i, s,
+         row_number() OVER (PARTITION BY g ORDER BY s DESC, i ASC) AS rb,
+         row_number() OVER (PARTITION BY g ORDER BY s ASC, i ASC) AS rw
+  FROM r),
+best AS (SELECT g, i AS chosen_id, s AS chosen_score
+         FROM ranked WHERE rb = 1),
+worst AS (SELECT g, i AS rejected_id, s AS rejected_score
+          FROM ranked WHERE rw = 1)
+SELECT b.g AS prompt_id, chosen_id, rejected_id,
+       round(chosen_score, 6) AS chosen_score,
+       round(rejected_score, 6) AS rejected_score,
+       round(chosen_score - rejected_score, 6) AS margin
+FROM best b JOIN worst w ON b.g = w.g
+WHERE chosen_id <> rejected_id
+  AND round(chosen_score - rejected_score, 6) >= 50.0
+ORDER BY prompt_id
+""")
+def preference_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/reward-model pair construction
+    (operators/preference.preference_pairs): per object key, the
+    best-scored event vs the worst-scored one, kept only when the
+    score margin clears 50 — the standard high-signal chosen/rejected
+    pairing with noise-pair filtering. Two group-partitioned rank
+    windows over one exchange; nothing global."""
+    from parlerproject_spark.operators.preference import preference_pairs
+    e = _t(spark, sf_dir, "events")
+    r = e.select(
+        F.expr("try_cast(get_json_object(props, '$.k') AS bigint)")
+        .alias("prompt_id"),
+        F.col("event_id").alias("item_id"),
+        F.col("value").alias("score")).filter(F.col("prompt_id").isNotNull())
+    return (preference_pairs(r, margin=50.0)
+            .orderBy("prompt_id"))
 
 
 @register("bradley_terry_sources", """

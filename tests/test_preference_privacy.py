@@ -209,3 +209,36 @@ class TestTCloseness:
         assert out["c2"].tvd == 0.625 and out["c2"].breach
         # c1: q_a=5/6 vs p_a=5/8, q_b=1/6 vs p_b=3/8 -> tvd = 5/24
         assert abs(out["c1"].tvd - round(5 / 24, 6)) < 1e-9
+
+
+class TestPreferencePairs:
+    def test_best_vs_worst_with_margin(self, spark):
+        from parlerproject_spark.operators.preference import preference_pairs
+        rows = [
+            # group 1: clear spread -> pair (id 10 vs id 12), margin 4
+            (1, 10, 5.0), (1, 11, 3.0), (1, 12, 1.0),
+            # group 2: margin 0.5 < 1.0 -> filtered out
+            (2, 20, 2.0), (2, 21, 1.5),
+            # group 3: singleton -> dropped (chosen == rejected)
+            (3, 30, 9.0),
+            # group 4: score tie on top -> lowest id wins chosen seat
+            (4, 41, 7.0), (4, 40, 7.0), (4, 42, 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "prompt_id bigint, item_id bigint, score double")
+        out = {r["prompt_id"]: r
+               for r in preference_pairs(df, margin=1.0).collect()}
+        assert set(out) == {1, 4}
+        assert (out[1]["chosen_id"], out[1]["rejected_id"]) == (10, 12)
+        assert out[1]["margin"] == 4.0
+        assert (out[4]["chosen_id"], out[4]["rejected_id"]) == (40, 42)
+        assert out[4]["chosen_score"] == 7.0
+
+    def test_all_ties_group_dropped(self, spark):
+        from parlerproject_spark.operators.preference import preference_pairs
+        df = spark.createDataFrame(
+            [(1, 10, 2.0), (1, 11, 2.0)],
+            "prompt_id bigint, item_id bigint, score double")
+        # chosen = 10 (tie -> low id), rejected = 10 (tie -> low id):
+        # chosen == rejected -> dropped; no degenerate self-pair
+        assert preference_pairs(df).count() == 0

@@ -60,6 +60,7 @@ REPORT_QUERIES = [
     "landmark_projection_embeddings",
     "landmark_topic_assignments",
     "dictionary_tag_docs",
+    "preference_pairs_events",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
