@@ -274,6 +274,7 @@ EXTRA = [
     "landmark_topic_assignments",
     "dictionary_tag_docs",
     "preference_pairs_events",
+    "dialogue_assembly_events",
 ]
 
 

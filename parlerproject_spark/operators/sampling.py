@@ -502,3 +502,51 @@ def uncertainty_diverse_batch(df: DataFrame, *, k: int,
     return (capped.orderBy(F.col("uncertainty").desc(),
                            F.col(id_col).asc())
             .limit(k))
+
+
+def assemble_dialogues(events: DataFrame, *, key_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       turn_col: str = "turn",
+                       gap_seconds: int = 1800,
+                       max_turns: int | None = None,
+                       sep: str = " | ") -> DataFrame:
+    """Conversation/dialogue assembly — the step that turns an event
+    or message log into chat-format training rows: sessionize the
+    per-key timeline (relational.sessionize's lag+running-sum, one
+    exchange + one sort), keep the FIRST `max_turns` turns of each
+    session (context-window truncation is part of the data contract,
+    not an afterthought), and concatenate the ordered turns into one
+    transcript string per session.
+
+    `turn_col` is a caller-provided STRING column (the formatted
+    turn — role tag, template, whatever the recipe says); the
+    operator owns ordering, sessionization, truncation and assembly,
+    not formatting.
+
+    Scale shape: the rank/truncate windows ride the SAME (key, ts,
+    id) exchange sessionize already made, and the per-session
+    aggregation is sort_array(collect_list(struct(rn, turn))) —
+    bounded by max_turns (or session length) per group, never a
+    corpus-wide sort. Columns: <key_col>, session_no, n_turns,
+    transcript, n_chars.
+    """
+    from parlerproject_spark.operators.relational import sessionize
+
+    sess = sessionize(events, key_col=key_col, ts_col=ts_col,
+                      id_col=id_col, gap_seconds=gap_seconds)
+    w = Window.partitionBy(key_col, "session_no") \
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    ranked = sess.withColumn("__rn", F.row_number().over(w))
+    if max_turns is not None:
+        ranked = ranked.filter(F.col("__rn") <= max_turns)
+    agg = (ranked.groupBy(key_col, "session_no")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct(F.col("__rn").alias("rn"),
+                                     F.col(turn_col).alias("t")))),
+                        lambda x: x["t"]),
+                    sep).alias("transcript")))
+    return agg.select(key_col, "session_no", "n_turns", "transcript",
+                      F.length("transcript").cast("long").alias("n_chars"))

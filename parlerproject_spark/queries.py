@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: list[str] = [
     "landmark_topic_assignments",
     "dictionary_tag_docs",
     "preference_pairs_events",
+    "dialogue_assembly_events",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -3707,6 +3708,53 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (contamination_hits(corpus, bench, n=3)
             .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
             .orderBy("doc_id"))
+
+
+@register("dialogue_assembly_events", """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN pts IS NULL OR ts - pts > INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS brk
+  FROM ordered),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM tagged),
+ranked AS (
+  SELECT user_id, session_no, ts, event_id,
+         event_type || '#' || event_id AS turn,
+         row_number() OVER (PARTITION BY user_id, session_no
+                            ORDER BY ts, event_id) AS rn
+  FROM sess),
+agg AS (
+  SELECT user_id, cast(session_no AS BIGINT) AS session_no,
+         cast(count(*) AS BIGINT) AS n_turns,
+         string_agg(turn, ' | ' ORDER BY rn) AS transcript
+  FROM ranked WHERE rn <= 8
+  GROUP BY user_id, session_no)
+SELECT user_id, session_no, n_turns, transcript,
+       cast(length(transcript) AS BIGINT) AS n_chars
+FROM agg ORDER BY user_id, session_no
+""")
+def dialogue_assembly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-format dialogue assembly
+    (operators/sampling.assemble_dialogues): sessionized per-user
+    timelines truncated to the first 8 turns and concatenated into
+    one transcript per session — the conversation-data shaping step
+    (ordering, sessionization, context-window truncation, assembly)
+    with the turn format supplied as an expression. One exchange on
+    the user key; per-session aggregation bounded by max_turns."""
+    from parlerproject_spark.operators.sampling import assemble_dialogues
+    e = _t(spark, sf_dir, "events").withColumn(
+        "turn", F.concat(F.col("event_type"), F.lit("#"),
+                         F.col("event_id").cast("string")))
+    return (assemble_dialogues(e, max_turns=8)
+            .orderBy("user_id", "session_no"))
 
 
 @register("sessionize_events", """

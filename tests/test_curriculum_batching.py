@@ -320,3 +320,31 @@ class TestUncertaintyDiverseBatch:
             self._df(spark, rows), k=7, per_group_cap=100).collect()
         assert len(out) == 7
         assert [r.doc_id for r in out] == list(range(7))
+
+
+class TestAssembleDialogues:
+    def test_session_split_truncation_and_order(self, spark):
+        from parlerproject_spark.operators.sampling import assemble_dialogues
+        from pyspark.sql import functions as F
+        rows = [
+            # user 1, session 1: three turns within the gap
+            (1, 1, "2024-01-01 10:00:00", "a"),
+            (1, 2, "2024-01-01 10:10:00", "b"),
+            (1, 3, "2024-01-01 10:20:00", "c"),
+            # >30 min gap -> session 2
+            (1, 4, "2024-01-01 11:30:00", "d"),
+            # user 2: tie timestamps -> event_id breaks the order
+            (2, 6, "2024-01-01 09:00:00", "y"),
+            (2, 5, "2024-01-01 09:00:00", "x"),
+        ]
+        df = (spark.createDataFrame(
+                  rows, "user_id bigint, event_id bigint, ts string, "
+                        "turn string")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+        out = {(r["user_id"], r["session_no"]): r
+               for r in assemble_dialogues(df, max_turns=2).collect()}
+        assert out[(1, 1)]["transcript"] == "a | b"   # truncated at 2
+        assert out[(1, 1)]["n_turns"] == 2
+        assert out[(1, 2)]["transcript"] == "d"
+        assert out[(2, 1)]["transcript"] == "x | y"   # id-ordered tie
+        assert out[(2, 1)]["n_chars"] == 5

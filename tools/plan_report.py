@@ -61,6 +61,7 @@ REPORT_QUERIES = [
     "landmark_topic_assignments",
     "dictionary_tag_docs",
     "preference_pairs_events",
+    "dialogue_assembly_events",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
