@@ -275,6 +275,7 @@ EXTRA = [
     "dictionary_tag_docs",
     "preference_pairs_events",
     "dialogue_assembly_events",
+    "profile_drift_events",
 ]
 
 

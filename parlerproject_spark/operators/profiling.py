@@ -400,3 +400,48 @@ def leave_one_out_deltas(df: DataFrame, *, group_col: str = "source",
                     .alias("group_mean"),
                     F.round(loo, 6).alias("loo_mean"),
                     F.round(glob - loo, 6).alias("delta"))
+
+
+def profile_drift(ref: DataFrame, cur: DataFrame, cols: Sequence[str], *,
+                  approx: bool = False) -> DataFrame:
+    """Schema-content drift between two snapshots of the same table —
+    the data-contract monitor run before retraining on a refreshed
+    corpus: per column, null-rate movement, distinct-count movement,
+    and whether the value range changed at all.
+
+    Composition of two `profile_table` passes (each ONE aggregation
+    over its snapshot) joined on col_name — a |cols|-row join, so the
+    whole report costs two scans regardless of column count.
+    `range_changed` compares each engine's own min/max rendering, so
+    it is representation-stable cross-engine (distinct values render
+    distinct; equal values render equal).
+
+    Columns: col_name, n_ref, n_cur, null_rate_ref, null_rate_cur,
+    null_rate_delta (cur − ref, round 6), distinct_ref, distinct_cur,
+    range_changed.
+    """
+    pr = profile_table(ref, cols, approx=approx)
+    pc = profile_table(cur, cols, approx=approx)
+    a = pr.select(F.col("col_name"),
+                  F.col("n_rows").alias("n_ref"),
+                  F.col("n_nulls").alias("__nl_r"),
+                  F.col("n_distinct").alias("distinct_ref"),
+                  F.col("min_s").alias("__mn_r"),
+                  F.col("max_s").alias("__mx_r"))
+    b = pc.select(F.col("col_name"),
+                  F.col("n_rows").alias("n_cur"),
+                  F.col("n_nulls").alias("__nl_c"),
+                  F.col("n_distinct").alias("distinct_cur"),
+                  F.col("min_s").alias("__mn_c"),
+                  F.col("max_s").alias("__mx_c"))
+    j = a.join(b, "col_name")
+    rr = F.round(F.col("__nl_r") / F.col("n_ref"), 6)
+    rc = F.round(F.col("__nl_c") / F.col("n_cur"), 6)
+    changed = (~F.col("__mn_r").eqNullSafe(F.col("__mn_c"))
+               | ~F.col("__mx_r").eqNullSafe(F.col("__mx_c")))
+    return j.select(
+        "col_name", "n_ref", "n_cur",
+        rr.alias("null_rate_ref"), rc.alias("null_rate_cur"),
+        F.round(rc - rr, 6).alias("null_rate_delta"),
+        "distinct_ref", "distinct_cur",
+        changed.alias("range_changed"))

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dictionary_tag_docs",
     "preference_pairs_events",
     "dialogue_assembly_events",
+    "profile_drift_events",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -7316,6 +7317,65 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dataset profiling + phrase retrieval (operators/profiling.py, retrieval.py)
 # ---------------------------------------------------------------------------
+
+@register("profile_drift_events", """
+WITH ref AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+cur AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+pr AS (
+  SELECT 'user_id' AS col_name, count(*) AS n, count(user_id) AS nn,
+         count(DISTINCT user_id) AS d,
+         CAST(min(user_id) AS VARCHAR) AS mn,
+         CAST(max(user_id) AS VARCHAR) AS mx FROM ref
+  UNION ALL
+  SELECT 'event_type', count(*), count(event_type),
+         count(DISTINCT event_type),
+         CAST(min(event_type) AS VARCHAR),
+         CAST(max(event_type) AS VARCHAR) FROM ref
+  UNION ALL
+  SELECT 'value', count(*), count(value), count(DISTINCT value),
+         CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+  FROM ref),
+pc AS (
+  SELECT 'user_id' AS col_name, count(*) AS n, count(user_id) AS nn,
+         count(DISTINCT user_id) AS d,
+         CAST(min(user_id) AS VARCHAR) AS mn,
+         CAST(max(user_id) AS VARCHAR) AS mx FROM cur
+  UNION ALL
+  SELECT 'event_type', count(*), count(event_type),
+         count(DISTINCT event_type),
+         CAST(min(event_type) AS VARCHAR),
+         CAST(max(event_type) AS VARCHAR) FROM cur
+  UNION ALL
+  SELECT 'value', count(*), count(value), count(DISTINCT value),
+         CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+  FROM cur)
+SELECT r.col_name,
+       CAST(r.n AS BIGINT) AS n_ref, CAST(c.n AS BIGINT) AS n_cur,
+       round((r.n - r.nn) * 1.0 / r.n, 6) AS null_rate_ref,
+       round((c.n - c.nn) * 1.0 / c.n, 6) AS null_rate_cur,
+       round(round((c.n - c.nn) * 1.0 / c.n, 6)
+             - round((r.n - r.nn) * 1.0 / r.n, 6), 6) AS null_rate_delta,
+       CAST(r.d AS BIGINT) AS distinct_ref,
+       CAST(c.d AS BIGINT) AS distinct_cur,
+       (r.mn IS DISTINCT FROM c.mn OR r.mx IS DISTINCT FROM c.mx)
+         AS range_changed
+FROM pr r JOIN pc c ON r.col_name = c.col_name
+ORDER BY r.col_name
+""")
+def profile_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report (operators/profiling.profile_drift):
+    null-rate / distinct-count / range movement per column between
+    the pre- and post-2024-01-15 halves of the events table — the
+    data-contract check before retraining on a refreshed corpus. Two
+    single-aggregation profile scans joined on a |cols|-row key."""
+    from parlerproject_spark.operators.profiling import profile_drift
+    e = _t(spark, sf_dir, "events")
+    c = F.lit("2024-01-15").cast("timestamp")
+    return (profile_drift(e.filter(F.col("ts") < c),
+                          e.filter(F.col("ts") >= c),
+                          ["user_id", "event_type", "value"])
+            .orderBy("col_name"))
+
 
 @register("profile_events_table", """
 WITH s AS (

@@ -142,3 +142,29 @@ class TestAssociationAudit:
         expect = 8 * ((9 + 1 + 1 + 9) / 16.0 - 1.0)
         assert abs(r.chi2 - round(expect, 6)) < 1e-9
         assert r.n_a == 2 and r.n_b == 2
+
+
+class TestProfileDrift:
+    def test_null_and_range_movement(self, spark):
+        from parlerproject_spark.operators.profiling import profile_drift
+        ref = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "c")],
+            "k bigint, v string")
+        cur = spark.createDataFrame(
+            [(1, None), (2, None), (9, "c"), (4, "c")],
+            "k bigint, v string")
+        out = {r["col_name"]: r
+               for r in profile_drift(ref, cur, ["k", "v"]).collect()}
+        assert out["v"]["null_rate_ref"] == 0.25
+        assert out["v"]["null_rate_cur"] == 0.5
+        assert out["v"]["null_rate_delta"] == 0.25
+        assert out["k"]["range_changed"] is True    # max 4 -> 9
+        assert out["v"]["range_changed"] is True    # min a -> c
+        assert out["k"]["distinct_ref"] == 4 and out["k"]["distinct_cur"] == 4
+
+    def test_identical_snapshots_report_no_drift(self, spark):
+        from parlerproject_spark.operators.profiling import profile_drift
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, v string")
+        for r in profile_drift(df, df, ["k", "v"]).collect():
+            assert r["null_rate_delta"] == 0.0
+            assert r["range_changed"] is False

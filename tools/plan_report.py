@@ -62,6 +62,7 @@ REPORT_QUERIES = [
     "dictionary_tag_docs",
     "preference_pairs_events",
     "dialogue_assembly_events",
+    "profile_drift_events",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
