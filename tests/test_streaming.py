@@ -286,3 +286,44 @@ def test_batch_psi_gate_runs_inside_foreach_batch(spark, sf_dir,
     assert sum(r["n"] for r in rows) == ev.count()
     # whole-corpus reference vs whole-corpus batches: no alarms
     assert not any(r["alert"] for r in rows)
+
+
+def test_stream_progress_recorder_captures_batches(spark, sf_dir,
+                                                   event_stream_dir,
+                                                   tmp_path):
+    """StreamProgressRecorder (streaming/progress.py): per-batch
+    rows/rates/watermark land in the listener ring, the summary
+    totals match the source row count, and the JSON sidecar writes."""
+    import time
+
+    from parlerproject_spark.streaming.progress import StreamProgressRecorder
+
+    rec = StreamProgressRecorder(max_batches=64)
+    spark.streams.addListener(rec)
+    try:
+        schema = load_table(spark, "events", sf_dir).schema
+        stream = se.read_event_stream(spark, event_stream_dir, schema)
+        agg = se.tumbling_counts(se.with_watermark(stream))
+        q = (agg.writeStream.format("memory").queryName("t_progress")
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # listener bus is async: give it a beat to drain
+        for _ in range(40):
+            s = rec.summary("t_progress")
+            if s["n_batches"] and s["total_input_rows"]:
+                break
+            time.sleep(0.25)
+        s = rec.summary("t_progress")
+        n_src = load_table(spark, "events", sf_dir).count()
+        assert s["n_batches"] >= 1
+        assert s["total_input_rows"] == n_src
+        assert s["last_watermark"] is not None
+        paths = rec.write(str(tmp_path))
+        import json as _json
+        side = _json.load(open([p for p in paths
+                                if "t_progress" in p][0]))
+        assert side["summary"]["total_input_rows"] == n_src
+        assert len(side["batches"]) == s["n_batches"]
+    finally:
+        spark.streams.removeListener(rec)
