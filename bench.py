@@ -276,6 +276,7 @@ EXTRA = [
     "preference_pairs_events",
     "dialogue_assembly_events",
     "profile_drift_events",
+    "purged_time_folds_events",
 ]
 
 

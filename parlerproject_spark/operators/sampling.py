@@ -550,3 +550,56 @@ def assemble_dialogues(events: DataFrame, *, key_col: str = "user_id",
                     sep).alias("transcript")))
     return agg.select(key_col, "session_no", "n_turns", "transcript",
                       F.length("transcript").cast("long").alias("n_chars"))
+
+
+def purged_time_folds(df: DataFrame, *, ts_col: str = "ts",
+                      n_folds: int = 5,
+                      embargo_seconds: int = 0) -> DataFrame:
+    """Purged time-series cross-validation folds with embargo
+    (López de Prado 2018, "Advances in Financial ML" ch.7 — the
+    standard leakage guard for models trained on temporally
+    autocorrelated data): the timeline is cut into `n_folds`
+    equal-width test windows; for each fold, rows inside the window
+    are `test`, rows within `embargo_seconds` BEFORE the window
+    start or AFTER the window end are `embargoed` (excluded from
+    training — their labels/serial correlation leak across the
+    boundary), and everything else is `train`.
+
+    Time-based leakage is the third leakage mode next to the near-dup
+    mode (`leakage_safe_split`) and the group mode (`grouped_split`);
+    together they cover the split-time contamination surface.
+
+    Scale shape: fold boundaries come from ONE min/max aggregate (a
+    1-row broadcast — equal-WIDTH windows keep the cut an
+    expression, no quantile sort); the fold assignment is a bounded
+    ×n_folds explode of fold ids joined as a broadcast range table.
+    No windows, no global sort — the corpus is scanned once.
+
+    Columns: the input's + fold (1-based), role
+    ('test' | 'embargoed' | 'train').
+    """
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    b = df.agg(
+        F.min(F.col(ts_col).cast("timestamp")).alias("__lo"),
+        F.max(F.col(ts_col).cast("timestamp")).alias("__hi"))
+    fold_ids = F.explode(
+        F.sequence(F.lit(1), F.lit(int(n_folds)))).alias("fold")
+    frame = (df.crossJoin(F.broadcast(b))
+             .select("*", fold_ids))
+    span = (F.unix_micros(F.col("__hi")) - F.unix_micros(F.col("__lo"))
+            + F.lit(1))
+    width = span / F.lit(int(n_folds))
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lo = F.unix_micros(F.col("__lo"))
+    w_start = lo + (F.col("fold") - 1).cast("double") * width
+    w_end = F.when(F.col("fold") == n_folds,
+                   F.unix_micros(F.col("__hi")) + 1) \
+        .otherwise(lo + F.col("fold").cast("double") * width)
+    emb = F.lit(int(embargo_seconds) * 1_000_000)
+    role = (F.when((t >= w_start) & (t < w_end), "test")
+            .when((t >= w_start - emb) & (t < w_end + emb), "embargoed")
+            .otherwise("train"))
+    return (frame.withColumn("fold", F.col("fold").cast("long"))
+            .withColumn("role", role)
+            .drop("__lo", "__hi"))

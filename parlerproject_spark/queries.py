@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: list[str] = [
     "preference_pairs_events",
     "dialogue_assembly_events",
     "profile_drift_events",
+    "purged_time_folds_events",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -7317,6 +7318,51 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dataset profiling + phrase retrieval (operators/profiling.py, retrieval.py)
 # ---------------------------------------------------------------------------
+
+@register("purged_time_folds_events", """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events),
+f AS (SELECT unnest(range(1, 6)) AS fold),
+r AS (
+  SELECT e.event_id, f.fold,
+         epoch_us(e.ts) AS t, b.lo, b.hi,
+         (b.hi - b.lo + 1) / 5.0 AS width
+  FROM events e CROSS JOIN b CROSS JOIN f),
+rolled AS (
+  SELECT event_id, CAST(fold AS BIGINT) AS fold,
+         CASE WHEN t >= lo + (fold - 1) * width
+                   AND t < (CASE WHEN fold = 5 THEN hi + 1
+                                 ELSE lo + fold * width END)
+              THEN 'test'
+              WHEN t >= lo + (fold - 1) * width - 43200000000
+                   AND t < (CASE WHEN fold = 5 THEN hi + 1
+                                 ELSE lo + fold * width END)
+                       + 43200000000
+              THEN 'embargoed'
+              ELSE 'train' END AS role
+  FROM r)
+SELECT fold, role, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM rolled GROUP BY fold, role ORDER BY fold, role
+""")
+def purged_time_folds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-series CV folds with a 12 h embargo
+    (operators/sampling.purged_time_folds — López de Prado's leakage
+    guard for temporally autocorrelated labels): 5 equal-width test
+    windows, boundary-adjacent rows embargoed out of training.
+    Summarized per (fold, role) with id ranges so the driver hash
+    pins every row's assignment. One min/max broadcast + a ×5 fold
+    explode; no sort anywhere."""
+    from parlerproject_spark.operators.sampling import purged_time_folds
+    out = purged_time_folds(_t(spark, sf_dir, "events"), n_folds=5,
+                            embargo_seconds=43200)
+    return (out.groupBy("fold", "role")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id"))
+            .orderBy("fold", "role"))
+
 
 @register("profile_drift_events", """
 WITH ref AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),

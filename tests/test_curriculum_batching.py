@@ -348,3 +348,40 @@ class TestAssembleDialogues:
         assert out[(1, 2)]["transcript"] == "d"
         assert out[(2, 1)]["transcript"] == "x | y"   # id-ordered tie
         assert out[(2, 1)]["n_chars"] == 5
+
+
+class TestPurgedTimeFolds:
+    def test_roles_and_embargo(self, spark):
+        from parlerproject_spark.operators.sampling import purged_time_folds
+        from pyspark.sql import functions as F
+        # 10 hourly events, 2 folds -> test windows [h0,h5), [h5,h10)
+        rows = [(i, f"2024-01-01 {i:02d}:00:00") for i in range(10)]
+        df = (spark.createDataFrame(rows, "event_id bigint, ts string")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+        out = purged_time_folds(df, n_folds=2, embargo_seconds=3600)
+        rolls = {(r["fold"], r["event_id"]): r["role"]
+                 for r in out.collect()}
+        assert len(rolls) == 20                      # 10 rows x 2 folds
+        # fold 1: hours 0-4 test (window width ~4.5h: h0-h4 inside)
+        assert rolls[(1, 0)] == "test"
+        assert rolls[(1, 4)] == "test"
+        # hour 5 is within the 1h embargo after fold 1's window end
+        assert rolls[(1, 5)] == "embargoed"
+        assert rolls[(1, 9)] == "train"
+        # fold 2: hour 4 embargoed before window start, hour 9 test
+        assert rolls[(2, 9)] == "test"
+        assert rolls[(2, 3)] == "embargoed" or rolls[(2, 4)] == "embargoed"
+        assert rolls[(2, 0)] == "train"
+
+    def test_zero_embargo_has_no_embargoed_rows(self, spark):
+        from parlerproject_spark.operators.sampling import purged_time_folds
+        from pyspark.sql import functions as F
+        rows = [(i, f"2024-01-01 {i:02d}:00:00") for i in range(8)]
+        df = (spark.createDataFrame(rows, "event_id bigint, ts string")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+        out = purged_time_folds(df, n_folds=4, embargo_seconds=0)
+        assert out.filter(F.col("role") == "embargoed").count() == 0
+        # every fold tests a disjoint, covering slice
+        tests = out.filter(F.col("role") == "test")
+        assert tests.count() == 8
+        assert tests.select("event_id").distinct().count() == 8

@@ -63,6 +63,7 @@ REPORT_QUERIES = [
     "preference_pairs_events",
     "dialogue_assembly_events",
     "profile_drift_events",
+    "purged_time_folds_events",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
