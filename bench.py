@@ -277,6 +277,7 @@ EXTRA = [
     "dialogue_assembly_events",
     "profile_drift_events",
     "purged_time_folds_events",
+    "late_interaction_topk_embeddings",
 ]
 
 

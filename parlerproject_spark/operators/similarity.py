@@ -942,3 +942,49 @@ def truncation_recall(vectors: DataFrame, query: DataFrame, *,
                  .alias("hits"),
                  F.round(F.sum(F.coalesce("__hit", F.lit(0)))
                          / float(k), 6).alias("recall")))
+
+
+def late_interaction_topk(doc_tokens: DataFrame,
+                          query_vecs: list[list[float]], *, k: int = 10,
+                          id_col: str = "doc_id",
+                          vec_col: str = "vec") -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) top-k retrieval over a
+    MULTI-VECTOR document representation: each document is a bag of
+    token vectors, and score(q, d) = Σ_i max_j cos(q_i, d_j) — every
+    query token finds its best-matching document token, summed. The
+    retrieval quality step between single-vector ANN (knn_*) and
+    full cross-encoder rerank, and the reason multi-vector indexes
+    (ColBERT/PLAID) exist.
+
+    Scale shape: the query's token vectors enter as LITERALS (a
+    query is a handful of vectors — broadcast by construction), so
+    the per-row work is |q| cosines — a narrow map over the token
+    table. MaxSim then needs exactly ONE doc-keyed aggregation
+    (max per query token as |q| parallel agg columns, summed in the
+    same pass) and a TakeOrdered cut. No join, no shuffle beyond
+    the one keyed agg — the same cost class as any per-doc metric
+    at 100 TB. Pair this with an ANN candidate filter upstream when
+    the corpus shouldn't be fully scanned (the PLAID pattern).
+
+    Per-token cosines round HALF_UP at 6 dp BEFORE max/sum (the
+    engine-parity float contract). Columns: <id_col>, score
+    (round 6), ordered score desc, id asc, LIMIT k.
+    """
+    if not query_vecs:
+        raise ValueError("late_interaction_topk needs >= 1 query vector")
+    sims = [
+        F.round(cosine(vec_col, F.array(*[F.lit(float(x)) for x in q])), 6)
+        .alias(f"__s{j}")
+        for j, q in enumerate(query_vecs)
+    ]
+    per = doc_tokens.select(F.col(id_col), *sims)
+    maxes = [F.max(f"__s{j}").alias(f"__m{j}")
+             for j in range(len(query_vecs))]
+    agg = per.groupBy(id_col).agg(*maxes)
+    total = None
+    for j in range(len(query_vecs)):
+        c = F.col(f"__m{j}")
+        total = c if total is None else total + c
+    return (agg.select(id_col, F.round(total, 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dialogue_assembly_events",
     "profile_drift_events",
     "purged_time_folds_events",
+    "late_interaction_topk_embeddings",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -7318,6 +7319,46 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dataset profiling + phrase retrieval (operators/profiling.py, retrieval.py)
 # ---------------------------------------------------------------------------
+
+@register("late_interaction_topk_embeddings", """
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+tok AS (
+  SELECT vec_id, pos // 16 AS tok, pos % 16 AS d, x FROM ex),
+q AS (SELECT tok AS qtok, d, x AS qx FROM tok WHERE vec_id = 0 AND tok < 2),
+sims AS (
+  SELECT t.vec_id, t.tok, q.qtok,
+         round(sum(t.x * q.qx)
+               / (sqrt(sum(t.x * t.x)) * sqrt(sum(q.qx * q.qx))), 6) AS s
+  FROM tok t JOIN q ON t.d = q.d
+  GROUP BY t.vec_id, t.tok, q.qtok),
+mx AS (SELECT vec_id, qtok, max(s) AS m FROM sims GROUP BY vec_id, qtok)
+SELECT vec_id, round(sum(m), 6) AS score
+FROM mx GROUP BY vec_id
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""")
+def late_interaction_topk_embeddings(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) top-k
+    (operators/similarity.late_interaction_topk): each 64-d
+    embedding is treated as a 4-token multi-vector doc (16-d
+    slices), the query is vec 0's first two token slices, and
+    score = Σ_i max_j cos(q_i, d_j). Query tokens ride as literals
+    (broadcast by construction); MaxSim is one doc-keyed aggregation
+    + a TakeOrdered cut."""
+    from parlerproject_spark.operators.similarity import late_interaction_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    tok = emb.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.slice("embedding", j * 16 + 1, 16)
+                               for j in range(4)])).alias("tok", "vec"))
+    qemb = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    qs = [[float(x) for x in qemb[0:16]], [float(x) for x in qemb[16:32]]]
+    return late_interaction_topk(tok, qs, k=10, id_col="vec_id",
+                                 vec_col="vec")
+
 
 @register("purged_time_folds_events", """
 WITH b AS (

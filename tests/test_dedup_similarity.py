@@ -552,3 +552,38 @@ class TestTruncationRecall:
         # not exactly 1.0 (norm of the tail still reweights) but the
         # prefix carries the ranking: most of the top-k survives
         assert out[4] >= 0.5 and out[16] == 1.0
+
+
+class TestLateInteraction:
+    def test_maxsim_hand_case(self, spark):
+        from parlerproject_spark.operators.similarity import (
+            late_interaction_topk)
+        # doc 1's tokens align perfectly with both query tokens;
+        # doc 2 matches only q0; doc 3's BEST token per query is
+        # orthogonal (max picks it over the anti-aligned one)
+        rows = [
+            (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+            (2, 0, [1.0, 0.0]), (2, 1, [1.0, 0.0]),
+            (3, 0, [-1.0, 0.0]), (3, 1, [0.0, -1.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, tok int, vec array<double>")
+        out = {r["doc_id"]: r["score"]
+               for r in late_interaction_topk(
+                   df, [[1.0, 0.0], [0.0, 1.0]], k=3).collect()}
+        assert out[1] == 2.0          # max cos = 1 for each q token
+        assert out[2] == 1.0          # q0 -> 1, q1 -> 0 (best token)
+        assert out[3] == 0.0    # max picks the less-negative token
+        # ranking respects score desc
+        ranked = [d for d, _ in sorted(out.items(),
+                                       key=lambda kv: -kv[1])]
+        assert ranked == [1, 2, 3]
+
+    def test_maxsim_picks_best_token_not_first(self, spark):
+        from parlerproject_spark.operators.similarity import (
+            late_interaction_topk)
+        rows = [(1, 0, [0.0, 1.0]), (1, 1, [1.0, 0.0])]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, tok int, vec array<double>")
+        out = late_interaction_topk(df, [[1.0, 0.0]], k=1).collect()
+        assert out[0]["score"] == 1.0   # token 1, not token 0

@@ -64,6 +64,7 @@ REPORT_QUERIES = [
     "dialogue_assembly_events",
     "profile_drift_events",
     "purged_time_folds_events",
+    "late_interaction_topk_embeddings",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
