@@ -278,6 +278,7 @@ EXTRA = [
     "profile_drift_events",
     "purged_time_folds_events",
     "late_interaction_topk_embeddings",
+    "groundedness_docs",
 ]
 
 

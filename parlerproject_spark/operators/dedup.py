@@ -1108,3 +1108,51 @@ def intra_doc_repeated_spans(docs: DataFrame, *, n: int = 2,
             .select(F.col("__id").alias(id_col), "start", "end",
                     (F.col("end") - F.col("start") + 1)
                     .alias("masked_tokens")))
+
+
+def plan_lsh_bands(*, target_jaccard: float, num_hashes: int,
+                   max_fp_below: float | None = None) -> dict:
+    """Driver-side MinHash-LSH parameter planner: choose (bands,
+    rows) for a signature of `num_hashes` so the S-curve threshold
+    (1/bands)^(1/rows) lands nearest the caller's `target_jaccard`.
+    The numbers every banded-LSH deployment needs and everyone
+    re-derives by hand (Leskovec/Rajaraman/Ullman ch.3): for a pair
+    with true Jaccard s, P(collide in >= 1 band) =
+    1 - (1 - s^rows)^bands.
+
+    Pure closed-form driver math (no Spark): enumerate the divisor
+    pairs bands*rows == num_hashes, score |threshold - target|, and
+    report each candidate's collision probability AT the target and
+    at 0.5x the target (the false-positive proxy). If
+    `max_fp_below` is set, candidates whose collision probability at
+    s = 0.5*target exceeds it are excluded before picking (guarding
+    against a too-aggressive threshold); raises if nothing survives.
+
+    Returns {bands, rows, threshold, p_at_target, p_at_half_target,
+    candidates: [...]} — feed bands straight into
+    minhash_lsh_pairs/minhash_band_buckets.
+    """
+    if not 0 < target_jaccard < 1:
+        raise ValueError("target_jaccard must be in (0, 1)")
+    cands = []
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        thr = (1.0 / bands) ** (1.0 / rows)
+        p_t = 1.0 - (1.0 - target_jaccard ** rows) ** bands
+        p_h = 1.0 - (1.0 - (0.5 * target_jaccard) ** rows) ** bands
+        cands.append({"bands": bands, "rows": rows,
+                      "threshold": round(thr, 6),
+                      "p_at_target": round(p_t, 6),
+                      "p_at_half_target": round(p_h, 6)})
+    pool = cands
+    if max_fp_below is not None:
+        pool = [c for c in cands if c["p_at_half_target"] <= max_fp_below]
+        if not pool:
+            raise ValueError(
+                f"no (bands, rows) split of {num_hashes} hashes keeps "
+                f"P(collide | s=0.5*target) <= {max_fp_below}")
+    best = min(pool, key=lambda c: (abs(c["threshold"] - target_jaccard),
+                                    c["bands"]))
+    return {**best, "candidates": cands}

@@ -675,3 +675,47 @@ def required_sample_size(events: DataFrame, *, user_col: str = "user_id",
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def groundedness(answers: DataFrame, sources: DataFrame, *,
+                 key_col: str = "doc_id", answer_col: str = "answer",
+                 source_col: str = "text", n: int = 2) -> DataFrame:
+    """Attribution / groundedness of generated text against its
+    retrieved source — the RAG-eval primitive behind "is the answer
+    supported by the context": the fraction of the answer's word
+    n-grams that appear anywhere in the paired source text (n=2
+    default — unigram support is too easy, long-n too strict; the
+    RAGAS/attribution-benchmark convention). Low support flags
+    hallucinated spans; 1.0 means every answer bigram occurs in the
+    context.
+
+    Shape: tokenize both sides (narrow maps), explode the answer's
+    n-grams and the source's DISTINCT n-grams, and join them per
+    (key, gram) — both exchanges are (key, gram)-keyed, so cost is
+    corpus-linear and a hot document only ever meets its OWN
+    answer's grams (never a cross join). Answers with < n tokens
+    have no grams and report NULL support (absence of evidence, not
+    0).
+
+    Columns: <key_col>, n_grams, n_supported, support (round 6).
+    """
+    from parlerproject_spark.functions.text import tokenize, word_ngrams
+
+    ag = (answers.select(F.col(key_col).alias("__k"),
+                         word_ngrams(tokenize(answer_col), n).alias("__g"))
+          .select("__k", F.explode("__g").alias("gram")))
+    sg = (sources.select(F.col(key_col).alias("__k"),
+                         word_ngrams(tokenize(source_col), n).alias("__g"))
+          .select("__k", F.explode("__g").alias("gram"))
+          .distinct())
+    hit = sg.withColumn("__hit", F.lit(1))
+    j = (ag.join(hit, ["__k", "gram"], "left")
+         .groupBy("__k")
+         .agg(F.count(F.lit(1)).alias("n_grams"),
+              F.sum(F.coalesce("__hit", F.lit(0))).alias("n_supported")))
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_supported").cast("long").alias("n_supported"),
+        F.round(F.col("n_supported") / F.col("n_grams"), 6)
+        .alias("support"))

@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: list[str] = [
     "profile_drift_events",
     "purged_time_folds_events",
     "late_interaction_topk_embeddings",
+    "groundedness_docs",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -7319,6 +7320,56 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dataset profiling + phrase retrieval (operators/profiling.py, retrieval.py)
 # ---------------------------------------------------------------------------
+
+@register("groundedness_docs", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+ans AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             lower(array_to_string(toks[1:10], ' ') || ' zzz9 qqq8'),
+             '[^a-z0-9]+'), x -> x <> '') AS atoks
+  FROM t),
+ag AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(atoks)),
+                               i -> atoks[i] || ' ' || atoks[i + 1])) AS g
+  FROM ans WHERE len(atoks) >= 2),
+sg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM t WHERE len(toks) >= 2)
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN s.g IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_supported,
+       round(sum(CASE WHEN s.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS support
+FROM ag a LEFT JOIN sg s ON a.doc_id = s.doc_id AND a.g = s.g
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+""")
+def groundedness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG groundedness / attribution (evaluation.groundedness): each
+    doc's 'answer' is its first 10 tokens plus two hallucinated
+    tokens; support = share of answer bigrams present in the source
+    text. The prefix bigrams are supported by construction, the
+    hallucinated tail is not — so every row exercises both sides of
+    the metric. Per-(doc, gram) keyed joins only; no cross join."""
+    from parlerproject_spark.operators.evaluation import groundedness
+    from parlerproject_spark.functions.text import tokenize
+    docs = _t(spark, sf_dir, "documents")
+    ans = docs.select(
+        "doc_id",
+        F.concat(F.array_join(F.slice(tokenize("text"), 1, 10), " "),
+                 F.lit(" zzz9 qqq8")).alias("answer"))
+    return (groundedness(ans, docs, n=2)
+            .orderBy("doc_id"))
+
 
 @register("late_interaction_topk_embeddings", """
 WITH ex AS (

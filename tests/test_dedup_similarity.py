@@ -587,3 +587,34 @@ class TestLateInteraction:
             rows, "doc_id bigint, tok int, vec array<double>")
         out = late_interaction_topk(df, [[1.0, 0.0]], k=1).collect()
         assert out[0]["score"] == 1.0   # token 1, not token 0
+
+
+class TestPlanLshBands:
+    def test_textbook_16_hashes(self):
+        from parlerproject_spark.operators.dedup import plan_lsh_bands
+        plan = plan_lsh_bands(target_jaccard=0.5, num_hashes=16)
+        assert plan["bands"] * plan["rows"] == 16
+        # chosen threshold is the closest achievable to 0.5
+        diffs = [abs(c["threshold"] - 0.5) for c in plan["candidates"]]
+        assert abs(plan["threshold"] - 0.5) == min(diffs)
+        # the S-curve is sane: near-certain collision well above the
+        # threshold, low collision well below it
+        assert plan["p_at_target"] > 0.3
+        assert plan["p_at_half_target"] < plan["p_at_target"]
+
+    def test_fp_guard_excludes_aggressive_splits(self):
+        from parlerproject_spark.operators.dedup import plan_lsh_bands
+        plan = plan_lsh_bands(target_jaccard=0.5, num_hashes=16,
+                              max_fp_below=0.05)
+        assert plan["p_at_half_target"] <= 0.05
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            plan_lsh_bands(target_jaccard=0.9, num_hashes=16,
+                           max_fp_below=1e-12)
+
+    def test_probability_formula(self):
+        from parlerproject_spark.operators.dedup import plan_lsh_bands
+        plan = plan_lsh_bands(target_jaccard=0.8, num_hashes=12)
+        b, r = plan["bands"], plan["rows"]
+        expect = 1.0 - (1.0 - 0.8 ** r) ** b
+        assert plan["p_at_target"] == round(expect, 6)

@@ -447,3 +447,32 @@ def test_gains_curve_out_of_range_scores_clamp(spark):
     bands = {r.band for r in gains_curve(df).collect()}
     assert bands <= set(range(1, 11))
     assert 10 in bands and 1 in bands
+
+
+class TestGroundedness:
+    def test_support_counts_hand_case(self, spark):
+        from parlerproject_spark.operators.evaluation import groundedness
+        ans = spark.createDataFrame(
+            [(1, "the cat sat zzz"), (2, "dog runs"), (3, "x")],
+            "doc_id bigint, answer string")
+        src = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "dog walks home"),
+             (3, "anything")],
+            "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in groundedness(ans, src).collect()}
+        # answer 1 bigrams: "the cat", "cat sat", "sat zzz" -> 2/3
+        assert out[1]["n_grams"] == 3 and out[1]["n_supported"] == 2
+        assert out[1]["support"] == pytest.approx(2 / 3, abs=1e-6)
+        # answer 2: "dog runs" unsupported -> 0/1
+        assert out[2]["n_supported"] == 0
+        # answer 3: single token -> no bigrams -> no row
+        assert 3 not in out
+
+    def test_full_support_is_one(self, spark):
+        from parlerproject_spark.operators.evaluation import groundedness
+        ans = spark.createDataFrame([(1, "a b c")],
+                                    "doc_id bigint, answer string")
+        src = spark.createDataFrame([(1, "x a b c y")],
+                                    "doc_id bigint, text string")
+        r = groundedness(ans, src).collect()[0]
+        assert r["support"] == 1.0

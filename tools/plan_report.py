@@ -65,6 +65,7 @@ REPORT_QUERIES = [
     "profile_drift_events",
     "purged_time_folds_events",
     "late_interaction_topk_embeddings",
+    "groundedness_docs",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
