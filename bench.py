@@ -279,6 +279,7 @@ EXTRA = [
     "purged_time_folds_events",
     "late_interaction_topk_embeddings",
     "groundedness_docs",
+    "dictionary_tag_arrow_docs",
 ]
 
 

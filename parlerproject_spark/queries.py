@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: list[str] = [
     "purged_time_folds_events",
     "late_interaction_topk_embeddings",
     "groundedness_docs",
+    "dictionary_tag_arrow_docs",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -8747,6 +8748,30 @@ def dictionary_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent by pytest; the oracle replays the expr contract."""
     from parlerproject_spark.operators.lexicon import dictionary_tag
     return (dictionary_tag(_t(spark, sf_dir, "documents"), _LEXICON)
+            .orderBy("doc_id", "phrase"))
+
+
+@register("dictionary_tag_arrow_docs", f"""
+WITH dict(phrase) AS (VALUES {_LEXICON_VALUES}),
+c AS (
+  SELECT d.doc_id, t.phrase,
+         CAST((length(d.text) - length(replace(d.text, t.phrase, '')))
+              // length(t.phrase) AS BIGINT) AS n
+  FROM documents d CROSS JOIN dict t)
+SELECT doc_id, phrase, n FROM c WHERE n > 0
+ORDER BY doc_id, phrase
+""")
+def dictionary_tag_arrow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Aho-Corasick ONE-PASS path of dictionary tagging
+    (operators/lexicon.dictionary_tag impl='arrow') driver-verified
+    against the same replace-contract oracle as the expr path: the
+    automaton builds once per worker, scans each document once
+    regardless of dictionary size, and greedy per-phrase suppression
+    reproduces the non-overlapping count bit-for-bit — so the 100 TB
+    path carries its own hash-match, not just an equivalence pytest."""
+    from parlerproject_spark.operators.lexicon import dictionary_tag
+    return (dictionary_tag(_t(spark, sf_dir, "documents"), _LEXICON,
+                           impl="arrow")
             .orderBy("doc_id", "phrase"))
 
 

@@ -118,3 +118,66 @@ def test_scd2_intervals_partition_each_keys_timeline(spark, log):
             assert prev["attr"] != nxt["attr"]  # runs collapsed
         assert rows[-1]["valid_to"] is None and rows[-1]["is_current"]
         assert all(not r["is_current"] for r in rows[:-1])
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                      min_size=0, max_size=20))
+@settings(**_SETTINGS)
+def test_duplicate_clusters_matches_union_find(spark, edges):
+    """CC property (r8 rewrite: self-loop fused neighbor-min, double
+    pointer jump, sum-based fixed point): on arbitrary small graphs
+    the result equals a classic driver-side union-find."""
+    from parlerproject_spark.operators.dedup import duplicate_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+    # min-label: re-resolve every vertex to its root's minimum member
+    comp: dict[int, list[int]] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    expected = {v: min(members) for root, members in comp.items()
+                for v in members}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)],
+        "id_a long, id_b long")
+    if not edges:
+        df = df.limit(0)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(df, max_iter=8).collect()}
+    assert got == expected
+
+
+@given(docs=st.lists(st.text(alphabet="ab ", min_size=0, max_size=14),
+                     min_size=1, max_size=5),
+       dict_=st.lists(st.sampled_from(["a", "b", "ab", "ba", "aba",
+                                       "a b", "bb"]),
+                      min_size=1, max_size=4, unique=True))
+@settings(**_SETTINGS)
+def test_dictionary_tag_arrow_always_matches_expr(spark, docs, dict_):
+    """The Aho-Corasick one-pass path reproduces the replace-count
+    contract on adversarial inputs (self-overlapping phrases,
+    phrases containing spaces, empty docs)."""
+    from parlerproject_spark.operators.lexicon import dictionary_tag
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    a = sorted((r["doc_id"], r["phrase"], r["n"])
+               for r in dictionary_tag(df, dict_, impl="expr").collect())
+    b = sorted((r["doc_id"], r["phrase"], r["n"])
+               for r in dictionary_tag(df, dict_, impl="arrow").collect())
+    assert a == b

@@ -66,6 +66,7 @@ REPORT_QUERIES = [
     "purged_time_folds_events",
     "late_interaction_topk_embeddings",
     "groundedness_docs",
+    "dictionary_tag_arrow_docs",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
