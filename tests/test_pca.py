@@ -143,3 +143,28 @@ class TestLandmarkProjection:
         out = doc_topics.collect()
         assert len(out) == 200
         assert {r["topic"] for r in out} <= set(range(4))
+
+
+def test_fit_topics_projection_plus_density(spark, sf_dir):
+    """The full BERTopic shape: landmark projection + density
+    clustering (sampled-fit DBSCAN) — both stand-ins composed."""
+    from pyspark.sql import functions as F
+
+    from parlerproject_spark.catalog import load_table
+    from parlerproject_spark.operators.topics import fit_topics
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(200)
+    docs = emb.select(emb.vec_id.alias("doc_id"),
+                      F.concat(F.lit("doc "),
+                               emb.vec_id.cast("string")).alias("text"))
+    doc_topics, info, words = fit_topics(
+        docs, emb, method="density", projection="landmark",
+        projection_kwargs={"n_anchors": 8},
+        density_kwargs={"sample_mod": 2, "sim_threshold": 0.6,
+                        "min_pts": 3, "assign_threshold": 0.3,
+                        "dim": 8, "mode": "exact"})
+    rows = doc_topics.collect()
+    assert len(rows) == 200
+    # noise label flows through; every topic is -1 or a sample id
+    assert all(r["topic"] >= -1 for r in rows)
+    assert info.count() >= 1
