@@ -280,6 +280,7 @@ EXTRA = [
     "late_interaction_topk_embeddings",
     "groundedness_docs",
     "dictionary_tag_arrow_docs",
+    "maxsim_rerank_embeddings",
 ]
 
 

@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: list[str] = [
     "late_interaction_topk_embeddings",
     "groundedness_docs",
     "dictionary_tag_arrow_docs",
+    "maxsim_rerank_embeddings",
     # last driver sample: round 1
     "topk_orders",
     "tumbling_window_events",
@@ -7370,6 +7371,60 @@ def groundedness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(" zzz9 qqq8")).alias("answer"))
     return (groundedness(ans, docs, n=2)
             .orderBy("doc_id"))
+
+
+@register("maxsim_rerank_embeddings", """
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+qv AS (SELECT pos, x AS qx FROM ex WHERE vec_id = 0),
+stage1 AS (
+  SELECT e.vec_id,
+         round(sum(e.x * q.qx)
+               / (sqrt(sum(e.x * e.x)) * sqrt(sum(q.qx * q.qx))), 6) AS sim
+  FROM ex e JOIN qv q ON e.pos = q.pos
+  GROUP BY e.vec_id
+  ORDER BY sim DESC, vec_id ASC LIMIT 50),
+tok AS (
+  SELECT e.vec_id, e.pos // 16 AS tok, e.pos % 16 AS d, e.x
+  FROM ex e JOIN stage1 s ON e.vec_id = s.vec_id),
+q AS (SELECT pos // 16 AS qtok, pos % 16 AS d, x AS qx
+      FROM ex WHERE vec_id = 0 AND pos // 16 < 2),
+sims AS (
+  SELECT t.vec_id, t.tok, q.qtok,
+         round(sum(t.x * q.qx)
+               / (sqrt(sum(t.x * t.x)) * sqrt(sum(q.qx * q.qx))), 6) AS s
+  FROM tok t JOIN q ON t.d = q.d
+  GROUP BY t.vec_id, t.tok, q.qtok),
+mx AS (SELECT vec_id, qtok, max(s) AS m FROM sims GROUP BY vec_id, qtok)
+SELECT vec_id, round(sum(m), 6) AS score
+FROM mx GROUP BY vec_id
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""")
+def maxsim_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAID-shaped two-stage retrieval: single-vector cosine RECALL
+    (knn_bruteforce top-50 — the cheap stage that bounds everything
+    downstream) then late-interaction MaxSim RERANK over only those
+    candidates (similarity.late_interaction_topk on the 4x16-d token
+    slices). Stage 2's token table is semi-joined to the candidate
+    ids, so rerank cost is candidates x query tokens regardless of
+    corpus size — the serving shape multi-vector systems actually
+    deploy. Hash-verified end-to-end through both stages."""
+    from parlerproject_spark.operators.similarity import (
+        knn_bruteforce, late_interaction_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = knn_bruteforce(emb, _query_vec(spark, sf_dir), k=50) \
+        .select("vec_id")
+    tok = (emb.join(F.broadcast(cands), "vec_id", "left_semi")
+           .select("vec_id",
+                   F.posexplode(F.array(*[F.slice("embedding", j * 16 + 1, 16)
+                                          for j in range(4)]))
+                   .alias("tok", "vec")))
+    qemb = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    qs = [[float(x) for x in qemb[0:16]], [float(x) for x in qemb[16:32]]]
+    return late_interaction_topk(tok, qs, k=10, id_col="vec_id",
+                                 vec_col="vec")
 
 
 @register("late_interaction_topk_embeddings", """

@@ -67,6 +67,7 @@ REPORT_QUERIES = [
     "late_interaction_topk_embeddings",
     "groundedness_docs",
     "dictionary_tag_arrow_docs",
+    "maxsim_rerank_embeddings",
     # round-4 additions
     "cdc_snapshot_diff_orders",
     "cdc_merge_latest_events",
