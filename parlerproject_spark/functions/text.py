@@ -131,7 +131,16 @@ def word_ngrams(arr: Column | str, n: int) -> Column:
     distinct_ngram_diversity. Order matches token order (gram i
     starts at 1-based token i). Spark's `sequence(1, 0)` generates a
     DESCENDING ramp, so sub-n docs are guarded to an empty array
-    explicitly. n=1 returns the tokens themselves."""
+    explicitly. n=1 returns the tokens themselves.
+
+    CALLER CONTRACT: `arr` must be a MATERIALIZED column — i.e. the
+    token array must cross an exchange (spread_input) or other
+    barrier before this call. A bare projection is not enough:
+    Catalyst collapses it and re-substitutes the tokenizer expression
+    into every element_at inside the lambda, re-running the regex
+    split once per gram (O(tokens²) per doc — cost groundedness 38 s
+    at sf0.1 until its r8 fix; every in-repo caller follows the
+    spread-then-gram shape)."""
     c = F.col(arr) if isinstance(arr, str) else arr
     if n == 1:
         return c

@@ -700,13 +700,24 @@ def groundedness(answers: DataFrame, sources: DataFrame, *,
     Columns: <key_col>, n_grams, n_supported, support (round 6).
     """
     from parlerproject_spark.functions.text import tokenize, word_ngrams
+    from parlerproject_spark.operators.layout import spread_input
 
-    ag = (answers.select(F.col(key_col).alias("__k"),
-                         word_ngrams(tokenize(answer_col), n).alias("__g"))
-          .select("__k", F.explode("__g").alias("gram")))
-    sg = (sources.select(F.col(key_col).alias("__k"),
-                         word_ngrams(tokenize(source_col), n).alias("__g"))
-          .select("__k", F.explode("__g").alias("gram"))
+    # Token arrays materialize through a spread_input() exchange
+    # BEFORE the gram transform (the distinct_ngram/repetition-span
+    # caller shape): a mere projection is NOT a barrier — Catalyst
+    # collapses it and re-substitutes the tokenize() regex split into
+    # every element_at inside word_ngrams' lambda, re-splitting the
+    # whole document once per gram (O(tokens²)/doc; measured 38 s at
+    # sf0.1, ~2 s with the exchange). The spread also keeps the
+    # ~tokens× gram explode off the scan's few input splits.
+    ag = (spread_input(answers.select(F.col(key_col).alias("__k"),
+                                      tokenize(answer_col).alias("__t")))
+          .select("__k", F.explode(word_ngrams(F.col("__t"), n))
+                  .alias("gram")))
+    sg = (spread_input(sources.select(F.col(key_col).alias("__k"),
+                                      tokenize(source_col).alias("__t")))
+          .select("__k", F.explode(word_ngrams(F.col("__t"), n))
+                  .alias("gram"))
           .distinct())
     hit = sg.withColumn("__hit", F.lit(1))
     j = (ag.join(hit, ["__k", "gram"], "left")
