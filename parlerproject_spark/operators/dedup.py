@@ -262,11 +262,13 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
 
     Fixed-point detection: labels are per-vertex monotone
     non-increasing (every update is a least() including the current
-    label), so the label-table sum strictly decreases until the
-    fixed point — comparing one decimal(38,0) sum per iteration
-    replaces a changed-rows count and needs no prev column carried
-    through the joins (decimal38 holds ~1e12 rows of max-bigint ids
-    without overflow). Columns: doc_id, cluster_id.
+    label), so for INTEGRAL ids the label-table sum strictly
+    decreases until the fixed point — comparing one decimal(38,0)
+    sum per iteration replaces a changed-rows count (decimal38 holds
+    ~1e12 rows of max-bigint ids without overflow). Non-integral ids
+    (strings, floats) don't cast losslessly to decimal, so they use
+    a changed-rows probe between consecutive checkpoints instead.
+    Columns: doc_id, cluster_id.
     """
     if symmetric:
         # caller guarantees the pair list already contains both
@@ -299,8 +301,18 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                     .localCheckpoint(eager=True))
     labels = (edges_sl.select(F.col("src").alias("v")).distinct()
               .select("v", F.col("v").alias("lbl")))
+    # The one-scalar sum comparison is only sound for INTEGRAL ids:
+    # strings cast to decimal(38,0) as NULL (sum None == None would
+    # "converge" after one iteration with split clusters — ADVICE r8)
+    # and fractional floats alias under the decimal truncation. For
+    # every other id type, fall back to a changed-rows probe against
+    # the previous checkpoint (one extra join per iteration, but both
+    # sides are already-materialized checkpoints).
+    from pyspark.sql.types import IntegralType
+    sum_check = isinstance(labels.schema["lbl"].dataType, IntegralType)
     converged = False
     prev_sum = None
+    prev_labels = None
     for _ in range(max_iter):
         cur = (edges_sl.join(labels, edges_sl["dst"] == labels["v"])
                .groupBy("src").agg(F.min("lbl").alias("lbl"))
@@ -313,16 +325,31 @@ def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                            F.least(cur["lbl"],
                                    F.coalesce(F.col("__ylbl"), cur["lbl"]))
                            .alias("lbl")))
-        labels = cur.localCheckpoint(eager=True)
+        new_labels = cur.localCheckpoint(eager=True)
         # fixed-point check rides the already-materialized checkpoint
         # (ADVICE r2: a component whose propagation distance exceeds a
         # fixed budget would otherwise silently return split clusters)
-        cur_sum = (labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))
-                              .alias("s")).collect()[0]["s"])
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+        if sum_check:
+            cur_sum = (new_labels
+                       .agg(F.sum(F.col("lbl").cast("decimal(38,0)"))
+                            .alias("s")).collect()[0]["s"])
+            if cur_sum is not None and cur_sum == prev_sum:
+                labels = new_labels
+                converged = True
+                break
+            prev_sum = cur_sum
+        elif prev_labels is not None:
+            p = prev_labels.select(F.col("v").alias("__pv"),
+                                   F.col("lbl").alias("__plbl"))
+            changed = (new_labels
+                       .join(p, new_labels["v"] == p["__pv"])
+                       .where(F.col("lbl") != F.col("__plbl"))
+                       .limit(1).count())
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
+        prev_labels = labels = new_labels
     if not converged:
         import warnings
         warnings.warn(

@@ -694,8 +694,9 @@ def groundedness(answers: DataFrame, sources: DataFrame, *,
     (key, gram) — both exchanges are (key, gram)-keyed, so cost is
     corpus-linear and a hot document only ever meets its OWN
     answer's grams (never a cross join). Answers with < n tokens
-    have no grams and report NULL support (absence of evidence, not
-    0).
+    have no grams and are OMITTED from the output (the aggregation
+    is grouped from the exploded gram stream, so a gramless answer
+    contributes no rows — absence of evidence, not support=0).
 
     Columns: <key_col>, n_grams, n_supported, support (round 6).
     """

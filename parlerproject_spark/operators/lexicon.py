@@ -104,6 +104,11 @@ def dictionary_tag(docs: DataFrame, phrases: list[str], *,
         raise ValueError("dictionary_tag needs at least one phrase")
     if len(set(phrases)) != len(phrases):
         raise ValueError("duplicate phrases in dictionary")
+    if any(p == "" for p in phrases):
+        # expr would divide by len("")=0 (NULL, row silently dropped)
+        # while arrow would count a "match" at every character — fail
+        # fast instead of letting the two impls diverge (ADVICE r8)
+        raise ValueError("empty-string phrase in dictionary")
     if impl == "expr":
         t = F.col(text_col)
         entries = [

@@ -141,8 +141,11 @@ def pca_project(vectors: DataFrame, mu, comps, evals, *,
             yield pd.DataFrame({id_col: pdf[id_col].values,
                                 out_col: [row.tolist() for row in P]})
 
+    # derive the id type from the input schema — hardcoding bigint
+    # corrupts string/int ids despite id_col being a parameter
+    id_type = vectors.schema[id_col].dataType.simpleString()
     return vectors.select(id_col, vec_col).mapInPandas(
-        gen, f"{id_col} long, {out_col} array<double>")
+        gen, f"{id_col} {id_type}, {out_col} array<double>")
 
 
 def embedding_drift(ref: DataFrame, cur: DataFrame, *,
@@ -263,5 +266,8 @@ def landmark_projection(vectors: DataFrame, *, n_anchors: int = 8,
             yield pd.DataFrame({id_col: pdf[id_col].values,
                                 out_col: [row.tolist() for row in P]})
 
+    # derive the id type from the input schema — hardcoding bigint
+    # corrupts string/int ids despite id_col being a parameter
+    id_type = vectors.schema[id_col].dataType.simpleString()
     return vectors.select(id_col, vec_col).mapInPandas(
-        gen, f"{id_col} long, {out_col} array<double>")
+        gen, f"{id_col} {id_type}, {out_col} array<double>")

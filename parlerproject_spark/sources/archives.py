@@ -151,8 +151,14 @@ class ZipMembersReader(DataSourceReader):
         if not partition.members:
             return
         with zipfile.ZipFile(partition.archive) as zf:
-            for name, _offset, size in partition.members:
-                with zf.open(name) as f:
+            # Re-look up members by header_offset: zf.open(name) goes
+            # through NameToInfo, which keeps only the LAST entry per
+            # name, so duplicate member names would all read the last
+            # member's bytes (ADVICE r8). Opening the ZipInfo itself
+            # reads the member this catalog row actually points at.
+            by_offset = {i.header_offset: i for i in zf.infolist()}
+            for name, offset, size in partition.members:
+                with zf.open(by_offset[offset]) as f:
                     yield (name, f.read(), size)
 
 

@@ -307,6 +307,21 @@ def test_duplicate_clusters_transitive_closure(spark):
     assert all(got[100 + i] == 100 for i in range(40))
 
 
+def test_duplicate_clusters_string_ids(spark):
+    """String doc ids can't ride the decimal-sum convergence check
+    (cast yields NULL → None==None would fake convergence after one
+    iteration — ADVICE r8); the changed-rows fallback must still
+    close a chain that needs >1 propagation round."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+         ("f", "g"), ("g", "h"), ("x", "y")],
+        ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert all(got[v] == "a" for v in "abcdefgh")
+    assert got["x"] == got["y"] == "x"
+
+
 def test_exact_substring_spans_finds_shared_run(spark):
     shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     docs = spark.createDataFrame(

@@ -75,3 +75,5 @@ def test_validation(spark):
         dictionary_tag(docs, [])
     with pytest.raises(ValueError):
         dictionary_tag(docs, ["a", "a"])
+    with pytest.raises(ValueError):
+        dictionary_tag(docs, ["a", ""])   # empty phrase: impls diverge

@@ -168,3 +168,22 @@ def test_fit_topics_projection_plus_density(spark, sf_dir):
     # noise label flows through; every topic is -1 or a sample id
     assert all(r["topic"] >= -1 for r in rows)
     assert info.count() >= 1
+
+
+def test_projection_preserves_non_bigint_ids(spark):
+    """id_col is a parameter, so the mapInPandas output schema must
+    derive the id type from the input — a hardcoded bigint corrupts
+    string ids (ADVICE r8). Covers both Arrow projections."""
+    from parlerproject_spark.operators.pca import (landmark_projection,
+                                                   pca_project)
+    rows = [(f"doc-{i}", [float(i), float(i % 3), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = landmark_projection(df, n_anchors=2, id_col="vec_id",
+                              vec_col="embedding").collect()
+    assert sorted(r["vec_id"] for r in got) == sorted(r[0] for r in rows)
+    assert all(len(r["proj"]) == 2 for r in got)
+    got2 = pca_project(df, mu=[0.0, 0.0, 0.0],
+                       comps=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                       evals=[1.0, 1.0], id_col="vec_id",
+                       vec_col="embedding").collect()
+    assert sorted(r["vec_id"] for r in got2) == sorted(r[0] for r in rows)

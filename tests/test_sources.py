@@ -219,6 +219,29 @@ def test_zip_datasource_reads_members(spark, zip_fixture):
     assert json.loads(bytes(stored[0]["content"]))[0]["SourceFile"] == "stored"
 
 
+def test_zip_duplicate_member_names(spark, tmp_path):
+    """Zip allows duplicate member names; zf.open(name) resolves via
+    NameToInfo (last entry wins), so reading by name would return the
+    LAST member's bytes for every duplicate (ADVICE r8). The reader
+    must open by ZipInfo/header_offset and yield each member's own
+    payload."""
+    import zipfile
+    path = tmp_path / "dup.zip"
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a.txt", b"first version")
+        zf.writestr("b.txt", b"other")
+        zf.writestr("a.txt", b"second version, longer payload")
+    spark.dataSource.register(archives.ZipMembersDataSource)
+    rows = (spark.read.format("zip_members")
+            .option("path", str(path)).option("suffix", ".txt").load()
+            .collect())
+    payloads = sorted(bytes(r["content"]) for r in rows)
+    assert payloads == [b"first version", b"other",
+                        b"second version, longer payload"]
+    for r in rows:
+        assert r["size"] == len(bytes(r["content"]))
+
+
 def test_zip_matches_tar_member_for_member(spark, tar_fixture, zip_fixture):
     """Both sources yield identical (member-name-normalized) payloads
     for the shared 40 JSON members — the format is the only variable."""
