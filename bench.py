@@ -238,6 +238,7 @@ EXTRA = [
     "stream_enrich_segments",
     "psi_gate_events",
     "margin_pairs_embeddings",
+    "margin_pairs_lsh_embeddings",
     "bleu_pairs_docs",
     "grouped_roc_auc_sources",
     "ips_policy_value_events",

@@ -60,65 +60,12 @@ def register(name: str, oracle: str | None):
 # ~3 rounds stale (all entries also pass the local oracle replica,
 # tools/check_oracle.py, every session).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-8 rotation. Head: the 5 queries no driver sample has ever
-    # recorded (VERDICT r7 item 1 — they sat at positions 50-54, one slot
-    # outside the ~50-query window). After them: round-8 additions (also
-    # never sampled), then every other query in ascending last-sampled
-    # round (r1 first), so nothing goes >3 rounds without a driver row.
-    "bradley_terry_sources",
-    "k_anonymity_events",
-    "leakage_safe_split_docs",
-    "dp_event_type_counts",
-    "token_js_divergence_sources",
-    # --- round-8 new queries (never driver-sampled) ---
-    "pipeline_zip_archive_metadata",
-    "landmark_projection_embeddings",
-    "landmark_topic_assignments",
-    "dictionary_tag_docs",
-    "preference_pairs_events",
-    "dialogue_assembly_events",
-    "profile_drift_events",
-    "purged_time_folds_events",
-    "late_interaction_topk_embeddings",
-    "groundedness_docs",
-    "dictionary_tag_arrow_docs",
-    "maxsim_rerank_embeddings",
-    # last driver sample: round 1
-    "topk_orders",
-    "tumbling_window_events",
-    "window_rank_orders",
-    # last driver sample: round 2
-    "embed_documents_fake",
-    "full_outer_reconcile_keys",
-    "grouping_sets_order_stats",
-    "left_join_order_gaps",
-    "length_band_filter_docs",
-    "media_features",
-    "ntile_value_quartiles",
-    "pivot_event_values_by_day",
-    "q11_top_nation_balances",
-    "q13_order_count_distribution",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_bulk_ship_suppliers",
-    "q21_sole_late_supplier",
-    "q22_idle_rich_customers",
-    "q2_min_price_part",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "quantize_embeddings_int8",
-    "repetition_ratio_docs",
-    "salted_agg_user_totals",
-    "stream_dedup_events",
-    "type_token_ratio_docs",
-    "unpivot_part_metrics",
-    "value_quartiles_bucketed",
-    # last driver sample: round 3
-    "approx_distinct_users",
-    "asof_join_purchase_view",
-    "audio_chunk_parts",
-    "chunk_documents_docs",
-    "clean_corpus_pipeline",
+    # Round-9 rotation (VERDICT r8 item 4). Head: round-9 additions
+    # (never driver-sampled), then every query in ascending
+    # last-driver-sampled round (the 43-query round-3 stale tier leads),
+    # alphabetical within a tier — so the ~50-query sample window covers
+    # all of the stale tail this round and nothing ages further.
+    "margin_pairs_lsh_embeddings",
     "corpus_shuffle_order",
     "decontaminate_corpus",
     "doc_frequency_stopworded",
@@ -162,7 +109,6 @@ _DRIVER_PRIORITY: list[str] = [
     "view_purchase_stream_join",
     "vocab_coverage_docs",
     "window_family_orders",
-    # last driver sample: round 4
     "anti_join_idle_customers",
     "audience_overlap_theta",
     "bloom_incremental_dedup_docs",
@@ -212,7 +158,6 @@ _DRIVER_PRIORITY: list[str] = [
     "value_quantiles_kll",
     "when_case_acctbal",
     "zorder_events_stats",
-    # last driver sample: round 5
     "ab_test_purchase_events",
     "bfs_distances_events",
     "blocklist_filter_docs",
@@ -262,7 +207,6 @@ _DRIVER_PRIORITY: list[str] = [
     "trimmed_mean_events",
     "unicode_normalize_docs",
     "unigram_vocab_docs",
-    # last driver sample: round 6
     "argmax_events",
     "calibrate_scores_docs",
     "calibration_docs",
@@ -312,7 +256,6 @@ _DRIVER_PRIORITY: list[str] = [
     "topic_terms_ctfidf",
     "touch_attribution_events",
     "weighted_sample_docs",
-    # last driver sample: round 7
     "active_learning_batch_docs",
     "association_rules_events",
     "association_source_lang",
@@ -363,7 +306,58 @@ _DRIVER_PRIORITY: list[str] = [
     "unigram_segment_docs",
     "vocab_coverage_sources",
     "weak_label_summary_docs",
+    "approx_distinct_users",
+    "asof_join_purchase_view",
+    "audio_chunk_parts",
+    "bradley_terry_sources",
+    "chunk_documents_docs",
+    "clean_corpus_pipeline",
+    "dialogue_assembly_events",
+    "dictionary_tag_arrow_docs",
+    "dictionary_tag_docs",
+    "dp_event_type_counts",
+    "embed_documents_fake",
+    "full_outer_reconcile_keys",
+    "groundedness_docs",
+    "grouping_sets_order_stats",
+    "k_anonymity_events",
+    "landmark_projection_embeddings",
+    "landmark_topic_assignments",
+    "late_interaction_topk_embeddings",
+    "leakage_safe_split_docs",
+    "left_join_order_gaps",
+    "length_band_filter_docs",
+    "maxsim_rerank_embeddings",
+    "media_features",
+    "ntile_value_quartiles",
+    "pipeline_zip_archive_metadata",
+    "pivot_event_values_by_day",
+    "preference_pairs_events",
+    "profile_drift_events",
+    "purged_time_folds_events",
+    "q11_top_nation_balances",
+    "q13_order_count_distribution",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_bulk_ship_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_rich_customers",
+    "q2_min_price_part",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "quantize_embeddings_int8",
+    "repetition_ratio_docs",
+    "salted_agg_user_totals",
+    "stream_dedup_events",
+    "token_js_divergence_sources",
+    "topk_orders",
+    "tumbling_window_events",
+    "type_token_ratio_docs",
+    "unpivot_part_metrics",
+    "value_quartiles_bucketed",
+    "window_rank_orders",
 ]
+
 def _ordered_names() -> list[str]:
     prio = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(prio)]
@@ -9705,6 +9699,94 @@ def margin_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = emb.filter(F.col("vec_id") % 2 != 0)
     return (margin_pair_mining(src, tgt, k=4, margin_threshold=1.05,
                                mutual=True)
+            .orderBy("src_id"))
+
+
+@register("margin_pairs_lsh_embeddings", """
+WITH pl AS MATERIALIZED (
+  SELECT t.tbl, p.p, d.d,
+         (('0x' || substr(md5('plane:' || t.tbl || ':' || p.p || ':'
+                              || d.d), 1, 12))::BIGINT
+          / power(16.0, 12)) * 2.0 - 1.0 AS w
+  FROM (SELECT unnest(range(0, 8)) AS tbl) t,
+       (SELECT unnest(range(0, 6)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS d) d),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.w) AS dp
+  FROM ex e JOIN pl ON pl.d = e.pos
+  GROUP BY e.vec_id, pl.tbl, pl.p),
+sig AS MATERIALIZED (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN dp >= 0
+                  THEN (1::BIGINT << (5 - p)) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id, tbl),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM sig l JOIN sig r ON l.tbl = r.tbl AND l.sig = r.sig
+  WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 <> 0),
+px AS (
+  SELECT c.id_a, c.id_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b),
+sims AS MATERIALIZED (
+  SELECT id_a, id_b,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM px GROUP BY id_a, id_b),
+fwd AS (
+  SELECT id_a, avg(sim) AS f FROM (
+    SELECT id_a, sim,
+           row_number() OVER (PARTITION BY id_a
+                              ORDER BY sim DESC, id_b ASC) AS rn
+    FROM sims) WHERE rn <= 4 GROUP BY id_a),
+bwd AS (
+  SELECT id_b, avg(sim) AS b FROM (
+    SELECT id_b, sim,
+           row_number() OVER (PARTITION BY id_b
+                              ORDER BY sim DESC, id_a ASC) AS rn
+    FROM sims) WHERE rn <= 4 GROUP BY id_b),
+m AS (
+  SELECT s.id_a, s.id_b, s.sim,
+         round(s.sim / ((fwd.f + bwd.b) / 2), 6) AS margin
+  FROM sims s JOIN fwd USING (id_a) JOIN bwd USING (id_b)),
+ba AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY margin DESC, id_b ASC) AS ra
+  FROM m),
+bb AS (
+  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b
+                                        ORDER BY margin DESC, id_a ASC) AS rb
+  FROM m)
+SELECT a.id_a AS src_id, a.id_b AS tgt_id, a.sim, a.margin
+FROM ba a JOIN bb USING (id_a, id_b)
+WHERE a.ra = 1 AND rb = 1 AND a.margin >= 1.05
+ORDER BY src_id
+""")
+def margin_pairs_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin pair mining, mode='lsh' — the 100 TB bucketed path,
+    hash-verified (VERDICT r8 item 1): candidate (src, tgt) pairs
+    form only inside shared random-hyperplane buckets and the
+    fwd/bwd neighborhood means run over the CANDIDATE sims, so cost
+    follows bucket density, never |src|×|tgt|. The oracle replays
+    the deterministic md5 plane family, the per-table MSB-first sign
+    signatures, the parity-split bucket collisions, and the
+    candidate-restricted margin/mutual selection — the same replay
+    recipe embedding_near_dup_lsh and hard_negatives use. A match
+    proves the bucketed plan emits exactly what an independent
+    replay of the index math emits (recall vs exact mode stays
+    pytest-measured in test_margin_mining.py)."""
+    from parlerproject_spark.operators.similarity import margin_pair_mining
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 != 0)
+    return (margin_pair_mining(src, tgt, k=4, margin_threshold=1.05,
+                               mutual=True, mode="lsh", dim=64,
+                               num_planes=6, num_tables=8)
             .orderBy("src_id"))
 
 
