@@ -423,7 +423,7 @@ def probe_ivf_index(spark, path: str, centroids: list[list[float]],
 # Product quantization -----------------------------------------------------
 
 def train_pq(vectors: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
-             max_iter: int = 5, sample_rows: int = 4096,
+             max_iter: int = 5, sample_rows: int = 4096, round_c: int = 6,
              id_col: str = "vec_id",
              vec_col: str = "embedding") -> list:
     """Train product-quantization codebooks: split the `dim` space
@@ -439,6 +439,12 @@ def train_pq(vectors: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
 
     Returns codebooks: m × ksub × (dim/m) nested lists (driver-side
     model, broadcast into the encode/search maps).
+
+    Determinism contract (the lloyd_centroids round_c contract):
+    init dedups on EXACT subvector equality and every centroid
+    update rounds to round_c decimals, re-synchronizing float state
+    so an independent engine (the DuckDB oracle) replaying the same
+    unrolled iterations lands on bit-identical codebooks.
     """
     import numpy as np
 
@@ -454,7 +460,7 @@ def train_pq(vectors: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
         # deterministic init: first ksub distinct subvectors
         seen, init = set(), []
         for row in sub:
-            t = tuple(np.round(row, 9))
+            t = tuple(row)
             if t not in seen:
                 seen.add(t)
                 init.append(row)
@@ -462,13 +468,20 @@ def train_pq(vectors: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
                 break
         C = np.array(init + [sub[i % len(sub)]
                              for i in range(ksub - len(init))])
+        scale = 10.0 ** round_c
         for _ in range(max_iter):
             d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = d2.argmin(axis=1)
             for c in range(ksub):
                 mask = a == c
                 if mask.any():
-                    C[c] = sub[mask].mean(axis=0)
+                    mu = sub[mask].mean(axis=0)
+                    # HALF_UP at round_c (np.round is banker's; SQL
+                    # round is half-away — the _pair_cosine_scorer
+                    # rounding identity, hash-stable vs DuckDB)
+                    C[c] = np.where(mu >= 0,
+                                    np.floor(mu * scale + 0.5),
+                                    np.ceil(mu * scale - 0.5)) / scale
         books.append([[float(x) for x in c] for c in C])
     return books
 
@@ -553,7 +566,11 @@ def knn_pq(vectors: DataFrame, query_vec: list, codebooks: list, *,
             F.lit(0.0), lambda acc, x: acc + x)
 
     recon_norm = F.sqrt(F.greatest(lut_sum(n2_lit), F.lit(1e-12)))
-    score = lut_sum(lut_lit) / recon_norm
+    # round the ADC score before the rerank cut: the candidate set
+    # becomes deterministic across engines (rounded ties break by
+    # id), so an oracle replaying the same codebooks selects the
+    # same rerank pool — unrounded last-ulp sums could flip rank 64
+    score = F.round(lut_sum(lut_lit) / recon_norm, 6)
     cand = (codes.select("vec_id", score.alias("adc"))
             .orderBy(F.col("adc").desc(), F.col("vec_id").asc())
             .limit(rerank))

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     # alphabetical within a tier — so the ~50-query sample window covers
     # all of the stale tail this round and nothing ages further.
     "margin_pairs_lsh_embeddings",
+    "knn_pq",
     "corpus_shuffle_order",
     "decontaminate_corpus",
     "doc_frequency_stopworded",
@@ -138,7 +139,6 @@ _DRIVER_PRIORITY: list[str] = [
     "grouped_split_by_source",
     "incremental_rollup_events",
     "intersect_custkeys",
-    "knn_pq",
     "lookup_join_nation_region",
     "nb_quality_scores_docs",
     "perplexity_buckets_docs",
@@ -1294,6 +1294,94 @@ sims AS (
   FROM pairs GROUP BY vec_id)
 SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id ASC LIMIT {k}"""
     return head + steps + seltab + init + body + tail
+
+
+def _pq_oracle(m: int = 8, ksub: int = 16, dsub: int = 8, iters: int = 5,
+               sample_rows: int = 4096, rerank: int = 64,
+               k: int = 10) -> str:
+    """Unrolled oracle for knn_pq (VERDICT r8 item 2): replays
+    train_pq's per-subspace Lloyd (exact-equality init dedup over
+    the orderBy(id)-head sample, HALF_UP round_c=6 centroid updates
+    — the same rounded-Lloyd synchronization _kmeans_assign_oracle
+    uses), the per-subspace nearest-code encode, the query's ADC
+    lookup tables (q·centroid dots and centroid self-dot norms),
+    the rounded ADC candidate cut, and the exact-cosine re-rank.
+    Assumes ≥ ksub distinct subvectors per subspace in the sample
+    (true at the driver's sf, like _ivf_oracle's pool assumption)."""
+    head = f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+sampids AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS ri
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {sample_rows})),
+sx AS MATERIALIZED (
+  SELECT s.ri, e.pos // {dsub} AS sub, e.pos % {dsub} AS j, e.x
+  FROM sampids s JOIN ex e USING (vec_id)),
+keyed AS (
+  SELECT sub, ri, string_agg(x::VARCHAR, ',' ORDER BY j) AS kk
+  FROM sx GROUP BY sub, ri),
+init AS MATERIALIZED (
+  SELECT sub, fri, row_number() OVER (PARTITION BY sub ORDER BY fri) - 1 AS c
+  FROM (SELECT sub, min(ri) AS fri FROM keyed GROUP BY sub, kk)),
+c0 AS MATERIALIZED (
+  SELECT i.sub, i.c, s.j, s.x AS cx
+  FROM init i JOIN sx s ON s.sub = i.sub AND s.ri = i.fri
+  WHERE i.c < {ksub})"""
+    body = ""
+    for it in range(1, iters + 1):
+        body += f""",
+a{it} AS MATERIALIZED (
+  SELECT sub, ri, c FROM (
+    SELECT s.sub, s.ri, cc.c,
+           row_number() OVER (PARTITION BY s.sub, s.ri
+                              ORDER BY sum((s.x - cc.cx) * (s.x - cc.cx)) ASC,
+                                       cc.c ASC) AS rn
+    FROM sx s JOIN c{it - 1} cc ON cc.sub = s.sub AND cc.j = s.j
+    GROUP BY s.sub, s.ri, cc.c)
+  WHERE rn = 1),
+c{it} AS MATERIALIZED (
+  SELECT p.sub, p.c, p.j, coalesce(round(mm.mx, 6), p.cx) AS cx
+  FROM c{it - 1} p LEFT JOIN (
+    SELECT a.sub, a.c, s.j, avg(s.x) AS mx
+    FROM a{it} a JOIN sx s ON s.sub = a.sub AND s.ri = a.ri
+    GROUP BY a.sub, a.c, s.j) mm
+    ON mm.sub = p.sub AND mm.c = p.c AND mm.j = p.j)"""
+    tail = f""",
+vx AS (SELECT vec_id, pos // {dsub} AS sub, pos % {dsub} AS j, x FROM ex),
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, c FROM (
+    SELECT v.vec_id, v.sub, cf.c,
+           row_number() OVER (PARTITION BY v.vec_id, v.sub
+                              ORDER BY sum((v.x - cf.cx) * (v.x - cf.cx)) ASC,
+                                       cf.c ASC) AS rn
+    FROM vx v JOIN c{iters} cf ON cf.sub = v.sub AND cf.j = v.j
+    GROUP BY v.vec_id, v.sub, cf.c)
+  WHERE rn = 1),
+qx AS (SELECT pos // {dsub} AS sub, pos % {dsub} AS j, x AS qx
+       FROM ex WHERE vec_id = 0),
+lut AS MATERIALIZED (
+  SELECT cf.sub, cf.c, sum(cf.cx * q.qx) AS l, sum(cf.cx * cf.cx) AS nn
+  FROM c{iters} cf JOIN qx q ON q.sub = cf.sub AND q.j = cf.j
+  GROUP BY cf.sub, cf.c),
+adc AS (
+  SELECT cd.vec_id,
+         round(sum(l.l) / sqrt(greatest(sum(l.nn), 1e-12)), 6) AS s
+  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.c = cd.c
+  GROUP BY cd.vec_id),
+cand AS (SELECT vec_id FROM adc ORDER BY s DESC, vec_id ASC LIMIT {rerank}),
+q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT c.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q2.qv)::DOUBLE AS y
+  FROM cand c JOIN embeddings e USING (vec_id), q2),
+sims AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM pairs GROUP BY vec_id)
+SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id ASC LIMIT {k}"""
+    return head + body + tail
 
 
 @register("knn_bruteforce", """
@@ -4987,13 +5075,103 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
-@register("bpe_merges_docs", None)
+def _bpe_oracle(n_merges: int = 20) -> str:
+    """Unrolled oracle for bpe_merges_docs (VERDICT r8 item 3):
+    replays the SEQUENTIAL one-merge-per-round BPE trainer — which
+    train_bpe's batched selection provably equals (see its
+    docstring's disjoint-prefix argument; the pure-Python parity
+    pytest pins the same sequence) — as n_merges CTE blocks.
+
+    Symbol arrays ride as delimiter-WRAPPED strings
+    (chr(31)||sym||chr(31) per symbol): SQL replace() substitutes
+    non-overlapping matches LEFT-TO-RIGHT, which is exactly the
+    greedy fold _apply_merge implements, and the wrapping makes the
+    (a,b) adjacency pattern match whole symbols only. Each round:
+    adjacent-pair counts from the split string, argmax with the
+    (cnt desc, a asc, b asc) tie-break, one literal replace. A round
+    whose best count < 2 selects nothing and every later round
+    no-ops — same stop rule as the trainer."""
+    ranks = "\nUNION ALL\n".join(
+        f'SELECT {it}::BIGINT AS rank, a AS "left", b AS "right" FROM m{it}'
+        for it in range(1, n_merges + 1))
+    return _bpe_rounds_sql(n_merges) + f"""
+SELECT rank, "left", "right" FROM ({ranks}) ORDER BY rank"""
+
+
+def _bpe_rounds_sql(n_merges: int) -> str:
+    """Shared CTE prefix for the BPE oracles: the tokenize+count
+    vocab pass, the initial wrapped-symbol strings, and n_merges
+    (pair-count → argmax → greedy replace) rounds, ending at
+    t{n_merges} (word, n, s)."""
+    g = "chr(31)"
+    gg = f"{g} || {g}"
+    head = f"""
+WITH wf AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word),
+t0 AS MATERIALIZED (
+  SELECT word, n,
+         {g} || array_to_string(string_split(word, ''), {gg})
+         || {gg} || '</w>' || {g} AS s
+  FROM wf)"""
+    body = ""
+    for it in range(1, n_merges + 1):
+        body += f""",
+m{it} AS (
+  SELECT ls[i] AS a, ls[i + 1] AS b
+  FROM (SELECT n, ls, unnest(range(1, len(ls))) AS i
+        FROM (SELECT n, string_split(trim(s, {g}), {gg}) AS ls
+              FROM t{it - 1}))
+  GROUP BY a, b HAVING sum(n) >= 2
+  ORDER BY sum(n) DESC, a ASC, b ASC LIMIT 1),
+t{it} AS MATERIALIZED (
+  SELECT t.word, t.n,
+         CASE WHEN m.a IS NULL THEN t.s
+              ELSE replace(t.s, {g} || m.a || {gg} || m.b || {g},
+                           {g} || m.a || m.b || {g}) END AS s
+  FROM t{it - 1} t LEFT JOIN m{it} m ON TRUE)"""
+    return head + body
+
+
+def _bpe_segment_oracle(n_merges: int = 12) -> str:
+    """Oracle for bpe_segment_docs: replay n_merges training rounds
+    (the final symbol table IS the segmentation of every vocab
+    word), count each word's non-empty EOW-stripped pieces, and sum
+    per document over its token stream — apply_bpe's vocab-join
+    shape mirrored exactly."""
+    g = "chr(31)"
+    gg = f"{g} || {g}"
+    return _bpe_rounds_sql(n_merges) + f""",
+pc AS MATERIALIZED (
+  SELECT word,
+         len(list_filter(string_split(trim(s, {g}), {gg}),
+                         x -> replace(x, '</w>', '') <> ''))::BIGINT AS np
+  FROM t{n_merges}),
+dt AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            w -> w <> '')) AS word
+  FROM documents),
+counts AS (
+  SELECT dt.doc_id, count(*)::BIGINT AS n_words,
+         sum(pc.np)::BIGINT AS n_pieces
+  FROM dt JOIN pc USING (word) GROUP BY dt.doc_id)
+SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+       coalesce(c.n_pieces, 0) AS n_pieces
+FROM documents d LEFT JOIN counts c USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+@register("bpe_merges_docs", _bpe_oracle())
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/tokenizer.train_bpe): the
-    ordered merge list learned from the documents corpus — iterative
-    driver-looped training (one vocab-table job per merge), so the
-    driver check is rows-only; pytest proves merge-sequence equality
-    with a pure-Python reference BPE."""
+    ordered merge list learned from the documents corpus. Hash-
+    oracled since r9: _bpe_oracle unrolls the equivalent sequential
+    trainer (greedy replace over delimiter-wrapped symbol strings)
+    as 20 CTE rounds; pytest additionally proves merge-sequence
+    equality with a pure-Python reference BPE."""
     from parlerproject_spark.operators.tokenizer import train_bpe
     merges = train_bpe(_t(spark, sf_dir, "documents"), n_merges=20)
     rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
@@ -5001,18 +5179,21 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "rank long, left string, right string")
 
 
-@register("bpe_segment_docs", None)
+@register("bpe_segment_docs", _bpe_segment_oracle())
 def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding (operators/tokenizer.apply_bpe): segment every
-    document with 12 learned merges — zero-shuffle narrow-map
-    encoder; rows-only (the model is the iterative trainer's
-    output)."""
+    document with 12 learned merges — the encoder's fold runs once
+    per DISTINCT word (vocab-join shape). Hash-oracled since r9:
+    the oracle replays 12 training rounds (the final symbol table
+    IS every vocab word's segmentation) and sums per-doc piece
+    counts through the same vocab join."""
     from parlerproject_spark.operators.tokenizer import (apply_bpe,
                                                          train_bpe)
     d = _t(spark, sf_dir, "documents")
     merges = train_bpe(d, n_merges=12)
     return (apply_bpe(d, merges)
-            .select("doc_id", "n_words", "n_pieces")
+            .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+                    "n_pieces")
             .orderBy("doc_id"))
 
 
@@ -5388,14 +5569,16 @@ def snapshot_asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
-@register("knn_pq", None)
+@register("knn_pq", _pq_oracle())
 def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.train_pq/
     encode_pq/knn_pq): 8-subspace x 16-centroid codebooks (32x
     vector compression), ADC scan over the code table, exact
     re-rank of the top-64 — the memory scale path of the ANN
-    family. Rows-only (k-means codebooks are not SQL-expressible);
-    pytest measures recall vs knn_bruteforce."""
+    family. Hash-oracled since r9: train_pq rounds every centroid
+    update to 6 dp (the lloyd round_c contract), so _pq_oracle can
+    unroll the per-subspace Lloyd + encode + ADC + re-rank as CTEs;
+    pytest still measures recall vs knn_bruteforce."""
     from parlerproject_spark.operators import similarity
     emb = _t(spark, sf_dir, "embeddings")
     books = similarity.train_pq(emb, dim=64, m=8, ksub=16)
