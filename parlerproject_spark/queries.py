@@ -67,6 +67,8 @@ _DRIVER_PRIORITY: list[str] = [
     # all of the stale tail this round and nothing ages further.
     "margin_pairs_lsh_embeddings",
     "knn_pq",
+    "bpe_segment_docs",
+    "bpe_merges_docs",
     "corpus_shuffle_order",
     "decontaminate_corpus",
     "doc_frequency_stopworded",
@@ -114,8 +116,6 @@ _DRIVER_PRIORITY: list[str] = [
     "audience_overlap_theta",
     "bloom_incremental_dedup_docs",
     "bm25_ranked_docs",
-    "bpe_merges_docs",
-    "bpe_segment_docs",
     "c4_line_filter_docs",
     "cdc_merge_latest_events",
     "cdc_snapshot_diff_orders",
