@@ -239,6 +239,8 @@ EXTRA = [
     "psi_gate_events",
     "margin_pairs_embeddings",
     "margin_pairs_lsh_embeddings",
+    "citation_support_docs",
+    "citation_pr_docs",
     "bleu_pairs_docs",
     "grouped_roc_auc_sources",
     "ips_policy_value_events",

@@ -731,3 +731,144 @@ def groundedness(answers: DataFrame, sources: DataFrame, *,
         F.col("n_supported").cast("long").alias("n_supported"),
         F.round(F.col("n_supported") / F.col("n_grams"), 6)
         .alias("support"))
+
+
+def _answer_grams(answers: DataFrame, key_col: str, answer_col: str,
+                  n: int) -> DataFrame:
+    """(__k, gram) — every answer n-gram occurrence, materialized
+    through a spread_input exchange first (the groundedness barrier
+    contract: word_ngrams must see a materialized token array)."""
+    from parlerproject_spark.functions.text import tokenize, word_ngrams
+    from parlerproject_spark.operators.layout import spread_input
+
+    return (spread_input(answers.select(F.col(key_col).alias("__k"),
+                                        tokenize(answer_col).alias("__t")))
+            .select("__k", F.explode(word_ngrams(F.col("__t"), n))
+                    .alias("gram")))
+
+
+def citation_support(answers: DataFrame, citations: DataFrame,
+                     sources: DataFrame, *, key_col: str = "doc_id",
+                     answer_col: str = "answer", src_col: str = "src_id",
+                     source_col: str = "text",
+                     source_key_col: str | None = None,
+                     n: int = 2) -> DataFrame:
+    """Per-(answer, cited source) attribution — the multi-source
+    extension of `groundedness` (VERDICT r8 item 6): for every
+    citation edge (answer key → source key), the share of the
+    answer's word n-grams that appear in THAT cited source. This is
+    the "does the citation actually support the claim" primitive of
+    RAG citation evaluation (the ALCE / attribution-benchmark
+    convention); a citation whose support is ~0 is decorative, and
+    an answer whose grams no citation covers is unattributed.
+    Reference tie: the semi-join provenance pattern of
+    analysis/preview_data.ipynb:127-129 (posts matched back to the
+    archive members that evidence them).
+
+    Shape: answer grams explode once ((key, gram)-keyed, the
+    groundedness exchange contract), fan out ONLY to that answer's
+    citation edges (a keyed join — cost is grams × citations-per-
+    answer, corpus-linear), then probe the cited sources' DISTINCT
+    gram sets on (src, gram). No cross join anywhere; a hot source
+    only ever meets grams of answers that actually cite it.
+
+    A citation to a missing or gram-disjoint source keeps its row
+    with n_supported = 0 (that's the signal); answers with < n
+    tokens are omitted (no grams — the groundedness convention).
+    Columns: <key_col>, <src_col>, n_grams, n_supported, support.
+    """
+    from parlerproject_spark.functions.text import tokenize, word_ngrams
+    from parlerproject_spark.operators.layout import spread_input
+
+    ag = _answer_grams(answers, key_col, answer_col, n)
+    cit = (citations.select(F.col(key_col).alias("__k"),
+                            F.col(src_col).alias("__s"))
+           .distinct())
+    skey = source_key_col or key_col
+    sgd = (spread_input(sources.select(F.col(skey).alias("__s"),
+                                       tokenize(source_col).alias("__t")))
+           .select("__s", F.explode(word_ngrams(F.col("__t"), n))
+                   .alias("gram"))
+           .distinct())
+    hit = sgd.withColumn("__hit", F.lit(1))
+    pair = (ag.join(cit, "__k")
+            .join(hit, ["__s", "gram"], "left")
+            .groupBy("__k", "__s")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.coalesce("__hit", F.lit(0))).alias("n_supported")))
+    return pair.select(
+        F.col("__k").alias(key_col), F.col("__s").alias(src_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_supported").cast("long").alias("n_supported"),
+        F.round(F.col("n_supported") / F.col("n_grams"), 6)
+        .alias("support"))
+
+
+def citation_precision_recall(answers: DataFrame, citations: DataFrame,
+                              sources: DataFrame, *,
+                              key_col: str = "doc_id",
+                              answer_col: str = "answer",
+                              src_col: str = "src_id",
+                              source_col: str = "text",
+                              source_key_col: str | None = None,
+                              n: int = 2) -> DataFrame:
+    """Per-answer citation precision/recall over multi-source
+    citations: precision = share of this answer's citations that
+    support at least one of its grams (non-decorative citations);
+    recall = share of the answer's gram OCCURRENCES whose value
+    appears in at least one cited source (the attributable
+    fraction). Composes the same keyed building blocks as
+    `citation_support`; coverage dedups per gram VALUE before the
+    probe so a repeated gram costs one lookup, then re-weights by
+    its occurrence count.
+
+    Columns: <key_col>, n_cited, n_supporting, n_grams, n_covered,
+    precision, recall (round 6). Answers with < n tokens are
+    omitted; an answer none of whose citations exist still reports
+    (precision 0, recall 0).
+    """
+    from parlerproject_spark.functions.text import tokenize, word_ngrams
+    from parlerproject_spark.operators.layout import spread_input
+
+    ag = _answer_grams(answers, key_col, answer_col, n)
+    cit = (citations.select(F.col(key_col).alias("__k"),
+                            F.col(src_col).alias("__s"))
+           .distinct())
+    skey = source_key_col or key_col
+    sgd = (spread_input(sources.select(F.col(skey).alias("__s"),
+                                       tokenize(source_col).alias("__t")))
+           .select("__s", F.explode(word_ngrams(F.col("__t"), n))
+                   .alias("gram"))
+           .distinct())
+    # per-gram-VALUE occurrence counts, probed once per value
+    agv = ag.groupBy("__k", "gram").agg(F.count(F.lit(1)).alias("__cnt"))
+    covered = (agv.join(cit, "__k")
+               .join(sgd, ["__s", "gram"], "left_semi")
+               .select("__k", "gram").distinct())
+    per_key = (agv.join(covered.withColumn("__cov", F.lit(1)),
+                        ["__k", "gram"], "left")
+               .groupBy("__k")
+               .agg(F.sum("__cnt").alias("n_grams"),
+                    F.sum(F.when(F.col("__cov").isNotNull(),
+                                 F.col("__cnt")).otherwise(F.lit(0)))
+                    .alias("n_covered")))
+    # a citation supports the answer iff it shares >= 1 gram value
+    supporting = (agv.select("__k", "gram").join(cit, "__k")
+                  .join(sgd, ["__s", "gram"], "left_semi")
+                  .select("__k", "__s").distinct())
+    cit_stats = (cit.join(supporting.withColumn("__sup", F.lit(1)),
+                          ["__k", "__s"], "left")
+                 .groupBy("__k")
+                 .agg(F.count(F.lit(1)).alias("n_cited"),
+                      F.sum(F.when(F.col("__sup").isNotNull(), 1)
+                            .otherwise(0)).alias("n_supporting")))
+    return (per_key.join(cit_stats, "__k")
+            .select(F.col("__k").alias(key_col),
+                    F.col("n_cited").cast("long").alias("n_cited"),
+                    F.col("n_supporting").cast("long").alias("n_supporting"),
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    F.col("n_covered").cast("long").alias("n_covered"),
+                    F.round(F.col("n_supporting") / F.col("n_cited"), 6)
+                    .alias("precision"),
+                    F.round(F.col("n_covered") / F.col("n_grams"), 6)
+                    .alias("recall")))

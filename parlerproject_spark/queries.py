@@ -66,6 +66,8 @@ _DRIVER_PRIORITY: list[str] = [
     # alphabetical within a tier — so the ~50-query sample window covers
     # all of the stale tail this round and nothing ages further.
     "margin_pairs_lsh_embeddings",
+    "citation_support_docs",
+    "citation_pr_docs",
     "knn_pq",
     "bpe_segment_docs",
     "bpe_merges_docs",
@@ -7547,6 +7549,133 @@ def groundedness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.array_join(F.slice(tokenize("text"), 1, 10), " "),
                  F.lit(" zzz9 qqq8")).alias("answer"))
     return (groundedness(ans, docs, n=2)
+            .orderBy("doc_id"))
+
+
+def _citation_fixture(spark: SparkSession, sf_dir: str):
+    """Shared multi-source RAG-citation fixture: each doc's 'answer'
+    = its own first 10 tokens + the NEXT doc's first 5 tokens + two
+    hallucinated tokens; each answer cites itself and doc_id+2 (a
+    mostly-wrong citation). So the self-citation supports the prefix
+    grams, the borrowed-from-next grams are uncited (recall < 1),
+    and the +2 citation is usually decorative (precision < 1) —
+    every branch of the metric is exercised on real corpus text."""
+    from parlerproject_spark.functions.text import tokenize
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("tk"))
+    nxt = toks.select((F.col("doc_id") - 1).alias("doc_id"),
+                      F.col("tk").alias("tk2"))
+    ans = (toks.join(nxt, "doc_id", "left")
+           .select("doc_id",
+                   F.concat_ws(
+                       " ",
+                       F.array_join(F.slice("tk", 1, 10), " "),
+                       F.coalesce(F.array_join(F.slice("tk2", 1, 5), " "),
+                                  F.lit("")),
+                       F.lit("zzz9 qqq8")).alias("answer")))
+    cites = (docs.select("doc_id", F.col("doc_id").alias("src_id"))
+             .unionByName(docs.select(
+                 "doc_id", (F.col("doc_id") + 2).alias("src_id"))))
+    return ans, cites, docs
+
+
+_CITATION_HEAD_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+ans AS (
+  SELECT t.doc_id,
+         list_filter(string_split_regex(
+             lower(array_to_string(t.toks[1:10], ' ') || ' ' ||
+                   coalesce(array_to_string(t2.toks[1:5], ' '), '')
+                   || ' zzz9 qqq8'),
+             '[^a-z0-9]+'), x -> x <> '') AS atoks
+  FROM t LEFT JOIN t t2 ON t2.doc_id = t.doc_id + 1),
+ag AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(atoks)),
+                               i -> atoks[i] || ' ' || atoks[i + 1])) AS g
+  FROM ans WHERE len(atoks) >= 2),
+cit AS (
+  SELECT doc_id, doc_id AS src_id FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents),
+sg AS (
+  SELECT DISTINCT doc_id AS src_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM t WHERE len(toks) >= 2)"""
+
+
+@register("citation_support_docs", _CITATION_HEAD_SQL + """
+SELECT a.doc_id, c.src_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN s.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_supported,
+       round(sum(CASE WHEN s.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS support
+FROM ag a JOIN cit c USING (doc_id)
+LEFT JOIN sg s ON s.src_id = c.src_id AND s.g = a.g
+GROUP BY a.doc_id, c.src_id
+ORDER BY a.doc_id, c.src_id
+""")
+def citation_support_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(answer, cited source) RAG attribution
+    (evaluation.citation_support — the multi-source extension of
+    groundedness, VERDICT r8 item 6): for every citation edge, the
+    share of the answer's bigrams present in THAT source. Keyed
+    joins only — answer grams fan out to their own citation edges,
+    then probe (src, gram); a citation to a missing source keeps
+    its row at support 0."""
+    from parlerproject_spark.operators.evaluation import citation_support
+    ans, cites, docs = _citation_fixture(spark, sf_dir)
+    return (citation_support(ans, cites, docs, n=2)
+            .orderBy("doc_id", "src_id"))
+
+
+@register("citation_pr_docs", _CITATION_HEAD_SQL + """,
+agv AS (SELECT doc_id, g, count(*)::BIGINT AS cnt
+        FROM ag GROUP BY doc_id, g),
+cov AS (
+  SELECT DISTINCT v.doc_id, v.g
+  FROM agv v JOIN cit c USING (doc_id)
+  JOIN sg s ON s.src_id = c.src_id AND s.g = v.g),
+perkey AS (
+  SELECT v.doc_id, sum(v.cnt)::BIGINT AS n_grams,
+         sum(CASE WHEN cov.g IS NOT NULL THEN v.cnt ELSE 0 END)::BIGINT
+           AS n_covered
+  FROM agv v LEFT JOIN cov ON cov.doc_id = v.doc_id AND cov.g = v.g
+  GROUP BY v.doc_id),
+sup AS (
+  SELECT DISTINCT v.doc_id, c.src_id
+  FROM agv v JOIN cit c USING (doc_id)
+  JOIN sg s ON s.src_id = c.src_id AND s.g = v.g),
+cs AS (
+  SELECT c.doc_id, count(*)::BIGINT AS n_cited,
+         sum(CASE WHEN sup.src_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_supporting
+  FROM cit c LEFT JOIN sup ON sup.doc_id = c.doc_id
+                          AND sup.src_id = c.src_id
+  GROUP BY c.doc_id)
+SELECT p.doc_id, cs.n_cited, cs.n_supporting, p.n_grams, p.n_covered,
+       round(cs.n_supporting * 1.0 / cs.n_cited, 6) AS "precision",
+       round(p.n_covered * 1.0 / p.n_grams, 6) AS recall
+FROM perkey p JOIN cs USING (doc_id)
+ORDER BY p.doc_id
+""")
+def citation_pr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-answer citation precision/recall
+    (evaluation.citation_precision_recall): precision = share of
+    citations supporting >= 1 answer gram, recall = share of answer
+    gram occurrences covered by >= 1 cited source. Gram values dedup
+    before the probe and re-weight by occurrence count — one lookup
+    per (answer, gram value, citation)."""
+    from parlerproject_spark.operators.evaluation import (
+        citation_precision_recall)
+    ans, cites, docs = _citation_fixture(spark, sf_dir)
+    return (citation_precision_recall(ans, cites, docs, n=2)
             .orderBy("doc_id"))
 
 

@@ -476,3 +476,65 @@ class TestGroundedness:
                                     "doc_id bigint, text string")
         r = groundedness(ans, src).collect()[0]
         assert r["support"] == 1.0
+
+
+class TestCitationSupport:
+    def _fixture(self, spark):
+        ans = spark.createDataFrame([(1, "the cat sat")],
+                                    "doc_id bigint, answer string")
+        cites = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 99)],      # 99 does not exist
+            "doc_id bigint, src_id bigint")
+        srcs = spark.createDataFrame(
+            [(10, "i saw the cat yesterday"),   # supports "the cat"
+             (20, "completely unrelated words"),
+             (30, "the cat sat")],              # NOT cited
+            "doc_id bigint, text string")
+        return ans, cites, srcs
+
+    def test_per_citation_support(self, spark):
+        from parlerproject_spark.operators.evaluation import citation_support
+        ans, cites, srcs = self._fixture(spark)
+        out = {r["src_id"]: r
+               for r in citation_support(ans, cites, srcs).collect()}
+        # answer bigrams: "the cat", "cat sat" (2 grams)
+        assert set(out) == {10, 20, 99}       # missing source keeps its row
+        assert out[10]["n_grams"] == 2 and out[10]["n_supported"] == 1
+        assert out[10]["support"] == 0.5
+        assert out[20]["n_supported"] == 0 and out[99]["n_supported"] == 0
+
+    def test_precision_recall(self, spark):
+        from parlerproject_spark.operators.evaluation import (
+            citation_precision_recall)
+        ans, cites, srcs = self._fixture(spark)
+        r = citation_precision_recall(ans, cites, srcs).collect()[0]
+        # 1 of 3 citations supports anything; 1 of 2 gram values covered
+        assert r["n_cited"] == 3 and r["n_supporting"] == 1
+        assert r["n_grams"] == 2 and r["n_covered"] == 1
+        assert r["precision"] == pytest.approx(1 / 3, abs=1e-6)
+        assert r["recall"] == 0.5
+
+    def test_repeated_gram_reweights_coverage(self, spark):
+        from parlerproject_spark.operators.evaluation import (
+            citation_precision_recall)
+        # "a b" occurs twice in the answer; both occurrences count
+        ans = spark.createDataFrame([(1, "a b c a b")],
+                                    "doc_id bigint, answer string")
+        cites = spark.createDataFrame([(1, 10)],
+                                      "doc_id bigint, src_id bigint")
+        srcs = spark.createDataFrame([(10, "a b")],
+                                     "doc_id bigint, text string")
+        r = citation_precision_recall(ans, cites, srcs).collect()[0]
+        # grams: "a b", "b c", "c a", "a b" -> 4 total, 2 covered
+        assert r["n_grams"] == 4 and r["n_covered"] == 2
+        assert r["recall"] == 0.5 and r["precision"] == 1.0
+
+    def test_sub_n_answer_omitted(self, spark):
+        from parlerproject_spark.operators.evaluation import citation_support
+        ans = spark.createDataFrame([(1, "single")],
+                                    "doc_id bigint, answer string")
+        cites = spark.createDataFrame([(1, 10)],
+                                      "doc_id bigint, src_id bigint")
+        srcs = spark.createDataFrame([(10, "single word here")],
+                                     "doc_id bigint, text string")
+        assert citation_support(ans, cites, srcs).count() == 0

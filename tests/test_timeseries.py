@@ -142,3 +142,38 @@ class TestTheilSenTrend:
         # pairs: (0h,1h),(0h,2h) x2 readings at 0h -> 5 valid pairs
         assert r.n_pairs == 5
         assert r.slope is not None
+
+
+class TestTheilSenMaxPerKey:
+    def _df(self, spark, rows):
+        from datetime import datetime, timedelta
+        t0 = datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(u, t0 + timedelta(hours=h), float(v)) for u, h, v in rows],
+            "user_id long, ts timestamp_ntz, value double")
+
+    def test_cap_above_depth_is_identity(self, spark):
+        from parlerproject_spark.operators.timeseries import theil_sen_trend
+        rows = ([(1, h, 2 * h + 5) for h in range(6)]
+                + [(2, h, -h + 3.5) for h in range(4)])
+        df = self._df(spark, rows)
+        uncapped = sorted(map(tuple, theil_sen_trend(df).collect()))
+        capped = sorted(map(tuple,
+                            theil_sen_trend(df, max_per_key=10).collect()))
+        assert capped == uncapped
+
+    def test_cap_bounds_pair_volume_deterministically(self, spark):
+        from parlerproject_spark.operators.timeseries import theil_sen_trend
+        # key 1 is 50 deep (hot key), key 2 is 3 deep (untouched)
+        rows = ([(1, h, 3 * h + 1) for h in range(50)]
+                + [(2, h, float(h)) for h in range(3)])
+        df = self._df(spark, rows)
+        got = {r.user_id: r
+               for r in theil_sen_trend(df, max_per_key=8).collect()}
+        assert got[1].n_pairs == 8 * 7 // 2          # capped at N(N-1)/2
+        assert got[1].slope == 3.0                   # exact line survives
+        assert got[2].n_pairs == 3                   # below cap: all pairs
+        again = {r.user_id: r
+                 for r in theil_sen_trend(df, max_per_key=8).collect()}
+        assert {u: tuple(r) for u, r in got.items()} == \
+               {u: tuple(r) for u, r in again.items()}   # md5 rank: stable
