@@ -241,6 +241,7 @@ EXTRA = [
     "margin_pairs_lsh_embeddings",
     "citation_support_docs",
     "citation_pr_docs",
+    "dpo_pipeline_events",
     "bleu_pairs_docs",
     "grouped_roc_auc_sources",
     "ips_policy_value_events",

@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: list[str] = [
     "margin_pairs_lsh_embeddings",
     "citation_support_docs",
     "citation_pr_docs",
+    "dpo_pipeline_events",
     "knn_pq",
     "bpe_segment_docs",
     "bpe_merges_docs",
@@ -3845,6 +3846,84 @@ def dialogue_assembly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("event_id").cast("string")))
     return (assemble_dialogues(e, max_turns=8)
             .orderBy("user_id", "session_no"))
+
+
+@register("dpo_pipeline_events", """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN pts IS NULL OR ts - pts > INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS brk
+  FROM ordered),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM tagged),
+ranked AS (
+  SELECT user_id, session_no, ts, event_id,
+         event_type || '#' || event_id AS turn,
+         row_number() OVER (PARTITION BY user_id, session_no
+                            ORDER BY ts, event_id) AS rn
+  FROM sess),
+dlg AS (
+  SELECT user_id, cast(session_no AS BIGINT) AS session_no,
+         length(string_agg(turn, ' | ' ORDER BY rn))::DOUBLE AS s
+  FROM ranked WHERE rn <= 8
+  GROUP BY user_id, session_no),
+best AS (
+  SELECT user_id, session_no AS chosen_id, s AS chosen_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY s DESC, session_no ASC) AS rb
+    FROM dlg) WHERE rb = 1),
+worst AS (
+  SELECT user_id, session_no AS rejected_id, s AS rejected_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY s ASC, session_no ASC) AS rw
+    FROM dlg) WHERE rw = 1),
+pr AS (
+  SELECT b.user_id, b.chosen_id, w.rejected_id,
+         round(b.chosen_score, 6) AS chosen_score,
+         round(w.rejected_score, 6) AS rejected_score,
+         round(b.chosen_score - w.rejected_score, 6) AS margin
+  FROM best b JOIN worst w USING (user_id)
+  WHERE b.chosen_id <> w.rejected_id
+    AND round(b.chosen_score - w.rejected_score, 6) >= 1.0)
+SELECT user_id, chosen_id, rejected_id, chosen_score, rejected_score,
+       margin,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT *,
+             ('0x' || substr(md5('split-v1:' || user_id), 1, 15))::BIGINT
+               % 2147483647 % 100 AS bucket
+      FROM pr)
+ORDER BY user_id
+""")
+def dpo_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DPO data pipeline composed END-TO-END from verified
+    operators, unchanged (VERDICT r8 item 7 — the
+    pretraining_corpus_pipeline composition pattern):
+    assemble_dialogues (sessionize → truncate → transcript) →
+    preference_pairs (per-user best-vs-worst transcript by length
+    score, margin-filtered) → grouped_split (leakage-safe: the
+    SPLIT is assigned to the user group, so a user's chosen and
+    rejected transcripts can never straddle train/eval). One
+    CTE-chained oracle replays all three stages."""
+    from parlerproject_spark.operators.preference import preference_pairs
+    from parlerproject_spark.operators.sampling import (assemble_dialogues,
+                                                        grouped_split)
+    e = _t(spark, sf_dir, "events").withColumn(
+        "turn", F.concat(F.col("event_type"), F.lit("#"),
+                         F.col("event_id").cast("string")))
+    dlg = assemble_dialogues(e, max_turns=8)
+    pairs = preference_pairs(dlg, group_col="user_id",
+                             item_col="session_no", score_col="n_chars",
+                             margin=1.0)
+    return grouped_split(pairs, group_col="user_id").orderBy("user_id")
 
 
 @register("sessionize_events", """
