@@ -242,6 +242,9 @@ EXTRA = [
     "citation_support_docs",
     "citation_pr_docs",
     "dpo_pipeline_events",
+    "rrf_hybrid_docs",
+    "bpe_fertility_by_source",
+    "doremi_weights_by_source",
     "bleu_pairs_docs",
     "grouped_roc_auc_sources",
     "ips_policy_value_events",

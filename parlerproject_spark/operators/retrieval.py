@@ -394,3 +394,41 @@ def hybrid_rerank(docs: DataFrame, query_terms: list[str], *,
             .limit(top_k)
             .select("doc_id", "score", "coverage", "rerank_score",
                     F.row_number().over(w).cast("long").alias("rank")))
+
+
+def rrf_fuse(rankings: DataFrame, *, k: int = 60,
+             id_col: str = "doc_id", system_col: str = "system",
+             rank_col: str = "rank",
+             top_k: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner: given ranked lists from several
+    retrieval systems (lexical BM25, dense ANN, ...) as one long
+    (system, id, rank) frame, score every candidate
+    RRF(d) = Σ_systems 1 / (k + rank_s(d)) and re-rank. Rank-based
+    fusion needs no score calibration across systems — the reason
+    production hybrid search (Elasticsearch/Vespa/Weaviate) defaults
+    to it over score mixing; `hybrid_rerank` above is the
+    within-system score-fusion counterpart.
+
+    Shape: ONE keyed aggregation over the (already top-k-bounded)
+    ranked lists — input size is systems × k rows, never the corpus
+    — then the TakeOrdered cut; the final rank window rides on the
+    ≤ top_k-row limited result (the bm25_scores pattern). The 1/(k+r)
+    sum over ≤ |systems| values is order-independent in IEEE
+    addition for the 2-system case and rounded at 6 dp before the
+    deterministic (score desc, id asc) tie-break.
+
+    Columns: <id_col>, n_systems, rrf_score, rank.
+    """
+    agg = (rankings
+           .select(F.col(id_col).alias("doc_id"),
+                   (1.0 / (F.lit(float(k)) + F.col(rank_col).cast("double")))
+                   .alias("__r"))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_systems"),
+                F.round(F.sum("__r"), 6).alias("rrf_score")))
+    cut = (agg.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+           .limit(top_k) if top_k is not None else agg)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (cut.select("doc_id", "n_systems", "rrf_score")
+            .withColumn("rank", F.row_number().over(w).cast("long")))

@@ -603,3 +603,59 @@ def purged_time_folds(df: DataFrame, *, ts_col: str = "ts",
     return (frame.withColumn("fold", F.col("fold").cast("long"))
             .withColumn("role", role)
             .drop("__lo", "__hi"))
+
+
+def doremi_weights(domain_losses: DataFrame, *, domain_col: str = "domain",
+                   loss_col: str = "loss", ref_col: str = "ref_loss",
+                   eta: float = 1.0, n_rounds: int = 3,
+                   smoothing: float = 0.1, round_c: int = 6) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining")
+    — the Group-DRO exponentiated-gradient update over per-domain
+    EXCESS loss that decides how much of each domain the next
+    training mix should sample: domains where the proxy model is
+    still worse than the reference (excess = max(0, loss − ref) > 0)
+    gain weight multiplicatively, then the distribution renormalizes
+    and mixes with uniform (the minimum-exploration smoothing of the
+    paper's Algorithm 1):
+
+        w ← w · exp(η · excess);  α ← (1−s) · w/Σw + s/k
+
+    `mixture_weights` above is the STATIC temperature-scaling
+    scheme; this is the loss-adaptive one. The full DoReMi loop
+    retrains the proxy between updates — that outer loop is a
+    training-system concern; this operator is the data-side update
+    applied `n_rounds` times to a fixed loss snapshot (with
+    smoothing the rounds do not collapse into one step).
+
+    Scale shape: the input is already per-domain (cardinality =
+    domains, not corpus); every round is scalar algebra on that
+    k-row frame joined to its own one-row normalizer via broadcast
+    cross join (BNLJ — the engine-wide scalar-subquery pattern),
+    localCheckpoint()ed per round. Weights re-round to `round_c`
+    decimals each round (the lloyd/bradley_terry re-sync contract),
+    so an unrolled-CTE oracle replays the fit exactly.
+    Columns: <domain_col>, excess, weight (round_c).
+    """
+    base = (domain_losses.select(
+        F.col(domain_col).alias("__d"),
+        F.greatest(F.col(loss_col).cast("double")
+                   - F.col(ref_col).cast("double"),
+                   F.lit(0.0)).alias("__e")))
+    kf = base.agg(F.count(F.lit(1)).cast("double").alias("__k"))
+    w = (base.crossJoin(F.broadcast(kf))
+         .select("__d", "__e", "__k", (1.0 / F.col("__k")).alias("__w"))
+         .localCheckpoint(eager=True))
+    for _ in range(n_rounds):
+        up = w.withColumn("__w1", F.col("__w")
+                          * F.exp(F.lit(float(eta)) * F.col("__e")))
+        z = up.agg(F.sum("__w1").alias("__z"))
+        w = (up.crossJoin(F.broadcast(z))
+             .select("__d", "__e", "__k",
+                     F.round((1.0 - smoothing) * F.col("__w1") / F.col("__z")
+                             + F.lit(float(smoothing)) / F.col("__k"),
+                             round_c).alias("__w"))
+             .localCheckpoint(eager=True))
+    return w.select(F.col("__d").alias(domain_col),
+                    F.round("__e", round_c).alias("excess"),
+                    F.col("__w").alias("weight"))

@@ -69,6 +69,9 @@ _DRIVER_PRIORITY: list[str] = [
     "citation_support_docs",
     "citation_pr_docs",
     "dpo_pipeline_events",
+    "rrf_hybrid_docs",
+    "bpe_fertility_by_source",
+    "doremi_weights_by_source",
     "knn_pq",
     "bpe_segment_docs",
     "bpe_merges_docs",
@@ -4767,6 +4770,91 @@ def bm25_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ["spark", "join", "query"], top_k=20)
 
 
+@register("rrf_hybrid_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+lens AS (SELECT doc_id, len(ts) AS dl FROM toks),
+stats AS (SELECT cast(count(*) AS DOUBLE) AS n_docs,
+                 avg(dl) AS avgdl FROM lens),
+post AS (
+  SELECT doc_id, w AS term, cast(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)
+  WHERE w IN ('spark', 'join', 'query')
+  GROUP BY doc_id, w),
+wdf AS (SELECT term, cast(count(*) AS DOUBLE) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+  FROM post p
+  JOIN wdf USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           cast(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM (SELECT doc_id, round(sum(s), 6) AS score
+          FROM scored GROUP BY doc_id))
+  WHERE rank <= 50),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dp AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q),
+sims AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+  FROM dp GROUP BY vec_id),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT vec_id AS doc_id,
+           cast(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+                AS BIGINT) AS rank
+    FROM sims)
+  WHERE rank <= 50),
+allr AS (SELECT doc_id, rank FROM lex
+         UNION ALL SELECT doc_id, rank FROM dense),
+fused AS (
+  SELECT doc_id, count(*)::BIGINT AS n_systems,
+         round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+  FROM allr GROUP BY doc_id)
+SELECT doc_id, n_systems, rrf_score,
+       cast(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 20)
+ORDER BY rank
+""")
+def rrf_hybrid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by reciprocal-rank
+    fusion (retrieval.rrf_fuse — Cormack et al. 2009, the production
+    hybrid-search default): BM25 top-50 for {spark, join, query}
+    and exact-cosine top-50 against query vector 0 fuse as
+    Σ 1/(60+rank), top-20 kept. Rank-based fusion needs no score
+    calibration across systems; both input lists are top-k-bounded
+    so fusion is one keyed agg over systems × 50 rows. The oracle
+    replays BM25, the dense top-k, and the fusion in one chain."""
+    from parlerproject_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from parlerproject_spark.operators.similarity import knn_bruteforce
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = (bm25_scores(docs, ["spark", "join", "query"], top_k=50)
+           .select("doc_id", "rank", F.lit("bm25").alias("system")))
+    dw = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    dense = (knn_bruteforce(emb, _query_vec(spark, sf_dir), k=50)
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.row_number().over(dw).cast("long").alias("rank"),
+                     F.lit("dense").alias("system")))
+    return (rrf_fuse(lex.unionByName(dense), k=60, top_k=20)
+            .orderBy("rank"))
+
+
 @register("pmi_collocations_docs", """
 WITH toks AS (
   SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -5276,6 +5364,115 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
                     "n_pieces")
             .orderBy("doc_id"))
+
+
+def _doremi_oracle(eta: float = 1.0, n_rounds: int = 3,
+                   smoothing: float = 0.1) -> str:
+    """Unrolled oracle for doremi_weights_by_source: per-source
+    proxy loss and the global reference from the same length
+    transform, then n_rounds (exp-update → normalize → smooth →
+    round-6) CTE blocks — the bradley_terry/logreg unroll pattern
+    (exp() has hash-matched cross-engine since the r6 logreg GD
+    oracle)."""
+    head = f"""
+WITH per AS (
+  SELECT source, round(avg(ln(1 + length(text))), 6) AS loss
+  FROM documents GROUP BY source),
+ref AS (SELECT round(ln(1 + avg(length(text))), 6) AS ref_loss
+        FROM documents),
+base AS (
+  SELECT source, greatest(loss - ref_loss, 0.0) AS e FROM per, ref),
+k AS (SELECT count(*)::DOUBLE AS k FROM base),
+r0 AS (SELECT source, e, 1.0 / k.k AS w FROM base, k)"""
+    body = ""
+    for t in range(1, n_rounds + 1):
+        body += f""",
+p{t} AS (SELECT source, e, w * exp({eta} * e) AS w1 FROM r{t - 1}),
+z{t} AS (SELECT sum(w1) AS z FROM p{t}),
+r{t} AS (
+  SELECT source, e,
+         round((1.0 - {smoothing}) * w1 / z.z + {smoothing} / k.k, 6) AS w
+  FROM p{t}, z{t} z, k)"""
+    return head + body + f"""
+SELECT source, round(e, 6) AS excess, w AS weight
+FROM r{n_rounds} ORDER BY source"""
+
+
+@register("doremi_weights_by_source", _doremi_oracle())
+def doremi_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-adaptive data-mixture reweighting
+    (sampling.doremi_weights — DoReMi's Group-DRO exponentiated-
+    gradient update, Xie et al. 2023): per-source proxy loss =
+    avg ln(1+doc length) vs the global reference; three
+    update-normalize-smooth rounds re-rounded to 6 dp each (the
+    engine's iterative re-sync contract). The static-temperature
+    counterpart is mixture_weights_docs."""
+    from parlerproject_spark.operators.sampling import doremi_weights
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.round(F.avg(F.log(F.lit(1.0) + F.length("text"))), 6)
+        .alias("loss"))
+    ref = d.agg(F.round(F.log(F.lit(1.0) + F.avg(F.length("text"))), 6)
+                .alias("ref_loss"))
+    dl = per.crossJoin(F.broadcast(ref))
+    return (doremi_weights(dl, domain_col="source")
+            .orderBy("source"))
+
+
+@register("bpe_fertility_by_source", _bpe_rounds_sql(12) + """,
+pc AS MATERIALIZED (
+  SELECT word,
+         len(list_filter(string_split(trim(s, chr(31)), chr(31) || chr(31)),
+                         x -> replace(x, '</w>', '') <> ''))::BIGINT AS np
+  FROM t12),
+dt AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            w -> w <> '')) AS word
+  FROM documents),
+perdoc AS (
+  SELECT dt.doc_id, count(*)::BIGINT AS n_words,
+         sum(pc.np)::BIGINT AS n_pieces
+  FROM dt JOIN pc USING (word) GROUP BY dt.doc_id)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       coalesce(sum(p.n_words), 0)::BIGINT AS n_words,
+       coalesce(sum(p.n_pieces), 0)::BIGINT AS n_pieces,
+       CASE WHEN coalesce(sum(p.n_words), 0) > 0
+            THEN round(sum(p.n_pieces) * 1.0 / sum(p.n_words), 6)
+            ELSE 0.0 END AS fertility
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+""")
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (pieces per word under the learned
+    12-merge BPE, per corpus source) — the standard tokenizer-fit
+    diagnostic: a domain whose fertility is far above the corpus
+    mean is poorly served by the merge table (more pieces = more
+    sequence length = more compute per token of signal), the signal
+    that drives vocab-size / merge-budget decisions. Composes
+    train_bpe + apply_bpe unchanged and aggregates per source; the
+    oracle replays the 12 training rounds and the vocab-join."""
+    from parlerproject_spark.operators.tokenizer import (apply_bpe,
+                                                         train_bpe)
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=12)
+    seg = apply_bpe(d, merges).select("doc_id", "n_words", "n_pieces")
+    per = (d.select("doc_id", "source")
+           .join(seg, "doc_id", "left"))
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.coalesce(F.sum("n_words"), F.lit(0)).cast("long")
+                 .alias("n_words"),
+                 F.coalesce(F.sum("n_pieces"), F.lit(0)).cast("long")
+                 .alias("n_pieces"))
+            .withColumn("fertility",
+                        F.when(F.col("n_words") > 0,
+                               F.round(F.col("n_pieces")
+                                       / F.col("n_words"), 6))
+                        .otherwise(F.lit(0.0)))
+            .orderBy("source"))
 
 
 @register("scd2_user_type_history", """

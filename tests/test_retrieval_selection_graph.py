@@ -475,3 +475,54 @@ class TestGraphStats:
         r = graph_stats(df).collect()[0]
         assert r.transitivity == 0.0
         assert r.assortativity == -1.0
+
+
+class TestRRFFuse:
+    def test_fusion_hand_case(self, spark):
+        from parlerproject_spark.operators.retrieval import rrf_fuse
+        rows = [("bm25", 1, 1), ("bm25", 2, 2), ("bm25", 3, 3),
+                ("dense", 2, 1), ("dense", 1, 2), ("dense", 4, 3)]
+        df = spark.createDataFrame(rows, "system string, doc_id long, rank long")
+        out = {r["doc_id"]: r for r in rrf_fuse(df, k=60).collect()}
+        # docs 1 and 2 appear in both systems with ranks {1,2} -> tie
+        assert out[1]["n_systems"] == 2 and out[2]["n_systems"] == 2
+        assert out[1]["rrf_score"] == out[2]["rrf_score"]
+        assert out[1]["rank"] == 1 and out[2]["rank"] == 2   # id tie-break
+        # single-system docs score strictly lower
+        assert out[3]["rrf_score"] < out[1]["rrf_score"]
+        assert out[3]["n_systems"] == 1
+        exp = round(1 / 61 + 1 / 62, 6)
+        assert out[1]["rrf_score"] == exp
+
+    def test_top_k_cut(self, spark):
+        from parlerproject_spark.operators.retrieval import rrf_fuse
+        rows = [("a", i, i) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, "system string, doc_id long, rank long")
+        got = rrf_fuse(df, k=60, top_k=4).collect()
+        assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] \
+            == [1, 2, 3, 4]
+
+
+class TestDoremiWeights:
+    def test_excess_domain_gains_weight(self, spark):
+        from parlerproject_spark.operators.sampling import doremi_weights
+        df = spark.createDataFrame(
+            [("a", 2.0, 1.0),     # excess 1.0
+             ("b", 1.0, 1.0),     # excess 0
+             ("c", 0.5, 1.0)],    # excess 0 (clamped)
+            "domain string, loss double, ref_loss double")
+        out = {r["domain"]: r for r in doremi_weights(df).collect()}
+        assert out["a"]["excess"] == 1.0
+        assert out["b"]["excess"] == 0.0 and out["c"]["excess"] == 0.0
+        assert out["a"]["weight"] > out["b"]["weight"]
+        assert out["b"]["weight"] == out["c"]["weight"]   # same excess
+        total = sum(r["weight"] for r in out.values())
+        assert abs(total - 1.0) < 1e-4                    # still a distribution
+
+    def test_zero_excess_stays_uniform(self, spark):
+        from parlerproject_spark.operators.sampling import doremi_weights
+        df = spark.createDataFrame(
+            [("a", 1.0, 2.0), ("b", 1.5, 2.0)],
+            "domain string, loss double, ref_loss double")
+        out = {r["domain"]: r["weight"] for r in doremi_weights(df).collect()}
+        assert out["a"] == out["b"] == 0.5
