@@ -271,3 +271,69 @@ def landmark_projection(vectors: DataFrame, *, n_anchors: int = 8,
     id_type = vectors.schema[id_col].dataType.simpleString()
     return vectors.select(id_col, vec_col).mapInPandas(
         gen, f"{id_col} {id_type}, {out_col} array<double>")
+
+
+def power_components(vectors: DataFrame, *, n_components: int,
+                     n_iters: int = 24, round_c: int = 6,
+                     vec_col: str = "embedding"):
+    """Deflated power-iteration PCA — the hash-oracleable twin of
+    `pca_components`: same distributed moments, but the driver-side
+    d×d eigen step runs as n_components × n_iters fixed
+    matvec/normalize rounds with every iterate re-rounded to
+    `round_c` decimals (the lloyd/bradley_terry re-sync contract),
+    followed by Hotelling deflation A ← A − λ v vᵀ (also re-rounded).
+    Because the iteration count is FIXED and every intermediate
+    re-rounds, an independent engine replaying the same unrolled
+    sequence lands on bit-identical components whatever the eigen
+    gaps are — `pca_components` (numpy eigh) stays the default and
+    the better-converged fit; this variant trades last-digit
+    convergence for replayability. Same contract as eigh: components
+    (n_components, d) in decreasing-eigenvalue order, sign-fixed
+    (largest-|entry| coordinate positive), plus the ROUNDED mean.
+
+    Returns (mu, comps, evals) as numpy arrays; only d² + d floats
+    reach the driver, exactly like pca_components.
+    """
+    import numpy as np
+
+    scale = 10.0 ** round_c
+
+    def rc(a):
+        a = np.asarray(a, dtype=np.float64)
+        return np.where(a >= 0, np.floor(a * scale + 0.5),
+                        np.ceil(a * scale - 0.5)) / scale
+
+    rows = embedding_moments(vectors, vec_col=vec_col).collect()
+    sums = {(r["i"], r["j"]): r["cov"] for r in rows
+            if r["i"] >= 0 and r["j"] >= 0}
+    d = 1 + max(i for i, _ in sums)
+    A = np.zeros((d, d))
+    for (i, j), v in sums.items():
+        A[i, j] = A[j, i] = v
+    mu_rows = (vectors.select(F.posexplode(vec_col).alias("i", "x"))
+               .groupBy("i").agg(F.round(F.avg("x"), round_c).alias("mu"))
+               .collect())
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[r["i"]] = r["mu"]
+
+    comps, evals = [], []
+    for _c in range(n_components):
+        v = np.full(d, float(rc(1.0 / np.sqrt(d))))
+        for _t in range(n_iters):
+            w = A @ v
+            nrm = float(np.sqrt((w * w).sum()))
+            if nrm > 0:
+                v = rc(w / nrm)
+        t = A @ v
+        lam = float(rc(float((v * t).sum())))
+        # deflate with the UNflipped v (v vᵀ is sign-invariant, and
+        # the SQL mirror must see the same pre-flip values)
+        A = rc(A - lam * np.outer(v, v))
+        vs = v.copy()
+        m = int(np.argmax(np.abs(vs)))
+        if vs[m] < 0:
+            vs = -vs
+        comps.append(vs)
+        evals.append(lam)
+    return mu, np.array(comps), np.array(evals)

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: list[str] = [
     "rrf_hybrid_docs",
     "bpe_fertility_by_source",
     "doremi_weights_by_source",
+    "pca_whiten_embeddings",
     "knn_pq",
     "bpe_segment_docs",
     "bpe_merges_docs",
@@ -291,7 +292,6 @@ _DRIVER_PRIORITY: list[str] = [
     "loso_quality_sources",
     "mann_whitney_arms_events",
     "margin_pairs_embeddings",
-    "pca_whiten_embeddings",
     "psi_gate_events",
     "quantile_band_docs",
     "readability_docs",
@@ -6359,14 +6359,98 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("i", "j"))
 
 
-@register("pca_whiten_embeddings", None)  # eigen step: invariants in pytest
+def _pca_power_oracle(n_components: int = 8, n_iters: int = 24) -> str:
+    """Unrolled oracle for pca_whiten_embeddings (the last
+    deterministic rows-only of the r8 verdict besides unigram):
+    replays the rounded covariance (the embedding_moments 6-dp
+    contract), then power_components' FIXED sequence of rounded
+    matvec/normalize iterations, the rounded Rayleigh eigenvalue,
+    Hotelling deflation, sign fix, and the whitened projection.
+    Every iterate re-rounds at 6 dp, so the replay is bit-exact
+    whatever the eigen gaps are. Every multiply-referenced CTE is
+    MATERIALIZED (the k-core DuckDB-inlining lesson)."""
+    head = """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+sx AS MATERIALIZED (SELECT pos, sum(x) AS s FROM ex GROUP BY pos),
+cp AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, sum(a.x * b.x) AS sxy
+  FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+  GROUP BY a.pos, b.pos),
+cov AS MATERIALIZED (
+  SELECT cp.i, cp.j,
+         round(cp.sxy / nn.n - (si.s / nn.n) * (sj.s / nn.n), 6) + 0.0 AS c
+  FROM cp, nn
+  JOIN sx si ON si.pos = cp.i
+  JOIN sx sj ON sj.pos = cp.j),
+a0 AS MATERIALIZED (
+  SELECT i, j, c AS a FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, c AS a FROM cov WHERE i <> j),
+mu AS MATERIALIZED (SELECT pos, round(avg(x), 6) AS mu FROM ex GROUP BY pos),
+dd AS (SELECT count(*)::DOUBLE AS d FROM mu)"""
+    body = ""
+    for c in range(n_components):
+        body += f""",
+v{c}_0 AS (SELECT pos AS i, round(1.0 / sqrt(dd.d), 6) AS v FROM mu, dd)"""
+        for t in range(1, n_iters + 1):
+            body += f""",
+w{c}_{t} AS MATERIALIZED (
+  SELECT a.i, sum(a.a * v.v) AS w
+  FROM a{c} a JOIN v{c}_{t - 1} v ON v.i = a.j GROUP BY a.i),
+v{c}_{t} AS MATERIALIZED (
+  SELECT w.i, round(w.w / nr.nr, 6) AS v
+  FROM w{c}_{t} w, (SELECT sqrt(sum(w * w)) AS nr FROM w{c}_{t}) nr)"""
+        body += f""",
+t{c} AS MATERIALIZED (
+  SELECT a.i, sum(a.a * v.v) AS t
+  FROM a{c} a JOIN v{c}_{n_iters} v ON v.i = a.j GROUP BY a.i),
+lam{c} AS MATERIALIZED (
+  SELECT round(sum(v.v * t.t), 6) AS l
+  FROM v{c}_{n_iters} v JOIN t{c} t USING (i)),
+a{c + 1} AS MATERIALIZED (
+  SELECT a.i, a.j, round(a.a - lam.l * v1.v * v2.v, 6) + 0.0 AS a
+  FROM a{c} a
+  JOIN v{c}_{n_iters} v1 ON v1.i = a.i
+  JOIN v{c}_{n_iters} v2 ON v2.i = a.j, lam{c} lam),
+sgn{c} AS (
+  SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM (SELECT v FROM v{c}_{n_iters} ORDER BY abs(v) DESC, i ASC LIMIT 1)),
+comp{c} AS (SELECT i, v * s AS v FROM v{c}_{n_iters}, sgn{c})"""
+    comps_union = "\n  UNION ALL\n".join(
+        f"  SELECT {c} AS dim, i, v FROM comp{c}"
+        for c in range(n_components))
+    lams_union = "\n  UNION ALL\n".join(
+        f"  SELECT {c} AS dim, l FROM lam{c}" for c in range(n_components))
+    tail = f""",
+comps AS MATERIALIZED (
+{comps_union}),
+lams AS MATERIALIZED (
+{lams_union}),
+dots AS (
+  SELECT e.vec_id, c.dim, sum((e.x - m.mu) * c.v) AS dp
+  FROM ex e JOIN mu m ON m.pos = e.pos JOIN comps c ON c.i = e.pos
+  GROUP BY e.vec_id, c.dim)
+SELECT d.vec_id, d.dim,
+       round(d.dp / sqrt(greatest(l.l, 0.0) + 1e-9), 4) + 0.0 AS value
+FROM dots d JOIN lams l USING (dim)
+ORDER BY d.vec_id, d.dim"""
+    return head + body + tail
+
+
+@register("pca_whiten_embeddings", _pca_power_oracle())
 def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitened 8-component PCA projection (pca.pca_components +
-    pca_project): distributed moments → bounded d×d driver eigh
-    (sign-fixed) → broadcast-literal matmul map. Rows-only for the
-    driver (SQL cannot eigendecompose); pytest asserts orthonormal
-    components, descending explained variance, and ≈identity
-    covariance of the whitened output.
+    """Whitened 8-component PCA projection, hash-oracled since r9:
+    the fit is pca.power_components — the deflated power-iteration
+    twin of pca_components (numpy eigh stays the operator default)
+    whose FIXED rounded iteration sequence an independent engine can
+    replay exactly (SQL cannot eigendecompose, but it can replay 24
+    rounded matvec/normalize rounds per component + Hotelling
+    deflation). Distributed moments → bounded d×d driver iteration
+    → broadcast-literal matmul map, as before.
 
     Registered output is SCALAR-shaped — (vec_id, dim, value) via
     posexplode — because the driver's canonicalizer sorts the frame
@@ -6375,10 +6459,10 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator itself keeps its array API; only the registry projection
     explodes. `+ 0.0` folds -0.0 → 0.0 so the value hash is stable
     for components that round to zero."""
-    from parlerproject_spark.operators.pca import (pca_components,
-                                                   pca_project)
+    from parlerproject_spark.operators.pca import (pca_project,
+                                                   power_components)
     emb = _t(spark, sf_dir, "embeddings")
-    mu, comps, evals = pca_components(emb, n_components=8)
+    mu, comps, evals = power_components(emb, n_components=8)
     proj = pca_project(emb, mu, comps, evals, whiten=True)
     return proj.select(
         "vec_id", F.posexplode("pc").alias("dim", "v")) \

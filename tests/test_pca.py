@@ -187,3 +187,59 @@ def test_projection_preserves_non_bigint_ids(spark):
                        evals=[1.0, 1.0], id_col="vec_id",
                        vec_col="embedding").collect()
     assert sorted(r["vec_id"] for r in got2) == sorted(r[0] for r in rows)
+
+def test_power_components_recover_planted_spectrum(spark):
+    """power_components (the hash-oracleable twin of pca_components)
+    must recover a WELL-SEPARATED spectrum exactly: planted
+    orthogonal directions with variances 9 : 4 : 1 over noise."""
+    import numpy as np
+    from parlerproject_spark.operators.pca import power_components
+    rng = np.random.default_rng(7)
+    d = 16
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    rows = []
+    for i in range(400):
+        v = (3.0 * rng.normal() * basis[:, 0]
+             + 2.0 * rng.normal() * basis[:, 1]
+             + 1.0 * rng.normal() * basis[:, 2]
+             + 0.05 * rng.normal(size=d))
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mu, comps, evals = power_components(df, n_components=3)
+    assert evals[0] > evals[1] > evals[2] > 0
+    for r, expect_var in enumerate((9.0, 4.0, 1.0)):
+        cos = abs(float(np.dot(comps[r], basis[:, r])))
+        assert cos > 0.99, (r, cos)
+        assert abs(evals[r] / expect_var - 1.0) < 0.25, (r, evals[r])
+    G = comps @ comps.T
+    assert np.allclose(G, np.eye(3), atol=1e-3)
+
+
+def test_power_components_flat_spectrum_self_consistent(spark, sf_dir):
+    """On the real (nearly flat-spectrum) embeddings the power twin
+    cannot pin individual eigenvectors — but it must stay self-
+    consistent: every eigenvalue inside the top-of-spectrum band,
+    total captured variance matching eigh, components near-orthonormal,
+    and the rounded mean agreeing with the eigh path's mean (the
+    tight per-component claims live in the planted-spectrum test
+    above — a flat spectrum has no per-component ground truth)."""
+    import numpy as np
+    from parlerproject_spark.catalog import load_table
+    from parlerproject_spark.operators.pca import (pca_components,
+                                                   power_components)
+    emb = load_table(spark, "embeddings", sf_dir)
+    mu_e, comps_e, evals_e = pca_components(emb, n_components=4)
+    mu_p, comps_p, evals_p = power_components(emb, n_components=4)
+    assert np.allclose(mu_p, mu_e, atol=1e-5)
+    # a flat spectrum gives deflation no gap to bite on: individual
+    # order can wobble, but every Rayleigh quotient must sit inside
+    # the top-of-spectrum band and capture the same total variance
+    _, _, evals_wide = pca_components(emb, n_components=6)
+    assert evals_p.min() >= evals_wide[5] - 1e-3
+    assert evals_p.max() <= evals_wide[0] + 1e-3
+    assert abs(evals_p.sum() / evals_e[:4].sum() - 1.0) < 0.05
+    # near-orthogonal (leak scales with the inverse gap; bounded)
+    G = comps_p @ comps_p.T
+    assert np.allclose(G, np.eye(4), atol=0.05)
+    # unit-norm rows regardless of gaps
+    assert np.allclose(np.diag(G), 1.0, atol=1e-3)
