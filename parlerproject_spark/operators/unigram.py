@@ -110,12 +110,29 @@ def _em_counts(words: DataFrame, vocab: dict[str, float],
     return [(r["piece"], r["cnt"]) for r in rows]
 
 
+def _round_half_up(x: float, c: int = 6) -> float:
+    """HALF_UP rounding matching SQL round() — Python's round() is
+    banker's (half-to-even) and would desynchronize the oracle at
+    exact half boundaries."""
+    s = 10.0 ** c
+    return (math.floor(x * s + 0.5) / s if x >= 0
+            else math.ceil(x * s - 0.5) / s)
+
+
 def train_unigram(docs: DataFrame, *, vocab_size: int = 120,
                   n_iters: int = 3, max_piece_len: int = 6,
-                  n_seed: int = 300,
+                  n_seed: int = 300, round_c: int = 6,
                   text_col: str = "text") -> list[tuple[str, float]]:
     """Train the unigram LM; returns [(piece, logp)] sorted by piece.
-    Only piece tables (≤ n_seed + alphabet rows) cross the driver."""
+    Only piece tables (≤ n_seed + alphabet rows) cross the driver.
+
+    Determinism contract (round 9): log-probs re-round to `round_c`
+    decimals at seeding and after every M-step — the lloyd/PQ
+    re-sync contract. Viterbi then compares sums of identical
+    rounded doubles, so an independent engine replaying the same
+    unrolled DP (fixed EM rounds, fixed position unroll) reproduces
+    the vocab bit-for-bit; the hash oracle of unigram_vocab_docs
+    rides on this."""
     wf = word_freq_table(docs, text_col=text_col).persist()
     try:
         seeds = seed_pieces(wf, max_piece_len=max_piece_len)
@@ -125,7 +142,9 @@ def train_unigram(docs: DataFrame, *, vocab_size: int = 120,
                  .limit(n_seed))
         pool = chars.unionByName(multi).collect()
         total0 = sum(r["score"] for r in pool)
-        vocab = {r["piece"]: math.log(r["score"] / total0) for r in pool}
+        vocab = {r["piece"]: _round_half_up(math.log(r["score"] / total0),
+                                            round_c)
+                 for r in pool}
 
         for _ in range(n_iters):
             counts = dict(_em_counts(wf, vocab, max_piece_len))
@@ -140,7 +159,8 @@ def train_unigram(docs: DataFrame, *, vocab_size: int = 120,
                 if len(p) == 1:
                     new[p] = max(counts.get(p, 0), 1)
             total = sum(new.values())
-            vocab = {p: math.log(c / total) for p, c in new.items()}
+            vocab = {p: _round_half_up(math.log(c / total), round_c)
+                     for p, c in new.items()}
         return sorted(vocab.items())
     finally:
         wf.unpersist()

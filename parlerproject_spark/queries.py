@@ -73,6 +73,8 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_fertility_by_source",
     "doremi_weights_by_source",
     "pca_whiten_embeddings",
+    "unigram_vocab_docs",
+    "unigram_segment_docs",
     "knn_pq",
     "bpe_segment_docs",
     "bpe_merges_docs",
@@ -213,7 +215,6 @@ _DRIVER_PRIORITY: list[str] = [
     "triangle_counts_events",
     "trimmed_mean_events",
     "unicode_normalize_docs",
-    "unigram_vocab_docs",
     "argmax_events",
     "calibrate_scores_docs",
     "calibration_docs",
@@ -309,7 +310,6 @@ _DRIVER_PRIORITY: list[str] = [
     "topic_assignments",
     "topic_outlier_assignments",
     "truncation_recall_embeddings",
-    "unigram_segment_docs",
     "vocab_coverage_sources",
     "weak_label_summary_docs",
     "approx_distinct_users",
@@ -6629,14 +6629,125 @@ def fuzzy_best_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("name"))
 
 
-@register("unigram_vocab_docs", None)  # iterative EM (pytest pins vs reference)
+def _unigram_dp_sql(tag: str, voc: str, maxw: int, piece_len: int) -> str:
+    """One unrolled Viterbi block over the distinct-word table: DP
+    states ride as (word, n, wl, sc, np, sq) rows, position i's
+    candidates union over the ≤piece_len predecessors, best picked
+    by (score DESC, n_pieces ASC, lex-smaller sequence) — the exact
+    _viterbi tie order (sq is a chr(31)-delimited string; the
+    delimiter sorts below every [a-z0-9] piece char, so string
+    order == piece-tuple order). Ends at f{tag} (word, n, np, sq)
+    holding each word's final state."""
+    g = "chr(31)"
+    out = f""",
+b{tag}_0 AS (SELECT word, n, length(word) AS wl, 0.0::DOUBLE AS sc,
+                    0 AS np, '' AS sq FROM wf)"""
+    for i in range(1, maxw + 1):
+        cands = "\n  UNION ALL\n".join(f"""  SELECT b.word, b.n, b.wl, b.sc + v.lp AS sc, b.np + 1 AS np,
+         CASE WHEN b.sq = '' THEN v.piece
+              ELSE b.sq || {g} || v.piece END AS sq
+  FROM b{tag}_{jj} b
+  JOIN {voc} v ON v.piece = substring(b.word, {jj + 1}, {i - jj})
+  WHERE b.wl >= {i}""" for jj in range(max(0, i - piece_len), i))
+        out += f""",
+c{tag}_{i} AS (
+{cands}),
+b{tag}_{i} AS MATERIALIZED (
+  SELECT word, n, wl, sc, np, sq FROM (
+    SELECT *, row_number() OVER (PARTITION BY word
+                                 ORDER BY sc DESC, np ASC, sq ASC) AS rn
+    FROM c{tag}_{i})
+  WHERE rn = 1)"""
+    finals = "\n  UNION ALL\n".join(
+        f"  SELECT word, n, np, sq FROM b{tag}_{i} WHERE wl = {i}"
+        for i in range(1, maxw + 1))
+    out += f""",
+f{tag} AS MATERIALIZED (
+{finals})"""
+    return out
+
+
+def _unigram_rounds_sql(vocab_size: int = 80, n_iters: int = 2,
+                        piece_len: int = 5, n_seed: int = 150,
+                        maxw: int = 12) -> str:
+    """Unrolled oracle prefix for the unigram-LM trainer: substring
+    seeding scored Σ freq·len, char/multi pool, then n_iters
+    (Viterbi E-step → char-preserving prune → round-6 log-prob
+    M-step) blocks, ending at voc{n_iters}(piece, lp). Rides the
+    operator's round_c contract (train_unigram re-rounds log-probs
+    HALF_UP at 6 dp every round, so DP score sums are bit-identical
+    across engines). Assumes words at the driver's sf are ≤ maxw
+    chars (the _ivf_oracle-style bounded-fixture assumption; corpus
+    max is 8)."""
+    head = f"""
+WITH wf AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word),
+t1 AS (SELECT word, n, unnest(range(1, length(word) + 1)) AS s FROM wf),
+t2 AS (SELECT word, n, s,
+              unnest(range(s, least(length(word), s + {piece_len - 1}) + 1))
+                AS e
+       FROM t1),
+sub AS MATERIALIZED (
+  SELECT substring(word, s::INT, (e - s + 1)::INT) AS piece,
+         sum(n * (e - s + 1))::BIGINT AS score
+  FROM t2 GROUP BY 1),
+charstab AS MATERIALIZED (
+  SELECT piece, score FROM sub WHERE length(piece) = 1),
+multi AS (
+  SELECT piece, score FROM (
+    SELECT piece, score,
+           row_number() OVER (ORDER BY score DESC, piece ASC) AS rn
+    FROM sub WHERE length(piece) > 1)
+  WHERE rn <= {n_seed}),
+pool AS MATERIALIZED (
+  SELECT piece, score FROM charstab
+  UNION ALL SELECT piece, score FROM multi),
+tot0 AS (SELECT sum(score)::DOUBLE AS t FROM pool),
+voc0 AS MATERIALIZED (
+  SELECT piece, round(ln(score / t), 6) AS lp FROM pool, tot0)"""
+    body = ""
+    for r in range(1, n_iters + 1):
+        body += _unigram_dp_sql(f"{r}", f"voc{r - 1}", maxw, piece_len)
+        body += f""",
+cnt{r} AS MATERIALIZED (
+  SELECT piece, sum(n)::BIGINT AS cnt
+  FROM (SELECT n, unnest(string_split(sq, chr(31))) AS piece FROM f{r})
+  GROUP BY piece),
+kept{r} AS (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM cnt{r} WHERE length(piece) > 1)
+  WHERE rn <= {vocab_size} - (SELECT count(*) FROM charstab)),
+newv{r} AS MATERIALIZED (
+  SELECT c.piece, greatest(coalesce(t.cnt, 0), 1) AS cnt
+  FROM charstab c LEFT JOIN cnt{r} t USING (piece)
+  UNION ALL
+  SELECT piece, cnt FROM kept{r}),
+tt{r} AS (SELECT sum(cnt)::DOUBLE AS t FROM newv{r}),
+voc{r} AS MATERIALIZED (
+  SELECT piece, round(ln(cnt / t), 6) AS lp FROM newv{r}, tt{r})"""
+    return head + body
+
+
+@register("unigram_vocab_docs",
+          _unigram_rounds_sql() + """
+SELECT piece, lp AS logp FROM voc2 ORDER BY piece
+""")
 def unigram_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer training
     (operators/unigram.train_unigram): substring seeding, hard-EM
     Viterbi re-estimation, char-preserving prune — the second
-    standard subword trainer next to BPE. Iterative and therefore
-    rows-only for the driver; a pure-Python reference
-    implementation pins the exact vocab + log-probs in pytest."""
+    standard subword trainer next to BPE. Hash-oracled since r9:
+    train_unigram re-rounds log-probs at 6 dp per M-step (round_c
+    contract), so the oracle unrolls both EM rounds — each an
+    explicit per-position Viterbi DP whose states ride as delimited
+    strings with the exact (score, n_pieces, lex-seq) tie order —
+    and lands on the identical vocab. The pure-Python reference
+    pytest still pins the distributed impl independently."""
     from parlerproject_spark.operators.unigram import train_unigram
     d = _t(spark, sf_dir, "documents")
     vocab = train_unigram(d, vocab_size=80, n_iters=2,
@@ -6645,12 +6756,27 @@ def unigram_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, round(lp, 6)) for p, lp in vocab], "piece string, logp double")
 
 
-@register("unigram_segment_docs", None)  # Viterbi encode (pytest-pinned)
+@register("unigram_segment_docs",
+          _unigram_rounds_sql()
+          + _unigram_dp_sql("s", "voc2", 12, 5) + """,
+dt AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            w -> w <> '')) AS word
+  FROM documents)
+SELECT dt.doc_id, count(*)::BIGINT AS n_words,
+       sum(fs.np)::BIGINT AS n_pieces
+FROM dt JOIN fs USING (word)
+GROUP BY dt.doc_id
+ORDER BY dt.doc_id
+""")
 def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viterbi encoding under the trained unigram LM
     (operators/unigram.segment_unigram): per-distinct-word dynamic
     programming, joined back to the corpus — text is segmented once
-    per TYPE, not per token."""
+    per TYPE, not per token. Hash-oracled since r9: the oracle
+    replays the trained vocab (see unigram_vocab_docs) plus one
+    more unrolled Viterbi block and the per-document piece sums."""
     from parlerproject_spark.operators.unigram import (segment_unigram,
                                                        train_unigram)
     d = _t(spark, sf_dir, "documents")

@@ -34,7 +34,12 @@ def _ref_train(texts, *, vocab_size, n_iters, max_piece_len, n_seed):
     pool = dict(chars)
     pool.update(dict(multi))
     total0 = sum(pool.values())
-    vocab = {p: math.log(c / total0) for p, c in pool.items()}
+
+    def r6(x):   # HALF_UP at 6 dp — the operator's round_c contract
+        return (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+                else math.ceil(x * 1e6 - 0.5) / 1e6)
+
+    vocab = {p: r6(math.log(c / total0)) for p, c in pool.items()}
     for _ in range(n_iters):
         counts: dict[str, int] = {}
         for w, n in wf.items():
@@ -52,7 +57,7 @@ def _ref_train(texts, *, vocab_size, n_iters, max_piece_len, n_seed):
             if len(p) == 1:
                 new[p] = max(counts.get(p, 0), 1)
         total = sum(new.values())
-        vocab = {p: math.log(c / total) for p, c in new.items()}
+        vocab = {p: r6(math.log(c / total)) for p, c in new.items()}
     return sorted(vocab.items())
 
 
