@@ -872,3 +872,159 @@ def citation_precision_recall(answers: DataFrame, citations: DataFrame,
                     .alias("precision"),
                     F.round(F.col("n_covered") / F.col("n_grams"), 6)
                     .alias("recall")))
+
+
+def chrf_pairs(cand: DataFrame, ref: DataFrame, *,
+               pair_col: str = "pair_id", text_col: str = "text",
+               n_max: int = 3, beta: float = 2.0,
+               max_chars: int | None = None) -> DataFrame:
+    """Corpus-scale chrF between aligned (candidate, reference) text
+    pairs (Popović 2015) — the character-n-gram F-score that is the
+    tokenization-free companion to BLEU for generation/MT eval (and
+    the one that keeps working on unsegmented scripts where word
+    BLEU degenerates).
+
+    Semantics contract: whitespace runs are REMOVED before gram
+    extraction (the chrF convention); for each order n ∈ 1..n_max,
+    matched_n = Σ_g min(cand_count, ref_count) (clipped, like BLEU),
+    P_n = matched_n / cand_grams_n, R_n = matched_n / ref_grams_n.
+    An order participates only when BOTH sides have ≥ 1 gram of that
+    order; chrP / chrR are the plain means over participating orders
+    (explicit left-to-right sums over the pivoted per-order columns,
+    so the float op order is engine-portable), and
+    chrF_β = (1+β²)·P·R / (β²·P + R) computed FROM the 6-dp-rounded
+    components (0.0 when P+R = 0). Pairs where no order participates
+    (either side squashes to '') report 0.0 with n_orders = 0.
+
+    Scale shape: the only gram-granular stage is one (pair, n, gram)
+    count table per side plus ONE left join for clipping — identical
+    to bleu_pairs' discipline. Gram totals come from string LENGTHS
+    (len − n + 1), never from a second aggregation. Character grams
+    are a chars×n_max row blow-up, so the squashed text is routed
+    through spread_input first and `max_chars` bounds per-doc cost
+    (a snippet-chrF contract for long documents; None = full text).
+    The gram explode is a JVM codegen substring over an exploded
+    position sequence — no interpreted higher-order-function lambda
+    in the hot path.
+
+    Columns: pair_id, n_orders, chrp, chrr, chrf.
+    """
+    from parlerproject_spark.operators.layout import spread_input
+
+    def squash(df):
+        s = F.regexp_replace(F.col(text_col), r"\s+", "")
+        if max_chars is not None:
+            s = F.substring(s, 1, max_chars)
+        return spread_input(
+            df.select(F.col(pair_col).alias("__pid"), s.alias("__s")))
+
+    def grams(sdf):
+        pos = F.explode(F.sequence(
+            F.lit(1), F.length("__s") - F.col("__n") + 1))
+        return (sdf.select("__pid", "__s")
+                .withColumn("__n", F.explode(F.sequence(F.lit(1),
+                                                        F.lit(n_max))))
+                .filter(F.length("__s") >= F.col("__n"))
+                .withColumn("__p", pos)
+                .select("__pid", "__n",
+                        F.substring(F.col("__s"), F.col("__p"),
+                                    F.col("__n")).alias("__g"))
+                .groupBy("__pid", "__n", "__g")
+                .agg(F.count(F.lit(1)).alias("__c")))
+
+    cs, rs = squash(cand), squash(ref)
+    lens = (cs.select("__pid", F.length("__s").alias("__lc"))
+            .join(rs.select("__pid", F.length("__s").alias("__lr")),
+                  "__pid"))
+    rc = grams(rs).withColumnRenamed("__c", "__r")
+    matched = (grams(cs).join(rc, ["__pid", "__n", "__g"], "left")
+               .groupBy("__pid", "__n")
+               .agg(F.sum(F.least("__c", F.coalesce("__r", F.lit(0))))
+                    .alias("__m")))
+    orders = (lens
+              .withColumn("__n", F.explode(F.sequence(F.lit(1),
+                                                      F.lit(n_max))))
+              .filter((F.col("__lc") >= F.col("__n"))
+                      & (F.col("__lr") >= F.col("__n")))
+              .join(matched, ["__pid", "__n"], "left")
+              .select("__pid", "__n",
+                      F.coalesce("__m", F.lit(0)).alias("__m"),
+                      (F.col("__lc") - F.col("__n") + 1).alias("__tc"),
+                      (F.col("__lr") - F.col("__n") + 1).alias("__tr")))
+    piv = orders.groupBy("__pid").agg(
+        *[F.max(F.when(F.col("__n") == n, F.col("__m") / F.col("__tc")))
+          .alias(f"__p{n}") for n in range(1, n_max + 1)],
+        *[F.max(F.when(F.col("__n") == n, F.col("__m") / F.col("__tr")))
+          .alias(f"__r{n}") for n in range(1, n_max + 1)])
+    n_orders = sum((F.when(F.col(f"__p{n}").isNotNull(), 1).otherwise(0)
+                    for n in range(1, n_max + 1)), F.lit(0))
+    psum = F.lit(0.0)
+    rsum = F.lit(0.0)
+    for n in range(1, n_max + 1):
+        psum = psum + F.coalesce(F.col(f"__p{n}"), F.lit(0.0))
+        rsum = rsum + F.coalesce(F.col(f"__r{n}"), F.lit(0.0))
+    b2 = float(beta) * float(beta)
+    base = (lens.select("__pid").join(piv, "__pid", "left")
+            .select(F.col("__pid").alias(pair_col),
+                    n_orders.cast("long").alias("n_orders"),
+                    F.when(n_orders > 0, F.round(psum / n_orders, 6))
+                    .otherwise(F.lit(0.0)).alias("chrp"),
+                    F.when(n_orders > 0, F.round(rsum / n_orders, 6))
+                    .otherwise(F.lit(0.0)).alias("chrr")))
+    chrf = F.when(F.col("chrp") + F.col("chrr") > 0.0,
+                  F.round((1.0 + b2) * F.col("chrp") * F.col("chrr")
+                          / (b2 * F.col("chrp") + F.col("chrr")), 6)) \
+        .otherwise(F.lit(0.0))
+    return base.withColumn("chrf", chrf)
+
+
+def pass_at_k(results: DataFrame, *, task_col: str = "task_id",
+              correct_col: str = "correct",
+              ks: "Sequence[int]" = (1, 5, 10)) -> DataFrame:
+    """Unbiased pass@k over per-task sampled attempts (Chen et al.
+    2021, the HumanEval estimator): with n attempts and c correct
+    for a task, pass@k = 1 − C(n−c, k)/C(n, k) — the probability
+    that at least one of k uniformly drawn attempts is correct —
+    averaged across tasks per k. The closed form is evaluated as
+    1 − exp(Σ_{i=0}^{k−1} (ln(n−c−i) − ln(n−i))) with explicit
+    guards: c = 0 → exactly 0.0, n − c < k → exactly 1.0 (no float
+    residue on the certain cases). Per-task values are 6-dp rounded
+    before the cross-task mean, which is rounded again — the
+    iterative-oracle rounding contract.
+
+    Scale shape: ONE task-keyed aggregation reduces the attempt
+    corpus to (task, n, c); everything after runs on the task table
+    (×|ks| and ×k bounded row blow-ups for the log-sum, keyed on
+    (task, k) with map-side combine). Tasks with n < max(ks) still
+    score (pass@k is defined whenever n ≥ 1; for k > n the estimator
+    clamps to the k = n value by construction since C(n−c,k) = 0
+    unless n−c ≥ k). No windows, no driver state.
+
+    Columns (one row per k): k, n_tasks, n_solved, mean_pass_at_k.
+    """
+    per_task = (results.groupBy(F.col(task_col).alias("__t"))
+                .agg(F.count(F.lit(1)).alias("__n"),
+                     F.sum(F.col(correct_col).cast("int")).alias("__c")))
+    tk = (per_task.withColumn(
+        "__k", F.explode(F.array(*[F.lit(int(k)) for k in ks]))))
+    logsum = (tk.filter((F.col("__c") > 0)
+                        & (F.col("__n") - F.col("__c") >= F.col("__k")))
+              .withColumn("__i", F.explode(
+                  F.sequence(F.lit(0), F.col("__k") - 1)))
+              .groupBy("__t", "__k")
+              .agg(F.sum(F.log(F.col("__n") - F.col("__c") - F.col("__i"))
+                         - F.log(F.col("__n") - F.col("__i")))
+                   .alias("__s")))
+    scored = (tk.join(logsum, ["__t", "__k"], "left")
+              .select("__t", "__k", "__c",
+                      F.when(F.col("__c") == 0, F.lit(0.0))
+                      .when(F.col("__n") - F.col("__c") < F.col("__k"),
+                            F.lit(1.0))
+                      .otherwise(F.round(1.0 - F.exp(F.col("__s")), 6))
+                      .alias("__pass")))
+    return (scored.groupBy(F.col("__k").alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                 F.sum(F.when(F.col("__c") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_solved"),
+                 F.round(F.avg("__pass"), 6).alias("mean_pass_at_k"))
+            .orderBy("k"))

@@ -65,6 +65,9 @@ _DRIVER_PRIORITY: list[str] = [
     # last-driver-sampled round (the 43-query round-3 stale tier leads),
     # alphabetical within a tier — so the ~50-query sample window covers
     # all of the stale tail this round and nothing ages further.
+    "chrf_pairs_docs",
+    "pass_at_k_events",
+    "expectations_orders",
     "margin_pairs_lsh_embeddings",
     "citation_support_docs",
     "citation_pr_docs",
@@ -11783,3 +11786,211 @@ def spearman_length_tokens_sources(spark: SparkSession,
     return (spearman_by_group(d, group_col="source",
                               x_col="x", y_col="y")
             .orderBy("source"))
+
+
+@register("chrf_pairs_docs", r"""
+WITH sq AS (
+  SELECT doc_id,
+         substring(regexp_replace(text, '\s+', '', 'g'), 1, 200) AS s
+  FROM documents),
+pairs AS (
+  SELECT c.doc_id AS pair_id, c.s AS cs, r.s AS rs
+  FROM sq c JOIN sq r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 2 = 0),
+cg AS (
+  SELECT pair_id,
+         n,
+         unnest(list_transform(range(1, len(cs) - n + 2),
+                               i -> substring(cs, i, n))) AS g
+  FROM (SELECT pair_id, cs, unnest([1, 2, 3]) AS n FROM pairs)
+  WHERE len(cs) >= n),
+rg AS (
+  SELECT pair_id,
+         n,
+         unnest(list_transform(range(1, len(rs) - n + 2),
+                               i -> substring(rs, i, n))) AS g
+  FROM (SELECT pair_id, rs, unnest([1, 2, 3]) AS n FROM pairs)
+  WHERE len(rs) >= n),
+cc AS (SELECT pair_id, n, g, count(*) AS c FROM cg GROUP BY pair_id, n, g),
+rc AS (SELECT pair_id, n, g, count(*) AS r FROM rg GROUP BY pair_id, n, g),
+m AS (
+  SELECT cc.pair_id, cc.n,
+         sum(least(cc.c, coalesce(rc.r, 0))) AS m
+  FROM cc LEFT JOIN rc USING (pair_id, n, g)
+  GROUP BY cc.pair_id, cc.n),
+lens AS (SELECT pair_id, len(cs) AS lc, len(rs) AS lr FROM pairs),
+ords AS (
+  SELECT o.pair_id, o.n,
+         coalesce(m.m, 0)::DOUBLE / o.tc AS p,
+         coalesce(m.m, 0)::DOUBLE / o.tr AS r
+  FROM (SELECT l.pair_id, t.n,
+               l.lc - t.n + 1 AS tc, l.lr - t.n + 1 AS tr
+        FROM lens l CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) t
+        WHERE l.lc >= t.n AND l.lr >= t.n) o
+  LEFT JOIN m ON m.pair_id = o.pair_id AND m.n = o.n),
+piv AS (
+  SELECT pair_id,
+         max(CASE WHEN n = 1 THEN p END) AS p1,
+         max(CASE WHEN n = 2 THEN p END) AS p2,
+         max(CASE WHEN n = 3 THEN p END) AS p3,
+         max(CASE WHEN n = 1 THEN r END) AS r1,
+         max(CASE WHEN n = 2 THEN r END) AS r2,
+         max(CASE WHEN n = 3 THEN r END) AS r3
+  FROM ords GROUP BY pair_id),
+base AS (
+  SELECT l.pair_id,
+         CAST((CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN p2 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN p3 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orders,
+         coalesce(p1, 0.0) + coalesce(p2, 0.0) + coalesce(p3, 0.0) AS ps,
+         coalesce(r1, 0.0) + coalesce(r2, 0.0) + coalesce(r3, 0.0) AS rs
+  FROM lens l LEFT JOIN piv USING (pair_id)),
+scored AS (
+  SELECT pair_id, n_orders,
+         CASE WHEN n_orders > 0 THEN round(ps / n_orders, 6)
+              ELSE 0.0 END AS chrp,
+         CASE WHEN n_orders > 0 THEN round(rs / n_orders, 6)
+              ELSE 0.0 END AS chrr
+  FROM base)
+SELECT pair_id, n_orders, chrp, chrr,
+       CASE WHEN chrp + chrr > 0.0
+            THEN round(5.0 * chrp * chrr / (4.0 * chrp + chrr), 6)
+            ELSE 0.0 END AS chrf
+FROM scored
+ORDER BY pair_id
+""")
+def chrf_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (Popović 2015) over the same even/odd aligned doc pairs
+    as bleu_pairs_docs (evaluation.chrf_pairs): character 1/2/3-gram
+    clipped precision+recall, per-order participation when both
+    sides have grams, F_{β=2} from the 6-dp-rounded means. Squashed
+    text is snippet-bounded at 200 chars (the long-doc cost
+    contract) and the gram blow-up runs after spread_input; the only
+    gram-granular shuffle is the one clip join."""
+    from parlerproject_spark.operators.evaluation import chrf_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = (d.filter(F.col("doc_id") % 2 == 0)
+            .select(F.col("doc_id").alias("pair_id"), "text"))
+    ref = (d.filter(F.col("doc_id") % 2 != 0)
+           .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
+    return (chrf_pairs(
+        cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
+        ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
+        n_max=3, beta=2.0, max_chars=200)
+        .orderBy("pair_id"))
+
+
+@register("pass_at_k_events", """
+WITH att AS (
+  SELECT event_id % 500 AS t,
+         CASE WHEN (event_id * 2654435761) % 100 < 9
+              THEN 1 ELSE 0 END AS c
+  FROM events),
+per AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS c
+  FROM att GROUP BY t),
+tk AS (SELECT t, n, c, unnest([1, 5, 10]) AS k FROM per),
+ls AS (
+  SELECT t, k, sum(ln(n - c - i) - ln(n - i)) AS s
+  FROM (SELECT t, k, n, c, unnest(range(0, k)) AS i
+        FROM tk WHERE c > 0 AND n - c >= k)
+  GROUP BY t, k),
+sc AS (
+  SELECT tk.t, tk.k, tk.c,
+         CASE WHEN tk.c = 0 THEN 0.0
+              WHEN tk.n - tk.c < tk.k THEN 1.0
+              ELSE round(1.0 - exp(ls.s), 6) END AS p
+  FROM tk LEFT JOIN ls ON ls.t = tk.t AND ls.k = tk.k)
+SELECT k, CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_solved,
+       round(avg(p), 6) AS mean_pass_at_k
+FROM sc GROUP BY k ORDER BY k
+""")
+def pass_at_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (Chen et al. 2021 unbiased estimator,
+    evaluation.pass_at_k) over a 500-task / 20-attempt evaluation
+    harness derived from events: attempt = event row, task =
+    event_id mod 500, correct = a multiplicative-hash ~9% success
+    draw. One task-keyed agg reduces the corpus; the log-sum
+    estimator runs on the task table only (×k bounded explode),
+    certain cases pinned to exact 0.0 / 1.0."""
+    from parlerproject_spark.operators.evaluation import pass_at_k
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 500).alias("task_id"),
+        ((F.col("event_id") * F.lit(2654435761)) % 100 < 9)
+        .alias("correct"))
+    return pass_at_k(ev, task_col="task_id", correct_col="correct",
+                     ks=(1, 5, 10))
+
+
+@register("expectations_orders", """
+WITH n AS (SELECT count(*) AS n FROM orders)
+SELECT rule, kind, col, n_checked, n_failed,
+       CASE WHEN n_checked = 0 THEN 1.0
+            ELSE round(1.0 - n_failed::DOUBLE / n_checked, 6)
+       END AS pass_rate,
+       n_failed = 0 AS passed
+FROM (
+  SELECT 'custkey_positive' AS rule, 'custom' AS kind, '' AS col,
+         (SELECT n FROM n)::BIGINT AS n_checked,
+         (SELECT CAST(sum(CASE WHEN NOT coalesce(o_custkey > 0, FALSE)
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders) AS n_failed
+  UNION ALL
+  SELECT 'orderkey_not_null', 'not_null', 'o_orderkey',
+         (SELECT n FROM n)::BIGINT,
+         (SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM orders)
+  UNION ALL
+  SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+         (SELECT CAST(count(o_orderkey) AS BIGINT) FROM orders),
+         (SELECT CAST(count(o_orderkey)
+                      - count(DISTINCT o_orderkey) AS BIGINT)
+          FROM orders)
+  UNION ALL
+  SELECT 'priority_shape', 'matches', 'o_orderpriority',
+         (SELECT n FROM n)::BIGINT,
+         (SELECT CAST(sum(CASE WHEN NOT coalesce(
+                    regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'),
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+  UNION ALL
+  SELECT 'status_in_set', 'in_set', 'o_orderstatus',
+         (SELECT n FROM n)::BIGINT,
+         (SELECT CAST(sum(CASE WHEN NOT coalesce(
+                    o_orderstatus IN ('O', 'F', 'P'), FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+  UNION ALL
+  SELECT 'totalprice_range', 'in_range', 'o_totalprice',
+         (SELECT n FROM n)::BIGINT,
+         (SELECT CAST(sum(CASE WHEN NOT coalesce(
+                    o_totalprice >= 0.0 AND o_totalprice <= 400000.0,
+                    FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+)
+ORDER BY rule
+""")
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative ingest-gate expectation suite
+    (validation.expect_suite) over orders: nullability, uniqueness,
+    value-set, regex-shape, numeric-range and a custom predicate —
+    all row-level rules fused into ONE conditional aggregate pass
+    (plus one count-distinct for the unique rule); the report is a
+    constant 6-row table. totalprice_range is deliberately breached
+    (cap 400k < the true max) so the gate exercises its failure
+    arm."""
+    from parlerproject_spark.operators.validation import (
+        Expectation, expect_suite)
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        Expectation("custkey_positive", "custom",
+                    params={"predicate": F.col("o_custkey") > 0}),
+        Expectation("orderkey_not_null", "not_null", "o_orderkey"),
+        Expectation("orderkey_unique", "unique", "o_orderkey"),
+        Expectation("priority_shape", "matches", "o_orderpriority",
+                    params={"pattern": "^[1-5]-[A-Z ]+$"}),
+        Expectation("status_in_set", "in_set", "o_orderstatus",
+                    params={"values": ["O", "F", "P"]}),
+        Expectation("totalprice_range", "in_range", "o_totalprice",
+                    params={"lo": 0.0, "hi": 400000.0}),
+    ]
+    return expect_suite(o, rules).orderBy("rule")

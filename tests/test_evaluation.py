@@ -538,3 +538,79 @@ class TestCitationSupport:
         srcs = spark.createDataFrame([(10, "single word here")],
                                      "doc_id bigint, text string")
         assert citation_support(ans, cites, srcs).count() == 0
+
+
+class TestChrfPairs:
+    def _run(self, spark, cand, ref, **kw):
+        from parlerproject_spark.operators.evaluation import chrf_pairs
+        c = spark.createDataFrame([(1, cand)], "pair_id bigint, text string")
+        r = spark.createDataFrame([(1, ref)], "pair_id bigint, text string")
+        return chrf_pairs(c, r, **kw).collect()[0]
+
+    def test_identity_scores_one(self, spark):
+        r = self._run(spark, "hello world", "hello world")
+        assert r["chrp"] == 1.0 and r["chrr"] == 1.0 and r["chrf"] == 1.0
+        assert r["n_orders"] == 3
+
+    def test_disjoint_scores_zero(self, spark):
+        r = self._run(spark, "aaaa", "bbbb")
+        assert r["chrp"] == 0.0 and r["chrr"] == 0.0 and r["chrf"] == 0.0
+
+    def test_hand_case_symmetric(self, spark):
+        # abc vs abd, n_max=2: P1=R1=2/3, P2=R2=1/2 -> chrP=chrR
+        # -> F_beta collapses to P regardless of beta
+        r = self._run(spark, "abc", "abd", n_max=2)
+        assert r["n_orders"] == 2
+        assert r["chrp"] == pytest.approx(0.583333, abs=1e-6)
+        assert r["chrr"] == r["chrp"] and r["chrf"] == r["chrp"]
+
+    def test_whitespace_removed(self, spark):
+        r = self._run(spark, "a   b\tc", "abc")
+        assert r["chrf"] == 1.0
+
+    def test_empty_side_zero_orders(self, spark):
+        r = self._run(spark, "   ", "abc")
+        assert r["n_orders"] == 0 and r["chrf"] == 0.0
+
+    def test_max_chars_truncates(self, spark):
+        # beyond max_chars the tail difference is invisible
+        r = self._run(spark, "abcdefXX", "abcdefYY", max_chars=6)
+        assert r["chrf"] == 1.0
+
+
+class TestPassAtK:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(rows, "task_id bigint, correct boolean")
+
+    def test_hand_binomial_case(self, spark):
+        from parlerproject_spark.operators.evaluation import pass_at_k
+        # one task: n=4, c=2 -> pass@2 = 1 - C(2,2)/C(4,2) = 5/6
+        df = self._frame(spark, [(1, True), (1, True),
+                                 (1, False), (1, False)])
+        r = {row["k"]: row for row in
+             pass_at_k(df, ks=(1, 2, 3)).collect()}
+        assert r[1]["mean_pass_at_k"] == pytest.approx(0.5, abs=1e-6)
+        assert r[2]["mean_pass_at_k"] == pytest.approx(5 / 6, abs=1e-6)
+        # n - c = 2 < 3 -> certain
+        assert r[3]["mean_pass_at_k"] == 1.0
+
+    def test_zero_correct_exact_zero(self, spark):
+        from parlerproject_spark.operators.evaluation import pass_at_k
+        df = self._frame(spark, [(1, False)] * 5)
+        r = pass_at_k(df, ks=(1, 5)).collect()
+        assert all(row["mean_pass_at_k"] == 0.0 for row in r)
+        assert all(row["n_solved"] == 0 for row in r)
+
+    def test_k1_equals_success_rate(self, spark):
+        from parlerproject_spark.operators.evaluation import pass_at_k
+        df = self._frame(spark, [(1, i < 3) for i in range(10)])
+        r = pass_at_k(df, ks=(1,)).collect()[0]
+        assert r["mean_pass_at_k"] == pytest.approx(0.3, abs=1e-6)
+
+    def test_mean_over_tasks(self, spark):
+        from parlerproject_spark.operators.evaluation import pass_at_k
+        rows = ([(1, True)] + [(1, False)] * 3          # c=1, n=4
+                + [(2, False)] * 4)                      # c=0, n=4
+        r = pass_at_k(self._frame(spark, rows), ks=(1,)).collect()[0]
+        assert r["n_tasks"] == 2 and r["n_solved"] == 1
+        assert r["mean_pass_at_k"] == pytest.approx(0.125, abs=1e-6)

@@ -158,6 +158,9 @@ REPORT_QUERIES = [
     "rrf_hybrid_docs",
     "bpe_fertility_by_source",
     "doremi_weights_by_source",
+    "chrf_pairs_docs",
+    "pass_at_k_events",
+    "expectations_orders",
     "bleu_pairs_docs",
     "grouped_roc_auc_sources",
     "ips_policy_value_events",
