@@ -248,6 +248,8 @@ EXTRA = [
     "chrf_pairs_docs",
     "pass_at_k_events",
     "expectations_orders",
+    "wordpiece_merges_docs",
+    "wordpiece_segment_docs",
     "bleu_pairs_docs",
     "grouped_roc_auc_sources",
     "ips_policy_value_events",

@@ -268,3 +268,199 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]], *,
             .select(id_col, "n_words",
                     F.size("pieces").cast("long").alias("n_pieces"),
                     "pieces"))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012 / the BERT tokenizer family):
+# likelihood-scored merges + greedy longest-match-first encoding.
+# Completes the subword trio next to BPE (count-scored merges,
+# replay encoding) and unigram-LM (prune-trained, Viterbi encoding).
+
+#: HF continuation prefix: every non-word-initial symbol carries it.
+WP_CONT = "##"
+
+
+def _wp_initial_symbols(words: DataFrame) -> DataFrame:
+    """Split each word into [c0, ##c1, ##c2, ...] (the HF WordPiece
+    convention — no EOW sentinel; position is carried by the ##
+    prefix instead). Columns: word, n, syms."""
+    syms = F.expr(
+        "transform(filter(split(word, ''), c -> length(c) > 0), "
+        f"(c, i) -> CASE WHEN i = 0 THEN c ELSE '{WP_CONT}' || c END)")
+    return words.select("word", "n", syms.alias("syms"))
+
+
+def _wp_merged(a: str, b: str) -> str:
+    """The symbol produced by merging (a, b): a + b without its
+    continuation prefix (the right side of an adjacent pair is
+    always a continuation — only index 0 lacks ##, and merges
+    preserve that invariant)."""
+    return a + (b[len(WP_CONT):] if b.startswith(WP_CONT) else b)
+
+
+def _apply_merge_to(symtab: DataFrame, a: str, b: str,
+                    merged: str) -> DataFrame:
+    """_apply_merge with an explicit merged-symbol spelling (BPE
+    fuses to a||b; WordPiece strips the right side's ## prefix).
+    Same greedy left-to-right pure fold, zero shuffle."""
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+    out = F.aggregate(
+        "syms",
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm))
+        ).otherwise(F.concat(acc, F.array(s))))
+    return symtab.withColumn("syms", out)
+
+
+def train_wordpiece(docs: DataFrame, *, n_merges: int = 20,
+                    text_col: str = "text", min_pair: int = 2,
+                    stats: dict | None = None
+                    ) -> list[tuple[str, str, str, int, int, int]]:
+    """Learn `n_merges` WordPiece merges. Returns the ordered list
+    [(left, right, merged, pair_cnt, left_cnt, right_cnt), ...].
+
+    Selection per round: the adjacent pair maximizing the likelihood
+    score count(ab) / (count(a) · count(b)) — WordPiece's "merge
+    what increases corpus likelihood most under a unigram LM", vs
+    BPE's raw count — subject to count(ab) ≥ min_pair; ties break
+    (score DESC, a ASC, b ASC). Scores are exact-integer ratios
+    evaluated in ONE double division (engine-portable: identical
+    IEEE result from identical integer args), so the learned
+    sequence is SQL-replayable.
+
+    Scale shape: like train_bpe, training never re-touches the
+    corpus — one tokenize+groupBy builds the vocabulary-sized
+    (word, n) table; each round is TWO keyed aggregations over it
+    (adjacent-pair counts and symbol occurrence counts, both
+    map-side combinable) plus a 1-row driver argmax and a narrow
+    fold rewrite. Rounds are strictly sequential — BPE's batched
+    selection proof does NOT carry over (merging a pair changes the
+    DENOMINATOR counts of every pair sharing a symbol, so a batch
+    mate's score can move), hence one merge per round by design;
+    the per-round cost is vocab-sized, never corpus-sized.
+    """
+    symtab = _wp_initial_symbols(word_freq_table(docs, text_col=text_col))
+    symtab = symtab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, str, int, int, int]] = []
+    rounds = 0
+    since_ckpt = 0
+    while len(merges) < n_merges:
+        pairs = _pair_counts(symtab)
+        syms = (symtab.select("n", F.explode("syms").alias("s"))
+                .groupBy("s").agg(F.sum("n").alias("c")))
+        best = (pairs.filter(F.col("cnt") >= min_pair)
+                .join(F.broadcast(syms.withColumnRenamed("s", "a")
+                                  .withColumnRenamed("c", "ca")), "a")
+                .join(F.broadcast(syms.withColumnRenamed("s", "b")
+                                  .withColumnRenamed("c", "cb")), "b")
+                .withColumn("score",
+                            F.col("cnt") / (F.col("ca") * F.col("cb")))
+                .orderBy(F.col("score").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1).collect())
+        rounds += 1
+        if not best:
+            break
+        r = best[0]
+        merged = _wp_merged(r["a"], r["b"])
+        merges.append((r["a"], r["b"], merged,
+                       int(r["cnt"]), int(r["ca"]), int(r["cb"])))
+        symtab = _apply_merge_to(symtab, r["a"], r["b"], merged)
+        since_ckpt += 1
+        if since_ckpt >= 4:
+            symtab = symtab.localCheckpoint(eager=True)
+            since_ckpt = 0
+    if stats is not None:
+        stats["rounds"] = rounds
+    return merges
+
+
+def corpus_char_pieces(docs: DataFrame, *,
+                       text_col: str = "text") -> list[str]:
+    """The base WordPiece vocabulary: every character of the
+    tokenized corpus, in BOTH word-initial ('c') and continuation
+    ('##c') form. Bounded by the alphabet (a driver read of at most
+    a few dozen rows), never by the corpus."""
+    chars = (docs.select(F.explode(tokenize(text_col)).alias("w"))
+             .select(F.explode(F.filter(F.split("w", ""),
+                                        lambda c: F.length(c) > 0))
+                     .alias("c"))
+             .distinct().collect())
+    out: list[str] = []
+    for row in sorted(r["c"] for r in chars):
+        out.append(row)
+        out.append(WP_CONT + row)
+    return out
+
+
+def wordpiece_encode(docs: DataFrame, vocab: "list[str] | set[str]", *,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     max_word_chars: int = 16) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding (the BERT /
+    HF `WordpieceTokenizer` algorithm): at each position take the
+    LONGEST vocab piece that matches (## form beyond position 0);
+    if no piece matches, or the word exceeds `max_word_chars`, the
+    ENTIRE word becomes one [UNK] piece — both exactly HF's
+    contract. Note this is NOT a replay of the training merges (BPE
+    encodes that way; WordPiece's greedy encode is what makes it a
+    different tokenizer at inference time).
+
+    Scale shape: the greedy loop runs once per DISTINCT word over
+    the vocabulary-sized type table (an Arrow mapInPandas batch
+    with the piece set broadcast — pure string matching, no floats),
+    and documents get counts back through one token-keyed join —
+    identical discipline to apply_bpe / unigram encode. Encoding
+    cost is types × len², never corpus × len².
+
+    Columns: <id_col>, n_words, n_pieces, n_unk.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    pieces = frozenset(vocab)
+    cont = WP_CONT
+    mwc = int(max_word_chars)
+
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokenize(text_col).alias("ws"))
+    types = toked.select(F.explode("ws").alias("word")).distinct()
+
+    def seg(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        def one(word: str) -> tuple[int, int]:
+            if len(word) > mwc:
+                return 1, 1
+            pos, np = 0, 0
+            while pos < len(word):
+                end = len(word)
+                hit = -1
+                while end > pos:
+                    sub = word[pos:end]
+                    if pos > 0:
+                        sub = cont + sub
+                    if sub in pieces:
+                        hit = end
+                        break
+                    end -= 1
+                if hit < 0:
+                    return 1, 1
+                np += 1
+                pos = hit
+            return np, 0
+
+        for pdf in it:
+            res = [one(w) for w in pdf["word"]]
+            yield pd.DataFrame({"word": pdf["word"],
+                                "np": [r[0] for r in res],
+                                "unk": [r[1] for r in res]})
+
+    per_word = types.mapInPandas(
+        seg, schema="word string, np long, unk long")
+    dt = toked.select("doc_id", F.explode("ws").alias("word"))
+    return (dt.join(per_word, "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("np").cast("long").alias("n_pieces"),
+                 F.sum("unk").cast("long").alias("n_unk")))

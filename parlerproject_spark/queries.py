@@ -65,6 +65,8 @@ _DRIVER_PRIORITY: list[str] = [
     # last-driver-sampled round (the 43-query round-3 stale tier leads),
     # alphabetical within a tier — so the ~50-query sample window covers
     # all of the stale tail this round and nothing ages further.
+    "wordpiece_merges_docs",
+    "wordpiece_segment_docs",
     "chrf_pairs_docs",
     "pass_at_k_events",
     "expectations_orders",
@@ -11994,3 +11996,190 @@ def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     params={"lo": 0.0, "hi": 400000.0}),
     ]
     return expect_suite(o, rules).orderBy("rule")
+
+
+def _wp_rounds_sql(n_merges: int) -> str:
+    """Shared CTE prefix for the WordPiece oracles: tokenize+count
+    vocab pass, ##-convention initial symbol strings, then n_merges
+    sequential (pair counts + symbol counts → likelihood argmax →
+    greedy replace) rounds ending at t{n}. Same delimiter-wrapped
+    replace()-is-the-fold trick as _bpe_rounds_sql; the argmax key
+    is cnt::DOUBLE/(ca·cb) — one IEEE division of exact integers, so
+    the order is engine-identical (tokenizer.train_wordpiece
+    computes the same division from the same longs)."""
+    g = "chr(31)"
+    gg = f"{g} || {g}"
+    head = f"""
+WITH wf AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word),
+t0 AS MATERIALIZED (
+  SELECT word, n,
+         {g} || array_to_string(
+           list_transform(string_split(word, ''),
+                          (c, i) -> CASE WHEN i = 1 THEN c
+                                    ELSE '##' || c END), {gg})
+         || {g} AS s
+  FROM wf)"""
+    body = ""
+    for it in range(1, n_merges + 1):
+        body += f""",
+ls{it} AS (
+  SELECT n, string_split(trim(s, {g}), {gg}) AS ls FROM t{it - 1}),
+pc{it} AS (
+  SELECT ls[i] AS a, ls[i + 1] AS b, sum(n)::BIGINT AS cnt
+  FROM (SELECT n, ls, unnest(range(1, len(ls))) AS i FROM ls{it})
+  GROUP BY a, b),
+sc{it} AS (
+  SELECT s AS sym, sum(n)::BIGINT AS c
+  FROM (SELECT n, unnest(ls) AS s FROM ls{it}) GROUP BY s),
+m{it} AS (
+  SELECT p.a, p.b, p.cnt, ca.c AS ca, cb.c AS cb,
+         p.a || CASE WHEN p.b LIKE '##%' THEN substr(p.b, 3)
+                     ELSE p.b END AS merged
+  FROM pc{it} p
+  JOIN sc{it} ca ON ca.sym = p.a
+  JOIN sc{it} cb ON cb.sym = p.b
+  WHERE p.cnt >= 2
+  ORDER BY p.cnt::DOUBLE / (ca.c * cb.c) DESC, p.a ASC, p.b ASC
+  LIMIT 1),
+t{it} AS MATERIALIZED (
+  SELECT t.word, t.n,
+         CASE WHEN m.a IS NULL THEN t.s
+              ELSE replace(t.s, {g} || m.a || {gg} || m.b || {g},
+                           {g} || m.merged || {g}) END AS s
+  FROM t{it - 1} t LEFT JOIN m{it} m ON TRUE)"""
+    return head + body
+
+
+def _wp_merges_oracle(n_merges: int = 12) -> str:
+    ranks = "\nUNION ALL\n".join(
+        f'SELECT {it}::BIGINT AS rank, a AS "left", b AS "right", '
+        f"merged AS piece, cnt, ca, cb FROM m{it}"
+        for it in range(1, n_merges + 1))
+    return _wp_rounds_sql(n_merges) + f"""
+SELECT rank, "left", "right", piece, cnt, ca, cb
+FROM ({ranks}) ORDER BY rank"""
+
+
+def _wp_segment_oracle(n_merges: int = 12, max_word_chars: int = 16,
+                       n_steps: int = 16) -> str:
+    """Oracle for wordpiece_segment_docs: replay the trainer, build
+    the encode vocabulary (every corpus char in initial + ## form,
+    plus the learned merge pieces), then unroll greedy
+    longest-match-first as n_steps state-advance CTEs (each step
+    consumes ≥ 1 char and words longer than max_word_chars are UNK
+    up front, so n_steps = max_word_chars always terminates). A live
+    state with no matching piece goes UNK — exactly HF's
+    whole-word-[UNK] contract, exactly wordpiece_encode."""
+    pieces = "\nUNION ALL\n".join(
+        f"SELECT merged FROM m{it}" for it in range(1, n_merges + 1))
+    sql = _wp_rounds_sql(n_merges) + f""",
+ch AS (
+  SELECT DISTINCT c FROM (
+    SELECT unnest(string_split(word, '')) AS c FROM wf)
+  WHERE c <> ''),
+vcb AS MATERIALIZED (
+  SELECT raw, cont, length(raw)::BIGINT AS rawlen FROM (
+    SELECT c AS raw, FALSE AS cont FROM ch
+    UNION ALL SELECT c, TRUE FROM ch
+    UNION ALL
+    SELECT CASE WHEN merged LIKE '##%' THEN substr(merged, 3)
+                ELSE merged END,
+           merged LIKE '##%'
+    FROM ({pieces}))
+  GROUP BY raw, cont),
+s0 AS MATERIALIZED (
+  SELECT word, length(word)::BIGINT AS len, 0::BIGINT AS pos,
+         0::BIGINT AS np, length(word) > {max_word_chars} AS unk
+  FROM wf)"""
+    for t in range(1, n_steps + 1):
+        sql += f""",
+g{t} AS (
+  SELECT st.word, st.len, st.pos, st.np, st.unk,
+         max(v.rawlen) AS bl
+  FROM s{t - 1} st
+  LEFT JOIN vcb v
+    ON v.cont = (st.pos > 0)
+   AND st.pos + v.rawlen <= st.len
+   AND substring(st.word, st.pos + 1, v.rawlen) = v.raw
+   AND NOT (st.unk OR st.pos >= st.len)
+  GROUP BY st.word, st.len, st.pos, st.np, st.unk),
+s{t} AS MATERIALIZED (
+  SELECT word, len,
+         CASE WHEN unk OR pos >= len OR bl IS NULL THEN pos
+              ELSE pos + bl END AS pos,
+         CASE WHEN unk OR pos >= len OR bl IS NULL THEN np
+              ELSE np + 1 END AS np,
+         CASE WHEN unk THEN TRUE
+              WHEN pos >= len THEN FALSE
+              ELSE bl IS NULL END AS unk
+  FROM g{t})"""
+    return sql + f""",
+npw AS MATERIALIZED (
+  SELECT word,
+         (CASE WHEN unk THEN 1 ELSE np END)::BIGINT AS np,
+         (CASE WHEN unk THEN 1 ELSE 0 END)::BIGINT AS unkf
+  FROM s{n_steps}),
+dt AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            w -> w <> '')) AS word
+  FROM documents),
+cnts AS (
+  SELECT dt.doc_id, count(*)::BIGINT AS n_words,
+         sum(npw.np)::BIGINT AS n_pieces,
+         sum(npw.unkf)::BIGINT AS n_unk
+  FROM dt JOIN npw USING (word) GROUP BY dt.doc_id)
+SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+       coalesce(c.n_pieces, 0) AS n_pieces,
+       coalesce(c.n_unk, 0) AS n_unk
+FROM documents d LEFT JOIN cnts c USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+@register("wordpiece_merges_docs", _wp_merges_oracle(12))
+def wordpiece_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training
+    (operators/tokenizer.train_wordpiece — Schuster & Nakajima 2012
+    / the BERT vocab builder): the ordered likelihood-scored merge
+    list, scored count(ab)/(count(a)·count(b)) instead of BPE's raw
+    count, with the supporting integer counts as output columns (no
+    float in the hash surface). The oracle unrolls 12 sequential
+    rounds; rounds are sequential BY DESIGN — likelihood scores
+    shift denominators non-locally, so BPE's batched-selection
+    proof does not apply."""
+    from parlerproject_spark.operators.tokenizer import train_wordpiece
+    merges = train_wordpiece(_t(spark, sf_dir, "documents"), n_merges=12)
+    rows = [(i + 1, a, b, m, cnt, ca, cb)
+            for i, (a, b, m, cnt, ca, cb) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows or [(0, "", "", "", 0, 0, 0)],
+        "rank long, left string, right string, piece string, "
+        "cnt long, ca long, cb long")
+
+
+@register("wordpiece_segment_docs", _wp_segment_oracle(12))
+def wordpiece_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first encoding
+    (operators/tokenizer.wordpiece_encode — the HF
+    WordpieceTokenizer contract incl. whole-word [UNK] on no-match
+    or > max_word_chars): per-doc word / piece / UNK counts under a
+    12-merge trained vocab plus the corpus character base. Encoding
+    runs once per distinct word (Arrow batch, broadcast piece set)
+    and fans back through one token-keyed join; the oracle replays
+    training AND the greedy scan (16 unrolled state-advance CTEs)."""
+    from parlerproject_spark.operators.tokenizer import (
+        corpus_char_pieces, train_wordpiece, wordpiece_encode)
+    d = _t(spark, sf_dir, "documents")
+    merges = train_wordpiece(d, n_merges=12)
+    vocab = corpus_char_pieces(d) + [m[2] for m in merges]
+    enc = wordpiece_encode(d, vocab, max_word_chars=16)
+    return (d.select("doc_id").join(enc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+                    F.coalesce("n_unk", F.lit(0)).alias("n_unk"))
+            .orderBy("doc_id"))

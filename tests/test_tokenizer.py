@@ -143,3 +143,118 @@ def test_bpe_compresses_repetitive_corpus(spark):
                                    "tokenization tokenization tokenizer token"
                                    .split())
         assert r["n_pieces"] >= r["n_words"] * 1  # at least one piece/word
+
+
+# ---------------------------------------------------------------------------
+# WordPiece: likelihood-scored trainer + greedy longest-match encoder
+# vs a pure-Python reference with the same tie-breaks.
+
+def _py_train_wordpiece(texts: list[str], n_merges: int,
+                        min_pair: int = 2):
+    vocab = Counter()
+    for t in texts:
+        vocab.update(_py_tokenize(t))
+    symtab = {w: [w[0]] + ["##" + c for c in w[1:]] for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs, singles = Counter(), Counter()
+        for w, n in vocab.items():
+            syms = symtab[w]
+            for s in syms:
+                singles[s] += n
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        cand = [(cnt / (singles[a] * singles[b]), (a, b), cnt)
+                for (a, b), cnt in pairs.items() if cnt >= min_pair]
+        if not cand:
+            break
+        score, (a, b), cnt = min(
+            cand, key=lambda kv: (-kv[0], kv[1]))
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append((a, b, merged, cnt, singles[a], singles[b]))
+        for w in symtab:
+            out = []
+            for s in symtab[w]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            symtab[w] = out
+    return merges
+
+
+def _py_wordpiece(word: str, pieces: set, max_chars: int = 16):
+    """HF WordpieceTokenizer: (n_pieces, is_unk)."""
+    if len(word) > max_chars:
+        return 1, 1
+    pos, np = 0, 0
+    while pos < len(word):
+        end = len(word)
+        hit = -1
+        while end > pos:
+            sub = word[pos:end]
+            if pos > 0:
+                sub = "##" + sub
+            if sub in pieces:
+                hit = end
+                break
+            end -= 1
+        if hit < 0:
+            return 1, 1
+        np += 1
+        pos = hit
+    return np, 0
+
+
+def test_train_wordpiece_matches_reference(spark):
+    from parlerproject_spark.operators.tokenizer import train_wordpiece
+    d = spark.createDataFrame(list(enumerate(_CORPUS)),
+                              "doc_id long, text string")
+    got = train_wordpiece(d, n_merges=10)
+    want = _py_train_wordpiece(_CORPUS, 10)
+    assert got == want
+
+
+def test_wordpiece_merge_convention(spark):
+    from parlerproject_spark.operators.tokenizer import _wp_merged
+    assert _wp_merged("a", "##b") == "ab"
+    assert _wp_merged("##a", "##b") == "##ab"
+
+
+def test_wordpiece_encode_hand_case(spark):
+    from parlerproject_spark.operators.tokenizer import wordpiece_encode
+    vocab = {"un", "##aff", "##able", "a", "##f", "##l", "##b", "##e",
+             "u", "##n", "##a"}
+    d = spark.createDataFrame([(1, "unaffable")],
+                              "doc_id long, text string")
+    r = wordpiece_encode(d, vocab).collect()[0]
+    # greedy: un + ##aff + ##able = 3 pieces, no unk
+    assert r["n_words"] == 1 and r["n_pieces"] == 3 and r["n_unk"] == 0
+
+
+def test_wordpiece_encode_unk_paths(spark):
+    from parlerproject_spark.operators.tokenizer import wordpiece_encode
+    vocab = {"a", "##a"}
+    d = spark.createDataFrame(
+        [(1, "aaa xyz " + "a" * 20)], "doc_id long, text string")
+    r = wordpiece_encode(d, vocab, max_word_chars=16).collect()[0]
+    # aaa -> 3 pieces; xyz -> UNK (no 'x'); 20*a -> UNK (too long)
+    assert r["n_words"] == 3
+    assert r["n_pieces"] == 3 + 1 + 1
+    assert r["n_unk"] == 2
+
+
+def test_wordpiece_encode_matches_reference_on_corpus(spark):
+    from parlerproject_spark.operators.tokenizer import (
+        corpus_char_pieces, train_wordpiece, wordpiece_encode)
+    d = spark.createDataFrame(list(enumerate(_CORPUS)),
+                              "doc_id long, text string")
+    merges = train_wordpiece(d, n_merges=8)
+    vocab = set(corpus_char_pieces(d)) | {m[2] for m in merges}
+    out = {r["doc_id"]: r for r in wordpiece_encode(d, vocab).collect()}
+    for i, text in enumerate(_CORPUS):
+        words = _py_tokenize(text)
+        want = [_py_wordpiece(w, vocab) for w in words]
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_pieces"] == sum(p for p, _ in want)
+        assert out[i]["n_unk"] == sum(u for _, u in want)
