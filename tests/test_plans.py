@@ -204,6 +204,11 @@ _BOUNDED_WINDOW_ALLOWLIST = {
                                # constant, not data-driven), after the
                                # banded aggregation has already
                                # reduced the corpus
+    "rrf_hybrid_docs",         # rank windows over three bounded
+                               # extracts: bm25 top-50, knn k=50,
+                               # and the fused limit(top_k=20) —
+                               # fusion input is systems × k rows,
+                               # never the corpus
     "kaplan_meier_users",      # cum-hazard over the per-DAY lifetime
                                # histogram: rows ≤ observation window
                                # in days (a decade of data = ~3.7k
