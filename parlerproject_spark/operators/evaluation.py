@@ -1028,3 +1028,63 @@ def pass_at_k(results: DataFrame, *, task_col: str = "task_id",
                  .cast("long").alias("n_solved"),
                  F.round(F.avg("__pass"), 6).alias("mean_pass_at_k"))
             .orderBy("k"))
+
+
+def krippendorff_alpha(ratings: DataFrame, *, item_col: str = "item_id",
+                       label_col: str = "label") -> DataFrame:
+    """Krippendorff's alpha (nominal) — the chance-corrected
+    agreement coefficient that, unlike Fleiss' kappa, tolerates
+    MISSING ratings: items may carry any number of ratings ≥ 2 and
+    still contribute (the real shape of a crowd labeling job, where
+    fleiss_kappa's fixed-m contract silently drops partial items).
+
+    Coincidence-matrix algebra reduced to three aggregates: with
+    n_uc = count of label c on item u and m_u = Σ_c n_uc (items with
+    m_u < 2 excluded — no pairable rating),
+      A = Σ_u Σ_c n_uc·(n_uc − 1) / (m_u − 1)   (matched pairs)
+      n = Σ_u m_u,  B = Σ_c n_c²  with n_c = Σ_u n_uc
+      α = 1 − (n − A)(n − 1) / (n² − B)
+    which is exactly 1 − D_o/D_e for nominal data. Do/De are also
+    reported (6-dp rounded, as is α — rounded AFTER each global
+    aggregate, the cross-engine contract).
+
+    Scale: one (item, label) cell aggregation over the raw frame,
+    then one item-keyed and one label-keyed aggregation over the
+    cell table (each no wider than items × labels), then single-row
+    algebra. No windows, no joins against the raw frame. Degenerate
+    inputs (n ≤ 1 pairable ratings, or every rating the same single
+    label → D_e = 0) report NULL alpha rather than a division blowup.
+
+    Columns (one row): n_items, n_ratings, do_rate, de_rate, alpha.
+    """
+    cell = (ratings.groupBy(F.col(item_col).alias("__u"),
+                            F.col(label_col).alias("__c"))
+            .agg(F.count(F.lit(1)).alias("__n")))
+    items = (cell.groupBy("__u")
+             .agg(F.sum("__n").alias("__m"),
+                  F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__mm"))
+             .filter(F.col("__m") >= 2))
+    per_item = items.select(
+        "__u", "__m",
+        (F.col("__mm") / (F.col("__m") - 1.0)).alias("__a"))
+    glob = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__m").cast("long").alias("n"),
+        F.sum("__a").alias("A"))
+    labels = (cell.join(items.select("__u"), "__u", "left_semi")
+              .groupBy("__c").agg(F.sum("__n").alias("__nc")))
+    bsum = labels.agg(
+        F.sum(F.col("__nc") * F.col("__nc")).cast("long").alias("B"))
+    j = glob.crossJoin(F.broadcast(bsum))
+    n = F.col("n").cast("double")
+    de_den = n * (n - 1.0)
+    do = F.when(n > 0, F.round((n - F.col("A")) / n, 6))
+    de = F.when(de_den > 0,
+                F.round((n * n - F.col("B")) / de_den, 6))
+    alpha = F.when(
+        (de_den > 0) & ((n * n - F.col("B")) > 0),
+        F.round(1.0 - (n - F.col("A")) * (n - 1.0)
+                / (n * n - F.col("B")), 6))
+    return j.select("n_items", F.col("n").alias("n_ratings"),
+                    do.alias("do_rate"), de.alias("de_rate"),
+                    alpha.alias("alpha"))

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     # last-driver-sampled round (the 43-query round-3 stale tier leads),
     # alphabetical within a tier — so the ~50-query sample window covers
     # all of the stale tail this round and nothing ages further.
+    "krippendorff_alpha_events",
     "wordpiece_merges_docs",
     "wordpiece_segment_docs",
     "chrf_pairs_docs",
@@ -12183,3 +12184,47 @@ def wordpiece_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
                     F.coalesce("n_unk", F.lit(0)).alias("n_unk"))
             .orderBy("doc_id"))
+
+
+@register("krippendorff_alpha_events", """
+WITH r AS (
+  SELECT event_id % 300 AS u, event_type AS c
+  FROM events
+  WHERE (event_id * 2654435761) % 10 < 7),
+cell AS (SELECT u, c, count(*)::BIGINT AS n FROM r GROUP BY u, c),
+items AS (
+  SELECT u, CAST(sum(n) AS BIGINT) AS m,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS mm
+  FROM cell GROUP BY u HAVING sum(n) >= 2),
+per AS (SELECT u, m, mm::DOUBLE / (m - 1.0) AS a FROM items),
+gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(m) AS BIGINT) AS n, sum(a) AS A
+  FROM per),
+labs AS (
+  SELECT c, CAST(sum(n) AS BIGINT) AS nc
+  FROM cell JOIN items USING (u) GROUP BY c),
+bb AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS B FROM labs)
+SELECT n_items, n AS n_ratings,
+       CASE WHEN n > 0 THEN round((n - A) / n, 6) END AS do_rate,
+       CASE WHEN n * (n - 1.0) > 0
+            THEN round((n::DOUBLE * n - B) / (n * (n - 1.0)), 6)
+       END AS de_rate,
+       CASE WHEN n * (n - 1.0) > 0 AND (n::DOUBLE * n - B) > 0
+            THEN round(1.0 - (n - A) * (n - 1.0) / (n::DOUBLE * n - B), 6)
+       END AS alpha
+FROM gtot, bb
+""")
+def krippendorff_alpha_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (evaluation.krippendorff_alpha) over a
+    crowd-labeling campaign with MISSING ratings — the agreement
+    readout fleiss_kappa cannot give when rater counts vary: items =
+    event_id mod 300, a ~70% multiplicative-hash participation draw,
+    label = event_type. The oracle replays the coincidence-matrix
+    algebra (matched-pair sum A, label marginals B) end-to-end."""
+    from parlerproject_spark.operators.evaluation import krippendorff_alpha
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") * F.lit(2654435761)) % 10 < 7)
+    ratings = ev.select((F.col("event_id") % 300).alias("item_id"),
+                        F.col("event_type").alias("label"))
+    return krippendorff_alpha(ratings)

@@ -614,3 +614,45 @@ class TestPassAtK:
         r = pass_at_k(self._frame(spark, rows), ks=(1,)).collect()[0]
         assert r["n_tasks"] == 2 and r["n_solved"] == 1
         assert r["mean_pass_at_k"] == pytest.approx(0.125, abs=1e-6)
+
+
+class TestKrippendorffAlpha:
+    def _run(self, spark, rows):
+        from parlerproject_spark.operators.evaluation import (
+            krippendorff_alpha)
+        df = spark.createDataFrame(rows, "item_id bigint, label string")
+        return krippendorff_alpha(df).collect()[0]
+
+    def test_hand_case(self, spark):
+        # A:(x,x) B:(x,y) C:(y,y): A=4, n=6, B=18
+        # alpha = 1 - (6-4)*5/(36-18) = 1 - 10/18
+        r = self._run(spark, [(1, "x"), (1, "x"), (2, "x"), (2, "y"),
+                              (3, "y"), (3, "y")])
+        assert r["n_items"] == 3 and r["n_ratings"] == 6
+        assert r["do_rate"] == pytest.approx(1 / 3, abs=1e-6)
+        assert r["de_rate"] == pytest.approx(0.6, abs=1e-6)
+        assert r["alpha"] == pytest.approx(1 - 10 / 18, abs=1e-6)
+
+    def test_single_rating_items_excluded(self, spark):
+        base = [(1, "x"), (1, "x"), (2, "x"), (2, "y"),
+                (3, "y"), (3, "y")]
+        with_single = base + [(4, "x")]
+        assert self._run(spark, base) == self._run(spark, with_single)
+
+    def test_perfect_agreement(self, spark):
+        r = self._run(spark, [(1, "x"), (1, "x"),
+                              (2, "y"), (2, "y"), (2, "y")])
+        assert r["alpha"] == 1.0 and r["do_rate"] == 0.0
+
+    def test_degenerate_single_label_null(self, spark):
+        # every rating identical: D_e = 0, alpha undefined
+        r = self._run(spark, [(1, "x"), (1, "x"), (2, "x"), (2, "x")])
+        assert r["alpha"] is None and r["do_rate"] == 0.0
+
+    def test_varying_rater_counts(self, spark):
+        # fleiss_kappa would need fixed m; alpha handles 2 vs 4 raters
+        r = self._run(spark, [(1, "x"), (1, "x"),
+                              (2, "x"), (2, "x"), (2, "y"), (2, "y")])
+        # A = 2 + (2+2)/3 = 10/3; n=6; nc: x=4,y=2 -> B=20
+        # alpha = 1 - (6-10/3)*5/(36-20) = 1 - (8/3)*5/16 = 1/6
+        assert r["alpha"] == pytest.approx(1 / 6, abs=1e-6)

@@ -163,6 +163,7 @@ REPORT_QUERIES = [
     "expectations_orders",
     "wordpiece_merges_docs",
     "wordpiece_segment_docs",
+    "krippendorff_alpha_events",
     "bleu_pairs_docs",
     "grouped_roc_auc_sources",
     "ips_policy_value_events",
