@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     # last-driver-sampled round (the 43-query round-3 stale tier leads),
     # alphabetical within a tier — so the ~50-query sample window covers
     # all of the stale tail this round and nothing ages further.
+    "rouge_l_pairs_docs",
     "krippendorff_alpha_events",
     "wordpiece_merges_docs",
     "wordpiece_segment_docs",
@@ -12228,3 +12229,87 @@ def krippendorff_alpha_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = ev.select((F.col("event_id") % 300).alias("item_id"),
                         F.col("event_type").alias("label"))
     return krippendorff_alpha(ratings)
+
+
+def _rouge_l_oracle(n_steps: int = 24) -> str:
+    r"""Oracle for rouge_l_pairs: replay token-LCS with the
+    Allison–Dix / Hyyrö bit-parallel recurrence — V starts all-ones
+    over the ≤60 reference positions; each candidate position i
+    applies U = V & M_i, V = ((V+U) | (V−U)) & mask, where M_i sets
+    the bits of reference positions matching candidate token i; LCS
+    = n_ref − popcount(V). One linear CTE per candidate position
+    (n_steps = the candidate truncation cap), integer arithmetic
+    only, provably equal to the DP the engine's Arrow stage runs."""
+    head = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents),
+pairs AS (
+  SELECT c.doc_id AS pair_id, c.ws[1:24] AS cts, r.ws[1:60] AS rts
+  FROM toks c JOIN toks r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 2 = 0),
+v0 AS (
+  SELECT pair_id, cts, rts,
+         len(cts)::BIGINT AS nc, len(rts)::BIGINT AS nr,
+         CASE WHEN len(rts) = 0 THEN 0::BIGINT
+              ELSE (1::BIGINT << len(rts)) - 1 END AS msk,
+         CASE WHEN len(rts) = 0 THEN 0::BIGINT
+              ELSE (1::BIGINT << len(rts)) - 1 END AS v
+  FROM pairs)"""
+    body = ""
+    for i in range(1, n_steps + 1):
+        body += f""",
+v{i} AS (
+  SELECT pair_id, cts, rts, nc, nr, msk,
+         CASE WHEN nc >= {i}
+              THEN ((v + u) | (v - u)) & msk
+              ELSE v END AS v
+  FROM (SELECT *,
+               v & coalesce(list_sum(list_transform(range(1, nr + 1),
+                     j -> CASE WHEN rts[j] = cts[{i}]
+                          THEN (1::BIGINT << (j - 1))
+                          ELSE 0::BIGINT END)), 0)::BIGINT AS u
+        FROM v{i - 1}))"""
+    return head + body + f""",
+sc AS (
+  SELECT pair_id, nc AS n_cand, nr AS n_ref,
+         (nr - bit_count(v & msk))::BIGINT AS lcs
+  FROM v{n_steps}),
+pr AS (
+  SELECT pair_id, n_cand, n_ref, lcs,
+         CASE WHEN n_cand > 0 THEN round(lcs::DOUBLE / n_cand, 6)
+              ELSE 0.0 END AS rouge_p,
+         CASE WHEN n_ref > 0 THEN round(lcs::DOUBLE / n_ref, 6)
+              ELSE 0.0 END AS rouge_r
+  FROM sc)
+SELECT pair_id, n_cand, n_ref, lcs, rouge_p, rouge_r,
+       CASE WHEN rouge_p + rouge_r > 0.0
+            THEN round(2.0 * rouge_p * rouge_r / (rouge_p + rouge_r), 6)
+            ELSE 0.0 END AS rouge_l
+FROM pr
+ORDER BY pair_id"""
+
+
+@register("rouge_l_pairs_docs", _rouge_l_oracle(24))
+def rouge_l_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (evaluation.rouge_l_pairs — Lin 2004) over the same
+    even/odd aligned doc pairs as bleu/chrf: token-LCS precision,
+    recall, and F1, truncated at 24/60 tokens (the snippet contract
+    AND the 63-bit bound for the oracle's bit-parallel replay). The
+    engine runs the integer DP once per pair in an Arrow batch after
+    ONE pair join; the oracle replays LCS as 24 unrolled Allison–Dix
+    bit-vector CTE steps — mathematically the same function, so the
+    hash must match exactly (integers end-to-end until the final
+    rounded ratios)."""
+    from parlerproject_spark.operators.evaluation import rouge_l_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = (d.filter(F.col("doc_id") % 2 == 0)
+            .select(F.col("doc_id").alias("pair_id"), "text"))
+    ref = (d.filter(F.col("doc_id") % 2 != 0)
+           .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
+    return (rouge_l_pairs(
+        cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
+        ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
+        max_cand_tokens=24, max_ref_tokens=60)
+        .orderBy("pair_id"))

@@ -656,3 +656,40 @@ class TestKrippendorffAlpha:
         # A = 2 + (2+2)/3 = 10/3; n=6; nc: x=4,y=2 -> B=20
         # alpha = 1 - (6-10/3)*5/(36-20) = 1 - (8/3)*5/16 = 1/6
         assert r["alpha"] == pytest.approx(1 / 6, abs=1e-6)
+
+
+class TestRougeLPairs:
+    def _run(self, spark, cand, ref, **kw):
+        from parlerproject_spark.operators.evaluation import rouge_l_pairs
+        c = spark.createDataFrame([(1, cand)], "pair_id bigint, text string")
+        r = spark.createDataFrame([(1, ref)], "pair_id bigint, text string")
+        return rouge_l_pairs(c, r, **kw).collect()[0]
+
+    def test_identity(self, spark):
+        r = self._run(spark, "a b c d", "a b c d")
+        assert r["lcs"] == 4 and r["rouge_l"] == 1.0
+
+    def test_order_sensitivity_vs_bag_metrics(self, spark):
+        # transposed tokens: unigram bag metrics score 1.0; LCS sees 1
+        r = self._run(spark, "a b", "b a")
+        assert r["lcs"] == 1
+        assert r["rouge_p"] == 0.5 and r["rouge_r"] == 0.5
+        assert r["rouge_l"] == 0.5
+
+    def test_non_contiguous_subsequence(self, spark):
+        r = self._run(spark, "a x b y c", "a b c")
+        assert r["lcs"] == 3
+        assert r["rouge_p"] == pytest.approx(0.6, abs=1e-6)
+        assert r["rouge_r"] == 1.0
+        assert r["rouge_l"] == pytest.approx(0.75, abs=1e-6)
+
+    def test_disjoint_and_empty(self, spark):
+        r = self._run(spark, "a b", "c d")
+        assert r["lcs"] == 0 and r["rouge_l"] == 0.0
+        r2 = self._run(spark, "   ", "a b")
+        assert r2["n_cand"] == 0 and r2["rouge_l"] == 0.0
+
+    def test_truncation_caps(self, spark):
+        r = self._run(spark, "a b c d e", "a b c d e",
+                      max_cand_tokens=3, max_ref_tokens=3)
+        assert r["n_cand"] == 3 and r["n_ref"] == 3 and r["lcs"] == 3
