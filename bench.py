@@ -248,7 +248,6 @@ EXTRA = [
     "chrf_pairs_docs",
     "pass_at_k_events",
     "expectations_orders",
-    "wordpiece_merges_docs",
     "wordpiece_segment_docs",
     "krippendorff_alpha_events",
     "rouge_l_pairs_docs",

@@ -345,7 +345,6 @@ def train_wordpiece(docs: DataFrame, *, n_merges: int = 20,
     symtab = symtab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, str, int, int, int]] = []
     rounds = 0
-    since_ckpt = 0
     while len(merges) < n_merges:
         pairs = _pair_counts(symtab)
         syms = (symtab.select("n", F.explode("syms").alias("s"))
@@ -367,11 +366,14 @@ def train_wordpiece(docs: DataFrame, *, n_merges: int = 20,
         merged = _wp_merged(r["a"], r["b"])
         merges.append((r["a"], r["b"], merged,
                        int(r["cnt"]), int(r["ca"]), int(r["cb"])))
-        symtab = _apply_merge_to(symtab, r["a"], r["b"], merged)
-        since_ckpt += 1
-        if since_ckpt >= 4:
-            symtab = symtab.localCheckpoint(eager=True)
-            since_ckpt = 0
+        # checkpoint EVERY round: train_bpe amortizes folds across a
+        # BATCH of merges, but this trainer is sequential — without a
+        # per-round materialization each round's best-pair job walks
+        # the accumulated interpreted folds TWICE (pair counts +
+        # symbol counts), which measured 3x slower at sf0.1. The
+        # table is vocab-sized; 1 materialization/round is noise.
+        symtab = _apply_merge_to(
+            symtab, r["a"], r["b"], merged).localCheckpoint(eager=True)
     if stats is not None:
         stats["rounds"] = rounds
     return merges

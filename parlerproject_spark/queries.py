@@ -12163,20 +12163,24 @@ def wordpiece_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt long, ca long, cb long")
 
 
-@register("wordpiece_segment_docs", _wp_segment_oracle(12))
+@register("wordpiece_segment_docs", _wp_segment_oracle(8))
 def wordpiece_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece greedy longest-match-first encoding
     (operators/tokenizer.wordpiece_encode — the HF
     WordpieceTokenizer contract incl. whole-word [UNK] on no-match
     or > max_word_chars): per-doc word / piece / UNK counts under a
-    12-merge trained vocab plus the corpus character base. Encoding
-    runs once per distinct word (Arrow batch, broadcast piece set)
-    and fans back through one token-keyed join; the oracle replays
-    training AND the greedy scan (16 unrolled state-advance CTEs)."""
+    trained vocab (8 merges — the encode exercise; the merges query
+    carries the 12-round training surface) plus the corpus character
+    base. Encoding runs once per distinct word (Arrow batch,
+    broadcast piece set) and fans back through one token-keyed join;
+    the oracle replays training AND the greedy scan (16 unrolled
+    state-advance CTEs). Sequential training costs ~2 vocab-sized
+    jobs per round BY DESIGN (see train_wordpiece's docstring) —
+    this query prices 8 of those rounds plus the encode."""
     from parlerproject_spark.operators.tokenizer import (
         corpus_char_pieces, train_wordpiece, wordpiece_encode)
     d = _t(spark, sf_dir, "documents")
-    merges = train_wordpiece(d, n_merges=12)
+    merges = train_wordpiece(d, n_merges=8)
     vocab = corpus_char_pieces(d) + [m[2] for m in merges]
     enc = wordpiece_encode(d, vocab, max_word_chars=16)
     return (d.select("doc_id").join(enc, "doc_id", "left")

@@ -161,7 +161,6 @@ REPORT_QUERIES = [
     "chrf_pairs_docs",
     "pass_at_k_events",
     "expectations_orders",
-    "wordpiece_merges_docs",
     "wordpiece_segment_docs",
     "krippendorff_alpha_events",
     "rouge_l_pairs_docs",
