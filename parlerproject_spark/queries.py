@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     # last-driver-sampled round (the 43-query round-3 stale tier leads),
     # alphabetical within a tier — so the ~50-query sample window covers
     # all of the stale tail this round and nothing ages further.
+    "edit_distance_pairs_docs",
     "rouge_l_pairs_docs",
     "krippendorff_alpha_events",
     "wordpiece_merges_docs",
@@ -12316,4 +12317,59 @@ def rouge_l_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
         ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
         max_cand_tokens=24, max_ref_tokens=60)
+        .orderBy("pair_id"))
+
+
+@register("edit_distance_pairs_docs", r"""
+WITH prep AS (
+  SELECT doc_id,
+         substring(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                   1, 200) AS s,
+         list_filter(string_split_regex(text, '\s+'),
+                     w -> w <> '')[1:40] AS ts
+  FROM documents),
+pairs AS (
+  SELECT c.doc_id AS pair_id, c.s AS cs, c.ts AS ct,
+         r.s AS rs, r.ts AS rt,
+         list_sort(list_distinct(c.ts || r.ts)) AS voc
+  FROM prep c JOIN prep r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 2 = 0),
+d AS (
+  SELECT pair_id,
+         length(rs)::BIGINT AS n_ref_chars,
+         len(rt)::BIGINT AS n_ref_tokens,
+         levenshtein(cs, rs)::BIGINT AS char_dist,
+         levenshtein(
+           array_to_string(list_transform(ct,
+             t -> chr(47 + list_position(voc, t))), ''),
+           array_to_string(list_transform(rt,
+             t -> chr(47 + list_position(voc, t))), ''))::BIGINT
+           AS token_dist
+  FROM pairs)
+SELECT pair_id, n_ref_chars, n_ref_tokens, char_dist, token_dist,
+       CASE WHEN n_ref_chars > 0
+            THEN round(char_dist::DOUBLE / n_ref_chars, 6) END AS cer,
+       CASE WHEN n_ref_tokens > 0
+            THEN round(token_dist::DOUBLE / n_ref_tokens, 6) END AS wer
+FROM d
+ORDER BY pair_id
+""")
+def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CER / WER (evaluation.edit_distance_pairs) over the same
+    even/odd aligned doc pairs as bleu/chrf/rouge: char- and
+    token-level Levenshtein error rates at 200-char / 40-token
+    snippet caps. Token distance rides the built-in char
+    levenshtein through the sorted-distinct per-pair token→ASCII
+    bijection — JVM expressions end-to-end, and the oracle replays
+    the identical mapping with chr()/list_position."""
+    from parlerproject_spark.operators.evaluation import edit_distance_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = (d.filter(F.col("doc_id") % 2 == 0)
+            .select(F.col("doc_id").alias("pair_id"), "text"))
+    ref = (d.filter(F.col("doc_id") % 2 != 0)
+           .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
+    return (edit_distance_pairs(
+        cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
+        ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
+        max_chars=200, max_tokens=40)
         .orderBy("pair_id"))

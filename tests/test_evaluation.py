@@ -693,3 +693,45 @@ class TestRougeLPairs:
         r = self._run(spark, "a b c d e", "a b c d e",
                       max_cand_tokens=3, max_ref_tokens=3)
         assert r["n_cand"] == 3 and r["n_ref"] == 3 and r["lcs"] == 3
+
+
+class TestEditDistancePairs:
+    def _run(self, spark, cand, ref, **kw):
+        from parlerproject_spark.operators.evaluation import (
+            edit_distance_pairs)
+        c = spark.createDataFrame([(1, cand)], "pair_id bigint, text string")
+        r = spark.createDataFrame([(1, ref)], "pair_id bigint, text string")
+        return edit_distance_pairs(c, r, **kw).collect()[0]
+
+    def test_identity(self, spark):
+        r = self._run(spark, "a b c", "a b c")
+        assert r["char_dist"] == 0 and r["token_dist"] == 0
+        assert r["cer"] == 0.0 and r["wer"] == 0.0
+
+    def test_wer_substitution(self, spark):
+        r = self._run(spark, "a b c", "a x c")
+        assert r["token_dist"] == 1
+        assert r["wer"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_tokens_are_atomic(self, spark):
+        # char distance sees 2 swapped chars; token distance sees ONE
+        # substituted token
+        r = self._run(spark, "ab", "ba")
+        assert r["char_dist"] == 2
+        assert r["token_dist"] == 1 and r["wer"] == 1.0
+
+    def test_insert_delete(self, spark):
+        r = self._run(spark, "the quick fox", "the quick brown fox")
+        assert r["token_dist"] == 1
+        assert r["wer"] == pytest.approx(0.25, abs=1e-6)
+
+    def test_empty_ref_null_rates(self, spark):
+        r = self._run(spark, "a b", "   ")
+        assert r["n_ref_tokens"] == 0
+        assert r["wer"] is None and r["cer"] is None
+
+    def test_caps(self, spark):
+        r = self._run(spark, "a b c d", "a b c d",
+                      max_tokens=2, max_chars=3)
+        assert r["n_ref_tokens"] == 2 and r["n_ref_chars"] == 3
+        assert r["wer"] == 0.0

@@ -164,6 +164,7 @@ REPORT_QUERIES = [
     "wordpiece_segment_docs",
     "krippendorff_alpha_events",
     "rouge_l_pairs_docs",
+    "edit_distance_pairs_docs",
     "bleu_pairs_docs",
     "grouped_roc_auc_sources",
     "ips_policy_value_events",
