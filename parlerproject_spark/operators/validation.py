@@ -132,3 +132,44 @@ def expect_suite(df: DataFrame, rules: Sequence[Expectation],
         out_rows,
         "rule string, kind string, col string, n_checked long, "
         "n_failed long, pass_rate double, passed boolean")
+
+
+def validation_sink(stream_df: DataFrame, rules: Sequence[Expectation],
+                    path: str, *, checkpoint: str):
+    """Run the expectation suite on EVERY micro-batch of a stream —
+    the ingest gate as a streaming citizen: each batch's per-rule
+    report (one row per rule, with the batch id) lands under
+    `path`/batch=<id> as parquet; replayed batches overwrite their
+    own subdirectory, so restart is idempotent (the rollup_sink /
+    cms_sink recipe). Serving reads the directory and has, at any
+    mid-stream moment, the full per-batch gate history — which batch
+    broke which rule, with counts, instead of a dead stream.
+
+    The per-batch cost is the batch-level expect_suite contract: one
+    conditional aggregate for all row-level rules plus one
+    count-distinct per unique rule (uniqueness here is WITHIN-batch
+    by construction — cross-batch uniqueness is a stateful dedup
+    problem, `streaming.stateful` territory — and the report column
+    names say so). Returns the StreamingQuery.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rep = expect_suite(batch_df, rules, spark=batch_df.sparkSession)
+        (rep.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .coalesce(1)
+         .write.mode("overwrite")
+         .parquet(os.path.join(path, f"batch={batch_id}")))
+
+    return (stream_df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def serve_validation_reports(spark, path: str) -> DataFrame:
+    """Read-side union of streamed per-batch gate reports.
+    Columns: rule, kind, col, n_checked, n_failed, pass_rate,
+    passed, batch_id."""
+    return spark.read.parquet(f"{path}/batch=*")

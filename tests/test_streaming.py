@@ -327,3 +327,44 @@ def test_stream_progress_recorder_captures_batches(spark, sf_dir,
         assert len(side["batches"]) == s["n_batches"]
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_streaming_validation_gate_matches_batch_and_is_idempotent(
+        spark, sf_dir, event_stream_dir, tmp_path):
+    """validation_sink: per-batch expectation reports equal running
+    expect_suite on the same rows, batch replay overwrites its own
+    subdirectory, and the served union carries every batch."""
+    from parlerproject_spark.operators.validation import (
+        Expectation, expect_suite, serve_validation_reports,
+        validation_sink)
+    rules = [
+        Expectation("eid_nn", "not_null", "event_id"),
+        Expectation("value_range", "in_range", "value",
+                    params={"lo": 0.0, "hi": 1e12}),
+        Expectation("type_nn", "not_null", "event_type"),
+    ]
+    schema = load_table(spark, "events", sf_dir).schema
+    stream = se.read_event_stream(spark, event_stream_dir, schema)
+    out = str(tmp_path / "gate")
+    ckpt = str(tmp_path / "ckpt")
+    q = validation_sink(stream, rules, out, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    rep = serve_validation_reports(spark, out)
+    batch_ids = [r["batch_id"] for r in
+                 rep.select("batch_id").distinct().collect()]
+    assert len(batch_ids) >= 1
+    # summed per-batch counters == one-shot suite over the full table
+    got = {r["rule"]: (r["nc"], r["nf"]) for r in
+           rep.groupBy("rule").agg(
+               F.sum("n_checked").alias("nc"),
+               F.sum("n_failed").alias("nf")).collect()}
+    want = {r["rule"]: (r["n_checked"], r["n_failed"]) for r in
+            expect_suite(load_table(spark, "events", sf_dir),
+                         rules).collect()}
+    assert got == want
+    # restart with the same checkpoint: no new batches, no dup rows
+    n_rows = rep.count()
+    q2 = validation_sink(stream, rules, out, checkpoint=ckpt)
+    q2.awaitTermination(120)
+    assert serve_validation_reports(spark, out).count() == n_rows
