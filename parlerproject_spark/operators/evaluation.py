@@ -1207,6 +1207,15 @@ def edit_distance_pairs(cand: DataFrame, ref: DataFrame, *,
     Columns: pair_id, n_ref_chars, n_ref_tokens, char_dist,
     token_dist, cer, wer.
     """
+    if 2 * max_tokens + 47 > 255:
+        # the token→char bijection assigns chr(47 + position) over a
+        # per-pair vocab of ≤ 2·max_tokens entries; past code point
+        # 255 Spark's char() wraps mod 256 and distinct tokens would
+        # silently collide (understating token_dist/WER) — fail fast.
+        raise ValueError(
+            f"max_tokens={max_tokens} breaks the single-byte "
+            "token→char bijection (2*max_tokens + 47 must be <= 255, "
+            "i.e. max_tokens <= 104)")
     def prep(df, cs_name, ts_name):
         s = F.substring(
             F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")),

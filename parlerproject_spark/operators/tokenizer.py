@@ -354,8 +354,17 @@ def train_wordpiece(docs: DataFrame, *, n_merges: int = 20,
                                   .withColumnRenamed("c", "ca")), "a")
                 .join(F.broadcast(syms.withColumnRenamed("s", "b")
                                   .withColumnRenamed("c", "cb")), "b")
+                # denominator in DOUBLE: int64 ca*cb overflows
+                # silently in Spark (wraps negative, corrupting the
+                # argmax) once symbol counts reach ~3e9 — i.e. well
+                # below the 100 TB corpus contract — while DuckDB
+                # would raise on the same product, so the engines
+                # would also diverge. double*double of exact integer
+                # counts is one correctly-rounded IEEE op, identical
+                # in both engines (the oracle mirrors the cast).
                 .withColumn("score",
-                            F.col("cnt") / (F.col("ca") * F.col("cb")))
+                            F.col("cnt") / (F.col("ca").cast("double")
+                                            * F.col("cb")))
                 .orderBy(F.col("score").desc(), F.col("a").asc(),
                          F.col("b").asc())
                 .limit(1).collect())

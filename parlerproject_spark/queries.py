@@ -6790,7 +6790,10 @@ def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     vocab = train_unigram(d, vocab_size=80, n_iters=2,
                           max_piece_len=5, n_seed=150)
-    return segment_unigram(d, vocab).orderBy("doc_id")
+    # pin max_piece_len to the TRAINING value: the oracle's Viterbi
+    # unroll uses piece_len=5, and segment_unigram's default (6) only
+    # matches today because the vocab happens to hold no 6-char piece.
+    return segment_unigram(d, vocab, max_piece_len=5).orderBy("doc_id")
 
 
 @register("rag_context_budget", """
@@ -12007,7 +12010,9 @@ def _wp_rounds_sql(n_merges: int) -> str:
     sequential (pair counts + symbol counts → likelihood argmax →
     greedy replace) rounds ending at t{n}. Same delimiter-wrapped
     replace()-is-the-fold trick as _bpe_rounds_sql; the argmax key
-    is cnt::DOUBLE/(ca·cb) — one IEEE division of exact integers, so
+    is cnt::DOUBLE/(ca::DOUBLE·cb) — the denominator multiply is in
+    double on BOTH engines (int64 ca·cb would wrap in Spark and raise
+    in DuckDB at ~3e9 symbol counts), so
     the order is engine-identical (tokenizer.train_wordpiece
     computes the same division from the same longs)."""
     g = "chr(31)"
@@ -12046,7 +12051,7 @@ m{it} AS (
   JOIN sc{it} ca ON ca.sym = p.a
   JOIN sc{it} cb ON cb.sym = p.b
   WHERE p.cnt >= 2
-  ORDER BY p.cnt::DOUBLE / (ca.c * cb.c) DESC, p.a ASC, p.b ASC
+  ORDER BY p.cnt::DOUBLE / (ca.c::DOUBLE * cb.c) DESC, p.a ASC, p.b ASC
   LIMIT 1),
 t{it} AS MATERIALIZED (
   SELECT t.word, t.n,

@@ -735,3 +735,12 @@ class TestEditDistancePairs:
                       max_tokens=2, max_chars=3)
         assert r["n_ref_tokens"] == 2 and r["n_ref_chars"] == 3
         assert r["wer"] == 0.0
+
+    def test_max_tokens_bijection_guard(self, spark):
+        # chr(47 + pos) over a <= 2*max_tokens vocab must stay within
+        # single-byte ASCII; 105+ would wrap mod 256 and collide tokens
+        with pytest.raises(ValueError, match="max_tokens"):
+            self._run(spark, "a", "a", max_tokens=105)
+        # boundary value is accepted
+        r = self._run(spark, "a b", "a b", max_tokens=104)
+        assert r["token_dist"] == 0
