@@ -349,7 +349,9 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
-    def time_queries(names: list[str], runs_each: int) -> dict[str, float]:
+    def time_queries(names: list[str], runs_each: int,
+                     slow_rerun_sec: float | None = None
+                     ) -> dict[str, float]:
         # A missing or crashing query is recorded and skipped — one bad
         # entry must never cost the round its headline number (round 2
         # lost its number to an oversized output line; same lesson).
@@ -363,6 +365,21 @@ def main() -> None:
                     fn(spark, sf_dir).write.format("noop").mode(
                         "overwrite").save()
                     per.append(round(time.perf_counter() - start, 3))
+                # Host-drift guard (VERDICT r9 item 2): a single cold
+                # run can read 2-3x its quiet value under drift the
+                # end-of-suite steal probe cannot see (r9: untouched
+                # extras moved 274s->397s total with steal_index < 1
+                # both runs). Any single-run timing above the
+                # threshold gets two warm re-runs and reports the
+                # median-of-3, so an extra's regression claim is
+                # decidable from the artifact alone.
+                if (slow_rerun_sec is not None and len(per) == 1
+                        and per[0] > slow_rerun_sec):
+                    for _ in range(2):
+                        start = time.perf_counter()
+                        fn(spark, sf_dir).write.format("noop").mode(
+                            "overwrite").save()
+                        per.append(round(time.perf_counter() - start, 3))
                 runs[name] = per
                 timings[name] = round(_median(per), 3)       # median of runs
                 spread[name] = round(max(per) - min(per), 3)  # noise bound
@@ -371,15 +388,21 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         return timings
 
-    # Headline keeps the median-of-n noise guard; the ~110-query extra
+    # Headline keeps the median-of-n noise guard; the ~200-query extra
     # tail runs ONCE each — at 3 runs the full bench outgrew a
-    # 10-minute wall (the tail is informational tracking, not the
-    # cross-round contract number, and a tail-query regression is
-    # visible at 1 run just as well).
+    # 10-minute wall — EXCEPT that any extra whose single run exceeds
+    # SPARK_GRAFT_BENCH_SLOW_RERUN_SEC (default 2 s) is re-run twice
+    # warm and reported as a median-of-3 (cheap: warm re-runs of a
+    # >2 s query cost far less than its cold run, and only ~15% of
+    # extras cross the threshold).
     n_runs_extra = max(1, int(
         os.environ.get("SPARK_GRAFT_BENCH_EXTRA_RUNS", "1")))
+    slow_rerun = float(
+        os.environ.get("SPARK_GRAFT_BENCH_SLOW_RERUN_SEC", "2.0"))
     timings = time_queries(HEADLINE, n_runs)
-    extra = time_queries(EXTRA, n_runs_extra)
+    extra = time_queries(EXTRA, n_runs_extra,
+                         slow_rerun_sec=slow_rerun if n_runs_extra == 1
+                         else None)
 
     # Steal marker (VERDICT r7 item 6): host steal moved untouched
     # queries ±2× between rounds and cost a full manual adjudication.

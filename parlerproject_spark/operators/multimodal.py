@@ -46,9 +46,17 @@ def synth_media(df: DataFrame, *, id_col: str = "doc_id",
                 seed_col: str = "text") -> DataFrame:
     """Attach a deterministic fake media column + metadata struct:
     content = IMG1 | width | height | md5-stream payload. Stands in
-    for `fetch_objects` content (sources/fetch.py) in tests."""
-    width = (F.abs(F.hash(F.col(seed_col))) % 1920 + 16).cast("int")
-    height = (F.abs(F.hash(F.col(seed_col), F.lit(1))) % 1080 + 16).cast("int")
+    for `fetch_objects` content (sources/fetch.py) in tests.
+
+    Dims derive from md5 hex substrings (not Spark's murmur3 hash) so
+    they are CROSS-ENGINE deterministic: a SQL oracle can replay
+    width/height as ('0x'||substr(md5(text),1,8))::BIGINT % 1920 + 16
+    and hash-verify every downstream dimension computation
+    (media_resize's target-size arithmetic is oracled this way)."""
+    width = (F.conv(F.substring(F.md5(F.col(seed_col)), 1, 8), 16, 10)
+             .cast("long") % 1920 + 16).cast("int")
+    height = (F.conv(F.substring(F.md5(F.col(seed_col)), 9, 8), 16, 10)
+              .cast("long") % 1080 + 16).cast("int")
     header = F.concat(F.lit(_MAGIC), _pack_int(width), _pack_int(height))
     payload = F.encode(F.repeat(F.md5(F.col(seed_col)), 4), "ISO-8859-1")
     return (df.withColumn("width", width).withColumn("height", height)
@@ -130,7 +138,12 @@ def resize_media(assets: DataFrame, *, id_col: str = "doc_id",
                     rows.append((aid, w, h, 0, 0, None, "resize_error"))
                     continue
                 nw = target_width
-                nh = max(1, round(h * target_width / w))
+                # HALF_UP via pure integer arithmetic — floor((2hw'+w)
+                # / 2w) == floor(h*w'/w + 1/2). Python's round() is
+                # banker's and float h*w'/w can land a half-boundary;
+                # the integer form is exact, engine-independent, and
+                # SQL-replayable as (2*h*tw + w) // (2*w).
+                nh = max(1, (2 * h * target_width + w) // (2 * w))
                 out = (_MAGIC + struct.pack(">ii", nw, nh) + content[12:])
                 rows.append((aid, w, h, nw, nh, out, "success"))
             yield pd.DataFrame(rows, columns=[

@@ -60,11 +60,28 @@ def register(name: str, oracle: str | None):
 # ~3 rounds stale (all entries also pass the local oracle replica,
 # tools/check_oracle.py, every session).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-9 rotation (VERDICT r8 item 4). Head: round-9 additions
-    # (never driver-sampled), then every query in ascending
-    # last-driver-sampled round (the 43-query round-3 stale tier leads),
-    # alphabetical within a tier — so the ~50-query sample window covers
-    # all of the stale tail this round and nothing ages further.
+    # Round-10 rotation (VERDICT r9 item 1). Head: round-10 additions
+    # (never driver-sampled), then the 14 queries whose latest driver
+    # sample is still round 3 (they sat at positions ~51-64 last round,
+    # just outside the ~50-query window), then ascending
+    # last-driver-sampled round, alphabetical within a tier.
+    # -- round-10 new queries --
+    # -- the 14 round-3-stale queries (VERDICT r9 list, verbatim) --
+    "q7_nation_volume",
+    "range_join_value_tiers",
+    "rename_suffix_docs",
+    "robust_zscores_by_user",
+    "robust_zscores_native",
+    "rolling_fingerprints_docs",
+    "sentence_split_udtf",
+    "sessionize_events",
+    "stratified_sample_docs",
+    "train_val_test_split",
+    "url_dedup_normalized",
+    "view_purchase_stream_join",
+    "vocab_coverage_docs",
+    "window_family_orders",
+    # -- round-9 tier (driver-sampled r9) --
     "edit_distance_pairs_docs",
     "rouge_l_pairs_docs",
     "krippendorff_alpha_events",
@@ -115,20 +132,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_brand_disjunction",
     "q4_priority_late_ship",
     "q6_revenue_delta",
-    "q7_nation_volume",
-    "range_join_value_tiers",
-    "rename_suffix_docs",
-    "robust_zscores_by_user",
-    "robust_zscores_native",
-    "rolling_fingerprints_docs",
-    "sentence_split_udtf",
-    "sessionize_events",
-    "stratified_sample_docs",
-    "train_val_test_split",
-    "url_dedup_normalized",
-    "view_purchase_stream_join",
-    "vocab_coverage_docs",
-    "window_family_orders",
     "anti_join_idle_customers",
     "audience_overlap_theta",
     "bloom_incremental_dedup_docs",
@@ -3172,17 +3175,37 @@ def window_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey"))
 
 
-@register("media_resize", None)  # fake-resample dims are Spark-hash-derived
+@register("media_resize", """
+SELECT doc_id AS asset_id, w AS width, h AS height,
+       256 AS new_width,
+       CAST(greatest(1, (2 * h * 256 + w) // (2 * w)) AS INTEGER)
+         AS new_height,
+       'success' AS resize_status
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1920 + 16
+              AS INTEGER) AS w,
+         CAST(('0x' || substr(md5(text), 9, 8))::BIGINT % 1080 + 16
+              AS INTEGER) AS h
+  FROM documents WHERE doc_id < 200 AND text IS NOT NULL)
+ORDER BY asset_id
+""")
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing (multimodal.resize_media):
     batch-shaped binary in/out with an error-taxonomy column; the
-    pixel resampler is the documented library seam. Dims derive from
-    Spark's murmur3 hash, so no cross-engine oracle; pytest pins
-    aspect preservation and header rewrite."""
+    pixel resampler is the documented library seam. Hash-oracled
+    since r10 (VERDICT r9 item 3): synth_media dims come from md5
+    substrings and the target-height arithmetic is pure-integer
+    HALF_UP, so the SQL oracle replays the full decode→resize
+    dimension path; only payload BYTES stay un-oracled (the codec
+    seam), and they are pytest-pinned (header rewrite roundtrip)."""
     from parlerproject_spark.operators.multimodal import resize_media, synth_media
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 200) & F.col("text").isNotNull()))
     return (resize_media(synth_media(docs), target_width=256)
-            .select("asset_id", "new_width", "new_height", "resize_status"))
+            .select("asset_id", "width", "height", "new_width",
+                    "new_height", "resize_status")
+            .orderBy("asset_id"))
 
 
 @register("audio_chunk_parts", """
