@@ -5,15 +5,16 @@ frame and get back one small per-rule report (checked / failed /
 pass-rate / verdict) instead of a crash or a silent bad partition.
 
 Great-Expectations-shaped, Spark-first: every ROW-level rule compiles
-to a conditional-aggregation expression, so an arbitrarily long rule
-list over an arbitrarily wide table costs exactly ONE pass over the
-data (one global aggregate with map-side partials, no shuffle wider
-than a single row of counters). The only rule kind that cannot ride
-that pass is `unique`, which needs a distinct count — each unique
-rule adds one column-keyed aggregation (still a plain count-distinct
-shuffle, no windows). Results come back as a constant-size table —
-one row per rule — assembled driver-side from the single collected
-counter row (a bounded, rule-count-sized read, documented).
+to a conditional-aggregation expression and every `unique` rule to a
+count-distinct, and ALL of them ride ONE global aggregate — a single
+scan of the data no matter how long the rule list or how wide the
+table. Catalyst plans the mixed distinct/non-distinct aggregate as
+one Expand (each input row fans out once per distinct column plus
+once for the plain counters) feeding one partial+final aggregate —
+still a single job, map-side partials, no shuffle wider than a row
+of counters. Results come back as a constant-size table — one row
+per rule — assembled driver-side from the single collected counter
+row (a bounded, rule-count-sized read, documented).
 """
 
 from __future__ import annotations
@@ -76,6 +77,21 @@ def _violated(e: Expectation) -> F.Column:
     raise AssertionError(e.kind)
 
 
+def _suite_agg(df: DataFrame, row_rules: Sequence[Expectation],
+               uni_rules: Sequence[Expectation]) -> DataFrame:
+    """The whole suite as ONE unexecuted single-row aggregate —
+    factored out so tests can assert the plan scans the input exactly
+    once (the fused-suite contract) without executing it."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(row_rules):
+        aggs.append(F.sum(F.when(_violated(r), 1).otherwise(0))
+                    .alias(f"__f{i}"))
+    for i, r in enumerate(uni_rules):
+        aggs.append(F.count(F.col(r.col)).alias(f"__un{i}"))
+        aggs.append(F.count_distinct(F.col(r.col)).alias(f"__ud{i}"))
+    return df.agg(*aggs)
+
+
 def expect_suite(df: DataFrame, rules: Sequence[Expectation],
                  spark=None) -> DataFrame:
     """Evaluate every rule and return one row per rule:
@@ -87,10 +103,13 @@ def expect_suite(df: DataFrame, rules: Sequence[Expectation],
     forbid them). pass_rate = 1 − n_failed / n_checked (1.0 when
     n_checked = 0: an empty frame vacuously passes).
 
-    One job for all row-level rules (single conditional aggregate),
-    plus one count-distinct aggregate per unique rule. The collected
-    state is ONE row of 2·|rules| counters — bounded by the suite
-    size, never by the data.
+    ONE job for the whole suite: every row-level rule is a
+    conditional sum and every unique rule a (count, count_distinct)
+    pair, all in a single `df.agg(...)` — Catalyst plans the mixed
+    aggregate as one Expand feeding one partial+final aggregate, so
+    N unique rules cost one shared extra projection of the scan, not
+    N extra jobs. The collected state is ONE row of ≤ 2·|rules| + 1
+    counters — bounded by the suite size, never by the data.
     """
     if not rules:
         raise ValueError("expect_suite needs at least one rule")
@@ -102,22 +121,14 @@ def expect_suite(df: DataFrame, rules: Sequence[Expectation],
     row_rules = [r for r in rules if r.kind != "unique"]
     uni_rules = [r for r in rules if r.kind == "unique"]
 
+    row = _suite_agg(df, row_rules, uni_rules).collect()[0]
+
     counters: dict[str, tuple[int, int]] = {}
-    if row_rules:
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for i, r in enumerate(row_rules):
-            aggs.append(F.sum(F.when(_violated(r), 1).otherwise(0))
-                        .alias(f"__f{i}"))
-        row = df.agg(*aggs).collect()[0]
-        for i, r in enumerate(row_rules):
-            counters[r.name] = (int(row["__n"]),
-                                int(row[f"__f{i}"] or 0))
-    for r in uni_rules:
-        row = (df.agg(
-            F.count(F.col(r.col)).alias("__n"),
-            F.count_distinct(F.col(r.col)).alias("__d")).collect()[0])
-        n = int(row["__n"])
-        counters[r.name] = (n, n - int(row["__d"] or 0))
+    for i, r in enumerate(row_rules):
+        counters[r.name] = (int(row["__n"]), int(row[f"__f{i}"] or 0))
+    for i, r in enumerate(uni_rules):
+        n = int(row[f"__un{i}"])
+        counters[r.name] = (n, n - int(row[f"__ud{i}"] or 0))
 
     out_rows = []
     for r in rules:
@@ -132,6 +143,90 @@ def expect_suite(df: DataFrame, rules: Sequence[Expectation],
         out_rows,
         "rule string, kind string, col string, n_checked long, "
         "n_failed long, pass_rate double, passed boolean")
+
+
+# Spark DataFrame.dtypes simpleString names for numeric types
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint",
+                     "float", "double", "decimal")
+
+
+def infer_expectations(ref: DataFrame, cols: Sequence[str], *,
+                       set_card_max: int = 20) -> list[Expectation]:
+    """Auto-profile a REFERENCE snapshot into an expectation suite —
+    the Great-Expectations auto-profiling shape: profile yesterday's
+    good snapshot once, then gate today's snapshot with the derived
+    rules (`auto_gate`). The reference notebooks hand-tolerate
+    exactly this class of drift — the ragged-schema NaN padding of
+    `preview_data.ipynb:316` is a missing not_null gate.
+
+    Generation contract (deterministic; per column, in this order):
+      {c}_not_null  — iff the reference has rows and ZERO nulls in c
+      {c}_in_range  — iff c is numeric with ≥ 1 non-null;
+                      lo/hi = the reference's exact min/max
+      {c}_in_set    — iff c is a string column with
+                      1 ≤ distinct ≤ set_card_max; values = the
+                      reference's distinct non-null values
+      {c}_unique    — iff c has ≥ 1 non-null and
+                      distinct == non-null count
+
+    Two bounded jobs: `profiling.profile_table` (one aggregation
+    pass) decides WHICH rules exist; one follow-up single-row agg
+    collects the rule PARAMETERS (typed min/max for numeric columns,
+    collect_set — capped by set_card_max via the profile's exact
+    cardinality — for qualifying string columns). Driver state is
+    |cols| profile rows plus one parameter row, never data-sized.
+    """
+    from parlerproject_spark.operators.profiling import profile_table
+
+    if not cols:
+        raise ValueError("infer_expectations needs at least one column")
+    dtypes = dict(ref.select(*cols).dtypes)
+    prof = {r["col_name"]: r
+            for r in profile_table(ref, cols, approx=False).collect()}
+
+    def is_num(c):
+        return dtypes[c].startswith(_NUMERIC_PREFIXES)
+
+    range_cols = [c for c in cols if is_num(c)
+                  and prof[c]["n_rows"] - prof[c]["n_nulls"] >= 1]
+    set_cols = [c for c in cols if dtypes[c] == "string"
+                and 1 <= prof[c]["n_distinct"] <= set_card_max]
+    aggs = []
+    for c in range_cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    for c in set_cols:
+        aggs.append(F.sort_array(F.collect_set(c)).alias(f"__vs_{c}"))
+    params = ref.agg(*aggs).collect()[0] if aggs else {}
+
+    rules: list[Expectation] = []
+    for c in cols:
+        p = prof[c]
+        nn = p["n_rows"] - p["n_nulls"]
+        if p["n_rows"] > 0 and p["n_nulls"] == 0:
+            rules.append(Expectation(f"{c}_not_null", "not_null", c))
+        if c in range_cols:
+            rules.append(Expectation(
+                f"{c}_in_range", "in_range", c,
+                params={"lo": params[f"__mn_{c}"],
+                        "hi": params[f"__mx_{c}"]}))
+        if c in set_cols:
+            rules.append(Expectation(
+                f"{c}_in_set", "in_set", c,
+                params={"values": list(params[f"__vs_{c}"])}))
+        if nn >= 1 and p["n_distinct"] == nn:
+            rules.append(Expectation(f"{c}_unique", "unique", c))
+    return rules
+
+
+def auto_gate(ref: DataFrame, cur: DataFrame, cols: Sequence[str], *,
+              set_card_max: int = 20, spark=None) -> DataFrame:
+    """profile → rules → gate, composed: derive an expectation suite
+    from a reference snapshot (`infer_expectations`) and evaluate it
+    against the current snapshot (`expect_suite`). Cost = one profile
+    pass + one bounded parameter agg over the reference, then the
+    expect_suite single-aggregate pass over the current snapshot."""
+    return expect_suite(cur, infer_expectations(
+        ref, cols, set_card_max=set_card_max), spark=spark)
 
 
 def validation_sink(stream_df: DataFrame, rules: Sequence[Expectation],

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     # just outside the ~50-query window), then ascending
     # last-driver-sampled round, alphabetical within a tier.
     # -- round-10 new queries --
+    "auto_expectations_orders",
     # -- the 14 round-3-stale queries (VERDICT r9 list, verbatim) --
     "q7_nation_volume",
     "range_join_value_tiers",
@@ -12401,3 +12402,128 @@ def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
         max_chars=200, max_tokens=40)
         .orderBy("pair_id"))
+
+
+@register("auto_expectations_orders", """
+WITH ref AS MATERIALIZED (
+  SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+st AS MATERIALIZED (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS nn_ok, count(DISTINCT o_orderkey) AS d_ok,
+         min(o_orderkey) AS mn_ok, max(o_orderkey) AS mx_ok,
+         count(o_custkey) AS nn_ck, count(DISTINCT o_custkey) AS d_ck,
+         min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+         count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS d_st,
+         count(o_orderpriority) AS nn_pr, count(DISTINCT o_orderpriority) AS d_pr,
+         count(o_totalprice) AS nn_tp, count(DISTINCT o_totalprice) AS d_tp,
+         min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp
+  FROM ref),
+cur AS MATERIALIZED (
+  SELECT count(*) AS n,
+         coalesce(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS f_nn_ok,
+         coalesce(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS f_nn_ck,
+         coalesce(sum(CASE WHEN o.o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS f_nn_st,
+         coalesce(sum(CASE WHEN o.o_orderpriority IS NULL THEN 1 ELSE 0 END), 0) AS f_nn_pr,
+         coalesce(sum(CASE WHEN o.o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS f_nn_tp,
+         coalesce(sum(CASE WHEN NOT coalesce(
+             o.o_orderkey >= st.mn_ok AND o.o_orderkey <= st.mx_ok,
+             FALSE) THEN 1 ELSE 0 END), 0) AS f_rg_ok,
+         coalesce(sum(CASE WHEN NOT coalesce(
+             o.o_custkey >= st.mn_ck AND o.o_custkey <= st.mx_ck,
+             FALSE) THEN 1 ELSE 0 END), 0) AS f_rg_ck,
+         coalesce(sum(CASE WHEN NOT coalesce(
+             o.o_totalprice >= st.mn_tp AND o.o_totalprice <= st.mx_tp,
+             FALSE) THEN 1 ELSE 0 END), 0) AS f_rg_tp,
+         coalesce(sum(CASE WHEN NOT coalesce(
+             o.o_orderstatus IN (SELECT o_orderstatus FROM ref
+                                 WHERE o_orderstatus IS NOT NULL),
+             FALSE) THEN 1 ELSE 0 END), 0) AS f_set_st,
+         coalesce(sum(CASE WHEN NOT coalesce(
+             o.o_orderpriority IN (SELECT o_orderpriority FROM ref
+                                   WHERE o_orderpriority IS NOT NULL),
+             FALSE) THEN 1 ELSE 0 END), 0) AS f_set_pr,
+         count(o.o_orderkey) AS cn_ok, count(DISTINCT o.o_orderkey) AS cd_ok,
+         count(o.o_custkey) AS cn_ck, count(DISTINCT o.o_custkey) AS cd_ck,
+         count(o.o_totalprice) AS cn_tp, count(DISTINCT o.o_totalprice) AS cd_tp
+  FROM orders o, st),
+rows AS (
+  SELECT 'o_orderkey_not_null' AS rule, 'not_null' AS kind,
+         'o_orderkey' AS col, cur.n::BIGINT AS n_checked,
+         cur.f_nn_ok::BIGINT AS n_failed
+  FROM st, cur WHERE st.n > 0 AND st.nn_ok = st.n
+  UNION ALL
+  SELECT 'o_orderkey_in_range', 'in_range', 'o_orderkey',
+         cur.n::BIGINT, cur.f_rg_ok::BIGINT
+  FROM st, cur WHERE st.nn_ok >= 1
+  UNION ALL
+  SELECT 'o_orderkey_unique', 'unique', 'o_orderkey',
+         cur.cn_ok::BIGINT, (cur.cn_ok - cur.cd_ok)::BIGINT
+  FROM st, cur WHERE st.nn_ok >= 1 AND st.d_ok = st.nn_ok
+  UNION ALL
+  SELECT 'o_custkey_not_null', 'not_null', 'o_custkey',
+         cur.n::BIGINT, cur.f_nn_ck::BIGINT
+  FROM st, cur WHERE st.n > 0 AND st.nn_ck = st.n
+  UNION ALL
+  SELECT 'o_custkey_in_range', 'in_range', 'o_custkey',
+         cur.n::BIGINT, cur.f_rg_ck::BIGINT
+  FROM st, cur WHERE st.nn_ck >= 1
+  UNION ALL
+  SELECT 'o_custkey_unique', 'unique', 'o_custkey',
+         cur.cn_ck::BIGINT, (cur.cn_ck - cur.cd_ck)::BIGINT
+  FROM st, cur WHERE st.nn_ck >= 1 AND st.d_ck = st.nn_ck
+  UNION ALL
+  SELECT 'o_orderstatus_not_null', 'not_null', 'o_orderstatus',
+         cur.n::BIGINT, cur.f_nn_st::BIGINT
+  FROM st, cur WHERE st.n > 0 AND st.nn_st = st.n
+  UNION ALL
+  SELECT 'o_orderstatus_in_set', 'in_set', 'o_orderstatus',
+         cur.n::BIGINT, cur.f_set_st::BIGINT
+  FROM st, cur WHERE st.d_st BETWEEN 1 AND 20
+  UNION ALL
+  SELECT 'o_orderpriority_not_null', 'not_null', 'o_orderpriority',
+         cur.n::BIGINT, cur.f_nn_pr::BIGINT
+  FROM st, cur WHERE st.n > 0 AND st.nn_pr = st.n
+  UNION ALL
+  SELECT 'o_orderpriority_in_set', 'in_set', 'o_orderpriority',
+         cur.n::BIGINT, cur.f_set_pr::BIGINT
+  FROM st, cur WHERE st.d_pr BETWEEN 1 AND 20
+  UNION ALL
+  SELECT 'o_totalprice_not_null', 'not_null', 'o_totalprice',
+         cur.n::BIGINT, cur.f_nn_tp::BIGINT
+  FROM st, cur WHERE st.n > 0 AND st.nn_tp = st.n
+  UNION ALL
+  SELECT 'o_totalprice_in_range', 'in_range', 'o_totalprice',
+         cur.n::BIGINT, cur.f_rg_tp::BIGINT
+  FROM st, cur WHERE st.nn_tp >= 1
+  UNION ALL
+  SELECT 'o_totalprice_unique', 'unique', 'o_totalprice',
+         cur.cn_tp::BIGINT, (cur.cn_tp - cur.cd_tp)::BIGINT
+  FROM st, cur WHERE st.nn_tp >= 1 AND st.d_tp = st.nn_tp)
+SELECT rule, kind, col, n_checked, n_failed,
+       CASE WHEN n_checked = 0 THEN 1.0
+            ELSE round(1.0 - n_failed::DOUBLE / n_checked, 6)
+       END AS pass_rate,
+       n_failed = 0 AS passed
+FROM rows
+ORDER BY rule
+""")
+def auto_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-profiled expectation gate (validation.auto_gate): profile
+    a reference snapshot of orders (keys not divisible by 3), derive
+    not_null / in_range / in_set / unique rules from the profile
+    (validation.infer_expectations — the Great-Expectations
+    auto-profiling shape; reference tie: the schema-drift NaN padding
+    preview_data.ipynb:316 hand-tolerates), then gate the FULL
+    snapshot with the derived suite. The full snapshot drifts outside
+    the reference's envelope (orderkey 15000 and the global minimum
+    totalprice only occur at keys divisible by 3), so the in_range
+    arms fail — the gate catches real drift. The oracle re-derives
+    the same rules in SQL: each report row's existence is a WHERE
+    clause over the reference-profile CTE, so rule GENERATION, not
+    just evaluation, is hash-checked."""
+    from parlerproject_spark.operators.validation import auto_gate
+    o = _t(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 3 != 0)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice"]
+    return auto_gate(ref, o, cols).orderBy("rule")

@@ -82,3 +82,72 @@ class TestExpectSuite:
             Expectation("s_nn", "not_null", "s")]).collect()
         assert len(out) == 2
         assert all(r["passed"] and r["pass_rate"] == 1.0 for r in out)
+
+
+class TestInferExpectations:
+    def _frames(self, spark):
+        ref = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a"),
+             (4, 40.0, "b")],
+            "id bigint, v double, tag string")
+        # drifted: a NULL id, an out-of-range v, a novel tag, a dup id
+        cur = spark.createDataFrame(
+            [(1, 10.0, "a"), (1, 99.0, "b"), (None, 25.0, "zz")],
+            "id bigint, v double, tag string")
+        return ref, cur
+
+    def test_generation_contract(self, spark):
+        from parlerproject_spark.operators.validation import (
+            infer_expectations)
+        ref, _ = self._frames(spark)
+        rules = {r.name: r for r in
+                 infer_expectations(ref, ["id", "v", "tag"])}
+        assert set(rules) == {
+            "id_not_null", "id_in_range", "id_unique",
+            "v_not_null", "v_in_range", "v_unique",
+            "tag_not_null", "tag_in_set"}
+        assert rules["id_in_range"].params == {"lo": 1, "hi": 4}
+        assert rules["v_in_range"].params == {"lo": 10.0, "hi": 40.0}
+        assert rules["tag_in_set"].params == {"values": ["a", "b"]}
+
+    def test_drifted_snapshot_trips_gate(self, spark):
+        from parlerproject_spark.operators.validation import auto_gate
+        ref, cur = self._frames(spark)
+        rep = {r["rule"]: r
+               for r in auto_gate(ref, cur, ["id", "v", "tag"]).collect()}
+        assert not rep["id_not_null"]["passed"]      # NULL id
+        assert rep["v_in_range"]["n_failed"] == 1    # 99.0 > 40.0
+        assert rep["tag_in_set"]["n_failed"] == 1    # 'zz' novel
+        assert rep["id_unique"]["n_failed"] == 1     # dup id 1
+        assert rep["tag_not_null"]["passed"]
+        # reference gates itself clean
+        self_rep = auto_gate(ref, ref, ["id", "v", "tag"]).collect()
+        assert all(r["passed"] for r in self_rep)
+
+    def test_no_set_rule_above_cardinality_cap(self, spark):
+        from parlerproject_spark.operators.validation import (
+            infer_expectations)
+        ref = spark.createDataFrame(
+            [(str(i),) for i in range(30)], "tag string")
+        names = {r.name for r in
+                 infer_expectations(ref, ["tag"], set_card_max=20)}
+        assert "tag_in_set" not in names
+        assert names == {"tag_not_null", "tag_unique"}
+
+    def test_suite_scans_input_once(self, spark):
+        """The whole suite — row rules AND N unique rules — must plan
+        as ONE aggregate over ONE scan of the input (multi-distinct →
+        a shared Expand), never one extra job per unique rule."""
+        from parlerproject_spark.operators.validation import (
+            Expectation, _suite_agg)
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (2, "c")], "k bigint, tag string")
+        row_rules = [Expectation("k_nn", "not_null", "k")]
+        uni_rules = [Expectation("k_uq", "unique", "k"),
+                     Expectation("tag_uq", "unique", "tag")]
+        plan = (_suite_agg(df, row_rules, uni_rules)
+                ._jdf.queryExecution().executedPlan().toString())
+        scans = (plan.count("LocalTableScan") + plan.count("FileScan")
+                 + plan.count("Scan ExistingRDD"))
+        assert scans == 1, f"expected 1 input scan, plan:\n{plan}"
+        assert "Expand" in plan  # the shared multi-distinct fan-out
