@@ -1090,6 +1090,125 @@ def krippendorff_alpha(ratings: DataFrame, *, item_col: str = "item_id",
                     alpha.alias("alpha"))
 
 
+def krippendorff_alpha_metric(ratings: DataFrame, *,
+                              item_col: str = "item_id",
+                              label_col: str = "label",
+                              metric: str = "ordinal") -> DataFrame:
+    """Krippendorff's alpha for ORDERED label scales — the ordinal
+    and interval difference functions the nominal coefficient
+    (krippendorff_alpha) cannot express: confusing grade 1 with
+    grade 5 must cost more than confusing 1 with 2. Labels must be
+    numeric; their values define the order (ordinal) or the distance
+    itself (interval).
+
+    Same missing-tolerant coincidence algebra as the nominal form,
+    with a squared difference weight δ²(c,k) on every label pair:
+      interval: δ(c,k) = c − k
+      ordinal:  δ(c,k) = (Σ_{g=c..k} n_g − (n_c + n_k)/2) / n
+                (Krippendorff 2011), computed from the pairable-
+                rating marginals n_g via one cumulative sum — with
+                cum inclusive, 2·n·δ = 2·(cum_k − cum_c) + n_c − n_k
+                for c ≤ k, an INTEGER ≤ 2n. The 1/n normalization
+                (α-invariant: it scales D_o and D_e identically)
+                keeps δ² = (2nδ)²/(4n²) in O(1) — WITHOUT it the raw
+                count-scaled δ² pushes the D_e sum toward 2^53 where
+                6-dp rounding of the reported rates stops being
+                double-stable across engines.
+    With o_ck = Σ_u n_uc·(n_uk − [c=k])/(m_u − 1) (the δ_cc = 0
+    diagonal drops out),
+      D_o = Σ_{c≠k} o_ck·δ²_ck / n
+      D_e = Σ_{c≠k} n_c·n_k·δ²_ck / (n·(n−1))
+      α   = 1 − D_o/D_e
+    (both sums over ORDERED pairs — the double-count cancels in the
+    ratio; interval/ordinal with δ² ≡ 1 reduces to the nominal form,
+    the pytest cross-check).
+
+    Scale shape: one (item, label) cell aggregation over the raw
+    frame; the label-marginal table and the δ² pair table are
+    bounded by |labels| and |labels|² (the ordinal cumsum window
+    runs over that bounded marginal table, never the data); the D_o
+    sum self-joins the cell table per item — each item contributes
+    ≤ |labels_u|² rows — with δ² broadcast onto it. No windows or
+    joins against the raw frame. Degenerate inputs (n ≤ 1 pairable
+    ratings, or D_e = 0) report NULL alpha.
+
+    Columns (one row): metric, n_items, n_ratings, do_rate, de_rate,
+    alpha (rates rounded 6 dp after each global aggregate).
+    """
+    if metric not in ("ordinal", "interval"):
+        raise ValueError(f"unknown metric {metric!r}")
+    cell = (ratings.groupBy(
+        F.col(item_col).alias("__u"),
+        F.col(label_col).cast("double").alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__n")))
+    items = (cell.groupBy("__u").agg(F.sum("__n").alias("__m"))
+             .filter(F.col("__m") >= 2))
+    pc = cell.join(items, "__u")
+    labels = pc.groupBy("__c").agg(F.sum("__n").alias("__nc"))
+    glob = items.agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                     F.sum("__m").cast("long").alias("n"))
+
+    if metric == "ordinal":
+        w = (Window.orderBy("__c")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        labs = labels.withColumn("__cum", F.sum("__nc").over(w))
+        a = labs.select(F.col("__c").alias("__ca"),
+                        F.col("__nc").alias("__na"),
+                        F.col("__cum").alias("__cua"))
+        b = labs.select(F.col("__c").alias("__cb"),
+                        F.col("__nc").alias("__nb"),
+                        F.col("__cum").alias("__cub"))
+        two = (F.when(F.col("__ca") < F.col("__cb"),
+                      2 * (F.col("__cub") - F.col("__cua"))
+                      + F.col("__na") - F.col("__nb"))
+               .when(F.col("__ca") > F.col("__cb"),
+                     2 * (F.col("__cua") - F.col("__cub"))
+                     + F.col("__nb") - F.col("__na"))
+               .otherwise(F.lit(0)))
+        nn = F.col("n").cast("double")
+        pairs = (a.crossJoin(b)
+                 .crossJoin(F.broadcast(glob.select("n")))
+                 .select("__ca", "__cb", "__na", "__nb",
+                         ((two * two).cast("double")
+                          / (4.0 * nn * nn)).alias("__d2")))
+    else:
+        a = labels.select(F.col("__c").alias("__ca"),
+                          F.col("__nc").alias("__na"))
+        b = labels.select(F.col("__c").alias("__cb"),
+                          F.col("__nc").alias("__nb"))
+        diff = F.col("__ca") - F.col("__cb")
+        pairs = (a.crossJoin(b)
+                 .select("__ca", "__cb", "__na", "__nb",
+                         (diff * diff).alias("__d2")))
+
+    de = pairs.agg(
+        F.sum(F.col("__na") * F.col("__nb") * F.col("__d2"))
+        .alias("__de_num"))
+    left = pc.select("__u", F.col("__c").alias("__ca"),
+                     F.col("__n").alias("__xa"), "__m")
+    right = pc.select("__u", F.col("__c").alias("__cb"),
+                      F.col("__n").alias("__xb"))
+    do = (left.join(right, "__u")
+          .filter(F.col("__ca") != F.col("__cb"))
+          .join(F.broadcast(pairs.select("__ca", "__cb", "__d2")),
+                ["__ca", "__cb"])
+          .agg(F.sum(F.col("__xa") * F.col("__xb") * F.col("__d2")
+                     / (F.col("__m") - 1.0)).alias("__do_num")))
+    j = (glob.crossJoin(F.broadcast(do)).crossJoin(F.broadcast(de)))
+    n = F.col("n").cast("double")
+    do_num = F.coalesce(F.col("__do_num"), F.lit(0.0))
+    de_num = F.coalesce(F.col("__de_num"), F.lit(0.0))
+    return j.select(
+        F.lit(metric).alias("metric"),
+        "n_items", F.col("n").alias("n_ratings"),
+        F.when(n > 0, F.round(do_num / n, 6)).alias("do_rate"),
+        F.when(n * (n - 1.0) > 0,
+               F.round(de_num / (n * (n - 1.0)), 6)).alias("de_rate"),
+        F.when((n > 1) & (de_num > 0),
+               F.round(1.0 - do_num * (n - 1.0) / de_num, 6))
+        .alias("alpha"))
+
+
 def rouge_l_pairs(cand: DataFrame, ref: DataFrame, *,
                   pair_col: str = "pair_id", text_col: str = "text",
                   max_cand_tokens: int = 24,

@@ -67,6 +67,8 @@ _DRIVER_PRIORITY: list[str] = [
     # last-driver-sampled round, alphabetical within a tier.
     # -- round-10 new queries --
     "auto_expectations_orders",
+    "krippendorff_ordinal_events",
+    "krippendorff_interval_events",
     # -- the 14 round-3-stale queries (VERDICT r9 list, verbatim) --
     "q7_nation_volume",
     "range_join_value_tiers",
@@ -12527,3 +12529,90 @@ def auto_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus",
             "o_orderpriority", "o_totalprice"]
     return auto_gate(ref, o, cols).orderBy("rule")
+
+
+_KRIPP_METRIC_ORACLE = """
+WITH r AS (
+  SELECT event_id % 300 AS u,
+         least(4, floor(value / 100.0))::DOUBLE AS c
+  FROM events
+  WHERE (event_id * 2654435761) % 10 < 7 AND value IS NOT NULL),
+cell AS (SELECT u, c, count(*)::BIGINT AS n FROM r GROUP BY u, c),
+items AS (
+  SELECT u, CAST(sum(n) AS BIGINT) AS m
+  FROM cell GROUP BY u HAVING sum(n) >= 2),
+pc AS (SELECT cell.u, c, n, m FROM cell JOIN items USING (u)),
+labs AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM pc GROUP BY c),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(m) AS BIGINT) AS n FROM items),
+cum AS (
+  SELECT c, nc,
+         sum(nc) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cu
+  FROM labs),
+p2 AS (
+  SELECT a.c AS ca, b.c AS cb, a.nc AS na, b.nc AS nb,
+         {d2} AS d2
+  FROM cum a, cum b, g),
+de AS (SELECT sum(na::DOUBLE * nb * d2) AS de_num FROM p2),
+dof AS (
+  SELECT sum(x.n::DOUBLE * y.n * p.d2 / (x.m - 1.0)) AS do_num
+  FROM pc x JOIN pc y ON x.u = y.u AND x.c <> y.c
+  JOIN p2 p ON p.ca = x.c AND p.cb = y.c),
+gg AS (SELECT n_items, n, coalesce(do_num, 0.0) AS do_num,
+              coalesce(de_num, 0.0) AS de_num
+       FROM g, dof, de)
+SELECT '{metric}' AS metric, n_items, n AS n_ratings,
+       CASE WHEN n > 0 THEN round(do_num / n, 6) END AS do_rate,
+       CASE WHEN n * (n - 1.0) > 0
+            THEN round(de_num / (n * (n - 1.0)), 6) END AS de_rate,
+       CASE WHEN n > 1 AND de_num > 0
+            THEN round(1.0 - do_num * (n - 1.0) / de_num, 6)
+       END AS alpha
+FROM gg
+"""
+
+
+def _kripp_metric_query(metric: str):
+    d2 = {
+        "ordinal": """
+         (CASE WHEN a.c < b.c THEN 2 * (b.cu - a.cu) + a.nc - b.nc
+               WHEN a.c > b.c THEN 2 * (a.cu - b.cu) + b.nc - a.nc
+               ELSE 0 END)::DOUBLE
+         * (CASE WHEN a.c < b.c THEN 2 * (b.cu - a.cu) + a.nc - b.nc
+                 WHEN a.c > b.c THEN 2 * (a.cu - b.cu) + b.nc - a.nc
+                 ELSE 0 END)
+         / (4.0 * g.n * g.n)""",
+        "interval": "(a.c - b.c) * (a.c - b.c)",
+    }[metric]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from parlerproject_spark.operators.evaluation import (
+            krippendorff_alpha_metric)
+        ev = _t(spark, sf_dir, "events").filter(
+            ((F.col("event_id") * F.lit(2654435761)) % 10 < 7)
+            & F.col("value").isNotNull())
+        ratings = ev.select(
+            (F.col("event_id") % 300).alias("item_id"),
+            F.least(F.lit(4), F.floor(F.col("value") / F.lit(100)))
+            .cast("double").alias("label"))
+        return krippendorff_alpha_metric(ratings, metric=metric)
+
+    fn.__name__ = f"krippendorff_{metric}_events"
+    fn.__doc__ = f"""Krippendorff's alpha with the {metric} difference
+    function (evaluation.krippendorff_alpha_metric) over the same
+    missing-tolerant crowd-labeling frame as the nominal query (items
+    = event_id mod 300, ~70%% multiplicative-hash participation),
+    labels = the 0-4 value-derived grade — the ordered-scale
+    agreement readout where confusing grade 0 with grade 4 must cost
+    more than 0-vs-1. The oracle replays the full weighted
+    coincidence algebra: cell/marginal aggregates, the cumulative-
+    margin {metric} delta-squared pair table, and the per-item
+    ordered-pair D_o sum."""
+    return register(f"krippendorff_{metric}_events",
+                    _KRIPP_METRIC_ORACLE.format(d2=d2, metric=metric))(fn)
+
+
+krippendorff_ordinal_events = _kripp_metric_query("ordinal")
+krippendorff_interval_events = _kripp_metric_query("interval")

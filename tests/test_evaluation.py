@@ -744,3 +744,106 @@ class TestEditDistancePairs:
         # boundary value is accepted
         r = self._run(spark, "a b", "a b", max_tokens=104)
         assert r["token_dist"] == 0
+
+
+class TestKrippendorffAlphaMetric:
+    @staticmethod
+    def _brute(data, metric):
+        """Independent reference: enumerate ordered rating PAIRS
+        within each item (the textbook coincidence-matrix fill),
+        then apply the δ² difference function directly."""
+        from collections import Counter, defaultdict
+        by_item = defaultdict(list)
+        for u, c in data:
+            by_item[u].append(float(c))
+        by_item = {u: v for u, v in by_item.items() if len(v) >= 2}
+        marg = Counter(c for v in by_item.values() for c in v)
+        n = sum(marg.values())
+        order = sorted(marg)
+        cum = {}
+        run = 0
+        for c in order:
+            run += marg[c]
+            cum[c] = run
+
+        def d2(a, b):
+            if a == b:
+                return 0.0
+            if metric == "interval":
+                return (a - b) ** 2
+            lo, hi = min(a, b), max(a, b)
+            inner = (cum[hi] - cum[lo]) + (marg[lo] - marg[hi]) / 2.0
+            return inner ** 2
+
+        do_num = 0.0
+        for v in by_item.values():
+            m = len(v)
+            for i in range(m):
+                for j in range(m):
+                    if i != j:
+                        do_num += d2(v[i], v[j]) / (m - 1.0)
+        de_num = sum(marg[a] * marg[b] * d2(a, b)
+                     for a in order for b in order)
+        if n <= 1 or de_num == 0:
+            return None
+        return 1.0 - do_num * (n - 1.0) / de_num
+
+    def _run(self, spark, data, metric):
+        from parlerproject_spark.operators.evaluation import (
+            krippendorff_alpha_metric)
+        df = spark.createDataFrame(data, "item_id bigint, label double")
+        return krippendorff_alpha_metric(df, metric=metric).collect()[0]
+
+    def test_matches_pair_enumeration(self, spark):
+        # 4 items, graded 1-5, ragged rater counts, one missing item
+        data = [(1, 1.0), (1, 2.0), (1, 1.0),
+                (2, 3.0), (2, 3.0),
+                (3, 5.0), (3, 4.0), (3, 5.0), (3, 5.0),
+                (4, 2.0), (4, 4.0),
+                (5, 1.0)]  # unpairable, must be excluded
+        for metric in ("ordinal", "interval"):
+            row = self._run(spark, data, metric)
+            want = self._brute(data, metric)
+            assert row["n_items"] == 4
+            assert row["n_ratings"] == 11
+            assert row["alpha"] == pytest.approx(want, abs=2e-6), metric
+
+    def test_perfect_agreement_is_one(self, spark):
+        data = [(u, float(u % 3)) for u in range(6) for _ in range(3)]
+        for metric in ("ordinal", "interval"):
+            assert self._run(spark, data, metric)["alpha"] == 1.0
+
+    def test_binary_interval_reduces_to_nominal(self, spark):
+        from parlerproject_spark.operators.evaluation import (
+            krippendorff_alpha)
+        data = [(1, 0.0), (1, 1.0), (2, 1.0), (2, 1.0),
+                (3, 0.0), (3, 0.0), (3, 1.0), (4, 1.0), (4, 1.0)]
+        df = spark.createDataFrame(data, "item_id bigint, label double")
+        nom = krippendorff_alpha(df).collect()[0]["alpha"]
+        iv = self._run(spark, data, "interval")["alpha"]
+        assert iv == pytest.approx(nom, abs=2e-6)
+
+    def test_ordinal_weights_extremes_heavier(self, spark):
+        # same confusion COUNT, different confusion DISTANCE:
+        # 1-vs-5 disagreements must score lower than 1-vs-2
+        near = [(u, v) for u in range(8) for v in (1.0, 2.0)]
+        far = [(u, v) for u in range(8) for v in (1.0, 5.0)]
+        # anchor items pin the scale so marginals cover all grades
+        anchor = [(100 + g, float(g)) for g in range(1, 6)
+                  for _ in range(2)]
+        a_near = self._run(spark, near + anchor, "ordinal")["alpha"]
+        a_far = self._run(spark, far + anchor, "ordinal")["alpha"]
+        assert a_far < a_near
+
+    def test_degenerate_inputs_null_alpha(self, spark):
+        # single label everywhere -> D_e = 0 -> NULL
+        data = [(1, 2.0), (1, 2.0), (2, 2.0), (2, 2.0)]
+        for metric in ("ordinal", "interval"):
+            assert self._run(spark, data, metric)["alpha"] is None
+
+    def test_unknown_metric_raises(self, spark):
+        from parlerproject_spark.operators.evaluation import (
+            krippendorff_alpha_metric)
+        df = spark.createDataFrame([(1, 1.0)], "item_id bigint, label double")
+        with pytest.raises(ValueError):
+            krippendorff_alpha_metric(df, metric="ratio")

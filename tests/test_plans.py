@@ -209,6 +209,10 @@ _BOUNDED_WINDOW_ALLOWLIST = {
                                # and the fused limit(top_k=20) —
                                # fusion input is systems × k rows,
                                # never the corpus
+    "krippendorff_ordinal_events",  # cumulative-margin sum over the
+                               # label-marginal table: rows = distinct
+                               # grades (5 here), bounded by the label
+                               # alphabet, never the ratings
     "kaplan_meier_users",      # cum-hazard over the per-DAY lifetime
                                # histogram: rows ≤ observation window
                                # in days (a decade of data = ~3.7k
