@@ -12,8 +12,13 @@ container allows it:
   parallel;
 - for an UNCOMPRESSED .tar every task pread()s its members straight
   at their byte offsets (true random access, no re-scan);
-- for .tar.gz each task must re-stream the gzip prefix — inherent to
-  the format; the docstring is the warning, the fix at scale is
+- for .tar.gz whose stream carries FULL-FLUSH restart points
+  (gzip --rsyncable, zlib Z_FULL_FLUSH writers), a build-once
+  validated sync-point index (`build_gzip_sync_index`) gives every
+  task near-random access: it resumes raw inflate at the nearest
+  restart point below its members instead of at byte zero;
+- for plain .tar.gz (no flush points) each task must re-stream the
+  gzip prefix — inherent to the format; the fix at scale is
   re-containering (pre-extract or per-member recompress), which
   `explode_archive_to_parquet` below does once.
 
@@ -47,10 +52,77 @@ SCHEMA = StructType([
 
 class _MemberChunk(InputPartition):
     def __init__(self, archive: str, members: list[tuple[str, int, int]],
-                 compressed: bool):
+                 compressed: bool,
+                 sync_index: list[tuple[int, int]] | None = None):
         self.archive = archive
         self.members = members  # (name, data_offset, size)
         self.compressed = compressed
+        # validated gzip restart points (comp_off, uncomp_off); only
+        # set for .tar.gz whose stream has full-flush markers
+        self.sync_index = sync_index or []
+
+
+class _GzCursor:
+    """Forward reader over a raw deflate stream resumed at a
+    validated restart point: skip() and take() in uncompressed
+    coordinates, decompressing 64 KiB compressed slabs on demand."""
+
+    def __init__(self, fh, comp_off: int, uncomp_off: int):
+        import zlib
+
+        fh.seek(comp_off)
+        self._fh = fh
+        self._d = zlib.decompressobj(wbits=-15)
+        self._buf = b""
+        self.pos = uncomp_off  # uncompressed position of buf start
+
+    def _fill(self) -> bool:
+        while not self._buf:
+            if self._d.eof:
+                return False
+            raw = self._fh.read(1 << 16)
+            if not raw:
+                return False
+            self._buf = self._d.decompress(raw)
+        return True
+
+    def skip(self, n: int) -> None:
+        while n > 0 and self._fill():
+            step = min(n, len(self._buf))
+            self._buf = self._buf[step:]
+            self.pos += step
+            n -= step
+
+    def take(self, n: int) -> bytes:
+        out = []
+        while n > 0 and self._fill():
+            step = min(n, len(self._buf))
+            out.append(self._buf[:step])
+            self._buf = self._buf[step:]
+            self.pos += step
+            n -= step
+        return b"".join(out)
+
+
+def _read_members_indexed(partition: _MemberChunk):
+    """Task-side indexed read: for each member (ascending offsets),
+    keep the current inflate cursor when it is the cheapest way
+    forward, else restart at the nearest validated sync point below
+    the member. A task whose members live in the stream's last tenth
+    decompresses from the last-tenth sync point, not from byte 0."""
+    import bisect
+
+    with open(partition.archive, "rb") as fh:
+        dstart = _gzip_deflate_start(fh.read(4096))
+        pts = [(dstart, 0)] + sorted(partition.sync_index)
+        uoffs = [u for _, u in pts]
+        cur: _GzCursor | None = None
+        for name, off, size in partition.members:
+            i = bisect.bisect_right(uoffs, off) - 1
+            if cur is None or off < cur.pos or pts[i][1] > cur.pos:
+                cur = _GzCursor(fh, pts[i][0], pts[i][1])
+            cur.skip(off - cur.pos)
+            yield (name, cur.take(size), size)
 
 
 class TarMembersReader(DataSourceReader):
@@ -68,20 +140,47 @@ class TarMembersReader(DataSourceReader):
             for m in tar:
                 if m.isfile() and m.name.endswith(self.suffix):
                     catalog.append((m.name, m.offset_data, m.size))
+        sync_index: list[tuple[int, int]] = []
+        if compressed and catalog:
+            # one extra driver-side linear pass (the catalog pass
+            # above already streamed the archive once) buys every
+            # TASK random access — when the gzip has full-flush
+            # restart points; a plain-gzip archive yields [] and the
+            # sequential-prefix fallback below still applies
+            try:
+                sync_index = build_gzip_sync_index(self.path)
+            except (OSError, ValueError):
+                sync_index = []
         if not catalog:
             return [_MemberChunk(self.path, [], compressed)]
         n = min(self.num_partitions, len(catalog))
-        chunks = [catalog[i::n] for i in range(n)]
-        # keep offset order within a chunk: sequential-friendly for gz
-        chunks = [sorted(c, key=lambda t: t[1]) for c in chunks]
-        return [_MemberChunk(self.path, c, compressed) for c in chunks]
+        if compressed and sync_index:
+            # contiguous offset ranges (not round-robin): members of
+            # one task share sync segments, so each task decompresses
+            # ~1/n of the stream instead of re-walking interleaved
+            # gaps across its whole length
+            ordered = sorted(catalog, key=lambda t: t[1])
+            k, r = divmod(len(ordered), n)
+            chunks, pos = [], 0
+            for i in range(n):
+                step = k + (1 if i < r else 0)
+                chunks.append(ordered[pos:pos + step])
+                pos += step
+        else:
+            chunks = [sorted(catalog[i::n], key=lambda t: t[1])
+                      for i in range(n)]
+        return [_MemberChunk(self.path, c, compressed, sync_index)
+                for c in chunks if c]
 
     def read(self, partition: _MemberChunk):
         if not partition.members:
             return
         if partition.compressed:
-            # single gzip stream: iterate members in offset order,
-            # extracting only this chunk's names
+            if partition.sync_index:
+                yield from _read_members_indexed(partition)
+                return
+            # single gzip stream, no restart points: iterate members
+            # in offset order, extracting only this chunk's names
             wanted = {name for name, _, _ in partition.members}
             with tarfile.open(partition.archive, "r:*") as tar:
                 for m in tar:
@@ -189,3 +288,116 @@ def explode_archive_to_parquet(spark, archive_path: str, out_path: str,
     (spark.read.format(fmt)
      .option("path", archive_path).option("suffix", suffix).load()
      .write.mode("overwrite").parquet(out_path))
+
+
+# ---------------------------------------------------------------------------
+# Indexed-gzip member access (SURVEY §7.3#1's deferred substrate fight)
+# ---------------------------------------------------------------------------
+# A .tar.gz is one deflate stream, so the baseline tar_members reader
+# re-streams the gzip prefix in every task. But a gzip written with
+# periodic FULL flushes (gzip --rsyncable, zlib Z_FULL_FLUSH, most
+# chunked writers) contains restart points: a full flush emits an
+# empty stored block (the 00 00 FF FF marker), byte-aligns the stream
+# AND resets the dictionary, so raw inflate can resume at the next
+# byte with no prior state. `build_gzip_sync_index` finds and
+# VALIDATES those points in ONE linear pass (marker bytes can also
+# occur inside ordinary block data — every candidate is test-resumed
+# and its output compared against the linear truth before it enters
+# the index); tasks then start at the nearest validated point below
+# their member instead of at byte zero. Archives with no flush points
+# (plain `gzip`) yield an empty index and fall back, documented, to
+# the sequential-prefix path — re-containering stays the fix there.
+
+_GZ_SYNC_MARKER = b"\x00\x00\xff\xff"
+_GZ_VALIDATE_BYTES = 256
+
+
+def _gzip_deflate_start(raw: bytes) -> int:
+    """Byte offset where the raw deflate stream starts: 10-byte gzip
+    header plus the optional FEXTRA/FNAME/FCOMMENT/FHCRC fields
+    (RFC 1952)."""
+    if raw[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip file")
+    flg = raw[3]
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        xlen = int.from_bytes(raw[pos:pos + 2], "little")
+        pos += 2 + xlen
+    if flg & 0x08:  # FNAME
+        pos = raw.index(b"\x00", pos) + 1
+    if flg & 0x10:  # FCOMMENT
+        pos = raw.index(b"\x00", pos) + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    return pos
+
+
+def build_gzip_sync_index(path: str) -> list[tuple[int, int]]:
+    """One linear decompression pass over a .gz file; returns
+    validated (compressed_offset, uncompressed_offset) restart
+    points, ascending. compressed_offset is the first byte AFTER a
+    full-flush marker — raw inflate started there with fresh state
+    reproduces the stream from uncompressed_offset on.
+
+    Single-node single-pass by design: the index is built ONCE per
+    archive (the catalog pass already reads the stream once; this
+    rides the same scan cost) and is a few int pairs per flush point
+    — persist it next to the archive and every later distributed
+    read skips to its members. Validation truth is capped at
+    _GZ_VALIDATE_BYTES per candidate, so memory is
+    O(candidates · 256 B), not stream-sized.
+    """
+    import zlib
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    start = _gzip_deflate_start(raw)
+    # candidate restart offsets: byte after each marker occurrence
+    cands = []
+    p = raw.find(_GZ_SYNC_MARKER, start)
+    while p != -1:
+        cands.append(p + 4)
+        p = raw.find(_GZ_SYNC_MARKER, p + 1)
+    if not cands:
+        return []
+
+    # linear pass: feed the deflate stream in candidate-bounded
+    # slices, snapshotting the uncompressed offset at each candidate
+    # (a full flush has flushed ALL pending output, so at a TRUE
+    # restart point the cumulative output length IS the offset)
+    d = zlib.decompressobj(wbits=-15)
+    at: list[tuple[int, int]] = []  # (comp_off, uncomp_off) candidates
+    pos = start
+    out_len = 0
+    for c in cands:
+        if d.eof:
+            break
+        out_len += len(d.decompress(raw[pos:c]))
+        at.append((c, out_len))
+        pos = c
+
+    # validation pass: resume raw inflate at each candidate with
+    # fresh state and compare its first bytes against the linear
+    # truth (one forward-only GzipFile walk — ascending seeks
+    # decompress incrementally, so this costs one more linear scan,
+    # not one scan per candidate). Marker bytes inside ordinary
+    # block data fail either the inflate or the compare.
+    import gzip as _gzip
+
+    index: list[tuple[int, int]] = []
+    with open(path, "rb") as fh:
+        gz = _gzip.GzipFile(fileobj=fh)
+        for comp_off, uncomp_off in at:
+            r = zlib.decompressobj(wbits=-15)
+            try:
+                got = r.decompress(
+                    raw[comp_off:comp_off + (1 << 16)], _GZ_VALIDATE_BYTES)
+            except zlib.error:
+                continue
+            if not got:
+                continue
+            gz.seek(uncomp_off)
+            want = gz.read(len(got))
+            if got == want:
+                index.append((comp_off, uncomp_off))
+    return index

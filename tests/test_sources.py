@@ -302,3 +302,129 @@ def test_explode_zip_archive_to_parquet(spark, zip_fixture, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 41
     assert set(back.columns) == {"member", "content", "size"}
+
+
+# --------------------------------------------------------------------------
+# indexed-gzip member access (tar.gz with full-flush restart points)
+# --------------------------------------------------------------------------
+
+def _gzip_with_flush_points(data: bytes, every: int) -> bytes:
+    """A valid .gz whose deflate stream carries a Z_FULL_FLUSH
+    restart point every `every` uncompressed bytes — the shape
+    gzip --rsyncable / chunked writers produce."""
+    import struct
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    out = [b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"]
+    for i in range(0, len(data), every):
+        out.append(co.compress(data[i:i + every]))
+        out.append(co.flush(zlib.Z_FULL_FLUSH))
+    out.append(co.flush(zlib.Z_FINISH))
+    out.append(struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF,
+                           len(data) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def _flushy_tar_gz(tmp_path, n_members=120, member_bytes=2048,
+                   every=16384):
+    import io
+    import tarfile as tf
+
+    buf = io.BytesIO()
+    truth = {}
+    with tf.open(fileobj=buf, mode="w") as tar:
+        for i in range(n_members):
+            body = (f"member-{i:04d}:".encode()
+                    + bytes((i + j) % 251 for j in range(member_bytes)))
+            truth[f"m/{i:04d}.bin"] = body
+            info = tf.TarInfo(f"m/{i:04d}.bin")
+            info.size = len(body)
+            tar.addfile(info, io.BytesIO(body))
+    path = tmp_path / "flushy.tar.gz"
+    path.write_bytes(_gzip_with_flush_points(buf.getvalue(), every))
+    return str(path), truth
+
+
+def test_gzip_sync_index_build_and_validate(tmp_path):
+    import gzip as gz
+
+    from parlerproject_spark.sources import archives
+
+    data = bytes((i * 7 + i // 997) % 256 for i in range(400_000))
+    p = tmp_path / "d.gz"
+    p.write_bytes(_gzip_with_flush_points(data, 32768))
+    idx = archives.build_gzip_sync_index(str(p))
+    # ~400k/32k flush points, every one validated
+    assert len(idx) >= 10
+    assert idx == sorted(idx)
+    # each point resumes to exactly the right bytes
+    import zlib
+    raw = p.read_bytes()
+    for comp_off, uncomp_off in idx[::3]:
+        d = zlib.decompressobj(wbits=-15)
+        got = d.decompress(raw[comp_off:comp_off + 65536], 512)
+        assert got == data[uncomp_off:uncomp_off + len(got)]
+    # plain gzip: no flush points -> empty index -> documented fallback
+    q = tmp_path / "plain.gz"
+    q.write_bytes(gz.compress(data))
+    assert archives.build_gzip_sync_index(str(q)) == []
+
+
+def test_indexed_tar_gz_reads_match_tarfile(spark, tmp_path):
+    from parlerproject_spark.sources import archives
+
+    path, truth = _flushy_tar_gz(tmp_path)
+    assert archives.build_gzip_sync_index(path), "fixture must have points"
+    spark.dataSource.register(archives.TarMembersDataSource)
+    rows = (spark.read.format("tar_members")
+            .option("path", path).option("numPartitions", "7")
+            .load().collect())
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert bytes(r["content"]) == truth[r["member"]], r["member"]
+
+
+def test_indexed_read_skips_the_prefix(tmp_path, monkeypatch):
+    """A task whose members sit at the END of the stream must NOT
+    decompress the whole prefix: counting compressed bytes actually
+    read shows it starts near its members' sync point."""
+    import builtins
+
+    from parlerproject_spark.sources import archives
+
+    path, truth = _flushy_tar_gz(tmp_path, n_members=200)
+    idx = archives.build_gzip_sync_index(path)
+    assert len(idx) >= 5
+    import tarfile as tf
+    with tf.open(path, "r:gz") as tar:
+        cat = [(m.name, m.offset_data, m.size) for m in tar if m.isfile()]
+    cat.sort(key=lambda t: t[1])
+    last = cat[-3:]
+
+    counted = {"n": 0}
+    real_open = builtins.open
+
+    def counting_open(*a, **k):
+        fh = real_open(*a, **k)
+        real_read = fh.read
+
+        def read(n=-1):
+            b = real_read(n)
+            counted["n"] += len(b)
+            return b
+        fh.read = read
+        return fh
+
+    chunk = archives._MemberChunk(path, last, True, idx)
+    monkeypatch.setattr(builtins, "open", counting_open)
+    try:
+        got = list(archives._read_members_indexed(chunk))
+    finally:
+        monkeypatch.undo()
+    assert {g[0] for g in got} == {m[0] for m in last}
+    for name, content, _ in got:
+        assert content == truth[name]
+    total = real_open(path, "rb").read()
+    # reading 3 tail members must consume well under half the stream
+    assert counted["n"] < len(total) / 2, (counted["n"], len(total))
