@@ -1371,3 +1371,67 @@ def edit_distance_pairs(cand: DataFrame, ref: DataFrame, *,
         F.when(F.col("n_ref_tokens") > 0,
                F.round(F.col("token_dist") / F.col("n_ref_tokens"), 6))
         .alias("wer"))
+
+
+def diversity_ngrams(docs: DataFrame, *, n: int = 2,
+                     group_col: str = "source",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Generation-diversity readout per group (model, source,
+    prompt-set): distinct-n — the share of n-gram TOKENS that are
+    unique — plus a self-BLEU-shaped overlap score without the
+    all-pairs cost: for each document, the share of its DISTINCT
+    n-grams that also occur in at least one OTHER document of the
+    same group (leave-one-out containment via the n-gram document
+    frequency: df ≥ 2 ⇔ some other doc has it). Mode-collapsed
+    generations show low distinct_ratio and high mean_self_overlap;
+    diverse corpora the reverse. Zhu et al. 2018's distinct-n and
+    the self-BLEU intent, reduced to counting.
+
+    Plan shape: one narrow map builds the n-gram table (token slice
+    + join inside `transform`, no Python); everything after is two
+    hash aggregations over it (per-group totals with a distinct
+    count; per-(group, gram) doc frequency) and ONE join of per-doc
+    distinct grams back to the frequency table, keyed on the gram —
+    posting-list shaped, no windows, no pair joins, corpus-linear at
+    any scale. Docs with < n tokens contribute nothing.
+
+    Columns: group, n_docs, total_grams, distinct_grams,
+    distinct_ratio (6 dp), mean_self_overlap (6 dp; the mean over
+    docs of their leave-one-out containment share).
+    """
+    from parlerproject_spark.functions.text import tokenize
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = (docs.select(F.col(group_col).alias("__g"),
+                        F.col(id_col).alias("__id"),
+                        tokenize(text_col).alias("__ts"))
+            .filter(F.size("__ts") >= n))
+    grams_expr = F.expr(
+        f"transform(sequence(1, size(__ts) - {n} + 1), "
+        f"i -> array_join(slice(__ts, i, {n}), ' '))")
+    g = toks.select("__g", "__id",
+                    F.explode(grams_expr).alias("__gram"))
+    tot = (g.groupBy("__g")
+           .agg(F.count(F.lit(1)).alias("total_grams"),
+                F.count_distinct("__gram").alias("distinct_grams")))
+    dg = g.select("__g", "__id", "__gram").distinct()
+    gdf = dg.groupBy("__g", "__gram").agg(
+        F.count(F.lit(1)).alias("__df"))
+    per_doc = (dg.join(gdf, ["__g", "__gram"])
+               .groupBy("__g", "__id")
+               .agg(F.avg(F.when(F.col("__df") >= 2, 1.0)
+                          .otherwise(0.0)).alias("__ov")))
+    ov = (per_doc.groupBy("__g")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+               F.round(F.avg("__ov"), 6).alias("mean_self_overlap")))
+    return (tot.join(ov, "__g")
+            .select(F.col("__g").alias("group"), "n_docs",
+                    F.col("total_grams").cast("long").alias("total_grams"),
+                    F.col("distinct_grams").cast("long")
+                    .alias("distinct_grams"),
+                    F.round(F.col("distinct_grams")
+                            / F.col("total_grams"), 6)
+                    .alias("distinct_ratio"),
+                    "mean_self_overlap"))

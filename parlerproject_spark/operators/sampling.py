@@ -659,3 +659,69 @@ def doremi_weights(domain_losses: DataFrame, *, domain_col: str = "domain",
     return w.select(F.col("__d").alias(domain_col),
                     F.round("__e", round_c).alias("excess"),
                     F.col("__w").alias("weight"))
+
+
+def unimax_allocation(counts: DataFrame, *, budget: float,
+                      max_epochs: float = 1.0,
+                      source_col: str = "source",
+                      tokens_col: str = "n_tokens") -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): spread a token
+    budget as UNIFORMLY as possible across sources while capping
+    every source at `max_epochs` repetitions of its own size — the
+    principled multilingual/multi-domain answer to both
+    proportional sampling (head domains swamp the mix) and plain
+    uniform (tail domains get repeated into overfitting).
+
+    Closed-form water-filling instead of the paper's repeat-loop:
+    with caps c_i = max_epochs·n_i sorted ascending and inclusive
+    cumsum, the water level t solves Σ min(c_i, t) = budget; scanning
+    ascending ranks k, the first k whose candidate level
+    t_k = (budget − cum_{k−1})/(N−k+1) is ≤ c_k gives t (the standard
+    water-fill scan); no valid k means budget ≥ Σ caps and every
+    source just gets its cap. alloc_i = min(c_i, t).
+
+    Scale shape: `counts` is one row per SOURCE — a bounded model
+    table (the corpus-sized aggregation that produces it is the
+    caller's one pass) — so the ordered cumsum window and the
+    struct-min selection run over dozens of rows, never the corpus.
+    Ordering is total (cap, then source) so the cumsum is
+    cross-engine deterministic.
+
+    Columns: source, n_tokens, cap (6 dp), alloc (6 dp), epochs
+    (6 dp = alloc/n_tokens), capped.
+    """
+    from pyspark.sql.window import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    base = counts.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("double").alias("n_tokens"),
+        (F.col(tokens_col).cast("double") * F.lit(float(max_epochs)))
+        .alias("cap"))
+    w = Window.orderBy("cap", "source")
+    ranked = (base
+              .withColumn("__k", F.row_number().over(w).cast("long"))
+              .withColumn("__cum", F.sum("cap").over(
+                  w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))))
+    n_tot = base.agg(F.count(F.lit(1)).cast("double").alias("__N"))
+    cand = (ranked.crossJoin(F.broadcast(n_tot))
+            .withColumn("__t", (F.lit(float(budget))
+                                - (F.col("__cum") - F.col("cap")))
+                        / (F.col("__N") - F.col("__k") + 1.0)))
+    level = (cand.filter(F.col("__t") <= F.col("cap"))
+             .agg(F.min(F.struct("__k", "__t")).alias("__s"))
+             .select(F.col("__s.__t").alias("__lvl")))
+    out = (cand.crossJoin(F.broadcast(level))
+           .withColumn("alloc", F.when(
+               F.col("__lvl").isNull() | (F.col("cap") <= F.col("__lvl")),
+               F.col("cap")).otherwise(F.col("__lvl"))))
+    return out.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("cap", 6).alias("cap"),
+        F.round("alloc", 6).alias("alloc"),
+        F.round(F.col("alloc") / F.col("n_tokens"), 6).alias("epochs"),
+        (F.col("__lvl").isNull() | (F.col("cap") <= F.col("__lvl")))
+        .alias("capped"))

@@ -1005,3 +1005,99 @@ def late_interaction_topk(doc_tokens: DataFrame,
     return (agg.select(id_col, F.round(total, 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8-range) quantization — the uniform per-dimension codec
+# ---------------------------------------------------------------------------
+
+def train_scalar_quantizer(vectors: DataFrame, *, dim: int,
+                           vec_col: str = "embedding") -> dict:
+    """Per-dimension uniform quantizer bounds from ONE aggregation
+    pass: {mins: [d], maxs: [d]} — 2·dim aggregate expressions over a
+    single scan (map-side partials; the collected state is 2·dim
+    doubles, model-sized). The codec this parameterizes stores each
+    float32 dimension as an 8-bit level (4× memory cut on the index),
+    the standard serving-side compression between full floats and PQ:
+    unlike PQ there is no codebook training loop and decode is a
+    multiply-add, at the cost of a weaker compression ratio."""
+    aggs = []
+    for d in range(dim):
+        e = F.col(vec_col)[d].cast("double")
+        aggs += [F.min(e).alias(f"__mn{d}"), F.max(e).alias(f"__mx{d}")]
+    row = vectors.agg(*aggs).collect()[0]
+    return {"mins": [float(row[f"__mn{d}"]) for d in range(dim)],
+            "maxs": [float(row[f"__mx{d}"]) for d in range(dim)]}
+
+
+def _sq_code(x, mn: float, mx: float):
+    """256-level uniform code for one dimension: floor(t·255 + 0.5)
+    clamped to [0, 255], where t = (x − mn)/(mx − mn); a degenerate
+    dimension (mx == mn) codes to 0. Every arithmetic step is a
+    single IEEE op on identical inputs, so Spark and a SQL replay
+    produce bit-identical codes — the integer-exact oracle surface."""
+    if mx == mn:
+        return F.lit(0)
+    t = (x.cast("double") - F.lit(mn)) / F.lit(mx - mn)
+    return F.least(F.lit(255), F.greatest(
+        F.lit(0), F.floor(t * 255.0 + 0.5).cast("int")))
+
+
+def encode_scalar(vectors: DataFrame, params: dict, *,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Quantize every vector to its per-dimension 8-bit levels — a
+    pure narrow map (no shuffle): columns <id_col>, codes
+    (array<int>, each 0..255)."""
+    mins, maxs = params["mins"], params["maxs"]
+    codes = F.array(*[
+        _sq_code(F.col(vec_col)[d], mins[d], maxs[d])
+        for d in range(len(mins))])
+    return vectors.select(F.col(id_col), codes.alias("codes"))
+
+
+def knn_scalar(vectors: DataFrame, query_vec: list, params: dict, *,
+               k: int = 10, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Top-k nearest neighbours on SCALAR-QUANTIZED codes: the query
+    is quantized with the same per-dimension bounds (symmetric
+    distance — both sides share the exact integer code space), and
+    the distance is the scale-weighted squared code difference
+      dist = Σ_d ((c_x[d] − c_q[d]) · s_d)²,   s_d = (mx_d − mn_d)/255
+    i.e. squared Euclidean in the de-quantized space. Integer code
+    deltas make the per-element products engine-exact; the only
+    float-order freedom is the final sum, rounded at 6 dp.
+
+    Plan: encode is a narrow map over the corpus, the scan carries
+    only (id, codes) — at serving scale the 4×-smaller code column
+    is the point: the index fits where floats would spill. The only
+    shuffle is the k-row TakeOrdered merge. Columns: <id_col>, dist
+    (round 6), ordered dist asc, id asc, LIMIT k.
+    """
+    mins, maxs = params["mins"], params["maxs"]
+    dim = len(mins)
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != {dim}")
+
+    def code1(x: float, mn: float, mx: float) -> int:
+        if mx == mn:
+            return 0
+        t = (float(x) - mn) / (mx - mn)
+        import math
+        return min(255, max(0, int(math.floor(t * 255.0 + 0.5))))
+
+    qc = [code1(query_vec[d], mins[d], maxs[d]) for d in range(dim)]
+    scales = [(maxs[d] - mins[d]) / 255.0 for d in range(dim)]
+    enc = encode_scalar(vectors, params, id_col=id_col, vec_col=vec_col)
+    term = None
+    for d in range(dim):
+        delta = (F.col("codes")[d] - F.lit(qc[d])).cast("double")
+        v = delta * F.lit(scales[d])
+        # v*v, not pow(v, 2): Math.pow is not guaranteed correctly
+        # rounded, a plain multiply is — the oracle multiplies too
+        t = v * v
+        term = t if term is None else term + t
+    return (enc.select(F.col(id_col).alias("vec_id"),
+                       F.round(term, 6).alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+            .limit(k))

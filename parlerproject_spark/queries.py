@@ -69,6 +69,9 @@ _DRIVER_PRIORITY: list[str] = [
     "auto_expectations_orders",
     "krippendorff_ordinal_events",
     "krippendorff_interval_events",
+    "knn_sq",
+    "diversity_by_source_docs",
+    "unimax_mixture_docs",
     # -- the 14 round-3-stale queries (VERDICT r9 list, verbatim) --
     "q7_nation_volume",
     "range_join_value_tiers",
@@ -12616,3 +12619,149 @@ def _kripp_metric_query(metric: str):
 
 krippendorff_ordinal_events = _kripp_metric_query("ordinal")
 krippendorff_interval_events = _kripp_metric_query("interval")
+
+
+@register("knn_sq", """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings),
+mm AS MATERIALIZED (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+q AS (SELECT i, x FROM ex WHERE vec_id = 0),
+qc AS MATERIALIZED (
+  SELECT mm.i,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(255, greatest(0,
+                   floor((q.x - mn) / (mx - mn) * 255.0 + 0.5)))::INT
+         END AS c,
+         CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS s
+  FROM mm JOIN q USING (i)),
+xc AS (
+  SELECT vec_id, ex.i,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(255, greatest(0,
+                   floor((x - mn) / (mx - mn) * 255.0 + 0.5)))::INT
+         END AS c
+  FROM ex JOIN mm USING (i))
+SELECT vec_id,
+       round(sum(((xc.c - qc.c) * qc.s) * ((xc.c - qc.c) * qc.s)), 6)
+         AS dist
+FROM xc JOIN qc USING (i)
+GROUP BY vec_id
+ORDER BY dist ASC, vec_id ASC
+LIMIT 10
+""")
+def knn_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest neighbours on int8-range SCALAR-QUANTIZED codes
+    (similarity.train_scalar_quantizer/knn_scalar): per-dimension
+    min/max bounds from one aggregation pass, 256-level uniform
+    codes, symmetric scale-weighted squared-code distance against
+    the quantized vec_id=0 query. The serving-side compression tier
+    between full floats and PQ — 4x smaller index, no codebook
+    training. Codes are integer-exact across engines (every quantize
+    step is a single IEEE op on identical inputs); the oracle
+    re-derives bounds, codes, and distances from scratch in SQL."""
+    from parlerproject_spark.operators.similarity import (
+        knn_scalar, train_scalar_quantizer)
+    emb = _t(spark, sf_dir, "embeddings")
+    params = train_scalar_quantizer(emb, dim=64)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0]]
+    return knn_scalar(emb, qvec, params, k=10)
+
+
+@register("diversity_by_source_docs", """
+WITH toks AS (
+  SELECT source, doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ts
+  FROM documents),
+g AS MATERIALIZED (
+  SELECT source, doc_id,
+         array_to_string(ts[i:i+1], ' ') AS gram
+  FROM (SELECT source, doc_id, ts,
+               unnest(range(1, len(ts))) AS i
+        FROM toks WHERE len(ts) >= 2)),
+tot AS (
+  SELECT source, count(*)::BIGINT AS total_grams,
+         count(DISTINCT gram)::BIGINT AS distinct_grams
+  FROM g GROUP BY source),
+dg AS MATERIALIZED (SELECT DISTINCT source, doc_id, gram FROM g),
+gdf AS (SELECT source, gram, count(*)::BIGINT AS df
+        FROM dg GROUP BY source, gram),
+per_doc AS (
+  SELECT dg.source, dg.doc_id,
+         avg(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END) AS ov
+  FROM dg JOIN gdf USING (source, gram)
+  GROUP BY dg.source, dg.doc_id),
+ov AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         round(avg(ov), 6) AS mean_self_overlap
+  FROM per_doc GROUP BY source)
+SELECT tot.source AS "group", n_docs, total_grams, distinct_grams,
+       round(distinct_grams::DOUBLE / total_grams, 6) AS distinct_ratio,
+       mean_self_overlap
+FROM tot JOIN ov USING (source)
+ORDER BY "group"
+""")
+def diversity_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source generation-diversity metrics
+    (evaluation.diversity_ngrams, n=2): distinct-bigram ratio plus
+    the leave-one-out self-overlap mean — the distinct-n /
+    self-BLEU-intent readout reduced to doc-frequency counting (a
+    gram overlaps other docs iff its within-source document
+    frequency is >= 2). The oracle replays the full gram -> totals /
+    doc-frequency -> containment pipeline in SQL."""
+    from parlerproject_spark.operators.evaluation import diversity_ngrams
+    d = _t(spark, sf_dir, "documents")
+    return diversity_ngrams(d, n=2).orderBy("group")
+
+
+@register("unimax_mixture_docs", """
+WITH cnt AS MATERIALIZED (
+  SELECT source,
+         sum(len(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9]+'), w -> w <> '')))::BIGINT AS n
+  FROM documents GROUP BY source),
+tot AS (SELECT 0.95 * sum(n)::DOUBLE AS b,
+               count(*)::DOUBLE AS nn FROM cnt),
+ranked AS (
+  SELECT source, n::DOUBLE AS n_tokens, n::DOUBLE * 1.0 AS cap,
+         row_number() OVER (ORDER BY n::DOUBLE * 1.0, source) AS k,
+         sum(n::DOUBLE * 1.0) OVER (ORDER BY n::DOUBLE * 1.0, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cnt),
+cand AS (
+  SELECT r.*, (b - (cum - cap)) / (nn - k + 1.0) AS t
+  FROM ranked r, tot),
+lvl AS (SELECT min_by(t, k) AS lvl FROM cand WHERE t <= cap),
+fin AS (
+  SELECT c.source, c.n_tokens, c.cap, lvl.lvl,
+         CASE WHEN lvl IS NULL OR c.cap <= lvl
+              THEN c.cap ELSE lvl END AS alloc
+  FROM cand c, lvl)
+SELECT source, n_tokens::BIGINT AS n_tokens,
+       round(cap, 6) AS cap, round(alloc, 6) AS alloc,
+       round(alloc / n_tokens, 6) AS epochs,
+       (lvl IS NULL OR cap <= lvl) AS capped
+FROM fin
+ORDER BY source
+""")
+def unimax_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation (sampling.unimax_allocation)
+    over per-source token counts of documents: budget = 95% of the
+    corpus's tokens, every source capped at 1 epoch of itself — the
+    small sources hit their caps, the rest level at the water line.
+    The oracle replays the closed-form water-filling scan (ordered
+    cumsum, candidate level per rank, min_by first-valid selection)
+    end-to-end in SQL."""
+    from parlerproject_spark.functions.text import tokenize
+    from parlerproject_spark.operators.sampling import unimax_allocation
+    d = _t(spark, sf_dir, "documents")
+    cnt = (d.groupBy("source")
+           .agg(F.sum(F.size(tokenize("text"))).alias("n_tokens")))
+    total = cnt.agg(F.sum("n_tokens")).collect()[0][0]
+    return (unimax_allocation(cnt, budget=0.95 * float(total),
+                              max_epochs=1.0)
+            .orderBy("source"))

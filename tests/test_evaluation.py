@@ -847,3 +847,51 @@ class TestKrippendorffAlphaMetric:
         df = spark.createDataFrame([(1, 1.0)], "item_id bigint, label double")
         with pytest.raises(ValueError):
             krippendorff_alpha_metric(df, metric="ratio")
+
+
+class TestDiversityNgrams:
+    def test_hand_case(self, spark):
+        from parlerproject_spark.operators.evaluation import (
+            diversity_ngrams)
+        docs = spark.createDataFrame(
+            [(1, "a b c", "x"),      # bigrams: "a b", "b c"
+             (2, "a b d", "x"),      # bigrams: "a b", "b d"
+             (3, "z", "x"),          # < 2 tokens -> excluded
+             (4, "p q p q", "y")],   # bigrams: p q, q p, p q
+            "doc_id bigint, text string, source string")
+        rows = {r["group"]: r
+                for r in diversity_ngrams(docs, n=2).collect()}
+        x = rows["x"]
+        assert x["n_docs"] == 2
+        assert x["total_grams"] == 4
+        assert x["distinct_grams"] == 3
+        assert x["distinct_ratio"] == 0.75
+        # doc1: {a b (df2), b c (df1)} -> 0.5; doc2 same -> mean 0.5
+        assert x["mean_self_overlap"] == 0.5
+        y = rows["y"]
+        assert y["n_docs"] == 1 and y["total_grams"] == 3
+        assert y["distinct_grams"] == 2
+        # single doc: nothing overlaps other docs
+        assert y["mean_self_overlap"] == 0.0
+
+    def test_mode_collapse_scores_lower(self, spark):
+        from parlerproject_spark.operators.evaluation import (
+            diversity_ngrams)
+        collapsed = [(i, "the same answer again", "m1")
+                     for i in range(10)]
+        diverse = [(100 + i, f"answer variant {i} differs token{i}", "m2")
+                   for i in range(10)]
+        docs = spark.createDataFrame(
+            collapsed + diverse, "doc_id bigint, text string, source string")
+        r = {x["group"]: x for x in diversity_ngrams(docs, n=2).collect()}
+        assert r["m1"]["distinct_ratio"] < r["m2"]["distinct_ratio"]
+        assert r["m1"]["mean_self_overlap"] > r["m2"]["mean_self_overlap"]
+
+    def test_bad_n_raises(self, spark):
+        from parlerproject_spark.operators.evaluation import (
+            diversity_ngrams)
+        docs = spark.createDataFrame(
+            [(1, "a b", "x")], "doc_id bigint, text string, source string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            diversity_ngrams(docs, n=0)

@@ -209,6 +209,9 @@ _BOUNDED_WINDOW_ALLOWLIST = {
                                # and the fused limit(top_k=20) —
                                # fusion input is systems × k rows,
                                # never the corpus
+    "unimax_mixture_docs",     # water-fill cumsum over the per-SOURCE
+                               # count table: one row per source,
+                               # bounded by the domain alphabet
     "krippendorff_ordinal_events",  # cumulative-margin sum over the
                                # label-marginal table: rows = distinct
                                # grades (5 here), bounded by the label
