@@ -149,3 +149,47 @@ def word_ngrams(arr: Column | str, n: int) -> Column:
         lambda i: F.concat_ws(
             " ", *[F.element_at(c, i + off) for off in range(n)]))
     ).otherwise(F.array().cast("array<string>"))
+
+
+# UTF-8 text that was decoded as cp1252 somewhere upstream (the
+# classic double-encoding accident: "Café" -> "CafÃ©"). The repair
+# table is GENERATED, not hand-typed: for each target character,
+# its mojibake form is utf8-bytes-read-as-cp1252; characters whose
+# UTF-8 bytes hit cp1252's five undefined code points (81 8D 8F 90
+# 9D) are skipped — they cannot round-trip and never appear in this
+# corruption class. Reference tie: the charset-decode fallback of
+# sources/files.py (SURVEY S7) handles BYTES that fail to decode;
+# this handles text that decoded "successfully" but wrongly.
+_MOJIBAKE_TARGETS = (
+    "éèêëàâäöôû"
+    "üïîçñßÉÈ"
+    "’‘“–—…€° "
+)
+
+
+def mojibake_pairs() -> list[tuple[str, str]]:
+    """(mojibake, repaired) pairs, longest mojibake first — the
+    deterministic application order shared by the Spark expression
+    and any SQL replay."""
+    pairs = []
+    for ch in _MOJIBAKE_TARGETS:
+        try:
+            moji = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        pairs.append((moji, ch))
+    pairs.sort(key=lambda p: (-len(p[0]), p[0]))
+    return pairs
+
+
+def repair_mojibake(col: Column | str) -> Column:
+    """Undo UTF-8-read-as-cp1252 mojibake for the common Latin /
+    punctuation repertoire: a chain of LITERAL replaces (JVM
+    codegen, no regex, no Python) applied longest-sequence-first so
+    three-byte sequences never get half-eaten by two-byte ones.
+    ftfy's most common fix, reduced to an expression. Clean text is
+    a fixed point (the replace chain finds nothing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for moji, ch in mojibake_pairs():
+        c = F.replace(c, F.lit(moji), F.lit(ch))
+    return c

@@ -462,3 +462,78 @@ def weak_label_summary(df: DataFrame, lf_cols: list[str], *,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def quantile_match_scores(df: DataFrame, *, group_col: str = "source",
+                          score_col: str = "score",
+                          id_col: str = "doc_id",
+                          n_buckets: int = 512) -> DataFrame:
+    """Cross-group quantile NORMALIZATION — one step past
+    `calibrate_scores`' per-group percent-rank: map every row's
+    within-group rank onto the GLOBAL score distribution's order
+    statistic at that rank, so scores from differently-shaped
+    per-source scorers become directly comparable on one scale while
+    each group keeps its internal ordering (the quantile-matching /
+    quantile-normalization recipe). A global threshold applied to
+    `calibrated` then cuts the same FRACTION of every source.
+
+    Mechanics: pct = within-group percent_rank (unique ordering
+    score, id → exact (row_number−1)/(n−1)); target global rank
+    k = floor(pct·(N−1)) + 1; `calibrated` = the k-th smallest score
+    globally (order: score, id).
+
+    Scale shape: the global ranking is NEVER a single-partition
+    window — it is the two-level prefix-sum of quantile_band_filter
+    applied globally: scores range-bucket into ≤ n_buckets ordered
+    buckets (floor is IEEE-monotone, equal scores share a bucket),
+    the cross-bucket offset is a running sum over the ≤ n_buckets-row
+    count table (bounded by the constant parameter, never the data),
+    and within-bucket row_number windows partition BY BUCKET. The
+    rank→score map then joins back on the rank key — a plain keyed
+    shuffle. Per-group pct is a group-partitioned window.
+
+    Columns: <id_col>, <group_col>, score, pct (round 6), calibrated
+    (an exact data value — no float synthesis, no rounding).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("double")
+    base = df.select(F.col(id_col), F.col(group_col), s.alias("__s"))
+
+    gw = (Window.partitionBy(group_col)
+          .orderBy(F.col("__s").asc(), F.col(id_col).asc()))
+    pct = base.withColumn("__pct", F.percent_rank().over(gw))
+
+    gstats = base.agg(F.min("__s").alias("__lo"),
+                      F.max("__s").alias("__hi"),
+                      F.count(F.lit(1)).cast("double").alias("__N"))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = (F.when(span > 0,
+                     F.least(F.floor((F.col("__s") - F.col("__lo"))
+                                     / span * n_buckets),
+                             F.lit(n_buckets - 1)))
+              .otherwise(F.lit(0)).cast("long"))
+    b = (base.crossJoin(F.broadcast(gstats))
+         .select(id_col, "__s", bucket.alias("__b")))
+    cnt = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+    # running offset over the <= n_buckets-row count table (bounded
+    # by the constant parameter, not the data — the
+    # quantile_band_filter contract, applied globally)
+    woff = (Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = cnt.withColumn("__off",
+                         F.coalesce(F.sum("__bn").over(woff), F.lit(0)))
+    wrn = Window.partitionBy("__b").orderBy("__s", id_col)
+    ranked = (b.withColumn("__rn", F.row_number().over(wrn).cast("long"))
+              .join(off.select("__b", "__off"), "__b")
+              .select((F.col("__off") + F.col("__rn")).alias("__gr"),
+                      F.col("__s").alias("__gs")))
+
+    k = (F.floor(F.col("__pct") * (F.col("__N") - 1.0)) + 1).cast("long")
+    tgt = (pct.crossJoin(F.broadcast(gstats.select("__N")))
+           .withColumn("__k", k))
+    return (tgt.join(ranked, tgt["__k"] == ranked["__gr"])
+            .select(F.col(id_col), F.col(group_col),
+                    F.col("__s").alias("score"),
+                    F.round("__pct", 6).alias("pct"),
+                    F.col("__gs").alias("calibrated")))

@@ -72,6 +72,8 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_sq",
     "diversity_by_source_docs",
     "unimax_mixture_docs",
+    "quantile_match_events",
+    "mojibake_repair_fixture",
     # -- the 14 round-3-stale queries (VERDICT r9 list, verbatim) --
     "q7_nation_volume",
     "range_join_value_tiers",
@@ -12765,3 +12767,97 @@ def unimax_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (unimax_allocation(cnt, budget=0.95 * float(total),
                               max_epochs=1.0)
             .orderBy("source"))
+
+
+@register("quantile_match_events", """
+WITH base AS MATERIALIZED (
+  SELECT event_id, event_type, value::DOUBLE AS s
+  FROM events WHERE value IS NOT NULL),
+p AS (
+  SELECT event_id, event_type, s,
+         percent_rank() OVER (PARTITION BY event_type
+                              ORDER BY s, event_id) AS pct
+  FROM base),
+g AS (SELECT count(*)::DOUBLE AS nn FROM base),
+r AS (
+  SELECT s AS gs,
+         row_number() OVER (ORDER BY s, event_id)::BIGINT AS gr
+  FROM base)
+SELECT p.event_id, p.event_type, p.s AS score,
+       round(p.pct, 6) AS pct, r.gs AS calibrated
+FROM p CROSS JOIN g
+JOIN r ON (floor(p.pct * (nn - 1.0)) + 1)::BIGINT = r.gr
+ORDER BY event_id
+""")
+def quantile_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group quantile normalization
+    (selection.quantile_match_scores): every event's value is mapped
+    from its within-event_type percent-rank onto the GLOBAL value
+    distribution's order statistic at that rank — per-source scorer
+    outputs become one comparable scale. The engine's global ranking
+    is the bucketed two-level prefix sum (never a single-partition
+    window); the oracle replays it as a plain global row_number,
+    which is rank-identical because the bucket function is monotone
+    in the score."""
+    from parlerproject_spark.operators.selection import (
+        quantile_match_scores)
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    return (quantile_match_scores(
+        ev, group_col="event_type", score_col="value",
+        id_col="event_id")
+        .orderBy("event_id"))
+
+
+_MOJI_FIXTURE = [
+    (1, "Café résumé naïve"),
+    (2, "He said ’hello‘ — twice…"),
+    (3, "Temperature 25° and “open-quoted dashes – here"),
+    (4, "plain ascii stays untouched"),
+    (5, "€100 coûte 80€ — naïveté"),
+    (6, "École über straße ñandú"),
+]
+
+
+def _moji_corrupt(s: str) -> str:
+    return s.encode("utf-8").decode("cp1252")
+
+
+def _moji_oracle() -> str:
+    from parlerproject_spark.functions.text import mojibake_pairs
+    rows = ",\n  ".join(
+        "({}, '{}')".format(i, _moji_corrupt(s).replace("'", "''"))
+        for i, s in _MOJI_FIXTURE)
+    expr = "corrupted"
+    for moji, ch in mojibake_pairs():
+        expr = "replace({}, '{}', '{}')".format(expr, moji, ch)
+    return f"""
+WITH fixture(doc_id, corrupted) AS (VALUES
+  {rows})
+SELECT doc_id, corrupted, {expr} AS repaired,
+       {expr} <> corrupted AS changed
+FROM fixture
+ORDER BY doc_id
+"""
+
+
+@register("mojibake_repair_fixture", _moji_oracle())
+def mojibake_repair_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8-read-as-cp1252 mojibake repair
+    (functions.text.repair_mojibake) over a deterministic 6-row
+    fixture (the bounded fixture-builder precedent): texts are
+    corrupted by the exact double-decoding accident (encode utf-8,
+    decode cp1252) and repaired by the longest-first literal replace
+    chain. The oracle replays the identical chain — both the
+    corruption (embedded as literals generated by the same Python)
+    and every replace step — so the pair TABLE itself is under the
+    hash. Note one deliberate asymmetry: ” (U+201D) corrupts
+    through cp1252's undefined 0x9D and is excluded from the
+    repertoire — the docstring'd limit of this corruption class."""
+    from parlerproject_spark.functions.text import repair_mojibake
+    rows = [(i, _moji_corrupt(s)) for i, s in _MOJI_FIXTURE]
+    df = spark.createDataFrame(rows, "doc_id bigint, corrupted string")
+    rep = repair_mojibake("corrupted")
+    return (df.select("doc_id", "corrupted", rep.alias("repaired"),
+                      (rep != F.col("corrupted")).alias("changed"))
+            .orderBy("doc_id"))

@@ -209,6 +209,11 @@ _BOUNDED_WINDOW_ALLOWLIST = {
                                # and the fused limit(top_k=20) —
                                # fusion input is systems × k rows,
                                # never the corpus
+    "quantile_match_events",   # bucket-offset running sum over the
+                               # <= n_buckets(512)-row global count
+                               # table — bounded by the constant
+                               # parameter, never the data; all
+                               # row-level windows partition by bucket
     "unimax_mixture_docs",     # water-fill cumsum over the per-SOURCE
                                # count table: one row per source,
                                # bounded by the domain alphabet
