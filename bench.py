@@ -295,6 +295,16 @@ EXTRA = [
     "groundedness_docs",
     "dictionary_tag_arrow_docs",
     "maxsim_rerank_embeddings",
+    # round-10: auto-profiled gates, weighted agreement, SQ-ANN,
+    # diversity, UniMax water-fill, quantile matching, mojibake
+    "auto_expectations_orders",
+    "krippendorff_ordinal_events",
+    "krippendorff_interval_events",
+    "knn_sq",
+    "diversity_by_source_docs",
+    "unimax_mixture_docs",
+    "quantile_match_events",
+    "mojibake_repair_fixture",
 ]
 
 
