@@ -1389,12 +1389,15 @@ def diversity_ngrams(docs: DataFrame, *, n: int = 2,
     the self-BLEU intent, reduced to counting.
 
     Plan shape: one narrow map builds the n-gram table (token slice
-    + join inside `transform`, no Python); everything after is two
-    hash aggregations over it (per-group totals with a distinct
-    count; per-(group, gram) doc frequency) and ONE join of per-doc
-    distinct grams back to the frequency table, keyed on the gram —
-    posting-list shaped, no windows, no pair joins, corpus-linear at
-    any scale. Docs with < n tokens contribute nothing.
+    + join inside `transform`, no Python), and the corpus is
+    TOKENIZED EXACTLY ONCE: the first aggregation — per-(doc, gram)
+    occurrence counts — is the shared exchange every downstream
+    number rides (Spark reuses the identical exchange subtree across
+    both consumers). Group totals and distinct counts come from the
+    per-(group, gram) rollup of that table; the overlap join keys on
+    the gram — posting-list shaped, no windows, no pair joins,
+    corpus-linear at any scale. Docs with < n tokens contribute
+    nothing.
 
     Columns: group, n_docs, total_grams, distinct_grams,
     distinct_ratio (6 dp), mean_self_overlap (6 dp; the mean over
@@ -1413,13 +1416,19 @@ def diversity_ngrams(docs: DataFrame, *, n: int = 2,
         f"i -> array_join(slice(__ts, i, {n}), ' '))")
     g = toks.select("__g", "__id",
                     F.explode(grams_expr).alias("__gram"))
-    tot = (g.groupBy("__g")
-           .agg(F.count(F.lit(1)).alias("total_grams"),
-                F.count_distinct("__gram").alias("distinct_grams")))
-    dg = g.select("__g", "__id", "__gram").distinct()
-    gdf = dg.groupBy("__g", "__gram").agg(
-        F.count(F.lit(1)).alias("__df"))
-    per_doc = (dg.join(gdf, ["__g", "__gram"])
+    # the ONE corpus-wide exchange: per-(doc, gram) occurrence counts
+    dgc = (g.groupBy("__g", "__id", "__gram")
+           .agg(F.count(F.lit(1)).alias("__c")))
+    # per-(group, gram) rollup carries BOTH the doc frequency and the
+    # occurrence total, so group totals need no second corpus pass
+    gdf = (dgc.groupBy("__g", "__gram")
+           .agg(F.count(F.lit(1)).alias("__df"),
+                F.sum("__c").alias("__occ")))
+    tot = (gdf.groupBy("__g")
+           .agg(F.sum("__occ").alias("total_grams"),
+                F.count(F.lit(1)).alias("distinct_grams")))
+    per_doc = (dgc.join(gdf.select("__g", "__gram", "__df"),
+                        ["__g", "__gram"])
                .groupBy("__g", "__id")
                .agg(F.avg(F.when(F.col("__df") >= 2, 1.0)
                           .otherwise(0.0)).alias("__ov")))

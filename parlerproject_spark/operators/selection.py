@@ -485,12 +485,18 @@ def quantile_match_scores(df: DataFrame, *, group_col: str = "source",
     Scale shape: the global ranking is NEVER a single-partition
     window — it is the two-level prefix-sum of quantile_band_filter
     applied globally: scores range-bucket into ≤ n_buckets ordered
-    buckets (floor is IEEE-monotone, equal scores share a bucket),
-    the cross-bucket offset is a running sum over the ≤ n_buckets-row
-    count table (bounded by the constant parameter, never the data),
+    buckets (floor is IEEE-monotone, equal scores share a bucket;
+    bounds are three collected doubles, injected as literals so no
+    stats subtree is re-planned per branch), the cross-bucket offset
+    is a running sum over the ≤ n_buckets-row count table (bounded
+    by the constant parameter, never the data — and BROADCAST back),
     and within-bucket row_number windows partition BY BUCKET. The
-    rank→score map then joins back on the rank key — a plain keyed
-    shuffle. Per-group pct is a group-partitioned window.
+    rank→score map then joins on the rank key — a plain keyed
+    shuffle. Per-group pct is a group-partitioned window. Total
+    corpus cost: three column-pruned scans (stats, pct, ranking) and
+    two keyed exchanges; if the input is an expensive derived
+    pipeline rather than a columnar table, persist it first — the
+    operator deliberately does not cache on the caller's behalf.
 
     Columns: <id_col>, <group_col>, score, pct (round 6), calibrated
     (an exact data value — no float synthesis, no rounding).
@@ -504,18 +510,31 @@ def quantile_match_scores(df: DataFrame, *, group_col: str = "source",
           .orderBy(F.col("__s").asc(), F.col(id_col).asc()))
     pct = base.withColumn("__pct", F.percent_rank().over(gw))
 
-    gstats = base.agg(F.min("__s").alias("__lo"),
-                      F.max("__s").alias("__hi"),
-                      F.count(F.lit(1)).cast("double").alias("__N"))
-    span = F.col("__hi") - F.col("__lo")
-    bucket = (F.when(span > 0,
-                     F.least(F.floor((F.col("__s") - F.col("__lo"))
-                                     / span * n_buckets),
-                             F.lit(n_buckets - 1)))
-              .otherwise(F.lit(0)).cast("long"))
-    b = (base.crossJoin(F.broadcast(gstats))
-         .select(id_col, "__s", bucket.alias("__b")))
-    cnt = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+    # global lo/hi/N collected once (three doubles — model-sized, the
+    # train_scalar_quantizer contract): as literals they stop the
+    # stats subquery from being re-planned under every branch that
+    # needs the bucket expression
+    st = base.agg(F.min("__s").alias("__lo"),
+                  F.max("__s").alias("__hi"),
+                  F.count(F.lit(1)).alias("__N")).collect()[0]
+    lo, hi, n_total = st["__lo"], st["__hi"], float(st["__N"])
+    span = (hi - lo) if (lo is not None and hi is not None) else 0.0
+    if span > 0:
+        bucket = F.least(F.floor((F.col("__s") - F.lit(lo))
+                                 / F.lit(span) * n_buckets),
+                         F.lit(n_buckets - 1)).cast("long")
+    else:
+        bucket = F.lit(0).cast("long")
+    b = base.select(id_col, "__s", bucket.alias("__b"))
+    # ONE corpus exchange on the bucket key serves BOTH per-bucket
+    # windows (row_number and bucket size share the partitioning);
+    # the distinct below reuses the same exchange subtree and
+    # map-side-reduces to <= n_buckets rows before it shuffles
+    wrn = Window.partitionBy("__b").orderBy("__s", id_col)
+    bw = (b.withColumn("__rn", F.row_number().over(wrn).cast("long"))
+          .withColumn("__bn",
+                      F.count(F.lit(1)).over(Window.partitionBy("__b"))))
+    cnt = bw.select("__b", "__bn").distinct()
     # running offset over the <= n_buckets-row count table (bounded
     # by the constant parameter, not the data — the
     # quantile_band_filter contract, applied globally)
@@ -523,15 +542,12 @@ def quantile_match_scores(df: DataFrame, *, group_col: str = "source",
             .rowsBetween(Window.unboundedPreceding, -1))
     off = cnt.withColumn("__off",
                          F.coalesce(F.sum("__bn").over(woff), F.lit(0)))
-    wrn = Window.partitionBy("__b").orderBy("__s", id_col)
-    ranked = (b.withColumn("__rn", F.row_number().over(wrn).cast("long"))
-              .join(off.select("__b", "__off"), "__b")
+    ranked = (bw.join(F.broadcast(off.select("__b", "__off")), "__b")
               .select((F.col("__off") + F.col("__rn")).alias("__gr"),
                       F.col("__s").alias("__gs")))
 
-    k = (F.floor(F.col("__pct") * (F.col("__N") - 1.0)) + 1).cast("long")
-    tgt = (pct.crossJoin(F.broadcast(gstats.select("__N")))
-           .withColumn("__k", k))
+    k = (F.floor(F.col("__pct") * F.lit(n_total - 1.0)) + 1).cast("long")
+    tgt = pct.withColumn("__k", k)
     return (tgt.join(ranked, tgt["__k"] == ranked["__gr"])
             .select(F.col(id_col), F.col(group_col),
                     F.col("__s").alias("score"),

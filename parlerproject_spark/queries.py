@@ -12761,9 +12761,14 @@ def unimax_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parlerproject_spark.functions.text import tokenize
     from parlerproject_spark.operators.sampling import unimax_allocation
     d = _t(spark, sf_dir, "documents")
-    cnt = (d.groupBy("source")
-           .agg(F.sum(F.size(tokenize("text"))).alias("n_tokens")))
-    total = cnt.agg(F.sum("n_tokens")).collect()[0][0]
+    # ONE corpus tokenization pass; the collected count table is one
+    # row per source (bounded model state), and the water-fill then
+    # runs over the local relation — the corpus is never re-scanned
+    rows = (d.groupBy("source")
+            .agg(F.sum(F.size(tokenize("text"))).alias("n_tokens"))
+            .collect())
+    total = sum(r["n_tokens"] for r in rows)
+    cnt = spark.createDataFrame(rows, "source string, n_tokens bigint")
     return (unimax_allocation(cnt, budget=0.95 * float(total),
                               max_epochs=1.0)
             .orderBy("source"))

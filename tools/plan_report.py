@@ -194,6 +194,15 @@ REPORT_QUERIES = [
     "required_sample_size_events",
     "cv_fold_auc_docs",
     "spearman_length_tokens_sources",
+    # round-10 additions
+    "auto_expectations_orders",
+    "krippendorff_ordinal_events",
+    "krippendorff_interval_events",
+    "knn_sq",
+    "diversity_by_source_docs",
+    "unimax_mixture_docs",
+    "quantile_match_events",
+    "mojibake_repair_fixture",
 ]
 
 
