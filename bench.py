@@ -305,6 +305,7 @@ EXTRA = [
     "unimax_mixture_docs",
     "quantile_match_events",
     "mojibake_repair_fixture",
+    "card_luhn_fixture",
 ]
 
 

@@ -225,3 +225,66 @@ def t_closeness_audit(df: DataFrame, quasi_cols: list[str],
             .agg(F.max("__n").cast("long").alias("n"),
                  F.round(tvd, 6).alias("tvd"))
             .withColumn("breach", F.col("tvd") > t))
+
+
+def luhn_check(col_name: str) -> "F.Column":
+    """Luhn mod-10 checksum over a DIGITS-ONLY string column (by
+    NAME — the fold is built with expression SQL) — the validator
+    that separates a real payment-card number from any random
+    16-digit run, cutting the false-positive rate of naive
+    \\d{13,19} redaction (an order id, a timestamp, a hash prefix
+    all fail the checksum with probability 0.9). Pure JVM
+    expression: one `aggregate` fold over the reversed digit
+    positions (double every second digit from the right, subtract 9
+    above 9), sum mod 10 == 0. Empty/non-digit input → false."""
+    s = col_name
+    summed = F.expr(
+        f"aggregate(transform(sequence(1, length({s})), i -> ("
+        f"  coalesce(TRY_CAST(substring({s}, length({s}) - i + 1, 1)"
+        f"           AS INT), 0) * "
+        f"  (CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END))), 0, "
+        f"(acc, d) -> acc + (CASE WHEN d > 9 THEN d - 9 ELSE d END))")
+    ok_shape = (F.length(F.col(s)) >= 1) & F.col(s).rlike("^[0-9]+$")
+    return ok_shape & (summed % 10 == 0)
+
+
+def card_flags(df: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Payment-card PII audit with checksum precision: extract every
+    13–19-digit run (separators '-'/' ' tolerated), strip the
+    separators, validate each with the Luhn checksum, and report per
+    row: n_candidates, n_valid, and `masked` — the first VALID
+    number masked to its last four digits ('****1111'), NULL when
+    none validate. The naive pattern alone would flag order ids and
+    hashes; the checksum keeps only plausible card numbers, which is
+    the difference between a useful PII gate and one that redacts
+    every long number in a log corpus.
+
+    All-expression plan: regexp_extract_all for candidates, an
+    array-level transform + filter for validation, no Python, no
+    shuffle — a pure projection over the scan."""
+    cand_pat = r"\\d(?:[ -]?\\d){12,18}"
+    cands = F.expr(
+        f"regexp_extract_all({text_col}, '{cand_pat}', 0)")
+    norm = F.expr(
+        f"transform(regexp_extract_all({text_col}, '{cand_pat}', 0), "
+        "x -> regexp_replace(x, '[ -]', ''))")
+    luhn_elem = (
+        "aggregate(transform(sequence(1, length(x)), i -> ("
+        "  CAST(substring(x, length(x) - i + 1, 1) AS INT) * "
+        "  (CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END))), 0, "
+        "(acc, d) -> acc + (CASE WHEN d > 9 THEN d - 9 ELSE d END)) "
+        "% 10 = 0")
+    valid = F.expr(
+        f"filter(transform(regexp_extract_all({text_col}, "
+        f"'{cand_pat}', 0), x -> regexp_replace(x, '[ -]', '')), "
+        f"x -> {luhn_elem})")
+    first_valid = F.try_element_at(valid, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_valid"),
+        F.when(first_valid.isNotNull(),
+               F.concat(F.lit("****"),
+                        F.substring(first_valid, -4, 4)))
+        .alias("masked"))

@@ -722,6 +722,8 @@ def unimax_allocation(counts: DataFrame, *, budget: float,
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("cap", 6).alias("cap"),
         F.round("alloc", 6).alias("alloc"),
-        F.round(F.col("alloc") / F.col("n_tokens"), 6).alias("epochs"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("alloc") / F.col("n_tokens"), 6))
+        .alias("epochs"),  # a zero-token source has no epoch notion
         (F.col("__lvl").isNull() | (F.col("cap") <= F.col("__lvl")))
         .alias("capped"))

@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "unimax_mixture_docs",
     "quantile_match_events",
     "mojibake_repair_fixture",
+    "card_luhn_fixture",
     # -- the 14 round-3-stale queries (VERDICT r9 list, verbatim) --
     "q7_nation_volume",
     "range_join_value_tiers",
@@ -12745,7 +12746,8 @@ fin AS (
   FROM cand c, lvl)
 SELECT source, n_tokens::BIGINT AS n_tokens,
        round(cap, 6) AS cap, round(alloc, 6) AS alloc,
-       round(alloc / n_tokens, 6) AS epochs,
+       CASE WHEN n_tokens > 0
+            THEN round(alloc / n_tokens, 6) END AS epochs,
        (lvl IS NULL OR cap <= lvl) AS capped
 FROM fin
 ORDER BY source
@@ -12866,3 +12868,63 @@ def mojibake_repair_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (df.select("doc_id", "corrupted", rep.alias("repaired"),
                       (rep != F.col("corrupted")).alias("changed"))
             .orderBy("doc_id"))
+
+
+@register("card_luhn_fixture", r"""
+WITH fixture(doc_id, text) AS (VALUES
+  (1, 'pay with 4111111111111111 now'),
+  (2, 'fake 4111111111111112 fails the checksum'),
+  (3, 'fmt 4111-1111-1111-1111 ok and 5500 0000 0000 0004'),
+  (4, 'order 123456789012345678901 too long; id 9999'),
+  (5, 'no digits at all'),
+  (6, 'amex 378282246310005 and a 13-digit 4222222222222')),
+c AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(text, '\d(?:[ -]?\d){12,18}'),
+           x -> regexp_replace(x, '[ -]', '', 'g')) AS norms,
+         regexp_extract_all(text, '\d(?:[ -]?\d){12,18}') AS cands
+  FROM fixture),
+v AS (
+  SELECT doc_id, cands,
+         list_filter(norms, x ->
+           list_sum(list_transform(range(1, length(x) + 1), i ->
+             CASE WHEN TRY_CAST(substring(x, length(x) - i + 1, 1)
+                       AS INT) * (CASE WHEN i % 2 = 0 THEN 2 ELSE 1
+                       END) > 9
+                  THEN TRY_CAST(substring(x, length(x) - i + 1, 1)
+                       AS INT) * (CASE WHEN i % 2 = 0 THEN 2 ELSE 1
+                       END) - 9
+                  ELSE TRY_CAST(substring(x, length(x) - i + 1, 1)
+                       AS INT) * (CASE WHEN i % 2 = 0 THEN 2 ELSE 1
+                       END) END)) % 10 = 0) AS valid
+  FROM c)
+SELECT doc_id, len(cands)::BIGINT AS n_candidates,
+       len(valid)::BIGINT AS n_valid,
+       CASE WHEN len(valid) >= 1
+            THEN '****' || substring(valid[1], length(valid[1]) - 3, 4)
+       END AS masked
+FROM v
+ORDER BY doc_id
+""")
+def card_luhn_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PII detection with Luhn checksum precision
+    (privacy.card_flags) over a deterministic fixture: 13-19-digit
+    runs (separator-tolerant) are candidates; only checksum-valid
+    numbers count as PII (an order id or hash prefix fails with
+    probability 0.9 — the difference between a useful card gate and
+    one that redacts every long number). All-expression plan: regex
+    extraction + array transform/filter, no Python, no shuffle. The
+    oracle replays extraction, normalization, the mod-10 fold, and
+    the last-4 masking in SQL."""
+    from parlerproject_spark.operators.privacy import card_flags
+    rows = [
+        (1, "pay with 4111111111111111 now"),
+        (2, "fake 4111111111111112 fails the checksum"),
+        (3, "fmt 4111-1111-1111-1111 ok and 5500 0000 0000 0004"),
+        (4, "order 123456789012345678901 too long; id 9999"),
+        (5, "no digits at all"),
+        (6, "amex 378282246310005 and a 13-digit 4222222222222"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return card_flags(df).orderBy("doc_id")

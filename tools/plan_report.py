@@ -203,6 +203,7 @@ REPORT_QUERIES = [
     "unimax_mixture_docs",
     "quantile_match_events",
     "mojibake_repair_fixture",
+    "card_luhn_fixture",
 ]
 
 
