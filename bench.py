@@ -306,6 +306,7 @@ EXTRA = [
     "quantile_match_events",
     "mojibake_repair_fixture",
     "card_luhn_fixture",
+    "token_f1_pairs_docs",
 ]
 
 

@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "quantile_match_events",
     "mojibake_repair_fixture",
     "card_luhn_fixture",
+    "token_f1_pairs_docs",
     # -- the 14 round-3-stale queries (VERDICT r9 list, verbatim) --
     "q7_nation_volume",
     "range_join_value_tiers",
@@ -12928,3 +12929,62 @@ def card_luhn_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     return card_flags(df).orderBy("doc_id")
+
+
+@register("token_f1_pairs_docs", """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '')[1:60],
+           w -> w NOT IN ('a', 'an', 'the')) AS ws
+  FROM documents),
+c AS (SELECT doc_id AS pid, ws AS cw FROM toks WHERE doc_id % 2 = 0),
+r AS (SELECT doc_id - 1 AS pid, ws AS rw FROM toks
+      WHERE doc_id % 2 <> 0),
+p AS MATERIALIZED (SELECT pid, cw, rw FROM c JOIN r USING (pid)),
+cc AS (SELECT pid, t, count(*)::BIGINT AS nc
+       FROM (SELECT pid, unnest(cw) AS t FROM p) GROUP BY pid, t),
+rc AS (SELECT pid, t, count(*)::BIGINT AS nr
+       FROM (SELECT pid, unnest(rw) AS t FROM p) GROUP BY pid, t),
+ov AS (SELECT pid, CAST(sum(least(nc, nr)) AS BIGINT) AS ovl
+       FROM cc JOIN rc USING (pid, t) GROUP BY pid),
+d AS (
+  SELECT pid, len(cw)::BIGINT AS n_cand, len(rw)::BIGINT AS n_ref,
+         coalesce(ovl, 0)::BIGINT AS overlap
+  FROM p LEFT JOIN ov USING (pid)),
+e AS (
+  SELECT pid, n_cand, n_ref, overlap,
+         CASE WHEN n_cand > 0
+              THEN round(overlap::DOUBLE / n_cand, 6) END AS f1_p,
+         CASE WHEN n_ref > 0
+              THEN round(overlap::DOUBLE / n_ref, 6) END AS f1_r
+  FROM d)
+SELECT pid AS pair_id, n_cand, n_ref, overlap, f1_p, f1_r,
+       CASE WHEN f1_p IS NULL OR f1_r IS NULL THEN NULL
+            WHEN f1_p + f1_r = 0 THEN 0.0
+            ELSE round(2 * f1_p * f1_r / (f1_p + f1_r), 6)
+       END AS token_f1
+FROM e
+ORDER BY pair_id
+""")
+def token_f1_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-style bag-of-tokens answer F1
+    (evaluation.token_f1_pairs) over the same even/odd aligned doc
+    pairs as bleu/chrf/rouge/edit-distance: clipped token overlap →
+    precision over the candidate bag, recall over the reference bag,
+    harmonic mean from the rounded P/R — the extractive-QA
+    leaderboard metric. 60-token snippet cap, SQuAD normalization
+    (lowercase alnum tokens, articles dropped). The oracle replays
+    bags, clipping, and all three scores."""
+    from parlerproject_spark.operators.evaluation import token_f1_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = (d.filter(F.col("doc_id") % 2 == 0)
+            .select(F.col("doc_id").alias("pair_id"), "text"))
+    ref = (d.filter(F.col("doc_id") % 2 != 0)
+           .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
+    return (token_f1_pairs(
+        cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
+        ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
+        max_tokens=60)
+        .orderBy("pair_id"))

@@ -895,3 +895,44 @@ class TestDiversityNgrams:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             diversity_ngrams(docs, n=0)
+
+
+class TestTokenF1Pairs:
+    def _run(self, spark, cand_texts, ref_texts):
+        from parlerproject_spark.operators.evaluation import (
+            token_f1_pairs)
+        cand = spark.createDataFrame(
+            list(enumerate(cand_texts)), "pair_id bigint, text string")
+        ref = spark.createDataFrame(
+            list(enumerate(ref_texts)), "pair_id bigint, text string")
+        return {r["pair_id"]: r
+                for r in token_f1_pairs(cand, ref).collect()}
+
+    def test_hand_cases(self, spark):
+        out = self._run(
+            spark,
+            ["the cat sat", "blue car", "x y z", "word word word"],
+            ["a cat sat down", "red bike", "x q z", "word"])
+        # pair 0: articles dropped -> cand {cat,sat}, ref {cat,sat,down}
+        r0 = out[0]
+        assert (r0["n_cand"], r0["n_ref"], r0["overlap"]) == (2, 3, 2)
+        assert r0["f1_p"] == 1.0 and r0["f1_r"] == 0.666667
+        assert r0["token_f1"] == 0.8  # 2*1*(2/3)/(5/3)
+        assert out[1]["token_f1"] == 0.0          # disjoint bags
+        assert out[2]["overlap"] == 2              # x, z
+        # clipping: cand has word x3, ref x1 -> overlap clipped to 1
+        r3 = out[3]
+        assert r3["overlap"] == 1
+        assert r3["f1_p"] == 0.333333 and r3["f1_r"] == 1.0
+
+    def test_identity_is_one_and_empty_is_null(self, spark):
+        out = self._run(spark,
+                        ["exact same answer", "the a an"],
+                        ["exact same answer", "something real"])
+        assert out[0]["token_f1"] == 1.0
+        # cand reduces to zero tokens after article drop -> NULL
+        assert out[1]["n_cand"] == 0 and out[1]["token_f1"] is None
+
+    def test_order_insensitive(self, spark):
+        out = self._run(spark, ["alpha beta gamma"], ["gamma alpha beta"])
+        assert out[0]["token_f1"] == 1.0  # bag metric ignores order

@@ -204,6 +204,7 @@ REPORT_QUERIES = [
     "quantile_match_events",
     "mojibake_repair_fixture",
     "card_luhn_fixture",
+    "token_f1_pairs_docs",
 ]
 
 
