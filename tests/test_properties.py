@@ -181,3 +181,74 @@ def test_dictionary_tag_arrow_always_matches_expr(spark, docs, dict_):
     b = sorted((r["doc_id"], r["phrase"], r["n"])
                for r in dictionary_tag(df, dict_, impl="arrow").collect())
     assert a == b
+
+
+@given(digits=st.lists(st.text(alphabet="0123456789", min_size=1,
+                               max_size=19), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_luhn_check_matches_python_reference(spark, digits):
+    from parlerproject_spark.operators.privacy import luhn_check
+
+    def py_luhn(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    df = spark.createDataFrame([(s,) for s in digits], "n string")
+    got = {r["n"]: r["v"] for r in
+           df.select("n", luhn_check("n").alias("v")).collect()}
+    for s in digits:
+        assert got[s] == py_luhn(s), s
+
+
+@given(caps=st.lists(st.integers(0, 1000), min_size=1, max_size=8),
+       frac=st.floats(0.0, 1.5))
+@settings(**_SETTINGS)
+def test_unimax_allocation_conserves_budget(spark, caps, frac):
+    """Σ alloc == min(budget, Σ caps) and no source exceeds its cap —
+    the water-fill conservation law, for EVERY cap profile."""
+    from parlerproject_spark.operators.sampling import unimax_allocation
+    cnt = spark.createDataFrame(
+        [(f"s{i}", int(c)) for i, c in enumerate(caps)],
+        "source string, n_tokens bigint")
+    budget = frac * sum(caps)
+    out = unimax_allocation(cnt, budget=budget, max_epochs=1.0).collect()
+    total = sum(r["alloc"] for r in out)
+    want = min(budget, float(sum(caps)))
+    assert abs(total - want) < 1e-4 * max(1.0, want), (total, want)
+    for r in out:
+        assert r["alloc"] <= r["cap"] + 1e-9
+
+
+@given(rows=st.lists(st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+                               st.integers(-50, 50)),
+                     min_size=2, max_size=16))
+@settings(**_SETTINGS)
+def test_quantile_match_output_is_permutation_of_global_scores(
+        spark, rows):
+    """Calibrated values are always REAL data values drawn from the
+    global score multiset (order statistics, never synthesized), and
+    within-group order is preserved."""
+    from parlerproject_spark.operators.selection import (
+        quantile_match_scores)
+    df = spark.createDataFrame(
+        [(i, g, float(v)) for i, (g, v) in enumerate(rows)],
+        "doc_id bigint, source string, score double")
+    out = quantile_match_scores(df, n_buckets=4).collect()
+    assert len(out) == len(rows)
+    scores = sorted(float(v) for _, v in rows)
+    for r in out:
+        assert r["calibrated"] in scores
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["source"], []).append(r)
+    for rs in by_g.values():
+        rs.sort(key=lambda r: (r["score"], r["doc_id"]))
+        cal = [r["calibrated"] for r in rs]
+        assert cal == sorted(cal)
