@@ -332,66 +332,75 @@ def _gzip_deflate_start(raw: bytes) -> int:
     return pos
 
 
+_GZ_INDEX_CHUNK = 1 << 20
+
+
 def build_gzip_sync_index(path: str) -> list[tuple[int, int]]:
-    """One linear decompression pass over a .gz file; returns
-    validated (compressed_offset, uncompressed_offset) restart
-    points, ascending. compressed_offset is the first byte AFTER a
+    """Two STREAMING passes over a .gz file; returns validated
+    (compressed_offset, uncompressed_offset) restart points,
+    ascending. compressed_offset is the first byte AFTER a
     full-flush marker — raw inflate started there with fresh state
     reproduces the stream from uncompressed_offset on.
 
-    Single-node single-pass by design: the index is built ONCE per
-    archive (the catalog pass already reads the stream once; this
-    rides the same scan cost) and is a few int pairs per flush point
-    — persist it next to the archive and every later distributed
-    read skips to its members. Validation truth is capped at
-    _GZ_VALIDATE_BYTES per candidate, so memory is
-    O(candidates · 256 B), not stream-sized.
+    Three streamed passes, each O(chunk) memory — NEVER
+    archive-sized (a 100 GB .tar.gz indexes without loading it):
+    1. a pure byte scan for marker candidates (1 MiB windows with a
+       3-byte overlap so a marker spanning a window boundary is
+       still seen — no decompression at all);
+    2. one linear inflate that snapshots the exact cumulative output
+       length at each candidate (a full flush has flushed ALL
+       pending output, so at a TRUE restart point that length IS the
+       uncompressed offset);
+    3. validation: each candidate is test-resumed with fresh inflate
+       state and its first bytes compared against a forward-only
+       GzipFile walk (ascending seeks decompress incrementally — one
+       more linear scan, not one per candidate). Marker bytes inside
+       ordinary block data fail either the inflate or the compare
+       and never enter the index.
     """
     import zlib
 
+    # pass 1: chunked marker scan, no decompression
+    cands: list[int] = []
     with open(path, "rb") as fh:
-        raw = fh.read()
-    start = _gzip_deflate_start(raw)
-    # candidate restart offsets: byte after each marker occurrence
-    cands = []
-    p = raw.find(_GZ_SYNC_MARKER, start)
-    while p != -1:
-        cands.append(p + 4)
-        p = raw.find(_GZ_SYNC_MARKER, p + 1)
+        head = fh.read(4096)
+        start = _gzip_deflate_start(head)
+        fh.seek(start)
+        abs_at = start
+        carry = b""
+        while True:
+            blk = fh.read(_GZ_INDEX_CHUNK)
+            if not blk:
+                break
+            buf = carry + blk
+            base = abs_at - len(carry)
+            p = buf.find(_GZ_SYNC_MARKER)
+            while p != -1:
+                cands.append(base + p + 4)
+                p = buf.find(_GZ_SYNC_MARKER, p + 1)
+            abs_at += len(blk)
+            carry = buf[-(len(_GZ_SYNC_MARKER) - 1):]
+    # dedupe (overlap windows can re-find a boundary marker)
+    cands = sorted(set(cands))
     if not cands:
         return []
 
-    # linear pass: feed the deflate stream in candidate-bounded
-    # slices, snapshotting the uncompressed offset at each candidate
-    # (a full flush has flushed ALL pending output, so at a TRUE
-    # restart point the cumulative output length IS the offset)
-    d = zlib.decompressobj(wbits=-15)
-    at: list[tuple[int, int]] = []  # (comp_off, uncomp_off) candidates
-    pos = start
-    out_len = 0
-    for c in cands:
-        if d.eof:
-            break
-        out_len += len(d.decompress(raw[pos:c]))
-        at.append((c, out_len))
-        pos = c
+    # pass 2: exact uncompressed offsets at each candidate
+    at = _gz_exact_offsets(path, cands)
+    if not at:
+        return []
 
-    # validation pass: resume raw inflate at each candidate with
-    # fresh state and compare its first bytes against the linear
-    # truth (one forward-only GzipFile walk — ascending seeks
-    # decompress incrementally, so this costs one more linear scan,
-    # not one scan per candidate). Marker bytes inside ordinary
-    # block data fail either the inflate or the compare.
+    # pass 3: validation
     import gzip as _gzip
 
     index: list[tuple[int, int]] = []
-    with open(path, "rb") as fh:
-        gz = _gzip.GzipFile(fileobj=fh)
+    with open(path, "rb") as fh, open(path, "rb") as fh2:
+        gz = _gzip.GzipFile(fileobj=fh2)
         for comp_off, uncomp_off in at:
             r = zlib.decompressobj(wbits=-15)
+            fh.seek(comp_off)
             try:
-                got = r.decompress(
-                    raw[comp_off:comp_off + (1 << 16)], _GZ_VALIDATE_BYTES)
+                got = r.decompress(fh.read(1 << 16), _GZ_VALIDATE_BYTES)
             except zlib.error:
                 continue
             if not got:
@@ -401,3 +410,35 @@ def build_gzip_sync_index(path: str) -> list[tuple[int, int]]:
             if got == want:
                 index.append((comp_off, uncomp_off))
     return index
+
+
+def _gz_exact_offsets(path: str,
+                      comp_offs: list[int]) -> list[tuple[int, int]]:
+    """Linear inflate that snapshots the exact uncompressed offset at
+    each given compressed offset (ascending): feed the deflate
+    stream in slices bounded by the candidate offsets, chunked so
+    memory stays O(chunk)."""
+    import zlib
+
+    out: list[tuple[int, int]] = []
+    with open(path, "rb") as fh:
+        head = fh.read(4096)
+        pos = _gzip_deflate_start(head)
+        fh.seek(pos)
+        d = zlib.decompressobj(wbits=-15)
+        out_len = 0
+        for c in sorted(comp_offs):
+            if c < pos:
+                continue
+            remaining = c - pos
+            while remaining > 0 and not d.eof:
+                blk = fh.read(min(_GZ_INDEX_CHUNK, remaining))
+                if not blk:
+                    break
+                out_len += len(d.decompress(blk))
+                remaining -= len(blk)
+            if d.eof and remaining > 0:
+                break
+            pos = c
+            out.append((c, out_len))
+    return out

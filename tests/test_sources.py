@@ -428,3 +428,19 @@ def test_indexed_read_skips_the_prefix(tmp_path, monkeypatch):
     total = real_open(path, "rb").read()
     # reading 3 tail members must consume well under half the stream
     assert counted["n"] < len(total) / 2, (counted["n"], len(total))
+
+
+def test_gzip_sync_index_streaming_chunk_boundaries(tmp_path, monkeypatch):
+    """The chunked scanner must find markers that straddle window
+    boundaries: shrink the window to 127 bytes so every marker sits
+    near (or across) one, and require the identical index."""
+    from parlerproject_spark.sources import archives
+
+    data = bytes((i * 13 + 7) % 256 for i in range(200_000))
+    p = tmp_path / "d.gz"
+    p.write_bytes(_gzip_with_flush_points(data, 16384))
+    big = archives.build_gzip_sync_index(str(p))
+    assert len(big) >= 10
+    monkeypatch.setattr(archives, "_GZ_INDEX_CHUNK", 127)
+    small = archives.build_gzip_sync_index(str(p))
+    assert small == big
