@@ -307,6 +307,7 @@ EXTRA = [
     "mojibake_repair_fixture",
     "card_luhn_fixture",
     "token_f1_pairs_docs",
+    "sentence_chunks_docs",
 ]
 
 

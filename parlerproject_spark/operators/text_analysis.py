@@ -947,3 +947,56 @@ def heaps_law_fit(docs: DataFrame, *, group_col: str = "source",
                  F.round(F.exp(F.regr_intercept("__y", "__x")), 6)
                  .alias("k_factor"))
             .withColumnRenamed("__g", group_col))
+
+
+def sentence_chunks(docs: DataFrame, *, budget_tokens: int = 64,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sentence-boundary RAG chunking — the retrieval-side splitter
+    `chunk_documents`' fixed token stride cannot give: chunks grow
+    sentence by sentence and CLOSE at the first sentence whose
+    cumulative token count crosses the budget, so no retrieval unit
+    starts or ends mid-sentence. Contract: sentence s belongs to
+    chunk floor(cum_tokens_before_s / budget_tokens) — the
+    cumulative-bucket formulation, which is windowless-recursion-free
+    (a pure prefix sum) and therefore both distributed-cheap and
+    SQL-replayable; a chunk may overshoot the budget by at most one
+    sentence, the documented price of snapping to boundaries.
+    Sentence segmentation is the engine's '. ' split (the
+    sentence_split_udtf contract); sentence token counts use the
+    whitespace tokenizer.
+
+    Plan: split + explode is a narrow map; the prefix sum is a
+    doc-partitioned window (never global); chunk assembly is ONE
+    (doc, chunk)-keyed aggregation with an order-pinned string_agg.
+    Columns: <id_col>, chunk_id, n_sentences, n_tokens, chunk_text.
+    """
+    from pyspark.sql.window import Window
+
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    parts = F.split(F.col(text_col), r"\. ")
+    s = (docs.select(F.col(id_col).alias("__id"), parts.alias("__ps"))
+         .select("__id", F.posexplode("__ps").alias("__no", "__raw"))
+         .select("__id", (F.col("__no") + 1).alias("__no"),
+                 F.trim("__raw").alias("__s"))
+         .filter(F.col("__s") != ""))
+    ntok = F.size(F.filter(F.split(F.col("__s"), r"\s+"),
+                           lambda t: F.length(t) > 0))
+    w = (Window.partitionBy("__id").orderBy("__no")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (s.withColumn("__nt", ntok)
+           .withColumn("__before",
+                       F.coalesce(F.sum("__nt").over(w), F.lit(0))))
+    chunked = cum.withColumn(
+        "chunk_id", F.floor(F.col("__before") / budget_tokens)
+        .cast("long"))
+    agg = (chunked.groupBy(F.col("__id").alias(id_col), "chunk_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_sentences"),
+                F.sum("__nt").cast("long").alias("n_tokens"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("__no", "__s"))),
+                        lambda x: x["__s"]), ". ").alias("chunk_text")))
+    return agg

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: list[str] = [
     "mojibake_repair_fixture",
     "card_luhn_fixture",
     "token_f1_pairs_docs",
+    "sentence_chunks_docs",
     # -- the 14 round-3-stale queries (VERDICT r9 list, verbatim) --
     "q7_nation_volume",
     "range_join_value_tiers",
@@ -12988,3 +12989,44 @@ def token_f1_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
         max_tokens=60)
         .orderBy("pair_id"))
+
+
+@register("sentence_chunks_docs", r"""
+WITH sp AS (
+  SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+s AS (
+  SELECT doc_id, i AS no, trim(parts[i]) AS s
+  FROM sp, unnest(range(1, len(parts) + 1)) AS t(i)
+  WHERE trim(parts[i]) <> ''),
+tok AS (
+  SELECT doc_id, no, s,
+         len(list_filter(string_split_regex(s, '\s+'),
+                         w -> w <> ''))::BIGINT AS nt
+  FROM s),
+cum AS (
+  SELECT doc_id, no, s, nt,
+         coalesce(sum(nt) OVER (PARTITION BY doc_id ORDER BY no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS bef
+  FROM tok)
+SELECT doc_id, (bef // 64)::BIGINT AS chunk_id,
+       count(*)::BIGINT AS n_sentences,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       string_agg(s, '. ' ORDER BY no) AS chunk_text
+FROM cum
+GROUP BY doc_id, (bef // 64)
+ORDER BY doc_id, chunk_id
+""")
+def sentence_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary RAG chunking (text_analysis.sentence_chunks,
+    64-token budget): chunks grow sentence by sentence and close at
+    the first budget crossing, so no retrieval unit starts or ends
+    mid-sentence — the cumulative-bucket contract keeps it a pure
+    doc-partitioned prefix sum (no recursion, no global window). The
+    oracle replays split, per-sentence token counts, the prefix sum,
+    bucket assignment, and the order-pinned chunk reassembly."""
+    from parlerproject_spark.operators.text_analysis import (
+        sentence_chunks)
+    d = _t(spark, sf_dir, "documents")
+    return (sentence_chunks(d, budget_tokens=64)
+            .orderBy("doc_id", "chunk_id"))

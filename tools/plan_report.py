@@ -205,6 +205,7 @@ REPORT_QUERIES = [
     "mojibake_repair_fixture",
     "card_luhn_fixture",
     "token_f1_pairs_docs",
+    "sentence_chunks_docs",
 ]
 
 
