@@ -442,3 +442,143 @@ def _gz_exact_offsets(path: str,
             pos = c
             out.append((c, out_len))
     return out
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shard WRITER (the serving format's write side)
+# ---------------------------------------------------------------------------
+
+_TAR_FLUSH_EVERY = 1 << 16
+
+
+def write_tar_shards(df, out_dir: str, *, n_shards: int = 8,
+                     member_col: str = "member",
+                     content_col: str = "content",
+                     gzip_shards: bool = False) -> None:
+    """Write (member, content) rows as N tar shards — the
+    WebDataset/tar-shard serving layout LLM training loaders stream
+    (sample = named member, shard = sequential tar). Three contracts:
+
+    - DETERMINISTIC BYTES: shard assignment is a stable hash of the
+      member name (mod n_shards, never Spark's partition id), members
+      sort by name within a shard, and every tar header pins
+      mtime=0/uid=gid=0 — rerunning the writer reproduces identical
+      files, the export.py byte-determinism story. Task retries just
+      overwrite their own shard files (same bytes), so speculative
+      execution is safe.
+    - SELF-INDEXING COMPRESSION: with gzip_shards=True each shard is
+      gzipped with a Z_FULL_FLUSH restart point every 64 KiB — the
+      shards this engine WRITES are, by construction, the archives
+      its OWN `build_gzip_sync_index` reader random-accesses. The
+      write side closes the loop the indexed reader opened.
+    - ONE PASS, NO DRIVER BYTES: rows repartition on the shard key
+      (all rows of one shard land in one task; a task may own
+      several shards and writes one file per shard value), and each
+      task streams its Arrow batches straight into tarfile — content
+      never passes through the driver.
+    """
+    import io
+    import os
+    import struct
+    import tarfile as tf
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    shard = (F.abs(F.hash(F.col(member_col))) % n_shards).alias("__shard")
+    prepped = (df.select(F.col(member_col).alias("__m"),
+                         F.col(content_col).alias("__c"), shard)
+               .repartition(n_shards, "__shard")
+               .sortWithinPartitions("__shard", "__m"))
+
+    def write_partition(rows):
+        handles: dict[int, tuple] = {}
+
+        def open_shard(sid: int):
+            name = os.path.join(out_dir, f"shard-{sid:05d}.tar")
+            if gzip_shards:
+                name += ".gz"
+                raw = open(name, "wb")
+                raw.write(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff")
+                co = zlib.compressobj(6, zlib.DEFLATED, -15)
+                state = {"crc": 0, "n": 0, "since_flush": 0}
+
+                class _GzSink(io.RawIOBase):
+                    def writable(self):
+                        return True
+
+                    def write(self, b):
+                        b = bytes(b)
+                        state["crc"] = zlib.crc32(b, state["crc"])
+                        state["n"] += len(b)
+                        state["since_flush"] += len(b)
+                        raw.write(co.compress(b))
+                        if state["since_flush"] >= _TAR_FLUSH_EVERY:
+                            raw.write(co.flush(zlib.Z_FULL_FLUSH))
+                            state["since_flush"] = 0
+                        return len(b)
+
+                sink = _GzSink()
+                tar = tf.open(fileobj=sink, mode="w|",
+                              format=tf.USTAR_FORMAT)
+
+                def close():
+                    tar.close()
+                    raw.write(co.flush(zlib.Z_FINISH))
+                    raw.write(struct.pack(
+                        "<II", state["crc"] & 0xFFFFFFFF,
+                        state["n"] & 0xFFFFFFFF))
+                    raw.close()
+            else:
+                fh = open(name, "wb")
+                tar = tf.open(fileobj=fh, mode="w",
+                              format=tf.USTAR_FORMAT)
+
+                def close():
+                    tar.close()
+                    fh.close()
+            return tar, close
+
+        try:
+            for row in rows:
+                sid = int(row["__shard"])
+                if sid not in handles:
+                    handles[sid] = open_shard(sid)
+                tar, _ = handles[sid]
+                body = bytes(row["__c"]) if row["__c"] is not None else b""
+                info = tf.TarInfo(row["__m"])
+                info.size = len(body)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, io.BytesIO(body))
+        finally:
+            for _, close in handles.values():
+                close()
+        return iter(())
+
+    prepped.rdd.mapPartitions(write_partition).count()
+
+
+def tar_shard_manifest(spark, out_dir: str):
+    """Driver-side shard manifest (shards are bounded by n_shards):
+    shard file name, byte size, member count, and whether the gzip
+    stream carries validated restart points. Columns: shard,
+    n_members, n_bytes, sync_points."""
+    import os
+    import tarfile as tf
+
+    rows = []
+    for fn in sorted(os.listdir(out_dir)):
+        if not (fn.endswith(".tar") or fn.endswith(".tar.gz")):
+            continue
+        path = os.path.join(out_dir, fn)
+        with tf.open(path, "r:*") as tar:
+            n = sum(1 for m in tar if m.isfile())
+        pts = (len(build_gzip_sync_index(path))
+               if fn.endswith(".gz") else 0)
+        rows.append((fn, n, os.path.getsize(path), pts))
+    return spark.createDataFrame(
+        rows, "shard string, n_members long, n_bytes long, "
+              "sync_points long")
