@@ -44,15 +44,28 @@ def profile_table(df: DataFrame, cols: Sequence[str], *,
     aggregate.
 
     Columns: col_name, n_rows, n_nulls, n_distinct, min_s, max_s.
+    Unorderable dtypes (map<...>, calendar `interval`) profile with
+    null min_s/max_s — Spark's min/max require an ordering those
+    types don't define; counts and distincts still compute.
     """
     cd = (F.approx_count_distinct if approx else F.count_distinct)
+    dtypes = dict(df.select(*cols).dtypes)
+
+    def orderable(c: str) -> bool:
+        dt = dtypes[c]
+        return dt != "interval" and not dt.startswith("map<")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
+        mn = (F.min(c).cast("string") if orderable(c)
+              else F.lit(None).cast("string"))
+        mx = (F.max(c).cast("string") if orderable(c)
+              else F.lit(None).cast("string"))
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
             cd(c).alias(f"__d_{c}"),
-            F.min(c).cast("string").alias(f"__mn_{c}"),
-            F.max(c).cast("string").alias(f"__mx_{c}"),
+            mn.alias(f"__mn_{c}"),
+            mx.alias(f"__mx_{c}"),
         ]
     one = df.agg(*aggs)
     # long format via an inline struct array + explode: one output

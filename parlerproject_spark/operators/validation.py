@@ -145,9 +145,17 @@ def expect_suite(df: DataFrame, rules: Sequence[Expectation],
         "n_failed long, pass_rate double, passed boolean")
 
 
-# Spark DataFrame.dtypes simpleString names for numeric types
-_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint",
-                     "float", "double", "decimal")
+# Spark DataFrame.dtypes simpleString names for numeric types. The
+# base token is matched EXACTLY (text before any '(' parameter list),
+# not by prefix — "int".startswith-style tests would also claim
+# "interval day to second" columns and emit in_range rules with
+# interval literals, an expression path the gate never intends.
+_NUMERIC_TOKENS = frozenset({"tinyint", "smallint", "int", "bigint",
+                             "float", "double", "decimal"})
+
+
+def _is_numeric_dtype(dtype: str) -> bool:
+    return dtype.split("(", 1)[0].strip() in _NUMERIC_TOKENS
 
 
 def infer_expectations(ref: DataFrame, cols: Sequence[str], *,
@@ -185,7 +193,7 @@ def infer_expectations(ref: DataFrame, cols: Sequence[str], *,
             for r in profile_table(ref, cols, approx=False).collect()}
 
     def is_num(c):
-        return dtypes[c].startswith(_NUMERIC_PREFIXES)
+        return _is_numeric_dtype(dtypes[c])
 
     range_cols = [c for c in cols if is_num(c)
                   and prof[c]["n_rows"] - prof[c]["n_nulls"] >= 1]

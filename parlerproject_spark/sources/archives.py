@@ -65,7 +65,15 @@ class _MemberChunk(InputPartition):
 class _GzCursor:
     """Forward reader over a raw deflate stream resumed at a
     validated restart point: skip() and take() in uncompressed
-    coordinates, decompressing 64 KiB compressed slabs on demand."""
+    coordinates, decompressing 64 KiB compressed slabs on demand.
+
+    Concatenated gzip files (`cat a.gz b.gz`, multi-member per
+    RFC 1952 §2.2) do not stop the cursor: when one deflate stream
+    ends, _fill skips that member's 8-byte CRC32/ISIZE footer in
+    ``unused_data``, parses the next member's gzip header
+    (incrementally — FNAME/FCOMMENT can be arbitrarily long), and
+    keeps inflating, so uncompressed coordinates stay continuous
+    across members exactly as GzipFile's do."""
 
     def __init__(self, fh, comp_off: int, uncomp_off: int):
         import zlib
@@ -76,10 +84,41 @@ class _GzCursor:
         self._buf = b""
         self.pos = uncomp_off  # uncompressed position of buf start
 
+    def _next_member(self) -> bool:
+        """Current deflate stream hit eof: cross into the next gzip
+        member, if any. Returns False at true end of archive."""
+        import zlib
+
+        data = self._d.unused_data
+        while len(data) < 10 + 8:  # footer + minimal next header
+            raw = self._fh.read(1 << 16)
+            if not raw:
+                return False
+            data += raw
+        data = data[8:]  # finished member's CRC32 + ISIZE footer
+        if data[:2] != b"\x1f\x8b":
+            return False
+        while True:
+            try:
+                start = _gzip_deflate_start(data)
+            except (ValueError, IndexError):
+                start = None  # header extends past buffered bytes
+            if start is not None and start <= len(data):
+                break
+            raw = self._fh.read(1 << 16)
+            if not raw:
+                return False
+            data += raw
+        self._d = zlib.decompressobj(wbits=-15)
+        self._buf = self._d.decompress(data[start:])
+        return True
+
     def _fill(self) -> bool:
         while not self._buf:
             if self._d.eof:
-                return False
+                if not self._next_member():
+                    return False
+                continue
             raw = self._fh.read(1 << 16)
             if not raw:
                 return False
@@ -109,11 +148,18 @@ def _read_members_indexed(partition: _MemberChunk):
     keep the current inflate cursor when it is the cheapest way
     forward, else restart at the nearest validated sync point below
     the member. A task whose members live in the stream's last tenth
-    decompresses from the last-tenth sync point, not from byte 0."""
+    decompresses from the last-tenth sync point, not from byte 0.
+
+    Every read is length-verified: a short `take` means the cursor's
+    view of the stream diverged from the tar catalog (e.g. an archive
+    shape the cursor cannot walk) — rather than yield silently
+    truncated content, the remaining members fall back to the
+    sequential tarfile path, which is always correct."""
     import bisect
 
+    done: set[str] = set()
     with open(partition.archive, "rb") as fh:
-        dstart = _gzip_deflate_start(fh.read(4096))
+        dstart = _read_gzip_deflate_start(fh)
         pts = [(dstart, 0)] + sorted(partition.sync_index)
         uoffs = [u for _, u in pts]
         cur: _GzCursor | None = None
@@ -122,7 +168,18 @@ def _read_members_indexed(partition: _MemberChunk):
             if cur is None or off < cur.pos or pts[i][1] > cur.pos:
                 cur = _GzCursor(fh, pts[i][0], pts[i][1])
             cur.skip(off - cur.pos)
-            yield (name, cur.take(size), size)
+            body = cur.take(size)
+            if len(body) != size:
+                break  # short read: finish via the sequential path
+            done.add(name)
+            yield (name, body, size)
+    remaining = {name for name, _, _ in partition.members} - done
+    if remaining:
+        with tarfile.open(partition.archive, "r:*") as tar:
+            for m in tar:
+                if m.name in remaining:
+                    f = tar.extractfile(m)
+                    yield (m.name, f.read() if f else b"", m.size)
 
 
 class TarMembersReader(DataSourceReader):
@@ -315,12 +372,20 @@ _GZ_VALIDATE_BYTES = 256
 def _gzip_deflate_start(raw: bytes) -> int:
     """Byte offset where the raw deflate stream starts: 10-byte gzip
     header plus the optional FEXTRA/FNAME/FCOMMENT/FHCRC fields
-    (RFC 1952)."""
+    (RFC 1952). Raises ValueError if `raw` is not gzip OR if the
+    header extends past the supplied prefix (a zero-terminated
+    FNAME/FCOMMENT can be arbitrarily long) — callers that read from
+    a file should use `_read_gzip_deflate_start`, which grows the
+    prefix until the header fits."""
     if raw[:2] != b"\x1f\x8b":
         raise ValueError("not a gzip file")
+    if len(raw) < 10:
+        raise ValueError("gzip header extends past prefix")
     flg = raw[3]
     pos = 10
     if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(raw):
+            raise ValueError("gzip header extends past prefix")
         xlen = int.from_bytes(raw[pos:pos + 2], "little")
         pos += 2 + xlen
     if flg & 0x08:  # FNAME
@@ -329,7 +394,27 @@ def _gzip_deflate_start(raw: bytes) -> int:
         pos = raw.index(b"\x00", pos) + 1
     if flg & 0x02:  # FHCRC
         pos += 2
+    if pos > len(raw):
+        raise ValueError("gzip header extends past prefix")
     return pos
+
+
+def _read_gzip_deflate_start(fh) -> int:
+    """`_gzip_deflate_start` against a seekable file: read a growing
+    prefix (4 KiB, 64 KiB, 1 MiB, ...) until the whole header —
+    including arbitrarily long FNAME/FCOMMENT fields — fits. Leaves
+    the file position unspecified; raises ValueError only for
+    genuinely non-gzip input."""
+    size = 4096
+    while True:
+        fh.seek(0)
+        raw = fh.read(size)
+        try:
+            return _gzip_deflate_start(raw)
+        except ValueError as e:
+            if raw[:2] != b"\x1f\x8b" or len(raw) < size:
+                raise ValueError("not a gzip file") from e
+            size <<= 4
 
 
 _GZ_INDEX_CHUNK = 1 << 20
@@ -363,8 +448,7 @@ def build_gzip_sync_index(path: str) -> list[tuple[int, int]]:
     # pass 1: chunked marker scan, no decompression
     cands: list[int] = []
     with open(path, "rb") as fh:
-        head = fh.read(4096)
-        start = _gzip_deflate_start(head)
+        start = _read_gzip_deflate_start(fh)
         fh.seek(start)
         abs_at = start
         carry = b""
@@ -422,8 +506,7 @@ def _gz_exact_offsets(path: str,
 
     out: list[tuple[int, int]] = []
     with open(path, "rb") as fh:
-        head = fh.read(4096)
-        pos = _gzip_deflate_start(head)
+        pos = _read_gzip_deflate_start(fh)
         fh.seek(pos)
         d = zlib.decompressobj(wbits=-15)
         out_len = 0
@@ -459,11 +542,14 @@ def write_tar_shards(df, out_dir: str, *, n_shards: int = 8,
     WebDataset/tar-shard serving layout LLM training loaders stream
     (sample = named member, shard = sequential tar). Three contracts:
 
-    - DETERMINISTIC BYTES: shard assignment is a stable hash of the
-      member name (mod n_shards, never Spark's partition id), members
-      sort by name within a shard, and every tar header pins
+    - DETERMINISTIC BYTES: shard assignment is the repo's md5-based
+      `stable_hash31` of the member name (pmod n_shards — never
+      Spark's partition id, and never `hash()`, whose xxhash no SQL
+      oracle can replay and whose abs() overflows at Int.MinValue),
+      members sort by name within a shard, and every tar header pins
       mtime=0/uid=gid=0 — rerunning the writer reproduces identical
-      files, the export.py byte-determinism story. Task retries just
+      files, the export.py byte-determinism story, and DuckDB can
+      recompute the exact shard id of every member. Task retries just
       overwrite their own shard files (same bytes), so speculative
       execution is safe.
     - SELF-INDEXING COMPRESSION: with gzip_shards=True each shard is
@@ -485,8 +571,11 @@ def write_tar_shards(df, out_dir: str, *, n_shards: int = 8,
 
     from pyspark.sql import functions as F
 
+    from parlerproject_spark.functions.text import stable_hash31
+
     os.makedirs(out_dir, exist_ok=True)
-    shard = (F.abs(F.hash(F.col(member_col))) % n_shards).alias("__shard")
+    shard = (F.pmod(stable_hash31(F.col(member_col)),
+                    F.lit(n_shards))).alias("__shard")
     prepped = (df.select(F.col(member_col).alias("__m"),
                          F.col(content_col).alias("__c"), shard)
                .repartition(n_shards, "__shard")

@@ -513,3 +513,154 @@ def test_gzip_shards_are_self_indexing(spark, tmp_path):
                   .load().collect()):
             got[r["member"]] = bytes(r["content"])
     assert got == truth
+
+
+# --------------------------------------------------------------------------
+# Indexed-gzip robustness (round-11 ADVICE): concatenated members,
+# oversized headers, short-read fallback, oracle-able shard hash
+# --------------------------------------------------------------------------
+
+def _tar_bytes(truth: dict[str, bytes]) -> bytes:
+    import io
+    import tarfile as tf
+
+    buf = io.BytesIO()
+    with tf.open(fileobj=buf, mode="w") as tar:
+        for name, body in truth.items():
+            info = tf.TarInfo(name)
+            info.size = len(body)
+            tar.addfile(info, io.BytesIO(body))
+    return buf.getvalue()
+
+
+def test_multi_member_gz_indexed_read_is_complete(spark, tmp_path):
+    """`cat a.gz b.gz` archives: flush points live in member 1 only,
+    so the indexed path is taken — the cursor must continue inflating
+    into member 2 instead of silently truncating tail members."""
+    import gzip
+
+    from parlerproject_spark.sources import archives
+
+    truth = {f"m/{i:03d}.bin":
+             (f"member-{i}:".encode() + bytes((i + j) % 251
+                                              for j in range(3000)))
+             for i in range(40)}
+    raw = _tar_bytes(truth)
+    cut = (len(raw) // 2) // 512 * 512  # any byte split works; keep blocks
+    p = tmp_path / "concat.tar.gz"
+    p.write_bytes(_gzip_with_flush_points(raw[:cut], 8192)
+                  + gzip.compress(raw[cut:]))
+    idx = archives.build_gzip_sync_index(str(p))
+    assert idx, "flush points in member 1 must be indexed"
+    spark.dataSource.register(archives.TarMembersDataSource)
+    got = {r["member"]: bytes(r["content"])
+           for r in (spark.read.format("tar_members")
+                     .option("path", str(p))
+                     .option("numPartitions", "4").load().collect())}
+    assert got == truth
+    # every member full-length — the truncation bug yielded short tails
+    assert all(len(got[k]) == len(v) for k, v in truth.items())
+
+
+def test_gzip_header_longer_than_4k_prefix(tmp_path):
+    """FNAME fields are NUL-terminated and unbounded: a >4 KiB header
+    must not break the index build or the header locator."""
+    import struct
+    import zlib
+
+    from parlerproject_spark.sources import archives
+
+    data = bytes(i % 251 for i in range(200_000))
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = []
+    for i in range(0, len(data), 16384):
+        body.append(co.compress(data[i:i + 16384]))
+        body.append(co.flush(zlib.Z_FULL_FLUSH))
+    body.append(co.flush(zlib.Z_FINISH))
+    name = b"n" * 9000 + b"\x00"  # FNAME far past the old 4096 prefix
+    head = b"\x1f\x8b\x08\x08\x00\x00\x00\x00\x00\xff" + name
+    foot = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF,
+                       len(data) & 0xFFFFFFFF)
+    p = tmp_path / "longname.gz"
+    p.write_bytes(head + b"".join(body) + foot)
+    with open(p, "rb") as fh:
+        assert archives._read_gzip_deflate_start(fh) == len(head)
+    idx = archives.build_gzip_sync_index(str(p))
+    assert len(idx) >= 5
+    # resumed cursor reproduces the tail from the last restart point
+    with open(p, "rb") as fh:
+        comp, uncomp = idx[-1]
+        cur = archives._GzCursor(fh, comp, uncomp)
+        assert cur.take(len(data) - uncomp) == data[uncomp:]
+
+
+def test_indexed_short_read_falls_back_sequential(tmp_path, monkeypatch):
+    """A short `take` (cursor/catalog divergence) must finish through
+    the sequential tarfile path, never yield truncated content."""
+    import tarfile as tf
+
+    from parlerproject_spark.sources import archives
+
+    path, truth = _flushy_tar_gz(tmp_path, n_members=12)
+    idx = archives.build_gzip_sync_index(path)
+    assert idx
+    with tf.open(path, "r:*") as tar:
+        members = sorted(((m.name, m.offset_data, m.size)
+                          for m in tar if m.isfile()),
+                         key=lambda t: t[1])
+    part = archives._MemberChunk(path, members, True, idx)
+    orig = archives._GzCursor.take
+    monkeypatch.setattr(
+        archives._GzCursor, "take",
+        lambda self, n: orig(self, n)[:-1])  # force a short read
+    got = {name: body
+           for name, body, _ in archives._read_members_indexed(part)}
+    assert got == truth
+
+
+def test_shard_assignment_is_md5_replayable(spark, tmp_path):
+    """Shard ids come from stable_hash31 (md5) pmod n_shards — a SQL
+    oracle (and this test) can recompute every member's shard."""
+    import hashlib
+    import os
+    import tarfile as tf
+
+    from parlerproject_spark.sources import archives
+
+    df, truth = _member_df(spark, n=40)
+    d = str(tmp_path / "sh")
+    archives.write_tar_shards(df, d, n_shards=5)
+
+    def expect_shard(name: str) -> int:
+        h = int(hashlib.md5(name.encode()).hexdigest()[:15], 16)
+        return (h % 2147483647) % 5
+
+    placed = {}
+    for fn in os.listdir(d):
+        sid = int(fn.split("-")[1].split(".")[0])
+        assert 0 <= sid < 5, fn  # pmod: never a negative shard id
+        with tf.open(os.path.join(d, fn)) as tar:
+            for m in tar:
+                if m.isfile():
+                    placed[m.name] = sid
+    assert set(placed) == set(truth)
+    assert all(placed[n] == expect_shard(n) for n in placed)
+
+
+def test_infer_expectations_skips_interval_dtype(spark):
+    """'interval ...' dtypes must not be classified numeric (the old
+    startswith('int') prefix test matched them)."""
+    from parlerproject_spark.operators.validation import (
+        _is_numeric_dtype, infer_expectations)
+
+    assert _is_numeric_dtype("int") and _is_numeric_dtype("decimal(10,2)")
+    assert not _is_numeric_dtype("interval day to second")
+    assert not _is_numeric_dtype("interval")
+    df = spark.sql(
+        "SELECT id, make_interval(0,0,0,0,0,0, id) AS gap "
+        "FROM range(5)")
+    rules = infer_expectations(df, ["id", "gap"])
+    kinds = {(r.col, r.kind) for r in rules}
+    assert ("id", "in_range") in kinds
+    assert ("gap", "in_range") not in kinds  # interval: no range rule
+    assert ("gap", "not_null") in kinds
