@@ -1388,16 +1388,21 @@ def diversity_ngrams(docs: DataFrame, *, n: int = 2,
     diverse corpora the reverse. Zhu et al. 2018's distinct-n and
     the self-BLEU intent, reduced to counting.
 
-    Plan shape: one narrow map builds the n-gram table (token slice
-    + join inside `transform`, no Python), and the corpus is
-    TOKENIZED EXACTLY ONCE: the first aggregation — per-(doc, gram)
-    occurrence counts — is the shared exchange every downstream
-    number rides (Spark reuses the identical exchange subtree across
-    both consumers). Group totals and distinct counts come from the
-    per-(group, gram) rollup of that table; the overlap join keys on
-    the gram — posting-list shaped, no windows, no pair joins,
-    corpus-linear at any scale. Docs with < n tokens contribute
-    nothing.
+    Plan shape: ONE linear chain — the corpus is scanned and
+    tokenized EXACTLY ONCE, with no self-join and no multi-consumer
+    fan-out (Spark does not reuse exchange subtrees whose column
+    pruning differs, so a dgc-joins-gdf shape re-reads the corpus;
+    the round-10 PLANS.md audit caught exactly that here). Instead,
+    each per-(doc, gram) row picks up its doc's distinct-gram count
+    and a first-gram-of-doc tag from a window partitioned by DOC
+    (partitions are doc-sized — bounded by document length, never by
+    corpus size), then one per-(group, gram) aggregate folds the
+    doc frequency, occurrence total, and the 1/k_d leave-one-out
+    containment terms, and one per-group aggregate finishes:
+    mean_self_overlap = Σ_grams[df≥2] Σ_docs 1/k_d ÷ n_docs
+                      = avg over docs of their containment share.
+    Posting-list shaped, corpus-linear, every shuffle keyed on
+    high-cardinality columns — no pair joins at any scale.
 
     Columns: group, n_docs, total_grams, distinct_grams,
     distinct_ratio (6 dp), mean_self_overlap (6 dp; the mean over
@@ -1416,34 +1421,38 @@ def diversity_ngrams(docs: DataFrame, *, n: int = 2,
         f"i -> array_join(slice(__ts, i, {n}), ' '))")
     g = toks.select("__g", "__id",
                     F.explode(grams_expr).alias("__gram"))
-    # the ONE corpus-wide exchange: per-(doc, gram) occurrence counts
+    # per-(doc, gram) occurrence counts — computed once, consumed once
     dgc = (g.groupBy("__g", "__id", "__gram")
            .agg(F.count(F.lit(1)).alias("__c")))
-    # per-(group, gram) rollup carries BOTH the doc frequency and the
-    # occurrence total, so group totals need no second corpus pass
-    gdf = (dgc.groupBy("__g", "__gram")
+    # doc-partitioned window: k_d = the doc's distinct-gram count
+    # (the containment denominator) and a one-per-doc tag so n_docs
+    # survives the gram-level rollup without a second corpus pass
+    wd = Window.partitionBy("__g", "__id")
+    tagged = dgc.select(
+        "__g", "__gram", "__c",
+        F.count(F.lit(1)).over(wd).alias("__kd"),
+        (F.row_number().over(wd.orderBy("__gram")) == 1)
+        .cast("long").alias("__first"))
+    # per-(group, gram): doc frequency, occurrence total, Σ 1/k_d
+    # over member docs, and how many docs tagged their first gram here
+    gdf = (tagged.groupBy("__g", "__gram")
            .agg(F.count(F.lit(1)).alias("__df"),
-                F.sum("__c").alias("__occ")))
-    tot = (gdf.groupBy("__g")
-           .agg(F.sum("__occ").alias("total_grams"),
-                F.count(F.lit(1)).alias("distinct_grams")))
-    per_doc = (dgc.join(gdf.select("__g", "__gram", "__df"),
-                        ["__g", "__gram"])
-               .groupBy("__g", "__id")
-               .agg(F.avg(F.when(F.col("__df") >= 2, 1.0)
-                          .otherwise(0.0)).alias("__ov")))
-    ov = (per_doc.groupBy("__g")
-          .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-               F.round(F.avg("__ov"), 6).alias("mean_self_overlap")))
-    return (tot.join(ov, "__g")
+                F.sum("__c").alias("__occ"),
+                F.sum(1.0 / F.col("__kd")).alias("__inv"),
+                F.sum("__first").alias("__nd")))
+    return (gdf.groupBy("__g")
+            .agg(F.sum("__nd").cast("long").alias("n_docs"),
+                 F.sum("__occ").cast("long").alias("total_grams"),
+                 F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+                 F.sum(F.when(F.col("__df") >= 2, F.col("__inv"))
+                       .otherwise(0.0)).alias("__ovsum"))
             .select(F.col("__g").alias("group"), "n_docs",
-                    F.col("total_grams").cast("long").alias("total_grams"),
-                    F.col("distinct_grams").cast("long")
-                    .alias("distinct_grams"),
+                    "total_grams", "distinct_grams",
                     F.round(F.col("distinct_grams")
                             / F.col("total_grams"), 6)
                     .alias("distinct_ratio"),
-                    "mean_self_overlap"))
+                    F.round(F.col("__ovsum") / F.col("n_docs"), 6)
+                    .alias("mean_self_overlap")))
 
 
 _SQUAD_ARTICLES = ("a", "an", "the")

@@ -1013,34 +1013,44 @@ def late_interaction_topk(doc_tokens: DataFrame,
 
 def train_scalar_quantizer(vectors: DataFrame, *, dim: int,
                            vec_col: str = "embedding") -> dict:
-    """Per-dimension uniform quantizer bounds from ONE aggregation
-    pass: {mins: [d], maxs: [d]} — 2·dim aggregate expressions over a
-    single scan (map-side partials; the collected state is 2·dim
-    doubles, model-sized). The codec this parameterizes stores each
-    float32 dimension as an 8-bit level (4× memory cut on the index),
-    the standard serving-side compression between full floats and PQ:
-    unlike PQ there is no codebook training loop and decode is a
-    multiply-add, at the cost of a weaker compression ratio."""
-    aggs = []
-    for d in range(dim):
-        e = F.col(vec_col)[d].cast("double")
-        aggs += [F.min(e).alias(f"__mn{d}"), F.max(e).alias(f"__mx{d}")]
-    row = vectors.agg(*aggs).collect()[0]
-    return {"mins": [float(row[f"__mn{d}"]) for d in range(dim)],
-            "maxs": [float(row[f"__mx{d}"]) for d in range(dim)]}
+    """Per-dimension uniform quantizer bounds from ONE pass:
+    {mins: [d], maxs: [d]}. posexplode → groupBy(pos) min/max, so the
+    plan is DIMENSION-INDEPENDENT — the old 2·dim-aggregate-expression
+    form compiled one codegen term per dimension and risked Janino's
+    per-method bytecode limit at real embedding widths (the
+    reference's all-MiniLM-L6-v2 is 384-d, reference
+    code/embeddings.py:60). Map-side partial aggregation keeps the
+    shuffle at partitions × dim rows; the collected state is dim rows
+    of two doubles, model-sized. The codec this parameterizes stores
+    each float32 dimension as an 8-bit level (4× memory cut on the
+    index), the standard serving-side compression between full floats
+    and PQ: unlike PQ there is no codebook training loop and decode
+    is a multiply-add, at the cost of a weaker compression ratio."""
+    got = {int(r["__i"]): r for r in
+           (vectors.select(F.posexplode(vec_col).alias("__i", "__x"))
+            .groupBy("__i")
+            .agg(F.min(F.col("__x").cast("double")).alias("mn"),
+                 F.max(F.col("__x").cast("double")).alias("mx"))
+            .collect())}
+    if set(got) < set(range(dim)):
+        raise ValueError(f"vectors narrower than dim={dim}")
+    return {"mins": [float(got[d]["mn"]) for d in range(dim)],
+            "maxs": [float(got[d]["mx"]) for d in range(dim)]}
 
 
-def _sq_code(x, mn: float, mx: float):
+def _sq_code(x, mn, mx):
     """256-level uniform code for one dimension: floor(t·255 + 0.5)
     clamped to [0, 255], where t = (x − mn)/(mx − mn); a degenerate
-    dimension (mx == mn) codes to 0. Every arithmetic step is a
-    single IEEE op on identical inputs, so Spark and a SQL replay
-    produce bit-identical codes — the integer-exact oracle surface."""
-    if mx == mn:
-        return F.lit(0)
-    t = (x.cast("double") - F.lit(mn)) / F.lit(mx - mn)
-    return F.least(F.lit(255), F.greatest(
+    dimension (mx == mn) codes to 0 — the CASE guard evaluates
+    lazily, so the division-by-zero branch never runs. Every
+    arithmetic step is a single IEEE op on identical inputs, so
+    Spark and a SQL replay produce bit-identical codes — the
+    integer-exact oracle surface. `mn`/`mx` are Columns here (struct
+    fields of the folded bounds literal), not Python floats."""
+    t = (x.cast("double") - mn) / (mx - mn)
+    lvl = F.least(F.lit(255), F.greatest(
         F.lit(0), F.floor(t * 255.0 + 0.5).cast("int")))
+    return F.when(mx == mn, F.lit(0)).otherwise(lvl)
 
 
 def encode_scalar(vectors: DataFrame, params: dict, *,
@@ -1048,11 +1058,21 @@ def encode_scalar(vectors: DataFrame, params: dict, *,
                   vec_col: str = "embedding") -> DataFrame:
     """Quantize every vector to its per-dimension 8-bit levels — a
     pure narrow map (no shuffle): columns <id_col>, codes
-    (array<int>, each 0..255)."""
+    (array<int>, each 0..255).
+
+    The bounds ride along as ONE constant-folded array<struct>
+    literal and the codes come from a single `zip_with` — the
+    expression tree is dimension-INDEPENDENT, so whole-stage codegen
+    emits the same bytecode at 384-d (the reference's real
+    dimensionality) as at the 64-d fixture; the old per-dimension
+    `F.array(...)` unroll grew one codegen term per dimension and
+    courted Janino's method-size fallback."""
     mins, maxs = params["mins"], params["maxs"]
-    codes = F.array(*[
-        _sq_code(F.col(vec_col)[d], mins[d], maxs[d])
-        for d in range(len(mins))])
+    bounds = F.array(*[
+        F.struct(F.lit(float(mn)).alias("mn"), F.lit(float(mx)).alias("mx"))
+        for mn, mx in zip(mins, maxs)])
+    codes = F.zip_with(F.col(vec_col), bounds,
+                       lambda x, b: _sq_code(x, b["mn"], b["mx"]))
     return vectors.select(F.col(id_col), codes.alias("codes"))
 
 
@@ -1071,8 +1091,13 @@ def knn_scalar(vectors: DataFrame, query_vec: list, params: dict, *,
     Plan: encode is a narrow map over the corpus, the scan carries
     only (id, codes) — at serving scale the 4×-smaller code column
     is the point: the index fits where floats would spill. The only
-    shuffle is the k-row TakeOrdered merge. Columns: <id_col>, dist
-    (round 6), ordered dist asc, id asc, LIMIT k.
+    shuffle is the k-row TakeOrdered merge. The distance is one
+    `zip_with` against the constant (query-code, scale) struct array
+    plus a left-fold `aggregate` — dimension-independent codegen
+    (same bytecode at 384-d as 64-d), and the fold sums terms
+    left-to-right exactly like the unrolled + chain it replaced, so
+    results are bit-identical. Columns: <id_col>, dist (round 6),
+    ordered dist asc, id asc, LIMIT k.
     """
     mins, maxs = params["mins"], params["maxs"]
     dim = len(mins)
@@ -1089,15 +1114,20 @@ def knn_scalar(vectors: DataFrame, query_vec: list, params: dict, *,
     qc = [code1(query_vec[d], mins[d], maxs[d]) for d in range(dim)]
     scales = [(maxs[d] - mins[d]) / 255.0 for d in range(dim)]
     enc = encode_scalar(vectors, params, id_col=id_col, vec_col=vec_col)
-    term = None
-    for d in range(dim):
-        delta = (F.col("codes")[d] - F.lit(qc[d])).cast("double")
-        v = delta * F.lit(scales[d])
+    qz = F.array(*[
+        F.struct(F.lit(int(qc[d])).alias("q"),
+                 F.lit(float(scales[d])).alias("s"))
+        for d in range(dim)])
+
+    def sq_term(c, z):
+        v = (c - z["q"]).cast("double") * z["s"]
         # v*v, not pow(v, 2): Math.pow is not guaranteed correctly
         # rounded, a plain multiply is — the oracle multiplies too
-        t = v * v
-        term = t if term is None else term + t
+        return v * v
+
+    dist = F.aggregate(F.zip_with(F.col("codes"), qz, sq_term),
+                       F.lit(0.0), lambda acc, t: acc + t)
     return (enc.select(F.col(id_col).alias("vec_id"),
-                       F.round(term, 6).alias("dist"))
+                       F.round(dist, 6).alias("dist"))
             .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
             .limit(k))

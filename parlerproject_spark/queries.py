@@ -55,94 +55,22 @@ def register(name: str, oracle: str | None):
 
 
 # The driver samples ~50 queries per round; this ordering decides which.
-# Policy: never-driver-sampled first, then ascending last-sampled round,
-# so every registered query gets a fresh driver CORRECTNESS row at most
-# ~3 rounds stale (all entries also pass the local oracle replica,
-# tools/check_oracle.py, every session).
+# Policy: never-driver-sampled first, then ascending last-driver-sampled
+# round (alphabetical within a tier). With 316 registered queries and a
+# ~50-query sample the full rotation cycle is ~ceil(316/50) = 7 rounds —
+# every query gets a fresh driver CORRECTNESS row at most ~7 rounds
+# stale. (All 316 also pass the local oracle replica,
+# tools/check_oracle.py, every session — the driver sample is the
+# independent confirmation, not the only check.)
+# Regenerated round 11 from CORRECTNESS_r01..r10 (VERDICT r10 item 4):
+# head = the 46-query round-4 tier, so nothing in the registry stays
+# older than round 5 after this round's sample.
 _DRIVER_PRIORITY: list[str] = [
-    # Round-10 rotation (VERDICT r9 item 1). Head: round-10 additions
-    # (never driver-sampled), then the 14 queries whose latest driver
-    # sample is still round 3 (they sat at positions ~51-64 last round,
-    # just outside the ~50-query window), then ascending
-    # last-driver-sampled round, alphabetical within a tier.
-    # -- round-10 new queries --
-    "auto_expectations_orders",
-    "krippendorff_ordinal_events",
-    "krippendorff_interval_events",
-    "knn_sq",
-    "diversity_by_source_docs",
-    "unimax_mixture_docs",
-    "quantile_match_events",
-    "mojibake_repair_fixture",
-    "card_luhn_fixture",
-    "token_f1_pairs_docs",
-    "sentence_chunks_docs",
-    # -- the 14 round-3-stale queries (VERDICT r9 list, verbatim) --
-    "q7_nation_volume",
-    "range_join_value_tiers",
-    "rename_suffix_docs",
-    "robust_zscores_by_user",
-    "robust_zscores_native",
-    "rolling_fingerprints_docs",
-    "sentence_split_udtf",
-    "sessionize_events",
-    "stratified_sample_docs",
-    "train_val_test_split",
-    "url_dedup_normalized",
-    "view_purchase_stream_join",
-    "vocab_coverage_docs",
-    "window_family_orders",
-    # -- round-9 tier (driver-sampled r9) --
-    "edit_distance_pairs_docs",
-    "rouge_l_pairs_docs",
-    "krippendorff_alpha_events",
-    "wordpiece_merges_docs",
-    "wordpiece_segment_docs",
-    "chrf_pairs_docs",
-    "pass_at_k_events",
-    "expectations_orders",
-    "margin_pairs_lsh_embeddings",
-    "citation_support_docs",
-    "citation_pr_docs",
-    "dpo_pipeline_events",
-    "rrf_hybrid_docs",
-    "bpe_fertility_by_source",
-    "doremi_weights_by_source",
-    "pca_whiten_embeddings",
-    "unigram_vocab_docs",
-    "unigram_segment_docs",
-    "knn_pq",
-    "bpe_segment_docs",
-    "bpe_merges_docs",
-    "corpus_shuffle_order",
-    "decontaminate_corpus",
-    "doc_frequency_stopworded",
-    "domain_mix_weights_docs",
-    "embedding_near_dup_pairs",
-    "fingerprint_overlap_pairs",
-    "frame_sample_parts",
-    "geomean_value_by_type",
-    "hourly_counts_gap_filled",
-    "html_extract_posts",
-    "json_malformed_taxonomy",
-    "language_id_script_aware",
-    "line_dedup_docs",
-    "lm_score_docs",
+    # media_resize gained a full hash oracle in round 10 but its last
+    # driver row (r9) predates that and is rows-only — promoted so
+    # the driver records its first hash-match row (VERDICT r10 #4)
     "media_resize",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "pack_sequences_docs",
-    "phash_near_dup_media",
-    "pii_redaction_docs",
-    "pipeline_archive_metadata",
-    "q10_returned_customers",
-    "q12_priority_by_returnflag",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_brand_disjunction",
-    "q4_priority_late_ship",
-    "q6_revenue_delta",
+    # -- last driver-sampled round 4 --
     "anti_join_idle_customers",
     "audience_overlap_theta",
     "bloom_incremental_dedup_docs",
@@ -189,6 +117,7 @@ _DRIVER_PRIORITY: list[str] = [
     "value_quantiles_kll",
     "when_case_acctbal",
     "zorder_events_stats",
+    # -- last driver-sampled round 5 --
     "ab_test_purchase_events",
     "bfs_distances_events",
     "blocklist_filter_docs",
@@ -237,6 +166,7 @@ _DRIVER_PRIORITY: list[str] = [
     "triangle_counts_events",
     "trimmed_mean_events",
     "unicode_normalize_docs",
+    # -- last driver-sampled round 6 --
     "argmax_events",
     "calibrate_scores_docs",
     "calibration_docs",
@@ -286,6 +216,7 @@ _DRIVER_PRIORITY: list[str] = [
     "topic_terms_ctfidf",
     "touch_attribution_events",
     "weighted_sample_docs",
+    # -- last driver-sampled round 7 --
     "active_learning_batch_docs",
     "association_rules_events",
     "association_source_lang",
@@ -334,6 +265,7 @@ _DRIVER_PRIORITY: list[str] = [
     "truncation_recall_embeddings",
     "vocab_coverage_sources",
     "weak_label_summary_docs",
+    # -- last driver-sampled round 8 --
     "approx_distinct_users",
     "asof_join_purchase_view",
     "audio_chunk_parts",
@@ -384,6 +316,82 @@ _DRIVER_PRIORITY: list[str] = [
     "unpivot_part_metrics",
     "value_quartiles_bucketed",
     "window_rank_orders",
+    # -- last driver-sampled round 9 --
+    "embedding_near_dup_pairs",
+    "fingerprint_overlap_pairs",
+    "frame_sample_parts",
+    "geomean_value_by_type",
+    "hourly_counts_gap_filled",
+    "html_extract_posts",
+    "json_malformed_taxonomy",
+    "language_id_script_aware",
+    "line_dedup_docs",
+    "lm_score_docs",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "pack_sequences_docs",
+    "phash_near_dup_media",
+    "pii_redaction_docs",
+    "pipeline_archive_metadata",
+    "q10_returned_customers",
+    "q12_priority_by_returnflag",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_brand_disjunction",
+    "q4_priority_late_ship",
+    "q6_revenue_delta",
+    # -- last driver-sampled round 10 --
+    "auto_expectations_orders",
+    "bpe_fertility_by_source",
+    "bpe_merges_docs",
+    "bpe_segment_docs",
+    "card_luhn_fixture",
+    "chrf_pairs_docs",
+    "citation_pr_docs",
+    "citation_support_docs",
+    "corpus_shuffle_order",
+    "decontaminate_corpus",
+    "diversity_by_source_docs",
+    "doc_frequency_stopworded",
+    "domain_mix_weights_docs",
+    "doremi_weights_by_source",
+    "dpo_pipeline_events",
+    "edit_distance_pairs_docs",
+    "expectations_orders",
+    "knn_pq",
+    "knn_sq",
+    "krippendorff_alpha_events",
+    "krippendorff_interval_events",
+    "krippendorff_ordinal_events",
+    "margin_pairs_lsh_embeddings",
+    "mojibake_repair_fixture",
+    "pass_at_k_events",
+    "pca_whiten_embeddings",
+    "q7_nation_volume",
+    "quantile_match_events",
+    "range_join_value_tiers",
+    "rename_suffix_docs",
+    "robust_zscores_by_user",
+    "robust_zscores_native",
+    "rolling_fingerprints_docs",
+    "rouge_l_pairs_docs",
+    "rrf_hybrid_docs",
+    "sentence_chunks_docs",
+    "sentence_split_udtf",
+    "sessionize_events",
+    "stratified_sample_docs",
+    "token_f1_pairs_docs",
+    "train_val_test_split",
+    "unigram_segment_docs",
+    "unigram_vocab_docs",
+    "unimax_mixture_docs",
+    "url_dedup_normalized",
+    "view_purchase_stream_join",
+    "vocab_coverage_docs",
+    "window_family_orders",
+    "wordpiece_merges_docs",
+    "wordpiece_segment_docs",
 ]
 
 def _ordered_names() -> list[str]:
