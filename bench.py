@@ -308,6 +308,11 @@ EXTRA = [
     "card_luhn_fixture",
     "token_f1_pairs_docs",
     "sentence_chunks_docs",
+    # round-11 additions
+    "rag_pipeline_docs",
+    "hashed_bow_docs",
+    "pack_sequences_ffd_docs",
+    "pack_waste_ffd_docs",
 ]
 
 

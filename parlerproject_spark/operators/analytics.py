@@ -691,8 +691,11 @@ def association_rules(events: DataFrame, *, user_col: str = "user_id",
          .crossJoin(F.broadcast(n_users)))
     sup = F.col("n_both") / F.col("__nu")
     conf = F.col("n_both") / F.col("__na")
-    lift = (F.col("n_both") * F.col("__nu")
-            / (F.col("__na") * F.col("__nb")))
+    # lift's two count products run in DOUBLE (oracle casts
+    # identically): n_both·n_users and n_a·n_b are corpus-scale —
+    # bigint·bigint overflows once both factors pass ~3×10⁹
+    lift = (F.col("n_both").cast("double") * F.col("__nu")
+            / (F.col("__na").cast("double") * F.col("__nb")))
     return (j.filter(sup >= min_support)
             .select("antecedent", "consequent",
                     F.col("n_both").cast("long").alias("n_both"),

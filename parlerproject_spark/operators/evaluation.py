@@ -151,9 +151,15 @@ def roc_auc(df: DataFrame, *, score_col: str = "score",
             .agg(F.sum("__pos").cast("long").alias("n_pos"),
                  F.sum("__neg").cast("long").alias("n_neg"),
                  # try_divide: a single-class input has no ranking to
-                 # score — auc is null, not an ANSI divide-by-zero
+                 # score — auc is null, not an ANSI divide-by-zero.
+                 # The n_pos·n_neg product is taken in DOUBLE (both
+                 # sums cast first, mirroring the oracle's CAST):
+                 # bigint·bigint overflows once both classes pass
+                 # ~3×10⁹ rows — the 100 TB regime (r10 ADVICE's
+                 # WordPiece bug class).
                  F.round(F.try_divide(F.sum("__c"),
-                                      F.sum("__pos") * F.sum("__neg")), 6)
+                                      F.sum("__pos").cast("double")
+                                      * F.sum("__neg").cast("double")), 6)
                  .alias("auc")))
 
 
@@ -216,9 +222,14 @@ def fleiss_kappa(ratings: DataFrame, *, n_raters: int,
                         .alias("__pi"))
     shares = (cell.join(kept.select(item_col), item_col)
               .groupBy(label_col).agg(F.sum("__n").alias("__c")))
+    # label totals are corpus-scale (unlike the per-item n_ij, which
+    # n_raters bounds) — square and cross-multiply in DOUBLE exactly
+    # as the oracle's CASTs do, or bigint·bigint overflows at ~3×10⁹
+    # ratings (r10 ADVICE's WordPiece bug class)
     pe = shares.agg(
-        (F.sum(F.col("__c") * F.col("__c"))
-         / (F.sum("__c") * F.sum("__c"))).alias("p_e"))
+        (F.sum(F.col("__c").cast("double") * F.col("__c"))
+         / (F.sum("__c").cast("double")
+            * F.sum("__c").cast("double"))).alias("p_e"))
     pbar = kept.agg(F.count("*").cast("long").alias("n_items"),
                     F.avg("__pi").alias("p_bar"))
     return (pbar.crossJoin(F.broadcast(pe))
@@ -379,8 +390,10 @@ def grouped_roc_auc(df: DataFrame, group_cols: list[str], *,
             .groupBy(*group_cols)
             .agg(F.sum("__pos").cast("long").alias("n_pos"),
                  F.sum("__neg").cast("long").alias("n_neg"),
+                 # n_pos·n_neg in DOUBLE, not bigint — see roc_auc
                  F.round(F.try_divide(F.sum("__c"),
-                                      F.sum("__pos") * F.sum("__neg")), 6)
+                                      F.sum("__pos").cast("double")
+                                      * F.sum("__neg").cast("double")), 6)
                  .alias("auc")))
 
 
@@ -565,12 +578,18 @@ def mann_whitney_u(df: DataFrame, *, value_col: str = "value",
          .rowsBetween(Window.unboundedPreceding, -1))
     below = F.col("__off") + F.coalesce(F.sum("__n0").over(w), F.lit(0))
     t = F.col("__n1") + F.col("__n0")
+    # tie correction in DOUBLE from the first multiply: t is a
+    # per-distinct-VALUE tie count, and a discrete metric at corpus
+    # scale (e.g. value=0) makes t³ blow past int64 at just
+    # t ≥ ~2.1M — the earliest-overflowing member of the count-
+    # product bug class (oracle mirrors: t::DOUBLE * t * t - t)
+    td = t.cast("double")
     contrib = (b.join(F.broadcast(off), "__b")
                .select("__n1", "__n0",
                        (F.col("__n1") * (below.cast("double")
                                          + F.col("__n0") / 2.0))
                        .alias("__c"),
-                       (t * t * t - t).cast("double").alias("__t3")))
+                       (td * td * td - td).alias("__t3")))
     n1, n0 = F.sum("__n1").cast("double"), F.sum("__n0").cast("double")
     n = n1 + n0
     u = F.sum("__c")
@@ -1073,8 +1092,12 @@ def krippendorff_alpha(ratings: DataFrame, *, item_col: str = "item_id",
         F.sum("__a").alias("A"))
     labels = (cell.join(items.select("__u"), "__u", "left_semi")
               .groupBy("__c").agg(F.sum("__n").alias("__nc")))
+    # B = Σ n_c² with n_c corpus-scale label totals: square in
+    # DOUBLE (oracle mirrors nc::DOUBLE * nc) — the bigint square
+    # overflows at ~3×10⁹ ratings of one label. The per-item __mm
+    # above stays integer: n_uc is bounded by an item's rater count.
     bsum = labels.agg(
-        F.sum(F.col("__nc") * F.col("__nc")).cast("long").alias("B"))
+        F.sum(F.col("__nc").cast("double") * F.col("__nc")).alias("B"))
     j = glob.crossJoin(F.broadcast(bsum))
     n = F.col("n").cast("double")
     de_den = n * (n - 1.0)

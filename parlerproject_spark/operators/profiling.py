@@ -361,16 +361,22 @@ def association_audit(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     j = (cell.join(F.broadcast(ra), a_col)
          .join(F.broadcast(cb), b_col))
     n = F.sum("__c")
-    # chi2 over observed cells only: n * (sum n_ij^2/(r_i c_j) - 1)
-    chi2 = n * (F.sum(F.col("__c") * F.col("__c")
-                      / (F.col("__ra") * F.col("__cb"))) - 1.0)
+    # chi2 over observed cells only: n * (sum n_ij^2/(r_i c_j) - 1).
+    # Both the cell square and the r_i·c_j margin product run in
+    # DOUBLE (the oracle casts identically): margins are corpus-scale
+    # counts, and bigint·bigint overflows once both pass ~3×10⁹ —
+    # the r10-ADVICE WordPiece bug class.
+    chi2 = n * (F.sum(F.col("__c").cast("double") * F.col("__c")
+                      / (F.col("__ra").cast("double")
+                         * F.col("__cb"))) - 1.0)
     na = F.count_distinct(F.col(a_col))
     nb = F.count_distinct(F.col(b_col))
     # MI rewritten so no aggregate nests inside the sum:
     # Σ(c/n)·ln(c·n/(ra·cb)) = Σ c·ln(c/(ra·cb))/n + ln(n)
     mi = (F.sum(F.col("__c")
                 * F.log(F.col("__c")
-                        / (F.col("__ra") * F.col("__cb")))) / n
+                        / (F.col("__ra").cast("double")
+                           * F.col("__cb")))) / n
           + F.log(n))
     dof = (na - 1) * (nb - 1)
     v = F.sqrt(F.try_divide(chi2, n * (F.least(na, nb) - 1.0)))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from parlerproject_spark.functions.text import tokenize
+from parlerproject_spark.functions.text import stable_hash31, tokenize
 
 
 def bm25_scores(docs: DataFrame, query_terms: list[str], *,
@@ -394,6 +394,55 @@ def hybrid_rerank(docs: DataFrame, query_terms: list[str], *,
             .limit(top_k)
             .select("doc_id", "score", "coverage", "rerank_score",
                     F.row_number().over(w).cast("long").alias("rank")))
+
+
+def hashed_embedding(docs: DataFrame, *, dim: int = 16,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Hashing-trick bag-of-words embedding — the feature-hashing /
+    HashingVectorizer construction (Weinberger et al. 2009): vector
+    component j counts the tokens whose `stable_hash31` bucket
+    (md5-based, % dim) is j. Stateless (no vocabulary to fit or
+    broadcast — the property that makes the hashing trick the
+    streaming/distributed featurizer of choice) and, unlike the
+    model-backed `embed_documents` fake, EXACTLY replayable in SQL,
+    so dense-retrieval pipelines built on it can be hash-oracled end
+    to end. Collisions are the documented price (two tokens sharing
+    a bucket add their counts); cosine over these count vectors is a
+    lexical similarity, the dense leg for hybrid fusion when no
+    model embedding exists.
+
+    Plan: a pure narrow map (zero shuffle) — tokenize, bucket each
+    token, then one `transform` over 0..dim-1 counting bucket hits;
+    O(tokens · dim) work per row via JVM HOFs, the right trade at
+    small dim. For dim beyond ~64, prefer the explode →
+    (id, bucket) groupBy shape (one corpus exchange, O(tokens)).
+    Columns: <id_col>, embedding (array<double>, length dim).
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    buckets = F.transform(tokenize(text_col),
+                          lambda t: stable_hash31(t) % dim)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(buckets, lambda b: b == j))
+        .cast("double"))
+    return docs.select(F.col(id_col), vec.alias("embedding"))
+
+
+def hashed_query_vector(query: str, *, dim: int = 16) -> list[float]:
+    """Driver-side twin of `hashed_embedding` for the query string:
+    same tokenizer regex, same md5 bucket hash, python floats —
+    microseconds of work, so the query never needs a Spark job."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+    v = [0.0] * dim
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        v[(h % 2147483647) % dim] += 1.0
+    return v
 
 
 def rrf_fuse(rankings: DataFrame, *, k: int = 60,

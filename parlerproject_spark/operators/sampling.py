@@ -95,6 +95,115 @@ def pack_sequences(docs: DataFrame, *, id_col: str, tokens_col: str,
             .select(id_col, "shard", "seq_no", "tok_offset"))
 
 
+def pack_sequences_harmonic(docs: DataFrame, *, id_col: str,
+                            tokens_col: str, seq_len: int = 2048,
+                            shards: int = 16, small_k: int = 8,
+                            seed: str = "pack-v1") -> DataFrame:
+    """BOUNDARY-RESPECTING sequence packing — no document ever
+    straddles two training sequences (the property concat-and-chunk
+    `pack_sequences` gives up): the harmonic size-class member of
+    the decreasing-greedy bin-packing family (Harmonic-K, Lee & Lee
+    1985, asymptotic ratio 1.691; classic FFD is 11/9 but its
+    first-bin-with-room probe is a SEQUENTIAL scan over open-bin
+    state — it neither distributes nor replays in SQL, which is why
+    the closed-form class scheme is the one a 1000-executor packing
+    pass actually runs):
+
+      class k = floor(seq_len / n_tokens), i.e. docs sized in
+      (L/(k+1), L/k]. Within class k < small_k exactly k docs fill a
+      bin — and no k+1 can (each is > L/(k+1)), so within-class the
+      k-per-bin layout is OPTIMAL, matching what FFD does with these
+      docs. Docs with class ≥ small_k (≤ L/small_k tokens) pack by
+      running cumsum into bins of EFFECTIVE capacity
+      C = L·(1 − 1/small_k): a doc opens a new bin when its
+      cum-before crosses a C boundary, and since every doc here is
+      ≤ L/small_k the true fill never exceeds C + L/small_k = L —
+      the shrunk-capacity trick that turns hard-capacity next-fit
+      into a pure prefix sum. Oversized docs (> L) get singleton
+      bins flagged `truncated`.
+
+    Deterministic and engine-neutral end to end: stable_hash31
+    shards, md5(seed:id) within-shard order — the pack_sequences
+    conventions — so the oracle replays every class, bin, and
+    offset. One exchange on (shard, class); windows partition by
+    (shard, class), never globally. Padding is first-class output:
+    `bin_fill` lets the caller aggregate exact waste per bin.
+
+    Columns: <id_col>, shard, size_class, bin_no, tok_offset,
+    n_tokens, truncated.
+    """
+    if seq_len < 1 or shards < 1 or small_k < 2:
+        raise ValueError("seq_len/shards >= 1 and small_k >= 2")
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    shard = (stable_hash31(F.col(id_col).cast("string"))
+             % shards).cast("int")
+    n = F.col(tokens_col).cast("long")
+    # class 0 = oversized (> L, truncated singleton); small_k caps
+    # the class index so every doc <= L/small_k shares one cum bucket
+    klass = (F.when(n > seq_len, F.lit(0))
+             .otherwise(F.least(F.floor(seq_len / F.greatest(n, F.lit(1))),
+                                F.lit(small_k))).cast("int"))
+    staged = docs.select(F.col(id_col), n.alias("__n"),
+                         key.alias("__key"), shard.alias("shard"),
+                         klass.alias("size_class"))
+    wo = Window.partitionBy("shard", "size_class").orderBy("__key")
+    rn = F.row_number().over(wo).cast("long")
+    cumb = (F.sum("__n").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - F.col("__n")).cast("long")
+    cap = float(seq_len) * (1.0 - 1.0 / small_k)
+    is_small = F.col("size_class") >= small_k
+    is_single = F.col("size_class") <= 1  # oversized or (L/2, L]
+    bin_no = (F.when(is_single, rn - 1)
+              .when(is_small, F.floor(cumb / cap))
+              .otherwise(F.floor((rn - 1) / F.col("size_class"))))
+    binned = staged.withColumn("bin_no", bin_no.cast("long"))
+    # tok_offset = cumsum of the PRECEDING docs in the same bin (the
+    # true packed position, uniform across classes); bin partitions
+    # are capacity-bounded (<= seq_len tokens), never corpus-sized
+    clipped = F.least(F.col("__n"), F.lit(int(seq_len)))
+    wb = (Window.partitionBy("shard", "size_class", "bin_no")
+          .orderBy("__key")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (binned.select(
+        F.col(id_col), "shard", "size_class", "bin_no",
+        (F.sum(clipped).over(wb) - clipped).cast("long")
+        .alias("tok_offset"),
+        F.col("__n").alias("n_tokens"),
+        (F.col("__n") > seq_len).alias("truncated")))
+
+
+def packing_waste_report(assignments: DataFrame, *,
+                         seq_len: int = 2048) -> DataFrame:
+    """Padding-waste readout over a `pack_sequences_harmonic`
+    assignment table: per (shard, size_class), the bin count, token
+    mass, capacity, padded tokens, and waste share — the number a
+    training-loader owner actually tracks (padding is pure wasted
+    FLOPs). Oversized/truncated docs count a full bin with zero
+    waste (they clip, not pad). One aggregation over the bounded
+    (shard, class, bin) key space; never re-reads the corpus.
+    Columns: shard, size_class, n_bins, n_docs, n_tokens, capacity,
+    padded_tokens, waste_share (round 6)."""
+    per_bin = (assignments.groupBy("shard", "size_class", "bin_no")
+               .agg(F.count(F.lit(1)).alias("__d"),
+                    F.sum(F.least(F.col("n_tokens"),
+                                  F.lit(seq_len))).alias("__t")))
+    return (per_bin.groupBy("shard", "size_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                 F.sum("__d").cast("long").alias("n_docs"),
+                 F.sum("__t").cast("long").alias("n_tokens"))
+            .select("shard", "size_class", "n_bins", "n_docs",
+                    "n_tokens",
+                    (F.col("n_bins") * seq_len).cast("long")
+                    .alias("capacity"),
+                    (F.col("n_bins") * seq_len - F.col("n_tokens"))
+                    .cast("long").alias("padded_tokens"),
+                    F.round(1.0 - F.col("n_tokens")
+                            / (F.col("n_bins").cast("double") * seq_len),
+                            6).alias("waste_share")))
+
+
 def deterministic_shuffle(df: DataFrame, *, id_col: str,
                           seed: str = "shuffle-v1") -> DataFrame:
     """Reproducible global shuffle: order by md5(seed || id). The

@@ -66,6 +66,11 @@ def register(name: str, oracle: str | None):
 # head = the 46-query round-4 tier, so nothing in the registry stays
 # older than round 5 after this round's sample.
 _DRIVER_PRIORITY: list[str] = [
+    # -- round-11 additions (never driver-sampled) --
+    "rag_pipeline_docs",
+    "hashed_bow_docs",
+    "pack_sequences_ffd_docs",
+    "pack_waste_ffd_docs",
     # media_resize gained a full hash oracle in round 10 but its last
     # driver row (r9) predates that and is rows-only — promoted so
     # the driver records its first hash-match row (VERDICT r10 #4)
@@ -10837,12 +10842,12 @@ SELECT CAST(sum(c) AS BIGINT) AS n,
        CAST((SELECT count(*) FROM cb) AS BIGINT) AS n_b,
        CAST(((SELECT count(*) FROM ra) - 1)
             * ((SELECT count(*) FROM cb) - 1) AS BIGINT) AS dof,
-       round(sum(c) * (sum(c::DOUBLE * c / (r * cc)) - 1.0), 6) AS chi2,
-       round(sqrt(sum(c) * (sum(c::DOUBLE * c / (r * cc)) - 1.0)
+       round(sum(c) * (sum(c::DOUBLE * c / (r::DOUBLE * cc)) - 1.0), 6) AS chi2,
+       round(sqrt(sum(c) * (sum(c::DOUBLE * c / (r::DOUBLE * cc)) - 1.0)
                   / (sum(c) * (least((SELECT count(*) FROM ra),
                                      (SELECT count(*) FROM cb)) - 1.0))), 6)
          AS cramers_v,
-       round(sum(c * ln(c::DOUBLE / (r * cc))) / sum(c) + ln(sum(c)), 6)
+       round(sum(c * ln(c::DOUBLE / (r::DOUBLE * cc))) / sum(c) + ln(sum(c)), 6)
          AS mi
 FROM j
 """)
@@ -11321,14 +11326,14 @@ SELECT CAST(sum(n1) AS BIGINT) AS n_1,
        round(sum(n1 * (below::DOUBLE + n0 / 2.0)), 6) AS u,
        round(CASE WHEN sum(n1)::DOUBLE * sum(n0) / 12.0
                   * ((sum(n1) + sum(n0) + 1.0)
-                     - sum((t * t * t - t)::DOUBLE)
+                     - sum(t::DOUBLE * t * t - t)
                        / ((sum(n1) + sum(n0))::DOUBLE
                           * (sum(n1) + sum(n0) - 1.0))) > 0
              THEN (sum(n1 * (below::DOUBLE + n0 / 2.0))
                    - sum(n1)::DOUBLE * sum(n0) / 2.0)
                   / sqrt(sum(n1)::DOUBLE * sum(n0) / 12.0
                   * ((sum(n1) + sum(n0) + 1.0)
-                     - sum((t * t * t - t)::DOUBLE)
+                     - sum(t::DOUBLE * t * t - t)
                        / ((sum(n1) + sum(n0))::DOUBLE
                           * (sum(n1) + sum(n0) - 1.0)))) END, 6) AS z
 FROM cum
@@ -12257,7 +12262,7 @@ gtot AS (
 labs AS (
   SELECT c, CAST(sum(n) AS BIGINT) AS nc
   FROM cell JOIN items USING (u) GROUP BY c),
-bb AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS B FROM labs)
+bb AS (SELECT sum(nc::DOUBLE * nc) AS B FROM labs)
 SELECT n_items, n AS n_ratings,
        CASE WHEN n > 0 THEN round((n - A) / n, 6) END AS do_rate,
        CASE WHEN n * (n - 1.0) > 0
@@ -13038,3 +13043,325 @@ def sentence_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (sentence_chunks(d, budget_tokens=64)
             .orderBy("doc_id", "chunk_id"))
+
+
+@register("hashed_bow_docs", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         (('0x' || substring(md5(w), 1, 15))::BIGINT % 2147483647) % 8
+           AS bk
+  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)),
+cnts AS (SELECT doc_id, bk, count(*)::DOUBLE AS c
+         FROM b GROUP BY doc_id, bk),
+grid AS (
+  SELECT d.doc_id, t.j
+  FROM (SELECT DISTINCT doc_id FROM toks) d,
+       unnest(range(0, 8)) AS t(j)),
+filled AS (
+  SELECT g.doc_id, g.j, coalesce(c, 0.0) AS c
+  FROM grid g LEFT JOIN cnts ON cnts.doc_id = g.doc_id
+                            AND cnts.bk = g.j)
+SELECT doc_id, list(c ORDER BY j) AS embedding
+FROM filled GROUP BY doc_id
+ORDER BY doc_id
+LIMIT 200
+""")
+def hashed_bow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words embeddings
+    (retrieval.hashed_embedding, dim=8): component j counts the
+    tokens whose md5 stable_hash31 bucket is j — the stateless
+    HashingVectorizer featurizer, exactly replayable in SQL (unlike
+    the model-backed fake). First 200 docs by id for a bounded
+    result; the featurizer itself is a zero-shuffle narrow map."""
+    from parlerproject_spark.operators.retrieval import hashed_embedding
+    d = _t(spark, sf_dir, "documents")
+    return (hashed_embedding(d, dim=8)
+            .orderBy("doc_id").limit(200))
+
+
+@register("rag_pipeline_docs", r"""
+WITH sp AS (
+  SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+s AS (
+  SELECT doc_id, i AS no, trim(parts[i]) AS s
+  FROM sp, unnest(range(1, len(parts) + 1)) AS t(i)
+  WHERE trim(parts[i]) <> ''),
+stok AS (
+  SELECT doc_id, no, s,
+         len(list_filter(string_split_regex(s, '\s+'),
+                         w -> w <> ''))::BIGINT AS nt
+  FROM s),
+cum AS (
+  SELECT doc_id, no, s, nt,
+         coalesce(sum(nt) OVER (PARTITION BY doc_id ORDER BY no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS bef
+  FROM stok),
+chunks AS MATERIALIZED (
+  SELECT doc_id, (bef // 64)::BIGINT AS chunk_id,
+         doc_id * 100000 + (bef // 64) AS ck,
+         string_agg(s, '. ' ORDER BY no) AS chunk_text
+  FROM cum GROUP BY doc_id, (bef // 64)),
+ctoks AS MATERIALIZED (
+  SELECT ck,
+         list_filter(string_split_regex(lower(chunk_text),
+                                        '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM chunks),
+lens AS (SELECT ck, len(ts) AS dl FROM ctoks),
+stats AS (SELECT cast(count(*) AS DOUBLE) AS n_docs,
+                 avg(dl) AS avgdl FROM lens),
+post AS (
+  SELECT ck, w AS term, cast(count(*) AS DOUBLE) AS tf
+  FROM (SELECT ck, unnest(ts) AS w FROM ctoks)
+  WHERE w IN ('spark', 'join', 'query')
+  GROUP BY ck, w),
+wdf AS (SELECT term, cast(count(*) AS DOUBLE) AS df
+        FROM post GROUP BY term),
+bscore AS (
+  SELECT p.ck,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
+  FROM post p JOIN wdf USING (term) JOIN lens USING (ck)
+  CROSS JOIN stats),
+lex AS (
+  SELECT ck, rank FROM (
+    SELECT ck, cast(row_number() OVER (ORDER BY score DESC, ck ASC)
+                AS BIGINT) AS rank
+    FROM (SELECT ck, round(sum(sc), 6) AS score
+          FROM bscore GROUP BY ck))
+  WHERE rank <= 50),
+hb AS (
+  SELECT ck,
+         (('0x' || substring(md5(w), 1, 15))::BIGINT
+            % 2147483647) % 16 AS bk
+  FROM (SELECT ck, unnest(ts) AS w FROM ctoks)),
+cnt AS (SELECT ck, bk, count(*)::DOUBLE AS c FROM hb GROUP BY ck, bk),
+qv AS (
+  SELECT (('0x' || substring(md5(w), 1, 15))::BIGINT
+            % 2147483647) % 16 AS bk, count(*)::DOUBLE AS qc
+  FROM (SELECT unnest(['spark', 'join', 'query']) AS w) GROUP BY bk),
+qn AS (SELECT sqrt(sum(qc * qc)) AS qnorm FROM qv),
+cn AS (SELECT ck, sqrt(sum(c * c)) AS cnorm FROM cnt GROUP BY ck),
+dots AS (
+  SELECT cnt.ck, sum(c * qc) AS dot
+  FROM cnt JOIN qv USING (bk) GROUP BY cnt.ck),
+sims AS (
+  SELECT cn.ck,
+         round(coalesce(dot, 0.0) / (cnorm * qnorm), 6) AS sim
+  FROM cn LEFT JOIN dots USING (ck) CROSS JOIN qn),
+dense AS (
+  SELECT ck, rank FROM (
+    SELECT ck, cast(row_number() OVER (ORDER BY sim DESC, ck ASC)
+                AS BIGINT) AS rank
+    FROM sims)
+  WHERE rank <= 50),
+allr AS (SELECT ck, rank FROM lex
+         UNION ALL SELECT ck, rank FROM dense),
+fused AS (
+  SELECT ck, count(*)::BIGINT AS n_systems,
+         round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+  FROM allr GROUP BY ck),
+top AS MATERIALIZED (
+  SELECT ck, n_systems, rrf_score,
+         cast(row_number() OVER (ORDER BY rrf_score DESC, ck ASC)
+              AS BIGINT) AS rank
+  FROM (SELECT * FROM fused ORDER BY rrf_score DESC, ck ASC LIMIT 20)),
+cited AS MATERIALIZED (
+  SELECT t.ck, t.n_systems, t.rrf_score, t.rank,
+         c.doc_id, c.chunk_id, c.chunk_text
+  FROM top t JOIN chunks c USING (ck)),
+sup AS (
+  SELECT ck, count(*)::BIGINT AS n_sentences_cited,
+         sum(CASE WHEN position(cs IN text) > 0
+             THEN 1 ELSE 0 END)::BIGINT AS n_supported
+  FROM (SELECT f.ck, unnest(string_split(f.chunk_text, '. ')) AS cs,
+               d.text
+        FROM cited f JOIN documents d USING (doc_id))
+  GROUP BY ck)
+SELECT doc_id, chunk_id, n_systems, rrf_score, rank,
+       n_sentences_cited, n_supported,
+       (n_supported = n_sentences_cited) AS fully_supported
+FROM cited JOIN sup USING (ck)
+ORDER BY rank
+""")
+def rag_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG corpus-build pipeline END TO END, composing the
+    verified operators unchanged (VERDICT r10 item 6 — the
+    corpus → embedding → retrieval arc that is the reference's whole
+    second half, code/embeddings.py + code/bertopicTest.py):
+
+      sentence_chunks(64)  →  chunk-level BM25 top-50 (lexical leg)
+                           →  hashed_embedding(16) + exact-cosine
+                              top-50 (dense leg, SQL-replayable)
+                           →  rrf_fuse k=60, top-20
+                           →  citation support: every retrieved
+                              chunk joins back to its source doc
+                              and each cited sentence is checked
+                              verbatim against the source text.
+
+    The dense leg uses the hashing-trick featurizer rather than the
+    model-backed fake precisely so the WHOLE pipeline hash-oracles:
+    DuckDB replays chunking, BM25, bucket counts, cosine, fusion,
+    and the support check in one CTE chain. The chunk table is
+    persisted (MEMORY_AND_DISK) because three legs consume it — the
+    documented multi-consumer pattern (SCALE.md §15); both retrieval
+    legs are top-50-bounded before fusion, fusion input is
+    systems × 50 rows, and the citation join broadcasts the 20-row
+    result against documents. Columns: doc_id, chunk_id, n_systems,
+    rrf_score, rank, n_sentences_cited, n_supported,
+    fully_supported — fully_supported is the pipeline's own
+    integrity gate (False would mean retrieval returned text its
+    source does not contain)."""
+    from pyspark import StorageLevel
+
+    from parlerproject_spark.operators.retrieval import (
+        bm25_scores, hashed_embedding, hashed_query_vector, rrf_fuse)
+    from parlerproject_spark.operators.similarity import knn_bruteforce
+    from parlerproject_spark.operators.text_analysis import sentence_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = (sentence_chunks(docs, budget_tokens=64)
+              .withColumn("ck", (F.col("doc_id") * 100000
+                                 + F.col("chunk_id")).cast("long"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    lex = (bm25_scores(chunks, ["spark", "join", "query"], id_col="ck",
+                       text_col="chunk_text", top_k=50)
+           .select("ck", "rank", F.lit("bm25").alias("system")))
+    vecs = (hashed_embedding(chunks, dim=16, id_col="ck",
+                             text_col="chunk_text")
+            .select(F.col("ck").alias("vec_id"), "embedding"))
+    q = spark.createDataFrame(
+        [(hashed_query_vector("spark join query", dim=16),)],
+        "q array<double>")
+    dw = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    dense = (knn_bruteforce(vecs, q, k=50)
+             .select(F.col("vec_id").alias("ck"),
+                     F.row_number().over(dw).cast("long").alias("rank"),
+                     F.lit("dense").alias("system")))
+    top = (rrf_fuse(lex.unionByName(dense), k=60, id_col="ck", top_k=20)
+           .select(F.col("doc_id").alias("ck"), "n_systems",
+                   "rrf_score", "rank"))
+    cited = chunks.join(F.broadcast(top), "ck")
+    sent = (docs.select("doc_id", F.col("text").alias("__src"))
+            .join(F.broadcast(cited.select("ck", "doc_id", "chunk_text")),
+                  "doc_id")
+            .select("ck", "__src",
+                    F.explode(F.split("chunk_text", r"\. ")).alias("__cs")))
+    sup = (sent.groupBy("ck")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_sentences_cited"),
+                F.sum(F.contains("__src", F.col("__cs")).cast("int"))
+                .cast("long").alias("n_supported")))
+    return (cited.join(F.broadcast(sup), "ck")
+            .select("doc_id", "chunk_id", "n_systems", "rrf_score",
+                    "rank", "n_sentences_cited", "n_supported",
+                    (F.col("n_supported") == F.col("n_sentences_cited"))
+                    .alias("fully_supported"))
+            .orderBy("rank"))
+
+
+_PACK_FFD_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         t -> t <> ''))::BIGINT AS n,
+         md5('pack-v1:' || cast(doc_id AS VARCHAR)) AS k,
+         cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483647 % 8 AS INT) AS shard
+  FROM documents),
+cls AS (
+  SELECT doc_id, n, k, shard,
+         CASE WHEN n > 512 THEN 0
+              ELSE least(floor(512.0 / greatest(n, 1)), 8) END::INT
+           AS size_class
+  FROM toks),
+ordd AS (
+  SELECT *, row_number() OVER (PARTITION BY shard, size_class
+                               ORDER BY k) AS rn,
+         sum(n) OVER (PARTITION BY shard, size_class ORDER BY k
+                      ROWS UNBOUNDED PRECEDING) - n AS cb
+  FROM cls),
+b AS (
+  SELECT doc_id, shard, size_class, n, k,
+         (CASE WHEN size_class <= 1 THEN rn - 1
+               WHEN size_class >= 8 THEN floor(cb / 448.0)
+               ELSE (rn - 1) // size_class END)::BIGINT AS bin_no
+  FROM ordd)
+"""
+
+
+@register("pack_sequences_ffd_docs", _PACK_FFD_CTE + r"""
+SELECT doc_id, shard, size_class, bin_no,
+       (sum(least(n, 512)) OVER (PARTITION BY shard, size_class, bin_no
+            ORDER BY k ROWS UNBOUNDED PRECEDING)
+        - least(n, 512))::BIGINT AS tok_offset,
+       n AS n_tokens, (n > 512) AS truncated
+FROM b
+ORDER BY doc_id
+""")
+def pack_sequences_ffd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting sequence packing
+    (sampling.pack_sequences_harmonic, L=512, 8 shards): no document
+    straddles two training sequences — the harmonic size-class
+    member of the decreasing-greedy (FFD) bin-packing family, chosen
+    because classic FFD's first-open-bin probe is sequential state
+    that neither distributes nor replays in SQL, while the class
+    scheme is a closed form: class k = floor(L/n) holds exactly k
+    docs per bin (optimal within class — k+1 docs each > L/(k+1)
+    cannot fit), smalls pack by prefix sum into bins shrunk by one
+    max-item so the hard capacity is never crossed. The oracle
+    replays shards, classes, bin ids, and in-bin offsets exactly."""
+    from parlerproject_spark.functions.text import tokenize
+    from parlerproject_spark.operators.sampling import (
+        pack_sequences_harmonic)
+    d = _t(spark, sf_dir, "documents")
+    wtok = F.size(F.filter(F.split("text", r"\s+"),
+                           lambda t: F.length(t) > 0))
+    _ = tokenize  # whitespace counting mirrors pack_sequences_docs
+    staged = d.select("doc_id", wtok.cast("long").alias("n_tokens_in"))
+    return (pack_sequences_harmonic(staged, id_col="doc_id",
+                                    tokens_col="n_tokens_in",
+                                    seq_len=512, shards=8, small_k=8)
+            .orderBy("doc_id"))
+
+
+@register("pack_waste_ffd_docs", _PACK_FFD_CTE + r"""
+, per_bin AS (
+  SELECT shard, size_class, bin_no,
+         count(*) AS d, sum(least(n, 512)) AS t
+  FROM b GROUP BY shard, size_class, bin_no)
+SELECT shard, size_class,
+       count(*)::BIGINT AS n_bins,
+       sum(d)::BIGINT AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       (count(*) * 512)::BIGINT AS capacity,
+       (count(*) * 512 - sum(t))::BIGINT AS padded_tokens,
+       round(1.0 - sum(t) / (count(*)::DOUBLE * 512), 6) AS waste_share
+FROM per_bin
+GROUP BY shard, size_class
+ORDER BY shard, size_class
+""")
+def pack_waste_ffd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report over the harmonic packing
+    (sampling.packing_waste_report): per (shard, size_class) bin
+    count, token mass, capacity, padded tokens, and waste share —
+    the wasted-FLOPs number a loader owner tracks. Aggregates the
+    bounded (shard, class, bin) key space; the corpus is read once
+    by the packing pass underneath."""
+    from parlerproject_spark.operators.sampling import (
+        pack_sequences_harmonic, packing_waste_report)
+    d = _t(spark, sf_dir, "documents")
+    wtok = F.size(F.filter(F.split("text", r"\s+"),
+                           lambda t: F.length(t) > 0))
+    staged = d.select("doc_id", wtok.cast("long").alias("n_tokens_in"))
+    asg = pack_sequences_harmonic(staged, id_col="doc_id",
+                                  tokens_col="n_tokens_in",
+                                  seq_len=512, shards=8, small_k=8)
+    return (packing_waste_report(asg, seq_len=512)
+            .orderBy("shard", "size_class"))

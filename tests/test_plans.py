@@ -225,6 +225,11 @@ _BOUNDED_WINDOW_ALLOWLIST = {
                                # histogram: rows ≤ observation window
                                # in days (a decade of data = ~3.7k
                                # rows) regardless of corpus size
+    "rag_pipeline_docs",       # rank windows over the bm25 top-50,
+                               # dense top-50, and fused limit(20)
+                               # extracts — systems × k rows, never
+                               # the corpus (the rrf_hybrid_docs
+                               # precedent, composed)
 }
 
 

@@ -526,3 +526,48 @@ class TestDoremiWeights:
             "domain string, loss double, ref_loss double")
         out = {r["domain"]: r["weight"] for r in doremi_weights(df).collect()}
         assert out["a"] == out["b"] == 0.5
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick embeddings + the composed RAG pipeline (round 11)
+# --------------------------------------------------------------------------
+
+def test_hashed_embedding_counts_and_determinism(spark):
+    import hashlib
+
+    from parlerproject_spark.operators.retrieval import (
+        hashed_embedding, hashed_query_vector)
+
+    df = spark.createDataFrame(
+        [(1, "Spark joins data. Spark queries data."),
+         (2, ""), (3, "zzz")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["embedding"]
+           for r in hashed_embedding(df, dim=8).collect()}
+    assert all(len(v) == 8 for v in got.values())
+    # doc 1: 6 tokens total (spark x2, data x2, joins, queries)
+    assert sum(got[1]) == 6.0
+    assert sum(got[2]) == 0.0  # empty text -> zero vector, row kept
+    # bucket positions follow the md5 stable hash exactly
+    def bucket(t):
+        return (int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                % 2147483647) % 8
+    assert got[3][bucket("zzz")] == 1.0
+    # driver-side twin produces the same vector as the Spark side
+    assert hashed_query_vector(
+        "Spark joins data. Spark queries data.", dim=8) == list(got[1])
+
+
+def test_rag_pipeline_end_to_end_contract(spark, sf_dir):
+    import __spark_entry__ as m
+    rows = m.queries()["rag_pipeline_docs"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # rrf scores are non-increasing down the ranking
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_systems"] <= 2 for r in rows)
+    # the citation integrity gate: every retrieved chunk's sentences
+    # are verbatim substrings of its source document
+    assert all(r["fully_supported"] for r in rows), rows
+    assert all(r["n_supported"] == r["n_sentences_cited"] for r in rows)

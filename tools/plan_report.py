@@ -206,6 +206,11 @@ REPORT_QUERIES = [
     "card_luhn_fixture",
     "token_f1_pairs_docs",
     "sentence_chunks_docs",
+    # round-11 additions
+    "rag_pipeline_docs",
+    "hashed_bow_docs",
+    "pack_sequences_ffd_docs",
+    "pack_waste_ffd_docs",
 ]
 
 
