@@ -313,6 +313,7 @@ EXTRA = [
     "hashed_bow_docs",
     "pack_sequences_ffd_docs",
     "pack_waste_ffd_docs",
+    "tar_shard_counts_docs",
 ]
 
 

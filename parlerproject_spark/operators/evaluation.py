@@ -250,14 +250,18 @@ def bleu_pairs(cand: DataFrame, ref: DataFrame, *,
     exp(min(0, 1−r/c)), geometric mean with ε-smoothing for
     zero-overlap pairs.
 
-    Scale shape: tokens explode ONCE per side into (pair, n, gram)
-    count tables (spread_input first — the ~tokens× blow-up must not
-    run inside the scan's few splits); clipping is one LEFT join of
-    candidate counts onto reference counts followed by a pair-keyed
-    aggregation. No windows, no driver state; every stage is keyed
-    on pair_id (+ gram) and map-side combinable. Reference-only
-    grams never join (they clip to 0 by construction), so the join's
-    left side bounds the shuffle.
+    Scale shape: ONE scan per side — each side is a single linear
+    chain to its (pair, n, gram) count table, with the token count
+    riding every row and a null-gram sentinel (explode_outer) keeping
+    empty-and-short texts alive, so there is no separate lens pass
+    (the round-11 scan-budget audit caught the old lens+grams
+    two-consumer form re-reading documents 6×); spread_input runs
+    first — the ~tokens× blow-up must not run inside the scan's few
+    splits. Clipping is one FULL-OUTER join on (pair, n, gram) (a
+    ref-only gram arrives with the cand count null and is excluded,
+    exactly the old left join's behavior) followed by a (pair, n)-
+    and a pair-keyed aggregation. No windows, no driver state; every
+    stage is keyed on pair_id (+ gram) and map-side combinable.
 
     Determinism contract: p1/p2/bp are HALF_UP-rounded at 6 dp and
     the BLEU geometric mean is computed FROM the rounded components,
@@ -267,47 +271,52 @@ def bleu_pairs(cand: DataFrame, ref: DataFrame, *,
     """
     from parlerproject_spark.operators.layout import spread_input
 
-    def toks(df):
+    def grams(df, side):
+        from parlerproject_spark.functions.text import word_ngrams
         ws = F.filter(F.split(F.col(text_col), r"\s+"),
                       lambda t: F.length(t) > 0)
-        return spread_input(
+        tdf = spread_input(
             df.select(F.col(pair_col).alias("__pid"), ws.alias("__ws")))
-
-    def grams(tdf):
-        from parlerproject_spark.functions.text import word_ngrams
         c = F.col("__ws")
+        n_tok = F.size("__ws").cast("long")
         uni = tdf.select("__pid", F.lit(1).alias("__n"),
-                         F.explode(word_ngrams(c, 1)).alias("__g"))
+                         n_tok.alias(f"__t{side}"),
+                         F.explode_outer(word_ngrams(c, 1)).alias("__g"))
         big = tdf.select("__pid", F.lit(2).alias("__n"),
-                         F.explode(word_ngrams(c, 2)).alias("__g"))
+                         n_tok.alias(f"__t{side}"),
+                         F.explode_outer(word_ngrams(c, 2)).alias("__g"))
         return (uni.unionByName(big)
                 .groupBy("__pid", "__n", "__g")
-                .agg(F.count(F.lit(1)).alias("__c")))
+                .agg(F.sum(F.when(F.col("__g").isNotNull(), 1)
+                           .otherwise(0)).alias(f"__c{side}"),
+                     F.first(f"__t{side}").alias(f"__t{side}")))
 
-    ct, rt = toks(cand), toks(ref)
-    lens = (ct.select("__pid", F.size("__ws").cast("long").alias("n_cand"))
-            .join(rt.select("__pid",
-                            F.size("__ws").cast("long").alias("n_ref")),
-                  "__pid"))
-    cc = grams(ct)
-    rc = grams(rt).withColumnRenamed("__c", "__r")
-    cl = (cc.join(rc, ["__pid", "__n", "__g"], "left")
-          .groupBy("__pid", "__n")
-          .agg(F.sum(F.least("__c", F.coalesce("__r", F.lit(0))))
+    full = grams(cand, "c").join(grams(ref, "r"),
+                                 ["__pid", "__n", "__g"], "full")
+    cl = (full.groupBy("__pid", "__n")
+          .agg(F.max("__tc").alias("__tc"),
+               F.max("__tr").alias("__tr"),
+               F.sum(F.when(F.col("__cc").isNotNull(),
+                            F.least(F.col("__cc"),
+                                    F.coalesce("__cr", F.lit(0)))))
                .alias("__clip"),
-               F.sum("__c").alias("__tot")))
+               F.sum(F.coalesce("__cc", F.lit(0))).alias("__tot")))
     p = (cl.groupBy("__pid")
-         .agg(*[F.round(F.max(F.when(F.col("__n") == n,
-                                     F.col("__clip") / F.col("__tot"))), 6)
-                .alias(f"p{n}") for n in (1, 2)]))
+         .agg(F.max("__tc").alias("n_cand"),
+              F.max("__tr").alias("n_ref"),
+              *[F.round(F.max(F.when((F.col("__n") == n)
+                                     & (F.col("__tot") > 0),
+                                     F.col("__clip") / F.col("__tot"))),
+                        6).alias(f"p{n}") for n in (1, 2)])
+         .filter(F.col("n_cand").isNotNull()
+                 & F.col("n_ref").isNotNull()))
     bp_raw = F.when(F.col("n_cand") >= F.col("n_ref"), F.lit(1.0)) \
         .otherwise(F.exp(1.0 - F.col("n_ref") / F.col("n_cand")))
-    out = (lens.join(p, "__pid", "left")
-           .select(F.col("__pid").alias(pair_col), "n_cand", "n_ref",
+    out = p.select(F.col("__pid").alias(pair_col), "n_cand", "n_ref",
                    F.coalesce("p1", F.lit(0.0)).alias("p1"),
                    F.coalesce("p2", F.lit(0.0)).alias("p2"),
                    F.when(F.col("n_cand") > 0, F.round(bp_raw, 6))
-                   .otherwise(F.lit(0.0)).alias("bp")))
+                   .otherwise(F.lit(0.0)).alias("bp"))
     bleu = F.round(
         F.col("bp") * F.exp(
             0.5 * F.log(F.greatest("p1", F.lit(eps)))
@@ -859,29 +868,39 @@ def citation_precision_recall(answers: DataFrame, citations: DataFrame,
            .select("__s", F.explode(word_ngrams(F.col("__t"), n))
                    .alias("gram"))
            .distinct())
-    # per-gram-VALUE occurrence counts, probed once per value
+    # ONE probe, ONE chain (the round-11 scan-budget audit caught
+    # the old covered/supporting/per_key/cit_stats four-branch form
+    # re-reading every input 2-3x): each (answer gram, citation)
+    # pair is marked supported by a single LEFT join against the
+    # source-gram table, then a (key, gram) rollup folds the
+    # coverage flag AND the per-gram supporting/cited source sets —
+    # sets are bounded by the answer's citation count, never the
+    # corpus — and one key rollup finishes. Every input is scanned
+    # exactly once.
     agv = ag.groupBy("__k", "gram").agg(F.count(F.lit(1)).alias("__cnt"))
-    covered = (agv.join(cit, "__k")
-               .join(sgd, ["__s", "gram"], "left_semi")
-               .select("__k", "gram").distinct())
-    per_key = (agv.join(covered.withColumn("__cov", F.lit(1)),
-                        ["__k", "gram"], "left")
-               .groupBy("__k")
+    probe = (agv.join(cit, "__k")
+             .join(sgd.withColumn("__hit", F.lit(1)),
+                   ["__s", "gram"], "left"))
+    gram_rollup = (probe.groupBy("__k", "gram")
+                   .agg(F.first("__cnt").alias("__cnt"),
+                        F.max(F.coalesce("__hit", F.lit(0)))
+                        .alias("__cov"),
+                        # collect_set skips nulls: only supporting
+                        # sources enter; __alls carries every cited
+                        # source (identical across the key's grams)
+                        F.collect_set(
+                            F.when(F.col("__hit").isNotNull(),
+                                   F.col("__s"))).alias("__sups"),
+                        F.collect_set("__s").alias("__alls")))
+    per_key = (gram_rollup.groupBy("__k")
                .agg(F.sum("__cnt").alias("n_grams"),
-                    F.sum(F.when(F.col("__cov").isNotNull(),
-                                 F.col("__cnt")).otherwise(F.lit(0)))
-                    .alias("n_covered")))
-    # a citation supports the answer iff it shares >= 1 gram value
-    supporting = (agv.select("__k", "gram").join(cit, "__k")
-                  .join(sgd, ["__s", "gram"], "left_semi")
-                  .select("__k", "__s").distinct())
-    cit_stats = (cit.join(supporting.withColumn("__sup", F.lit(1)),
-                          ["__k", "__s"], "left")
-                 .groupBy("__k")
-                 .agg(F.count(F.lit(1)).alias("n_cited"),
-                      F.sum(F.when(F.col("__sup").isNotNull(), 1)
-                            .otherwise(0)).alias("n_supporting")))
-    return (per_key.join(cit_stats, "__k")
+                    F.sum(F.when(F.col("__cov") == 1, F.col("__cnt"))
+                          .otherwise(F.lit(0))).alias("n_covered"),
+                    F.size(F.array_distinct(
+                        F.flatten(F.collect_list("__sups"))))
+                    .alias("n_supporting"),
+                    F.size(F.first("__alls")).alias("n_cited")))
+    return (per_key
             .select(F.col("__k").alias(key_col),
                     F.col("n_cited").cast("long").alias("n_cited"),
                     F.col("n_supporting").cast("long").alias("n_supporting"),
@@ -915,65 +934,80 @@ def chrf_pairs(cand: DataFrame, ref: DataFrame, *,
     components (0.0 when P+R = 0). Pairs where no order participates
     (either side squashes to '') report 0.0 with n_orders = 0.
 
-    Scale shape: the only gram-granular stage is one (pair, n, gram)
-    count table per side plus ONE left join for clipping — identical
-    to bleu_pairs' discipline. Gram totals come from string LENGTHS
-    (len − n + 1), never from a second aggregation. Character grams
-    are a chars×n_max row blow-up, so the squashed text is routed
-    through spread_input first and `max_chars` bounds per-doc cost
-    (a snippet-chrF contract for long documents; None = full text).
-    The gram explode is a JVM codegen substring over an exploded
-    position sequence — no interpreted higher-order-function lambda
-    in the hot path.
+    Scale shape: ONE scan per side — each side is a single linear
+    chain to its (pair, n, gram) count table, with the squashed
+    LENGTH riding every row (gram totals are len − n + 1, never a
+    second aggregation) and a null-gram sentinel row (explode_outer
+    of a when-guarded position sequence) keeping orders the text is
+    too short for — and fully empty texts — alive without a
+    separate lens pass; the round-11 scan-budget audit caught the
+    old lens+grams two-consumer form re-reading documents 8×. One
+    full-outer join on (pair, n, gram) clips (null grams never
+    match; a cand-only gram sees ref count 0, a ref-only gram is
+    excluded exactly as the old left join did), then one
+    (pair, n)-keyed and one pair-keyed aggregation finish. Character
+    grams are a chars×n_max row blow-up, so the squashed text is
+    routed through spread_input first and `max_chars` bounds
+    per-doc cost (a snippet-chrF contract for long documents;
+    None = full text). The gram explode is a JVM codegen substring
+    over an exploded position sequence — no interpreted
+    higher-order-function lambda in the hot path.
 
     Columns: pair_id, n_orders, chrp, chrr, chrf.
     """
     from parlerproject_spark.operators.layout import spread_input
 
-    def squash(df):
+    def grams(df, side):
         s = F.regexp_replace(F.col(text_col), r"\s+", "")
         if max_chars is not None:
             s = F.substring(s, 1, max_chars)
-        return spread_input(
+        sdf = spread_input(
             df.select(F.col(pair_col).alias("__pid"), s.alias("__s")))
-
-    def grams(sdf):
-        pos = F.explode(F.sequence(
-            F.lit(1), F.length("__s") - F.col("__n") + 1))
-        return (sdf.select("__pid", "__s")
+        # explode_outer + when-guard: orders with no position (text
+        # shorter than n, incl. '') yield ONE null-gram sentinel row
+        # that carries the length — no second lens consumer
+        pos = F.explode_outer(F.when(
+            F.length("__s") >= F.col("__n"),
+            F.sequence(F.lit(1), F.length("__s") - F.col("__n") + 1)))
+        return (sdf.select("__pid", F.length("__s").alias(f"__l{side}"),
+                           "__s")
                 .withColumn("__n", F.explode(F.sequence(F.lit(1),
                                                         F.lit(n_max))))
-                .filter(F.length("__s") >= F.col("__n"))
                 .withColumn("__p", pos)
-                .select("__pid", "__n",
-                        F.substring(F.col("__s"), F.col("__p"),
-                                    F.col("__n")).alias("__g"))
+                .select("__pid", "__n", f"__l{side}",
+                        F.when(F.col("__p").isNotNull(),
+                               F.substring(F.col("__s"), F.col("__p"),
+                                           F.col("__n"))).alias("__g"))
                 .groupBy("__pid", "__n", "__g")
-                .agg(F.count(F.lit(1)).alias("__c")))
+                .agg(F.sum(F.when(F.col("__g").isNotNull(), 1)
+                           .otherwise(0)).alias(f"__c{side}"),
+                     F.first(f"__l{side}").alias(f"__l{side}")))
 
-    cs, rs = squash(cand), squash(ref)
-    lens = (cs.select("__pid", F.length("__s").alias("__lc"))
-            .join(rs.select("__pid", F.length("__s").alias("__lr")),
-                  "__pid"))
-    rc = grams(rs).withColumnRenamed("__c", "__r")
-    matched = (grams(cs).join(rc, ["__pid", "__n", "__g"], "left")
-               .groupBy("__pid", "__n")
-               .agg(F.sum(F.least("__c", F.coalesce("__r", F.lit(0))))
-                    .alias("__m")))
-    orders = (lens
-              .withColumn("__n", F.explode(F.sequence(F.lit(1),
-                                                      F.lit(n_max))))
-              .filter((F.col("__lc") >= F.col("__n"))
-                      & (F.col("__lr") >= F.col("__n")))
-              .join(matched, ["__pid", "__n"], "left")
-              .select("__pid", "__n",
-                      F.coalesce("__m", F.lit(0)).alias("__m"),
+    full = grams(cand, "c").join(grams(ref, "r"),
+                                 ["__pid", "__n", "__g"], "full")
+    orders = (full.groupBy("__pid", "__n")
+              .agg(F.max("__lc").alias("__lc"),
+                   F.max("__lr").alias("__lr"),
+                   F.coalesce(F.sum(F.when(
+                       F.col("__cc").isNotNull(),
+                       F.least(F.col("__cc"),
+                               F.coalesce("__cr", F.lit(0))))),
+                       F.lit(0)).alias("__m"))
+              # a pair participates at all only when BOTH sides exist
+              .filter(F.col("__lc").isNotNull()
+                      & F.col("__lr").isNotNull())
+              .select("__pid", "__n", "__m",
+                      ((F.col("__lc") >= F.col("__n"))
+                       & (F.col("__lr") >= F.col("__n")))
+                      .alias("__part"),
                       (F.col("__lc") - F.col("__n") + 1).alias("__tc"),
                       (F.col("__lr") - F.col("__n") + 1).alias("__tr")))
     piv = orders.groupBy("__pid").agg(
-        *[F.max(F.when(F.col("__n") == n, F.col("__m") / F.col("__tc")))
+        *[F.max(F.when((F.col("__n") == n) & F.col("__part"),
+                       F.col("__m") / F.col("__tc")))
           .alias(f"__p{n}") for n in range(1, n_max + 1)],
-        *[F.max(F.when(F.col("__n") == n, F.col("__m") / F.col("__tr")))
+        *[F.max(F.when((F.col("__n") == n) & F.col("__part"),
+                       F.col("__m") / F.col("__tr")))
           .alias(f"__r{n}") for n in range(1, n_max + 1)])
     n_orders = sum((F.when(F.col(f"__p{n}").isNotNull(), 1).otherwise(0)
                     for n in range(1, n_max + 1)), F.lit(0))
@@ -983,13 +1017,12 @@ def chrf_pairs(cand: DataFrame, ref: DataFrame, *,
         psum = psum + F.coalesce(F.col(f"__p{n}"), F.lit(0.0))
         rsum = rsum + F.coalesce(F.col(f"__r{n}"), F.lit(0.0))
     b2 = float(beta) * float(beta)
-    base = (lens.select("__pid").join(piv, "__pid", "left")
-            .select(F.col("__pid").alias(pair_col),
-                    n_orders.cast("long").alias("n_orders"),
-                    F.when(n_orders > 0, F.round(psum / n_orders, 6))
-                    .otherwise(F.lit(0.0)).alias("chrp"),
-                    F.when(n_orders > 0, F.round(rsum / n_orders, 6))
-                    .otherwise(F.lit(0.0)).alias("chrr")))
+    base = piv.select(F.col("__pid").alias(pair_col),
+                      n_orders.cast("long").alias("n_orders"),
+                      F.when(n_orders > 0, F.round(psum / n_orders, 6))
+                      .otherwise(F.lit(0.0)).alias("chrp"),
+                      F.when(n_orders > 0, F.round(rsum / n_orders, 6))
+                      .otherwise(F.lit(0.0)).alias("chrr"))
     chrf = F.when(F.col("chrp") + F.col("chrr") > 0.0,
                   F.round((1.0 + b2) * F.col("chrp") * F.col("chrr")
                           / (b2 * F.col("chrp") + F.col("chrr")), 6)) \
@@ -1496,37 +1529,47 @@ def token_f1_pairs(cand: DataFrame, ref: DataFrame, *,
     articles (a, an, the) dropped; both lists truncated at
     max_tokens (the snippet-cost contract).
 
-    Plan shape: per-(pair, token) count tables on each side, ONE
-    inner join keyed on (pair, token) — a token absent from either
-    side clips to zero and needs no outer arm — then one pair-keyed
-    aggregation. P/R round HALF_UP at 6 dp, F1 from the rounded
-    P/R (the rouge_l contract). Pairs where either side has zero
-    tokens after normalization report NULL f1 (no bag to compare).
+    Plan shape: ONE scan per side — the bag SIZE rides every
+    (pair, token) count row (explode_outer keeps empty bags alive as
+    a null-token row, so no separate per-pair size pass and no
+    second read of the input; the round-11 scan-budget audit caught
+    the old two-consumers-per-side form re-reading documents 6×),
+    then one full-outer join keyed on (pair, token) — null tokens
+    never match, a token absent from one side arrives with that
+    side's count null and clips to zero — and one pair-keyed
+    aggregation recovers sizes (max over the side's rows) and the
+    clipped overlap together. P/R round HALF_UP at 6 dp, F1 from
+    the rounded P/R (the rouge_l contract). Pairs where either side
+    has zero tokens after normalization report NULL f1 (no bag to
+    compare); pairs present on only one side are dropped (the old
+    inner-join-on-pair semantics).
 
     Columns: pair_id, n_cand, n_ref, overlap, f1_p, f1_r, token_f1.
     """
     from parlerproject_spark.functions.text import tokenize
 
-    def bags(df, side):
+    def bag_counts(df, side):
         ws = F.slice(tokenize(text_col), 1, max_tokens)
         ws = F.filter(ws, lambda t: ~t.isin(*_SQUAD_ARTICLES))
-        base = df.select(F.col(pair_col).alias("__pid"),
-                         ws.alias("__ws"))
-        cnt = (base.select("__pid", F.explode("__ws").alias("__t"))
-               .groupBy("__pid", "__t")
-               .agg(F.count(F.lit(1)).alias(f"__c_{side}")))
-        n = base.select("__pid",
-                        F.size("__ws").alias(f"__n_{side}"))
-        return cnt, n
+        return (df.select(F.col(pair_col).alias("__pid"),
+                          F.size(ws).alias(f"__n_{side}"),
+                          F.explode_outer(ws).alias("__t"))
+                .groupBy("__pid", "__t")
+                .agg(F.count(F.lit(1)).alias(f"__c_{side}"),
+                     F.first(f"__n_{side}").alias(f"__n_{side}")))
 
-    ccnt, cn = bags(cand, "c")
-    rcnt, rn = bags(ref, "r")
-    ov = (ccnt.join(rcnt, ["__pid", "__t"])
-          .groupBy("__pid")
-          .agg(F.sum(F.least("__c_c", "__c_r")).alias("__ov")))
-    j = (cn.join(rn, "__pid")
-         .join(ov, "__pid", "left")
-         .withColumn("__ov", F.coalesce("__ov", F.lit(0))))
+    full = bag_counts(cand, "c").join(bag_counts(ref, "r"),
+                                      ["__pid", "__t"], "full")
+    j = (full.groupBy("__pid")
+         .agg(F.max("__n_c").alias("__n_c"),
+              F.max("__n_r").alias("__n_r"),
+              F.coalesce(F.sum(F.when(
+                  F.col("__c_c").isNotNull()
+                  & F.col("__c_r").isNotNull(),
+                  F.least("__c_c", "__c_r"))), F.lit(0))
+              .alias("__ov"))
+         .filter(F.col("__n_c").isNotNull()
+                 & F.col("__n_r").isNotNull()))
     p = F.when(F.col("__n_c") > 0,
                F.round(F.col("__ov") / F.col("__n_c"), 6))
     r = F.when(F.col("__n_r") > 0,

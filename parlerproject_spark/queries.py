@@ -66,11 +66,15 @@ def register(name: str, oracle: str | None):
 # head = the 46-query round-4 tier, so nothing in the registry stays
 # older than round 5 after this round's sample.
 _DRIVER_PRIORITY: list[str] = [
-    # -- round-11 additions (never driver-sampled) --
+    # -- round-11 additions (never driver-sampled). pack_waste is
+    # deliberately NOT here: the head must hold 3 new + media_resize
+    # + the full 46-query round-4 tier = exactly the ~50 sample, so
+    # nothing in the registry stays older than round 5; pack_waste
+    # (hash-oracled locally every session) sits right after the r4
+    # tier and leads the round-12 sample instead.
     "rag_pipeline_docs",
     "hashed_bow_docs",
     "pack_sequences_ffd_docs",
-    "pack_waste_ffd_docs",
     # media_resize gained a full hash oracle in round 10 but its last
     # driver row (r9) predates that and is rows-only — promoted so
     # the driver records its first hash-match row (VERDICT r10 #4)
@@ -122,6 +126,10 @@ _DRIVER_PRIORITY: list[str] = [
     "value_quantiles_kll",
     "when_case_acctbal",
     "zorder_events_stats",
+    # round-11 addition parked here so the ~50-query sample covers
+    # the whole round-4 tier above (see the head comment)
+    "pack_waste_ffd_docs",
+    "tar_shard_counts_docs",
     # -- last driver-sampled round 5 --
     "ab_test_purchase_events",
     "bfs_distances_events",
@@ -10712,9 +10720,9 @@ def bleu_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias("pair_id"), "text"))
     ref = (d.filter(F.col("doc_id") % 2 != 0)
            .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
-    return (bleu_pairs(cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
-                       ref.join(cand.select("pair_id"), "pair_id", "left_semi"))
-            .orderBy("pair_id"))
+    # no pre-pairing semi-joins: bleu_pairs drops one-sided pairs
+    # itself (full-outer + both-counts filter) — one scan per side
+    return bleu_pairs(cand, ref).orderBy("pair_id")
 
 
 @register("grouped_roc_auc_sources", """
@@ -11929,11 +11937,10 @@ def chrf_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias("pair_id"), "text"))
     ref = (d.filter(F.col("doc_id") % 2 != 0)
            .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
-    return (chrf_pairs(
-        cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
-        ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
-        n_max=3, beta=2.0, max_chars=200)
-        .orderBy("pair_id"))
+    # no pre-pairing semi-joins: chrf_pairs drops one-sided pairs
+    # itself (full-outer + both-lengths filter) — one scan per side
+    return (chrf_pairs(cand, ref, n_max=3, beta=2.0, max_chars=200)
+            .orderBy("pair_id"))
 
 
 @register("pass_at_k_events", """
@@ -12365,11 +12372,11 @@ def rouge_l_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias("pair_id"), "text"))
     ref = (d.filter(F.col("doc_id") % 2 != 0)
            .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
-    return (rouge_l_pairs(
-        cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
-        ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
-        max_cand_tokens=24, max_ref_tokens=60)
-        .orderBy("pair_id"))
+    # no pre-pairing semi-joins: rouge_l_pairs' inner pair join
+    # drops one-sided pairs itself — one scan per side
+    return (rouge_l_pairs(cand, ref,
+                          max_cand_tokens=24, max_ref_tokens=60)
+            .orderBy("pair_id"))
 
 
 @register("edit_distance_pairs_docs", r"""
@@ -12420,11 +12427,11 @@ def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias("pair_id"), "text"))
     ref = (d.filter(F.col("doc_id") % 2 != 0)
            .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
-    return (edit_distance_pairs(
-        cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
-        ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
-        max_chars=200, max_tokens=40)
-        .orderBy("pair_id"))
+    # no pre-pairing semi-joins: edit_distance_pairs' inner pair
+    # join drops one-sided pairs itself — one scan per side
+    return (edit_distance_pairs(cand, ref, max_chars=200,
+                                max_tokens=40)
+            .orderBy("pair_id"))
 
 
 @register("auto_expectations_orders", """
@@ -12997,11 +13004,10 @@ def token_f1_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias("pair_id"), "text"))
     ref = (d.filter(F.col("doc_id") % 2 != 0)
            .select((F.col("doc_id") - 1).alias("pair_id"), "text"))
-    return (token_f1_pairs(
-        cand.join(ref.select("pair_id"), "pair_id", "left_semi"),
-        ref.join(cand.select("pair_id"), "pair_id", "left_semi"),
-        max_tokens=60)
-        .orderBy("pair_id"))
+    # no pre-pairing semi-joins: token_f1_pairs' full-outer join
+    # drops one-sided pairs itself, so each side reads documents ONCE
+    return (token_f1_pairs(cand, ref, max_tokens=60)
+            .orderBy("pair_id"))
 
 
 @register("sentence_chunks_docs", r"""
@@ -13365,3 +13371,42 @@ def pack_waste_ffd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   seq_len=512, shards=8, small_k=8)
     return (packing_waste_report(asg, seq_len=512)
             .orderBy("shard", "size_class"))
+
+
+@register("tar_shard_counts_docs", """
+WITH m AS (
+  SELECT 'doc/' || cast(doc_id AS VARCHAR) || '.txt' AS member,
+         length(text)::BIGINT AS n_bytes
+  FROM documents),
+a AS (
+  SELECT member, n_bytes,
+         ((('0x' || substring(md5(member), 1, 15))::BIGINT
+             % 2147483647) % 8)::BIGINT AS shard
+  FROM m)
+SELECT shard, count(*)::BIGINT AS n_members,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+FROM a GROUP BY shard
+ORDER BY shard
+""")
+def tar_shard_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tar-shard writer's assignment convention, hash-oracled
+    (VERDICT r10 item 8): `write_tar_shards` places member
+    'doc/<id>.txt' into shard pmod(stable_hash31(member), n) — the
+    md5-based convention a SQL oracle CAN replay, unlike Spark's
+    xxhash `hash()` it replaced (whose abs() also overflowed at
+    Int.MinValue). This query computes the per-shard member count
+    and byte mass for the documents table exactly as the writer
+    will lay the files out; the archives pytest pins that the files
+    written to disk match the same expression member for member."""
+    from parlerproject_spark.functions.text import stable_hash31
+    d = _t(spark, sf_dir, "documents")
+    member = F.concat(F.lit("doc/"), F.col("doc_id").cast("string"),
+                      F.lit(".txt"))
+    return (d.select(member.alias("member"),
+                     F.length("text").cast("long").alias("n_bytes"),
+                     F.pmod(stable_hash31(member), F.lit(8))
+                     .cast("long").alias("shard"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.sum("n_bytes").cast("long").alias("n_bytes"))
+            .orderBy("shard"))

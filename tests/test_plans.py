@@ -357,9 +357,6 @@ _SCAN_BUDGET_OVERRIDES = {
     "embedding_covariance": 3,
     "corpus_refresh_pipeline": 3,
     "pmi_collocations_docs": 3,
-    # pair metrics: cand side + ref side, each feeding 2 consumers
-    "edit_distance_pairs_docs": 4,
-    "rouge_l_pairs_docs": 4,
     "margin_pairs_lsh_embeddings": 4,
     "lm_score_docs": 4,
     "perplexity_buckets_docs": 4,
@@ -370,18 +367,22 @@ _SCAN_BUDGET_OVERRIDES = {
     "roc_auc_docs": 4,
     "mann_whitney_arms_events": 4,
     "quantile_band_docs": 4,
-    "citation_support_docs": 5,
+    "citation_support_docs": 5,       # answers/citations/sources all
+                                      # SYNTHESIZED from documents by
+                                      # the test fixture; real inputs
+                                      # are three distinct tables
+    "citation_pr_docs": 5,            # same fixture derivation; the
+                                      # operator itself is one chain
+                                      # since round 11
     "bloom_incremental_dedup_docs": 5,
     "dsir_resample_docs": 5,
     "dsir_weights_docs": 5,
-    "token_f1_pairs_docs": 6,
-    "bleu_pairs_docs": 6,             # per-order n-gram sides
     "pretraining_corpus_pipeline": 6,  # 6 composed stage gates
-    "citation_pr_docs": 7,
     "nb_quality_scores_docs": 7,
-    "chrf_pairs_docs": 8,             # char + word n-gram orders
-    # recall@dim sweep: one knn per truncation dim by construction
-    "truncation_recall_embeddings": 10,
+    # round-11 restructures REMOVED former entries: token_f1 (was 6),
+    # bleu (6), chrf (8), rouge_l/edit_distance (4), and
+    # truncation_recall (10) all now fit the default budget of 2 —
+    # single-chain per side / single-scan prefix-sim sweep.
 }
 
 

@@ -211,6 +211,7 @@ REPORT_QUERIES = [
     "hashed_bow_docs",
     "pack_sequences_ffd_docs",
     "pack_waste_ffd_docs",
+    "tar_shard_counts_docs",
 ]
 
 
