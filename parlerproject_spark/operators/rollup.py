@@ -351,10 +351,14 @@ def bloom_incremental_dedup(batch: DataFrame, seen: DataFrame, *,
                   .groupBy("k").agg(F.count("*").alias("nset"))
                   .filter(F.col("nset") == BLOOM_HASHES)
                   .select(F.col("k").alias(key_col)))
-    definitely_new = batch.join(maybe_keys, key_col, "left_anti")
-    verified_new = (batch.join(maybe_keys, key_col, "left_semi")
-                    .join(seen.select(key_col), key_col, "left_anti"))
-    return definitely_new.unionByName(verified_new)
+    # ONE batch pass: every seen∩batch key necessarily passes the
+    # Bloom (no false negatives), so batch ANTI (seen SEMI maybe)
+    # equals the old definitely_new ∪ verified_new split exactly —
+    # while reading batch once instead of three times, and the
+    # anti-join's right side is the maybe-shrunk history either way
+    relevant = seen.select(key_col).join(maybe_keys, key_col,
+                                         "left_semi")
+    return batch.join(relevant, key_col, "left_anti")
 
 
 def cms_sink(stream_events: DataFrame, path: str, *, key_col: str,

@@ -74,8 +74,16 @@ def dsir_weights(raw: DataFrame, target: DataFrame, *,
     k = float(16 ** _FEAT_HEX_CHARS)
     feats = _hashed_bigram_features(raw, id_col, text_col)
     tfeats = _hashed_bigram_features(target, id_col, text_col)
-    tm = tfeats.groupBy("feat").agg(F.count("*").cast("double").alias("ct"))
-    rm = feats.groupBy("feat").agg(F.count("*").cast("double").alias("cr"))
+    # the models are <= K=4096 rows — MODEL-SIZED, so persisting them
+    # is inside the caching contract (SCALE.md §7) and collapses the
+    # totals aggregate + broadcast-join consumers onto one
+    # materialization each: target is scanned once, raw twice (model
+    # pass + scoring pass — the irreducible pair), down from 5 scans
+    # pre-round-11
+    tm = (tfeats.groupBy("feat")
+          .agg(F.count("*").cast("double").alias("ct")).persist())
+    rm = (feats.groupBy("feat")
+          .agg(F.count("*").cast("double").alias("cr")).persist())
     tt = tm.agg(F.sum("ct").alias("tt"))
     tr = rm.agg(F.sum("cr").alias("tr"))
     scored = (feats

@@ -374,9 +374,12 @@ _SCAN_BUDGET_OVERRIDES = {
     "citation_pr_docs": 5,            # same fixture derivation; the
                                       # operator itself is one chain
                                       # since round 11
-    "bloom_incremental_dedup_docs": 5,
-    "dsir_resample_docs": 5,
-    "dsir_weights_docs": 5,
+    "bloom_incremental_dedup_docs": 4,  # batch+seen BOTH fixture-cut
+                                        # from documents (2 sides × 2
+                                        # passes); real inputs are two
+                                        # tables, giving 2 each
+    # dsir_weights/resample (were 5): model-sized persist collapsed
+    # the totals+broadcast consumers — now 2, the default covers them
     "pretraining_corpus_pipeline": 6,  # 6 composed stage gates
     "nb_quality_scores_docs": 7,
     # round-11 restructures REMOVED former entries: token_f1 (was 6),
