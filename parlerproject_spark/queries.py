@@ -13072,7 +13072,15 @@ filled AS (
   SELECT g.doc_id, g.j, coalesce(c, 0.0) AS c
   FROM grid g LEFT JOIN cnts ON cnts.doc_id = g.doc_id
                             AND cnts.bk = g.j)
-SELECT doc_id, list(c ORDER BY j) AS embedding
+SELECT doc_id,
+       max(CASE WHEN j = 0 THEN c END) AS c0,
+       max(CASE WHEN j = 1 THEN c END) AS c1,
+       max(CASE WHEN j = 2 THEN c END) AS c2,
+       max(CASE WHEN j = 3 THEN c END) AS c3,
+       max(CASE WHEN j = 4 THEN c END) AS c4,
+       max(CASE WHEN j = 5 THEN c END) AS c5,
+       max(CASE WHEN j = 6 THEN c END) AS c6,
+       max(CASE WHEN j = 7 THEN c END) AS c7
 FROM filled GROUP BY doc_id
 ORDER BY doc_id
 LIMIT 200
@@ -13083,10 +13091,16 @@ def hashed_bow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens whose md5 stable_hash31 bucket is j — the stateless
     HashingVectorizer featurizer, exactly replayable in SQL (unlike
     the model-backed fake). First 200 docs by id for a bounded
-    result; the featurizer itself is a zero-shuffle narrow map."""
+    result; the featurizer itself is a zero-shuffle narrow map.
+    The 8 components are projected to scalar columns c0..c7 (the
+    `minhash_signatures` pattern) because the driver's canonical
+    compare sorts raw columns and cannot factorize array cells."""
     from parlerproject_spark.operators.retrieval import hashed_embedding
     d = _t(spark, sf_dir, "documents")
-    return (hashed_embedding(d, dim=8)
+    e = hashed_embedding(d, dim=8)
+    return (e.select("doc_id",
+                     *[F.col("embedding")[j].alias(f"c{j}")
+                       for j in range(8)])
             .orderBy("doc_id").limit(200))
 
 

@@ -23,16 +23,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the DRIVER's canonicalizer: sort on the RAW columns
+    first, THEN stringify. The order matters — the driver's raw
+    sort_values crashes on array/map cells (pandas can't factorize
+    list objects), so stringify-before-sort would hide exactly the
+    failure class the driver hits (round-11 `hashed_bow_docs`).
+    Float columns are rounded before the sort so both engines order
+    ties identically."""
     df = df.reindex(sorted(df.columns), axis=1)
-    out = {}
+    df = df.copy()
     for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_float_dtype(s):
-            s = s.round(6)
-        out[c] = s.astype(str)
-    n = pd.DataFrame(out) if out else pd.DataFrame(index=df.index)
-    n = n.sort_values(by=list(n.columns)).reset_index(drop=True) if len(n.columns) else n
-    return n
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    out = {c: df[c].astype(str) for c in df.columns}
+    return pd.DataFrame(out) if out else pd.DataFrame(index=df.index)
 
 
 def value_hash(df: pd.DataFrame) -> str:
