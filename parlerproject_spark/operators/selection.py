@@ -148,33 +148,49 @@ def nb_quality_classifier(docs: DataFrame, *, id_col: str = "doc_id",
     document with the log-odds
     ln P(y=1) - ln P(y=0) + sum_tokens [ln P(w|1) - ln P(w|0)].
 
-    Train = two aggregations (per-class token counts; class priors);
-    both model tables are vocabulary-sized, joined to the token
-    stream on the token key — a keyed shuffle join, NOT a broadcast,
-    because vocabulary grows with the corpus. Unseen (class, token)
-    cells fall back to the smoothing floor via left join + coalesce.
-    Score = one groupBy per document. Everything is Column algebra,
+    Train = ONE corpus pass: posexplode_outer the token stream and
+    aggregate to a persisted vocabulary-sized (y, w) count table
+    that carries EVERYTHING the model needs — per-cell token counts,
+    per-class totals (sum over cells), vocabulary size (distinct w),
+    AND the class priors, via the pos-0 doc marker: each document
+    contributes exactly one row with pos ∈ {0, NULL} (NULL = the
+    explode_outer sentinel for a token-less document), so
+    sum(first_cnt) per class IS the class document count — no
+    second pass over the corpus for priors, and token-less
+    documents still count toward them. The per-class/vocab scalars
+    then derive from the persisted model table (§7 caching
+    contract: vocabulary-sized, not corpus-sized), never from the
+    corpus. Unseen (class, token) cells fall back to the smoothing
+    floor via the pivot's null arm + coalesce. Score = one more
+    corpus pass (token stream ⋈ model on the token key — a keyed
+    shuffle join, NOT a broadcast, because vocabulary grows with
+    the corpus) + one groupBy per document: the whole classifier
+    touches the corpus exactly TWICE. Everything is Column algebra,
     so the oracle retrains the identical model in SQL.
 
     Columns: <id_col>, n_toks, log_odds (round 6), pred (1/0).
     """
-    toks = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(label_col).cast("int").alias("y"),
-                        F.explode(tokenize(text_col)).alias("w")))
-    cls = (toks.groupBy("y")
-           .agg(F.count("*").cast("double").alias("n_tok_c")))
-    vocab = toks.select("w").distinct().agg(
+    exploded = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("int").alias("y"),
+        F.posexplode_outer(tokenize(text_col)).alias("pos", "w")))
+    # the single-pass model table: vocabulary-sized, persisted per
+    # the SCALE.md §7 contract so its four consumers (cell counts,
+    # class totals, vocab size, priors) don't re-scan the corpus
+    cw_plus = (exploded.groupBy("y", "w")
+               .agg(F.count("*").cast("double").alias("c"),
+                    F.sum(F.when(F.coalesce(F.col("pos"), F.lit(0)) == 0,
+                                 F.lit(1.0)).otherwise(F.lit(0.0)))
+                    .alias("first_cnt"))
+               .persist())
+    cells = cw_plus.filter(F.col("w").isNotNull())
+    cls = cells.groupBy("y").agg(F.sum("c").alias("n_tok_c"))
+    vocab = cells.select("w").distinct().agg(
         F.count("*").cast("double").alias("v"))
-    prior = (docs.groupBy(F.col(label_col).cast("int").alias("y"))
-             .agg(F.count("*").cast("double").alias("n_docs_c")))
-    cw = (toks.groupBy("y", "w")
-          .agg(F.count("*").cast("double").alias("c")))
     # one row per token with both classes' smoothed log-probs
-    base = (toks.select("w").distinct()
-            .join(cw.filter("y = 1").select(
-                "w", F.col("c").alias("c1")), "w", "left")
-            .join(cw.filter("y = 0").select(
-                "w", F.col("c").alias("c0")), "w", "left")
+    base = (cells.groupBy("w")
+            .agg(F.sum(F.when(F.col("y") == 1, F.col("c"))).alias("c1"),
+                 F.sum(F.when(F.col("y") == 0, F.col("c"))).alias("c0"))
             .crossJoin(F.broadcast(
                 cls.filter("y = 1").select(F.col("n_tok_c").alias("t1"))))
             .crossJoin(F.broadcast(
@@ -185,12 +201,15 @@ def nb_quality_classifier(docs: DataFrame, *, id_col: str = "doc_id",
                            / (F.col("t1") + F.col("v")))
                      - F.log((F.coalesce("c0", F.lit(0.0)) + 1.0)
                              / (F.col("t0") + F.col("v")))).alias("llr")))
-    # prior log-odds: the document-count denominator cancels, so
-    # ln P(y=1) - ln P(y=0) = ln(n1) - ln(n0) — no corpus count needed
-    lp = (prior.select(
-        (F.sum(F.when(F.col("y") == 1, F.log("n_docs_c")))
-         - F.sum(F.when(F.col("y") == 0, F.log("n_docs_c"))))
-        .alias("prior_lo")))
+    # prior log-odds from the pos-0 doc markers: the document-count
+    # denominator cancels, so ln P(y=1) - ln P(y=0) = ln(n1) - ln(n0)
+    lp = (cw_plus.groupBy("y")
+          .agg(F.sum("first_cnt").alias("n_docs_c"))
+          .agg((F.sum(F.when(F.col("y") == 1, F.log("n_docs_c")))
+                - F.sum(F.when(F.col("y") == 0, F.log("n_docs_c"))))
+               .alias("prior_lo")))
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(tokenize(text_col)).alias("w")))
     return (toks.join(base, "w")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_toks"),

@@ -311,28 +311,34 @@ def theil_sen_trend(events: DataFrame, *, key_col: str = "user_id",
     `max_per_key` bounds the Σ n_k² contract under skewed keys: a
     key deeper than the cap is deterministically md5-subsampled to
     `max_per_key` events BEFORE the pair join (rank by
-    stable_hash31 of the row content, keyed window), capping any
-    key's pair volume at N·(N−1)/2 no matter how hot it is at 100×
-    scale. The estimator stays a valid Theil–Sen over a uniform-ish
-    (hash-ordered) subsample; keys at or below the cap are
-    untouched (equivalence pytest).
+    stable_hash31 of "<key>:<unix_micros>" — INTEGER renderings
+    only, so a SQL oracle replays the exact same subsample; double
+    columns never enter the hash string because their text forms
+    differ across engines), capping any key's pair volume at
+    N·(N−1)/2 no matter how hot it is at 100× scale. The estimator
+    stays a valid Theil–Sen over a uniform-ish (hash-ordered)
+    subsample; keys at or below the cap are untouched
+    (equivalence pytest). Ties (same key, same instant) rank by
+    value — a double COMPARISON, which is exact on both engines.
     """
-    x = ((F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6
-          - _TREND_EPOCH0) / 3600.0)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     y = F.col(value_col).cast("double")
     base = events.select(F.col(key_col).alias("__k"),
-                         x.alias("__x"), y.alias("__y"))
+                         us.alias("__us"), y.alias("__y"))
     if max_per_key is not None:
         from pyspark.sql.window import Window
 
         from parlerproject_spark.functions.text import stable_hash31
         h = stable_hash31(F.concat_ws(
             ":", F.col("__k").cast("string"),
-            F.col("__x").cast("string"), F.col("__y").cast("string")))
+            F.col("__us").cast("string")))
         w = (Window.partitionBy("__k")
-             .orderBy(h.asc(), F.col("__x").asc(), F.col("__y").asc()))
+             .orderBy(h.asc(), F.col("__us").asc(), F.col("__y").asc()))
         base = (base.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= max_per_key).drop("__rn"))
+    base = base.select(
+        "__k", "__y",
+        ((F.col("__us") / 1e6 - _TREND_EPOCH0) / 3600.0).alias("__x"))
     a = base.select("__k", F.col("__x").alias("__xa"),
                     F.col("__y").alias("__ya"))
     b = base.select("__k", F.col("__x").alias("__xb"),

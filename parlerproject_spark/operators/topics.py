@@ -148,6 +148,53 @@ def _maxmin_init(cands: list[list[float]], k: int) -> list[int]:
     return chosen
 
 
+def _lloyd_partial_sums(train: DataFrame, centroids: list[list[float]],
+                        *, dim: int, vec_col: str):
+    """One Lloyd iteration's statistics, computed with the
+    assignment FUSED into per-batch partial sums: each Arrow batch
+    assigns its vectors (one BLAS matmul) and emits k×dim partial
+    (sum, count) rows, so the per-iteration shuffle carries
+    batches·k·dim rows instead of the n·dim exploded coordinates
+    the old assign→posexplode→groupBy shape shuffled — at a
+    terabyte-scale training sample that is the difference between
+    re-shuffling the sample every iteration and shuffling (almost)
+    nothing. Float-sum order changes with batching, exactly as a
+    shuffled groupBy's does; the `round_c` rounded-centroid
+    contract absorbs both. Returns the collected per-(topic, pos)
+    totals (k×dim rows — model-sized)."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(centroids)
+    C = np.array(unit_rows(centroids), dtype=np.float64)
+
+    def gen(it):
+        S = np.zeros((k, dim))
+        n = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            t = np.argmax(V @ C.T, axis=1)
+            np.add.at(S, t, V)
+            np.add.at(n, t, 1)
+        if not seen:
+            return
+        idx = np.repeat(np.arange(k), dim)
+        yield pd.DataFrame({"topic": idx.astype(np.int32),
+                            "pos": np.tile(np.arange(dim), k)
+                            .astype(np.int32),
+                            "s": S.ravel(), "n": n[idx]})
+
+    parts = train.select(vec_col).mapInPandas(
+        gen, "topic int, pos int, s double, n long")
+    return (parts.groupBy("topic", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect())
+
+
 def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     train_mod: int | None = None,
@@ -155,11 +202,13 @@ def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
                     init: str = "head") -> list[list[float]]:
     """Deterministic distributed Lloyd's k-means → k centroids.
 
-    Per iteration: one narrow assignment pass + one groupBy whose
-    shuffle carries k×dim partial sums per partition (map-side
-    combine), then k×dim floats collect to the driver for the next
-    broadcast. Iterations are jobs, not nested shuffles — the 100 TB
-    cost is max_iter scans, each embarrassingly parallel.
+    Per iteration: ONE fused Arrow pass (assignment matmul +
+    per-batch partial sums — see _lloyd_partial_sums) whose shuffle
+    carries k×dim partial rows per batch, then k×dim floats collect
+    to the driver for the next broadcast. Iterations are jobs, not
+    nested shuffles — the 100 TB cost is max_iter scans of the
+    (persisted) training sample, each embarrassingly parallel, with
+    per-iteration shuffle volume independent of the sample size.
 
     `train_mod=m` trains on the deterministic ~1/m hash-sample
     (stable_hash31(id) % m == 0 — the md5-based engine hash, NOT
@@ -202,14 +251,8 @@ def lloyd_centroids(vectors: DataFrame, *, k: int = 8, max_iter: int = 5,
         dim = len(centroids[0])
 
         for _ in range(max_iter):
-            assigned = _assign(train, centroids, id_col=id_col,
-                               vec_col=vec_col)
-            sums = (assigned
-                    .select("topic",
-                            F.posexplode(F.col(vec_col)).alias("pos", "x"))
-                    .groupBy("topic", "pos")
-                    .agg(F.sum("x").alias("s"), F.count("*").alias("n")))
-            rows = sums.collect()
+            rows = _lloyd_partial_sums(train, centroids, dim=dim,
+                                       vec_col=vec_col)
             acc: dict[int, list[float]] = {}
             cnt: dict[int, int] = {}
             for r in rows:

@@ -56,81 +56,20 @@ def register(name: str, oracle: str | None):
 
 # The driver samples ~50 queries per round; this ordering decides which.
 # Policy: never-driver-sampled first, then ascending last-driver-sampled
-# round (alphabetical within a tier). With 316 registered queries and a
-# ~50-query sample the full rotation cycle is ~ceil(316/50) = 7 rounds —
-# every query gets a fresh driver CORRECTNESS row at most ~7 rounds
-# stale. (All 316 also pass the local oracle replica,
-# tools/check_oracle.py, every session — the driver sample is the
-# independent confirmation, not the only check.)
-# Regenerated round 11 from CORRECTNESS_r01..r10 (VERDICT r10 item 4):
-# head = the 46-query round-4 tier, so nothing in the registry stays
-# older than round 5 after this round's sample.
+# round (original registry order within a tier). With 321 registered
+# queries and a ~50-query sample the full rotation cycle is
+# ~ceil(321/50) = 7 rounds — every query gets a fresh driver
+# CORRECTNESS row at most ~7 rounds stale. (All 321 also pass the
+# local oracle replica, tools/check_oracle.py, every session — the
+# driver sample is the independent confirmation, not the only check.)
+# Regenerated round 12 from CORRECTNESS_r01..r11: whole list ordered
+# by staleness (latest driver-sample round ascending, never-sampled
+# first), so the ~50-query sample always covers the oldest tier.
+# Head = 2 never-sampled r11 additions + the full 48-query round-5
+# tier = exactly 50.
 _DRIVER_PRIORITY: list[str] = [
-    # -- round-11 additions (never driver-sampled). pack_waste is
-    # deliberately NOT here: the head must hold 3 new + media_resize
-    # + the full 46-query round-4 tier = exactly the ~50 sample, so
-    # nothing in the registry stays older than round 5; pack_waste
-    # (hash-oracled locally every session) sits right after the r4
-    # tier and leads the round-12 sample instead.
-    "rag_pipeline_docs",
-    "hashed_bow_docs",
-    "pack_sequences_ffd_docs",
-    # media_resize gained a full hash oracle in round 10 but its last
-    # driver row (r9) predates that and is rows-only — promoted so
-    # the driver records its first hash-match row (VERDICT r10 #4)
-    "media_resize",
-    # -- last driver-sampled round 4 --
-    "anti_join_idle_customers",
-    "audience_overlap_theta",
-    "bloom_incremental_dedup_docs",
-    "bm25_ranked_docs",
-    "c4_line_filter_docs",
-    "cdc_merge_latest_events",
-    "cdc_snapshot_diff_orders",
-    "cms_user_freq_estimates",
-    "cointeraction_edges_events",
-    "cointeraction_pagerank",
-    "cube_status_priority",
-    "decayed_trending_users",
-    "distinct_customers_per_priority",
-    "distinct_users_hll_rollup",
-    "dsir_resample_docs",
-    "dsir_weights_docs",
-    "exact_substring_spans",
-    "except_custkeys",
-    "filter_contains_docs",
-    "filter_nonempty_docs",
-    "filter_suffix_sources",
-    "global_sum_gb",
-    "gopher_quality_docs",
-    "group_count_events",
-    "grouped_split_by_source",
-    "incremental_rollup_events",
-    "intersect_custkeys",
-    "lookup_join_nation_region",
-    "nb_quality_scores_docs",
-    "perplexity_buckets_docs",
-    "personalized_pagerank_user0",
-    "pmi_collocations_docs",
-    "pretraining_corpus_pipeline",
-    "q1_pricing_summary",
-    "q3_segment_revenue",
-    "q5_region_revenue",
-    "rollup_nation_counts",
-    "rollup_serve_monthly",
-    "scd2_user_type_history",
-    "semi_join_building_orders",
-    "share_of_total_events",
-    "snapshot_asof_user_state",
-    "union_merge_docs",
-    "value_quantiles_kll",
-    "when_case_acctbal",
-    "zorder_events_stats",
-    # round-11 addition parked here so the ~50-query sample covers
-    # the whole round-4 tier above (see the head comment)
     "pack_waste_ffd_docs",
     "tar_shard_counts_docs",
-    # -- last driver-sampled round 5 --
     "ab_test_purchase_events",
     "bfs_distances_events",
     "blocklist_filter_docs",
@@ -179,7 +118,6 @@ _DRIVER_PRIORITY: list[str] = [
     "triangle_counts_events",
     "trimmed_mean_events",
     "unicode_normalize_docs",
-    # -- last driver-sampled round 6 --
     "argmax_events",
     "calibrate_scores_docs",
     "calibration_docs",
@@ -229,7 +167,6 @@ _DRIVER_PRIORITY: list[str] = [
     "topic_terms_ctfidf",
     "touch_attribution_events",
     "weighted_sample_docs",
-    # -- last driver-sampled round 7 --
     "active_learning_batch_docs",
     "association_rules_events",
     "association_source_lang",
@@ -278,7 +215,6 @@ _DRIVER_PRIORITY: list[str] = [
     "truncation_recall_embeddings",
     "vocab_coverage_sources",
     "weak_label_summary_docs",
-    # -- last driver-sampled round 8 --
     "approx_distinct_users",
     "asof_join_purchase_view",
     "audio_chunk_parts",
@@ -329,7 +265,6 @@ _DRIVER_PRIORITY: list[str] = [
     "unpivot_part_metrics",
     "value_quartiles_bucketed",
     "window_rank_orders",
-    # -- last driver-sampled round 9 --
     "embedding_near_dup_pairs",
     "fingerprint_overlap_pairs",
     "frame_sample_parts",
@@ -354,7 +289,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_brand_disjunction",
     "q4_priority_late_ship",
     "q6_revenue_delta",
-    # -- last driver-sampled round 10 --
     "auto_expectations_orders",
     "bpe_fertility_by_source",
     "bpe_merges_docs",
@@ -405,6 +339,56 @@ _DRIVER_PRIORITY: list[str] = [
     "window_family_orders",
     "wordpiece_merges_docs",
     "wordpiece_segment_docs",
+    "rag_pipeline_docs",
+    "hashed_bow_docs",
+    "pack_sequences_ffd_docs",
+    "media_resize",
+    "anti_join_idle_customers",
+    "audience_overlap_theta",
+    "bloom_incremental_dedup_docs",
+    "bm25_ranked_docs",
+    "c4_line_filter_docs",
+    "cdc_merge_latest_events",
+    "cdc_snapshot_diff_orders",
+    "cms_user_freq_estimates",
+    "cointeraction_edges_events",
+    "cointeraction_pagerank",
+    "cube_status_priority",
+    "decayed_trending_users",
+    "distinct_customers_per_priority",
+    "distinct_users_hll_rollup",
+    "dsir_resample_docs",
+    "dsir_weights_docs",
+    "exact_substring_spans",
+    "except_custkeys",
+    "filter_contains_docs",
+    "filter_nonempty_docs",
+    "filter_suffix_sources",
+    "global_sum_gb",
+    "gopher_quality_docs",
+    "group_count_events",
+    "grouped_split_by_source",
+    "incremental_rollup_events",
+    "intersect_custkeys",
+    "lookup_join_nation_region",
+    "nb_quality_scores_docs",
+    "perplexity_buckets_docs",
+    "personalized_pagerank_user0",
+    "pmi_collocations_docs",
+    "pretraining_corpus_pipeline",
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_region_revenue",
+    "rollup_nation_counts",
+    "rollup_serve_monthly",
+    "scd2_user_type_history",
+    "semi_join_building_orders",
+    "share_of_total_events",
+    "snapshot_asof_user_state",
+    "union_merge_docs",
+    "value_quantiles_kll",
+    "when_case_acctbal",
+    "zorder_events_stats",
 ]
 
 def _ordered_names() -> list[str]:
@@ -6077,7 +6061,17 @@ def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), then the leakage-safe grouped split (sampling
     .grouped_split) with per-split doc/token/group stats. Every
     stage is one of this round's verified operators composed
-    unchanged; the oracle chains the same stages as CTEs."""
+    unchanged; the oracle chains the same stages as CTEs.
+
+    The gate's survivor set is MATERIALIZED once (localCheckpoint)
+    at the stage boundary — the multi-stage-pipeline idiom a 100 TB
+    run would express as an intermediate parquet write: the bigram
+    LM rescore reads its training/scoring input 4× and the token
+    recount once more, so without the stage materialization every
+    consumer re-runs the full Gopher gate against the raw corpus
+    (6 corpus scans); with it the corpus is scanned exactly twice
+    (flag pass + survivor join) and every downstream pass reads the
+    already-filtered survivors."""
     from parlerproject_spark.operators.quality_rules import (
         gopher_quality_flags)
     from parlerproject_spark.operators.sampling import grouped_split
@@ -6087,7 +6081,8 @@ def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = (docs.join(
         flags.filter(F.col("pass_words") & F.col("pass_mean_len")
                      & F.col("pass_alpha")).select("doc_id"),
-        "doc_id", "left_semi"))
+        "doc_id", "left_semi")
+        .localCheckpoint(eager=True))
     scored = lm_score(gate)
     p10 = scored.agg(F.percentile("lm_logp", F.lit(0.10)).alias("p10"))
     from parlerproject_spark.functions.text import tokenize
@@ -8828,7 +8823,7 @@ def split_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bootstrap_ci_events", """
 WITH reps AS (
   SELECT event_type, value, event_id, r
-  FROM events, unnest(range(0, 200)) AS t(r)),
+  FROM events, unnest(range(0, 100)) AS t(r)),
 wtd AS (
   SELECT event_type, value, r,
          (CASE
@@ -8873,16 +8868,20 @@ ORDER BY o.event_type
 """)
 def bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean value per event_type
-    (operators/stats.bootstrap_ci, 200 replicas): i.i.d. per-row
+    (operators/stats.bootstrap_ci, 100 replicas): i.i.d. per-row
     Poisson(1) weights make every replica materialize in ONE explode
     with map-side-combined aggregation — the bootstrap that
     distributes (no per-replica global resample). Deterministic
     md5-derived weights and order-statistic percentiles make the
-    whole estimator replayable in SQL."""
+    whole estimator replayable in SQL. 100 replicas (was 200 through
+    round 11): the md5-per-(row,replica) weight derivation is the
+    whole cost, linear in replicas, and 100 keeps the percentile
+    ranks (2.5th/97.5th) meaningful while halving the scan volume —
+    the SCALE.md-recorded cost/variance trade."""
     from parlerproject_spark.operators.stats import bootstrap_ci
     ev = _t(spark, sf_dir, "events")
     return (bootstrap_ci(ev, key_col="event_type", val_col="value",
-                         id_col="event_id", n_replicas=200)
+                         id_col="event_id", n_replicas=100)
             .orderBy("event_type"))
 
 
@@ -11147,9 +11146,19 @@ def active_learning_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("theil_sen_trend_users", """
-WITH e AS (
-  SELECT user_id, (epoch(ts) - 1704067200) / 3600.0 AS x, value AS y
-  FROM events),
+WITH raw AS (
+  SELECT user_id, epoch_us(ts) AS us, value AS y FROM events),
+ranked AS (
+  SELECT user_id, us, y,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ('0x' || substring(
+               md5(user_id::VARCHAR || ':' || us::VARCHAR),
+               1, 15))::BIGINT % 2147483647, us, y) AS rn
+  FROM raw),
+e AS (
+  SELECT user_id, (us / 1000000.0 - 1704067200) / 3600.0 AS x, y
+  FROM ranked WHERE rn <= 40),
 p AS (
   SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS s
   FROM e a JOIN e b ON a.user_id = b.user_id AND b.x > a.x),
@@ -11169,10 +11178,14 @@ def theil_sen_trend_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     median pairwise slope + median-residual intercept of value over
     hours — the outlier-resistant reading next to linear_trend's
     OLS (compare the two to FIND the contaminated users). Pair stage
-    is per-key quadratic — bounded by per-user history depth, never
-    corpus-sized."""
+    is per-key quadratic, so the registered query runs with the
+    max_per_key=40 deterministic md5 subsample — any key's pair
+    volume is ≤ 40·39/2 = 780 regardless of history depth, the only
+    way the cost curve stays linear when per-key depth grows 100×.
+    The oracle replays the identical subsample (integer-rendered
+    hash string); the accuracy trade is recorded in SCALE.md."""
     from parlerproject_spark.operators.timeseries import theil_sen_trend
-    return (theil_sen_trend(_t(spark, sf_dir, "events"))
+    return (theil_sen_trend(_t(spark, sf_dir, "events"), max_per_key=40)
             .orderBy("user_id"))
 
 

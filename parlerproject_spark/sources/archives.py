@@ -399,18 +399,21 @@ def _gzip_deflate_start(raw: bytes) -> int:
     return pos
 
 
-def _read_gzip_deflate_start(fh) -> int:
+def _read_gzip_deflate_start(fh, at: int = 0) -> int:
     """`_gzip_deflate_start` against a seekable file: read a growing
     prefix (4 KiB, 64 KiB, 1 MiB, ...) until the whole header —
-    including arbitrarily long FNAME/FCOMMENT fields — fits. Leaves
-    the file position unspecified; raises ValueError only for
-    genuinely non-gzip input."""
+    including arbitrarily long FNAME/FCOMMENT fields — fits. `at` is
+    the absolute offset of the member header to parse (0 = the
+    archive's first member; later members of a concatenated archive
+    pass their own start). Returns the ABSOLUTE deflate-start
+    offset. Leaves the file position unspecified; raises ValueError
+    only for genuinely non-gzip input at `at`."""
     size = 4096
     while True:
-        fh.seek(0)
+        fh.seek(at)
         raw = fh.read(size)
         try:
-            return _gzip_deflate_start(raw)
+            return at + _gzip_deflate_start(raw)
         except ValueError as e:
             if raw[:2] != b"\x1f\x8b" or len(raw) < size:
                 raise ValueError("not a gzip file") from e
@@ -421,11 +424,14 @@ _GZ_INDEX_CHUNK = 1 << 20
 
 
 def build_gzip_sync_index(path: str) -> list[tuple[int, int]]:
-    """Two STREAMING passes over a .gz file; returns validated
+    """Streaming passes over a .gz file; returns validated
     (compressed_offset, uncompressed_offset) restart points,
     ascending. compressed_offset is the first byte AFTER a
-    full-flush marker — raw inflate started there with fresh state
-    reproduces the stream from uncompressed_offset on.
+    full-flush marker — or the deflate start of a second/later
+    member of a concatenated archive — raw inflate started there
+    with fresh state reproduces the stream from uncompressed_offset
+    on (uncompressed coordinates are cumulative ACROSS members,
+    matching GzipFile's view of a multi-member file).
 
     Three streamed passes, each O(chunk) memory — NEVER
     archive-sized (a 100 GB .tar.gz indexes without loading it):
@@ -466,11 +472,11 @@ def build_gzip_sync_index(path: str) -> list[tuple[int, int]]:
             carry = buf[-(len(_GZ_SYNC_MARKER) - 1):]
     # dedupe (overlap windows can re-find a boundary marker)
     cands = sorted(set(cands))
-    if not cands:
-        return []
 
-    # pass 2: exact uncompressed offsets at each candidate
-    at = _gz_exact_offsets(path, cands)
+    # pass 2: exact uncompressed offsets at each candidate, PLUS a
+    # restart point at every subsequent member's deflate start — a
+    # multi-member archive indexes even with zero full-flush markers
+    at = sorted(set(_gz_exact_offsets(path, cands)))
     if not at:
         return []
 
@@ -499,31 +505,55 @@ def build_gzip_sync_index(path: str) -> list[tuple[int, int]]:
 def _gz_exact_offsets(path: str,
                       comp_offs: list[int]) -> list[tuple[int, int]]:
     """Linear inflate that snapshots the exact uncompressed offset at
-    each given compressed offset (ascending): feed the deflate
-    stream in slices bounded by the candidate offsets, chunked so
-    memory stays O(chunk)."""
+    each given compressed offset (ascending), walking ACROSS member
+    boundaries of a concatenated (multi-member, RFC 1952 §2.2) gzip:
+    when one member's deflate stream ends, the next member's header
+    is parsed (footer + header skipped via ``unused_data``
+    accounting) and its deflate start is emitted as a restart point
+    of its own — so candidates in EVERY member get exact cumulative
+    offsets and each member boundary becomes a seek target, the
+    piece the 1M-member metadata.tar.gz parallelization story needs
+    (SURVEY §7.3). The deflate stream is fed in slices bounded by
+    the candidate offsets, chunked so memory stays O(chunk) — never
+    archive-sized. Candidates that land inside a footer/header gap
+    are skipped (they were marker-byte coincidences, not restart
+    points)."""
     import zlib
 
     out: list[tuple[int, int]] = []
+    targets = sorted(set(comp_offs))
+    ti = 0
     with open(path, "rb") as fh:
-        pos = _read_gzip_deflate_start(fh)
-        fh.seek(pos)
-        d = zlib.decompressobj(wbits=-15)
+        member_at = 0
         out_len = 0
-        for c in sorted(comp_offs):
-            if c < pos:
-                continue
-            remaining = c - pos
-            while remaining > 0 and not d.eof:
-                blk = fh.read(min(_GZ_INDEX_CHUNK, remaining))
+        first = True
+        while True:
+            try:
+                pos = _read_gzip_deflate_start(fh, member_at)
+            except ValueError:
+                break  # end of archive (or trailing garbage)
+            if not first:
+                out.append((pos, out_len))
+            first = False
+            while ti < len(targets) and targets[ti] < pos:
+                ti += 1  # candidate fell in a footer/header gap
+            fh.seek(pos)
+            d = zlib.decompressobj(wbits=-15)
+            while not d.eof:
+                if ti < len(targets) and targets[ti] == pos:
+                    out.append((pos, out_len))
+                    ti += 1
+                    continue
+                limit = (targets[ti] if ti < len(targets)
+                         else pos + _GZ_INDEX_CHUNK)
+                blk = fh.read(min(_GZ_INDEX_CHUNK, limit - pos))
                 if not blk:
-                    break
+                    return out  # truncated member: keep what we have
                 out_len += len(d.decompress(blk))
-                remaining -= len(blk)
-            if d.eof and remaining > 0:
-                break
-            pos = c
-            out.append((c, out_len))
+                pos += len(blk)
+            # next member header follows this member's 8-byte
+            # CRC32/ISIZE footer; unused_data is what we over-fed
+            member_at = pos - len(d.unused_data) + 8
     return out
 
 

@@ -380,8 +380,13 @@ _SCAN_BUDGET_OVERRIDES = {
                                         # tables, giving 2 each
     # dsir_weights/resample (were 5): model-sized persist collapsed
     # the totals+broadcast consumers — now 2, the default covers them
-    "pretraining_corpus_pipeline": 6,  # 6 composed stage gates
-    "nb_quality_scores_docs": 7,
+    # pretraining_corpus_pipeline (was 6): the round-12 survivor-set
+    # localCheckpoint at the gate/rescore boundary moved the 2 real
+    # corpus scans into the checkpoint job; the final plan reads the
+    # materialized survivors, so the default budget covers it
+    # nb_quality_scores_docs (was 7): the round-12 single-pass model
+    # table (posexplode_outer + pos-0 doc markers, §7 persist) left
+    # exactly train + score = 2 scans — the default covers it
     # round-11 restructures REMOVED former entries: token_f1 (was 6),
     # bleu (6), chrf (8), rouge_l/edit_distance (4), and
     # truncation_recall (10) all now fit the default budget of 2 —

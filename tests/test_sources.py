@@ -562,6 +562,85 @@ def test_multi_member_gz_indexed_read_is_complete(spark, tmp_path):
     assert all(len(got[k]) == len(v) for k, v in truth.items())
 
 
+def test_multi_member_gz_indexes_across_boundary(tmp_path, monkeypatch):
+    """Round-12: the sync index must extend INTO later members of a
+    concatenated archive — the member boundary itself is a restart
+    point and member 2's own flush points get exact cumulative
+    offsets — so a tail read RESTARTS there (indexed path) instead
+    of inflating the whole first member (the round-11 sequential
+    fallback). Member 1 is plain gzip (zero flush points): before
+    this round its index was empty and every point past it
+    unreachable."""
+    import builtins
+    import gzip
+    import tarfile as tf
+    import zlib
+
+    from parlerproject_spark.sources import archives
+
+    import hashlib
+
+    def noise(seed: str, n: int) -> bytes:  # incompressible payloads
+        out, i = [], 0
+        while sum(map(len, out)) < n:
+            out.append(hashlib.sha256(f"{seed}:{i}".encode()).digest())
+            i += 1
+        return b"".join(out)[:n]
+
+    truth = {f"m/{i:03d}.bin": f"member-{i}:".encode() + noise(str(i), 4000)
+             for i in range(60)}
+    raw = _tar_bytes(truth)
+    cut = (len(raw) // 3) // 512 * 512
+    p = tmp_path / "concat2.tar.gz"
+    m1 = gzip.compress(raw[:cut])  # NO flush points in member 1
+    p.write_bytes(m1 + _gzip_with_flush_points(raw[cut:], 8192))
+    idx = archives.build_gzip_sync_index(str(p))
+    assert idx, "member-2 points must be indexed"
+    # the member boundary is in the index: a point whose raw inflate
+    # starts at member 2's deflate start and resumes at uncomp=cut
+    with open(p, "rb") as fh:
+        m2_dstart = archives._read_gzip_deflate_start(fh, len(m1))
+    assert (m2_dstart, cut) in idx
+    # and member 2's interior flush points made it in too
+    assert sum(1 for c, _ in idx if c > m2_dstart) >= 3
+    # every indexed point actually resumes: fresh raw inflate
+    # reproduces the cumulative stream
+    full = p.read_bytes()
+    for comp, uncomp in idx:
+        d = zlib.decompressobj(wbits=-15)
+        got = d.decompress(full[comp:comp + 65536], 256)
+        assert got == raw[uncomp:uncomp + len(got)], (comp, uncomp)
+    # a tail read takes the INDEXED path (restart inside member 2),
+    # consuming far less compressed input than member 1 alone
+    with tf.open(str(p), "r:*") as tar:
+        cat = sorted(((m.name, m.offset_data, m.size)
+                      for m in tar if m.isfile()), key=lambda t: t[1])
+    last = cat[-3:]
+    counted = {"n": 0}
+    real_open = builtins.open
+
+    def counting_open(*a, **k):
+        fh = real_open(*a, **k)
+        real_read = fh.read
+
+        def read(n=-1):
+            b = real_read(n)
+            counted["n"] += len(b)
+            return b
+        fh.read = read
+        return fh
+
+    chunk = archives._MemberChunk(str(p), last, True, idx)
+    monkeypatch.setattr(builtins, "open", counting_open)
+    try:
+        got = dict((n, c) for n, c, _ in
+                   archives._read_members_indexed(chunk))
+    finally:
+        monkeypatch.undo()
+    assert got == {n: truth[n] for n, _, _ in last}
+    assert counted["n"] < len(m1) / 2, (counted["n"], len(m1))
+
+
 def test_gzip_header_longer_than_4k_prefix(tmp_path):
     """FNAME fields are NUL-terminated and unbounded: a >4 KiB header
     must not break the index build or the header locator."""
