@@ -314,6 +314,8 @@ EXTRA = [
     "pack_sequences_ffd_docs",
     "pack_waste_ffd_docs",
     "tar_shard_counts_docs",
+    # round-12 additions
+    "token_entropy_docs",
 ]
 
 

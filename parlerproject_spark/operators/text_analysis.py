@@ -170,6 +170,42 @@ def type_token_ratio(docs: DataFrame, *, id_col: str = "doc_id",
     return toked.filter(F.size("toks") > 0).select("doc_id", ttr.alias("ttr"))
 
 
+def token_entropy(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document unigram token entropy — the information-density
+    quality signal complementing TTR and repetition_ratio: a doc of
+    n tokens with per-type counts c has H = Σ (c/n)·ln(n/c); near-0
+    entropy flags the pathological repeats (keyword stuffing, log
+    spew, one-token floods) that slip past band filters, while
+    natural prose sits near ln(distinct types). Deterministic and
+    engine-exact in ordering terms: the sum is over DISTINCT types
+    in first-occurrence order on both engines, and each term is a
+    ratio of within-doc INTEGER counts, so cross-engine float drift
+    is one rounding away (round 6).
+
+    Zero-shuffle array algebra inside the scan stage (the
+    repetition_ratio pattern): array_distinct for the types, one
+    transform counting occurrences per type (O(types·n) per row —
+    the right trade while types·n ≪ shuffle cost; an exploded
+    groupBy shape takes over for book-length docs), one aggregate
+    fold. Embarrassingly parallel at any scale.
+    Columns: doc_id, n_toks, entropy (round 6).
+    """
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokenize(text_col).alias("toks"))
+    toked = toked.filter(F.size("toks") > 0)
+    n = F.size("toks").cast("double")
+    counts = F.transform(
+        F.array_distinct("toks"),
+        lambda t: F.size(F.filter(F.col("toks"), lambda x: x == t))
+        .cast("double"))
+    h = F.aggregate(counts, F.lit(0.0),
+                    lambda acc, c: acc + (c / n) * F.log(n / c))
+    return toked.select("doc_id",
+                        F.size("toks").cast("long").alias("n_toks"),
+                        F.round(h, 6).alias("entropy"))
+
+
 def line_dedup(docs: DataFrame, *, id_col: str = "doc_id",
                text_col: str = "text", sep: str = "\n",
                max_line_df: int = 2) -> DataFrame:

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY: list[str] = [
     "triangle_counts_events",
     "trimmed_mean_events",
     "unicode_normalize_docs",
+    "token_entropy_docs",
     "argmax_events",
     "calibrate_scores_docs",
     "calibration_docs",
@@ -3033,6 +3034,30 @@ FROM toks WHERE len(ts) > 0
 def type_token_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical diversity (distinct/total tokens) per document."""
     return text_analysis.type_token_ratio(_t(spark, sf_dir, "documents"))
+
+
+@register("token_entropy_docs", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+t2 AS (SELECT doc_id, ts, len(ts)::DOUBLE AS n FROM toks WHERE len(ts) > 0)
+SELECT doc_id, len(ts)::BIGINT AS n_toks,
+       round(list_sum(list_transform(
+           list_distinct(ts),
+           t -> (len(list_filter(ts, x -> x = t))::DOUBLE / n)
+                * ln(n / len(list_filter(ts, x -> x = t))::DOUBLE))), 6)
+         AS entropy
+FROM t2
+""")
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document
+    (text_analysis.token_entropy): the information-density quality
+    signal next to TTR/repetition — near-0 entropy flags one-token
+    floods and keyword stuffing. Zero-shuffle array algebra; the
+    oracle folds the identical first-occurrence-ordered sum with
+    DuckDB list HOFs."""
+    return text_analysis.token_entropy(_t(spark, sf_dir, "documents"))
 
 
 @register("length_band_filter_docs", """

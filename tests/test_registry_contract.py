@@ -64,3 +64,28 @@ def test_every_query_has_an_entry_in_driver_priority(spark):
     assert set(pri) == qs, (
         f"priority/registry drift: only-in-priority={set(pri) - qs} "
         f"only-in-registry={qs - set(pri)}")
+
+
+def test_norm_frame_mirrors_driver_crash_on_array_cells():
+    """The local gate must reproduce the DRIVER's canonicalizer
+    behavior: sort the RAW columns before stringifying, so a frame
+    with array cells raises (pandas can't factorize lists) exactly
+    as the driver did on round-11 `hashed_bow_docs`. If this test
+    starts passing silently, the local gate has drifted back to
+    stringify-first and will mask the crash class."""
+    import sys
+
+    import pandas as pd
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import norm_frame, value_hash
+
+    bad = pd.DataFrame({"id": [2, 1], "v": [[1.0, 2.0], [3.0]]})
+    with pytest.raises(TypeError):
+        norm_frame(bad)
+
+    # and the sane path still canonicalizes order-insensitively
+    a = pd.DataFrame({"id": [2, 1], "v": [0.1234567, 7.0]})
+    b = pd.DataFrame({"v": [7.0, 0.1234572], "id": [1, 2]})
+    assert value_hash(a) == value_hash(b)

@@ -41,3 +41,38 @@ class TestSentenceChunks:
         assert out[0]["chunk_text"] == "only one sentence here"
         with _pytest.raises(ValueError):
             sentence_chunks(df, budget_tokens=0)
+
+
+class TestTokenEntropy:
+    def test_hand_cases(self, spark):
+        import math
+
+        from parlerproject_spark.operators.text_analysis import (
+            token_entropy)
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam"),        # one type: H = 0
+             (2, "a b c d"),                    # uniform 4: H = ln 4
+             (3, "a a b"),                      # 2/3, 1/3
+             (4, ""),                           # no tokens: excluded
+             (5, "???")],                       # tokenizes empty: excluded
+            "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["n_toks"] == 4 and out[1]["entropy"] == 0.0
+        assert out[2]["entropy"] == round(math.log(4), 6)
+        want = (2 / 3) * math.log(3 / 2) + (1 / 3) * math.log(3)
+        assert abs(out[3]["entropy"] - want) < 1e-6
+        assert out[3]["n_toks"] == 3
+
+    def test_entropy_bounded_by_log_types(self, spark):
+        import math
+
+        from parlerproject_spark.operators.text_analysis import (
+            token_entropy, type_token_ratio)
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .limit(100))
+        ent = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+        for r in (type_token_ratio(docs).collect()):
+            e = ent[r["doc_id"]]
+            n_types = round(r["ttr"] * e["n_toks"])
+            assert -1e-6 <= e["entropy"] <= math.log(max(n_types, 1)) + 1e-6

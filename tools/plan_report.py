@@ -212,6 +212,8 @@ REPORT_QUERIES = [
     "pack_sequences_ffd_docs",
     "pack_waste_ffd_docs",
     "tar_shard_counts_docs",
+    # round-12 additions
+    "token_entropy_docs",
 ]
 
 
