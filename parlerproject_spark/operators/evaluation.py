@@ -108,11 +108,19 @@ def roc_auc(df: DataFrame, *, score_col: str = "score",
     keyed and every single-partition structure is ≤n_buckets rows.
     """
     lab = F.col(label_col).cast("int")
+    # the distinct-score histogram IS the operator's reduction
+    # artifact (four consumers: bounds, bucketed rows, bucket totals,
+    # final sum) — persist it so each consumer reads the one
+    # materialization instead of re-running the corpus aggregation.
+    # Size = distinct scores; a 100 TB pipeline with raw float scores
+    # quantizes first (n_buckets exists for exactly that), so the
+    # cached relation stays reduction-sized, not corpus-sized.
     per = (df.select(F.col(score_col).cast("double").alias("__s"),
                      lab.alias("__y"))
            .groupBy("__s")
            .agg(F.sum("__y").alias("__pos"),
-                F.sum(1 - F.col("__y")).alias("__neg")))
+                F.sum(1 - F.col("__y")).alias("__neg"))
+           .persist())
     # NaN scores are ISOLATED from the bucketing math: Spark's
     # max() treats NaN as the largest double (span would go NaN and
     # floor(NaN) is 0 — collapsing EVERY row into bucket 0, i.e. one
@@ -554,11 +562,14 @@ def mann_whitney_u(df: DataFrame, *, value_col: str = "value",
     a group is empty or all values tie).
     """
     g = F.col(group_col).cast("int")
+    # distinct-value histogram persisted — the roc_auc reduction-
+    # artifact contract: four consumers, one materialization
     per = (df.select(F.col(value_col).cast("double").alias("__s"),
                      g.alias("__g"))
            .groupBy("__s")
            .agg(F.sum("__g").alias("__n1"),
-                F.sum(1 - F.col("__g")).alias("__n0")))
+                F.sum(1 - F.col("__g")).alias("__n0"))
+           .persist())
     # NaN isolation — same reasoning as roc_auc: bounds over non-NaN
     # values only (max() propagates NaN; floor(NaN)=0 would collapse
     # everything into bucket 0); NaN values route to the top bucket

@@ -475,10 +475,17 @@ def lm_score(docs: DataFrame, *, id_col: str = "doc_id",
     smoothing P = (c(w1,w2)+1) / (c(w1)+V).  Low scores flag
     unnatural token sequences (boilerplate, spam, mojibake).
 
-    Plan shape: tokenization and bigram construction are narrow maps
-    (`transform` over the token array — no Python); the model is two
-    count aggregates (unigram, bigram — map-side partial combine on
-    both); scoring joins the doc's bigrams to the model on the
+    Plan shape: tokenization and n-gram construction are narrow maps
+    (`transform` over the token array — no Python); the model is ONE
+    count aggregate over a fused unigram+bigram key stream (unigrams
+    ride as (w, NULL) rows — token values are never null, so NULL is
+    a free order marker), materialized once and consumed by the
+    unigram table, the bigram table, AND the vocabulary scalar — the
+    whole TRAIN side touches the corpus exactly once; the bigram
+    count table is the model itself, so materializing it is the
+    train artifact a 100 TB run writes anyway (the logreg/pipeline
+    lineage-truncation contract, not the §7 small-table persist).
+    Scoring joins the doc's bigrams to the model on the
     bigram/unigram keys — shuffle joins keyed on the token, NOT
     broadcasts, because at 100 TB the model tables are corpus-scale.
     V rides in as a one-row broadcast scalar. Docs with < 2 tokens
@@ -487,6 +494,24 @@ def lm_score(docs: DataFrame, *, id_col: str = "doc_id",
     """
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        tokenize(text_col).alias("ts"))
+    # one training pass: unigram keys as (w, NULL), bigram keys as
+    # (w1, w2), exploded from the same array projection —
+    # slice(.., greatest(size-1, 0)) keeps <2-token docs alive as
+    # unigram-only rows without a CASE over the struct type
+    grams = F.explode(F.concat(
+        F.expr("transform(ts, t -> "
+               "struct(t AS w1, CAST(NULL AS STRING) AS w2))"),
+        F.expr("transform(slice(ts, 1, greatest(size(ts) - 1, 0)), "
+               "(w, i) -> struct(w AS w1, ts[i + 1] AS w2))")))
+    model = (toks.select(grams.alias("g"))
+             .select("g.w1", "g.w2")
+             .groupBy("w1", "w2").agg(F.count("*").alias("c"))
+             .persist())
+    uni = (model.filter(F.col("w2").isNull())
+           .select(F.col("w1").alias("w"), F.col("c").alias("c1")))
+    bgc = (model.filter(F.col("w2").isNotNull())
+           .select("w1", "w2", F.col("c").alias("c2")))
+    vocab = uni.agg(F.count("*").cast("double").alias("V"))
     big = (toks.filter(F.size("ts") >= 2)
            .select("doc_id",
                    F.explode(F.expr(
@@ -494,10 +519,6 @@ def lm_score(docs: DataFrame, *, id_col: str = "doc_id",
                        "(w, i) -> struct(w AS w1, ts[i + 1] AS w2))"))
                    .alias("bg"))
            .select("doc_id", "bg.w1", "bg.w2"))
-    uni = (toks.select(F.explode("ts").alias("w"))
-           .groupBy("w").agg(F.count("*").alias("c1")))
-    bgc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    vocab = uni.agg(F.count("*").cast("double").alias("V"))
     scored = (big
               .join(bgc, ["w1", "w2"])
               .join(uni.withColumnRenamed("w", "w1"), "w1")
@@ -630,32 +651,41 @@ def stupid_backoff_score(docs: DataFrame, train: DataFrame, *,
 
     Because the model trains on a DIFFERENT split than it scores,
     the backoff paths actually execute (training-on-self makes every
-    trigram seen, hiding the join logic). Counts are three keyed
-    aggregations on the train split; scoring is left joins from the
-    doc trigram stream to the count tables — shuffle joins keyed on
-    the n-gram (model tables are corpus-scale at 100 TB, never
-    broadcast); N and V ride one broadcast scalar row.
+    trigram seen, hiding the join logic). All three count tables
+    (plus the N/V scalar) derive from ONE keyed aggregation over a
+    fused uni+bi+trigram key stream (lower orders ride with NULL
+    tail keys — token values are never null, so NULL is a free order
+    marker), so the TRAIN split is scanned exactly once and the
+    materialized count table is the model artifact itself (the
+    lineage-truncation contract, as in lm_score). Scoring is left
+    joins from the doc trigram stream to the count tables — shuffle
+    joins keyed on the n-gram (model tables are corpus-scale at
+    100 TB, never broadcast); N and V ride one broadcast scalar row.
 
     Columns: <id_col>, n_trigrams, sb_logp (round 6).
     """
     from parlerproject_spark.functions.text import tokenize
 
     tr_toks = train.select(tokenize(text_col).alias("ts"))
-    uni = (tr_toks.select(F.explode("ts").alias("w"))
-           .groupBy("w").agg(F.count("*").alias("c1")))
-    big = (tr_toks.filter(F.size("ts") >= 2)
-           .select(F.explode(F.expr(
-               "transform(slice(ts, 1, size(ts) - 1), "
-               "(w, i) -> struct(w AS w1, ts[i + 1] AS w2))")).alias("g"))
-           .select("g.w1", "g.w2")
-           .groupBy("w1", "w2").agg(F.count("*").alias("c2")))
-    tri = (tr_toks.filter(F.size("ts") >= 3)
-           .select(F.explode(F.expr(
-               "transform(slice(ts, 1, size(ts) - 2), "
+    grams = F.explode(F.concat(
+        F.expr("transform(ts, t -> struct(t AS w1, "
+               "CAST(NULL AS STRING) AS w2, CAST(NULL AS STRING) AS w3))"),
+        F.expr("transform(slice(ts, 1, greatest(size(ts) - 1, 0)), "
                "(w, i) -> struct(w AS w1, ts[i + 1] AS w2, "
-               "ts[i + 2] AS w3))")).alias("g"))
-           .select("g.w1", "g.w2", "g.w3")
-           .groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3")))
+               "CAST(NULL AS STRING) AS w3))"),
+        F.expr("transform(slice(ts, 1, greatest(size(ts) - 2, 0)), "
+               "(w, i) -> struct(w AS w1, ts[i + 1] AS w2, "
+               "ts[i + 2] AS w3))")))
+    model = (tr_toks.select(grams.alias("g"))
+             .select("g.w1", "g.w2", "g.w3")
+             .groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
+             .persist())
+    uni = (model.filter(F.col("w2").isNull())
+           .select(F.col("w1").alias("w"), F.col("c").alias("c1")))
+    big = (model.filter(F.col("w2").isNotNull() & F.col("w3").isNull())
+           .select("w1", "w2", F.col("c").alias("c2")))
+    tri = (model.filter(F.col("w3").isNotNull())
+           .select("w1", "w2", "w3", F.col("c").alias("c3")))
     scal = uni.agg(F.sum("c1").cast("double").alias("N"),
                    F.count("*").cast("double").alias("V"))
 

@@ -358,14 +358,9 @@ _SCAN_BUDGET_OVERRIDES = {
     "corpus_refresh_pipeline": 3,
     "pmi_collocations_docs": 3,
     "margin_pairs_lsh_embeddings": 4,
-    "lm_score_docs": 4,
-    "perplexity_buckets_docs": 4,
     "embedding_drift_snapshots": 4,
     "fk_integrity_audit": 4,          # per-FK audits union lineitem×4
-    "stupid_backoff_docs": 4,
     "cut_substring_spans_docs": 4,
-    "roc_auc_docs": 4,
-    "mann_whitney_arms_events": 4,
     "quantile_band_docs": 4,
     "citation_support_docs": 5,       # answers/citations/sources all
                                       # SYNTHESIZED from documents by
@@ -378,6 +373,14 @@ _SCAN_BUDGET_OVERRIDES = {
                                         # from documents (2 sides × 2
                                         # passes); real inputs are two
                                         # tables, giving 2 each
+    # roc_auc_docs / mann_whitney_arms_events (were 4 each): the
+    # round-12 distinct-score-histogram persist collapsed the four
+    # consumers onto one materialization — 1 scan each now
+    # lm_score_docs / perplexity_buckets_docs / stupid_backoff_docs
+    # (were 4 each): round-12 fused n-gram key streams (lower orders
+    # ride with NULL tail keys) train each LM in ONE corpus pass and
+    # the persisted count table feeds every model consumer — all
+    # three now fit the default budget of 2 (train + score)
     # dsir_weights/resample (were 5): model-sized persist collapsed
     # the totals+broadcast consumers — now 2, the default covers them
     # pretraining_corpus_pipeline (was 6): the round-12 survivor-set
