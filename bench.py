@@ -316,6 +316,7 @@ EXTRA = [
     "tar_shard_counts_docs",
     # round-12 additions
     "token_entropy_docs",
+    "acf_users",
 ]
 
 

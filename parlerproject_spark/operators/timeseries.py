@@ -361,3 +361,52 @@ def theil_sen_trend(events: DataFrame, *, key_col: str = "user_id",
                     F.col("n_pairs").cast("long").alias("n_pairs"),
                     F.round("__m", 6).alias("slope"),
                     F.round("__b", 6).alias("intercept")))
+
+
+def autocorrelation(events: DataFrame, *, key_col: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    order_col: str = "event_id",
+                    max_lag: int = 3) -> DataFrame:
+    """Per-key sample autocorrelation function (ACF) at lags
+    1..max_lag — the standard serial-dependence diagnostic: r_k ≈ 0
+    means the series is white noise around its mean (metrics safe to
+    treat i.i.d.), r_1 near 1 flags strong persistence (sessions,
+    ramps), alternating-sign r_k flags oscillation. r_k uses the
+    standard full-variance denominator
+    r_k = Σ_{t>k} x̃_t·x̃_{t−k} / Σ_t x̃_t², x̃ = x − x̄_key,
+    so |r_k| ≤ 1 and lags are comparable.
+
+    Plan: ONE scan; the per-key mean rides a keyed full-frame window
+    (no join-back), each lag is one `lag` over the same keyed sort,
+    and the sums are one map-side-combined groupBy — every shuffle
+    is keyed on <key_col>, partitions are key-history-sized (the
+    same retention-bounded contract as the other per-key timeseries
+    operators). Ordering ties break on <order_col> so both engines
+    walk the series identically. Keys with zero variance (constant
+    series) have no defined ACF and emit NULL r_k (try_divide), not
+    a division error.
+
+    Columns: <key_col>, n, r1..r<max_lag> (round 6).
+    """
+    kc = F.col(key_col)
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col(order_col).asc()))
+    xbar = F.avg(F.col(value_col).cast("double")).over(
+        Window.partitionBy(key_col))
+    base = events.select(kc, F.col(ts_col), F.col(order_col),
+                         (F.col(value_col).cast("double") - xbar)
+                         .alias("__xc"))
+    lags = base.select(
+        key_col, "__xc",
+        *[F.lag("__xc", k).over(w).alias(f"__l{k}")
+          for k in range(1, max_lag + 1)])
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum(F.col("__xc") * F.col("__xc")).alias("__den")]
+    for k in range(1, max_lag + 1):
+        aggs.append(F.sum(F.col("__xc") * F.col(f"__l{k}"))
+                    .alias(f"__num{k}"))
+    out = lags.groupBy(key_col).agg(*aggs)
+    return out.select(
+        key_col, "n",
+        *[F.round(F.try_divide(F.col(f"__num{k}"), F.col("__den")), 6)
+          .alias(f"r{k}") for k in range(1, max_lag + 1)])

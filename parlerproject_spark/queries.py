@@ -119,6 +119,7 @@ _DRIVER_PRIORITY: list[str] = [
     "trimmed_mean_events",
     "unicode_normalize_docs",
     "token_entropy_docs",
+    "acf_users",
     "argmax_events",
     "calibrate_scores_docs",
     "calibration_docs",
@@ -8938,6 +8939,39 @@ def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return a.intersectAll(b)
+
+
+@register("acf_users", """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         value - avg(value) OVER (PARTITION BY user_id) AS xc
+  FROM events),
+l AS (
+  SELECT user_id, xc,
+         lag(xc, 1) OVER w AS l1,
+         lag(xc, 2) OVER w AS l2,
+         lag(xc, 3) OVER w AS l3
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(*)::BIGINT AS n,
+       CASE WHEN sum(xc * xc) > 0
+            THEN round(sum(xc * l1) / sum(xc * xc), 6) END AS r1,
+       CASE WHEN sum(xc * xc) > 0
+            THEN round(sum(xc * l2) / sum(xc * xc), 6) END AS r2,
+       CASE WHEN sum(xc * xc) > 0
+            THEN round(sum(xc * l3) / sum(xc * xc), 6) END AS r3
+FROM l GROUP BY user_id
+ORDER BY user_id
+""")
+def acf_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1..3 autocorrelation of value over time
+    (timeseries.autocorrelation): the serial-dependence diagnostic
+    next to ses_forecast/cusum — one keyed scan, per-key-mean via a
+    keyed full-frame window, lags over one keyed sort, one
+    map-side-combined groupBy. Oracle replays the identical window
+    algebra."""
+    from parlerproject_spark.operators.timeseries import autocorrelation
+    return (autocorrelation(_t(spark, sf_dir, "events"))
+            .orderBy("user_id"))
 
 
 @register("ses_forecast_users", """

@@ -177,3 +177,34 @@ class TestTheilSenMaxPerKey:
                  for r in theil_sen_trend(df, max_per_key=8).collect()}
         assert {u: tuple(r) for u, r in got.items()} == \
                {u: tuple(r) for u, r in again.items()}   # md5 rank: stable
+
+
+class TestAutocorrelation:
+    def test_hand_cases(self, spark):
+        from parlerproject_spark.operators.timeseries import (
+            autocorrelation)
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        # key 1: perfectly alternating around the mean -> r1 = -1
+        rows = [(1, t0 + dt.timedelta(hours=i), i,
+                 1.0 if i % 2 == 0 else -1.0) for i in range(8)]
+        # key 2: constant series -> zero variance -> null ACF
+        rows += [(2, t0 + dt.timedelta(hours=i), 100 + i, 5.0)
+                 for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_id bigint, "
+                  "value double")
+        out = {r["user_id"]: r for r in autocorrelation(df).collect()}
+        assert out[1]["n"] == 8
+        assert abs(out[1]["r1"] - (-7 / 8)) < 1e-6   # Σ7 terms / Σ8
+        assert abs(out[1]["r2"] - (6 / 8)) < 1e-6
+        assert out[2]["r1"] is None and out[2]["r2"] is None
+
+    def test_bounded_and_lag_terms(self, spark):
+        from parlerproject_spark.operators.timeseries import (
+            autocorrelation)
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        for r in autocorrelation(ev).collect():
+            for k in ("r1", "r2", "r3"):
+                if r[k] is not None:
+                    assert -1.0 - 1e-9 <= r[k] <= 1.0 + 1e-9

@@ -214,6 +214,7 @@ REPORT_QUERIES = [
     "tar_shard_counts_docs",
     # round-12 additions
     "token_entropy_docs",
+    "acf_users",
 ]
 
 
