@@ -364,12 +364,17 @@ def grouped_roc_auc(df: DataFrame, group_cols: list[str], *,
     for c in group_cols:
         nn = nn & F.col(c).isNotNull()
     df = df.filter(nn)
+    # per-(group, score) histogram persisted — the roc_auc
+    # reduction-artifact contract: its consumers (per-group bounds,
+    # bucketed rows, bucket totals, final sums) read one
+    # materialization instead of re-running the corpus aggregation
     per = (df.select(*group_cols,
                      F.col(score_col).cast("double").alias("__s"),
                      lab.alias("__y"))
            .groupBy(*group_cols, "__s")
            .agg(F.sum("__y").alias("__pos"),
-                F.sum(1 - F.col("__y")).alias("__neg")))
+                F.sum(1 - F.col("__y")).alias("__neg"))
+           .persist())
     # NaN isolation — same reasoning as roc_auc above: per-group
     # bounds over non-NaN scores only (max() would propagate NaN and
     # floor(NaN)=0 collapses the group into one bucket); NaN rows go

@@ -346,8 +346,6 @@ _SCAN_BUDGET_OVERRIDES = {
     "token_budget_sample_docs": 3,
     "association_rules_events": 3,
     "curriculum_order_docs": 3,
-    "cv_fold_auc_docs": 3,
-    "grouped_roc_auc_sources": 3,
     "ips_policy_value_events": 3,
     "robust_outliers_events": 3,
     "theil_sen_trend_users": 3,
@@ -373,6 +371,8 @@ _SCAN_BUDGET_OVERRIDES = {
                                         # from documents (2 sides × 2
                                         # passes); real inputs are two
                                         # tables, giving 2 each
+    # grouped_roc_auc_sources / cv_fold_auc_docs (were 3 each): the
+    # grouped per-(group,score) histogram persist — 1 scan each
     # roc_auc_docs / mann_whitney_arms_events (were 4 each): the
     # round-12 distinct-score-histogram persist collapsed the four
     # consumers onto one materialization — 1 scan each now
