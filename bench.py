@@ -317,6 +317,7 @@ EXTRA = [
     # round-12 additions
     "token_entropy_docs",
     "acf_users",
+    "format_signals_docs",
 ]
 
 

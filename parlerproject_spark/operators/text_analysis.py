@@ -1066,3 +1066,71 @@ def sentence_chunks(docs: DataFrame, *, budget_tokens: int = 64,
                             F.struct("__no", "__s"))),
                         lambda x: x["__s"]), ". ").alias("chunk_text")))
     return agg
+
+
+def format_signals(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   code_threshold: float = 0.08) -> DataFrame:
+    """Per-document structural FORMAT signals + a code/prose router
+    label — the pretraining-mixture router that decides which
+    tokenizer / quality ruleset / mixture bucket a document enters
+    (code-heavy corpora mis-score badly under prose heuristics like
+    Gopher's brace filter, which rejects code wholesale instead of
+    routing it):
+
+      - indent_ratio: share of non-empty lines starting with a
+        space/tab (indentation discipline — code, config, quoted
+        reply blocks),
+      - line_cv: coefficient of variation of non-empty line lengths
+        (prose wraps at a ragged-but-similar width → low CV; code
+        and tables swing between long and near-empty lines),
+      - symbol_ratio: non-alphanumeric/space/newline chars per char,
+      - digit_ratio: digits per char (tables, logs, telemetry),
+      - punct_code: density of the bracket/operator family
+        {}();=<>[] that natural prose barely uses,
+      - code_score = 2·punct_code + symbol_ratio + indent_ratio/2
+        (fixed weights, documented, deterministic), label = 'code'
+        iff code_score >= code_threshold else 'prose'.
+
+    Zero-shuffle array/regex algebra inside the scan stage — every
+    signal is a ratio of within-doc INTEGER counts (plus one
+    sqrt/mean pair over integer line lengths folded in document
+    order), so the whole router is SQL-replayable to the digit.
+    Documents with no non-empty line carry no line geometry and are
+    excluded. Columns: <id_col>, n_lines, indent_ratio, line_cv,
+    symbol_ratio, digit_ratio, code_score (all round 6), label.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(l) > 0)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), t.alias("__t"),
+        F.length(t).cast("double").alias("__nc"),
+        lines.alias("__ls")).filter(
+        (F.col("__nc") > 0) & (F.size("__ls") > 0))
+    nl = F.size("__ls").cast("double")
+    indent = (F.size(F.filter(
+        F.col("__ls"),
+        lambda l: F.substring(l, 1, 1).isin(" ", "\t"))) / nl)
+    lens = F.transform(F.col("__ls"),
+                       lambda l: F.length(l).cast("double"))
+    mean = F.aggregate(lens, F.lit(0.0), lambda a, x: a + x) / nl
+    var = F.aggregate(lens, F.lit(0.0),
+                      lambda a, x: a + (x - mean) * (x - mean)) / nl
+    line_cv = F.when(mean > 0, F.sqrt(var) / mean).otherwise(F.lit(0.0))
+    nonsym = F.length(F.regexp_replace("__t", r"[A-Za-z0-9 \n]", ""))
+    digits = F.length(F.regexp_replace("__t", r"[^0-9]", ""))
+    codep = F.length(F.regexp_replace("__t", r"[^{}();=<>\[\]]", ""))
+    symbol_ratio = nonsym / F.col("__nc")
+    digit_ratio = digits / F.col("__nc")
+    punct_code = codep / F.col("__nc")
+    score = 2.0 * punct_code + symbol_ratio + indent / 2.0
+    return base.select(
+        F.col("doc_id").alias(id_col),
+        F.size("__ls").cast("long").alias("n_lines"),
+        F.round(indent, 6).alias("indent_ratio"),
+        F.round(line_cv, 6).alias("line_cv"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("code_score"),
+        F.when(score >= code_threshold, F.lit("code"))
+        .otherwise(F.lit("prose")).alias("label"))

@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: list[str] = [
     "unicode_normalize_docs",
     "token_entropy_docs",
     "acf_users",
+    "format_signals_docs",
     "argmax_events",
     "calibrate_scores_docs",
     "calibration_docs",
@@ -8939,6 +8940,58 @@ def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return a.intersectAll(b)
+
+
+@register("format_signals_docs", r"""
+WITH b AS (
+  SELECT doc_id, text, length(text)::DOUBLE AS nc,
+         list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS ls
+  FROM documents
+  WHERE length(text) > 0),
+b2 AS (SELECT * FROM b WHERE len(ls) > 0),
+m AS (
+  SELECT doc_id, text, nc, ls, len(ls)::DOUBLE AS nl,
+         list_sum(list_transform(ls, l -> len(l)::DOUBLE)) / len(ls)
+           AS mean
+  FROM b2),
+v AS (
+  SELECT doc_id, nc, nl, mean,
+         list_sum(list_transform(ls,
+             l -> (len(l)::DOUBLE - mean) * (len(l)::DOUBLE - mean)))
+           / nl AS var,
+         len(list_filter(ls, l -> left(l, 1) IN (' ', chr(9))))::DOUBLE
+           / nl AS ind,
+         length(regexp_replace(text, '[A-Za-z0-9 \n]', '', 'g'))::DOUBLE
+           / nc AS sym,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+           / nc AS dig,
+         length(regexp_replace(text, '[^{}();=<>\[\]]', '', 'g'))::DOUBLE
+           / nc AS pc
+  FROM m)
+SELECT doc_id, nl::BIGINT AS n_lines,
+       round(ind, 6) AS indent_ratio,
+       round(CASE WHEN mean > 0 THEN sqrt(var) / mean
+                  ELSE 0.0 END, 6) AS line_cv,
+       round(sym, 6) AS symbol_ratio,
+       round(dig, 6) AS digit_ratio,
+       round(2.0 * pc + sym + ind / 2.0, 6) AS code_score,
+       CASE WHEN 2.0 * pc + sym + ind / 2.0 >= 0.08
+            THEN 'code' ELSE 'prose' END AS label
+FROM v
+ORDER BY doc_id
+""")
+def format_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural format signals + code/prose router label per
+    document (text_analysis.format_signals): indent discipline,
+    line-length CV, symbol/digit/code-punctuation densities, and
+    the fixed-weight code_score — the mixture router that sends
+    code-like documents to code-aware tokenization/quality rules
+    instead of rejecting them under prose heuristics. Zero-shuffle
+    scan-stage algebra; the oracle rebuilds every ratio from the
+    same integer counts."""
+    from parlerproject_spark.operators.text_analysis import format_signals
+    return (format_signals(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
 
 
 @register("acf_users", """

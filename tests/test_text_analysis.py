@@ -76,3 +76,33 @@ class TestTokenEntropy:
             e = ent[r["doc_id"]]
             n_types = round(r["ttr"] * e["n_toks"])
             assert -1e-6 <= e["entropy"] <= math.log(max(n_types, 1)) + 1e-6
+
+
+class TestFormatSignals:
+    def test_routes_code_vs_prose(self, spark):
+        from parlerproject_spark.operators.text_analysis import (
+            format_signals)
+        code = ("def f(x):\n    y = x * 2;\n    if (y > 3):\n"
+                "        return [y, x];\n    return {};\n")
+        prose = ("The quick brown fox jumps over the lazy dog. "
+                 "It was a bright cold day in April and the clocks "
+                 "were striking thirteen.\nNothing unusual here.\n")
+        df = spark.createDataFrame([(1, code), (2, prose), (3, "")],
+                                   "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in format_signals(df).collect()}
+        assert set(out) == {1, 2}          # empty doc excluded
+        assert out[1]["label"] == "code"
+        assert out[2]["label"] == "prose"
+        assert out[1]["indent_ratio"] > 0.5     # 4 of 5 lines indented
+        assert out[2]["indent_ratio"] == 0.0
+        assert out[1]["code_score"] > out[2]["code_score"]
+
+    def test_signal_ranges(self, spark):
+        from parlerproject_spark.operators.text_analysis import (
+            format_signals)
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .limit(200))
+        for r in format_signals(docs).collect():
+            for c in ("indent_ratio", "symbol_ratio", "digit_ratio"):
+                assert 0.0 <= r[c] <= 1.0, (c, r)
+            assert r["line_cv"] >= 0.0 and r["n_lines"] >= 1

@@ -215,6 +215,7 @@ REPORT_QUERIES = [
     # round-12 additions
     "token_entropy_docs",
     "acf_users",
+    "format_signals_docs",
 ]
 
 
