@@ -62,336 +62,336 @@ def register(name: str, oracle: str | None):
 # CORRECTNESS row at most ~7 rounds stale. (All 321 also pass the
 # local oracle replica, tools/check_oracle.py, every session — the
 # driver sample is the independent confirmation, not the only check.)
-# Regenerated round 12 from CORRECTNESS_r01..r11: whole list ordered
-# by staleness (latest driver-sample round ascending, never-sampled
+# Regenerated round 13 from CORRECTNESS_r01..r12: whole list ordered
+# by staleness (latest driver-GREEN round ascending, never-green
 # first), so the ~50-query sample always covers the oldest tier.
-# Head = 2 never-sampled r11 additions + the full 48-query round-5
-# tier = exactly 50.
+# Head = 4 never-driver-green queries (hashed_bow_docs' fixed form
+# plus the three r12 additions) + the round-6 tier.
 _DRIVER_PRIORITY: list[str] = [
-    "pack_waste_ffd_docs",
-    "tar_shard_counts_docs",
-    "ab_test_purchase_events",
-    "bfs_distances_events",
-    "blocklist_filter_docs",
-    "bootstrap_ci_events",
-    "canonical_docs_near_dup",
-    "compression_ratio_docs",
-    "corpus_refresh_pipeline",
-    "corpus_zipf_stats_docs",
-    "cusum_changepoints_events",
-    "dbscan_clusters_embeddings",
-    "embedding_covariance",
-    "embedding_drift_snapshots",
-    "erase_audit_events",
-    "except_all_priorities",
-    "fk_integrity_audit",
-    "fuzzy_best_match_parts",
-    "hard_negatives_embeddings",
-    "heavy_hitters_users",
-    "hybrid_rerank_docs",
-    "incremental_near_dup_docs",
-    "int8_quantize_embeddings",
-    "interpolate_hourly_values",
-    "intersect_all_priorities",
-    "item_cf_similarity_events",
-    "key_skew_events",
-    "ks_drift_events",
-    "label_propagation_events",
-    "markov_transitions_events",
-    "mixture_weights_sources",
-    "mmr_rerank_embeddings",
-    "negative_samples_docs",
-    "phrase_count_docs",
-    "profile_events_table",
-    "psi_drift_events",
-    "retractable_rollup_events",
-    "search_snippets_docs",
-    "ses_forecast_users",
-    "source_overlap_jaccard",
-    "source_scorecard_docs",
-    "spatial_user_pairs",
-    "split_skew_join_events",
-    "stupid_backoff_docs",
-    "textrank_keywords_docs",
-    "time_weighted_value_users",
-    "training_shard_manifest",
-    "triangle_counts_events",
-    "trimmed_mean_events",
-    "unicode_normalize_docs",
     "token_entropy_docs",
-    "acf_users",
     "format_signals_docs",
-    "argmax_events",
-    "calibrate_scores_docs",
-    "calibration_docs",
-    "centroid_outlier_embeddings",
-    "cohort_retention_weekly",
-    "collect_sorted_events",
+    "acf_users",
+    "hashed_bow_docs",
+    "normalize_ws_docs",
     "concat_object_urls",
-    "cut_substring_spans_docs",
-    "dbscan_clusters_lsh",
-    "dms_to_decimal_parse",
-    "doc_frequency",
-    "embedding_norms",
-    "exact_dedup_docs",
     "exif_ts_roundtrip",
-    "fim_transform_docs",
-    "fleiss_kappa_docs",
-    "funnel_view_click_purchase",
-    "gopher_repetition_docs",
-    "group_head_sample_docs",
-    "hard_negatives_cell",
     "json_extract_props",
-    "kaplan_meier_users",
-    "knn_bruteforce",
+    "dms_to_decimal_parse",
+    "running_sum_orders",
     "lag_delta_events",
+    "doc_frequency",
+    "token_counts_docs",
+    "quality_scores_docs",
+    "topic_terms_ctfidf",
+    "exact_dedup_docs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "knn_bruteforce",
+    "embedding_norms",
     "language_id_docs",
-    "logreg_quality_scores_docs",
+    "sliding_window_events",
+    "session_window_events",
+    "collect_sorted_events",
+    "argmax_events",
     "map_keys_props",
     "median_value_events",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
+    "semantic_decontaminate_embeddings",
+    "token_budget_sample_docs",
+    "gopher_repetition_docs",
+    "logreg_quality_scores_docs",
+    "cut_substring_spans_docs",
     "ngram_novelty_docs",
-    "normalize_ws_docs",
-    "quality_scores_docs",
+    "group_head_sample_docs",
+    "centroid_outlier_embeddings",
     "rag_context_budget",
+    "dbscan_clusters_lsh",
+    "hard_negatives_cell",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "rolling_features_events",
+    "touch_attribution_events",
+    "srm_check_events",
+    "weighted_sample_docs",
+    "calibrate_scores_docs",
+    "fim_transform_docs",
+    "scene_cuts_media",
     "ranking_metrics_docs",
     "roc_auc_docs",
-    "rolling_features_events",
-    "running_sum_orders",
-    "scene_cuts_media",
-    "semantic_decontaminate_embeddings",
-    "session_window_events",
-    "simhash_docs",
-    "sliding_window_events",
-    "srm_check_events",
-    "token_budget_sample_docs",
-    "token_counts_docs",
-    "topic_terms_ctfidf",
-    "touch_attribution_events",
-    "weighted_sample_docs",
-    "active_learning_batch_docs",
-    "association_rules_events",
-    "association_source_lang",
-    "benford_values_events",
-    "bleu_pairs_docs",
-    "conformal_coverage_docs",
-    "cuped_lift_events",
-    "curriculum_order_docs",
-    "cv_fold_auc_docs",
-    "density_topic_assignments",
-    "diff_in_diff_events",
-    "distinct_ngram_sources",
-    "ece_docs",
-    "embedding_near_dup_lsh",
-    "gains_curve_docs",
-    "gini_user_value_events",
-    "graph_stats_events",
-    "group_sequential_ab_events",
-    "grouped_roc_auc_sources",
-    "heaps_law_sources",
-    "ips_policy_value_events",
-    "k_core_users",
-    "knn_ivf",
+    "calibration_docs",
+    "fleiss_kappa_docs",
+    "kaplan_meier_users",
     "knn_lsh",
-    "length_bucket_batches_docs",
-    "linear_trend_users",
-    "loso_quality_sources",
-    "mann_whitney_arms_events",
-    "margin_pairs_embeddings",
-    "psi_gate_events",
-    "quantile_band_docs",
-    "readability_docs",
-    "repetition_spans_docs",
-    "required_sample_size_events",
-    "rfm_scores_users",
-    "robust_outliers_events",
-    "selection_parity_sources",
-    "semantic_dedup_embeddings",
-    "source_minhash_similarity",
-    "spearman_length_tokens_sources",
-    "stream_enrich_segments",
-    "t_closeness_events",
-    "theil_sen_trend_users",
+    "knn_ivf",
     "topic_assignments",
     "topic_outlier_assignments",
-    "truncation_recall_embeddings",
+    "embedding_near_dup_lsh",
+    "semantic_dedup_embeddings",
+    "density_topic_assignments",
+    "curriculum_order_docs",
+    "length_bucket_batches_docs",
+    "quantile_band_docs",
+    "robust_outliers_events",
+    "benford_values_events",
+    "source_minhash_similarity",
     "vocab_coverage_sources",
+    "linear_trend_users",
+    "diff_in_diff_events",
+    "stream_enrich_segments",
+    "psi_gate_events",
+    "margin_pairs_embeddings",
+    "bleu_pairs_docs",
+    "grouped_roc_auc_sources",
+    "ips_policy_value_events",
+    "t_closeness_events",
+    "association_source_lang",
+    "repetition_spans_docs",
+    "truncation_recall_embeddings",
+    "selection_parity_sources",
+    "conformal_coverage_docs",
     "weak_label_summary_docs",
+    "active_learning_batch_docs",
+    "theil_sen_trend_users",
+    "rfm_scores_users",
+    "group_sequential_ab_events",
+    "cuped_lift_events",
+    "mann_whitney_arms_events",
+    "distinct_ngram_sources",
+    "loso_quality_sources",
+    "ece_docs",
+    "association_rules_events",
+    "readability_docs",
+    "k_core_users",
+    "heaps_law_sources",
+    "gini_user_value_events",
+    "graph_stats_events",
+    "gains_curve_docs",
+    "required_sample_size_events",
+    "cv_fold_auc_docs",
+    "spearman_length_tokens_sources",
+    "topk_orders",
+    "window_rank_orders",
+    "tumbling_window_events",
     "approx_distinct_users",
-    "asof_join_purchase_view",
-    "audio_chunk_parts",
-    "bradley_terry_sources",
-    "chunk_documents_docs",
-    "clean_corpus_pipeline",
-    "dialogue_assembly_events",
-    "dictionary_tag_arrow_docs",
-    "dictionary_tag_docs",
-    "dp_event_type_counts",
     "embed_documents_fake",
-    "full_outer_reconcile_keys",
-    "groundedness_docs",
-    "grouping_sets_order_stats",
-    "k_anonymity_events",
     "landmark_projection_embeddings",
     "landmark_topic_assignments",
-    "late_interaction_topk_embeddings",
-    "leakage_safe_split_docs",
-    "left_join_order_gaps",
-    "length_band_filter_docs",
-    "maxsim_rerank_embeddings",
     "media_features",
-    "ntile_value_quartiles",
-    "pipeline_zip_archive_metadata",
+    "asof_join_purchase_view",
+    "clean_corpus_pipeline",
+    "q22_idle_rich_customers",
     "pivot_event_values_by_day",
-    "preference_pairs_events",
-    "profile_drift_events",
-    "purged_time_folds_events",
+    "unpivot_part_metrics",
+    "left_join_order_gaps",
+    "full_outer_reconcile_keys",
+    "grouping_sets_order_stats",
+    "ntile_value_quartiles",
+    "value_quartiles_bucketed",
+    "q2_min_price_part",
+    "q8_market_share",
+    "q9_profit_by_nation",
     "q11_top_nation_balances",
     "q13_order_count_distribution",
     "q16_supplier_counts",
     "q17_small_quantity_revenue",
     "q20_bulk_ship_suppliers",
     "q21_sole_late_supplier",
-    "q22_idle_rich_customers",
-    "q2_min_price_part",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "quantize_embeddings_int8",
     "repetition_ratio_docs",
-    "salted_agg_user_totals",
-    "stream_dedup_events",
-    "token_js_divergence_sources",
-    "topk_orders",
-    "tumbling_window_events",
     "type_token_ratio_docs",
-    "unpivot_part_metrics",
-    "value_quartiles_bucketed",
-    "window_rank_orders",
-    "embedding_near_dup_pairs",
-    "fingerprint_overlap_pairs",
-    "frame_sample_parts",
-    "geomean_value_by_type",
-    "hourly_counts_gap_filled",
-    "html_extract_posts",
-    "json_malformed_taxonomy",
-    "language_id_script_aware",
-    "line_dedup_docs",
-    "lm_score_docs",
-    "near_dup_clusters",
+    "length_band_filter_docs",
+    "stream_dedup_events",
+    "quantize_embeddings_int8",
+    "salted_agg_user_totals",
+    "audio_chunk_parts",
+    "leakage_safe_split_docs",
+    "dp_event_type_counts",
+    "pipeline_zip_archive_metadata",
+    "dialogue_assembly_events",
+    "chunk_documents_docs",
+    "groundedness_docs",
+    "maxsim_rerank_embeddings",
+    "late_interaction_topk_embeddings",
+    "purged_time_folds_events",
+    "profile_drift_events",
+    "k_anonymity_events",
+    "preference_pairs_events",
+    "bradley_terry_sources",
+    "token_js_divergence_sources",
+    "dictionary_tag_docs",
+    "dictionary_tag_arrow_docs",
     "ngram_jaccard_pairs",
-    "pack_sequences_docs",
-    "phash_near_dup_media",
-    "pii_redaction_docs",
-    "pipeline_archive_metadata",
+    "html_extract_posts",
+    "frame_sample_parts",
+    "embedding_near_dup_pairs",
+    "geomean_value_by_type",
+    "fingerprint_overlap_pairs",
+    "q6_revenue_delta",
     "q10_returned_customers",
+    "q4_priority_late_ship",
     "q12_priority_by_returnflag",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q18_large_orders",
     "q19_brand_disjunction",
-    "q4_priority_late_ship",
-    "q6_revenue_delta",
-    "auto_expectations_orders",
-    "bpe_fertility_by_source",
-    "bpe_merges_docs",
-    "bpe_segment_docs",
-    "card_luhn_fixture",
-    "chrf_pairs_docs",
-    "citation_pr_docs",
-    "citation_support_docs",
-    "corpus_shuffle_order",
-    "decontaminate_corpus",
-    "diversity_by_source_docs",
-    "doc_frequency_stopworded",
-    "domain_mix_weights_docs",
-    "doremi_weights_by_source",
-    "dpo_pipeline_events",
-    "edit_distance_pairs_docs",
-    "expectations_orders",
-    "knn_pq",
-    "knn_sq",
-    "krippendorff_alpha_events",
-    "krippendorff_interval_events",
-    "krippendorff_ordinal_events",
-    "margin_pairs_lsh_embeddings",
-    "mojibake_repair_fixture",
-    "pass_at_k_events",
-    "pca_whiten_embeddings",
-    "q7_nation_volume",
-    "quantile_match_events",
+    "hourly_counts_gap_filled",
+    "json_malformed_taxonomy",
+    "near_dup_clusters",
+    "language_id_script_aware",
+    "pipeline_archive_metadata",
+    "pii_redaction_docs",
+    "line_dedup_docs",
+    "pack_sequences_docs",
+    "phash_near_dup_media",
+    "lm_score_docs",
     "range_join_value_tiers",
+    "view_purchase_stream_join",
     "rename_suffix_docs",
+    "doc_frequency_stopworded",
+    "sentence_split_udtf",
+    "rolling_fingerprints_docs",
+    "q7_nation_volume",
+    "window_family_orders",
+    "train_val_test_split",
     "robust_zscores_by_user",
     "robust_zscores_native",
-    "rolling_fingerprints_docs",
-    "rouge_l_pairs_docs",
-    "rrf_hybrid_docs",
-    "sentence_chunks_docs",
-    "sentence_split_udtf",
+    "decontaminate_corpus",
+    "dpo_pipeline_events",
     "sessionize_events",
     "stratified_sample_docs",
-    "token_f1_pairs_docs",
-    "train_val_test_split",
-    "unigram_segment_docs",
-    "unigram_vocab_docs",
-    "unimax_mixture_docs",
-    "url_dedup_normalized",
-    "view_purchase_stream_join",
+    "corpus_shuffle_order",
     "vocab_coverage_docs",
-    "window_family_orders",
+    "domain_mix_weights_docs",
+    "url_dedup_normalized",
+    "rrf_hybrid_docs",
+    "bpe_merges_docs",
+    "bpe_segment_docs",
+    "doremi_weights_by_source",
+    "bpe_fertility_by_source",
+    "knn_pq",
+    "pca_whiten_embeddings",
+    "unigram_vocab_docs",
+    "unigram_segment_docs",
+    "citation_support_docs",
+    "citation_pr_docs",
+    "margin_pairs_lsh_embeddings",
+    "chrf_pairs_docs",
+    "pass_at_k_events",
+    "expectations_orders",
     "wordpiece_merges_docs",
     "wordpiece_segment_docs",
-    "rag_pipeline_docs",
-    "hashed_bow_docs",
-    "pack_sequences_ffd_docs",
-    "media_resize",
-    "anti_join_idle_customers",
-    "audience_overlap_theta",
-    "bloom_incremental_dedup_docs",
-    "bm25_ranked_docs",
-    "c4_line_filter_docs",
-    "cdc_merge_latest_events",
-    "cdc_snapshot_diff_orders",
-    "cms_user_freq_estimates",
-    "cointeraction_edges_events",
-    "cointeraction_pagerank",
-    "cube_status_priority",
-    "decayed_trending_users",
-    "distinct_customers_per_priority",
-    "distinct_users_hll_rollup",
-    "dsir_resample_docs",
-    "dsir_weights_docs",
-    "exact_substring_spans",
-    "except_custkeys",
-    "filter_contains_docs",
-    "filter_nonempty_docs",
-    "filter_suffix_sources",
-    "global_sum_gb",
-    "gopher_quality_docs",
-    "group_count_events",
-    "grouped_split_by_source",
-    "incremental_rollup_events",
-    "intersect_custkeys",
-    "lookup_join_nation_region",
-    "nb_quality_scores_docs",
-    "perplexity_buckets_docs",
-    "personalized_pagerank_user0",
-    "pmi_collocations_docs",
-    "pretraining_corpus_pipeline",
+    "krippendorff_alpha_events",
+    "rouge_l_pairs_docs",
+    "edit_distance_pairs_docs",
+    "auto_expectations_orders",
+    "krippendorff_ordinal_events",
+    "krippendorff_interval_events",
+    "knn_sq",
+    "diversity_by_source_docs",
+    "unimax_mixture_docs",
+    "quantile_match_events",
+    "mojibake_repair_fixture",
+    "card_luhn_fixture",
+    "token_f1_pairs_docs",
+    "sentence_chunks_docs",
     "q1_pricing_summary",
     "q3_segment_revenue",
     "q5_region_revenue",
-    "rollup_nation_counts",
-    "rollup_serve_monthly",
-    "scd2_user_type_history",
-    "semi_join_building_orders",
+    "global_sum_gb",
+    "group_count_events",
     "share_of_total_events",
-    "snapshot_asof_user_state",
+    "distinct_customers_per_priority",
+    "rollup_nation_counts",
+    "cube_status_priority",
+    "semi_join_building_orders",
+    "anti_join_idle_customers",
+    "lookup_join_nation_region",
     "union_merge_docs",
-    "value_quantiles_kll",
+    "intersect_custkeys",
+    "except_custkeys",
+    "filter_contains_docs",
+    "filter_suffix_sources",
+    "filter_nonempty_docs",
     "when_case_acctbal",
+    "media_resize",
+    "cdc_snapshot_diff_orders",
+    "cdc_merge_latest_events",
+    "incremental_rollup_events",
+    "rollup_serve_monthly",
+    "distinct_users_hll_rollup",
+    "audience_overlap_theta",
+    "value_quantiles_kll",
     "zorder_events_stats",
+    "exact_substring_spans",
+    "bm25_ranked_docs",
+    "pmi_collocations_docs",
+    "dsir_weights_docs",
+    "perplexity_buckets_docs",
+    "nb_quality_scores_docs",
+    "cointeraction_edges_events",
+    "cointeraction_pagerank",
+    "cms_user_freq_estimates",
+    "bloom_incremental_dedup_docs",
+    "scd2_user_type_history",
+    "dsir_resample_docs",
+    "gopher_quality_docs",
+    "c4_line_filter_docs",
+    "decayed_trending_users",
+    "snapshot_asof_user_state",
+    "personalized_pagerank_user0",
+    "grouped_split_by_source",
+    "pretraining_corpus_pipeline",
+    "rag_pipeline_docs",
+    "pack_sequences_ffd_docs",
+    "dbscan_clusters_embeddings",
+    "hard_negatives_embeddings",
+    "embedding_covariance",
+    "unicode_normalize_docs",
+    "time_weighted_value_users",
+    "interpolate_hourly_values",
+    "fuzzy_best_match_parts",
+    "markov_transitions_events",
+    "corpus_zipf_stats_docs",
+    "triangle_counts_events",
+    "label_propagation_events",
+    "item_cf_similarity_events",
+    "stupid_backoff_docs",
+    "textrank_keywords_docs",
+    "compression_ratio_docs",
+    "spatial_user_pairs",
+    "cusum_changepoints_events",
+    "int8_quantize_embeddings",
+    "mixture_weights_sources",
+    "ab_test_purchase_events",
+    "bfs_distances_events",
+    "mmr_rerank_embeddings",
+    "source_overlap_jaccard",
+    "fk_integrity_audit",
+    "profile_events_table",
+    "key_skew_events",
+    "heavy_hitters_users",
+    "phrase_count_docs",
+    "incremental_near_dup_docs",
+    "canonical_docs_near_dup",
+    "psi_drift_events",
+    "training_shard_manifest",
+    "ks_drift_events",
+    "split_skew_join_events",
+    "bootstrap_ci_events",
+    "except_all_priorities",
+    "intersect_all_priorities",
+    "ses_forecast_users",
+    "trimmed_mean_events",
+    "negative_samples_docs",
+    "retractable_rollup_events",
+    "erase_audit_events",
+    "embedding_drift_snapshots",
+    "source_scorecard_docs",
+    "corpus_refresh_pipeline",
+    "search_snippets_docs",
+    "hybrid_rerank_docs",
+    "blocklist_filter_docs",
+    "pack_waste_ffd_docs",
+    "tar_shard_counts_docs",
 ]
 
 def _ordered_names() -> list[str]:
