@@ -349,6 +349,31 @@ def _median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+def _cross_round_medians(repo_dir: str) -> dict[str, float]:
+    """Per-query median of the official per-round headline timings
+    (BENCH_r*.json). Each driver file wraps the printed line under
+    'parsed'; older/manual files may hold the dict directly. A
+    missing or malformed file contributes nothing — the flagging
+    below degrades to 'no history, nothing flagged'."""
+    import glob
+
+    per_q: dict[str, list[float]] = {}
+    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        qs = (d.get("parsed") or d).get("queries") \
+            if isinstance(d, dict) else None
+        if not isinstance(qs, dict):
+            continue
+        for name, sec in qs.items():
+            if isinstance(sec, (int, float)):
+                per_q.setdefault(name, []).append(float(sec))
+    return {n: round(_median(v), 3) for n, v in per_q.items() if v}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # median-of-5: this host shows intermittent multi-second
@@ -460,6 +485,22 @@ def main() -> None:
     ratios = [v["end"] / v["headline"] for v in steal.values()]
     steal_index = round(_median(ratios), 3) if ratios else None
 
+    # Regression decidability (VERDICT r12 item 5): a headline query
+    # whose median exceeds 1.5× its own cross-round median (read from
+    # the driver-recorded BENCH_r*.json files) gets its per-run
+    # samples + spread attached to the PRINTED artifact, so "host
+    # noise or real regression" is answerable from BENCH_r{N} alone —
+    # r12's q1 0.536→0.858 drift needed a manual session to adjudicate.
+    flagged: dict[str, dict] = {}
+    hist = _cross_round_medians(
+        os.path.dirname(os.path.abspath(__file__)))
+    for name, med in timings.items():
+        ref = hist.get(name)
+        if ref and med > 1.5 * ref:
+            flagged[name] = {"runs": runs.get(name, []),
+                             "spread": spread.get(name),
+                             "hist_median": ref}
+
     total = round(sum(timings.values()), 3)
     # The PRINTED line must stay under the driver's ~2,000-char tail
     # capture (round 5 lost its official headline to parsed:null when
@@ -477,6 +518,8 @@ def main() -> None:
         "extra_count": len(extra),
         "steal_index": steal_index,
     }
+    if flagged:
+        headline["flagged"] = flagged
 
     # Full detail (per-run samples, spread, shuffle counts, per-query
     # extras) to a sidecar file.
@@ -490,6 +533,9 @@ def main() -> None:
     # The compact headline line, printed LAST.
     line = json.dumps(headline, separators=(",", ":"))
     # Hard guard: never print a line the driver can't capture whole.
+    if len(line) > 1900:
+        headline.pop("flagged", None)
+        line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:
         headline.pop("queries", None)
         line = json.dumps(headline, separators=(",", ":"))

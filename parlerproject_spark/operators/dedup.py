@@ -427,11 +427,18 @@ def cut_substring_spans(docs: DataFrame, *, id_col: str = "doc_id",
     occurrences of a duplicated run; any copy worth keeping
     re-enters via shorter unique context).
 
-    Shape: spans explode to covered (doc, pos) rows — bounded by
-    total duplicated tokens, not corpus size — then one anti-join
-    against the token stream on the co-partitioned (doc_id, pos) key
-    and one doc-keyed agg that re-joins survivors in position order
-    (sort_array over structs: per-doc arrays, never a global sort).
+    Shape (round-13 restructure, was 4 corpus scans / 6 shuffles):
+    ONE per-position stream carries BOTH the token and the k-gram
+    hash starting at that position (null for the k-1 tail positions),
+    so the duplicated-gram count table and the cutting pass read the
+    same exploded scan. Coverage is a rows-window test — position p
+    is inside a duplicated span iff some duplicated gram STARTS in
+    [p-k+1, p] (`max(dup) over rows k-1 preceding`), which equals the
+    exact_substring_spans island union by construction — and the
+    final doc-keyed agg rebuilds survivors via sort-by-position
+    structs (per-doc arrays, never a global sort). Two corpus scans
+    statically, one under AQE exchange reuse; the only wide ops are
+    the gram-keyed count+join and the doc-keyed window/agg.
     Reassembly normalizes whitespace/punctuation to single spaces —
     the same canonical form every other tokenize-based operator here
     scores, so downstream stages see consistent text.
@@ -439,30 +446,45 @@ def cut_substring_spans(docs: DataFrame, *, id_col: str = "doc_id",
     Columns: <id_col>, clean_text ('' when fully duplicated),
     n_kept, n_removed.
     """
-    spans = exact_substring_spans(docs, id_col=id_col, text_col=text_col,
-                                  k=k, min_count=min_count)
-    pos_tok = (docs.select(F.col(id_col).alias("doc_id"),
-                           tokenize(text_col).alias("ts"))
-               .select("doc_id", F.posexplode("ts").alias("pos", "tok")))
-    covered = spans.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.sequence(F.col("start_tok").cast("int"),
-                             F.col("end_tok").cast("int"))).alias("pos"))
-    kept = pos_tok.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = (kept.groupBy("doc_id")
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("pos", "tok"))),
-                            lambda s: s["tok"]), " ").alias("clean_text"),
-                    F.count("*").alias("n_kept")))
-    totals = pos_tok.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
-    return (totals.join(rebuilt, "doc_id", "left")
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize(text_col).alias("ts"))
+    n = F.size("ts")
+    # per-position gram hash, padded with nulls so it zips 1:1 with
+    # the token array (positions past n-k start no full gram)
+    gs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            i <= n - k + 1,
+            F.md5(F.concat_ws(" ", F.slice(F.col("ts"), i, k)))))
+    stream = (toks.filter(n >= 1)
+              .select("doc_id",
+                      F.posexplode(F.arrays_zip(F.col("ts").alias("tok"),
+                                                gs.alias("g")))
+                      .alias("pos", "z"))
+              .select("doc_id", "pos",
+                      F.col("z.tok").alias("tok"), F.col("z.g").alias("g")))
+    dup_grams = (stream.filter(F.col("g").isNotNull())
+                 .groupBy("g").agg(F.count("*").alias("c"))
+                 .filter(F.col("c") >= min_count)
+                 .select("g", F.lit(1).alias("dup")))
+    marked = stream.join(dup_grams, "g", "left")
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(-(k - 1), 0))
+    kept = marked.withColumn(
+        "keep", F.max(F.coalesce("dup", F.lit(0))).over(w) == 0)
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("keep"),
+                                    F.struct("pos", "tok")))),
+                         lambda s: s["tok"]), " ").alias("clean_text"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("keep"), 0).otherwise(1))
+                 .cast("long").alias("n_removed"))
             .select(F.col("doc_id").alias(id_col),
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-                    (F.col("n_toks") - F.coalesce("n_kept", F.lit(0)))
-                    .cast("long").alias("n_removed")))
+                    "clean_text", "n_kept", "n_removed"))
 
 
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",

@@ -250,33 +250,54 @@ def embedding_drift(old: DataFrame, new: DataFrame, *,
     the ratio of mean vector norms (a scale/normalization change
     detector — cosine alone is blind to it).
 
-    Shape: each side is one posexplode + a dim-keyed mean (map-side
-    combined, d rows out); the comparison joins two d-row frames and
-    rolls up to one row. Cost at any corpus size = two narrow scans +
-    two d-row exchanges.
+    Shape (round-13 restructure, was 4 corpus scans — dims+norms per
+    side): ONE tagged union pass. Each exploded row carries BOTH its
+    dimension value and the vector's JVM-fold L2 norm; one
+    (side, pos)-keyed map-side-combined aggregation produces the
+    per-dim means AND, on the pos-0 marker rows (the selection.py
+    doc-marker idiom), the per-side vector count and mean norm. The
+    2·d-row result persists and feeds every readout — cost at any
+    corpus size = one scan per snapshot + one d-keyed exchange.
 
     Columns (one row): n_old, n_new, mean_l2_shift, mean_cosine,
     norm_ratio (all round 6).
     """
-    def dims(df, side):
-        return (df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
-                .groupBy("pos")
-                .agg(F.avg("x").alias(f"m_{side}")))
+    from parlerproject_spark.functions.vectors import l2_norm
 
-    def stats(df, side):
-        from parlerproject_spark.functions.vectors import l2_norm
-        return (df.select(l2_norm(vec_col).alias("nrm"))
-                .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
-                     F.avg("nrm").alias(f"avg_nrm_{side}")))
+    def tag(df, side):
+        return df.select(F.lit(side).alias("__side"),
+                         F.col(vec_col).alias("__v"))
 
-    d = dims(old, "old").join(dims(new, "new"), "pos")
-    comp = d.agg(
-        F.sum(F.pow(F.col("m_old") - F.col("m_new"), 2)).alias("__sq"),
-        F.sum(F.col("m_old") * F.col("m_new")).alias("__dot"),
-        F.sum(F.col("m_old") * F.col("m_old")).alias("__na"),
-        F.sum(F.col("m_new") * F.col("m_new")).alias("__nb"))
-    return (stats(old, "old").crossJoin(F.broadcast(stats(new, "new")))
-            .crossJoin(F.broadcast(comp))
+    per = (tag(old, "old").unionByName(tag(new, "new"))
+           .select("__side", l2_norm("__v").alias("__nrm"),
+                   F.posexplode("__v").alias("pos", "x"))
+           .groupBy("__side", "pos")
+           .agg(F.avg("x").alias("m"),
+                F.count("*").cast("long").alias("n"),
+                F.avg("__nrm").alias("avg_nrm"))
+           .persist())
+    is_old = F.col("__side") == "old"
+    m_old = F.max(F.when(is_old, F.col("m")))
+    m_new = F.max(F.when(~is_old, F.col("m")))
+    comp = (per.groupBy("pos")
+            .agg(m_old.alias("m_old"), m_new.alias("m_new"))
+            .filter(F.col("m_old").isNotNull()
+                    & F.col("m_new").isNotNull())
+            .agg(F.sum(F.pow(F.col("m_old") - F.col("m_new"), 2))
+                 .alias("__sq"),
+                 F.sum(F.col("m_old") * F.col("m_new")).alias("__dot"),
+                 F.sum(F.col("m_old") * F.col("m_old")).alias("__na"),
+                 F.sum(F.col("m_new") * F.col("m_new")).alias("__nb")))
+    st = (per.filter(F.col("pos") == 0)
+          .agg(F.coalesce(F.max(F.when(is_old, F.col("n"))),
+                          F.lit(0)).cast("long").alias("n_old"),
+               F.coalesce(F.max(F.when(~is_old, F.col("n"))),
+                          F.lit(0)).cast("long").alias("n_new"),
+               F.max(F.when(is_old, F.col("avg_nrm")))
+               .alias("avg_nrm_old"),
+               F.max(F.when(~is_old, F.col("avg_nrm")))
+               .alias("avg_nrm_new")))
+    return (st.crossJoin(F.broadcast(comp))
             .select("n_old", "n_new",
                     F.round(F.sqrt("__sq"), 6).alias("mean_l2_shift"),
                     F.round(F.col("__dot")

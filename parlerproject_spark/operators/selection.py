@@ -386,30 +386,39 @@ def quantile_band_filter(df: DataFrame, *, group_col: str,
     on (group) or (group, bucket); no partition holds more than one
     bucket of one group.
 
+    The two reduction artifacts — per-group bounds (one row per
+    group) and per-(group, bucket) offsets (≤n_buckets rows per
+    group) — persist (round-13, the roc_auc idiom), so the FINAL
+    ranked pass is the only corpus consumer: one scan, one keyed
+    exchange, two broadcast joins against cached model-sized tables
+    (was 4 corpus scans).
+
     Columns: <group_col>, <id_col>, <score_col>, rank, n.
     """
     s = F.col(score_col).cast("double")
     base = df.select(F.col(group_col), F.col(id_col), s.alias("__s"))
-    gb = base.groupBy(group_col).agg(F.min("__s").alias("__lo"),
-                                     F.max("__s").alias("__hi"),
-                                     F.count("*").alias("__n"))
+    gb = (base.groupBy(group_col)
+          .agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"),
+               F.count("*").alias("__n"))
+          .persist())
     span = F.col("__hi") - F.col("__lo")
     bucket = F.when(span > 0,
                     F.least(F.floor((F.col("__s") - F.col("__lo"))
                                     / span * n_buckets),
                             F.lit(n_buckets - 1))) \
         .otherwise(F.lit(0)).cast("long")
-    b = (base.join(gb, group_col)
+    b = (base.join(F.broadcast(gb), group_col)
          .select(group_col, id_col, "__s", "__n", bucket.alias("__b")))
     cnt = b.groupBy(group_col, "__b").agg(F.count("*").alias("__bn"))
     woff = (Window.partitionBy(group_col).orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1))
-    off = cnt.withColumn(
-        "__off", F.coalesce(F.sum("__bn").over(woff), F.lit(0)))
+    off = (cnt.withColumn(
+               "__off", F.coalesce(F.sum("__bn").over(woff), F.lit(0)))
+           .select(group_col, "__b", "__off")
+           .persist())
     wrn = Window.partitionBy(group_col, "__b").orderBy("__s", id_col)
     ranked = (b.withColumn("__rn", F.row_number().over(wrn).cast("long"))
-              .join(off.select(group_col, "__b", "__off"),
-                    [group_col, "__b"])
+              .join(F.broadcast(off), [group_col, "__b"])
               .withColumn("rank", F.col("__off") + F.col("__rn")))
     return (ranked
             .filter((F.col("rank") > F.lit(lo) * F.col("__n"))

@@ -856,6 +856,15 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
     elif mode == "lsh":
         if dim is None:
             raise ValueError("lsh mode requires dim=")
+        # 4 source scans by design, not accident (round-13 audit):
+        # 2 hyperplane-signature passes + 2 keyed vector fetch-backs.
+        # Folding the fetch-backs away by carrying vectors through
+        # the signature stream would multiply the bucket-join shuffle
+        # by num_tables (each vector rides every table's bucket row)
+        # — at 100 TB the two extra column-pruned scans are far
+        # cheaper than an 8× shuffle amplification. The per-TABLE
+        # count of 4 appears only when src and tgt split one table
+        # (the parity fixture); distinct snapshots cost 2 scans each.
         sig_a = _signatures_arrow(a, vec_col="va", key_cols=["id_a"],
                                   dim=dim, num_planes=num_planes,
                                   num_tables=num_tables)

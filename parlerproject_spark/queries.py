@@ -6090,15 +6090,21 @@ def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is one of this round's verified operators composed
     unchanged; the oracle chains the same stages as CTEs.
 
-    The gate's survivor set is MATERIALIZED once (localCheckpoint)
-    at the stage boundary — the multi-stage-pipeline idiom a 100 TB
-    run would express as an intermediate parquet write: the bigram
-    LM rescore reads its training/scoring input 4× and the token
-    recount once more, so without the stage materialization every
-    consumer re-runs the full Gopher gate against the raw corpus
-    (6 corpus scans); with it the corpus is scanned exactly twice
-    (flag pass + survivor join) and every downstream pass reads the
-    already-filtered survivors."""
+    The gate's survivor set is MATERIALIZED once (localCheckpoint,
+    eager=False — ADVICE r12: eager=True ran the gate job at
+    DataFrame-BUILD time, so plan-only consumers like the registry
+    meta-test silently executed it; non-eager materializes on the
+    first real action and is then reused) at the stage boundary —
+    the multi-stage-pipeline idiom a 100 TB run would express as a
+    reliable intermediate parquet write (localCheckpoint is
+    executor-local; a production run swaps in checkpoint() or an
+    explicit write for fault tolerance): the bigram LM rescore reads
+    its training/scoring input 4× and the token recount once more,
+    so without the stage materialization every consumer re-runs the
+    full Gopher gate against the raw corpus (6 corpus scans); with
+    it the corpus is scanned exactly twice (flag pass + survivor
+    join) and every downstream pass reads the already-filtered
+    survivors."""
     from parlerproject_spark.operators.quality_rules import (
         gopher_quality_flags)
     from parlerproject_spark.operators.sampling import grouped_split
@@ -6109,7 +6115,7 @@ def pretraining_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         flags.filter(F.col("pass_words") & F.col("pass_mean_len")
                      & F.col("pass_alpha")).select("doc_id"),
         "doc_id", "left_semi")
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
     scored = lm_score(gate)
     p10 = scored.agg(F.percentile("lm_logp", F.lit(0.10)).alias("p10"))
     from parlerproject_spark.functions.text import tokenize
@@ -8035,41 +8041,65 @@ ORDER BY relation
 """)
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the seven TPC-H foreign
-    keys: child row count + orphan count (left-anti against the
-    parent key) per relation. Each anti-join broadcasts the parent
-    key column when it is the small side — the shape a nightly
-    data-quality sweep would run over a 100 TB lake, one bounded
-    report row per relationship."""
-    def rel(name: str, child: DataFrame, ckey: str,
-            parent: DataFrame, pkey: str) -> DataFrame:
-        orphans = (child.select(F.col(ckey).alias("k"))
-                   .join(F.broadcast(parent.select(F.col(pkey).alias("k"))),
-                         "k", "left_anti"))
-        return (child.agg(F.count("*").alias("n_child"))
-                .crossJoin(F.broadcast(
-                    orphans.agg(F.count("*").alias("n_orphans"))))
-                .select(F.lit(name).alias("relation"),
-                        "n_child", "n_orphans"))
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    na = _t(spark, sf_dir, "nation")
-    parts = [
-        rel("orders->customer", o, "o_custkey", c, "c_custkey"),
-        rel("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
-        rel("lineitem->part", li, "l_partkey",
-            _t(spark, sf_dir, "part"), "p_partkey"),
-        rel("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
-        rel("customer->nation", c, "c_nationkey", na, "n_nationkey"),
-        rel("supplier->nation", s, "s_nationkey", na, "n_nationkey"),
-        rel("nation->region", na, "n_regionkey",
-            _t(spark, sf_dir, "region"), "r_regionkey"),
+    keys: child row count + orphan count per relation. ONE pass per
+    table (round-13 restructure, was lineitem×4): each child table's
+    FK columns unpivot via `stack` into a tagged (relation, k)
+    stream in a single column-pruned scan; the parent key sets union
+    into the same shape; one keyed left join (hit-marking, parents
+    deduped so NOT-EXISTS semantics hold even with duplicate parent
+    keys) + one map-side-combined groupBy(relation) emits all seven
+    report rows. At 100 TB: the only wide op is a single shuffle on
+    (relation, key) — no table is read more than twice (child-side
+    FK stack + parent-side key set)."""
+    def stack(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+        args = ", ".join(f"'{rel}', {col}" for rel, col in pairs)
+        return df.select(F.expr(
+            f"stack({len(pairs)}, {args}) as (relation, k)"))
+
+    children = [
+        stack(_t(spark, sf_dir, "lineitem"),
+              [("lineitem->orders", "l_orderkey"),
+               ("lineitem->part", "l_partkey"),
+               ("lineitem->supplier", "l_suppkey")]),
+        stack(_t(spark, sf_dir, "orders"),
+              [("orders->customer", "o_custkey")]),
+        stack(_t(spark, sf_dir, "customer"),
+              [("customer->nation", "c_nationkey")]),
+        stack(_t(spark, sf_dir, "supplier"),
+              [("supplier->nation", "s_nationkey")]),
+        stack(_t(spark, sf_dir, "nation"),
+              [("nation->region", "n_regionkey")]),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("relation")
+    parents = [
+        stack(_t(spark, sf_dir, "customer"),
+              [("orders->customer", "c_custkey")]),
+        stack(_t(spark, sf_dir, "orders"),
+              [("lineitem->orders", "o_orderkey")]),
+        stack(_t(spark, sf_dir, "part"),
+              [("lineitem->part", "p_partkey")]),
+        stack(_t(spark, sf_dir, "supplier"),
+              [("lineitem->supplier", "s_suppkey")]),
+        # nation backs two relations from the one scan
+        stack(_t(spark, sf_dir, "nation"),
+              [("customer->nation", "n_nationkey"),
+               ("supplier->nation", "n_nationkey")]),
+        stack(_t(spark, sf_dir, "region"),
+              [("nation->region", "r_regionkey")]),
+    ]
+    child = children[0]
+    for p in children[1:]:
+        child = child.unionByName(p)
+    parent = parents[0]
+    for p in parents[1:]:
+        parent = parent.unionByName(p)
+    parent = parent.dropDuplicates(["relation", "k"]) \
+        .withColumn("hit", F.lit(1))
+    return (child.join(parent, ["relation", "k"], "left")
+            .groupBy("relation")
+            .agg(F.count("*").alias("n_child"),
+                 F.sum(F.when(F.col("hit").isNull(), F.lit(1))
+                       .otherwise(F.lit(0))).alias("n_orphans"))
+            .orderBy("relation"))
 
 
 # ---------------------------------------------------------------------------
@@ -8133,10 +8163,21 @@ def _citation_fixture(spark: SparkSession, sf_dir: str):
     mostly-wrong citation). So the self-citation supports the prefix
     grams, the borrowed-from-next grams are uncited (recall < 1),
     and the +2 citation is usually decorative (precision < 1) —
-    every branch of the metric is exercised on real corpus text."""
+    every branch of the metric is exercised on real corpus text.
+
+    The tokenized stream localCheckpoints ONCE (round-13, the
+    pretraining_corpus_pipeline stage-boundary idiom; eager=False so
+    plan-only consumers never trigger the job — ADVICE r12) and all
+    three fixture tables derive from it: answers from the
+    checkpointed tokens, citations from its key column, and the
+    source side from the rejoined canonical text (tokenize is
+    idempotent on space-joined lowercase tokens, so the operator's
+    gram sets are bit-identical). The operator's true 3-input shape
+    shows through: 1 documents scan total, inside the checkpoint."""
     from parlerproject_spark.functions.text import tokenize
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize("text").alias("tk"))
+    toks = (docs.select("doc_id", tokenize("text").alias("tk"))
+            .localCheckpoint(eager=False))
     nxt = toks.select((F.col("doc_id") - 1).alias("doc_id"),
                       F.col("tk").alias("tk2"))
     ans = (toks.join(nxt, "doc_id", "left")
@@ -8147,10 +8188,11 @@ def _citation_fixture(spark: SparkSession, sf_dir: str):
                        F.coalesce(F.array_join(F.slice("tk2", 1, 5), " "),
                                   F.lit("")),
                        F.lit("zzz9 qqq8")).alias("answer")))
-    cites = (docs.select("doc_id", F.col("doc_id").alias("src_id"))
-             .unionByName(docs.select(
+    cites = (toks.select("doc_id", F.col("doc_id").alias("src_id"))
+             .unionByName(toks.select(
                  "doc_id", (F.col("doc_id") + 2).alias("src_id"))))
-    return ans, cites, docs
+    src = toks.select("doc_id", F.array_join("tk", " ").alias("text"))
+    return ans, cites, src
 
 
 _CITATION_HEAD_SQL = """

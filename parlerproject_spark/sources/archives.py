@@ -20,7 +20,12 @@ container allows it:
 - for plain .tar.gz (no flush points) each task must re-stream the
   gzip prefix — inherent to the format; the fix at scale is
   re-containering (pre-extract or per-member recompress), which
-  `explode_archive_to_parquet` below does once.
+  `explode_archive_to_parquet` below does once;
+- the member catalog AND sync index are persisted as a sidecar
+  (`<archive>.gidx`, keyed by size+mtime_ns) on first scan, so a
+  repeatedly-queried foreign archive — the reference's 1M-member
+  metadata.tar.gz — pays its two driver-side linear passes exactly
+  once, not per query.
 
 Usage:
     spark.dataSource.register(TarMembersDataSource)
@@ -182,6 +187,104 @@ def _read_members_indexed(partition: _MemberChunk):
                     yield (m.name, f.read() if f else b"", m.size)
 
 
+_SIDECAR_VERSION = 1
+
+
+def _sidecar_candidates(path: str, index_dir: str | None) -> list[str]:
+    """Where a sidecar index for `path` may live, in preference
+    order: an explicit indexDir, then next to the archive, then a
+    shared temp cache (for archives in read-only directories). The
+    cache name embeds an abspath hash so same-named archives in
+    different directories never collide."""
+    import hashlib
+    import os
+    import tempfile
+
+    out = []
+    base = os.path.basename(path)
+    if index_dir:
+        out.append(os.path.join(index_dir, base + ".gidx"))
+    out.append(path + ".gidx")
+    tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+    out.append(os.path.join(tempfile.gettempdir(), "tar_members_idx",
+                            f"{base}.{tag}.gidx"))
+    return out
+
+
+def load_archive_index(
+    path: str, index_dir: str | None = None,
+) -> tuple[list[tuple[str, int, int]], list[tuple[int, int]]] | None:
+    """Read a sidecar member-catalog + gzip-sync index for `path`,
+    or None if absent/stale. Keyed by (size, mtime_ns): touching or
+    rewriting the archive invalidates every previously written
+    sidecar, so a stale index can never serve wrong offsets."""
+    import json
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    for sp in _sidecar_candidates(path, index_dir):
+        try:
+            with open(sp, "r", encoding="utf-8") as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if (meta.get("version") == _SIDECAR_VERSION
+                and meta.get("size") == st.st_size
+                and meta.get("mtime_ns") == st.st_mtime_ns):
+            members = [(str(n), int(o), int(s))
+                       for n, o, s in meta.get("members", [])]
+            sync = [(int(c), int(u)) for c, u in meta.get("sync", [])]
+            return members, sync
+    return None
+
+
+def write_archive_index(path: str, members: list[tuple[str, int, int]],
+                        sync: list[tuple[int, int]],
+                        index_dir: str | None = None) -> str | None:
+    """Persist the build-once index beside the archive (atomic
+    tmp+rename, so concurrent scans never read a torn file). A
+    read-only archive directory falls through to the temp cache;
+    total failure is silent — the sidecar is an optimization, never
+    a correctness dependency. Returns the path written, or None."""
+    import json
+    import os
+    import tempfile
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    payload = json.dumps({
+        "version": _SIDECAR_VERSION,
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+        "members": [[n, o, s] for n, o, s in members],
+        "sync": [[c, u] for c, u in sync],
+    })
+    for sp in _sidecar_candidates(path, index_dir):
+        d = os.path.dirname(sp)
+        try:
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, prefix=".gidx-")
+            try:
+                with os.fdopen(fd, "w", encoding="utf-8") as f:
+                    f.write(payload)
+                os.replace(tmp, sp)
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+            return sp
+        except OSError:
+            continue
+    return None
+
+
 class TarMembersReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -189,25 +292,39 @@ class TarMembersReader(DataSourceReader):
             raise ValueError("tar_members requires .option('path', ...)")
         self.suffix = options.get("suffix", "")
         self.num_partitions = int(options.get("numPartitions", "16"))
+        self.use_sidecar = options.get("indexSidecar", "true") != "false"
+        self.index_dir = options.get("indexDir") or None
 
     def partitions(self):
         compressed = self.path.endswith(".gz") or self.path.endswith(".tgz")
-        catalog: list[tuple[str, int, int]] = []
-        with tarfile.open(self.path, "r:*") as tar:
-            for m in tar:
-                if m.isfile() and m.name.endswith(self.suffix):
-                    catalog.append((m.name, m.offset_data, m.size))
-        sync_index: list[tuple[int, int]] = []
-        if compressed and catalog:
-            # one extra driver-side linear pass (the catalog pass
-            # above already streamed the archive once) buys every
-            # TASK random access — when the gzip has full-flush
-            # restart points; a plain-gzip archive yields [] and the
-            # sequential-prefix fallback below still applies
-            try:
-                sync_index = build_gzip_sync_index(self.path)
-            except (OSError, ValueError):
-                sync_index = []
+        cached = (load_archive_index(self.path, self.index_dir)
+                  if self.use_sidecar else None)
+        if cached is not None:
+            full_catalog = cached[0]
+            sync_index = cached[1] if compressed else []
+        else:
+            # first scan of this archive (or the sidecar is stale):
+            # stream it once for the member catalog, once for the
+            # gzip sync points — then persist BOTH so every later
+            # query (any suffix filter) opens the sidecar instead of
+            # re-inflating the whole stream twice on the driver
+            full_catalog = []
+            with tarfile.open(self.path, "r:*") as tar:
+                for m in tar:
+                    if m.isfile():
+                        full_catalog.append((m.name, m.offset_data, m.size))
+            sync_index: list[tuple[int, int]] = []
+            if compressed and full_catalog:
+                # a plain-gzip archive yields [] and the
+                # sequential-prefix fallback below still applies
+                try:
+                    sync_index = build_gzip_sync_index(self.path)
+                except (OSError, ValueError):
+                    sync_index = []
+            if self.use_sidecar:
+                write_archive_index(self.path, full_catalog, sync_index,
+                                    self.index_dir)
+        catalog = [m for m in full_catalog if m[0].endswith(self.suffix)]
         if not catalog:
             return [_MemberChunk(self.path, [], compressed)]
         n = min(self.num_partitions, len(catalog))

@@ -355,18 +355,31 @@ _SCAN_BUDGET_OVERRIDES = {
     "embedding_covariance": 3,
     "corpus_refresh_pipeline": 3,
     "pmi_collocations_docs": 3,
-    "margin_pairs_lsh_embeddings": 4,
-    "embedding_drift_snapshots": 4,
-    "fk_integrity_audit": 4,          # per-FK audits union lineitem×4
-    "cut_substring_spans_docs": 4,
-    "quantile_band_docs": 4,
-    "citation_support_docs": 5,       # answers/citations/sources all
-                                      # SYNTHESIZED from documents by
-                                      # the test fixture; real inputs
-                                      # are three distinct tables
-    "citation_pr_docs": 5,            # same fixture derivation; the
-                                      # operator itself is one chain
-                                      # since round 11
+    "margin_pairs_lsh_embeddings": 4,  # FINAL (r13 audit): 2 sig
+                                       # passes + 2 keyed vector
+                                       # fetch-backs; folding the
+                                       # fetch-backs would 8× the
+                                       # bucket-join shuffle (vectors
+                                       # ride every table row). 4 is
+                                       # a one-table fixture artifact
+                                       # — real src/tgt snapshots
+                                       # cost 2 scans per table.
+    # embedding_drift_snapshots (was 4): round-13 tagged-union single
+    # pass — norms ride the exploded stream, pos-0 marker rows carry
+    # the per-side stats; 2 scans statically (one per snapshot half)
+    # fk_integrity_audit (was 4): round-13 stacked one-pass audit —
+    # FK columns unpivot per child scan, parents union-tag, one keyed
+    # join; max 2 scans/table, the default covers it
+    # cut_substring_spans_docs (was 4): round-13 combined
+    # token+gram-hash stream — count table and cutting pass share one
+    # exploded scan, coverage via rows-window; 2 scans statically
+    # quantile_band_docs (was 4): round-13 persisted bounds + offset
+    # tables (roc_auc idiom) — final ranked pass is the only corpus
+    # consumer; 2 scans statically
+    # citation_support_docs / citation_pr_docs (were 5): round-13 —
+    # the fixture's tokenized stream localCheckpoints once
+    # (eager=False) and answers/citations/sources all derive from
+    # it; final plans carry ZERO parquet scans
     "bloom_incremental_dedup_docs": 4,  # batch+seen BOTH fixture-cut
                                         # from documents (2 sides × 2
                                         # passes); real inputs are two

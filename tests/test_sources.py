@@ -743,3 +743,143 @@ def test_infer_expectations_skips_interval_dtype(spark):
     assert ("id", "in_range") in kinds
     assert ("gap", "in_range") not in kinds  # interval: no range rule
     assert ("gap", "not_null") in kinds
+
+
+def _counting_open(real_open, counted, target):
+    """builtins.open wrapper that counts bytes read from `target`."""
+    def opener(*a, **k):
+        fh = real_open(*a, **k)
+        name = a[0] if a else k.get("file")
+        if str(name) != target:
+            return fh
+        real_read = fh.read
+
+        def read(n=-1):
+            b = real_read(n)
+            counted["n"] += len(b)
+            return b
+        fh.read = read
+        return fh
+    return opener
+
+
+def test_sidecar_index_skips_rebuild_on_second_scan(tmp_path, monkeypatch):
+    """Verdict r12 #1: the FIRST partitions() call streams the
+    archive (catalog + sync index) and writes a sidecar; the SECOND
+    reads the sidecar and touches ~none of the archive's bytes."""
+    import builtins
+    import os
+
+    from parlerproject_spark.sources import archives
+
+    path, truth = _flushy_tar_gz(tmp_path, n_members=150)
+    reader = archives.TarMembersReader(
+        {"path": path, "numPartitions": "5"})
+    parts1 = reader.partitions()
+    sidecar = path + ".gidx"
+    assert os.path.exists(sidecar), "first scan must persist the index"
+
+    counted = {"n": 0}
+    monkeypatch.setattr(
+        builtins, "open", _counting_open(builtins.open, counted, path))
+    try:
+        reader2 = archives.TarMembersReader(
+            {"path": path, "numPartitions": "5"})
+        parts2 = reader2.partitions()
+    finally:
+        monkeypatch.undo()
+    assert counted["n"] == 0, (
+        f"second scan read {counted['n']} archive bytes — index rebuilt")
+    # the cached partitions carry the same members and sync points
+    flat1 = sorted(m for p in parts1 for m in p.members)
+    flat2 = sorted(m for p in parts2 for m in p.members)
+    assert flat1 == flat2 and len(flat1) == len(truth)
+    assert parts1[0].sync_index == parts2[0].sync_index
+    assert parts2[0].sync_index, "flushy fixture must carry sync points"
+
+    # and the cached partitions still read correct content
+    got = {}
+    for p in parts2:
+        for name, body, size in archives._read_members_indexed(p):
+            got[name] = body
+    assert got == truth
+
+
+def test_sidecar_index_invalidates_on_touch(tmp_path):
+    """Rewriting the archive (size or mtime_ns change) must force a
+    rebuild — a stale sidecar never serves wrong offsets."""
+    import os
+
+    from parlerproject_spark.sources import archives
+
+    path, _ = _flushy_tar_gz(tmp_path, n_members=40)
+    archives.TarMembersReader({"path": path}).partitions()
+    assert archives.load_archive_index(path) is not None
+    os.utime(path, ns=(12345, 67890))  # touch → mtime mismatch
+    assert archives.load_archive_index(path) is None
+    # a fresh scan rebuilds and re-persists under the new key
+    archives.TarMembersReader({"path": path}).partitions()
+    cached = archives.load_archive_index(path)
+    assert cached is not None and len(cached[0]) == 40
+
+
+def test_sidecar_falls_back_when_archive_dir_readonly(tmp_path):
+    """Archive in a read-only directory: the sidecar lands in the
+    temp cache (or indexDir) and still round-trips."""
+    import os
+    import shutil
+
+    from parlerproject_spark.sources import archives
+
+    path, _ = _flushy_tar_gz(tmp_path, n_members=30)
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    ro_path = str(ro / "a.tar.gz")
+    shutil.copy(path, ro_path)
+    os.chmod(ro, 0o555)
+    try:
+        idx_dir = str(tmp_path / "idx")
+        reader = archives.TarMembersReader(
+            {"path": ro_path, "indexDir": idx_dir})
+        reader.partitions()
+        assert not os.path.exists(ro_path + ".gidx")
+        assert os.path.exists(
+            os.path.join(idx_dir, "a.tar.gz.gidx"))
+        assert archives.load_archive_index(ro_path, idx_dir) is not None
+    finally:
+        os.chmod(ro, 0o755)
+
+
+def test_sidecar_shared_across_suffix_filters(tmp_path, monkeypatch):
+    """The sidecar stores the FULL member catalog, so a scan with a
+    different suffix filter reuses it instead of re-streaming."""
+    import builtins
+    import io
+    import tarfile as tf
+
+    from parlerproject_spark.sources import archives
+
+    buf = io.BytesIO()
+    with tf.open(fileobj=buf, mode="w") as tar:
+        for i in range(20):
+            ext = ".json" if i % 2 else ".txt"
+            body = f"body-{i}".encode()
+            info = tf.TarInfo(f"m/{i:02d}{ext}")
+            info.size = len(body)
+            tar.addfile(info, io.BytesIO(body))
+    path = str(tmp_path / "mixed.tar.gz")
+    with open(path, "wb") as f:
+        f.write(_gzip_with_flush_points(buf.getvalue(), 4096))
+
+    archives.TarMembersReader({"path": path, "suffix": ".json"}).partitions()
+    counted = {"n": 0}
+    monkeypatch.setattr(
+        builtins, "open", _counting_open(builtins.open, counted, path))
+    try:
+        parts = archives.TarMembersReader(
+            {"path": path, "suffix": ".txt"}).partitions()
+    finally:
+        monkeypatch.undo()
+    assert counted["n"] == 0
+    names = sorted(m[0] for p in parts for m in p.members)
+    assert names == [f"m/{i:02d}.txt" for i in range(0, 20, 2)]

@@ -71,9 +71,16 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    from parlerproject_spark.caching import release_all
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # query boundary = cache lifetime boundary (SCALE.md §7):
+        # release the PREVIOUS query's persisted reduction tables so
+        # the full-registry session never accumulates cached
+        # relations (every continue-path above/below is covered by
+        # releasing at iteration start + once after the loop)
+        release_all(spark)
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
@@ -108,6 +115,7 @@ def main() -> int:
             failures += 1
         else:
             print(f"ok   {name}: {len(sdf)} rows hash-match")
+    release_all(spark)
     print(f"\n{failures} failures / {len(qs)} queries")
     return 1 if failures else 0
 
