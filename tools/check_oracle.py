@@ -5,6 +5,16 @@ on DuckDB at the given sf dir, then compares row count, schema
 (as pandas dtype families), and an order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [name ...]
+           [--prefix P] [--jobs N]
+
+`name ...` checks only those queries; `--prefix P` checks every
+query whose name starts with P (e.g. --prefix citation). `--jobs N`
+(VERDICT r12 item 8) splits the selected names round-robin across N
+subprocesses, each with its own Spark session on ~cores/N threads —
+the full 324-query replay drops from ~18 min single-process to the
+slowest shard's wall clock. Workers stay single-process (`--jobs 1`
+implied), so per-query cache release and output formats are
+identical to a plain run.
 """
 
 from __future__ import annotations
@@ -57,11 +67,76 @@ def dtype_family(s: pd.Series) -> str:
     return "other"
 
 
+def _parse_args(argv: list[str]):
+    jobs, prefix, rest = 1, None, []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("--jobs", "-j"):
+            i += 1
+            jobs = int(argv[i])
+        elif a.startswith("--jobs="):
+            jobs = int(a.split("=", 1)[1])
+        elif a == "--prefix":
+            i += 1
+            prefix = argv[i]
+        elif a.startswith("--prefix="):
+            prefix = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+        i += 1
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    return sf_dir, set(rest[1:]), prefix, jobs
+
+
+def _run_sharded(sf_dir: str, names: list[str], jobs: int) -> int:
+    """Round-robin the selected queries across `jobs` subprocess
+    workers (own JVM each, ~cores/jobs threads) and aggregate their
+    per-query lines + failure counts."""
+    import os
+    import re
+    import subprocess
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32")
+    per = max(2, cpus // jobs)
+    shards = [names[i::jobs] for i in range(jobs)]
+    procs = []
+    for shard in shards:
+        if not shard:
+            continue
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(per))
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), sf_dir, *shard],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env))
+    failures = 0
+    for p in procs:
+        out, _ = p.communicate()
+        print(out, end="")
+        m = re.search(r"(\d+) failures / \d+ queries", out)
+        if m:
+            failures += int(m.group(1))
+        elif p.returncode != 0:
+            failures += 1  # worker died before its summary line
+            print(f"FAIL shard: worker exited {p.returncode} "
+                  "without a summary line")
+    print(f"\nTOTAL {failures} failures / {len(names)} queries "
+          f"(jobs={jobs})")
+    return 1 if failures else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    sf_dir, only, prefix, jobs = _parse_args(sys.argv[1:])
 
     import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    selected = [n for n in qs
+                if (not only or n in only)
+                and (prefix is None or n.startswith(prefix))]
+    if jobs > 1:
+        return _run_sharded(sf_dir, selected, jobs)
+
     from parlerproject_spark.session import get_spark
 
     spark = get_spark("oracle-check")
@@ -69,11 +144,11 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     from parlerproject_spark.caching import release_all
+    sel = set(selected)
     for name, fn in qs.items():
-        if only and name not in only:
+        if name not in sel:
             continue
         # query boundary = cache lifetime boundary (SCALE.md §7):
         # release the PREVIOUS query's persisted reduction tables so
@@ -116,7 +191,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(sdf)} rows hash-match")
     release_all(spark)
-    print(f"\n{failures} failures / {len(qs)} queries")
+    print(f"\n{failures} failures / {len(selected)} queries")
     return 1 if failures else 0
 
 
