@@ -318,6 +318,9 @@ EXTRA = [
     "token_entropy_docs",
     "acf_users",
     "format_signals_docs",
+    # round-13 additions
+    "containment_pairs_docs",
+    "psi_timeline_events",
 ]
 
 

@@ -234,6 +234,71 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     return out
 
 
+def containment_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8,
+                      max_df: int = 128,
+                      eager: bool = False) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram overlap coefficient
+    (round 13): containment = |A∩B| / min(|A|, |B|) over the
+    max_df-capped shingle universe. Symmetric Jaccard misses the
+    sub-document case — a short doc copied whole into a long one
+    (quote-with-commentary, article + aggregator wrapper, a README
+    embedded in a repo dump) has Jaccard ≈ |A|/|B| → 0 but
+    containment ≈ 1. Dedup passes that only score Jaccard keep both
+    copies; this is the companion pass that catches the asymmetric
+    duplication (the containment variant of Broder's resemblance,
+    the same distinction MassiveText/Gopher draw between 'similar'
+    and 'contained' documents).
+
+    Plan shape is ngram_jaccard_pairs' exactly (one tokenize
+    cascade, hub-capped posting lists persisted and consumed for
+    in-array pair expansion + per-doc sizes, joins only over
+    AGGREGATED pair rows, never the corpus). Jaccard rides along on
+    every emitted row so the consumer can tell near-identical pairs
+    (both high) from true containment (containment high, jaccard
+    low). Cache lifetime: same eager contract as
+    ngram_jaccard_pairs.
+
+    Columns: id_a, id_b (id_a < id_b), containment, jaccard
+    (both round 6).
+    """
+    from pyspark import StorageLevel
+
+    from parlerproject_spark.operators.layout import spread_input
+
+    sh = capped_shingles(spread_input(docs), id_col=id_col,
+                         text_col=text_col, n=n, max_df=max_df)
+    lists = (sh.groupBy("sh")
+             .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    ex = lists.select("ds", F.posexplode("ds").alias("i", "id_a"))
+    pairs = (ex.select(
+        "id_a",
+        F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
+    ns = (lists.select(F.explode("ds").alias("doc_id"))
+          .groupBy("doc_id").agg(F.count("*").alias("n")))
+    j = (pairs
+         .join(ns.select(F.col("doc_id").alias("id_a"),
+                         F.col("n").alias("n_a")), "id_a")
+         .join(ns.select(F.col("doc_id").alias("id_b"),
+                         F.col("n").alias("n_b")), "id_b"))
+    out = (j.withColumn("containment", F.round(
+               F.col("n_common") / F.least("n_a", "n_b"), 6))
+           .withColumn("jaccard", F.round(
+               F.col("n_common")
+               / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+           .filter(F.col("containment") >= threshold)
+           .select("id_a", "id_b", "containment", "jaccard"))
+    if eager:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        lists.unpersist()
+    return out
+
+
 def duplicate_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                        id_b: str = "id_b", max_iter: int = 8,
                        symmetric: bool = False) -> DataFrame:

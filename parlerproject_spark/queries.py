@@ -68,6 +68,10 @@ def register(name: str, oracle: str | None):
 # Head = 4 never-driver-green queries (hashed_bow_docs' fixed form
 # plus the three r12 additions) + the round-6 tier.
 _DRIVER_PRIORITY: list[str] = [
+    # round-13 additions (never sampled) lead, per the
+    # never-driver-green-first policy (ADVICE r12)
+    "containment_pairs_docs",
+    "psi_timeline_events",
     "token_entropy_docs",
     "format_signals_docs",
     "acf_users",
@@ -1034,6 +1038,47 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (dedup.capped_shingles)."""
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                      n=3, threshold=0.5, max_df=128)
+
+
+@register("containment_pairs_docs", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+grams0 AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647 AS sh
+  FROM (
+    SELECT doc_id,
+           array_to_string(ts[i:i+2], ' ') AS gram
+    FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+    WHERE len(ts) >= 3)),
+rare AS (SELECT sh FROM grams0 GROUP BY sh HAVING count(*) <= 128),
+grams AS (SELECT g.doc_id, g.sh FROM grams0 g JOIN rare USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / least(sa.n_sh, sb.n_sh), 6) AS containment,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common * 1.0 / least(sa.n_sh, sb.n_sh), 6) >= 0.6
+""")
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs
+    (dedup.containment_pairs): overlap coefficient
+    |A∩B| / min(|A|,|B|) over the hub-capped 3-gram shingle
+    universe — the sub-document duplication detector Jaccard is
+    blind to (a short doc wholly embedded in a long one scores
+    containment ≈ 1, jaccard ≈ |A|/|B|). Same posting-list plan as
+    ngram_jaccard_pairs: one tokenize cascade, bounded in-array
+    expansion, pair-row joins only."""
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"),
+                                   n=3, threshold=0.6, max_df=128)
 
 
 _MINHASH_MINS = ",\n       ".join(
@@ -8780,6 +8825,65 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ev.filter(F.col("ts") >= cut),
                       key_col="event_type", val_col="value", bins=10)
             .orderBy("event_type"))
+
+
+@register("psi_timeline_events", """
+WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+cur AS (SELECT strftime(ts, '%Y-%m-%d') AS period, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08'),
+edges AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx
+          FROM ref),
+rb AS (
+  SELECT (CASE WHEN mx = mn THEN 0
+          ELSE least(greatest(floor((value::DOUBLE - mn)
+                                    / ((mx - mn) / 10.0)), 0), 9)
+          END)::INT AS bin,
+         count(*) AS c_ref
+  FROM ref, edges GROUP BY 1),
+allbins AS (
+  SELECT b.bin, coalesce(rb.c_ref, 0) AS c_ref
+  FROM (SELECT unnest(range(0, 10))::INT AS bin) b
+  LEFT JOIN rb USING (bin)),
+cb AS (
+  SELECT period,
+         (CASE WHEN mx = mn THEN 0
+          ELSE least(greatest(floor((value::DOUBLE - mn)
+                                    / ((mx - mn) / 10.0)), 0), 9)
+          END)::INT AS bin,
+         count(*) AS c_cur
+  FROM cur, edges GROUP BY 1, 2),
+periods AS (SELECT period, sum(c_cur) AS n_events FROM cb GROUP BY period),
+grid AS (
+  SELECT p.period, p.n_events, a.bin, a.c_ref,
+         coalesce(cb.c_cur, 0) AS c_cur
+  FROM periods p CROSS JOIN allbins a
+  LEFT JOIN cb ON cb.period = p.period AND cb.bin = a.bin),
+terms AS (
+  SELECT period, n_events,
+         ((c_cur + 0.5) / (n_events + 5.0) - (c_ref + 0.5) / (nr + 5.0))
+         * ln(((c_cur + 0.5) / (n_events + 5.0))
+              / ((c_ref + 0.5) / (nr + 5.0))) AS t
+  FROM grid, (SELECT sum(c_ref)::DOUBLE AS nr FROM allbins) r)
+SELECT period, cast(n_events AS BIGINT) AS n_events,
+       round(sum(t), 6) AS psi
+FROM terms GROUP BY period, n_events
+ORDER BY period
+""")
+def psi_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI timeline (operators/stats.psi_timeline) of the
+    post-week-1 value stream against the frozen first-week reference
+    — the drift-ONSET curve a standing ingest monitor plots, where
+    psi_drift gives one number per key. Reference collapses to a
+    broadcast 10-row histogram; the stream crosses one (day, bin)
+    map-side-combined aggregation; the day×bin grid is bounded-table
+    algebra."""
+    from parlerproject_spark.operators.stats import psi_timeline
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08").cast("timestamp_ntz")
+    return (psi_timeline(ev.filter(F.col("ts") < cut),
+                         ev.filter(F.col("ts") >= cut),
+                         time_col="ts", val_col="value", bins=10)
+            .orderBy("period"))
 
 
 @register("training_shard_manifest", """

@@ -712,3 +712,83 @@ class TestHeapsLawFit:
     def test_single_point_is_null_fit(self, spark):
         r = self._run(spark, [(0, "s", "x y")])["s"]
         assert r.beta is None and r.n_points == 1
+
+
+def test_containment_pairs_catches_embedded_doc(spark):
+    """A short doc embedded verbatim inside a long one: containment
+    ≈ 1 even though jaccard is small — the asymmetric case the
+    symmetric Jaccard pass misses by construction."""
+    from parlerproject_spark.operators.dedup import containment_pairs
+
+    short = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"word{i} tok{i*7%13}x pad{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short),
+         (2, filler + " " + short + " " + filler[::-1].lower()),
+         (3, "completely unrelated text about nothing shared here "
+             "with more unrelated filler sentences to pad it out")],
+        "doc_id long, text string")
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in containment_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["containment"] >= 0.99
+    assert r["jaccard"] < 0.25, "embedded doc must look dissimilar to Jaccard"
+    assert not any(3 in k for k in rows), "unrelated doc must not pair"
+
+
+def test_containment_pairs_identical_docs_score_one_both_ways(spark):
+    from parlerproject_spark.operators.dedup import containment_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame([(1, text), (2, text)],
+                                 "doc_id long, text string")
+    rows = containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    assert rows[0]["containment"] == 1.0 and rows[0]["jaccard"] == 1.0
+
+
+def test_psi_timeline_flags_only_the_shifted_day(spark):
+    """Days drawn from the reference distribution read psi ≈ 0; a
+    day whose values all sit in the top reference bin reads high."""
+    import datetime
+
+    from parlerproject_spark.operators.stats import psi_timeline
+
+    base = datetime.datetime(2024, 1, 1)
+    ref_rows = [(base + datetime.timedelta(minutes=i), float(i % 100))
+                for i in range(400)]
+    quiet = [(datetime.datetime(2024, 2, 1, minute=i % 60), float(i % 100))
+             for i in range(400)]
+    shifted = [(datetime.datetime(2024, 2, 2, minute=i % 60), 99.0)
+               for i in range(400)]
+    ref = spark.createDataFrame(ref_rows, "ts timestamp_ntz, value double")
+    cur = spark.createDataFrame(quiet + shifted,
+                                "ts timestamp_ntz, value double")
+    out = {r["period"]: r for r in
+           psi_timeline(ref, cur, time_col="ts", val_col="value").collect()}
+    assert set(out) == {"2024-02-01", "2024-02-02"}
+    assert out["2024-02-01"]["psi"] < 0.05
+    assert out["2024-02-02"]["psi"] > 1.0
+    assert out["2024-02-02"]["n_events"] == 400
+
+
+def test_psi_timeline_zero_ref_mass_bin_still_contributes(spark):
+    """Current mass landing in a bin the reference never hit must
+    contribute a (smoothed) term, not vanish from the grid."""
+    import datetime
+
+    from parlerproject_spark.operators.stats import psi_timeline
+
+    # reference occupies bins 0 and 9 only (values 0 and 100)
+    ref = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), 0.0)] * 50
+        + [(datetime.datetime(2024, 1, 1), 100.0)] * 50,
+        "ts timestamp_ntz, value double")
+    # current day sits entirely in bin 5 (value 55) — zero ref mass
+    cur = spark.createDataFrame(
+        [(datetime.datetime(2024, 2, 5), 55.0)] * 100,
+        "ts timestamp_ntz, value double")
+    out = psi_timeline(ref, cur, time_col="ts", val_col="value").collect()
+    assert len(out) == 1
+    assert out[0]["psi"] > 1.0, "unseen-bin mass must drive PSI up"

@@ -223,29 +223,46 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-report")
     registry = Q.queries()
-    out = ["# PLANS — physical plans of headline queries",
+    # FULL registry coverage (VERDICT r12 item 7): the curated
+    # headline order stays first (stable diffs for long-reviewed
+    # sections), every remaining registered query follows sorted —
+    # PLANS.md section count == registry count, so every query's
+    # pushdown + join strategy is reviewable without hand-running
+    # explain.
+    names = list(REPORT_QUERIES) + sorted(
+        n for n in registry if n not in set(REPORT_QUERIES))
+    out = ["# PLANS — physical plans of every registered query",
            "",
            f"Generated by tools/plan_report.py at {sf_dir}. The judge-",
            "relevant properties per query: what got pushed into the scan,",
            "how narrow the read is, which join strategy Catalyst chose,",
            "and how many shuffles the plan pays.", ""]
-    for name in REPORT_QUERIES:
-        df = registry[name](spark, sf_dir)
-        pushed = inspect.pushed_filters(df)
-        scans = inspect.read_schema_columns(df)
-        joins = inspect.join_strategies(df)
+    n_ok = 0
+    for name in names:
         out.append(f"## {name}\n")
+        try:
+            df = registry[name](spark, sf_dir)
+            pushed = inspect.pushed_filters(df)
+            scans = inspect.read_schema_columns(df)
+            joins = inspect.join_strategies(df)
+            plan = inspect.executed_plan(df).strip()
+        except Exception as exc:  # noqa: BLE001 — keep the report whole
+            out.append(f"- BUILD ERROR: `{type(exc).__name__}: "
+                       f"{str(exc)[:300]}`")
+            out.append("")
+            continue
+        n_ok += 1
         out.append(f"- pushed filters: `{pushed}`")
         out.append(f"- scan columns: `{scans}`")
         out.append(f"- join strategies: `{joins}`")
         out.append("")
         out.append("```")
-        out.append(inspect.executed_plan(df).strip())
+        out.append(plan)
         out.append("```")
         out.append("")
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(REPORT_QUERIES)} queries)")
+    print(f"wrote PLANS.md ({n_ok} ok / {len(names)} queries)")
 
 
 if __name__ == "__main__":
