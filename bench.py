@@ -321,6 +321,7 @@ EXTRA = [
     # round-13 additions
     "containment_pairs_docs",
     "psi_timeline_events",
+    "mahalanobis_outliers_embeddings",
 ]
 
 

@@ -66,6 +66,50 @@ def centroid_outlier_scores(vectors: DataFrame, *,
         .alias("centroid_sim"))
 
 
+def mahalanobis_outlier_scores(vectors: DataFrame, *, k: int = 50,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Diagonal-Mahalanobis outlier scores (round 13): score(v) =
+    Σ_d (v_d − μ_d)² / σ²_d — the variance-NORMALIZED companion of
+    centroid_outlier_scores. Cosine-to-centroid is blind to scale
+    and treats every dimension equally; a corpus whose dimensions
+    have wildly different spreads (the usual case for unnormalized
+    encoder outputs) hides outliers in high-variance dims and
+    over-flags tight dims. The diagonal form keeps the covariance
+    model d-sized (full Σ⁻¹ needs a d×d inverse — a driver-side
+    model fit, deliberately out of scope for the in-plan operator;
+    embedding_covariance provides the audit view).
+
+    Shape: one exploded pass → d-row moment table (mean + population
+    variance via sum(x²)/n − μ², the form both engines reproduce
+    bit-for-bit, persisted + broadcast), one scoring pass folding
+    the per-dim terms, TakeOrderedAndProject for the top-k (never a
+    global sort). Zero-variance dims contribute 0 (constant dims
+    carry no outlier signal, and the oracle mirrors the guard).
+
+    Columns: <id_col>, mahal2 (round 6), top `k` by score desc with
+    ascending-id tie-break.
+    """
+    ex = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("d", "x"))
+    mom = (ex.groupBy("d")
+           .agg(F.avg("x").alias("mu"),
+                (F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+                 - F.avg("x") * F.avg("x")).alias("vr"))
+           .persist())
+    term = F.when(F.col("vr") > 0,
+                  (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+                  / F.col("vr")).otherwise(F.lit(0.0))
+    return (ex.join(F.broadcast(mom), "d")
+            .groupBy("vid")
+            .agg(F.round(F.sum(term), 6).alias("mahal2"))
+            .orderBy(F.col("mahal2").desc(), F.col("vid").asc())
+            .limit(k)
+            .select(F.col("vid").alias(id_col), "mahal2"))
+
+
 def _plane_weight(table: int, plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1) from md5 —
     reproducible everywhere, no RNG state."""

@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: list[str] = [
     # never-driver-green-first policy (ADVICE r12)
     "containment_pairs_docs",
     "psi_timeline_events",
+    "mahalanobis_outliers_embeddings",
     "token_entropy_docs",
     "format_signals_docs",
     "acf_users",
@@ -6373,6 +6374,41 @@ def centroid_outlier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outlier_scores(
         _t(spark, sf_dir, "embeddings"), group_col="label") \
         .orderBy("vec_id")
+
+
+@register("mahalanobis_outliers_embeddings", """
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+mom AS (
+  SELECT d, avg(x) AS mu,
+         sum(x * x) / count(*) - avg(x) * avg(x) AS vr
+  FROM ex GROUP BY d),
+score AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN vr > 0
+                  THEN (x - mu) * (x - mu) / vr ELSE 0 END) AS m
+  FROM ex e JOIN mom USING (d)
+  GROUP BY e.vec_id)
+SELECT vec_id, round(m, 6) AS mahal2
+FROM score
+ORDER BY round(m, 6) DESC, vec_id ASC
+LIMIT 50
+""")
+def mahalanobis_outliers_embeddings(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Top-50 diagonal-Mahalanobis embedding outliers
+    (similarity.mahalanobis_outlier_scores): per-dim
+    variance-normalized squared distance from the corpus mean — the
+    scale-aware outlier ranking cosine-to-centroid misses when
+    dimension spreads differ. d-row moment table persisted +
+    broadcast; top-k is TakeOrderedAndProject, never a global
+    sort."""
+    from parlerproject_spark.operators.similarity import (
+        mahalanobis_outlier_scores)
+    return mahalanobis_outlier_scores(
+        _t(spark, sf_dir, "embeddings"), k=50)
 
 
 @register("dbscan_clusters_embeddings", """

@@ -792,3 +792,33 @@ def test_psi_timeline_zero_ref_mass_bin_still_contributes(spark):
     out = psi_timeline(ref, cur, time_col="ts", val_col="value").collect()
     assert len(out) == 1
     assert out[0]["psi"] > 1.0, "unseen-bin mass must drive PSI up"
+
+
+def test_mahalanobis_outliers_hand_case_and_constant_dim(spark):
+    """Two tight dims + one constant dim: the planted outlier tops
+    the ranking with the hand-computed score; the constant dim
+    contributes nothing (no divide-by-zero)."""
+    from parlerproject_spark.operators.similarity import (
+        mahalanobis_outlier_scores)
+
+    # dim0: values 0/2 (mu=1, var=1 over the 4 inliers + outlier math
+    # below); dim1: constant 7; dim2: alternating -1/1
+    rows = [(1, [0.0, 7.0, -1.0]), (2, [2.0, 7.0, 1.0]),
+            (3, [0.0, 7.0, 1.0]), (4, [2.0, 7.0, -1.0]),
+            (5, [11.0, 7.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mahalanobis_outlier_scores(df, k=5).collect()
+    assert [r["vec_id"] for r in out][0] == 5
+    import statistics
+    xs0 = [0.0, 2.0, 0.0, 2.0, 11.0]
+    mu0 = statistics.mean(xs0)
+    vr0 = statistics.pvariance(xs0)
+    xs2 = [-1.0, 1.0, 1.0, -1.0, 0.0]
+    mu2 = statistics.mean(xs2)
+    vr2 = statistics.pvariance(xs2)
+    expect5 = (11.0 - mu0) ** 2 / vr0 + (0.0 - mu2) ** 2 / vr2
+    got5 = [r["mahal2"] for r in out if r["vec_id"] == 5][0]
+    assert abs(got5 - expect5) < 1e-6
+    # ranking is score desc with ascending-id tie-break
+    scores = [r["mahal2"] for r in out]
+    assert scores == sorted(scores, reverse=True)
