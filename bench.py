@@ -322,6 +322,7 @@ EXTRA = [
     "containment_pairs_docs",
     "psi_timeline_events",
     "mahalanobis_outliers_embeddings",
+    "simhash_pairs_docs",
 ]
 
 

@@ -87,6 +87,16 @@ def stable_hash31(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return (F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % F.lit(2147483647))
 
+
+def stable_hash60(col: Column | str) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex digits of md5
+    as a bigint, NO modulus — the full-width base hash for SimHash
+    when all 60 vote bits should carry signal (stable_hash31's
+    mod-2^31-1 zeroes bits 31+, wasting half a 64-bit fingerprint).
+    DuckDB replay: ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
 #: query parameters that carry tracking state, not content identity —
 #: stripped by normalize_url so syntactic variants of the same page
 #: dedup together.

@@ -822,3 +822,43 @@ def test_mahalanobis_outliers_hand_case_and_constant_dim(spark):
     # ranking is score desc with ascending-id tie-break
     scores = [r["mahal2"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_simhash_pairs_pigeonhole_and_verify(spark):
+    """A planted near-identical pair (one token changed) lands
+    within the hamming threshold and is found; an unrelated doc is
+    not paired. Also pins the parameter validation."""
+    import pytest
+
+    from parlerproject_spark.operators.dedup import simhash, simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen violet engines hum beneath the frozen river")
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, base.replace("frozen", "molten")),
+         (3, "entirely different content about spacecraft telemetry "
+             "calibration and antenna gain tables for deep missions")],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash(docs, bits=60).collect()}
+    planted_ham = bin(sigs[1] ^ sigs[2]).count("1")
+    # pigeonhole needs max_hamming < bands and bands | bits: pick
+    # the smallest divisor of 60 that exceeds the planted distance
+    bands = next(d for d in (2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60)
+                 if d > planted_ham)
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_pairs(docs, bits=60,
+                                  max_hamming=planted_ham,
+                                  bands=bands).collect()}
+    assert (1, 2) in out and out[(1, 2)] == planted_ham
+    assert not any(3 in k for k in out)
+    # verify threshold actually rejects: at max_hamming 0 the pair
+    # disappears unless the signatures are identical
+    strict = simhash_pairs(docs, bits=60, max_hamming=0, bands=4).collect()
+    if planted_ham > 0:
+        assert not strict
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, bits=60, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, bits=50, max_hamming=2, bands=4)
