@@ -323,6 +323,7 @@ EXTRA = [
     "psi_timeline_events",
     "mahalanobis_outliers_embeddings",
     "simhash_pairs_docs",
+    "epochs_to_exhaust_sources",
 ]
 
 

@@ -359,6 +359,70 @@ def mixture_weights(docs: DataFrame, *, group_col: str = "source",
                     "weight", "budget_tokens", "epochs"))
 
 
+def epochs_to_exhaust(docs: DataFrame, *, group_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      budget_epochs: float = 4.0,
+                      tau: float = 0.7) -> DataFrame:
+    """Data-constrained scaling audit per source (round 13 —
+    Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models"): how many EPOCHS of each source a training run will
+    consume once (a) exact duplicates stop contributing new tokens
+    and (b) the mixture up-samples small sources. mixture_weights
+    reports epochs over RAW token mass; this is the honest version
+    — effective tokens are the canonical-document tokens only
+    (md5-fingerprint dedup, min-id canonical, so a doc duplicated
+    ACROSS sources counts once, in the canonical copy's source),
+    the budget is `budget_epochs` × total effective tokens
+    (their ~4-epoch value plateau), apportioned by the same
+    τ-temperature share every mixture query here uses. A source
+    whose epochs exceed the plateau is being repeated past the
+    point of diminishing returns — shrink its weight or find more
+    data.
+
+    Shape: ONE corpus scan → fingerprint exchange (row_number per
+    fingerprint marks canonicals) → per-source aggregation
+    (domains-row table) → broadcast scalar algebra. Nothing scales
+    with the corpus but the one scan + one keyed exchange.
+
+    Columns: <group_col>, n_docs, raw_tokens, effective_tokens,
+    dup_token_share, budget_share, epochs (round 6),
+    over_plateau (boolean on the ROUNDED epochs, so both engines
+    flag identically at the boundary).
+    """
+    from parlerproject_spark.functions.text import (fingerprint_md5,
+                                                    token_count)
+    fp = docs.select(F.col(group_col).alias("g"),
+                     F.col(id_col).alias("i"),
+                     fingerprint_md5(text_col).alias("f"),
+                     token_count(text_col).alias("n_tok"))
+    rn = F.row_number().over(Window.partitionBy("f").orderBy("i"))
+    marked = fp.withColumn("rn", rn)
+    per = (marked.groupBy("g")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("raw_tokens"),
+                F.sum(F.when(F.col("rn") == 1, F.col("n_tok"))
+                      .otherwise(F.lit(0)))
+                .cast("long").alias("effective_tokens")))
+    tot = per.agg(
+        F.sum(F.pow(F.col("effective_tokens").cast("double"),
+                    F.lit(tau))).alias("z"),
+        F.sum("effective_tokens").cast("double").alias("eff_total"))
+    share = (F.pow(F.col("effective_tokens").cast("double"), F.lit(tau))
+             / F.col("z"))
+    epochs = F.round(
+        F.lit(budget_epochs) * F.col("eff_total") * share
+        / F.col("effective_tokens"), 6)
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("g").alias(group_col),
+                    "n_docs", "raw_tokens", "effective_tokens",
+                    F.round(1.0 - F.col("effective_tokens")
+                            / F.col("raw_tokens"), 6)
+                    .alias("dup_token_share"),
+                    F.round(share, 6).alias("budget_share"),
+                    epochs.alias("epochs"),
+                    (epochs > F.lit(budget_epochs)).alias("over_plateau")))
+
+
 def weighted_reservoir_sample(df: DataFrame, k: int, *,
                               id_col: str = "doc_id",
                               weight_col: str = "n_chars",

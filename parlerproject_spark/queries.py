@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "psi_timeline_events",
     "mahalanobis_outliers_embeddings",
     "simhash_pairs_docs",
+    "epochs_to_exhaust_sources",
     "token_entropy_docs",
     "format_signals_docs",
     "acf_users",
@@ -7908,6 +7909,50 @@ def mixture_weights_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-expressed as per-domain epochs."""
     from parlerproject_spark.operators.sampling import mixture_weights
     return (mixture_weights(_t(spark, sf_dir, "documents"))
+            .orderBy("source"))
+
+
+@register("epochs_to_exhaust_sources", """
+WITH fp AS (
+  SELECT source AS g, doc_id AS i,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '')) AS n_tok
+  FROM documents),
+marked AS (
+  SELECT g, n_tok,
+         row_number() OVER (PARTITION BY f ORDER BY i) AS rn
+  FROM fp),
+per AS (
+  SELECT g, count(*)::BIGINT AS n_docs,
+         sum(n_tok)::BIGINT AS raw_tokens,
+         sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END)::BIGINT
+           AS effective_tokens
+  FROM marked GROUP BY g),
+tot AS (SELECT sum(power(effective_tokens::DOUBLE, 0.7)) AS z,
+               sum(effective_tokens)::DOUBLE AS eff_total FROM per)
+SELECT g AS source, n_docs, raw_tokens, effective_tokens,
+       round(1.0 - effective_tokens / raw_tokens, 6) AS dup_token_share,
+       round(power(effective_tokens::DOUBLE, 0.7) / z, 6)
+         AS budget_share,
+       round(4.0 * eff_total * (power(effective_tokens::DOUBLE, 0.7) / z)
+             / effective_tokens, 6) AS epochs,
+       round(4.0 * eff_total * (power(effective_tokens::DOUBLE, 0.7) / z)
+             / effective_tokens, 6) > 4.0 AS over_plateau
+FROM per CROSS JOIN tot
+ORDER BY source
+""")
+def epochs_to_exhaust_sources(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Data-constrained scaling audit
+    (operators/sampling.epochs_to_exhaust, Muennighoff et al.
+    2023): per-source DEDUP-EFFECTIVE token mass (md5-canonical
+    docs only), duplicate token share, τ=0.7 budget share, and the
+    epochs a 4-epoch-plateau budget implies — the honest companion
+    of mixture_weights' raw-token epochs; over_plateau flags
+    sources being repeated past the value plateau."""
+    from parlerproject_spark.operators.sampling import epochs_to_exhaust
+    return (epochs_to_exhaust(_t(spark, sf_dir, "documents"))
             .orderBy("source"))
 
 

@@ -862,3 +862,29 @@ def test_simhash_pairs_pigeonhole_and_verify(spark):
         simhash_pairs(docs, bits=60, max_hamming=4, bands=4)
     with pytest.raises(ValueError):
         simhash_pairs(docs, bits=50, max_hamming=2, bands=4)
+
+
+def test_epochs_to_exhaust_dedup_and_plateau(spark):
+    """Hand case: source A is 50% duplicated tokens (2 identical
+    docs), source B is clean. Effective masses then drive the
+    τ-tempered budget: the small source is up-sampled past the
+    4-epoch plateau, the large one stays under it."""
+    from parlerproject_spark.operators.sampling import epochs_to_exhaust
+
+    big = " ".join(f"tok{i}" for i in range(100))
+    rows = [("A", 1, big), ("A", 2, big)]  # dup pair: 100 effective
+    rows += [("B", i, " ".join(f"b{i}w{j}" for j in range(100)))
+             for i in range(10, 19)]       # 9 unique docs: 900 effective
+    docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {r["source"]: r for r in epochs_to_exhaust(docs).collect()}
+    a, b = out["A"], out["B"]
+    assert a["raw_tokens"] == 200 and a["effective_tokens"] == 100
+    assert a["dup_token_share"] == 0.5
+    assert b["dup_token_share"] == 0.0
+    import math
+    z = 100 ** 0.7 + 900 ** 0.7
+    share_a = 100 ** 0.7 / z
+    expect_a = 4.0 * 1000 * share_a / 100
+    assert math.isclose(a["epochs"], round(expect_a, 6), abs_tol=1e-6)
+    assert a["over_plateau"] and not b["over_plateau"]
+    assert abs(a["budget_share"] + b["budget_share"] - 1.0) < 1e-5
