@@ -883,3 +883,47 @@ def test_sidecar_shared_across_suffix_filters(tmp_path, monkeypatch):
     assert counted["n"] == 0
     names = sorted(m[0] for p in parts for m in p.members)
     assert names == [f"m/{i:02d}.txt" for i in range(0, 20, 2)]
+
+
+def test_sidecar_corrupted_file_forces_clean_rebuild(tmp_path):
+    """Garbage or truncated sidecar content must never break a scan
+    — the loader treats it as absent and the reader rebuilds and
+    re-persists a valid index."""
+    import json
+    import os
+
+    from parlerproject_spark.sources import archives
+
+    path, truth = _flushy_tar_gz(tmp_path, n_members=30)
+    archives.TarMembersReader({"path": path}).partitions()
+    sidecar = path + ".gidx"
+    assert os.path.exists(sidecar)
+    with open(sidecar, "w") as f:
+        f.write('{"version": 1, "size":')  # truncated JSON
+    assert archives.load_archive_index(path) is None
+    parts = archives.TarMembersReader({"path": path}).partitions()
+    assert sorted(m[0] for p in parts for m in p.members) == sorted(truth)
+    with open(sidecar) as f:
+        meta = json.load(f)  # rebuilt sidecar is valid again
+    assert len(meta["members"]) == 30
+
+
+def test_sidecar_wrong_version_is_ignored(tmp_path):
+    """A future/foreign sidecar version must not be trusted."""
+    import json
+    import os
+
+    from parlerproject_spark.sources import archives
+
+    path, _ = _flushy_tar_gz(tmp_path, n_members=10)
+    archives.TarMembersReader({"path": path}).partitions()
+    sidecar = path + ".gidx"
+    with open(sidecar) as f:
+        meta = json.load(f)
+    meta["version"] = 999
+    with open(sidecar, "w") as f:
+        json.dump(meta, f)
+    assert archives.load_archive_index(path) is None
+    os.utime(path)  # also prove a rebuild then re-validates
+    parts = archives.TarMembersReader({"path": path}).partitions()
+    assert parts and archives.load_archive_index(path) is not None
