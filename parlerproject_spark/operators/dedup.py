@@ -664,8 +664,10 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
         raise ValueError("simhash supports at most 60 vote bits "
                          "(the md5-prefix hash width)")
     # stable_hash31's mod zeroes bits 31+ — fingerprints wider than
-    # 31 bits take the full 60-bit md5 prefix so every bit votes
-    base_hash = stable_hash31 if bits <= 31 else stable_hash60
+    # the historical 32-bit form take the full 60-bit md5 prefix so
+    # every bit votes (at bits=32 the top bit is always 0; kept for
+    # oracle/back-compat of simhash_docs)
+    base_hash = stable_hash31 if bits <= 32 else stable_hash60
     toks = (docs.select(F.col(id_col).alias("doc_id"),
                         F.explode(tokenize(text_col)).alias("term"))
             .select("doc_id", base_hash(F.col("term")).alias("th")))
