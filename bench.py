@@ -324,6 +324,7 @@ EXTRA = [
     "mahalanobis_outliers_embeddings",
     "simhash_pairs_docs",
     "epochs_to_exhaust_sources",
+    "seasonal_decompose_events",
 ]
 
 

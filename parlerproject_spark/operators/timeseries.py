@@ -410,3 +410,59 @@ def autocorrelation(events: DataFrame, *, key_col: str = "user_id",
         key_col, "n",
         *[F.round(F.try_divide(F.col(f"__num{k}"), F.col("__den")), 6)
           .alias(f"r{k}") for k in range(1, max_lag + 1)])
+
+
+def seasonal_decompose(events: DataFrame, *, time_col: str = "ts",
+                       value_col: str = "value",
+                       period: int = 7,
+                       anomaly_z: float = 2.0) -> DataFrame:
+    """Additive seasonal decomposition of the DAILY total series
+    (round 13 — the classical moving-average decomposition every
+    monitoring stack runs before alerting): total_t = trend_t
+    (centered (2·half+1)-day moving average, half = period//2)
+    + seasonal_{dow(t)} (mean detrended value per day-of-week slot)
+    + residual_t, with |residual| > anomaly_z · stddev_pop(residual)
+    flagged. Decomposing before thresholding is what separates "it's
+    Saturday" from a real incident — raw-total alerts fire every
+    weekend.
+
+    Scale shape: the corpus collapses to the bounded per-day table
+    in ONE map-side-combined aggregation; every window after that
+    runs over days (calendar-bounded — a year is 365 rows), so the
+    unpartitioned windows are bounded by construction, never
+    corpus-sized. Edge days average over their available neighbors
+    (both engines' ROWS BETWEEN frames agree on partial windows).
+
+    Columns: period (yyyy-MM-dd string), dow (1=Sun..7=Sat,
+    Spark dayofweek), total, trend, seasonal, residual (round 6),
+    is_anomaly (boolean on the ROUNDED residual so engines agree
+    at the boundary).
+    """
+    half = period // 2
+    daily = (events.select(
+                 F.date_format(F.col(time_col), "yyyy-MM-dd")
+                 .alias("period"),
+                 F.dayofweek(F.col(time_col)).alias("dow"),
+                 F.col(value_col).cast("double").alias("v"))
+             .groupBy("period", "dow")
+             .agg(F.round(F.sum("v"), 6).alias("total")))
+    w_ma = (Window.orderBy("period")
+            .rowsBetween(-half, half))
+    with_trend = daily.withColumn(
+        "trend", F.round(F.avg("total").over(w_ma), 6))
+    detr = with_trend.withColumn(
+        "dt", F.col("total") - F.col("trend"))
+    w_dow = Window.partitionBy("dow")
+    seas = detr.withColumn(
+        "seasonal", F.round(F.avg("dt").over(w_dow), 6))
+    resid = seas.withColumn(
+        "residual", F.round(F.col("dt") - F.col("seasonal"), 6))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    sd = F.stddev_pop("residual").over(w_all)
+    return (resid.withColumn(
+                "is_anomaly",
+                F.abs(F.col("residual")) > F.round(
+                    F.lit(anomaly_z) * sd, 6))
+            .select("period", "dow", "total", "trend", "seasonal",
+                    "residual", "is_anomaly"))

@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "mahalanobis_outliers_embeddings",
     "simhash_pairs_docs",
     "epochs_to_exhaust_sources",
+    "seasonal_decompose_events",
     "token_entropy_docs",
     "format_signals_docs",
     "acf_users",
@@ -7954,6 +7955,47 @@ def epochs_to_exhaust_sources(spark: SparkSession,
     from parlerproject_spark.operators.sampling import epochs_to_exhaust
     return (epochs_to_exhaust(_t(spark, sf_dir, "documents"))
             .orderBy("source"))
+
+
+@register("seasonal_decompose_events", """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS period,
+         dayofweek(ts) + 1 AS dow,
+         round(sum(value::DOUBLE), 6) AS total
+  FROM events GROUP BY 1, 2),
+tr AS (
+  SELECT *, round(avg(total) OVER (ORDER BY period
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS trend
+  FROM daily),
+se AS (
+  SELECT *, total - trend AS dt,
+         round(avg(total - trend) OVER (PARTITION BY dow), 6) AS seasonal
+  FROM tr),
+re AS (
+  SELECT period, dow, total, trend, seasonal,
+         round(dt - seasonal, 6) AS residual
+  FROM se)
+SELECT period, cast(dow AS BIGINT) AS dow, total, trend, seasonal,
+       residual,
+       abs(residual) > round(2.0 * stddev_pop(residual) OVER (), 6)
+         AS is_anomaly
+FROM re ORDER BY period
+""")
+def seasonal_decompose_events(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily value total
+    (operators/timeseries.seasonal_decompose): 7-day centered-MA
+    trend + day-of-week seasonal means + residual, anomalies at
+    |residual| > 2σ — the decomposition a monitoring stack runs so
+    weekend dips don't page. Corpus collapses to the calendar-
+    bounded day table in one map-side-combined agg; every window
+    after runs over days."""
+    from parlerproject_spark.operators.timeseries import (
+        seasonal_decompose)
+    ev = _t(spark, sf_dir, "events")
+    return (seasonal_decompose(ev, time_col="ts", value_col="value")
+            .withColumn("dow", F.col("dow").cast("long"))
+            .orderBy("period"))
 
 
 @register("ab_test_purchase_events", """

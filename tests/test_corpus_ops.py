@@ -888,3 +888,41 @@ def test_epochs_to_exhaust_dedup_and_plateau(spark):
     assert math.isclose(a["epochs"], round(expect_a, 6), abs_tol=1e-6)
     assert a["over_plateau"] and not b["over_plateau"]
     assert abs(a["budget_share"] + b["budget_share"] - 1.0) < 1e-5
+
+
+def test_seasonal_decompose_recovers_pattern_and_flags_spike(spark):
+    """A clean weekly pattern (weekend dip) decomposes with ~zero
+    residuals; a planted spike day is the only anomaly."""
+    import datetime
+
+    from parlerproject_spark.operators.timeseries import (
+        seasonal_decompose)
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(28):
+        day = base + datetime.timedelta(days=d)
+        level = 50.0 if day.weekday() >= 5 else 100.0  # weekend dip
+        if d == 17:
+            level += 500.0  # planted incident
+        rows.append((day, level))
+    ev = spark.createDataFrame(rows, "ts timestamp_ntz, value double")
+    out = {r["period"]: r for r in
+           seasonal_decompose(ev, time_col="ts", value_col="value")
+           .collect()}
+    assert len(out) == 28
+    spike_day = (base + datetime.timedelta(days=17)).strftime("%Y-%m-%d")
+    assert out[spike_day]["is_anomaly"]
+    anomalies = [p for p, r in out.items() if r["is_anomaly"]]
+    # the MA trend bleeds the spike into its +-3-day neighborhood;
+    # the spike day itself must carry the LARGEST |residual|
+    assert spike_day in anomalies
+    assert max(out.values(), key=lambda r: abs(r["residual"]))[
+        "period"] == spike_day
+    # weekend rows are dips, not anomalies: seasonal soaks them up
+    weekend = [r for p, r in out.items()
+               if datetime.datetime.strptime(p, "%Y-%m-%d").weekday() >= 5]
+    assert weekend and not any(
+        r["is_anomaly"] for r in weekend
+        if abs((datetime.datetime.strptime(r["period"], "%Y-%m-%d")
+                - (base + datetime.timedelta(days=17))).days) > 3)

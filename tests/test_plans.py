@@ -209,6 +209,11 @@ _BOUNDED_WINDOW_ALLOWLIST = {
                                # and the fused limit(top_k=20) —
                                # fusion input is systems × k rows,
                                # never the corpus
+    "seasonal_decompose_events",  # MA/σ windows over the per-DAY
+                               # table — calendar-bounded (365
+                               # rows/year) after one map-side-
+                               # combined daily aggregation; never
+                               # corpus rows
     "quantile_match_events",   # bucket-offset running sum over the
                                # <= n_buckets(512)-row global count
                                # table — bounded by the constant
