@@ -325,6 +325,7 @@ EXTRA = [
     "simhash_pairs_docs",
     "epochs_to_exhaust_sources",
     "seasonal_decompose_events",
+    "fd_audit_orders",
 ]
 
 

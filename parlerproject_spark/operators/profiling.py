@@ -485,3 +485,43 @@ def profile_drift(ref: DataFrame, cur: DataFrame, cols: Sequence[str], *,
         F.round(rc - rr, 6).alias("null_rate_delta"),
         "distinct_ref", "distinct_cur",
         changed.alias("range_changed"))
+
+
+def fd_audit(df: DataFrame,
+             candidates: "list[tuple[str, str, str]]") -> DataFrame:
+    """Functional-dependency audit (round 13 — the data-profiling
+    primitive of Papenbrock et al.'s FD-discovery line, scoped to a
+    CANDIDATE list the way a production data-quality gate runs it):
+    for each candidate (name, determinant, dependent), does det → dep
+    hold, and if not, how broken is it — the check that catches a
+    denormalization gone stale, a key that silently stopped being a
+    key, or an enrichment join that fanned out.
+
+    One pass: every candidate's (det, dep) pair unpivots via `stack`
+    into a tagged stream in a single column-pruned scan (the
+    fk_integrity_audit shape), one (fd, det)-keyed aggregation
+    counts distinct dependents per determinant group (map-side
+    combined; NULL dependents are ignored by count-distinct on both
+    engines, NULL determinants form one group — documented,
+    SQL-standard), and a bounded per-fd rollup emits the report.
+    At 100 TB: one scan + one keyed exchange, report is
+    |candidates| rows.
+
+    Columns: fd, n_groups, n_violating, violation_share (round 6),
+    holds (boolean).
+    """
+    args = ", ".join(
+        f"'{name}', cast({det} as string), cast({dep} as string)"
+        for name, det, dep in candidates)
+    stream = df.select(F.expr(
+        f"stack({len(candidates)}, {args}) as (fd, det, dep)"))
+    per = (stream.groupBy("fd", "det")
+           .agg(F.countDistinct("dep").alias("nd")))
+    return (per.groupBy("fd")
+            .agg(F.count("*").cast("long").alias("n_groups"),
+                 F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_violating"))
+            .withColumn("violation_share",
+                        F.round(F.col("n_violating")
+                                / F.col("n_groups"), 6))
+            .withColumn("holds", F.col("n_violating") == 0))

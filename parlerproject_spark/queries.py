@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: list[str] = [
     "simhash_pairs_docs",
     "epochs_to_exhaust_sources",
     "seasonal_decompose_events",
+    "fd_audit_orders",
     "token_entropy_docs",
     "format_signals_docs",
     "acf_users",
@@ -7955,6 +7956,52 @@ def epochs_to_exhaust_sources(spark: SparkSession,
     from parlerproject_spark.operators.sampling import epochs_to_exhaust
     return (epochs_to_exhaust(_t(spark, sf_dir, "documents"))
             .orderBy("source"))
+
+
+@register("fd_audit_orders", """
+WITH s AS (
+  SELECT 'pk_orderkey_custkey' AS fd, o_orderkey::VARCHAR AS det,
+         o_custkey::VARCHAR AS dep FROM orders
+  UNION ALL
+  SELECT 'pk_orderkey_status', o_orderkey::VARCHAR, o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT 'custkey_priority', o_custkey::VARCHAR, o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT 'custkey_status', o_custkey::VARCHAR, o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT 'orderdate_priority', o_orderdate::VARCHAR, o_orderpriority
+  FROM orders),
+per AS (
+  SELECT fd, det, count(DISTINCT dep) AS nd
+  FROM s GROUP BY fd, det)
+SELECT fd, count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS violation_share,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM per GROUP BY fd
+ORDER BY fd
+""")
+def fd_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over orders
+    (operators/profiling.fd_audit): five candidate FDs — the two
+    primary-key dependencies must HOLD, the three
+    customer/date-determined ones report their violation share —
+    the data-quality gate that catches a key that silently stopped
+    being a key or a stale denormalization. One stacked scan, one
+    (fd, det)-keyed aggregation, |candidates|-row report."""
+    from parlerproject_spark.operators.profiling import fd_audit
+    o = _t(spark, sf_dir, "orders")
+    return (fd_audit(o, [
+        ("pk_orderkey_custkey", "o_orderkey", "o_custkey"),
+        ("pk_orderkey_status", "o_orderkey", "o_orderstatus"),
+        ("custkey_priority", "o_custkey", "o_orderpriority"),
+        ("custkey_status", "o_custkey", "o_orderstatus"),
+        ("orderdate_priority", "o_orderdate", "o_orderpriority"),
+    ]).orderBy("fd"))
 
 
 @register("seasonal_decompose_events", """

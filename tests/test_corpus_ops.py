@@ -926,3 +926,24 @@ def test_seasonal_decompose_recovers_pattern_and_flags_spike(spark):
         r["is_anomaly"] for r in weekend
         if abs((datetime.datetime.strptime(r["period"], "%Y-%m-%d")
                 - (base + datetime.timedelta(days=17))).days) > 3)
+
+
+def test_fd_audit_holds_violations_and_null_semantics(spark):
+    from parlerproject_spark.operators.profiling import fd_audit
+
+    rows = [
+        (1, "a", "x"), (2, "a", "x"),   # a -> x consistent
+        (3, "b", "x"), (4, "b", "y"),   # b violates dep2
+        (5, None, "x"), (6, None, "x"),  # NULL det forms one group
+        (7, "c", None),                  # NULL dep ignored by distinct
+    ]
+    df = spark.createDataFrame(rows, "pk long, det string, dep string")
+    out = {r["fd"]: r for r in fd_audit(df, [
+        ("pk_det", "pk", "det"),
+        ("det_dep", "det", "dep"),
+    ]).collect()}
+    assert out["pk_det"]["holds"] and out["pk_det"]["n_violating"] == 0
+    d = out["det_dep"]
+    # groups: a, b, c, NULL -> 4; only b has 2 distinct deps
+    assert d["n_groups"] == 4 and d["n_violating"] == 1
+    assert d["violation_share"] == 0.25 and not d["holds"]
