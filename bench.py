@@ -326,6 +326,8 @@ EXTRA = [
     "epochs_to_exhaust_sources",
     "seasonal_decompose_events",
     "fd_audit_orders",
+    "wasserstein_drift_events",
+    "token_gini_sources",
 ]
 
 

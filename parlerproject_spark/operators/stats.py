@@ -326,3 +326,46 @@ def trimmed_mean(df: DataFrame, *, key_col: str, val_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n_used"),
                  F.max("__k").cast("long").alias("n_trimmed_each"),
                  F.round(F.avg("__v"), 6).alias("tmean")))
+
+
+def wasserstein_drift(ref: DataFrame, cur: DataFrame, *, key_col: str,
+                      val_col: str) -> DataFrame:
+    """Two-sample 1-D Wasserstein-1 distance per key (round 13) —
+    the MAGNITUDE-aware companion of ks_drift: W1 = ∫|F_ref − F_cur|
+    = Σ over sorted pooled distinct values of |ΔCDF| · (next_v − v).
+    KS answers "did the distribution move" (sup norm, unitless);
+    W1 answers "by how much, in the value's own units" — a 0.01-unit
+    jitter and a 10-unit shift can share a KS yet differ 1000× in
+    W1, which is what a paging threshold should be set on.
+
+    Shape: identical to ks_drift (tag-union, ONE keyed aggregation
+    to per-(key, value) counts, cumulative + total windows over the
+    same key exchange) plus a lead() over the same ordering for the
+    value gap. Keys present in only one snapshot are dropped (W1
+    undefined). Columns: <key_col>, w1 (round 6), n_ref, n_cur.
+    """
+    tagged = (ref.select(F.col(key_col), F.col(val_col).cast("double")
+                         .alias("__v"),
+                         F.lit(1).alias("__r"), F.lit(0).alias("__c"))
+              .unionByName(
+                  cur.select(F.col(key_col),
+                             F.col(val_col).cast("double").alias("__v"),
+                             F.lit(0).alias("__r"), F.lit(1).alias("__c"))))
+    g = (tagged.groupBy(key_col, "__v")
+         .agg(F.sum("__r").alias("c_ref"), F.sum("__c").alias("c_cur")))
+    byk = Window.partitionBy(key_col)
+    ordv = byk.orderBy("__v")
+    w = ordv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (g.withColumn("cum_r", F.sum("c_ref").over(w))
+           .withColumn("cum_c", F.sum("c_cur").over(w))
+           .withColumn("n_r", F.sum("c_ref").over(byk))
+           .withColumn("n_c", F.sum("c_cur").over(byk))
+           .withColumn("gap", F.lead("__v").over(ordv) - F.col("__v")))
+    both = cum.filter((F.col("n_r") > 0) & (F.col("n_c") > 0)
+                      & F.col("gap").isNotNull())
+    term = (F.abs(F.col("cum_r") / F.col("n_r")
+                  - F.col("cum_c") / F.col("n_c")) * F.col("gap"))
+    return (both.groupBy(key_col)
+            .agg(F.round(F.sum(term), 6).alias("w1"),
+                 F.max("n_r").cast("long").alias("n_ref"),
+                 F.max("n_c").cast("long").alias("n_cur")))

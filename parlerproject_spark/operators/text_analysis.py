@@ -1134,3 +1134,46 @@ def format_signals(docs: DataFrame, *, id_col: str = "doc_id",
         F.round(score, 6).alias("code_score"),
         F.when(score >= code_threshold, F.lit("code"))
         .otherwise(F.lit("prose")).alias("label"))
+
+
+def token_gini(docs: DataFrame, *, group_col: str = "source",
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Gini coefficient of per-document token mass within each group
+    (round 13) — the corpus-balance readout mixture design needs
+    beside raw token totals: two sources with equal token mass are
+    NOT equal training data if one spreads it over a million docs
+    and the other packs it into a thousand giants (dedup, packing,
+    and per-doc quality gates all behave differently under
+    concentration). G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over the
+    ascending per-group rank i (ties broken by id — Gini is
+    order-invariant among equal values, so the tie-break only fixes
+    determinism, not the statistic).
+
+    Shape: one scan → one group-keyed exchange (rank window, the
+    calibrate_scores contract: keyed sort, spill-safe, never
+    global) → per-group aggregation. The rank·mass product takes
+    the rank as DOUBLE first — at corpus scale i·x overflows int64
+    (the r10 WordPiece bug class), and the oracle casts the same
+    operand. Columns: <group_col>, n_docs, total_tokens, gini
+    (round 6; null for an all-empty group).
+    """
+    from parlerproject_spark.functions.text import token_count
+    base = docs.select(F.col(group_col).alias("g"),
+                       F.col(id_col).alias("i"),
+                       token_count(text_col).alias("x"))
+    w = Window.partitionBy("g").orderBy("x", "i")
+    ranked = base.withColumn(
+        "ix", F.row_number().over(w).cast("double") * F.col("x"))
+    return (ranked.groupBy("g")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("x").cast("long").alias("total_tokens"),
+                 F.sum("ix").alias("__six"))
+            .select(F.col("g").alias(group_col), "n_docs",
+                    "total_tokens",
+                    F.round(F.when(
+                        F.col("total_tokens") > 0,
+                        2.0 * F.col("__six")
+                        / (F.col("n_docs") * F.col("total_tokens"))
+                        - (F.col("n_docs") + 1.0) / F.col("n_docs")),
+                        6).alias("gini")))

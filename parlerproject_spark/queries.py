@@ -77,6 +77,8 @@ _DRIVER_PRIORITY: list[str] = [
     "epochs_to_exhaust_sources",
     "seasonal_decompose_events",
     "fd_audit_orders",
+    "wasserstein_drift_events",
+    "token_gini_sources",
     "token_entropy_docs",
     "format_signals_docs",
     "acf_users",
@@ -7956,6 +7958,89 @@ def epochs_to_exhaust_sources(spark: SparkSession,
     from parlerproject_spark.operators.sampling import epochs_to_exhaust
     return (epochs_to_exhaust(_t(spark, sf_dir, "documents"))
             .orderBy("source"))
+
+
+@register("token_gini_sources", """
+WITH base AS (
+  SELECT source AS g, doc_id AS i,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '')) AS x
+  FROM documents),
+ranked AS (
+  SELECT g, x,
+         row_number() OVER (PARTITION BY g ORDER BY x, i)::DOUBLE * x
+           AS ix
+  FROM base)
+SELECT g AS source,
+       count(*)::BIGINT AS n_docs,
+       cast(sum(x) AS BIGINT) AS total_tokens,
+       round(CASE WHEN sum(x) > 0
+             THEN 2.0 * sum(ix) / (count(*) * sum(x))
+                  - (count(*) + 1.0) / count(*) END, 6) AS gini
+FROM ranked GROUP BY g
+ORDER BY source
+""")
+def token_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini concentration of document token mass
+    (operators/text_analysis.token_gini) — the corpus-balance
+    readout mixture design needs beside raw totals: equal token
+    mass spread over a million docs vs packed into a thousand
+    giants behaves differently under dedup, packing, and per-doc
+    quality gates. One scan, one group-keyed rank exchange,
+    rank taken as double before the mass product (int64-overflow
+    bug class)."""
+    from parlerproject_spark.operators.text_analysis import token_gini
+    return (token_gini(_t(spark, sf_dir, "documents"))
+            .orderBy("source"))
+
+
+@register("wasserstein_drift_events", """
+WITH tagged AS (
+  SELECT event_type, value::DOUBLE AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS r,
+         CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0 ELSE 1 END AS c
+  FROM events),
+g AS (
+  SELECT event_type, v, sum(r) AS c_ref, sum(c) AS c_cur
+  FROM tagged GROUP BY event_type, v),
+cum AS (
+  SELECT event_type, v,
+         sum(c_ref) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_r,
+         sum(c_cur) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_c,
+         sum(c_ref) OVER (PARTITION BY event_type) AS n_r,
+         sum(c_cur) OVER (PARTITION BY event_type) AS n_c,
+         lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS gap
+  FROM g)
+SELECT event_type,
+       round(sum(abs(cum_r * 1.0 / n_r - cum_c * 1.0 / n_c) * gap), 6)
+         AS w1,
+       cast(max(n_r) AS BIGINT) AS n_ref,
+       cast(max(n_c) AS BIGINT) AS n_cur
+FROM cum
+WHERE n_r > 0 AND n_c > 0 AND gap IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""")
+def wasserstein_drift_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-event-type 1-D Wasserstein-1 drift
+    (operators/stats.wasserstein_drift) of the value distribution,
+    first week vs rest of January — the magnitude-aware companion
+    of ks_drift: W1 reports the shift in the value's own units
+    (how far mass moved), where KS reports only that it moved.
+    Same one-keyed-exchange CDF shape as ks_drift plus a lead()
+    over the same ordering."""
+    from parlerproject_spark.operators.stats import wasserstein_drift
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08").cast("timestamp_ntz")
+    return (wasserstein_drift(ev.filter(F.col("ts") < cut),
+                              ev.filter(F.col("ts") >= cut),
+                              key_col="event_type", val_col="value")
+            .orderBy("event_type"))
 
 
 @register("fd_audit_orders", """

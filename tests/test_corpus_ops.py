@@ -947,3 +947,43 @@ def test_fd_audit_holds_violations_and_null_semantics(spark):
     # groups: a, b, c, NULL -> 4; only b has 2 distinct deps
     assert d["n_groups"] == 4 and d["n_violating"] == 1
     assert d["violation_share"] == 0.25 and not d["holds"]
+
+
+def test_wasserstein_drift_location_shift_closed_form(spark):
+    """W1 of a pure +c location shift equals c; identical
+    distributions give exactly 0."""
+    from parlerproject_spark.operators.stats import wasserstein_drift
+
+    vals = [float(v) for v in range(0, 100)]
+    ref = spark.createDataFrame(
+        [("shift", v) for v in vals] + [("same", v) for v in vals],
+        "k string, value double")
+    cur = spark.createDataFrame(
+        [("shift", v + 7.0) for v in vals] + [("same", v) for v in vals],
+        "k string, value double")
+    out = {r["k"]: r for r in
+           wasserstein_drift(ref, cur, key_col="k",
+                             val_col="value").collect()}
+    assert out["same"]["w1"] == 0.0
+    assert abs(out["shift"]["w1"] - 7.0) < 1e-6
+    assert out["shift"]["n_ref"] == out["shift"]["n_cur"] == 100
+
+
+def test_token_gini_uniform_and_extreme(spark):
+    from parlerproject_spark.operators.text_analysis import token_gini
+
+    rows = [("u", i, "a b c d") for i in range(10)]          # uniform
+    rows += [("x", 100, " ".join(["w"] * 96))]               # one giant
+    rows += [("x", 100 + i, "w") for i in range(1, 5)]       # 4 minnows
+    docs = spark.createDataFrame(rows,
+                                 "source string, doc_id long, text string")
+    out = {r["source"]: r for r in token_gini(docs).collect()}
+    # uniform: G = 2*sum(i*x)/(n*sum x) - (n+1)/n with x const -> 0
+    assert out["u"]["gini"] == 0.0
+    g = out["x"]["gini"]
+    # near-total concentration: G approaches (n-1)/n * (1 - share of
+    # minnows); exact value via the formula
+    n, tot = 5, 100
+    six = sum((i + 1) * x for i, x in enumerate(sorted([96, 1, 1, 1, 1])))
+    expect = 2.0 * six / (n * tot) - (n + 1.0) / n
+    assert abs(g - round(expect, 6)) < 1e-9
