@@ -328,6 +328,8 @@ EXTRA = [
     "fd_audit_orders",
     "wasserstein_drift_events",
     "token_gini_sources",
+    "user_entropy_events",
+    "activity_profile_events",
 ]
 
 

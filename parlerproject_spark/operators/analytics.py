@@ -796,3 +796,73 @@ def spearman_by_group(df: DataFrame, *, group_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.round(F.corr("__rx", "__ry"), 6)
                  .alias("spearman_rho")))
+
+
+def behavioral_entropy(events: DataFrame, *, user_col: str = "user_id",
+                       type_col: str = "event_type") -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix (round 13) —
+    the behavioral-diversity axis segmentation and bot-detection
+    rank on: a user with 500 events all of one type (H = 0,
+    scripted) and one spread evenly over 5 types (H = ln 5) are
+    different populations that raw counts cannot separate.
+
+    Shape: one (user, type) map-side-combined count, per-user
+    totals as a window over the same user-keyed exchange, one
+    per-user rollup. Entropy terms are p·ln p with integer-count
+    ratios — both engines do the identical double arithmetic.
+
+    Columns: <user_col>, n_events, n_types, entropy (round 6;
+    0 for a single-type user by construction).
+    """
+    g = (events.groupBy(user_col, type_col)
+         .agg(F.count(F.lit(1)).alias("__c")))
+    byu = Window.partitionBy(user_col)
+    p = F.col("__c") / F.sum("__c").over(byu)
+    terms = g.withColumn("__t", -p * F.log(p))
+    return (terms.groupBy(user_col)
+            .agg(F.sum("__c").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.round(F.sum("__t"), 6).alias("entropy")))
+
+
+def activity_profile(events: DataFrame, *, time_col: str = "ts") -> DataFrame:
+    """Day-of-week × hour-of-day activity heat profile with a global
+    uniformity chi-square (round 13) — the weekly-rhythm fingerprint
+    behind load shaping, anomaly baselines, and bot detection (a
+    natural audience has strong dow/hour structure; uniform traffic
+    IS the anomaly). chi2 = n·Σ(share − 1/168)²/(1/168) over the
+    168 calendar slots, repeated on every row for single-frame
+    consumption (the benford_audit convention).
+
+    One map-side-combined aggregation collapses the corpus to
+    ≤168 rows; everything after is bounded algebra.
+    Columns: dow (1=Sun..7=Sat), hour, n, share, chi2 (round 6).
+    """
+    slots = F.lit(168.0)
+    per = (events.select(F.dayofweek(F.col(time_col)).alias("dow"),
+                         F.hour(F.col(time_col)).alias("hour"))
+           .groupBy("dow", "hour")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = per.agg(F.sum("n").cast("double").alias("__t"))
+    # full 7×24 grid off the 1-row total (the psi_timeline allbins
+    # idiom): an EMPTY slot still contributes its (0 − 1/168)² term
+    # — dropping empties understates exactly the non-uniformity the
+    # statistic exists to flag
+    grid = (tot.select(F.explode(F.sequence(F.lit(1), F.lit(7)))
+                       .alias("dow"), "__t")
+            .select("dow", "__t",
+                    F.explode(F.sequence(F.lit(0), F.lit(23)))
+                    .alias("hour")))
+    scored = (grid.join(per, ["dow", "hour"], "left")
+              .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))
+              .withColumn("__share", F.col("n") / F.col("__t"))
+              .withColumn("__chi",
+                          F.col("__t")
+                          * (F.col("__share") - 1.0 / slots)
+                          * (F.col("__share") - 1.0 / slots)
+                          * slots))
+    chi2 = scored.agg(F.sum("__chi").alias("__c2"))
+    return (scored.crossJoin(F.broadcast(chi2))
+            .select("dow", "hour", "n",
+                    F.round("__share", 6).alias("share"),
+                    F.round("__c2", 6).alias("chi2")))

@@ -79,6 +79,8 @@ _DRIVER_PRIORITY: list[str] = [
     "fd_audit_orders",
     "wasserstein_drift_events",
     "token_gini_sources",
+    "user_entropy_events",
+    "activity_profile_events",
     "token_entropy_docs",
     "format_signals_docs",
     "acf_users",
@@ -7958,6 +7960,72 @@ def epochs_to_exhaust_sources(spark: SparkSession,
     from parlerproject_spark.operators.sampling import epochs_to_exhaust
     return (epochs_to_exhaust(_t(spark, sf_dir, "documents"))
             .orderBy("source"))
+
+
+@register("user_entropy_events", """
+WITH g AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT user_id, c,
+         sum(c) OVER (PARTITION BY user_id) AS n
+  FROM g)
+SELECT user_id, cast(max(n) AS BIGINT) AS n_events,
+       count(*)::BIGINT AS n_types,
+       round(sum(-(c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy
+FROM t GROUP BY user_id
+ORDER BY user_id
+""")
+def user_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix
+    (operators/analytics.behavioral_entropy) — the behavioral-
+    diversity axis segmentation and bot detection rank on (all-one-
+    type scripted traffic reads H = 0). One (user, type) map-side-
+    combined count; per-user totals ride a window over the same
+    user-keyed exchange."""
+    from parlerproject_spark.operators.analytics import (
+        behavioral_entropy)
+    return (behavioral_entropy(_t(spark, sf_dir, "events"))
+            .orderBy("user_id"))
+
+
+@register("activity_profile_events", """
+WITH per AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM per),
+grid AS (
+  SELECT d.dow, h.hour
+  FROM (SELECT unnest(range(1, 8)) AS dow) d,
+       (SELECT unnest(range(0, 24)) AS hour) h),
+sc AS (
+  SELECT g.dow, g.hour, coalesce(per.n, 0)::BIGINT AS n, t,
+         coalesce(per.n, 0) / t AS share
+  FROM grid g CROSS JOIN tot
+  LEFT JOIN per ON per.dow = g.dow AND per.hour = g.hour),
+c2 AS (
+  SELECT sum(t * (share - 1.0 / 168.0) * (share - 1.0 / 168.0)
+             * 168.0) AS chi2
+  FROM sc)
+SELECT cast(dow AS BIGINT) AS dow, cast(hour AS BIGINT) AS hour, n,
+       round(share, 6) AS share, round(chi2, 6) AS chi2
+FROM sc CROSS JOIN c2
+ORDER BY dow, hour
+""")
+def activity_profile_events(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heat profile with global
+    uniformity chi-square (operators/analytics.activity_profile):
+    the weekly-rhythm fingerprint behind load shaping and anomaly
+    baselines; empty calendar slots still contribute their
+    (0 − 1/168)² term via the full grid. One map-side-combined agg
+    collapses the corpus to ≤168 rows."""
+    from parlerproject_spark.operators.analytics import activity_profile
+    return (activity_profile(_t(spark, sf_dir, "events"))
+            .withColumn("dow", F.col("dow").cast("long"))
+            .withColumn("hour", F.col("hour").cast("long"))
+            .orderBy("dow", "hour"))
 
 
 @register("token_gini_sources", """

@@ -987,3 +987,38 @@ def test_token_gini_uniform_and_extreme(spark):
     six = sum((i + 1) * x for i, x in enumerate(sorted([96, 1, 1, 1, 1])))
     expect = 2.0 * six / (n * tot) - (n + 1.0) / n
     assert abs(g - round(expect, 6)) < 1e-9
+
+
+def test_behavioral_entropy_closed_forms(spark):
+    import math
+
+    from parlerproject_spark.operators.analytics import (
+        behavioral_entropy)
+
+    rows = [(1, "a")] * 8                       # single type: H = 0
+    rows += [(2, t) for t in "abcd" * 3]        # uniform 4: H = ln 4
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["user_id"]: r for r in behavioral_entropy(ev).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_types"] == 1
+    assert abs(out[2]["entropy"] - round(math.log(4), 6)) < 1e-9
+    assert out[2]["n_events"] == 12
+
+
+def test_activity_profile_grid_and_chi2(spark):
+    import datetime
+
+    from parlerproject_spark.operators.analytics import activity_profile
+
+    # all traffic in ONE slot: maximal non-uniformity
+    ev = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 9, m % 60),) for m in range(100)],
+        "ts timestamp_ntz")
+    rows = activity_profile(ev).collect()
+    assert len(rows) == 168, "full 7x24 grid expected"
+    hot = [r for r in rows if r["n"] > 0]
+    assert len(hot) == 1 and hot[0]["n"] == 100
+    assert hot[0]["share"] == 1.0
+    # chi2 for all mass in one of 168 slots = n * 167
+    assert abs(rows[0]["chi2"] - 100 * 167.0) < 1e-3
+    # empty slots carried the same global chi2 (single-frame repeat)
+    assert len({r["chi2"] for r in rows}) == 1
