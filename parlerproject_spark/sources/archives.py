@@ -704,6 +704,13 @@ def write_tar_shards(df, out_dir: str, *, n_shards: int = 8,
       shards this engine WRITES are, by construction, the archives
       its OWN `build_gzip_sync_index` reader random-accesses. The
       write side closes the loop the indexed reader opened.
+    - INDEX AT WRITE TIME (round 13): every shard also gets its
+      `.gidx` sidecar written by the task that wrote the shard —
+      member offsets are arithmetic (USTAR: 512-byte header +
+      512-padded data, no tell() needed through tarfile's stream
+      buffer), and the gzip sync points are recorded at the exact
+      flush positions the sink emits. Even the FIRST read of a
+      self-written shard skips both driver-side linear passes.
     - ONE PASS, NO DRIVER BYTES: rows repartition on the shard key
       (all rows of one shard land in one task; a task may own
       several shards and writes one file per shard value), and each
@@ -733,6 +740,12 @@ def write_tar_shards(df, out_dir: str, *, n_shards: int = 8,
 
         def open_shard(sid: int):
             name = os.path.join(out_dir, f"shard-{sid:05d}.tar")
+            members: list[tuple[str, int, int]] = []
+            sync: list[tuple[int, int]] = []
+            # logical (uncompressed-tar) write position, tracked
+            # arithmetically: tarfile's stream mode buffers, so
+            # tell()/byte-counting at addfile time would lag
+            lpos = {"n": 0}
             if gzip_shards:
                 name += ".gz"
                 raw = open(name, "wb")
@@ -752,6 +765,11 @@ def write_tar_shards(df, out_dir: str, *, n_shards: int = 8,
                         raw.write(co.compress(b))
                         if state["since_flush"] >= _TAR_FLUSH_EVERY:
                             raw.write(co.flush(zlib.Z_FULL_FLUSH))
+                            # restart point: first compressed byte
+                            # AFTER the full-flush marker, at this
+                            # uncompressed offset — exactly what
+                            # build_gzip_sync_index would validate
+                            sync.append((raw.tell(), state["n"]))
                             state["since_flush"] = 0
                         return len(b)
 
@@ -766,6 +784,13 @@ def write_tar_shards(df, out_dir: str, *, n_shards: int = 8,
                         "<II", state["crc"] & 0xFFFFFFFF,
                         state["n"] & 0xFFFFFFFF))
                     raw.close()
+                    # a flush can land exactly on end-of-stream (tar
+                    # padding hitting the 64 KiB boundary at EOF) —
+                    # such a point resumes nothing and the scanner
+                    # rightly never emits it; drop for parity
+                    write_archive_index(
+                        name, members,
+                        [p for p in sync if p[1] < state["n"]])
             else:
                 fh = open(name, "wb")
                 tar = tf.open(fileobj=fh, mode="w",
@@ -774,23 +799,28 @@ def write_tar_shards(df, out_dir: str, *, n_shards: int = 8,
                 def close():
                     tar.close()
                     fh.close()
-            return tar, close
+                    write_archive_index(name, members, [])
+            return tar, close, members, lpos
 
         try:
             for row in rows:
                 sid = int(row["__shard"])
                 if sid not in handles:
                     handles[sid] = open_shard(sid)
-                tar, _ = handles[sid]
+                tar, _, members, lpos = handles[sid]
                 body = bytes(row["__c"]) if row["__c"] is not None else b""
                 info = tf.TarInfo(row["__m"])
                 info.size = len(body)
                 info.mtime = 0
                 info.uid = info.gid = 0
                 info.uname = info.gname = ""
+                # USTAR regular member = one 512-byte header + data
+                # padded to 512 — the offsets are deterministic
+                members.append((row["__m"], lpos["n"] + 512, len(body)))
+                lpos["n"] += 512 + ((len(body) + 511) // 512) * 512
                 tar.addfile(info, io.BytesIO(body))
         finally:
-            for _, close in handles.values():
+            for _, close, _, _ in handles.values():
                 close()
         return iter(())
 

@@ -467,9 +467,14 @@ def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
     d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
     archives.write_tar_shards(df, d1, n_shards=4)
     archives.write_tar_shards(df, d2, n_shards=4)
-    shards = sorted(os.listdir(d1))
-    assert shards == sorted(os.listdir(d2))
+    listing = sorted(os.listdir(d1))
+    assert listing == sorted(os.listdir(d2))
+    # byte-determinism covers the SHARD files; .gidx sidecars are
+    # mtime-keyed metadata (round 13) and excluded by contract
+    shards = [f for f in listing if not f.endswith(".gidx")]
     assert 1 <= len(shards) <= 4
+    assert sorted(f + ".gidx" for f in shards) == \
+        [f for f in listing if f.endswith(".gidx")]
     for fn in shards:  # byte-deterministic rerun
         assert filecmp.cmp(os.path.join(d1, fn), os.path.join(d2, fn),
                            shallow=False), fn
@@ -716,6 +721,8 @@ def test_shard_assignment_is_md5_replayable(spark, tmp_path):
 
     placed = {}
     for fn in os.listdir(d):
+        if fn.endswith(".gidx"):
+            continue  # write-time sidecar indexes, not shards
         sid = int(fn.split("-")[1].split(".")[0])
         assert 0 <= sid < 5, fn  # pmod: never a negative shard id
         with tf.open(os.path.join(d, fn)) as tar:
@@ -927,3 +934,81 @@ def test_sidecar_wrong_version_is_ignored(tmp_path):
     os.utime(path)  # also prove a rebuild then re-validates
     parts = archives.TarMembersReader({"path": path}).partitions()
     assert parts and archives.load_archive_index(path) is not None
+
+
+def test_written_shards_carry_valid_sidecars(spark, tmp_path, monkeypatch):
+    """Write-time indexing (round 13): every written shard gets a
+    .gidx whose member catalog matches a real tarfile read and whose
+    sync points are exactly what build_gzip_sync_index validates —
+    so the FIRST read of a self-written shard streams zero archive
+    bytes on the driver."""
+    import builtins
+    import glob
+    import os
+    import tarfile as tf
+
+    from parlerproject_spark.sources import archives
+
+    rows = [(f"m/{i:03d}.bin", bytes((i + j) % 251 for j in range(9_000)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "member string, content binary")
+    out = str(tmp_path / "wds")
+    archives.write_tar_shards(df, out, n_shards=4, gzip_shards=True)
+
+    shards = sorted(glob.glob(os.path.join(out, "shard-*.tar.gz")))
+    assert shards
+    total_members = 0
+    for sh in shards:
+        cached = archives.load_archive_index(sh)
+        assert cached is not None, f"missing/stale sidecar for {sh}"
+        members, sync = cached
+        with tf.open(sh, "r:gz") as tar:
+            truth = [(m.name, m.offset_data, m.size)
+                     for m in tar if m.isfile()]
+        assert sorted(members) == sorted(truth), sh
+        assert sync == archives.build_gzip_sync_index(sh), sh
+        assert sync, "64KiB-flushed shards must carry sync points"
+        total_members += len(members)
+    assert total_members == 60
+
+    # partitions() on a self-written shard reads ZERO archive bytes
+    counted = {"n": 0}
+    monkeypatch.setattr(builtins, "open",
+                        _counting_open(builtins.open, counted, shards[0]))
+    try:
+        parts = archives.TarMembersReader(
+            {"path": shards[0], "numPartitions": "3"}).partitions()
+    finally:
+        monkeypatch.undo()
+    assert counted["n"] == 0
+    got = {}
+    for p in parts:
+        for name, body, size in archives._read_members_indexed(p):
+            got[name] = body
+    truth_map = dict(rows)
+    for name, body in got.items():
+        assert body == truth_map[name]
+
+
+def test_written_plain_shards_sidecar_catalog(spark, tmp_path):
+    """Uncompressed shards: the sidecar carries the catalog (sync
+    empty) and the first read preads straight at the recorded
+    offsets."""
+    import glob
+    import os
+    import tarfile as tf
+
+    from parlerproject_spark.sources import archives
+
+    rows = [(f"d/{i:02d}.txt", f"body-{i}".encode() * (i + 1))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "member string, content binary")
+    out = str(tmp_path / "plain")
+    archives.write_tar_shards(df, out, n_shards=2, gzip_shards=False)
+    for sh in sorted(glob.glob(os.path.join(out, "shard-*.tar"))):
+        members, sync = archives.load_archive_index(sh)
+        assert sync == []
+        with tf.open(sh, "r:") as tar:
+            truth = [(m.name, m.offset_data, m.size)
+                     for m in tar if m.isfile()]
+        assert sorted(members) == sorted(truth)
