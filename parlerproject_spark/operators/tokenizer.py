@@ -332,49 +332,70 @@ def train_wordpiece(docs: DataFrame, *, n_merges: int = 20,
 
     Scale shape: like train_bpe, training never re-touches the
     corpus — one tokenize+groupBy builds the vocabulary-sized
-    (word, n) table; each round is TWO keyed aggregations over it
-    (adjacent-pair counts and symbol occurrence counts, both
-    map-side combinable) plus a 1-row driver argmax and a narrow
-    fold rewrite. Rounds are strictly sequential — BPE's batched
-    selection proof does NOT carry over (merging a pair changes the
-    DENOMINATOR counts of every pair sharing a symbol, so a batch
-    mate's score can move), hence one merge per round by design;
-    the per-round cost is vocab-sized, never corpus-sized.
+    (word, n) table; each round is ONE fused keyed aggregation over
+    it (adjacent-pair counts AND symbol occurrence counts from a
+    single explode — pair rows keyed (a, b), symbol rows keyed
+    (s, NULL), both map-side combinable) collected to the driver,
+    where the likelihood argmax runs over the aggregate. The
+    collected table is bounded by (alphabet + merges)² — distinct
+    symbols plus distinct ADJACENT symbol pairs — independent of
+    corpus size, so the driver step stays model-sized at 100 TB.
+    Rounds are strictly sequential — BPE's batched selection proof
+    does NOT carry over (merging a pair changes the DENOMINATOR
+    counts of every pair sharing a symbol, so a batch mate's score
+    can move), hence one merge per round by design; the per-round
+    cost is ONE vocab-sized job plus one checkpoint job (r13: the
+    previous round shape — separate pair/symbol aggregates joined
+    through two broadcast builds and a TakeOrdered collect — was 4
+    jobs per round and measured 12.3 s for 8 rounds at sf0.1; the
+    fused form computes the identical argmax because the driver
+    replays the same double arithmetic: count(ab) / (double(ca) ·
+    double(cb)) is one correctly-rounded IEEE op from exact integer
+    args in Python, Spark and DuckDB alike, and Python's code-point
+    string order equals Spark's UTF8 binary order for the
+    (score DESC, a ASC, b ASC) tie-break).
     """
     symtab = _wp_initial_symbols(word_freq_table(docs, text_col=text_col))
     symtab = symtab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, str, int, int, int]] = []
     rounds = 0
+    # pair rows: struct(a, b) for every adjacent pair; symbol rows:
+    # struct(s, NULL). One explode feeds one aggregation; NULL-b
+    # never collides with a pair row because groupBy keys on b too.
+    both = F.concat(
+        F.expr("transform(slice(syms, 1, size(syms) - 1), "
+               "(s, i) -> struct(s AS a, syms[i + 1] AS b))"),
+        F.expr("transform(syms, "
+               "s -> struct(s AS a, CAST(NULL AS STRING) AS b))"))
     while len(merges) < n_merges:
-        pairs = _pair_counts(symtab)
-        syms = (symtab.select("n", F.explode("syms").alias("s"))
-                .groupBy("s").agg(F.sum("n").alias("c")))
-        best = (pairs.filter(F.col("cnt") >= min_pair)
-                .join(F.broadcast(syms.withColumnRenamed("s", "a")
-                                  .withColumnRenamed("c", "ca")), "a")
-                .join(F.broadcast(syms.withColumnRenamed("s", "b")
-                                  .withColumnRenamed("c", "cb")), "b")
-                # denominator in DOUBLE: int64 ca*cb overflows
-                # silently in Spark (wraps negative, corrupting the
-                # argmax) once symbol counts reach ~3e9 — i.e. well
-                # below the 100 TB corpus contract — while DuckDB
-                # would raise on the same product, so the engines
-                # would also diverge. double*double of exact integer
-                # counts is one correctly-rounded IEEE op, identical
-                # in both engines (the oracle mirrors the cast).
-                .withColumn("score",
-                            F.col("cnt") / (F.col("ca").cast("double")
-                                            * F.col("cb")))
-                .orderBy(F.col("score").desc(), F.col("a").asc(),
-                         F.col("b").asc())
-                .limit(1).collect())
+        counts = (symtab.select("n", F.explode(both).alias("p"))
+                  .groupBy("p.a", "p.b").agg(F.sum("n").alias("cnt"))
+                  .collect())
         rounds += 1
-        if not best:
+        sym_c = {r["a"]: r["cnt"] for r in counts if r["b"] is None}
+        best = None  # (score, a, b, cnt)
+        for r in counts:
+            if r["b"] is None or r["cnt"] < min_pair:
+                continue
+            # denominator in DOUBLE: int64 ca*cb overflows silently
+            # in Spark (wraps negative, corrupting the argmax) once
+            # symbol counts reach ~3e9 — well below the 100 TB
+            # corpus contract — while DuckDB would raise on the same
+            # product, so the engines would also diverge. double *
+            # double of exact integer counts is one correctly-rounded
+            # IEEE op, identical in Python and both engines.
+            score = r["cnt"] / (float(sym_c[r["a"]]) * sym_c[r["b"]])
+            cand = (score, r["a"], r["b"], r["cnt"])
+            if best is None or cand[0] > best[0] or (
+                    cand[0] == best[0] and (cand[1], cand[2])
+                    < (best[1], best[2])):
+                best = cand
+        if best is None:
             break
-        r = best[0]
-        merged = _wp_merged(r["a"], r["b"])
-        merges.append((r["a"], r["b"], merged,
-                       int(r["cnt"]), int(r["ca"]), int(r["cb"])))
+        score, a, b, cnt = best
+        merged = _wp_merged(a, b)
+        merges.append((a, b, merged,
+                       int(cnt), int(sym_c[a]), int(sym_c[b])))
         # checkpoint EVERY round: train_bpe amortizes folds across a
         # BATCH of merges, but this trainer is sequential — without a
         # per-round materialization each round's best-pair job walks
@@ -382,7 +403,7 @@ def train_wordpiece(docs: DataFrame, *, n_merges: int = 20,
         # symbol counts), which measured 3x slower at sf0.1. The
         # table is vocab-sized; 1 materialization/round is noise.
         symtab = _apply_merge_to(
-            symtab, r["a"], r["b"], merged).localCheckpoint(eager=True)
+            symtab, a, b, merged).localCheckpoint(eager=True)
     if stats is not None:
         stats["rounds"] = rounds
     return merges
