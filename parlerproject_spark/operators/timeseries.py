@@ -291,17 +291,24 @@ def theil_sen_trend(events: DataFrame, *, key_col: str = "user_id",
     reading drags an OLS slope arbitrarily far, but Theil–Sen
     tolerates ~29% contamination (breakdown point 1−1/√2).
 
-    Scale contract: the pair stage is a per-key equi-join, so its
-    volume is Σ n_k² — quadratic in the PER-KEY depth, never in the
-    corpus. That is the operator's honest cost (per-key history is
-    bounded by the retention window by contract; the same bound the
-    reference's per-user timelines carry), and every stage is keyed:
-    pair join → keyed median aggregate → broadcast slope re-join →
-    keyed median again. No windows, no global structures. Pairs with
-    identical timestamps are excluded on BOTH engines (no 0-division
-    slope); a key with NO valid pair (one event, or every event at
-    one instant) fits no line and produces NO output row — absence,
-    not nulls, mirrored by the oracle's inner joins.
+    Scale contract: pair volume is Σ n_k² — quadratic in the PER-KEY
+    depth, never in the corpus (per-key history is bounded by the
+    retention window by contract, and `max_per_key` hard-caps it).
+    The whole estimator is ONE keyed aggregation (r13): each key's
+    ≤ max_per_key points collect into an array and the pair slopes,
+    slope median, and residual-median intercept are JVM array
+    algebra inside that single groupBy — the previous shape
+    re-derived the subsample three times (pair self-join → keyed
+    median → residual re-join), 3 scans + 3 keyed exchanges for the
+    same answer. The explicit lower·0.5 + higher·0.5 interpolation
+    reproduces Spark's Percentile(0.5) (= F.median) bit-for-bit, and
+    slope (y_j−y_i)/(x_j−x_i) is sign-symmetric under IEEE rounding,
+    so unordered array pairs equal the old ordered x_b > x_a join
+    set. Pairs with identical timestamps are excluded on BOTH
+    engines (no 0-division slope); a key with NO valid pair (one
+    event, or every event at one instant) fits no line and produces
+    NO output row — absence, not nulls, mirrored by the oracle's
+    inner joins.
 
     The regressor is hours since 2024-01-01 (same centering as
     linear_trend) so cross-engine float parity survives the
@@ -339,28 +346,56 @@ def theil_sen_trend(events: DataFrame, *, key_col: str = "user_id",
     base = base.select(
         "__k", "__y",
         ((F.col("__us") / 1e6 - _TREND_EPOCH0) / 3600.0).alias("__x"))
-    a = base.select("__k", F.col("__x").alias("__xa"),
-                    F.col("__y").alias("__ya"))
-    b = base.select("__k", F.col("__x").alias("__xb"),
-                    F.col("__y").alias("__yb"))
-    pairs = (a.join(b, "__k")
-             .filter(F.col("__xb") > F.col("__xa"))
-             .select("__k", ((F.col("__yb") - F.col("__ya"))
-                             / (F.col("__xb") - F.col("__xa")))
-                     .alias("__s")))
-    slopes = (pairs.groupBy("__k")
-              .agg(F.median("__s").alias("__m"),
-                   F.count(F.lit(1)).alias("n_pairs")))
-    resid = (base.join(slopes, "__k")
-             .select("__k", "__m", "n_pairs",
-                     (F.col("__y") - F.col("__m") * F.col("__x"))
-                     .alias("__r")))
-    return (resid.groupBy("__k", "__m", "n_pairs")
-            .agg(F.median("__r").alias("__b"))
+    # ONE keyed aggregation does the whole estimator (r13): the old
+    # shape re-derived `base` three times (pair self-join, slope
+    # median, residual re-join) — 3 scans + 3 keyed exchanges of the
+    # same subsample. With max_per_key capping every key at N points,
+    # the per-key point set is an array of ≤ N (x, y) structs, so the
+    # pair slopes (≤ N(N−1)/2), their median, and the residual median
+    # are all JVM array algebra inside a single map-side-combinable
+    # collect_list groupBy. Slope (y_j−y_i)/(x_j−x_i) is sign-
+    # symmetric and IEEE division of negated args rounds identically,
+    # so unordered index pairs reproduce the old x_b>x_a pair set
+    # bit-for-bit; the explicit lower*0.5 + higher*0.5 interpolation
+    # below is exactly Spark's Percentile(0.5) (= F.median) formula,
+    # and pairs whose slope is NULL (null y) stay in n_pairs but drop
+    # from the median, matching F.count/F.median semantics.
+    pts = base.groupBy("__k").agg(
+        F.collect_list(F.struct("__x", "__y")).alias("__p"))
+    # equal-x (and null-x) partners are filtered OUT of the pair set
+    # before the slope projection — they must not count in n_pairs,
+    # exactly like the old strict x_b > x_a join filter; a null-y
+    # slope stays IN the array (counted, median-skipped) like the old
+    # count(1)/median pair.
+    slopes = F.expr("""
+        flatten(transform(__p, (a, i) ->
+          transform(filter(slice(__p, i + 2, size(__p) - i - 1),
+                           b -> b.__x <> a.__x),
+                    b -> (b.__y - a.__y) / (b.__x - a.__x))))""")
+    median_of = ("CASE WHEN size({s}) = 0 THEN CAST(NULL AS DOUBLE) "
+                 "WHEN size({s}) % 2 = 1 "
+                 "THEN element_at({s}, CAST((size({s}) + 1) div 2 AS INT)) "
+                 "ELSE element_at({s}, CAST(size({s}) div 2 AS INT)) * 0.5 "
+                 "   + element_at({s}, CAST(size({s}) div 2 + 1 AS INT)) * 0.5 "
+                 "END")
+    return (pts
+            .select("__k", "__p", slopes.alias("__sl"))
+            .filter(F.expr("size(__sl) > 0"))
+            .select("__k", "__p",
+                    F.expr("size(__sl)").cast("long").alias("n_pairs"),
+                    F.expr("array_sort(filter(__sl, s -> s IS NOT NULL))")
+                    .alias("__ss"))
+            .select("__k", "__p", "n_pairs",
+                    F.expr(median_of.format(s="__ss")).alias("__m"))
+            .select("__k", "n_pairs", "__m",
+                    F.expr("array_sort(filter(transform(__p, "
+                           "q -> q.__y - __m * q.__x), r -> r IS NOT NULL))")
+                    .alias("__rs"))
             .select(F.col("__k").alias(key_col),
-                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    F.col("n_pairs"),
                     F.round("__m", 6).alias("slope"),
-                    F.round("__b", 6).alias("intercept")))
+                    F.round(F.expr(median_of.format(s="__rs")), 6)
+                    .alias("intercept")))
 
 
 def autocorrelation(events: DataFrame, *, key_col: str = "user_id",
