@@ -13906,9 +13906,18 @@ def rag_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("vec_id").alias("ck"),
                      F.row_number().over(dw).cast("long").alias("rank"),
                      F.lit("dense").alias("system")))
+    # The 20-row fused table feeds TWO consumers (the chunk join below
+    # and, through it, the citation-support leg) and Spark shares no
+    # subplans across them — without a stage boundary BOTH retrieval
+    # legs (bm25 windows + exchanges, dense cosine top-k) run twice
+    # (r13 plan read: the op-33..61 ranking cascade appeared verbatim
+    # twice). localCheckpoint(eager=False) materializes the 20 rows on
+    # first action and every consumer reads that one copy — the
+    # pretraining_corpus_pipeline stage-boundary idiom.
     top = (rrf_fuse(lex.unionByName(dense), k=60, id_col="ck", top_k=20)
            .select(F.col("doc_id").alias("ck"), "n_systems",
-                   "rrf_score", "rank"))
+                   "rrf_score", "rank")
+           .localCheckpoint(eager=False))
     cited = chunks.join(F.broadcast(top), "ck")
     sent = (docs.select("doc_id", F.col("text").alias("__src"))
             .join(F.broadcast(cited.select("ck", "doc_id", "chunk_text")),
