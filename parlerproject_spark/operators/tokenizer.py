@@ -85,6 +85,43 @@ def _apply_merge(symtab: DataFrame, a: str, b: str) -> DataFrame:
     return symtab.withColumn("syms", merged)
 
 
+def _apply_merges_arrow(symtab: DataFrame,
+                        merges: "list[tuple[str, str, str]]") -> DataFrame:
+    """Apply an ORDERED merge list [(a, b, merged), ...] to every
+    symbol array in one Arrow pass — merge i fully rewrites the array
+    (greedy left-to-right, exactly `_apply_merge`'s fold) before
+    merge i+1 sees it, so the composition is bit-identical to
+    chaining len(merges) interpreted JVM folds. One narrow
+    mapInPandas node replaces that fold chain: a training ROUND's
+    whole batch applies in one pass over the vocab table instead of
+    one interpreted fold per merge plus a mid-round checkpoint every
+    few folds to bound codegen depth (guide §4.2: batch work in
+    Python crossing the boundary once beats per-element interpreted
+    JVM expression trees; symbols here are ASCII [a-z0-9]+ pieces, so
+    Python/UTF8 string equality agree trivially)."""
+    schema = symtab.schema
+
+    def app(it):
+        for pdf in it:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                for a, b, m in merges:
+                    acc: list[str] = []
+                    for s in syms:
+                        if acc and acc[-1] == a and s == b:
+                            acc[-1] = m
+                        else:
+                            acc.append(s)
+                    syms = acc
+                out.append(syms)
+            pdf = pdf.copy()
+            pdf["syms"] = out
+            yield pdf
+
+    return symtab.mapInPandas(app, schema)
+
+
 def train_bpe(docs: DataFrame, *, n_merges: int = 50,
               text_col: str = "text", batch: int = 16,
               stats: dict | None = None) -> list[tuple[str, str]]:
@@ -112,17 +149,24 @@ def train_bpe(docs: DataFrame, *, n_merges: int = 50,
     sequential vocab-table jobs — r4 verdict's one genuine scale
     weak spot): rounds now scale with count-distribution flatness,
     not vocabulary size, and each round is still one vocab-sized
-    aggregation. The symbol table is localCheckpoint()ed every few
-    applied merges to stop the fold lineage compounding (same trap
-    and cure as dedup.duplicate_clusters). Stops when no pair
+    aggregation. Each round runs exactly ONE Spark job: the batch's
+    merges apply in a single Arrow pass (`_apply_merges_arrow` —
+    sequential greedy semantics preserved) behind a LAZY
+    localCheckpoint, so the next round's pair-count collect both
+    materializes the rewritten table (truncating the fold lineage —
+    same trap and cure as dedup.duplicate_clusters) and aggregates
+    it. The r12 shape ran the collect plus 1 checkpoint job per ~4
+    applied merges (one interpreted JVM fold each); fusing them
+    measured ~8 rounds × 2-4 jobs → 8 rounds × 1 job at sf0.1 with
+    an identical merge sequence. A final round whose applies no
+    consumer reads is never computed at all. Stops when no pair
     occurs more than once (nothing left to compress). Pass `stats`
     to receive {"rounds": <pair-count jobs run>}.
     """
     symtab = _initial_symbols(word_freq_table(docs, text_col=text_col))
-    symtab = symtab.localCheckpoint(eager=True)
+    symtab = symtab.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     rounds = 0
-    applied_since_ckpt = 0
     scan = max(batch * 4, 16)
     while len(merges) < n_merges:
         top = (_pair_counts(symtab)
@@ -157,15 +201,10 @@ def train_bpe(docs: DataFrame, *, n_merges: int = 50,
         if not sel:
             # flat-tie head: single argmax is always exact
             sel = [(prefix[0][0], prefix[0][1])]
-        for a, b in sel:
-            merges.append((a, b))
-            symtab = _apply_merge(symtab, a, b)
-            applied_since_ckpt += 1
-            # bounded nested-fold depth (and per-round codegen cost);
-            # the materialized table is vocab-sized either way
-            if applied_since_ckpt >= 4:
-                symtab = symtab.localCheckpoint(eager=True)
-                applied_since_ckpt = 0
+        merges.extend(sel)
+        symtab = _apply_merges_arrow(
+            symtab, [(a, b, a + b) for a, b in sel]
+        ).localCheckpoint(eager=False)
     if stats is not None:
         stats["rounds"] = rounds
     return merges
@@ -356,7 +395,7 @@ def train_wordpiece(docs: DataFrame, *, n_merges: int = 20,
     (score DESC, a ASC, b ASC) tie-break).
     """
     symtab = _wp_initial_symbols(word_freq_table(docs, text_col=text_col))
-    symtab = symtab.localCheckpoint(eager=True)
+    symtab = symtab.localCheckpoint(eager=False)
     merges: list[tuple[str, str, str, int, int, int]] = []
     rounds = 0
     # pair rows: struct(a, b) for every adjacent pair; symbol rows:
@@ -402,8 +441,13 @@ def train_wordpiece(docs: DataFrame, *, n_merges: int = 20,
         # the accumulated interpreted folds TWICE (pair counts +
         # symbol counts), which measured 3x slower at sf0.1. The
         # table is vocab-sized; 1 materialization/round is noise.
+        # LAZY checkpoint (r13): the NEXT round's collect is the
+        # first action, so one job materializes the applied table
+        # and aggregates it — the eager form was 2 jobs/round, and
+        # the final round's apply (which no consumer reads) ran for
+        # nothing.
         symtab = _apply_merge_to(
-            symtab, a, b, merged).localCheckpoint(eager=True)
+            symtab, a, b, merged).localCheckpoint(eager=False)
     if stats is not None:
         stats["rounds"] = rounds
     return merges

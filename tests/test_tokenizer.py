@@ -258,3 +258,36 @@ def test_wordpiece_encode_matches_reference_on_corpus(spark):
         assert out[i]["n_words"] == len(words)
         assert out[i]["n_pieces"] == sum(p for p, _ in want)
         assert out[i]["n_unk"] == sum(u for _, u in want)
+
+
+def test_apply_merges_arrow_equals_chained_jvm_folds(spark):
+    """The round-13 batched Arrow apply must compose merges exactly
+    like the sequential JVM fold chain it replaced — including the
+    in-batch cascade corner where merge i creates the adjacency a
+    LATER merge of the same batch then consumes ('c'+'ab' exists
+    only after ('a','b') fused), and the non-corner where an EARLIER
+    merge would have consumed it (already-applied merges never
+    re-run)."""
+    from parlerproject_spark.operators.tokenizer import (
+        _apply_merge, _apply_merges_arrow)
+    rows = [
+        ("caba", 1, ["c", "a", "b", "a"]),
+        ("aab", 2, ["a", "a", "b"]),
+        ("abab", 3, ["a", "b", "a", "b"]),
+        ("cab", 4, ["c", "a", "b"]),
+        ("bc", 5, ["b", "c"]),
+    ]
+    st = spark.createDataFrame(rows, "word string, n long, syms array<string>")
+    batches = [
+        [("a", "b"), ("c", "ab")],   # cascade: 2nd consumes 1st's output
+        [("c", "ab"), ("a", "b")],   # reversed: no cascade possible
+        [("a", "b"), ("b", "c")],
+    ]
+    for batch in batches:
+        want = st
+        for a, b in batch:
+            want = _apply_merge(want, a, b)
+        got = _apply_merges_arrow(st, [(a, b, a + b) for a, b in batch])
+        w = {r["word"]: list(r["syms"]) for r in want.collect()}
+        g = {r["word"]: list(r["syms"]) for r in got.collect()}
+        assert g == w, (batch, g, w)
