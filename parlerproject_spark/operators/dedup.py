@@ -777,6 +777,68 @@ def _pair_cosine_scorer(threshold: float):
     return score
 
 
+def _bcast_cosine_scorer(ids_b, vecs_b, threshold: float, *,
+                         upper: bool):
+    """mapInPandas scorer for the EXACT (bounded-side) pair modes:
+    the partner side rides as a driver-collected (ids, matrix) pair
+    inside the task closure instead of being exploded into |A|×|B|
+    wide join rows — the old pair join shipped BOTH dim-width vectors
+    across the Python boundary PER PAIR (n²·2·dim·8 bytes of Arrow
+    traffic; 6.4 GB at a 2 500×2 500 sf0.1 mining query), where this
+    form ships each distributed row once and the bounded matrix once
+    per task (guide §2.3 "shuffle keys and metadata instead of
+    payloads" applied to the Python boundary; §8's broadcast-the-plan
+    attach). Arithmetic is BIT-IDENTICAL to `_pair_cosine_scorer`:
+    per row a, (va * M).sum(axis=1) performs the same elementwise
+    product and the same contiguous pairwise reduction per partner
+    row as the pair-batch (A * B).sum(axis=1), norms come from the
+    same np.linalg.norm(·, axis=1) 2-D reduction on both sides, and
+    the HALF_UP 6-dp rounding is copied verbatim.
+
+    upper=True emits only id_a < id_b (near-dup convention, partner
+    ids strictly greater); upper=False emits the full cross product
+    (margin mining's src × tgt). Input rows: (id, vec); output:
+    (id_a, id_b, sim) with sim >= threshold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    M = np.array([list(v) for v in vecs_b], dtype=np.float64)
+    ids_arr = np.array(ids_b)
+    norm_b = np.linalg.norm(M, axis=1) if len(M) else np.zeros(0)
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0 or len(ids_arr) == 0:
+                continue
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            na = np.linalg.norm(A, axis=1)
+            out_a, out_b, out_s = [], [], []
+            for i, id_a in enumerate(pdf["id_a"].values):
+                mask = ids_arr > id_a if upper else slice(None)
+                Mi, bi, nbi = M[mask], ids_arr[mask], norm_b[mask]
+                if len(bi) == 0:
+                    continue
+                num = (A[i] * Mi).sum(axis=1)
+                den = na[i] * nbi
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    raw = np.where(den > 0, num / den, np.nan)
+                    sim = np.where(raw >= 0,
+                                   np.floor(raw * 1e6 + 0.5),
+                                   np.ceil(raw * 1e6 - 0.5)) / 1e6
+                keep = sim >= threshold
+                if keep.any():
+                    out_a.append(np.full(keep.sum(), id_a))
+                    out_b.append(bi[keep])
+                    out_s.append(sim[keep])
+            if out_a:
+                yield pd.DataFrame({"id_a": np.concatenate(out_a),
+                                    "id_b": np.concatenate(out_b),
+                                    "sim": np.concatenate(out_s)})
+
+    return score
+
+
 def embedding_near_dups(vectors: DataFrame, *, threshold: float,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         mode: str = "exact", num_planes: int = 6,
@@ -814,11 +876,19 @@ def embedding_near_dups(vectors: DataFrame, *, threshold: float,
         # the engine's documented hotspot shape; measured 3× at a
         # 125k-pair sample). impl="expr" keeps the pure-JVM fold.
         if impl == "arrow":
-            pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
-                     .select("id_a", "va", "id_b", "vb"))
+            # r13: the partner side is driver-collected (exact mode's
+            # documented bounded-inputs contract) and rides the task
+            # closure as a matrix — each vector crosses the Python
+            # boundary ONCE instead of once per pair; the |pairs|-row
+            # nested-loop join of 2·dim-wide rows disappears from the
+            # plan. Bit-identical scoring (see _bcast_cosine_scorer).
+            from parlerproject_spark.operators.layout import spread_input
+            rows = vectors.select(id_col, vec_col).collect()
             id_t = vectors.schema[id_col].dataType.simpleString()
-            return pairs.mapInPandas(
-                _pair_cosine_scorer(threshold),
+            return spread_input(a).mapInPandas(
+                _bcast_cosine_scorer([r[0] for r in rows],
+                                     [r[1] for r in rows],
+                                     threshold, upper=True),
                 f"id_a {id_t}, id_b {id_t}, sim double")
         # norms are per-ROW quantities — compute n once per vector
         # before the join instead of twice per pair (the all-pairs

@@ -893,10 +893,28 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
     a = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = tgt.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     id_t = src.schema[id_col].dataType.simpleString()
+    pairs = None
     if mode == "exact":
-        # spread FIRST: the |src|×|tgt| blow-up must not run inside
-        # the scan's few input splits
-        pairs = spread_input(a).join(F.broadcast(b))
+        # r13: the tgt side is driver-collected (exact mode's bounded-
+        # sides contract — it was already F.broadcast()) and rides the
+        # scorer's task closure as a matrix, so each tgt vector crosses
+        # the Python boundary once per task instead of once per PAIR:
+        # the |src|×|tgt| nested-loop join of 2·dim-wide rows (6.4 GB
+        # of Arrow traffic at sf0.1's 2 500×2 500 halves) disappears.
+        # Scoring is bit-identical (_bcast_cosine_scorer); spread FIRST
+        # so the per-src-row cross scoring parallelizes beyond the
+        # scan's few input splits. impl="expr" keeps the join form.
+        if impl == "arrow":
+            from parlerproject_spark.operators.dedup import (
+                _bcast_cosine_scorer)
+            rows = b.collect()
+            sims = spread_input(a).mapInPandas(
+                _bcast_cosine_scorer([r["id_b"] for r in rows],
+                                     [r["vb"] for r in rows],
+                                     -2.0, upper=False),
+                schema=f"id_a {id_t}, id_b {id_t}, sim double")
+        else:
+            pairs = spread_input(a).join(F.broadcast(b))
     elif mode == "lsh":
         if dim is None:
             raise ValueError("lsh mode requires dim=")
@@ -922,11 +940,11 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
                  .select("id_a", "va", "id_b", "vb"))
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    if impl == "arrow":
+    if pairs is not None and impl == "arrow":
         sims = pairs.select("id_a", "va", "id_b", "vb").mapInPandas(
             _pair_cosine_scorer(-2.0),
             schema=f"id_a {id_t}, id_b {id_t}, sim double")
-    else:
+    elif pairs is not None:
         sims = pairs.select(
             "id_a", "id_b",
             (F.round(cosine("va", "vb"), 6) + F.lit(0.0)).alias("sim"))
