@@ -363,8 +363,11 @@ def label_propagation(edges: DataFrame, *, iters: int = 3) -> DataFrame:
                                         .alias("neg"))).alias("label"))
                   # cut the lineage each round (mirrors bfs_distances):
                   # the labels frame is node-sized, and without the cut
-                  # round k's plan re-analyzes k nested join+agg layers
-                  .localCheckpoint(eager=True))
+                  # round k's plan re-analyzes k nested join+agg layers.
+                  # LAZY (r13): no probe between rounds — the consumer
+                  # action materializes the chain, saving one driver-
+                  # synchronized job per round.
+                  .localCheckpoint(eager=False))
     return labels.select("node", "label")
 
 
@@ -413,8 +416,10 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, *,
         # each round's frontier/visited feed the next round's join
         # twice (expand + anti); localCheckpoint truncates the
         # re-executed lineage exactly like pagerank's per-iteration
-        # barrier
-        nxt = nxt.localCheckpoint(eager=True)
+        # barrier. LAZY (r13): nothing probes between hops, so the
+        # consumer's single action materializes the hop chain in
+        # order — no per-hop driver-synchronized checkpoint job.
+        nxt = nxt.localCheckpoint(eager=False)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
@@ -442,6 +447,12 @@ def k_core(edges: DataFrame, *, k: int, max_iter: int = 20) -> DataFrame:
     """
     und = undirected_edges(edges).localCheckpoint(eager=True)
     cur = und
+    # edge counts are monotone non-increasing; each round's count is
+    # the next round's "before" count, so ONE count job per round
+    # (which also materializes the round's lazy checkpoint) replaces
+    # the r12 shape of checkpoint job + cur.count() + nxt.count() —
+    # 3 driver-synchronized jobs per peel (guide §1.3)
+    n_cur = cur.count()
     for _ in range(max_iter):
         deg = (cur.select(F.col("a").alias("v"))
                .unionByName(cur.select(F.col("b").alias("v")))
@@ -449,10 +460,11 @@ def k_core(edges: DataFrame, *, k: int, max_iter: int = 20) -> DataFrame:
         keep = deg.filter(F.col("d") >= k).select("v")
         nxt = (cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
                .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
-               .localCheckpoint(eager=True))
-        n_cur, n_nxt = cur.count(), nxt.count()
-        cur = nxt
-        if n_nxt == n_cur:
+               .localCheckpoint(eager=False))
+        n_nxt = nxt.count()
+        converged = n_nxt == n_cur
+        n_cur, cur = n_nxt, nxt
+        if converged:
             final = (cur.select(F.col("a").alias("vertex"))
                      .unionByName(cur.select(F.col("b").alias("vertex")))
                      .groupBy("vertex")

@@ -96,11 +96,15 @@ def bradley_terry(comparisons: DataFrame, *,
                .select(F.col("i").alias("item"),
                        (F.col("__W") / F.col("__D")).alias("__r")))
         norm = raw.agg((F.count(F.lit(1)) / F.sum("__r")).alias("__z"))
+        # LAZY checkpoint (r13): nothing probes between MM updates,
+        # so the consumer's single action materializes the iteration
+        # chain in order — the eager form cost one driver-
+        # synchronized job per update for the same bounded table.
         p = (raw.crossJoin(F.broadcast(norm))
              .select("item",
                      F.round(F.col("__r") * F.col("__z"), round_c)
                      .alias("p"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     obs_w = (comparisons.groupBy(F.col(winner_col).alias("item"))
              .agg(F.count(F.lit(1)).alias("__ow")))
     obs_l = (comparisons.groupBy(F.col(loser_col).alias("item"))

@@ -816,9 +816,13 @@ def doremi_weights(domain_losses: DataFrame, *, domain_col: str = "domain",
                    - F.col(ref_col).cast("double"),
                    F.lit(0.0)).alias("__e")))
     kf = base.agg(F.count(F.lit(1)).cast("double").alias("__k"))
+    # LAZY checkpoints (r13): the chain still truncates lineage per
+    # round, but nothing probes between rounds, so the consumer's one
+    # action materializes the domain-sized tables in order instead of
+    # paying one driver-synchronized job per round.
     w = (base.crossJoin(F.broadcast(kf))
          .select("__d", "__e", "__k", (1.0 / F.col("__k")).alias("__w"))
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     for _ in range(n_rounds):
         up = w.withColumn("__w1", F.col("__w")
                           * F.exp(F.lit(float(eta)) * F.col("__e")))
@@ -828,7 +832,7 @@ def doremi_weights(domain_losses: DataFrame, *, domain_col: str = "domain",
                      F.round((1.0 - smoothing) * F.col("__w1") / F.col("__z")
                              + F.lit(float(smoothing)) / F.col("__k"),
                              round_c).alias("__w"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     return w.select(F.col("__d").alias(domain_col),
                     F.round("__e", round_c).alias("excess"),
                     F.col("__w").alias("weight"))

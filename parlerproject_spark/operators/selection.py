@@ -271,15 +271,20 @@ def logreg_quality_classifier(docs: DataFrame, *, id_col: str = "doc_id",
              # one shuffle for the whole training loop: every
              # iteration's margin AND gradient pass re-reads this
              # materialization instead of re-running the tokenize →
-             # hash → normalize cascade (2·n_iters+1 consumers)
-             .localCheckpoint(eager=True))
+             # hash → normalize cascade (2·n_iters+1 consumers).
+             # LAZY (r13): the labels.count() below is the loop's
+             # only required driver sync; every other checkpoint
+             # materializes inside the job that first reads it, so
+             # the whole fit is ONE driver-visible action chain
+             # instead of 3 + n_iters eager checkpoint jobs.
+             .localCheckpoint(eager=False))
     labels = (docs.select(F.col(id_col).alias("doc_id"),
                           F.col(label_col).cast("double").alias("y"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     n_docs = float(labels.count())
     weights = (feats.select("j").distinct()
                .select("j", F.lit(0.0).alias("wt"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     for _ in range(n_iters):
         margins = (feats.join(F.broadcast(weights), "j")
                    .groupBy("doc_id")
@@ -298,7 +303,7 @@ def logreg_quality_classifier(docs: DataFrame, *, id_col: str = "doc_id",
                    .select("j", (F.col("wt")
                                  - lr * F.coalesce(F.col("g"), F.lit(0.0)))
                            .alias("wt"))
-                   .localCheckpoint(eager=True))
+                   .localCheckpoint(eager=False))
     margins = (feats.join(F.broadcast(weights), "j")
                .groupBy("doc_id")
                .agg(F.sum(F.col("x") * F.col("wt")).alias("m")))

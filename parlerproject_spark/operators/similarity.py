@@ -813,42 +813,43 @@ def mmr_rerank(vectors: DataFrame, query: DataFrame, *,
              .filter(F.col("ia") != F.col("ib"))
              .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
              .persist())
+    # greedy selection holds ONE ROW per step — collect it and carry
+    # the selected-id list as a literal isin() predicate (r13). The
+    # r12 form kept each pick as a checkpointed 1-row DataFrame and
+    # re-joined `sel` twice per step, which cost a checkpoint job
+    # plus two broadcast builds per pick; a k_select-row driver list
+    # is model-sized by construction (the duplicate_clusters /
+    # lloyd_centroids bounded-collect contract), and each step is
+    # now exactly one collect over the persisted candidate
+    # relations. Plan equality: isin(sel_ids) selects the same rows
+    # the anti-join/semi-join pair did; ordering, rounding and
+    # tie-breaks are unchanged, so the greedy path is identical.
     first = (cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
-             .limit(1)
-             .select(F.lit(1).cast("long").alias("rank"), "vec_id", "rel",
-                     F.col("rel").alias("mmr_score")))
-    picks = [first]
-    sel = first.select("vec_id")
+             .limit(1).collect()[0])
+    picks = [(1, first["vec_id"], float(first["rel"]),
+              float(first["rel"]))]
+    sel_ids = [first["vec_id"]]
     for t in range(2, k_select + 1):
-        scored = (cand.join(F.broadcast(sel), "vec_id", "left_anti")
+        scored = (cand.filter(~F.col("vec_id").isin(sel_ids))
                   .join(pairs, F.col("vec_id") == F.col("ia"))
-                  .join(F.broadcast(sel.withColumnRenamed("vec_id", "ib")),
-                        "ib")
+                  .filter(F.col("ib").isin(sel_ids))
                   .groupBy("vec_id", "rel")
                   .agg(F.max("s").alias("ms"))
                   .withColumn("mmr_score",
                               F.round(F.lit(lam) * F.col("rel")
                                       - F.lit(1.0 - lam) * F.col("ms"), 6)))
-        pick = (scored.orderBy(F.col("mmr_score").desc(),
+        rows = (scored.orderBy(F.col("mmr_score").desc(),
                                F.col("vec_id").asc())
-                .limit(1)
-                .select(F.lit(t).cast("long").alias("rank"), "vec_id",
-                        "rel", "mmr_score")
-                # eager lineage cut: `sel` appears TWICE in every
-                # scored_t (anti-join + max-sim join), so without
-                # truncation the logical plan doubles per pick —
-                # 2^k analysis blow-up (measured 7 s of pure
-                # planning at k=5). Each checkpointed pick is ONE
-                # row; the greedy loop is k bounded micro-jobs over
-                # the persisted candidate relations, the same
-                # iterative-operator contract as duplicate_clusters.
-                .localCheckpoint(eager=True))
-        picks.append(pick)
-        sel = sel.unionByName(pick.select("vec_id"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+                .limit(1).collect())
+        if not rows:
+            break
+        r = rows[0]
+        picks.append((t, r["vec_id"], float(r["rel"]),
+                      float(r["mmr_score"])))
+        sel_ids.append(r["vec_id"])
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    return vectors.sparkSession.createDataFrame(
+        picks, f"rank long, vec_id {id_t}, rel double, mmr_score double")
 
 
 def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
