@@ -386,6 +386,36 @@ def _cross_round_medians(repo_dir: str) -> dict[str, float]:
     return {n: round(_median(v), 3) for n, v in per_q.items() if v}
 
 
+def _printed_line(headline: dict, timings: dict, flagged: dict,
+                  limit: int = 1900) -> str:
+    """The one printed JSON line, hard-capped at `limit` chars so the
+    driver's bounded tail capture always holds it whole.
+
+    The flagged (regression-decidability) diagnostic must SURVIVE the
+    guard in some form — r13 had 30 flagged queries (host steal) and
+    the full dict was popped at exactly the moment it was needed
+    (VERDICT r13 item 1). Degrade stepwise: full dict ->
+    {name: ratio-vs-history} -> {count, max_ratio} (always fits) ->
+    finally drop the per-query map itself."""
+    headline = dict(headline)
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > limit and flagged:
+        headline["flagged"] = {
+            n: round(timings[n] / v["hist_median"], 2)
+            for n, v in flagged.items()}
+        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > limit and flagged:
+        worst = max(
+            timings[n] / v["hist_median"] for n, v in flagged.items())
+        headline["flagged"] = {"count": len(flagged),
+                               "max_ratio": round(worst, 2)}
+        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > limit:
+        headline.pop("queries", None)
+        line = json.dumps(headline, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # median-of-5: this host shows intermittent multi-second
@@ -533,25 +563,23 @@ def main() -> None:
     if flagged:
         headline["flagged"] = flagged
 
-    # Full detail (per-run samples, spread, shuffle counts, per-query
-    # extras) to a sidecar file.
+    # Full detail (per-run samples, spread, min-of-runs, shuffle
+    # counts, per-query extras) to a sidecar file. min-of-runs sits
+    # next to the median so a steal-inflated round is adjudicable
+    # from the artifact: the MIN of n runs is the host's best window
+    # and barely moves under intermittent steal, while the median
+    # absorbs it (VERDICT r13 item 1).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    min_runs = {n: min(per) for n, per in runs.items() if per}
     with open(detail_path, "w") as fh:
         json.dump({**headline, "extra": extra, "n_runs": n_runs,
-                   "runs": runs, "spread": spread, "shuffles": shuffles,
+                   "runs": runs, "spread": spread, "min": min_runs,
+                   "shuffles": shuffles,
                    "steal": steal, "errors": errors}, fh, indent=1)
 
     # The compact headline line, printed LAST.
-    line = json.dumps(headline, separators=(",", ":"))
-    # Hard guard: never print a line the driver can't capture whole.
-    if len(line) > 1900:
-        headline.pop("flagged", None)
-        line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1900:
-        headline.pop("queries", None)
-        line = json.dumps(headline, separators=(",", ":"))
-    print(line)
+    print(_printed_line(headline, timings, flagged))
 
 
 if __name__ == "__main__":

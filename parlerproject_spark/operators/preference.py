@@ -28,7 +28,7 @@ replays the fit exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,15 +95,21 @@ def bradley_terry(comparisons: DataFrame, *,
         raw = (wtot.join(den, "i")
                .select(F.col("i").alias("item"),
                        (F.col("__W") / F.col("__D")).alias("__r")))
-        norm = raw.agg((F.count(F.lit(1)) / F.sum("__r")).alias("__z"))
+        # r14: the mean-1 renormalization scalar rides a GLOBAL
+        # window over the raw update instead of a separate
+        # agg + crossJoin(broadcast) — the broadcast build was one
+        # extra driver-synchronized job PER MM update (the r13
+        # verdict's last 2-jobs/round trainer). The single-partition
+        # window is safe here by the same bounded-model contract as
+        # the strength table itself (items, not rows, bound it).
+        w_all = Window.partitionBy()
+        z = F.count(F.lit(1)).over(w_all) / F.sum("__r").over(w_all)
         # LAZY checkpoint (r13): nothing probes between MM updates,
         # so the consumer's single action materializes the iteration
         # chain in order — the eager form cost one driver-
         # synchronized job per update for the same bounded table.
-        p = (raw.crossJoin(F.broadcast(norm))
-             .select("item",
-                     F.round(F.col("__r") * F.col("__z"), round_c)
-                     .alias("p"))
+        p = (raw.select("item",
+                        F.round(F.col("__r") * z, round_c).alias("p"))
              .localCheckpoint(eager=False))
     obs_w = (comparisons.groupBy(F.col(winner_col).alias("item"))
              .agg(F.count(F.lit(1)).alias("__ow")))

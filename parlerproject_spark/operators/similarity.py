@@ -896,10 +896,11 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
     id_t = src.schema[id_col].dataType.simpleString()
     pairs = None
     if mode == "exact":
-        # r13: the tgt side is driver-collected (exact mode's bounded-
-        # sides contract — it was already F.broadcast()) and rides the
-        # scorer's task closure as a matrix, so each tgt vector crosses
-        # the Python boundary once per task instead of once per PAIR:
+        # r13/r14: the tgt side is driver-collected (exact mode's
+        # bounded-sides contract, cap-enforced — it was already
+        # F.broadcast()) and ships via sc.broadcast as a matrix, so
+        # each tgt vector crosses the Python boundary once per
+        # executor instead of once per PAIR:
         # the |src|×|tgt| nested-loop join of 2·dim-wide rows (6.4 GB
         # of Arrow traffic at sf0.1's 2 500×2 500 halves) disappears.
         # Scoring is bit-identical (_bcast_cosine_scorer); spread FIRST
@@ -907,12 +908,12 @@ def margin_pair_mining(src: DataFrame, tgt: DataFrame, *, k: int = 4,
         # scan's few input splits. impl="expr" keeps the join form.
         if impl == "arrow":
             from parlerproject_spark.operators.dedup import (
-                _bcast_cosine_scorer)
-            rows = b.collect()
+                _bcast_cosine_scorer, _bcast_partner_matrix,
+                _collect_bounded_partners)
+            ids_b, vecs_b = _collect_bounded_partners(b, "id_b", "vb")
+            bc = _bcast_partner_matrix(tgt.sparkSession, ids_b, vecs_b)
             sims = spread_input(a).mapInPandas(
-                _bcast_cosine_scorer([r["id_b"] for r in rows],
-                                     [r["vb"] for r in rows],
-                                     -2.0, upper=False),
+                _bcast_cosine_scorer(bc, -2.0, upper=False),
                 schema=f"id_a {id_t}, id_b {id_t}, sim double")
         else:
             pairs = spread_input(a).join(F.broadcast(b))

@@ -857,6 +857,35 @@ def test_sidecar_falls_back_when_archive_dir_readonly(tmp_path):
         os.chmod(ro, 0o755)
 
 
+def test_sidecar_opt_out_writes_and_reads_nothing(tmp_path):
+    """`indexSidecar=false` is the cross-run persistence opt-out
+    (VERDICT r13 item 9): no .gidx is written, and an existing one
+    left by an earlier indexed scan is ignored — every scan pays the
+    full stream, nothing persists across processes."""
+    import os
+
+    from parlerproject_spark.sources import archives
+
+    path, truth = _flushy_tar_gz(tmp_path, n_members=30)
+    reader = archives.TarMembersReader(
+        {"path": path, "indexSidecar": "false"})
+    parts = reader.partitions()
+    assert not os.path.exists(path + ".gidx"), "opt-out must not write"
+    # plant a poisoned sidecar: an opted-out reader must not open it
+    # (a reader WITHOUT the opt-out would trust it and fail)
+    archives.write_archive_index(path, [("bogus.bin", 1, 2)], [])
+    parts2 = archives.TarMembersReader(
+        {"path": path, "indexSidecar": "false"}).partitions()
+    flat = sorted(m[0] for p in parts2 for m in p.members)
+    assert flat == sorted(truth) and \
+        sorted(m[0] for p in parts for m in p.members) == flat
+    got = {}
+    for p in parts2:
+        for name, body, size in archives._read_members_indexed(p):
+            got[name] = body
+    assert got == truth
+
+
 def test_sidecar_shared_across_suffix_filters(tmp_path, monkeypatch):
     """The sidecar stores the FULL member catalog, so a scan with a
     different suffix filter reuses it instead of re-streaming."""
