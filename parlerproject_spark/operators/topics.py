@@ -54,7 +54,8 @@ def unit_rows(centroids: list[list[float]]) -> list[list[float]]:
 
 def _assign(vectors: DataFrame, centroids: list[list[float]], *,
             id_col: str, vec_col: str, impl: str = "arrow",
-            outlier_threshold: float | None = None) -> DataFrame:
+            outlier_threshold: float | None = None,
+            keep_topics: list[int] | None = None) -> DataFrame:
     """Nearest-centroid (cosine) assignment — a pure map either way
     (no join, no shuffle); argmax ties break to the lowest cell
     index in both implementations.
@@ -74,12 +75,21 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], *,
     of BERTopic/HDBSCAN's outlier topic (bertopicTest.py:56-61
     reports outliers as first-class; reduce_outliers below maps them
     back). Zero-norm vectors are always outliers under a threshold
-    (cosine undefined)."""
+    (cosine undefined).
+
+    `keep_topics`: when set (arrow impl), rows whose argmax topic is
+    NOT in the list are dropped INSIDE the Python pass — the IVF
+    probe filter fused into the assignment map (guide §4: pass only
+    the rows the consumer needs back across the Arrow boundary;
+    ~(1 - nprobe/num_cells) of the corpus never re-crosses it).
+    Identical to filtering the returned `topic` column afterwards."""
     if impl == "arrow":
         import numpy as np
         import pandas as pd
 
         C = np.array(unit_rows(centroids), dtype=np.float64)
+        keep = (np.array(sorted(keep_topics), dtype=np.int32)
+                if keep_topics is not None else None)
         fields = {f.name: f.dataType.simpleString()
                   for f in vectors.schema.fields}
         out_schema = (f"{id_col} {fields[id_col]}, "
@@ -99,9 +109,12 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], *,
                         cos = np.where(vn > 0, best / vn, -np.inf)
                     topic = np.where(cos < outlier_threshold,
                                      np.int32(-1), topic).astype(np.int32)
-                yield pd.DataFrame({id_col: pdf[id_col].values,
+                out = pd.DataFrame({id_col: pdf[id_col].values,
                                     vec_col: pdf[vec_col].values,
                                     "topic": topic})
+                if keep is not None:
+                    out = out[np.isin(topic, keep)]
+                yield out
 
         return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
