@@ -661,9 +661,18 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """32-bit SimHash fingerprint per document.
 
-    Sign-vote per bit over token hashes: explode tokens once, explode
-    bit positions (32×), sum votes, reassemble. The 32× row blowup is
-    intra-stage (no extra shuffle beyond the groupBy).
+    Sign-vote per bit over token hashes, all `bits` votes in ONE
+    groupBy(doc_id) pass: per bit b an independent conditional-sum
+    aggregate counts Σ±1 over the doc's token hashes, and the
+    fingerprint reassembles as a projection Σ (v_b > 0) << b. The
+    historical formulation exploded every token row `bits`× into
+    (doc, bit) vote rows and aggregated on the (doc, bit) key — a
+    bits-fold intra-stage row blowup plus a second keyed aggregation,
+    for what per-bit integer sums express in a single map-side-
+    combinable pass (guide §2.3 aggregate-before-you-shuffle: the
+    shuffle now carries one `bits`-column row per doc per map
+    partition instead of `bits` rows). Vote sums are exact integers,
+    so the fingerprint is bit-identical to the exploded form.
     Columns: doc_id, simhash (bigint).
     """
     if bits > 60:
@@ -677,16 +686,19 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     toks = (docs.select(F.col(id_col).alias("doc_id"),
                         F.explode(tokenize(text_col)).alias("term"))
             .select("doc_id", base_hash(F.col("term")).alias("th")))
-    votes = (toks.select("doc_id", "th",
-                         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
-             .withColumn("vote", F.when(F.expr("shiftright(th, cast(bit as int)) & 1") == 1, 1)
-                                  .otherwise(-1))
-             .groupBy("doc_id", "bit").agg(F.sum("vote").alias("v")))
-    return (votes.withColumn("bitval",
-                             F.when(F.col("v") > 0,
-                                    F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
-                             .otherwise(F.lit(0).cast("bigint")))
-            .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+    vote_aggs = [
+        F.sum(F.when(F.expr(f"shiftright(th, {b}) & 1") == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy("doc_id").agg(*vote_aggs)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0,
+                     F.lit(1 << b).cast("bigint")) \
+               .otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",

@@ -1567,9 +1567,15 @@ def token_f1_pairs(cand: DataFrame, ref: DataFrame, *,
     def bag_counts(df, side):
         ws = F.slice(tokenize(text_col), 1, max_tokens)
         ws = F.filter(ws, lambda t: ~t.isin(*_SQUAD_ARTICLES))
+        # project the bag once: size() and explode_outer() both
+        # consume it, and two references to the raw expression
+        # tokenize the text twice per row (r14; the double-use keeps
+        # CollapseProject from inlining the projected attribute back)
         return (df.select(F.col(pair_col).alias("__pid"),
-                          F.size(ws).alias(f"__n_{side}"),
-                          F.explode_outer(ws).alias("__t"))
+                          ws.alias("__ws"))
+                .select("__pid",
+                        F.size("__ws").alias(f"__n_{side}"),
+                        F.explode_outer("__ws").alias("__t"))
                 .groupBy("__pid", "__t")
                 .agg(F.count(F.lit(1)).alias(f"__c_{side}"),
                      F.first(f"__n_{side}").alias(f"__n_{side}")))

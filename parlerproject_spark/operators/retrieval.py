@@ -421,12 +421,25 @@ def hashed_embedding(docs: DataFrame, *, dim: int = 16,
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
+    # One aggregate fold over the bucket array instead of a
+    # per-component size(filter(...)): with the bucket expression
+    # embedded in the per-component lambda, the tokenize→md5 cascade
+    # re-evaluates once PER COMPONENT (dim× the hashing work per
+    # row; projecting it to its own column first does not survive
+    # CollapseProject, which inlines single-use aliases back into
+    # the lambda — guide §4.4's duplicated-expression trap, HOF
+    # edition). aggregate() evaluates its input array exactly once
+    # per row, then each token increments its bucket's slot — the
+    # hashing is O(tokens), the fold O(tokens·dim) integer adds.
+    # Counts are sums of exact 1.0s, so values are unchanged.
     buckets = F.transform(tokenize(text_col),
                           lambda t: stable_hash31(t) % dim)
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.size(F.filter(buckets, lambda b: b == j))
-        .cast("double"))
+    vec = F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, b: F.transform(
+            acc, lambda x, i: x + F.when(i.cast("long") == b, F.lit(1.0))
+            .otherwise(F.lit(0.0))))
     return docs.select(F.col(id_col), vec.alias("embedding"))
 
 

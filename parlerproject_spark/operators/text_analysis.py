@@ -67,8 +67,20 @@ def topic_terms(docs: DataFrame, *, topic_col: str, id_col: str = "doc_id",
     the mean topic token mass — the class-based TF-IDF formulation
     BERTopic uses, computed as two hash aggregations plus a window
     top-n. Columns: <topic_col>, term, score, rn.
+
+    The (topic, term, tf) table feeds THREE consumers (df totals,
+    mean topic mass, the scored join) — without a stage boundary the
+    whole tokenize cascade re-runs per consumer (r14 plan audit: 12
+    scans / 12 exchanges at sf0.1). It is the c-TF-IDF model table
+    (topics × vocab — corpus-reduced by construction), so it is
+    materialized once behind a lazy localCheckpoint (the
+    rag_pipeline_docs stage-boundary idiom; guide §5) and every
+    consumer reads the materialized rows. All downstream aggregates
+    are exact integer sums until the final round(·, 6), so the
+    boundary cannot move a value.
     """
-    tf = term_counts(docs, group_col=topic_col, id_col=id_col, text_col=text_col)
+    tf = term_counts(docs, group_col=topic_col, id_col=id_col,
+                     text_col=text_col).localCheckpoint(eager=False)
     df_all = tf.groupBy("term").agg(F.sum("tf").alias("term_total"))
     avg_mass = tf.groupBy(topic_col).agg(F.sum("tf").alias("topic_mass")) \
                  .agg(F.avg("topic_mass").alias("a")).select("a")

@@ -20,7 +20,6 @@ row (a bounded, rule-count-sized read, documented).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from decimal import Decimal, ROUND_HALF_UP
 from typing import Any, Sequence
 
 from pyspark.sql import DataFrame
@@ -108,41 +107,53 @@ def expect_suite(df: DataFrame, rules: Sequence[Expectation],
     pair, all in a single `df.agg(...)` — Catalyst plans the mixed
     aggregate as one Expand feeding one partial+final aggregate, so
     N unique rules cost one shared extra projection of the scan, not
-    N extra jobs. The collected state is ONE row of ≤ 2·|rules| + 1
-    counters — bounded by the suite size, never by the data.
+    N extra jobs. The report is a PLAN, not a driver artifact (r14):
+    the per-rule rows explode out of the single aggregate row
+    in-engine, so building the suite launches no jobs and the whole
+    report is one action — the previous form collected the counter
+    row at DataFrame-BUILD time and re-parallelized a Python list,
+    which cost ~6 driver-synchronized jobs per call (guide §1.3) and
+    made report construction eager. The arithmetic is unchanged:
+    F.round is HALF_UP on the same double the old
+    Decimal(...).quantize(HALF_UP) rounded.
     """
     if not rules:
         raise ValueError("expect_suite needs at least one rule")
     names = [r.name for r in rules]
     if len(set(names)) != len(names):
         raise ValueError("duplicate expectation names")
-    spark = spark or df.sparkSession
 
     row_rules = [r for r in rules if r.kind != "unique"]
     uni_rules = [r for r in rules if r.kind == "unique"]
 
-    row = _suite_agg(df, row_rules, uni_rules).collect()[0]
+    agg = _suite_agg(df, row_rules, uni_rules)
 
-    counters: dict[str, tuple[int, int]] = {}
+    checked: dict[str, F.Column] = {}
+    failed: dict[str, F.Column] = {}
     for i, r in enumerate(row_rules):
-        counters[r.name] = (int(row["__n"]), int(row[f"__f{i}"] or 0))
+        checked[r.name] = F.col("__n")
+        failed[r.name] = F.coalesce(F.col(f"__f{i}"), F.lit(0))
     for i, r in enumerate(uni_rules):
-        n = int(row[f"__un{i}"])
-        counters[r.name] = (n, n - int(row[f"__ud{i}"] or 0))
+        checked[r.name] = F.col(f"__un{i}")
+        failed[r.name] = (F.col(f"__un{i}")
+                          - F.coalesce(F.col(f"__ud{i}"), F.lit(0)))
 
-    out_rows = []
+    entries = []
     for r in rules:
-        n, f = counters[r.name]
-        # HALF_UP like Spark/DuckDB round(), not Python's banker's
-        rate = 1.0 if n == 0 else float(
-            Decimal(1.0 - f / n).quantize(Decimal("0.000001"),
-                                          rounding=ROUND_HALF_UP))
-        out_rows.append((r.name, r.kind, r.col or "", n, f,
-                         rate + 0.0, f == 0))
-    return spark.createDataFrame(
-        out_rows,
-        "rule string, kind string, col string, n_checked long, "
-        "n_failed long, pass_rate double, passed boolean")
+        n = checked[r.name].cast("long")
+        f = failed[r.name].cast("long")
+        rate = (F.when(n == 0, F.lit(1.0))
+                .otherwise(F.round(F.lit(1.0) - f / n, 6)))
+        entries.append(F.struct(
+            F.lit(r.name).alias("rule"),
+            F.lit(r.kind).alias("kind"),
+            F.lit(r.col or "").alias("col"),
+            n.alias("n_checked"),
+            f.alias("n_failed"),
+            rate.alias("pass_rate"),
+            (f == 0).alias("passed")))
+    return (agg.select(F.explode(F.array(*entries)).alias("__e"))
+            .select("__e.*"))
 
 
 # Spark DataFrame.dtypes simpleString names for numeric types. The
